@@ -1,0 +1,10 @@
+"""flink_ml_spark — a PySpark-native ML pipeline + feature engineering engine
+with the capabilities of Apache Flink ML (reference: apache/flink-ml @
+2024-11-08), built Spark-first: DataFrame/Column expressions, driver-loop
+iteration, Structured Streaming for online stages.  See SURVEY.md."""
+
+from .api import AlgoOperator, Estimator, Model, Stage, Transformer
+from .param import Param, ParamValidators, WithParams
+from .pipeline import Pipeline, PipelineModel
+
+__version__ = "0.1.0"

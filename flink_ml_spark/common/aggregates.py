@@ -1,0 +1,76 @@
+"""Distributed per-dimension statistics over ``array<double>`` columns.
+
+Replaces the reference's hand-rolled partial-then-final aggregations
+(DataStreamUtils.reduce/aggregate, flink-ml-core/.../datastream/
+DataStreamUtils.java:155-295; StandardScaler partials at
+StandardScaler.java:75-101).  Spark-first plan: ``posexplode`` the vector
+then ``groupBy(pos)`` — Catalyst's HashAggregate does map-side partial
+aggregation, so only ``dim`` rows per partition hit the shuffle regardless
+of row count; the final ``dim``-row result is collected to the driver
+(fixed-size model state only — 100 TB-safe, no p=1 stage on raw data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def summarize_vector_col(df: DataFrame, col: str, metrics=("count", "mean", "std", "min", "max")) -> dict[str, np.ndarray]:
+    """Compute per-dimension stats of an array<double> column.
+
+    Returns dict of metric -> np.ndarray(dim).  Supported metrics:
+    count, mean, std (unbiased, stddev_samp), var, min, max, max_abs,
+    l1, l2sq, sum.
+    """
+    exploded = df.select(F.posexplode(F.col(col)).alias("pos", "x"))
+    aggs = [
+        F.count("x").alias("count"),
+        F.sum("x").alias("sum"),
+        F.avg("x").alias("mean"),
+        F.stddev_samp("x").alias("std"),
+        F.var_samp("x").alias("var"),
+        F.min("x").alias("min"),
+        F.max("x").alias("max"),
+        F.max(F.abs(F.col("x"))).alias("max_abs"),
+        F.sum(F.abs(F.col("x"))).alias("l1"),
+        F.sum(F.col("x") * F.col("x")).alias("l2sq"),
+    ]
+    rows = exploded.groupBy("pos").agg(*aggs).orderBy("pos").collect()
+    dim = len(rows)
+    out: dict[str, np.ndarray] = {}
+    for m in set(metrics) | {"count"}:
+        out[m] = np.array([float(r[m]) if r[m] is not None else 0.0 for r in rows])
+    out["dim"] = dim  # type: ignore[assignment]
+    return out
+
+
+def quantiles_vector_col(df: DataFrame, col: str, probs: list[float],
+                         relative_error: float = 0.001) -> np.ndarray:
+    """Per-dimension approximate quantiles of an array<double> column.
+
+    Greenwald-Khanna equivalent (reference QuantileSummary.java:42) via
+    Spark's built-in mergeable percentile_approx sketch.
+    Returns array of shape (dim, len(probs)).
+    """
+    accuracy = max(1, int(1.0 / relative_error))
+    exploded = df.select(F.posexplode(F.col(col)).alias("pos", "x"))
+    rows = (exploded.groupBy("pos")
+            .agg(F.percentile_approx("x", F.array(*[F.lit(p) for p in probs]),
+                                     F.lit(accuracy)).alias("q"))
+            .orderBy("pos").collect())
+    return np.array([list(r["q"]) for r in rows], dtype=float)
+
+
+def weighted_moments(df: DataFrame, features_col: str, weight_col: str | None):
+    """Weighted per-dim (sum_w, sum_wx, sum_wx2) — shared by learners."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ex = df.select(w.alias("w"), F.posexplode(F.col(features_col)).alias("pos", "x"))
+    rows = (ex.groupBy("pos")
+            .agg(F.sum("w").alias("sw"),
+                 F.sum(F.col("w") * F.col("x")).alias("swx"),
+                 F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swx2"))
+            .orderBy("pos").collect())
+    return (np.array([r["sw"] for r in rows]),
+            np.array([r["swx"] for r in rows]),
+            np.array([r["swx2"] for r in rows]))

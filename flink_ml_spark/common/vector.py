@@ -1,0 +1,90 @@
+"""Vector column helpers over plain ``array<double>`` columns.
+
+Design note (SURVEY §1.3): the reference carries custom Dense/SparseVector
+types with Flink serializers (flink-ml-servable-core/.../linalg/*.java).
+Spark-first we standardize on native ``array<double>`` columns so every
+vector op stays inside whole-stage codegen via higher-order functions
+(F.transform / F.zip_with / F.aggregate) — no UDT, no Python round-trip,
+and results stay comparable by external SQL engines.  Sparse vectors are
+``struct<size:int, indices:array<int>, values:array<double>>`` (sorted
+indices, mirroring SparseVector.java:32).  BLAS (BLAS.java:30-204) maps to
+expressions here + numpy inside pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+DOUBLE_ARRAY = "array<double>"
+SPARSE_STRUCT = "struct<size:int,indices:array<int>,values:array<double>>"
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a, b) -> Column:
+    """BLAS.dot for dense arrays (BLAS.java:90-118)."""
+    return F.aggregate(F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def hadamard(a, b) -> Column:
+    """Element-wise product (BLAS.hDot, BLAS.java:120-151)."""
+    return F.zip_with(_c(a), _c(b), lambda x, y: x * y)
+
+
+def scal(alpha, a) -> Column:
+    """x = a*x (BLAS.scal)."""
+    alpha = F.lit(alpha) if not isinstance(alpha, Column) else alpha
+    return F.transform(_c(a), lambda x: x * alpha)
+
+
+def axpy(alpha, x, y) -> Column:
+    """y += a*x (BLAS.axpy)."""
+    alpha = F.lit(alpha) if not isinstance(alpha, Column) else alpha
+    return F.zip_with(_c(x), _c(y), lambda xi, yi: yi + alpha * xi)
+
+
+def p_norm(a, p: float = 2.0) -> Column:
+    """Minkowski p-norm (BLAS.norm / normalizer semantics).
+
+    p = inf is represented by float('inf').
+    """
+    a = _c(a)
+    if p == float("inf"):
+        return F.array_max(F.transform(a, F.abs))
+    if p == 1.0:
+        return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+    if p == 2.0:
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.pow(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + F.pow(F.abs(x), F.lit(p))),
+        F.lit(1.0 / p))
+
+
+def sq_dist(a, b) -> Column:
+    """Squared euclidean distance."""
+    d = F.zip_with(_c(a), _c(b), lambda x, y: x - y)
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def cosine_similarity(a, b) -> Column:
+    return dot(a, b) / (p_norm(a, 2.0) * p_norm(b, 2.0))
+
+
+def to_dense(col, size: int | None = None) -> Column:
+    """Sparse struct → dense array.  Needs explicit or embedded size."""
+    c = _c(col)
+    n = F.lit(size) if size is not None else c["size"]
+    idx = F.sequence(F.lit(0), n - 1)
+    return F.transform(
+        idx,
+        lambda i: F.coalesce(
+            F.element_at(F.map_from_arrays(c["indices"], c["values"]), i),
+            F.lit(0.0)))
+
+
+def array_col(*cols) -> Column:
+    """Assemble numeric scalar columns into array<double>."""
+    return F.array(*[_c(c).cast("double") for c in cols])

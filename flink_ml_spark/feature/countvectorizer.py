@@ -1,0 +1,142 @@
+"""CountVectorizer / CountVectorizerModel and IDF / IDFModel.
+
+Reference:
+- feature/countvectorizer/CountVectorizer.java:53 — vocabulary of terms
+  with document frequency within [minDF, maxDF] (values >=1 are absolute
+  counts, <1 are fractions), top ``vocabSize`` by term frequency; model
+  transform → token-count sparse vector, ``binary`` option, ``minTF``
+  filter (per-document count or fraction).
+- feature/idf/IDF.java:56 — idf = ln((m+1)/(df+1)), ``minDocFreq``.
+
+Fit plans: explode + groupBy(term) with map-side combine (shuffles at most
+|vocab| rows per partition); vocabulary order = count desc, term asc
+(deterministic — reference breaks ties arbitrarily, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..api import Estimator, Model
+from ..param import (BoolParam, FloatParam, HasInputCol, HasOutputCol,
+                     IntParam, ParamValidators)
+
+
+class CountVectorizer(Estimator, HasInputCol, HasOutputCol):
+    vocabularySize = IntParam("vocabularySize", "Max vocabulary size.", 1 << 18,
+                              ParamValidators.gt(0))
+    minDF = FloatParam("minDF", "Min doc frequency (count if >=1 else fraction).", 1.0,
+                       ParamValidators.gt_eq(0))
+    maxDF = FloatParam("maxDF", "Max doc frequency (count if >=1 else fraction).",
+                       float(2 ** 63 - 1), ParamValidators.gt_eq(0))
+    minTF = FloatParam("minTF", "Min term frequency per document.", 1.0,
+                       ParamValidators.gt_eq(0))
+    binary = BoolParam("binary", "Binary output toggles.", False)
+
+    def fit(self, *inputs: DataFrame) -> "CountVectorizerModel":
+        (df,) = inputs
+        n_docs = df.count()
+        min_df, max_df = self.get_("minDF"), self.get_("maxDF")
+        min_df_n = min_df if min_df >= 1.0 else min_df * n_docs
+        max_df_n = max_df if max_df >= 1.0 else max_df * n_docs
+        # doc frequency: dedup terms within each doc first (array_distinct is
+        # row-local), then one groupBy(term) — map-side combine keeps the
+        # shuffle at |vocab| rows per partition.
+        df_counts = (df.select(F.explode(F.array_distinct(F.col(self.get_("inputCol")))).alias("term"))
+                     .groupBy("term").agg(F.count("*").alias("df")))
+        tf_counts = (df.select(F.explode(F.col(self.get_("inputCol"))).alias("term"))
+                     .groupBy("term").agg(F.count("*").alias("tf")))
+        joined = tf_counts.join(df_counts, "term")
+        filtered = joined.filter((F.col("df") >= F.lit(min_df_n)) &
+                                 (F.col("df") <= F.lit(max_df_n)))
+        rows = (filtered.orderBy(F.desc("tf"), F.asc("term"))
+                .limit(self.get_("vocabularySize")).collect())
+        vocab = [r["term"] for r in rows]
+        model = CountVectorizerModel()
+        model.set_(inputCol=self.get_("inputCol"), outputCol=self.get_("outputCol"),
+                   minTF=self.get_("minTF"), binary=self.get_("binary"))
+        model.model_data = {"vocabulary": vocab}
+        return model
+
+
+class CountVectorizerModel(Model, HasInputCol, HasOutputCol):
+    minTF = FloatParam("minTF", "Min term frequency per document.", 1.0)
+    binary = BoolParam("binary", "Binary output toggles.", False)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        vocab = self.model_data["vocabulary"]
+        pairs = []
+        for i, term in enumerate(vocab):
+            pairs.extend([F.lit(term), F.lit(i)])
+        lookup = F.create_map(*pairs) if pairs else F.create_map()
+        toks = F.col(self.get_("inputCol"))
+        min_tf = self.get_("minTF")
+        idx_all = F.transform(toks, lambda t: lookup.getItem(t))
+        idx_hit = F.array_sort(F.filter(idx_all, lambda i: i.isNotNull()))
+        uniq = F.array_distinct(idx_hit)
+        counts = F.transform(
+            uniq, lambda i: F.size(F.filter(idx_hit, lambda x: x == i)).cast("double"))
+        # minTF: absolute count if >=1 else fraction of the doc's token count
+        thr = (F.lit(float(min_tf)) if min_tf >= 1.0
+               else F.lit(float(min_tf)) * F.size(toks))
+        keep = F.transform(counts, lambda c: c >= thr)
+        idx_f = F.filter(F.zip_with(uniq, keep, lambda i, k: F.when(k, i)),
+                         lambda x: x.isNotNull())
+        val_f = F.filter(F.zip_with(counts, keep, lambda c, k: F.when(k, c)),
+                         lambda x: x.isNotNull())
+        if self.get_("binary"):
+            val_f = F.transform(val_f, lambda v: F.lit(1.0))
+        out = F.struct(F.lit(len(vocab)).alias("size"),
+                       idx_f.cast("array<int>").alias("indices"),
+                       val_f.alias("values"))
+        return df.withColumn(self.get_("outputCol"), out)
+
+
+class IDF(Estimator, HasInputCol, HasOutputCol):
+    minDocFreq = IntParam("minDocFreq", "Min doc frequency to keep a term's idf.", 0,
+                          ParamValidators.gt_eq(0))
+
+    def fit(self, *inputs: DataFrame) -> "IDFModel":
+        (df,) = inputs
+        col = self.get_("inputCol")
+        n_docs = df.count()
+        # input: count/tf vectors as dense array<double> (or sparse struct)
+        dtype = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[col]
+        if dtype.startswith("struct"):
+            from .functions import vector_to_array
+            vec = vector_to_array(F.col(col))
+        else:
+            vec = F.col(col)
+        exploded = df.select(F.posexplode(vec).alias("pos", "x"))
+        rows = (exploded.groupBy("pos")
+                .agg(F.sum(F.when(F.col("x") != 0.0, 1).otherwise(0)).alias("df"))
+                .orderBy("pos").collect())
+        dfreq = np.array([r["df"] for r in rows], dtype=float)
+        idf = np.log((n_docs + 1.0) / (dfreq + 1.0))
+        idf = np.where(dfreq >= self.get_("minDocFreq"), idf, 0.0)
+        model = IDFModel()
+        model.set_(inputCol=col, outputCol=self.get_("outputCol"))
+        model.model_data = {"idf": idf.tolist(), "docFreq": dfreq.tolist(),
+                            "numDocs": n_docs}
+        return model
+
+
+class IDFModel(Model, HasInputCol, HasOutputCol):
+    def _transform(self, df: DataFrame) -> DataFrame:
+        idf = self.model_data["idf"]
+        idf_arr = F.array(*[F.lit(float(x)) for x in idf])
+        col = self.get_("inputCol")
+        dtype = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[col]
+        if dtype.startswith("struct"):
+            c = F.col(col)
+            vals = F.zip_with(c["values"],
+                              F.transform(c["indices"], lambda i: F.element_at(idf_arr, i + 1)),
+                              lambda v, w: v * w)
+            out = F.struct(c["size"].alias("size"), c["indices"].alias("indices"),
+                           vals.alias("values"))
+        else:
+            out = F.zip_with(F.col(col), idf_arr, lambda v, w: v * w)
+        return df.withColumn(self.get_("outputCol"), out)

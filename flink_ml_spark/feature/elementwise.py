@@ -1,0 +1,92 @@
+"""ElementwiseProduct, Normalizer, VectorSlicer, Interaction, NGram.
+
+Reference files:
+- feature/elementwiseproduct/ElementwiseProduct.java:52 (Hadamard with scalingVec)
+- feature/normalizer/Normalizer.java:46 (unit p-norm)
+- feature/vectorslicer/VectorSlicer.java:55 (select indices, no duplicates)
+- feature/interaction/Interaction.java:57 (all value combinations)
+- feature/ngram/NGram.java:45 (space-joined n-grams)
+
+All pure higher-order-function expressions: JVM-side, no shuffle added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType
+
+from ..api import Transformer
+from ..common import vector as V
+from ..param import (FloatArrayParam, FloatParam, HasInputCol, HasInputCols,
+                     HasOutputCol, IntArrayParam, IntParam, ParamValidators)
+
+
+class ElementwiseProduct(Transformer, HasInputCol, HasOutputCol):
+    scalingVec = FloatArrayParam("scalingVec", "Vector to multiply element-wise.", None)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        scaling = F.array(*[F.lit(float(x)) for x in self.get_("scalingVec")])
+        return df.withColumn(
+            self.get_("outputCol"),
+            F.zip_with(F.col(self.get_("inputCol")), scaling, lambda x, s: x * s))
+
+
+class Normalizer(Transformer, HasInputCol, HasOutputCol):
+    p = FloatParam("p", "The p of p-norm.", 2.0, ParamValidators.gt_eq(1.0))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        col = F.col(self.get_("inputCol"))
+        norm = V.p_norm(col, self.get_("p"))
+        return df.withColumn(
+            self.get_("outputCol"),
+            F.transform(col, lambda x: x / norm))
+
+
+class VectorSlicer(Transformer, HasInputCol, HasOutputCol):
+    indices = IntArrayParam("indices", "Indices to select (no duplicates).", None,
+                            ParamValidators.non_empty_array())
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        idx = self.get_("indices")
+        if len(set(idx)) != len(idx):
+            raise ValueError("VectorSlicer indices must not contain duplicates")
+        col = F.col(self.get_("inputCol"))
+        out = F.array(*[F.element_at(col, int(i) + 1) for i in idx])
+        return df.withColumn(self.get_("outputCol"), out)
+
+
+class Interaction(Transformer, HasInputCols, HasOutputCol):
+    """Output vector of products of every combination across input columns;
+    result[i*len(b)+j] = a[i]*b[j] fold over inputs (Interaction.java:57)."""
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        arrays = []
+        for c in self.get_("inputCols"):
+            if isinstance(schema[c], ArrayType):
+                arrays.append(F.col(c))
+            else:
+                arrays.append(F.array(F.col(c).cast("double")))
+        def _cross(nxt):
+            # closure factory: 2-arg lambdas receive the array index
+            return lambda x: F.transform(nxt, lambda y: x * y)
+
+        acc = arrays[0]
+        for nxt in arrays[1:]:
+            acc = F.flatten(F.transform(acc, _cross(nxt)))
+        return df.withColumn(self.get_("outputCol"), acc)
+
+
+class NGram(Transformer, HasInputCol, HasOutputCol):
+    n = IntParam("n", "Number of elements per n-gram (>=1).", 2, ParamValidators.gt(0))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        n = self.get_("n")
+        toks = F.col(self.get_("inputCol"))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ).otherwise(F.array().cast("array<string>"))
+        return df.withColumn(self.get_("outputCol"), grams)

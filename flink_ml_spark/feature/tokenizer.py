@@ -1,0 +1,54 @@
+"""Tokenizer / RegexTokenizer.
+
+Reference: feature/tokenizer/Tokenizer.java:41 (lowercase + whitespace
+split), feature/regextokenizer/RegexTokenizer.java:54 (regex split/match,
+minTokenLength, gaps, toLowercase).  Pure Column expressions — JVM-side,
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..api import Transformer
+from ..param import (BoolParam, HasInputCol, HasOutputCol, IntParam,
+                     ParamValidators, StringParam)
+
+
+class Tokenizer(Transformer, HasInputCol, HasOutputCol):
+    """Lowercase then split on single whitespace; drops empty tokens."""
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        toks = F.split(F.lower(F.col(self.get_("inputCol"))), r"\s")
+        toks = F.filter(toks, lambda t: t != "")
+        return df.withColumn(self.get_("outputCol"), toks)
+
+    def transform_local(self, pdf):
+        out = pdf.copy()
+        out[self.get_("outputCol")] = (
+            pdf[self.get_("inputCol")].str.lower().str.split())
+        return out
+
+
+class RegexTokenizer(Transformer, HasInputCol, HasOutputCol):
+    """RegexTokenizer.java:54 semantics: optionally lowercase, then either
+    split on ``pattern`` (gaps=True) or emit regex matches (gaps=False);
+    keep tokens with length >= minTokenLength."""
+
+    pattern = StringParam("pattern", "Regex pattern used for tokenizing.", r"\s+")
+    gaps = BoolParam("gaps", "Pattern matches gaps (split) or tokens (findall).", True)
+    minTokenLength = IntParam("minTokenLength", "Minimum token length.", 1,
+                              ParamValidators.gt_eq(0))
+    toLowercase = BoolParam("toLowercase", "Lowercase before tokenizing.", True)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        col = F.col(self.get_("inputCol"))
+        if self.get_("toLowercase"):
+            col = F.lower(col)
+        if self.get_("gaps"):
+            toks = F.split(col, self.get_("pattern"))
+        else:
+            toks = F.regexp_extract_all(col, F.lit(self.get_("pattern")), 0)
+        min_len = self.get_("minTokenLength")
+        toks = F.filter(toks, lambda t: F.length(t) >= F.lit(min_len))
+        return df.withColumn(self.get_("outputCol"), toks)

@@ -1,0 +1,178 @@
+"""Estimator (+Model) tests with hand-computed fixtures + save/load round
+trips, mirroring KMeansTest.java's 8-case template (SURVEY §5)."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from flink_ml_spark.feature import (IDF, CountVectorizer, Imputer,
+                                    KBinsDiscretizer, MaxAbsScaler,
+                                    MinMaxScaler, OneHotEncoder, RobustScaler,
+                                    StandardScaler, StringIndexer,
+                                    IndexToStringModel, VarianceThresholdSelector,
+                                    VectorIndexer)
+from flink_ml_spark.api import Stage
+
+
+@pytest.fixture()
+def dense_df(spark):
+    return spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [2.0, 20.0]), (3, [3.0, 30.0]), (4, [4.0, 40.0])],
+        "id long, features array<double>")
+
+
+def test_standard_scaler(spark, dense_df):
+    model = StandardScaler(inputCol="features", outputCol="scaled",
+                           withMean=True, withStd=True).fit(dense_df)
+    got = {r["id"]: r["scaled"] for r in model.transform(dense_df)[0].collect()}
+    mean, std = 2.5, np.std([1, 2, 3, 4], ddof=1)
+    assert got[1][0] == pytest.approx((1 - mean) / std)
+    assert got[4][1] == pytest.approx((40 - 25) / np.std([10, 20, 30, 40], ddof=1))
+
+
+def test_standard_scaler_save_load(spark, dense_df, tmp_path):
+    model = StandardScaler(inputCol="features", outputCol="scaled").fit(dense_df)
+    p = str(tmp_path / "ss")
+    model.save(p)
+    loaded = Stage.load(spark, p)
+    a = model.transform(dense_df)[0].collect()
+    b = loaded.transform(dense_df)[0].collect()
+    assert [r["scaled"] for r in a] == [r["scaled"] for r in b]
+
+
+def test_minmax_scaler(spark, dense_df):
+    model = MinMaxScaler(inputCol="features", outputCol="o").fit(dense_df)
+    got = {r["id"]: r["o"] for r in model.transform(dense_df)[0].collect()}
+    assert got[1] == pytest.approx([0.0, 0.0])
+    assert got[4] == pytest.approx([1.0, 1.0])
+    assert got[2] == pytest.approx([1 / 3, 1 / 3])
+
+
+def test_minmax_constant_dim(spark):
+    df = spark.createDataFrame([(1, [5.0]), (2, [5.0])], "id long, features array<double>")
+    model = MinMaxScaler(inputCol="features", outputCol="o").fit(df)
+    # Emax==Emin → 0.5*(max+min) of target range (MinMaxScaler.java:67)
+    assert model.transform(df)[0].collect()[0]["o"] == [0.5]
+
+
+def test_maxabs_scaler(spark):
+    df = spark.createDataFrame([(1, [-4.0, 1.0]), (2, [2.0, -2.0])],
+                               "id long, features array<double>")
+    model = MaxAbsScaler(inputCol="features", outputCol="o").fit(df)
+    got = {r["id"]: r["o"] for r in model.transform(df)[0].collect()}
+    assert got[1] == pytest.approx([-1.0, 0.5])
+
+
+def test_robust_scaler(spark):
+    data = [(i, [float(i)]) for i in range(1, 101)]
+    df = spark.createDataFrame(data, "id long, features array<double>")
+    model = RobustScaler(inputCol="features", outputCol="o",
+                         withCentering=True).fit(df)
+    med = model.model_data["median"][0]
+    rng = model.model_data["range"][0]
+    assert med == pytest.approx(50, abs=2)
+    assert rng == pytest.approx(50, abs=3)
+
+
+def test_imputer_mean(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0), (4, float("nan"))], "id long, x double")
+    model = Imputer(inputCols=["x"], outputCols=["o"], strategy="mean").fit(df)
+    assert model.model_data["surrogates"] == [2.0]
+    got = {r["id"]: r["o"] for r in model.transform(df)[0].collect()}
+    assert got[2] == 2.0 and got[4] == 2.0 and got[1] == 1.0
+
+
+def test_imputer_most_frequent(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 3.0), (4, None)], "id long, x double")
+    model = Imputer(inputCols=["x"], outputCols=["o"], strategy="most_frequent").fit(df)
+    assert model.model_data["surrogates"] == [5.0]
+
+
+def test_string_indexer_freq_desc(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "b"), (3, "a"), (4, "c"), (5, "c"), (6, "c")], ["id", "s"])
+    model = StringIndexer(inputCols=["s"], outputCols=["i"],
+                          stringOrderType="freqDesc").fit(df)
+    assert model.model_data["stringArrays"][0] == ["c", "b", "a"]
+    got = {r["id"]: r["i"] for r in model.transform(df)[0].collect()}
+    assert got[4] == 0.0 and got[1] == 1.0 and got[3] == 2.0
+
+
+def test_string_indexer_keep_unseen(spark):
+    train = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    test = spark.createDataFrame([(1, "a"), (2, "zz")], ["id", "s"])
+    model = StringIndexer(inputCols=["s"], outputCols=["i"],
+                          stringOrderType="alphabetAsc", handleInvalid="keep").fit(train)
+    got = {r["id"]: r["i"] for r in model.transform(test)[0].collect()}
+    assert got[1] == 0.0 and got[2] == 2.0
+
+
+def test_index_to_string(spark):
+    df = spark.createDataFrame([(1, 0.0), (2, 1.0)], ["id", "i"])
+    m = IndexToStringModel(inputCols=["i"], outputCols=["s"]) \
+        .set_model_data_arrays([["x", "y"]])
+    got = {r["id"]: r["s"] for r in m.transform(df)[0].collect()}
+    assert got == {1: "x", 2: "y"}
+
+
+def test_one_hot_encoder(spark):
+    df = spark.createDataFrame([(1, 0.0), (2, 1.0), (3, 2.0)], ["id", "c"])
+    model = OneHotEncoder(inputCols=["c"], outputCols=["v"]).fit(df)
+    got = {r["id"]: r["v"] for r in model.transform(df)[0].collect()}
+    assert got[1]["size"] == 2 and got[1]["indices"] == [0]
+    assert got[3]["indices"] == []  # dropLast: last category = all zeros
+
+
+def test_count_vectorizer(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "a"]), (2, ["b", "c"]), (3, ["b"])], ["id", "t"])
+    model = CountVectorizer(inputCol="t", outputCol="v").fit(df)
+    # vocab by total term frequency desc: b(3), a(2), c(1)
+    assert model.model_data["vocabulary"] == ["b", "a", "c"]
+    got = {r["id"]: r["v"] for r in model.transform(df)[0].collect()}
+    assert got[1]["indices"] == [0, 1] and got[1]["values"] == [1.0, 2.0]
+
+
+def test_idf(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 2.0])], "id long, v array<double>")
+    model = IDF(inputCol="v", outputCol="o").fit(df)
+    idf0 = math.log(3 / 3)
+    idf1 = math.log(3 / 2)
+    assert model.model_data["idf"] == pytest.approx([idf0, idf1])
+    got = {r["id"]: r["o"] for r in model.transform(df)[0].collect()}
+    assert got[2] == pytest.approx([0.0, 2 * idf1])
+
+
+def test_kbins_uniform(spark):
+    df = spark.createDataFrame([(i, [float(i)]) for i in range(10)],
+                               "id long, features array<double>")
+    model = KBinsDiscretizer(inputCol="features", outputCol="o",
+                             strategy="uniform", numBins=3).fit(df)
+    got = {r["id"]: r["o"] for r in model.transform(df)[0].collect()}
+    assert got[0] == [0.0] and got[9] == [2.0]
+
+
+def test_variance_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0, 1.0]), (2, [2.0, 5.0, 1.0]), (3, [3.0, 5.0, 1.0])],
+        "id long, features array<double>")
+    model = VarianceThresholdSelector(inputCol="features", outputCol="o") \
+        .fit(df)
+    assert model.model_data["indices"] == [0]
+    assert model.transform(df)[0].collect()[0]["o"] == [1.0]
+
+
+def test_vector_indexer(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 10.5]), (2, [1.0, 20.5]), (3, [0.0, 30.5]), (4, [2.0, 40.5])],
+        "id long, features array<double>")
+    model = VectorIndexer(inputCol="features", outputCol="o",
+                          maxCategories=3).fit(df)
+    got = {r["id"]: r["o"] for r in model.transform(df)[0].collect()}
+    # dim0 categorical {0,1,2} → reindex; dim1 has 4 distinct > 3 → passthrough
+    assert got[1] == [0.0, 10.5] and got[4] == [2.0, 40.5]

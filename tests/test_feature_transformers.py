@@ -1,0 +1,154 @@
+"""Per-stage tests for stateless transformers, mirroring the reference's
+test template (SURVEY §5: testParam / testOutputSchema / testTransform
+with inlined golden fixtures)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ml_spark.feature import (DCT, Binarizer, Bucketizer,
+                                    ElementwiseProduct, FeatureHasher,
+                                    HashingTF, Interaction, NGram, Normalizer,
+                                    PolynomialExpansion, RegexTokenizer,
+                                    SQLTransformer, StopWordsRemover,
+                                    Tokenizer, VectorAssembler, VectorSlicer)
+
+
+def rows(df, *cols):
+    return [tuple(r[c] for c in cols) for r in df.orderBy(cols[0]).collect()]
+
+
+def test_tokenizer(spark):
+    df = spark.createDataFrame([(1, "Hello  World FOO"), (2, "a b")], ["id", "text"])
+    out = Tokenizer(inputCol="text", outputCol="toks").transform(df)[0]
+    got = {r["id"]: r["toks"] for r in out.collect()}
+    assert got[1] == ["hello", "world", "foo"]
+    assert got[2] == ["a", "b"]
+
+
+def test_regex_tokenizer(spark):
+    df = spark.createDataFrame([(1, "a1B2c33")], ["id", "text"])
+    t = RegexTokenizer(inputCol="text", outputCol="toks", pattern="[0-9]+")
+    assert t.transform(df)[0].collect()[0]["toks"] == ["a", "b", "c"]
+    t2 = RegexTokenizer(inputCol="text", outputCol="toks", pattern="[0-9]+", gaps=False)
+    assert t2.transform(df)[0].collect()[0]["toks"] == ["1", "2", "33"]
+
+
+def test_binarizer(spark):
+    df = spark.createDataFrame([(1, 0.5, [0.1, 0.9])], ["id", "x", "v"])
+    b = Binarizer(inputCols=["x", "v"], outputCols=["xo", "vo"], thresholds=[0.4, 0.5])
+    r = b.transform(df)[0].collect()[0]
+    assert r["xo"] == 1.0 and r["vo"] == [0.0, 1.0]
+
+
+def test_bucketizer_keep_skip(spark):
+    df = spark.createDataFrame([(1, 0.5), (2, 15.0), (3, float("nan"))], ["id", "x"])
+    b = Bucketizer(inputCols=["x"], outputCols=["o"],
+                   splitsArray=[[0.0, 1.0, 10.0]], handleInvalid="keep")
+    got = {r["id"]: r["o"] for r in b.transform(df)[0].collect()}
+    assert got == {1: 0.0, 2: 2.0, 3: 2.0}
+    b2 = Bucketizer(inputCols=["x"], outputCols=["o"],
+                    splitsArray=[[0.0, 1.0, 10.0]], handleInvalid="skip")
+    assert b2.transform(df)[0].count() == 1
+
+
+def test_elementwise_product(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["id", "v"])
+    t = ElementwiseProduct(inputCol="v", outputCol="o", scalingVec=[2.0, 0.5, 1.0])
+    assert t.transform(df)[0].collect()[0]["o"] == [2.0, 1.0, 3.0]
+
+
+def test_normalizer(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0])], ["id", "v"])
+    t = Normalizer(inputCol="v", outputCol="o", p=2.0)
+    assert t.transform(df)[0].collect()[0]["o"] == [0.6, 0.8]
+    t1 = Normalizer(inputCol="v", outputCol="o", p=1.0)
+    out = t1.transform(df)[0].collect()[0]["o"]
+    assert out == pytest.approx([3 / 7, 4 / 7])
+
+
+def test_vector_slicer(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0, 4.0])], ["id", "v"])
+    t = VectorSlicer(inputCol="v", outputCol="o", indices=[3, 1])
+    assert t.transform(df)[0].collect()[0]["o"] == [4.0, 2.0]
+
+
+def test_interaction(spark):
+    df = spark.createDataFrame([(1, 2.0, [3.0, 4.0], [5.0])], ["id", "x", "v", "w"])
+    t = Interaction(inputCols=["x", "v", "w"], outputCol="o")
+    assert t.transform(df)[0].collect()[0]["o"] == [30.0, 40.0]
+
+
+def test_ngram(spark):
+    df = spark.createDataFrame([(1, ["a", "b", "c", "d"]), (2, ["x"])], ["id", "t"])
+    t = NGram(inputCol="t", outputCol="o", n=2)
+    got = {r["id"]: r["o"] for r in t.transform(df)[0].collect()}
+    assert got[1] == ["a b", "b c", "c d"]
+    assert got[2] == []
+
+
+def test_stop_words_remover(spark):
+    df = spark.createDataFrame([(1, ["The", "quick", "fox", "of", "doom"])], ["id", "t"])
+    t = StopWordsRemover(inputCols=["t"], outputCols=["o"])
+    assert t.transform(df)[0].collect()[0]["o"] == ["quick", "fox", "doom"]
+
+
+def test_vector_assembler_keep(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, [2.0, 3.0]), (2, None, [4.0, 5.0]), (3, 6.0, None)],
+        "id long, x double, v array<double>")
+    t = VectorAssembler(inputCols=["x", "v"], outputCol="o",
+                        inputSizes=[1, 2], handleInvalid="keep")
+    got = {r["id"]: r["o"] for r in t.transform(df)[0].collect()}
+    assert got[1] == [1.0, 2.0, 3.0]
+    assert math.isnan(got[2][0]) and got[2][1:] == [4.0, 5.0]
+    assert got[3][0] == 6.0 and all(math.isnan(x) for x in got[3][1:])
+    t2 = VectorAssembler(inputCols=["x", "v"], outputCol="o",
+                         inputSizes=[1, 2], handleInvalid="skip")
+    assert t2.transform(df)[0].count() == 1
+
+
+def test_sql_transformer(spark):
+    df = spark.createDataFrame([(1, -2.0)], ["id", "v1"])
+    t = SQLTransformer(statement="SELECT *, ABS(v1) AS v2 FROM __THIS__")
+    assert t.transform(df)[0].collect()[0]["v2"] == 2.0
+
+
+def test_hashingtf(spark):
+    df = spark.createDataFrame([(1, ["a", "b", "a", "c"])], ["id", "t"])
+    t = HashingTF(inputCol="t", outputCol="o", numFeatures=16, hashAlgorithm="poly")
+    r = t.transform(df)[0].collect()[0]["o"]
+    assert r["size"] == 16
+    assert sorted(r["values"]) == [1.0, 1.0, 2.0]
+    # poly hash is reproducible: h('a') = 97 % 16
+    assert (97 % 16) in r["indices"]
+
+
+def test_feature_hasher(spark):
+    df = spark.createDataFrame([(1, 2.5, "x")], ["id", "num", "cat"])
+    t = FeatureHasher(inputCols=["num", "cat"], outputCol="o",
+                      categoricalCols=["cat"], numFeatures=32, hashAlgorithm="poly")
+    r = t.transform(df)[0].collect()[0]["o"]
+    assert r["size"] == 32 and sorted(r["values"]) == [1.0, 2.5]
+
+
+def test_dct(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0, 4.0])], ["id", "v"])
+    out = DCT(inputCol="v", outputCol="o").transform(df)[0].collect()[0]["o"]
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    from flink_ml_spark.feature.dct import dct2_matrix
+    expected = dct2_matrix(4) @ x
+    assert np.allclose(out, expected)
+    # round-trip via inverse
+    df2 = spark.createDataFrame([(1, [float(v) for v in expected])], ["id", "v"])
+    back = DCT(inputCol="v", outputCol="o", inverse=True).transform(df2)[0].collect()[0]["o"]
+    assert np.allclose(back, x)
+
+
+def test_polynomial_expansion(spark):
+    df = spark.createDataFrame([(1, [2.0, 3.0])], ["id", "v"])
+    out = PolynomialExpansion(inputCol="v", outputCol="o", degree=2) \
+        .transform(df)[0].collect()[0]["o"]
+    assert sorted(out) == sorted([2.0, 4.0, 3.0, 9.0, 6.0])
