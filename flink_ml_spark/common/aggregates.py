@@ -50,15 +50,20 @@ def quantiles_vector_col(df: DataFrame, col: str, probs: list[float],
     """Per-dimension approximate quantiles of an array<double> column.
 
     Greenwald-Khanna equivalent (reference QuantileSummary.java:42) via
-    Spark's built-in mergeable percentile_approx sketch.
+    Spark's built-in mergeable percentile_approx sketch.  With
+    ``relative_error == 0`` uses the exact interpolating ``F.percentile``
+    (matches SQL percentile_cont/quantile_cont — used by oracle-checked
+    paths; the sketch remains the 100 TB path).
     Returns array of shape (dim, len(probs)).
     """
-    accuracy = max(1, int(1.0 / relative_error))
     exploded = df.select(F.posexplode(F.col(col)).alias("pos", "x"))
-    rows = (exploded.groupBy("pos")
-            .agg(F.percentile_approx("x", F.array(*[F.lit(p) for p in probs]),
-                                     F.lit(accuracy)).alias("q"))
-            .orderBy("pos").collect())
+    parr = F.array(*[F.lit(p) for p in probs])
+    if relative_error == 0:
+        agg = F.percentile("x", parr).alias("q")
+    else:
+        accuracy = max(1, int(1.0 / relative_error))
+        agg = F.percentile_approx("x", parr, F.lit(accuracy)).alias("q")
+    rows = exploded.groupBy("pos").agg(agg).orderBy("pos").collect()
     return np.array([list(r["q"]) for r in rows], dtype=float)
 
 

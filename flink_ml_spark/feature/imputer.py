@@ -47,10 +47,15 @@ class Imputer(Estimator, HasInputCols, HasOutputCols, HasRelativeError):
             row = clean.agg(*[F.avg(c).alias(c) for c in in_cols]).collect()[0]
             surrogates = [float(row[c]) for c in in_cols]
         elif strategy == "median":
-            acc = max(1, int(1.0 / self.get_("relativeError")))
-            row = clean.agg(*[
-                F.percentile_approx(c, F.lit(0.5), F.lit(acc)).alias(c)
-                for c in in_cols]).collect()[0]
+            rel = self.get_("relativeError")
+            if rel == 0:  # exact interpolating percentile (oracle-matched)
+                row = clean.agg(*[F.percentile(c, F.lit(0.5)).alias(c)
+                                  for c in in_cols]).collect()[0]
+            else:
+                acc = max(1, int(1.0 / rel))
+                row = clean.agg(*[
+                    F.percentile_approx(c, F.lit(0.5), F.lit(acc)).alias(c)
+                    for c in in_cols]).collect()[0]
             surrogates = [float(row[c]) for c in in_cols]
         else:  # most_frequent: per-col value counts; ties → smallest value
             surrogates = []

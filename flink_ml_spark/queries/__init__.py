@@ -1,0 +1,47 @@
+"""Query registry backing __spark_entry__ (driver correctness gate).
+
+Each module exports ``QUERIES: dict[name, (spark_fn, oracle_sql | None)]``
+where ``spark_fn(spark, sf_dir) -> DataFrame`` demonstrates one operator
+from SURVEY §2 and ``oracle_sql`` is equivalent DuckDB SQL over the same
+parquet tables.  Conventions (driver compares by column-name-sorted
+order-insensitive value hash):
+
+- outputs are scalar columns only (vectors are exploded to rows);
+- every float column is quantized with q4() = CAST(ROUND(x*10000) AS
+  BIGINT) on BOTH sides, making the hash immune to last-ulp engine
+  differences while still checking 4 decimal places;
+- aliases match exactly between Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def q4(col: Column) -> Column:
+    """Quantize a double for cross-engine hash comparison."""
+    return F.round(col * 10000).cast("long")
+
+
+SQL_Q4 = "CAST(ROUND(({}) * 10000) AS BIGINT)"
+
+
+def load(spark, sf_dir: str, *names: str):
+    dfs = [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+    return dfs[0] if len(dfs) == 1 else dfs
+
+
+def all_queries():
+    from . import feature_queries, llmdata_queries, ml_queries, text_queries
+    out = {}
+    for mod in (feature_queries, text_queries, ml_queries, llmdata_queries):
+        out.update(mod.QUERIES)
+    return out
+
+
+def queries_dict():
+    return {k: v[0] for k, v in all_queries().items()}
+
+
+def oracles_dict():
+    return {k: v[1] for k, v in all_queries().items() if v[1] is not None}

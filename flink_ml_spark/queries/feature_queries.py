@@ -1,0 +1,392 @@
+"""Numeric feature-engineering queries vs DuckDB oracles (lineitem/part/
+customer tables).  One entry per SURVEY §2.2/2.3 operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..feature import (Binarizer, Bucketizer, Imputer, KBinsDiscretizer,
+                       MaxAbsScaler, MinMaxScaler, Normalizer, OneHotEncoder,
+                       RobustScaler, SQLTransformer, StandardScaler,
+                       StringIndexer, VarianceThresholdSelector,
+                       VectorAssembler, VectorSlicer, ElementwiseProduct,
+                       Interaction)
+from . import SQL_Q4, load, q4
+
+KEY = ["l_orderkey", "l_linenumber"]
+NUM4 = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _assembled(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    va = VectorAssembler(inputCols=NUM4, outputCol="features",
+                         inputSizes=[1, 1, 1, 1])
+    return va.transform(li)[0]
+
+
+def _explode4(df, col, prefix):
+    cols = [F.col(k) for k in KEY]
+    cols += [q4(F.element_at(F.col(col), i + 1)).alias(f"{prefix}{i}")
+             for i in range(4)]
+    return df.select(*cols)
+
+
+# --- Binarizer -------------------------------------------------------------
+
+def binarizer(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    b = Binarizer(inputCols=["l_quantity", "l_discount"],
+                  outputCols=["qty_bin", "disc_bin"], thresholds=[25.0, 0.05])
+    return b.transform(li)[0].select(*KEY, "qty_bin", "disc_bin")
+
+
+BINARIZER_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity > 25.0 THEN 1.0 ELSE 0.0 END AS qty_bin,
+       CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS disc_bin
+FROM lineitem
+"""
+
+# --- Bucketizer ------------------------------------------------------------
+
+_SPLITS = [0.0, 10000.0, 30000.0, 60000.0, 100000.0]
+
+
+def bucketizer(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    b = Bucketizer(inputCols=["l_extendedprice"], outputCols=["price_bucket"],
+                   splitsArray=[_SPLITS], handleInvalid="keep")
+    return b.transform(li)[0].select(*KEY, "price_bucket")
+
+
+BUCKETIZER_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_extendedprice >= 0.0 AND l_extendedprice < 10000.0 THEN 0.0
+            WHEN l_extendedprice >= 10000.0 AND l_extendedprice < 30000.0 THEN 1.0
+            WHEN l_extendedprice >= 30000.0 AND l_extendedprice < 60000.0 THEN 2.0
+            WHEN l_extendedprice >= 60000.0 AND l_extendedprice <= 100000.0 THEN 3.0
+            ELSE 4.0 END AS price_bucket
+FROM lineitem
+"""
+
+# --- StandardScaler --------------------------------------------------------
+
+def standard_scaler(spark, sf_dir):
+    df = _assembled(spark, sf_dir)
+    m = StandardScaler(inputCol="features", outputCol="scaled",
+                       withMean=True, withStd=True).fit(df)
+    return _explode4(m.transform(df)[0], "scaled", "s")
+
+
+STANDARD_SCALER_SQL = f"""
+WITH stats AS (
+  SELECT avg(l_quantity) m0, stddev_samp(l_quantity) s0,
+         avg(l_extendedprice) m1, stddev_samp(l_extendedprice) s1,
+         avg(l_discount) m2, stddev_samp(l_discount) s2,
+         avg(l_tax) m3, stddev_samp(l_tax) s3
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format('(l_quantity - m0) / s0')} AS s0,
+       {SQL_Q4.format('(l_extendedprice - m1) / s1')} AS s1,
+       {SQL_Q4.format('(l_discount - m2) / s2')} AS s2,
+       {SQL_Q4.format('(l_tax - m3) / s3')} AS s3
+FROM lineitem, stats
+"""
+
+# --- MinMaxScaler ----------------------------------------------------------
+
+def minmax_scaler(spark, sf_dir):
+    df = _assembled(spark, sf_dir)
+    m = MinMaxScaler(inputCol="features", outputCol="scaled").fit(df)
+    return _explode4(m.transform(df)[0], "scaled", "s")
+
+
+MINMAX_SCALER_SQL = f"""
+WITH stats AS (
+  SELECT min(l_quantity) mn0, max(l_quantity) mx0,
+         min(l_extendedprice) mn1, max(l_extendedprice) mx1,
+         min(l_discount) mn2, max(l_discount) mx2,
+         min(l_tax) mn3, max(l_tax) mx3
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format('(l_quantity - mn0) * ((1.0 - 0.0) / (mx0 - mn0)) + 0.0')} AS s0,
+       {SQL_Q4.format('(l_extendedprice - mn1) * ((1.0 - 0.0) / (mx1 - mn1)) + 0.0')} AS s1,
+       {SQL_Q4.format('(l_discount - mn2) * ((1.0 - 0.0) / (mx2 - mn2)) + 0.0')} AS s2,
+       {SQL_Q4.format('(l_tax - mn3) * ((1.0 - 0.0) / (mx3 - mn3)) + 0.0')} AS s3
+FROM lineitem, stats
+"""
+
+# --- MaxAbsScaler ----------------------------------------------------------
+
+def maxabs_scaler(spark, sf_dir):
+    df = _assembled(spark, sf_dir)
+    m = MaxAbsScaler(inputCol="features", outputCol="scaled").fit(df)
+    return _explode4(m.transform(df)[0], "scaled", "s")
+
+
+MAXABS_SCALER_SQL = f"""
+WITH stats AS (
+  SELECT max(abs(l_quantity)) a0, max(abs(l_extendedprice)) a1,
+         max(abs(l_discount)) a2, max(abs(l_tax)) a3
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format('l_quantity * (1.0 / a0)')} AS s0,
+       {SQL_Q4.format('l_extendedprice * (1.0 / a1)')} AS s1,
+       {SQL_Q4.format('l_discount * (1.0 / a2)')} AS s2,
+       {SQL_Q4.format('l_tax * (1.0 / a3)')} AS s3
+FROM lineitem, stats
+"""
+
+# --- RobustScaler (exact percentiles for the oracle path) ------------------
+
+def robust_scaler(spark, sf_dir):
+    df = _assembled(spark, sf_dir)
+    m = RobustScaler(inputCol="features", outputCol="scaled",
+                     withCentering=True, relativeError=0.0).fit(df)
+    return _explode4(m.transform(df)[0], "scaled", "s")
+
+
+def _robust_sql():
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    stats = ", ".join(
+        f"quantile_cont({c}, 0.5) med{i}, quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25) rng{i}"
+        for i, c in enumerate(cols))
+    outs = ", ".join(
+        SQL_Q4.format(f"({c} - med{i}) * (CASE WHEN rng{i} <> 0 THEN 1.0 / rng{i} ELSE 1.0 END)")
+        + f" AS s{i}" for i, c in enumerate(cols))
+    return f"WITH stats AS (SELECT {stats} FROM lineitem)\nSELECT l_orderkey, l_linenumber, {outs} FROM lineitem, stats"
+
+
+ROBUST_SCALER_SQL = _robust_sql()
+
+# --- Normalizer ------------------------------------------------------------
+
+def normalizer(spark, sf_dir):
+    df = _assembled(spark, sf_dir)
+    n = Normalizer(inputCol="features", outputCol="norm", p=2.0)
+    return _explode4(n.transform(df)[0], "norm", "n")
+
+
+_NORM_EXPR = "sqrt(l_quantity*l_quantity + l_extendedprice*l_extendedprice + l_discount*l_discount + l_tax*l_tax)"
+NORMALIZER_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format(f'l_quantity / ({_NORM_EXPR})')} AS n0,
+       {SQL_Q4.format(f'l_extendedprice / ({_NORM_EXPR})')} AS n1,
+       {SQL_Q4.format(f'l_discount / ({_NORM_EXPR})')} AS n2,
+       {SQL_Q4.format(f'l_tax / ({_NORM_EXPR})')} AS n3
+FROM lineitem
+"""
+
+# --- ElementwiseProduct ----------------------------------------------------
+
+def elementwise_product(spark, sf_dir):
+    df = _assembled(spark, sf_dir)
+    t = ElementwiseProduct(inputCol="features", outputCol="o",
+                           scalingVec=[2.0, 0.001, 100.0, -1.0])
+    return _explode4(t.transform(df)[0], "o", "e")
+
+
+ELEMENTWISE_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format('l_quantity * 2.0')} AS e0,
+       {SQL_Q4.format('l_extendedprice * 0.001')} AS e1,
+       {SQL_Q4.format('l_discount * 100.0')} AS e2,
+       {SQL_Q4.format('l_tax * -1.0')} AS e3
+FROM lineitem
+"""
+
+# --- Interaction -----------------------------------------------------------
+
+def interaction(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    t = Interaction(inputCols=["l_quantity", "l_discount"], outputCol="o")
+    out = t.transform(li)[0]
+    return out.select(*KEY, q4(F.element_at("o", 1)).alias("i0"))
+
+
+INTERACTION_SQL = f"""
+SELECT l_orderkey, l_linenumber, {SQL_Q4.format('l_quantity * l_discount')} AS i0
+FROM lineitem
+"""
+
+# --- VectorSlicer ----------------------------------------------------------
+
+def vector_slicer(spark, sf_dir):
+    df = _assembled(spark, sf_dir)
+    t = VectorSlicer(inputCol="features", outputCol="sliced", indices=[2, 0])
+    out = t.transform(df)[0]
+    return out.select(*KEY, q4(F.element_at("sliced", 1)).alias("v0"),
+                      q4(F.element_at("sliced", 2)).alias("v1"))
+
+
+VECTOR_SLICER_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format('l_discount')} AS v0, {SQL_Q4.format('l_quantity')} AS v1
+FROM lineitem
+"""
+
+# --- VectorAssembler (skip mode with injected invalids) --------------------
+
+def vector_assembler(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    df = li.withColumn("qty_n", F.when(F.col("l_quantity") > 45, None)
+                       .otherwise(F.col("l_quantity")))
+    va = VectorAssembler(inputCols=["qty_n", "l_tax"], outputCol="v",
+                         inputSizes=[1, 1], handleInvalid="skip")
+    out = va.transform(df)[0]
+    return out.select(*KEY, q4(F.element_at("v", 1)).alias("v0"),
+                      q4(F.element_at("v", 2)).alias("v1"))
+
+
+VECTOR_ASSEMBLER_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format('l_quantity')} AS v0, {SQL_Q4.format('l_tax')} AS v1
+FROM lineitem WHERE l_quantity <= 45
+"""
+
+# --- Imputer (mean over injected nulls) ------------------------------------
+
+def imputer(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    df = li.withColumn("disc_n", F.when(F.col("l_discount") < 0.02, None)
+                       .otherwise(F.col("l_discount")))
+    m = Imputer(inputCols=["disc_n"], outputCols=["disc_i"],
+                strategy="mean").fit(df)
+    return m.transform(df)[0].select(*KEY, q4(F.col("disc_i")).alias("disc_i"))
+
+
+IMPUTER_SQL = f"""
+WITH base AS (
+  SELECT *, CASE WHEN l_discount < 0.02 THEN NULL ELSE l_discount END AS disc_n
+  FROM lineitem),
+s AS (SELECT avg(disc_n) m FROM base)
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format('COALESCE(disc_n, m)')} AS disc_i
+FROM base, s
+"""
+
+# --- StringIndexer (freqDesc, ties by value asc) ---------------------------
+
+def string_indexer(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    m = StringIndexer(inputCols=["p_brand"], outputCols=["brand_idx"],
+                      stringOrderType="freqDesc").fit(part)
+    return m.transform(part)[0].select("p_partkey", "brand_idx")
+
+
+STRING_INDEXER_SQL = """
+WITH vocab AS (
+  SELECT p_brand v, row_number() OVER (ORDER BY count(*) DESC, p_brand ASC) - 1 AS idx
+  FROM part GROUP BY p_brand)
+SELECT p_partkey, CAST(idx AS DOUBLE) AS brand_idx
+FROM part JOIN vocab ON part.p_brand = vocab.v
+"""
+
+# --- OneHotEncoder (index col = c_nationkey) -------------------------------
+
+def one_hot_encoder(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    m = OneHotEncoder(inputCols=["c_nationkey"], outputCols=["nation_vec"]).fit(cust)
+    out = m.transform(cust)[0]
+    return out.select(
+        "c_custkey",
+        F.col("nation_vec")["size"].alias("vec_size"),
+        F.coalesce(F.try_element_at(F.col("nation_vec")["indices"], F.lit(1)), F.lit(-1)).alias("active_idx"))
+
+
+ONE_HOT_SQL = """
+WITH s AS (SELECT max(c_nationkey) + 1 AS arity FROM customer)
+SELECT c_custkey, CAST(arity - 1 AS INT) AS vec_size,
+       CAST(CASE WHEN c_nationkey < arity - 1 THEN c_nationkey ELSE -1 END AS INT) AS active_idx
+FROM customer, s
+"""
+
+# --- KBinsDiscretizer (uniform) --------------------------------------------
+
+def kbins_uniform(spark, sf_dir):
+    df = _assembled(spark, sf_dir)
+    m = KBinsDiscretizer(inputCol="features", outputCol="bins",
+                         strategy="uniform", numBins=5).fit(df)
+    out = m.transform(df)[0]
+    return out.select(*KEY, F.element_at("bins", 2).alias("price_bin"))
+
+
+KBINS_SQL = """
+WITH s AS (SELECT min(l_extendedprice) mn, max(l_extendedprice) mx FROM lineitem),
+edges AS (SELECT mn, mx, (mx - mn) / 5 w,
+                 mn + 1*(mx-mn)/5 e1, mn + 2*(mx-mn)/5 e2,
+                 mn + 3*(mx-mn)/5 e3, mn + 4*(mx-mn)/5 e4 FROM s)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_extendedprice < e1 THEN 0.0
+            WHEN l_extendedprice < e2 THEN 1.0
+            WHEN l_extendedprice < e3 THEN 2.0
+            WHEN l_extendedprice < e4 THEN 3.0
+            ELSE 4.0 END AS price_bin
+FROM lineitem, edges
+"""
+
+# --- VarianceThresholdSelector --------------------------------------------
+
+def variance_threshold(spark, sf_dir):
+    df = _assembled(spark, sf_dir)
+    m = VarianceThresholdSelector(inputCol="features", outputCol="sel",
+                                  ).set_(varianceThreshold=1.0).fit(df)
+    out = m.transform(df)[0]
+    return (out.select(*KEY, F.posexplode("sel").alias("dim", "val"))
+            .select(*KEY, "dim", q4(F.col("val")).alias("val")))
+
+
+def _vts_sql():
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    selects = []
+    for i, c in enumerate(cols):
+        selects.append(
+            f"SELECT l_orderkey, l_linenumber, "
+            f"(SELECT count(*) FROM (SELECT 1 FROM kept WHERE ki < {i})) AS dim, "
+            f"{SQL_Q4.format(c)} AS val FROM lineitem "
+            f"WHERE (SELECT var_samp({c}) FROM lineitem) > 1.0")
+    kept = " UNION ALL ".join(
+        f"SELECT {i} ki FROM (SELECT var_samp({c}) v FROM lineitem) WHERE v > 1.0"
+        for i, c in enumerate(cols))
+    return f"WITH kept AS ({kept})\n" + " UNION ALL ".join(selects)
+
+
+VARIANCE_THRESHOLD_SQL = _vts_sql()
+
+# --- SQLTransformer --------------------------------------------------------
+
+def sql_transformer(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    t = SQLTransformer(statement="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND(ABS(l_discount - 0.05) * 10000) AS BIGINT) AS v
+        FROM __THIS__""")
+    return t.transform(li)[0]
+
+
+SQL_TRANSFORMER_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(ABS(l_discount - 0.05) * 10000) AS BIGINT) AS v
+FROM lineitem
+"""
+
+
+QUERIES = {
+    "binarizer": (binarizer, BINARIZER_SQL),
+    "bucketizer": (bucketizer, BUCKETIZER_SQL),
+    "standard_scaler": (standard_scaler, STANDARD_SCALER_SQL),
+    "minmax_scaler": (minmax_scaler, MINMAX_SCALER_SQL),
+    "maxabs_scaler": (maxabs_scaler, MAXABS_SCALER_SQL),
+    "robust_scaler": (robust_scaler, ROBUST_SCALER_SQL),
+    "normalizer": (normalizer, NORMALIZER_SQL),
+    "elementwise_product": (elementwise_product, ELEMENTWISE_SQL),
+    "interaction": (interaction, INTERACTION_SQL),
+    "vector_slicer": (vector_slicer, VECTOR_SLICER_SQL),
+    "vector_assembler": (vector_assembler, VECTOR_ASSEMBLER_SQL),
+    "imputer": (imputer, IMPUTER_SQL),
+    "string_indexer": (string_indexer, STRING_INDEXER_SQL),
+    "one_hot_encoder": (one_hot_encoder, ONE_HOT_SQL),
+    "kbins_uniform": (kbins_uniform, KBINS_SQL),
+    "variance_threshold": (variance_threshold, VARIANCE_THRESHOLD_SQL),
+    "sql_transformer": (sql_transformer, SQL_TRANSFORMER_SQL),
+}
