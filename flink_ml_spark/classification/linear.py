@@ -1,0 +1,104 @@
+"""LogisticRegression, LinearSVC, LinearRegression — shared SGD driver loop.
+
+Reference:
+- classification/logisticregression/LogisticRegression.java:48 (binary LR,
+  parallel mini-batch SGD, weightCol; model = coefficient vector)
+- classification/linearsvc/LinearSVC.java:48 (hinge loss)
+- regression/linearregression/LinearRegression.java:48 (least squares)
+
+Fit = driver-loop SGD (common/optimizer.py — JVM-expression gradients);
+transform = lazy margin expression against the literal coefficient vector.
+The servable path (LogisticRegressionModelServable.java:44) maps to
+``transform_local``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..api import Estimator, Model
+from ..common.optimizer import (BinaryLogisticLoss, HingeLoss,
+                                LeastSquareLoss, dot_lit, sgd)
+from ..param import (HasElasticNet, HasFeaturesCol, HasGlobalBatchSize,
+                     HasLabelCol, HasLearningRate, HasMaxIter,
+                     HasPredictionCol, HasRawPredictionCol, HasReg, HasTol,
+                     HasWeightCol)
+
+
+class _LinearEstimatorBase(Estimator, HasFeaturesCol, HasLabelCol, HasWeightCol,
+                           HasMaxIter, HasTol, HasReg, HasElasticNet,
+                           HasLearningRate, HasGlobalBatchSize,
+                           HasPredictionCol, HasRawPredictionCol):
+    _loss = None
+    _model_cls = None
+
+    def fit(self, *inputs: DataFrame) -> "Model":
+        (df,) = inputs
+        fcol = self.get_("featuresCol")
+        dim = len(df.select(fcol).first()[0])
+        w, losses = sgd(
+            df, fcol, self.get_("labelCol"), self.get_("weightCol"),
+            self._loss, dim,
+            max_iter=self.get_("maxIter"), learning_rate=self.get_("learningRate"),
+            global_batch_size=self.get_("globalBatchSize"), tol=self.get_("tol"),
+            reg=self.get_("reg"), elastic_net=self.get_("elasticNet"))
+        model = self._model_cls()
+        model.set_(featuresCol=fcol, predictionCol=self.get_("predictionCol"),
+                   rawPredictionCol=self.get_("rawPredictionCol"))
+        model.model_data = {"coefficient": w.tolist(), "losses": losses}
+        return model
+
+
+class _LinearModelBase(Model, HasFeaturesCol, HasPredictionCol, HasRawPredictionCol):
+    def _margin(self):
+        return dot_lit(F.col(self.get_("featuresCol")),
+                       np.array(self.model_data["coefficient"]))
+
+
+class LogisticRegressionModel(_LinearModelBase):
+    def _transform(self, df: DataFrame) -> DataFrame:
+        m = self._margin()
+        prob1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        return (df.withColumn(self.get_("rawPredictionCol"),
+                              F.array(F.lit(1.0) - prob1, prob1))
+                .withColumn(self.get_("predictionCol"),
+                            F.when(prob1 >= 0.5, 1.0).otherwise(0.0)))
+
+    def transform_local(self, pdf):
+        """Servable path (LogisticRegressionModelServable.java:44-112)."""
+        w = np.array(self.model_data["coefficient"])
+        x = np.stack(pdf[self.get_("featuresCol")].to_numpy())
+        p1 = 1.0 / (1.0 + np.exp(-(x @ w)))
+        out = pdf.copy()
+        out[self.get_("rawPredictionCol")] = [np.array([1 - p, p]) for p in p1]
+        out[self.get_("predictionCol")] = (p1 >= 0.5).astype(float)
+        return out
+
+
+class LogisticRegression(_LinearEstimatorBase):
+    _loss = BinaryLogisticLoss
+    _model_cls = LogisticRegressionModel
+
+
+class LinearSVCModel(_LinearModelBase):
+    def _transform(self, df: DataFrame) -> DataFrame:
+        m = self._margin()
+        return (df.withColumn(self.get_("rawPredictionCol"), m)
+                .withColumn(self.get_("predictionCol"),
+                            F.when(m >= 0.0, 1.0).otherwise(0.0)))
+
+
+class LinearSVC(_LinearEstimatorBase):
+    _loss = HingeLoss
+    _model_cls = LinearSVCModel
+
+
+class LinearRegressionModel(_LinearModelBase):
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.get_("predictionCol"), self._margin())
+
+
+class LinearRegression(_LinearEstimatorBase):
+    _loss = LeastSquareLoss
+    _model_cls = LinearRegressionModel

@@ -1,0 +1,102 @@
+"""KMeans / KMeansModel — Lloyd's algorithm as a driver loop.
+
+Reference: clustering/kmeans/KMeans.java:84.  The reference runs Lloyd's
+inside the bounded-iteration framework: broadcast centroids → per-partition
+partial sums (CentroidsUpdateAccumulator, KMeans.java:219-315) →
+countWindowAll(parallelism) merge (:171-175).  Spark-first (SURVEY §3.2):
+per round ONE job — assignment is a codegen'd k×dim distance expression
+against literal centroids (no UDF, no broadcast var needed: model is part
+of the plan), partial sums happen in HashAggregate map-side, and only
+k×dim numbers reach the driver.  Init: ``random`` = distributed
+reservoir-style sample (df.sample → limit k, mirroring the 2-round sample
+in DataStreamUtils.java:300-321) or ``first_distinct`` (deterministic — the
+oracle-checkable path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..api import Estimator, Model
+from ..common.distance import closest_centroid_expr, distance_np
+from ..param import (HasDistanceMeasure, HasFeaturesCol, HasMaxIter,
+                     HasPredictionCol, HasSeed, HasTol, IntParam,
+                     ParamValidators, StringParam)
+
+
+class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
+             HasMaxIter, HasTol, HasSeed):
+    k = IntParam("k", "Number of clusters.", 2, ParamValidators.gt(1))
+    initMode = StringParam("initMode", "random | first_distinct.", "random",
+                           ParamValidators.in_array(["random", "first_distinct"]))
+
+    def fit(self, *inputs: DataFrame) -> "KMeansModel":
+        from pyspark import StorageLevel
+        (df,) = inputs
+        fcol = self.get_("featuresCol")
+        k = self.get_("k")
+        measure = self.get_("distanceMeasure")
+        data = df.select(F.col(fcol).alias("__f__")).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            centers = self._init_centers(data, k)
+            for _ in range(self.get_("maxIter")):
+                cid = closest_centroid_expr(F.col("__f__"), centers, measure)
+                rows = (data.select(cid.alias("__c__"),
+                                    F.posexplode(F.col("__f__")).alias("pos", "x"))
+                        .groupBy("__c__", "pos")
+                        .agg(F.sum("x").alias("s"),
+                             F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("n"))
+                        .collect())
+                sums = np.zeros_like(centers)
+                counts = np.zeros(len(centers))
+                for r in rows:
+                    sums[r["__c__"], r["pos"]] = r["s"]
+                    counts[r["__c__"]] += r["n"]
+                new_centers = centers.copy()
+                nz = counts > 0
+                new_centers[nz] = sums[nz] / counts[nz, None]
+                shift = float(np.sqrt(((new_centers - centers) ** 2).sum(axis=1)).max())
+                centers = new_centers
+                if shift <= self.get_("tol"):
+                    break
+        finally:
+            data.unpersist()
+        model = KMeansModel()
+        model.set_(featuresCol=fcol, predictionCol=self.get_("predictionCol"),
+                   distanceMeasure=measure)
+        model.model_data = {"centroids": centers.tolist()}
+        return model
+
+    def _init_centers(self, data: DataFrame, k: int) -> np.ndarray:
+        if self.get_("initMode") == "first_distinct":
+            # deterministic: k lexicographically-smallest distinct vectors
+            rows = (data.select("__f__").distinct()
+                    .orderBy(F.col("__f__")).limit(k).collect())
+        else:
+            seed = self.get_("seed")
+            n = data.count()
+            frac = min(1.0, (10.0 * k) / max(n, 1))
+            sampled = data.sample(False, frac, seed=seed if seed is not None else 0)
+            rows = sampled.distinct().limit(k).collect()
+            if len(rows) < k:
+                rows = data.distinct().limit(k).collect()
+        if len(rows) < k:
+            raise ValueError(f"KMeans: fewer than k={k} distinct points")
+        return np.array([list(r["__f__"]) for r in rows], dtype=float)
+
+
+class KMeansModel(Model, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure):
+    def _transform(self, df: DataFrame) -> DataFrame:
+        centers = np.array(self.model_data["centroids"])
+        cid = closest_centroid_expr(F.col(self.get_("featuresCol")), centers,
+                                    self.get_("distanceMeasure"))
+        return df.withColumn(self.get_("predictionCol"), cid)
+
+    def transform_local(self, pdf):
+        centers = np.array(self.model_data["centroids"])
+        x = np.stack(pdf[self.get_("featuresCol")].to_numpy())
+        d = distance_np(x, centers, self.get_("distanceMeasure"))
+        out = pdf.copy()
+        out[self.get_("predictionCol")] = d.argmin(axis=1).astype("int32")
+        return out

@@ -1,0 +1,130 @@
+"""Driver-loop optimizer stack: loss functions + mini-batch SGD.
+
+Re-expression of the reference optimizer (common/optimizer/Optimizer.java:33,
+SGD.java:67, RegularizationUtils.java:34) and loss trio
+(common/lossfunc/{BinaryLogisticLoss,HingeLoss,LeastSquareLoss}.java).
+
+The reference runs SGD inside its 12k-LoC iteration framework with
+allReduceSum gradient sync (SGD.java:125-132).  Spark-first (SURVEY §3.2):
+a driver ``for`` loop over a cached DataFrame; each round computes the
+batch gradient **entirely JVM-side** —
+
+  margin   = dot(features, lit(w))           (zip_with + aggregate, codegen)
+  residual = dLoss/dMargin (per loss)        (when/exp expressions)
+  grad_j   = sum(weight * residual * x_j)    (posexplode + groupBy(pos):
+                                              partial agg per partition →
+                                              dim rows shuffled)
+
+so the per-round cost is one scan + a dim-row shuffle, no Python in the
+data path.  Mini-batches: a precomputed ``__batch__`` column cycles
+deterministically (batch b on round r where r ≡ b mod numBatches) —
+mirroring SGD.java's per-round local batch walk (:262-284).
+Regularization: elastic net  reg*(en*||w||_1 + (1-en)/2*||w||_2²) applied
+driver-side (RegularizationUtils.java:26-31).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _lit_arr(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def dot_lit(col: Column, w: np.ndarray) -> Column:
+    return F.aggregate(F.zip_with(col, _lit_arr(w), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+@dataclass
+class LossFunc:
+    """residual(margin, label) = dLoss/dMargin; loss(margin, label)."""
+    name: str
+
+    def residual(self, margin: Column, label: Column) -> Column:
+        if self.name == "logistic":  # BinaryLogisticLoss.java:29, y ∈ {0,1}
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - label
+        if self.name == "hinge":  # HingeLoss.java:33, y ∈ {0,1} → y' ∈ {-1,1}
+            ysign = label * 2.0 - 1.0
+            return F.when(ysign * margin < 1.0, -ysign).otherwise(0.0)
+        if self.name == "squared":  # LeastSquareLoss.java:29 (1/2 (m - y)^2)
+            return margin - label
+        raise ValueError(self.name)
+
+    def loss(self, margin: Column, label: Column) -> Column:
+        if self.name == "logistic":
+            # log(1 + exp(-y'·m)) with y' = 2y-1, numerically stable form
+            ym = (label * 2.0 - 1.0) * margin
+            return F.when(ym > 0, F.log1p(F.exp(-ym))).otherwise(-ym + F.log1p(F.exp(ym)))
+        if self.name == "hinge":
+            ysign = label * 2.0 - 1.0
+            return F.greatest(F.lit(0.0), F.lit(1.0) - ysign * margin)
+        if self.name == "squared":
+            d = margin - label
+            return d * d * 0.5
+        raise ValueError(self.name)
+
+    def predict_raw_np(self, x: np.ndarray, w: np.ndarray) -> np.ndarray:
+        return x @ w
+
+
+BinaryLogisticLoss = LossFunc("logistic")
+HingeLoss = LossFunc("hinge")
+LeastSquareLoss = LossFunc("squared")
+
+
+def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None,
+        loss: LossFunc, dim: int, *, max_iter: int = 20, learning_rate: float = 0.1,
+        global_batch_size: int = 32, tol: float = 1e-6, reg: float = 0.0,
+        elastic_net: float = 0.0, init_w: np.ndarray | None = None) -> tuple[np.ndarray, list[float]]:
+    """Returns (coefficients, per-round losses).  One Spark job per round."""
+    from pyspark import StorageLevel
+
+    n = df.count()
+    num_batches = max(1, int(np.ceil(n / global_batch_size)))
+    w_col = (F.col(weight_col).cast("double") if weight_col else F.lit(1.0))
+    prepared = (df.select(
+        F.col(features_col).alias("__f__"),
+        F.col(label_col).cast("double").alias("__y__"),
+        w_col.alias("__w__"),
+        F.pmod(F.monotonically_increasing_id(), F.lit(num_batches)).alias("__batch__"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    prepared.count()  # materialize cache once
+
+    w = np.zeros(dim) if init_w is None else np.asarray(init_w, dtype=float).copy()
+    losses: list[float] = []
+    prev_loss = None
+    try:
+        for it in range(max_iter):
+            batch = (prepared if num_batches == 1
+                     else prepared.filter(F.col("__batch__") == F.lit(it % num_batches)))
+            margin = dot_lit(F.col("__f__"), w)
+            r = (loss.residual(margin, F.col("__y__")) * F.col("__w__")).alias("__r__")
+            l = (loss.loss(margin, F.col("__y__")) * F.col("__w__")).alias("__l__")
+            ex = (batch.select(r, l, F.col("__w__"),
+                               F.posexplode(F.col("__f__")).alias("pos", "x")))
+            rows = (ex.groupBy("pos")
+                    .agg(F.sum(F.col("__r__") * F.col("x")).alias("g"),
+                         F.sum(F.when(F.col("pos") == 0, F.col("__l__"))).alias("lsum"),
+                         F.sum(F.when(F.col("pos") == 0, F.col("__w__"))).alias("wsum"))
+                    .orderBy("pos").collect())
+            grad = np.array([row["g"] for row in rows])
+            weight_sum = rows[0]["wsum"] or 0.0
+            loss_val = (rows[0]["lsum"] or 0.0) / max(weight_sum, 1e-300)
+            losses.append(float(loss_val))
+            if weight_sum > 0:
+                grad = grad / weight_sum
+            if reg > 0:  # RegularizationUtils.java:26-31
+                grad = grad + reg * (elastic_net * np.sign(w)
+                                     + (1 - elastic_net) * w)
+            w = w - learning_rate * grad
+            if prev_loss is not None and abs(prev_loss - loss_val) < tol:
+                break
+            prev_loss = loss_val
+    finally:
+        prepared.unpersist()
+    return w, losses

@@ -1,6 +1,202 @@
-"""Learner / stats / evaluation queries (filled in as SURVEY §2.5-2.9
-stages land)."""
+"""Learner queries vs DuckDB oracles.
+
+LogisticRegression / LinearRegression run full-batch GD with tol=0 so the
+trajectory is a deterministic function of per-round aggregate sums — the
+oracle replays the SAME gradient-descent recurrence as a recursive CTE.
+NaiveBayes / Knn predictions are closed-form over aggregates / joins.
+KMeans is iterative with data-dependent control flow → rows-only check.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import functions as F
+
+from ..classification import Knn, LogisticRegression, NaiveBayes
+from ..clustering import KMeans
+from ..regression import LinearRegression
+from . import SQL_Q4, load, q4
+
+KEY = ["l_orderkey", "l_linenumber"]
+
+# features (O(1)-scaled, with bias term) shared by LR / LinReg ---------------
+
+_FEAT = ["l_quantity / 50", "l_discount * 10", "l_tax * 10", "1.0"]
+_LABEL = "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END"
+
+
+def _lr_frame(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        *KEY,
+        F.array(F.col("l_quantity") / 50, F.col("l_discount") * 10,
+                F.col("l_tax") * 10, F.lit(1.0)).alias("features"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"))
+
+
+def _gd_cte(residual_tpl: str, iters: int, lr: float, out: str,
+            label_sql: str = _LABEL) -> str:
+    """Recursive-CTE replay of common/optimizer.py's full-batch update:
+    w -= lr * avg(residual * x_j)."""
+    feats = ", ".join(f"({f}) AS x{i}" for i, f in enumerate(_FEAT))
+    grads = ", ".join(
+        f"w{j} - {lr} * (SELECT avg(({residual_tpl}) * x{j}) FROM data)"
+        for j in range(4))
+    margin = " + ".join(f"w{j} * x{j}" for j in range(4))
+    sql = f"""
+WITH RECURSIVE data AS (
+  SELECT l_orderkey, l_linenumber, {feats}, {label_sql} AS y FROM lineitem),
+it(i, w0, w1, w2, w3) AS (
+  SELECT 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+  UNION ALL
+  SELECT i + 1, {grads} FROM it WHERE i < {iters}),
+w AS (SELECT w0, w1, w2, w3 FROM it ORDER BY i DESC LIMIT 1)
+SELECT l_orderkey, l_linenumber, {out} FROM data, w
+"""
+    return sql.replace("{margin}", margin)
+
+
+GD_ITERS, GD_LR = 10, 0.5
+
+
+def logistic_regression(spark, sf_dir):
+    df = _lr_frame(spark, sf_dir)
+    m = LogisticRegression(maxIter=GD_ITERS, learningRate=GD_LR, tol=0.0,
+                           globalBatchSize=1 << 40).fit(df)
+    out = m.transform(df)[0]
+    return out.select(*KEY, q4(F.element_at("rawPrediction", 2)).alias("prob"))
+
+
+_LOGIT_RES = "1.0/(1.0 + exp(-({margin}))) - y"
+LOGISTIC_REGRESSION_SQL = _gd_cte(
+    _LOGIT_RES, GD_ITERS, GD_LR,
+    out=SQL_Q4.format("1.0/(1.0 + exp(-({margin})))") + " AS prob")
+
+
+def linear_regression(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        F.array(F.col("l_quantity") / 50, F.col("l_discount") * 10,
+                F.col("l_tax") * 10, F.lit(1.0)).alias("features"),
+        (F.col("l_extendedprice") / 100000.0).alias("label"))
+    m = LinearRegression(maxIter=GD_ITERS, learningRate=GD_LR, tol=0.0,
+                         globalBatchSize=1 << 40).fit(df)
+    return m.transform(df)[0].select(*KEY, q4(F.col("prediction")).alias("pred"))
+
+
+LINEAR_REGRESSION_SQL = _gd_cte(
+    "({margin}) - y", GD_ITERS, GD_LR,
+    out=SQL_Q4.format("({margin})") + " AS pred",
+    label_sql="l_extendedprice / 100000.0")
+
+# --- NaiveBayes -------------------------------------------------------------
+# categorical features from lineitem; prediction = argmax_y log P(y) +
+# Σ_f log((cnt+s)/(label_cnt+s*arity_f)); ties → smallest label.
+
+_NB_F = ["CAST(FLOOR(l_quantity / 10) AS DOUBLE)",
+         "CAST(FLOOR(l_discount * 100 / 4) AS DOUBLE)",
+         "CAST(l_linenumber AS DOUBLE)"]
+_NB_LABEL = ("CASE WHEN l_returnflag = 'A' THEN 0.0 "
+             "WHEN l_returnflag = 'F' THEN 1.0 ELSE 2.0 END")
+
+
+def naive_bayes(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        F.array(F.floor(F.col("l_quantity") / 10).cast("double"),
+                F.floor(F.col("l_discount") * 100 / 4).cast("double"),
+                F.col("l_linenumber").cast("double")).alias("features"),
+        F.when(F.col("l_returnflag") == "A", 0.0)
+        .when(F.col("l_returnflag") == "F", 1.0).otherwise(2.0).alias("label"))
+    m = NaiveBayes(featuresCol="features", labelCol="label").fit(df)
+    return m.transform(df)[0].select(*KEY, F.col("prediction").alias("pred"))
+
+
+def _nb_sql() -> str:
+    feats = ", ".join(f"({f}) AS f{i}" for i, f in enumerate(_NB_F))
+    unions = " UNION ALL ".join(
+        f"SELECT y, {i} AS fi, f{i} AS v FROM data" for i in range(3))
+    fx_unions = " UNION ALL ".join(
+        f"SELECT f0, f1, f2, {i} AS fi, f{i} AS v FROM fx" for i in range(3))
+    return f"""
+WITH data AS (SELECT l_orderkey, l_linenumber, {feats}, {_NB_LABEL} AS y FROM lineitem),
+ex AS ({unions}),
+counts AS (SELECT y, fi, v, CAST(count(*) AS DOUBLE) AS cnt FROM ex GROUP BY y, fi, v),
+label_w AS (SELECT y, CAST(count(*) AS DOUBLE) AS lw FROM data GROUP BY y),
+arity AS (SELECT fi, CAST(count(DISTINCT v) AS DOUBLE) AS ar FROM ex GROUP BY fi),
+labels AS (SELECT DISTINCT y FROM data),
+total AS (SELECT sum(lw) AS t FROM label_w),
+fx AS (SELECT DISTINCT f0, f1, f2 FROM data),
+fex AS ({fx_unions}),
+scored AS (
+  SELECT e.f0, e.f1, e.f2, l.y AS cand,
+         ln(lw.lw / total.t)
+         + sum(ln((COALESCE(c.cnt, 0) + 1.0) / (lw.lw + 1.0 * a.ar))) AS score
+  FROM fex e
+  CROSS JOIN labels l
+  JOIN label_w lw ON lw.y = l.y
+  JOIN arity a ON a.fi = e.fi
+  LEFT JOIN counts c ON c.y = l.y AND c.fi = e.fi AND c.v = e.v
+  CROSS JOIN total
+  GROUP BY e.f0, e.f1, e.f2, l.y, lw.lw, total.t),
+pred AS (
+  SELECT f0, f1, f2, CAST(cand AS DOUBLE) AS pred FROM scored
+  QUALIFY row_number() OVER (PARTITION BY f0, f1, f2
+                             ORDER BY score DESC, cand ASC) = 1)
+SELECT d.l_orderkey, d.l_linenumber, p.pred
+FROM data d JOIN pred p ON d.f0 = p.f0 AND d.f1 = p.f1 AND d.f2 = p.f2
+"""
+
+
+NAIVE_BAYES_SQL = _nb_sql()
+
+# --- Knn (embeddings, leave-one-in self-classification) ---------------------
+
+KNN_K = 5
+
+
+def knn(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    df = emb.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("features"),
+                    F.col("label").cast("double").alias("label")) \
+        .orderBy("vec_id")
+    m = Knn(k=KNN_K).fit(df)
+    return m.transform(df)[0].select("vec_id", F.col("prediction").alias("pred"))
+
+
+KNN_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, CAST(label AS DOUBLE) y FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS tid, b.y,
+         list_inner_product(a.v, a.v) - 2 * list_inner_product(a.v, b.v)
+           + list_inner_product(b.v, b.v) AS d2
+  FROM e a CROSS JOIN e b),
+nn AS (
+  SELECT qid, y FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, tid ASC) <= {KNN_K}),
+votes AS (SELECT qid, y, count(*) c FROM nn GROUP BY qid, y)
+SELECT qid AS vec_id, y AS pred FROM votes
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c DESC, y ASC) = 1
+"""
+
+# --- KMeans (iterative, data-dependent control flow → rows-only) ------------
+
+def kmeans(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        F.array(F.col("l_quantity") / 50, F.col("l_extendedprice") / 100000,
+                F.col("l_discount") * 10, F.col("l_tax") * 10).alias("features"))
+    m = KMeans(k=4, maxIter=10, initMode="first_distinct", tol=0.0).fit(df)
+    return m.transform(df)[0].select(*KEY, F.col("prediction").alias("cluster"))
+
+
+QUERIES = {
+    "logistic_regression": (logistic_regression, LOGISTIC_REGRESSION_SQL),
+    "linear_regression": (linear_regression, LINEAR_REGRESSION_SQL),
+    "naive_bayes": (naive_bayes, NAIVE_BAYES_SQL),
+    "knn": (knn, KNN_SQL),
+    "kmeans": (kmeans, None),
+}

@@ -1,0 +1,103 @@
+"""Learner tests with sklearn-equivalent hand-computed expectations
+(reference fixture style, e.g. KMeansTest.java:64-85)."""
+
+import numpy as np
+import pytest
+
+from flink_ml_spark.classification import (Knn, LinearSVC, LogisticRegression,
+                                           NaiveBayes)
+from flink_ml_spark.clustering import KMeans
+from flink_ml_spark.regression import LinearRegression
+from flink_ml_spark.api import Stage
+
+
+def test_kmeans_two_clusters(spark):
+    # the reference's 6-point two-cluster golden set (KMeansTest.java:64-72)
+    pts = [(0.0, 0.0), (0.0, 0.3), (0.3, 0.0), (9.0, 0.0), (9.0, 0.6), (9.6, 0.0)]
+    df = spark.createDataFrame([(i, list(p)) for i, p in enumerate(pts)],
+                               "id long, features array<double>")
+    model = KMeans(k=2, maxIter=20, initMode="first_distinct", seed=1).fit(df)
+    out = {r["id"]: r["prediction"] for r in model.transform(df)[0].collect()}
+    assert out[0] == out[1] == out[2]
+    assert out[3] == out[4] == out[5]
+    assert out[0] != out[3]
+    centers = sorted(np.array(model.model_data["centroids"]).tolist())
+    assert centers[0] == pytest.approx([0.1, 0.1])
+    assert centers[1] == pytest.approx([9.2, 0.2])
+
+
+def test_kmeans_save_load(spark, tmp_path):
+    pts = [(0.0, 0.0), (0.0, 0.3), (9.0, 0.0), (9.0, 0.6)]
+    df = spark.createDataFrame([(i, list(p)) for i, p in enumerate(pts)],
+                               "id long, features array<double>")
+    model = KMeans(k=2, maxIter=5, initMode="first_distinct").fit(df)
+    model.save(str(tmp_path / "km"))
+    loaded = Stage.load(spark, str(tmp_path / "km"))
+    assert loaded.model_data["centroids"] == model.model_data["centroids"]
+
+
+def test_logistic_regression_separable(spark):
+    rng = np.random.RandomState(0)
+    x0 = rng.randn(60, 2) + [-2, -2]
+    x1 = rng.randn(60, 2) + [2, 2]
+    rows = ([(list(map(float, p)), 0.0) for p in x0] +
+            [(list(map(float, p)), 1.0) for p in x1])
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    model = LogisticRegression(featuresCol="features", labelCol="label",
+                               maxIter=30, learningRate=1.0,
+                               globalBatchSize=1000).fit(df)
+    out = model.transform(df)[0].collect()
+    acc = np.mean([r["prediction"] == r["label"] for r in out])
+    assert acc >= 0.95
+    # local servable path agrees with the distributed path
+    import pandas as pd
+    pdf = pd.DataFrame({"features": [np.array(r) for r, _ in rows],
+                        "label": [l for _, l in rows]})
+    local = model.transform_local(pdf)
+    assert list(local["prediction"]) == [r["prediction"] for r in out]
+
+
+def test_linear_svc(spark):
+    rng = np.random.RandomState(1)
+    x0 = rng.randn(50, 2) + [-3, 0]
+    x1 = rng.randn(50, 2) + [3, 0]
+    rows = ([(list(map(float, p)), 0.0) for p in x0] +
+            [(list(map(float, p)), 1.0) for p in x1])
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    model = LinearSVC(maxIter=30, learningRate=0.5, globalBatchSize=1000).fit(df)
+    out = model.transform(df)[0].collect()
+    acc = np.mean([r["prediction"] == r["label"] for r in out])
+    assert acc >= 0.95
+
+
+def test_linear_regression(spark):
+    rng = np.random.RandomState(2)
+    x = rng.rand(200, 2)
+    y = x @ np.array([2.0, -1.0])
+    rows = [(list(map(float, xi)), float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    model = LinearRegression(maxIter=100, learningRate=0.5,
+                             globalBatchSize=10000, tol=1e-12).fit(df)
+    w = np.array(model.model_data["coefficient"])
+    assert w == pytest.approx([2.0, -1.0], abs=0.15)
+
+
+def test_naive_bayes(spark):
+    rows = [([0.0, 0.0], 0.0)] * 10 + [([1.0, 1.0], 1.0)] * 10 + [([0.0, 1.0], 0.0)] * 3
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    model = NaiveBayes(featuresCol="features", labelCol="label").fit(df)
+    out = model.transform(df)[0].collect()
+    got = {(tuple(r["features"]), r["prediction"]) for r in out}
+    assert ((0.0, 0.0), 0.0) in got
+    assert ((1.0, 1.0), 1.0) in got
+
+
+def test_knn(spark):
+    train = [([0.0, 0.0], 0.0), ([0.1, 0.0], 0.0), ([0.0, 0.1], 0.0),
+             ([5.0, 5.0], 1.0), ([5.1, 5.0], 1.0), ([5.0, 5.1], 1.0)]
+    df = spark.createDataFrame(train, "features array<double>, label double")
+    model = Knn(k=3).fit(df)
+    test = spark.createDataFrame([(1, [0.2, 0.2]), (2, [4.8, 4.9])],
+                                 "id long, features array<double>")
+    got = {r["id"]: r["prediction"] for r in model.transform(test)[0].collect()}
+    assert got == {1: 0.0, 2: 1.0}
