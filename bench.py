@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Mirrors the reference's JSON-driven harness semantics
+(flink-ml-benchmark/.../Benchmark.java:129, BenchmarkUtils.java:75-98):
+each entry is fit+transform wall time with results fully materialized
+(count() replaces the reference's DiscardingSink).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: one per operator family — transformer chain, aggregate-fit
+# scalers, vocab/text, hashing, iterative learners, knn, dedup/llm ops
+HEADLINE = [
+    "binarizer", "bucketizer", "standard_scaler", "minmax_scaler",
+    "robust_scaler", "normalizer", "imputer", "string_indexer",
+    "one_hot_encoder", "kbins_uniform", "tokenizer", "ngram",
+    "stop_words_remover", "count_vectorizer", "tfidf", "hashing_tf",
+    "logistic_regression", "linear_regression", "naive_bayes", "kmeans",
+    "knn",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("flink_ml_spark_bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from flink_ml_spark.queries import queries_dict
+    queries = queries_dict()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            df.count()  # materialize fully
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record failures as negative sentinel
+            print(f"bench error {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
