@@ -23,6 +23,8 @@ from .sqltransformer import SQLTransformer
 from .stopwordsremover import StopWordsRemover
 from .stringindexer import IndexToStringModel, StringIndexer, StringIndexerModel
 from .tokenizer import RegexTokenizer, Tokenizer
+from .univariatefeatureselector import (UnivariateFeatureSelector,
+                                        UnivariateFeatureSelectorModel)
 from .vectorassembler import VectorAssembler
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -193,10 +193,181 @@ def kmeans(spark, sf_dir):
     return m.transform(df)[0].select(*KEY, F.col("prediction").alias("cluster"))
 
 
+# --- stats tests ------------------------------------------------------------
+# categorical features: same discretization as NaiveBayes; statistic + dof
+# are oracle-checked (p-values come from our own special functions, unit-
+# tested separately — DuckDB has no chi2/F CDF).
+
+def chisq_test(spark, sf_dir):
+    from ..stats import ChiSqTest
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.array(F.floor(F.col("l_quantity") / 10).cast("double"),
+                F.floor(F.col("l_discount") * 100 / 4).cast("double"),
+                F.col("l_linenumber").cast("double")).alias("features"),
+        F.when(F.col("l_returnflag") == "A", 0.0)
+        .when(F.col("l_returnflag") == "F", 1.0).otherwise(2.0).alias("label"))
+    out = ChiSqTest(featuresCol="features", labelCol="label").transform(df)[0]
+    return out.select("featureIndex", q4(F.col("statistic")).alias("stat"),
+                      "degreeOfFreedom")
+
+
+def _chisq_sql() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS fi, f{i} AS v, y FROM data" for i in range(len(_NB_F)))
+    return f"""
+WITH data AS (SELECT {', '.join(f'({f}) AS f{i}' for i, f in enumerate(_NB_F))},
+                     {_NB_LABEL} AS y FROM lineitem),
+ex AS ({unions}),
+obs AS (SELECT fi, v, y, CAST(count(*) AS DOUBLE) o FROM ex GROUP BY fi, v, y),
+row_m AS (SELECT fi, v, sum(o) rm FROM obs GROUP BY fi, v),
+col_m AS (SELECT fi, y, sum(o) cm FROM obs GROUP BY fi, y),
+tot AS (SELECT fi, sum(o) n FROM obs GROUP BY fi),
+cells AS (
+  SELECT r.fi, r.v, c.y, COALESCE(o.o, 0) AS o, r.rm * c.cm / t.n AS e
+  FROM row_m r JOIN col_m c ON r.fi = c.fi JOIN tot t ON t.fi = r.fi
+  LEFT JOIN obs o ON o.fi = r.fi AND o.v = r.v AND o.y = c.y),
+stats AS (
+  SELECT fi, sum((o - e) * (o - e) / e) AS stat,
+         (count(DISTINCT v) - 1) * (count(DISTINCT y) - 1) AS dof
+  FROM cells GROUP BY fi)
+SELECT CAST(fi AS INT) AS featureIndex, {SQL_Q4.format('stat')} AS stat,
+       CAST(dof AS BIGINT) AS degreeOfFreedom
+FROM stats
+"""
+
+
+CHISQ_SQL = _chisq_sql()
+
+
+def anova_test(spark, sf_dir):
+    from ..stats import ANOVATest
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.array((F.col("l_quantity") / 50).cast("double"),
+                (F.col("l_extendedprice") / 100000).cast("double")).alias("features"),
+        F.when(F.col("l_returnflag") == "A", 0.0)
+        .when(F.col("l_returnflag") == "F", 1.0).otherwise(2.0).alias("label"))
+    out = ANOVATest(featuresCol="features", labelCol="label").transform(df)[0]
+    return out.select("featureIndex", q4(F.col("fValue")).alias("f"),
+                      "degreeOfFreedom")
+
+
+_ANOVA_F = ["l_quantity / 50", "l_extendedprice / 100000"]
+
+
+def _anova_sql() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS fi, CAST({f} AS DOUBLE) AS x, {_NB_LABEL} AS y FROM lineitem"
+        for i, f in enumerate(_ANOVA_F))
+    return f"""
+WITH ex AS ({unions}),
+g AS (SELECT fi, y, CAST(count(*) AS DOUBLE) n, sum(x) s, sum(x * x) ss
+      FROM ex GROUP BY fi, y),
+f AS (
+  SELECT fi, sum(n) n, count(*) k, sum(s) ts, sum(ss) tss,
+         sum(s * s / n) AS sb
+  FROM g GROUP BY fi),
+stats AS (
+  SELECT fi, (sb - ts * ts / n) / (k - 1)
+             / ((tss - ts * ts / n - (sb - ts * ts / n)) / (n - k)) AS fv,
+         n - k AS dof
+  FROM f)
+SELECT CAST(fi AS INT) AS featureIndex, {SQL_Q4.format('fv')} AS f,
+       CAST(dof AS BIGINT) AS degreeOfFreedom
+FROM stats
+"""
+
+
+ANOVA_SQL = _anova_sql()
+
+
+def fvalue_test(spark, sf_dir):
+    from ..stats import FValueTest
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.array((F.col("l_quantity") / 50).cast("double"),
+                (F.col("l_discount") * 10).cast("double")).alias("features"),
+        (F.col("l_extendedprice") / 100000).alias("label"))
+    out = FValueTest(featuresCol="features", labelCol="label").transform(df)[0]
+    return out.select("featureIndex", q4(F.col("fValue")).alias("f"),
+                      "degreeOfFreedom")
+
+
+_FVAL_F = ["l_quantity / 50", "l_discount * 10"]
+
+
+def _fvalue_sql() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS fi, CAST({f} AS DOUBLE) AS x, "
+        "CAST(l_extendedprice / 100000 AS DOUBLE) AS y FROM lineitem"
+        for i, f in enumerate(_FVAL_F))
+    return f"""
+WITH ex AS ({unions}),
+c AS (SELECT fi, CAST(count(*) AS DOUBLE) n, corr(x, y) r FROM ex GROUP BY fi)
+SELECT CAST(fi AS INT) AS featureIndex,
+       {SQL_Q4.format('r * r / (1 - r * r) * (n - 2)')} AS f,
+       CAST(n - 2 AS BIGINT) AS degreeOfFreedom
+FROM c
+"""
+
+
+FVALUE_SQL = _fvalue_sql()
+
+# --- BinaryClassificationEvaluator -----------------------------------------
+# scores from a deterministic "model": score = sigmoid of a fixed linear
+# function; label from l_returnflag. AUC/KS oracle via window cumsums.
+
+def binary_evaluator(spark, sf_dir):
+    from ..evaluation import BinaryClassificationEvaluator
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        (F.col("l_quantity") / 50 + F.col("l_discount") * 2).alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"))
+    ev = BinaryClassificationEvaluator(labelCol="label", rawPredictionCol="score")
+    out = ev.transform(df)[0]
+    return out.select(q4(F.col("areaUnderROC")).alias("auc"),
+                      q4(F.col("ks")).alias("ks"),
+                      q4(F.col("areaUnderLorenz")).alias("lorenz"))
+
+
+BINARY_EVALUATOR_SQL = f"""
+WITH base AS (
+  SELECT l_quantity / 50 + l_discount * 2 AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem),
+g AS (SELECT score, CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) pos,
+             CAST(sum(CASE WHEN y <> 1.0 THEN 1 ELSE 0 END) AS DOUBLE) neg
+      FROM base GROUP BY score),
+t AS (SELECT sum(pos) p, sum(neg) n FROM g),
+cum AS (
+  SELECT score, pos, neg,
+         sum(pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) cpd,
+         sum(neg) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) cnd,
+         COALESCE(sum(neg) OVER (ORDER BY score ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) nb,
+         COALESCE(sum(pos) OVER (ORDER BY score ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) pb
+  FROM g),
+m AS (
+  SELECT sum(pos * (nb + neg / 2)) u,
+         max(abs(cpd / t.p - cnd / t.n)) ks,
+         sum(((pos + neg) / (t.p + t.n)) * ((pb + pb + pos) / t.p) / 2) lorenz
+  FROM cum, t GROUP BY t.p, t.n)
+SELECT {SQL_Q4.format('u / (t.p * t.n)')} AS auc, {SQL_Q4.format('ks')} AS ks,
+       {SQL_Q4.format('lorenz')} AS lorenz
+FROM m, t
+"""
+
+
 QUERIES = {
     "logistic_regression": (logistic_regression, LOGISTIC_REGRESSION_SQL),
     "linear_regression": (linear_regression, LINEAR_REGRESSION_SQL),
     "naive_bayes": (naive_bayes, NAIVE_BAYES_SQL),
     "knn": (knn, KNN_SQL),
     "kmeans": (kmeans, None),
+    "chisq_test": (chisq_test, CHISQ_SQL),
+    "anova_test": (anova_test, ANOVA_SQL),
+    "fvalue_test": (fvalue_test, FVALUE_SQL),
+    "binary_evaluator": (binary_evaluator, BINARY_EVALUATOR_SQL),
 }

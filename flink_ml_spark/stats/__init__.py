@@ -1,0 +1,3 @@
+from .tests import ANOVATest, ChiSqTest, FValueTest
+
+__all__ = ["ChiSqTest", "ANOVATest", "FValueTest"]

@@ -1,0 +1,114 @@
+"""Statistical tests: ChiSqTest / ANOVATest / FValueTest (AlgoOperators).
+
+Reference:
+- stats/chisqtest/ChiSqTest.java:101 — per-feature χ² independence vs
+  label from contingency counts (keyed count pipeline :124-210); outputs
+  pValues/degreesOfFreedom/statistics, flattened per HasFlatten.
+- stats/anovatest/ANOVATest.java:79 — per-feature one-way ANOVA F
+  (continuous feature, categorical label).
+- stats/fvaluetest/FValueTest.java:83 — per-feature regression F-test
+  (continuous feature, continuous label): F = r²/(1-r²)·(n-2).
+
+Spark-first: all fits are single groupBy aggregations with map-side
+combine (contingency cells / per-label moments / corr components); the
+closed-form statistics are evaluated driver-side on the tiny aggregate,
+p-values via common/special.py.  Output is always the flattened form
+(one row per feature) — the richer of the two reference layouts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..api import AlgoOperator
+from ..common.special import chi2_sf, f_sf
+from ..param import HasFeaturesCol, HasLabelCol
+
+
+class ChiSqTest(AlgoOperator, HasFeaturesCol, HasLabelCol):
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        spark = df.sparkSession
+        fcol, lcol = self.get_("featuresCol"), self.get_("labelCol")
+        cells = (df.select(F.col(lcol).cast("double").alias("y"),
+                           F.posexplode(F.col(fcol)).alias("fi", "v"))
+                 .groupBy("fi", "v", "y").agg(F.count("*").alias("c"))
+                 .collect())
+        by_feat: dict[int, dict] = {}
+        for r in cells:
+            by_feat.setdefault(r["fi"], {})[(r["v"], r["y"])] = r["c"]
+        rows = []
+        for fi in sorted(by_feat):
+            table = by_feat[fi]
+            vals = sorted({k[0] for k in table})
+            labels = sorted({k[1] for k in table})
+            obs = np.array([[table.get((v, y), 0) for y in labels] for v in vals],
+                           dtype=float)
+            n = obs.sum()
+            exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+            with np.errstate(divide="ignore", invalid="ignore"):
+                stat = float(np.nansum((obs - exp) ** 2 / exp))
+            dof = (len(vals) - 1) * (len(labels) - 1)
+            p = chi2_sf(stat, dof) if dof > 0 else 1.0
+            rows.append((fi, float(p), int(dof), float(stat)))
+        out = spark.createDataFrame(
+            rows, "featureIndex int, pValue double, degreeOfFreedom long, statistic double")
+        return [out]
+
+
+class ANOVATest(AlgoOperator, HasFeaturesCol, HasLabelCol):
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        spark = df.sparkSession
+        fcol, lcol = self.get_("featuresCol"), self.get_("labelCol")
+        # per (feature, label-class): count, sum, sum² — one shuffle
+        agg = (df.select(F.col(lcol).cast("double").alias("y"),
+                         F.posexplode(F.col(fcol)).alias("fi", "x"))
+               .groupBy("fi", "y")
+               .agg(F.count("*").alias("n"), F.sum("x").alias("s"),
+                    F.sum(F.col("x") * F.col("x")).alias("ss"))
+               .collect())
+        by_feat: dict[int, list] = {}
+        for r in agg:
+            by_feat.setdefault(r["fi"], []).append((r["n"], r["s"], r["ss"]))
+        rows = []
+        for fi in sorted(by_feat):
+            groups = by_feat[fi]
+            n = sum(g[0] for g in groups)
+            k = len(groups)
+            total_s = sum(g[1] for g in groups)
+            total_ss = sum(g[2] for g in groups)
+            sst = total_ss - total_s ** 2 / n
+            ssb = sum(g[1] ** 2 / g[0] for g in groups) - total_s ** 2 / n
+            ssw = sst - ssb
+            dfn, dfd = k - 1, n - k
+            fstat = (ssb / dfn) / (ssw / dfd) if dfn > 0 and dfd > 0 and ssw > 0 else float("nan")
+            p = f_sf(fstat, dfn, dfd) if np.isfinite(fstat) else float("nan")
+            rows.append((fi, float(p), int(dfd), float(fstat)))
+        out = spark.createDataFrame(
+            rows, "featureIndex int, pValue double, degreeOfFreedom long, fValue double")
+        return [out]
+
+
+class FValueTest(AlgoOperator, HasFeaturesCol, HasLabelCol):
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        spark = df.sparkSession
+        fcol, lcol = self.get_("featuresCol"), self.get_("labelCol")
+        agg = (df.select(F.col(lcol).cast("double").alias("y"),
+                         F.posexplode(F.col(fcol)).alias("fi", "x"))
+               .groupBy("fi")
+               .agg(F.count("*").alias("n"), F.corr("x", "y").alias("r"))
+               .collect())
+        rows = []
+        for r in sorted(agg, key=lambda r: r["fi"]):
+            n, corr = r["n"], r["r"] or 0.0
+            dfd = n - 2
+            denom = 1.0 - corr * corr
+            fstat = corr * corr / denom * dfd if denom > 0 and dfd > 0 else float("inf")
+            p = f_sf(fstat, 1, dfd) if np.isfinite(fstat) else 0.0
+            rows.append((r["fi"], float(p), int(dfd), float(fstat)))
+        out = spark.createDataFrame(
+            rows, "featureIndex int, pValue double, degreeOfFreedom long, fValue double")
+        return [out]

@@ -1,0 +1,113 @@
+"""Stats tests + evaluator vs hand-computed / closed-form expectations."""
+
+import math
+
+import numpy as np
+import pytest
+
+from flink_ml_spark.common.special import betainc, chi2_sf, f_sf, gammq
+from flink_ml_spark.evaluation import BinaryClassificationEvaluator
+from flink_ml_spark.feature import UnivariateFeatureSelector
+from flink_ml_spark.stats import ANOVATest, ChiSqTest, FValueTest
+
+
+def test_special_functions():
+    # references: chi2_sf(3.84, 1) ≈ 0.05; F_sf(4.0, 2, 10)
+    assert chi2_sf(3.841458820694124, 1) == pytest.approx(0.05, abs=1e-6)
+    assert chi2_sf(5.991464547107979, 2) == pytest.approx(0.05, abs=1e-6)
+    # closed form: F_sf(4, 2, 10) = I_{10/18}(5, 1) = (5/9)^5
+    assert f_sf(4.0, 2, 10) == pytest.approx((5 / 9) ** 5, abs=1e-10)
+    # betainc symmetry
+    assert betainc(2.0, 3.0, 0.4) == pytest.approx(1 - betainc(3.0, 2.0, 0.6), abs=1e-10)
+
+
+def test_chisq(spark):
+    # perfectly independent 2x2 → stat 0, p 1
+    rows = [([0.0], 0.0)] * 5 + [([0.0], 1.0)] * 5 + [([1.0], 0.0)] * 5 + [([1.0], 1.0)] * 5
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    r = ChiSqTest(featuresCol="features", labelCol="label").transform(df)[0].collect()[0]
+    assert r["statistic"] == pytest.approx(0.0)
+    assert r["pValue"] == pytest.approx(1.0)
+    assert r["degreeOfFreedom"] == 1
+
+
+def test_chisq_dependent(spark):
+    rows = [([0.0], 0.0)] * 10 + [([1.0], 1.0)] * 10
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    r = ChiSqTest(featuresCol="features", labelCol="label").transform(df)[0].collect()[0]
+    assert r["statistic"] == pytest.approx(20.0)  # n for perfect association
+    assert r["pValue"] < 1e-4
+
+
+def test_anova(spark):
+    # sklearn f_classif fixture: groups (1,2,3) vs (4,5,6)
+    rows = [([1.0], 0.0), ([2.0], 0.0), ([3.0], 0.0),
+            ([4.0], 1.0), ([5.0], 1.0), ([6.0], 1.0)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    r = ANOVATest(featuresCol="features", labelCol="label").transform(df)[0].collect()[0]
+    # SSB = 13.5, SSW = 4, F = 13.5/ (4/4) = 13.5
+    assert r["fValue"] == pytest.approx(13.5)
+    assert r["degreeOfFreedom"] == 4
+
+
+def test_fvalue(spark):
+    rng = np.random.RandomState(3)
+    x = rng.rand(50)
+    y = 2 * x + rng.rand(50) * 0.1
+    df = spark.createDataFrame([([float(a)], float(b)) for a, b in zip(x, y)],
+                               "features array<double>, label double")
+    r = FValueTest(featuresCol="features", labelCol="label").transform(df)[0].collect()[0]
+    corr = np.corrcoef(x, y)[0, 1]
+    expect = corr ** 2 / (1 - corr ** 2) * (50 - 2)
+    assert r["fValue"] == pytest.approx(expect, rel=1e-6)
+
+
+def test_auc_hand_computed(spark):
+    # scores: pos {0.9, 0.8, 0.4}, neg {0.7, 0.3, 0.2}; of the 9 pairs the
+    # positive outranks the negative in 8 (0.4 loses to 0.7) → AUC = 8/9
+    rows = [(0.9, 1.0), (0.8, 1.0), (0.4, 1.0), (0.7, 0.0), (0.3, 0.0), (0.2, 0.0)]
+    df = spark.createDataFrame(rows, "score double, label double")
+    ev = BinaryClassificationEvaluator(labelCol="label", rawPredictionCol="score")
+    r = ev.transform(df)[0].collect()[0]
+    assert r["areaUnderROC"] == pytest.approx(8 / 9)
+
+
+def test_auc_ties(spark):
+    # tie handling: pos {0.5}, neg {0.5} → AUC 0.5
+    rows = [(0.5, 1.0), (0.5, 0.0)]
+    df = spark.createDataFrame(rows, "score double, label double")
+    r = BinaryClassificationEvaluator(labelCol="label", rawPredictionCol="score") \
+        .transform(df)[0].collect()[0]
+    assert r["areaUnderROC"] == pytest.approx(0.5)
+    assert r["ks"] == pytest.approx(0.0)
+
+
+def test_auc_weighted(spark):
+    # weight 2 on a positive = duplicating it
+    rows_w = [(0.9, 1.0, 2.0), (0.4, 1.0, 1.0), (0.7, 0.0, 1.0)]
+    rows_d = [(0.9, 1.0, 1.0), (0.9, 1.0, 1.0), (0.4, 1.0, 1.0), (0.7, 0.0, 1.0)]
+    for rows in (rows_w,):
+        df = spark.createDataFrame(rows, "score double, label double, w double")
+        r1 = BinaryClassificationEvaluator(labelCol="label", rawPredictionCol="score",
+                                           weightCol="w").transform(df)[0].collect()[0]
+    df2 = spark.createDataFrame(rows_d, "score double, label double, w double")
+    r2 = BinaryClassificationEvaluator(labelCol="label", rawPredictionCol="score",
+                                       weightCol="w").transform(df2)[0].collect()[0]
+    assert r1["areaUnderROC"] == pytest.approx(r2["areaUnderROC"])
+
+
+def test_univariate_selector(spark):
+    rng = np.random.RandomState(4)
+    n = 100
+    y = rng.randint(0, 2, n).astype(float)
+    informative = y * 2 + rng.randn(n) * 0.1
+    noise = rng.randn(n)
+    rows = [([float(a), float(b)], float(c))
+            for a, b, c in zip(informative, noise, y)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    sel = UnivariateFeatureSelector(
+        featuresCol="features", labelCol="label", outputCol="sel",
+        featureType="continuous", labelType="categorical",
+        selectionMode="numTopFeatures").set_(selectionThreshold=1.0)
+    model = sel.fit(df)
+    assert model.model_data["indices"] == [0]
