@@ -1,3 +1,4 @@
+from .agglomerativeclustering import AgglomerativeClustering
 from .kmeans import KMeans, KMeansModel
 
-__all__ = ["KMeans", "KMeansModel"]
+__all__ = ["KMeans", "KMeansModel", "AgglomerativeClustering"]

@@ -10,6 +10,7 @@ from .functions import array_to_sparse, array_to_vector, vector_to_array
 from .hashingtf import FeatureHasher, HashingTF
 from .imputer import Imputer, ImputerModel
 from .kbinsdiscretizer import KBinsDiscretizer, KBinsDiscretizerModel
+from .minhashlsh import MinHashLSH, MinHashLSHModel
 from .onehotencoder import OneHotEncoder, OneHotEncoderModel
 from .polynomialexpansion import PolynomialExpansion
 from .randomsplitter import RandomSplitter

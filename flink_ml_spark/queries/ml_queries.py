@@ -193,6 +193,121 @@ def kmeans(spark, sf_dir):
     return m.transform(df)[0].select(*KEY, F.col("prediction").alias("cluster"))
 
 
+# --- Swing (user=o_custkey, item=l_partkey) --------------------------------
+
+_SWING = dict(minUserBehavior=5, maxUserBehavior=1000, alpha1=15, alpha2=0,
+              beta=0.3, k=10)
+
+
+def swing(spark, sf_dir):
+    from pyspark.sql import Window
+    from ..recommendation import Swing
+    li, orders = load(spark, sf_dir, "lineitem", "orders")
+    ui = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+          .select(F.col("o_custkey").alias("user"),
+                  F.col("l_partkey").alias("item")))
+    # k untruncated inside the operator; the query re-ranks on the
+    # QUANTIZED score so float summation order can't flip tie ranks
+    # across engines
+    s = Swing(userCol="user", itemCol="item", maxUserNumPerItem=1 << 30,
+              **{**_SWING, "k": 1 << 30})
+    out = s.transform(ui)[0].withColumn("score_q", q4(F.col("score")))
+    w = Window.partitionBy("item").orderBy(F.desc("score_q"),
+                                           F.asc("similar_item"))
+    return (out.withColumn("qrank", F.row_number().over(w))
+            .filter(F.col("qrank") <= _SWING["k"])
+            .select("item", "similar_item", F.col("score_q").alias("score"),
+                    F.col("qrank").alias("rank")))
+
+
+SWING_SQL = f"""
+WITH ui AS (
+  SELECT DISTINCT o_custkey u, l_partkey i
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+act AS (SELECT u, count(*) n FROM ui GROUP BY u
+        HAVING n >= {_SWING['minUserBehavior']} AND n <= {_SWING['maxUserBehavior']}),
+w AS (SELECT u, pow({_SWING['alpha1']} + n, -{_SWING['beta']}) w FROM act),
+ui2 AS (SELECT ui.u, ui.i FROM ui JOIN act ON ui.u = act.u),
+co AS (SELECT a.u ua, b.u ub, a.i
+       FROM ui2 a JOIN ui2 b ON a.i = b.i AND a.u < b.u),
+pc AS (SELECT ua, ub, count(*) c FROM co GROUP BY ua, ub),
+pw AS (SELECT pc.ua, pc.ub, wa.w * wb.w / ({_SWING['alpha2']} + pc.c) pw
+       FROM pc JOIN w wa ON wa.u = pc.ua JOIN w wb ON wb.u = pc.ub),
+ip AS (
+  SELECT a.i, b.i j, sum(pw.pw) score
+  FROM co a JOIN co b ON a.ua = b.ua AND a.ub = b.ub AND a.i <> b.i
+  JOIN pw ON pw.ua = a.ua AND pw.ub = a.ub
+  GROUP BY a.i, b.i),
+ranked AS (
+  SELECT i item, j similar_item, {SQL_Q4.format('score')} AS score,
+         row_number() OVER (PARTITION BY i ORDER BY {SQL_Q4.format('score')} DESC,
+                            j ASC) rank
+  FROM ip)
+SELECT item, similar_item, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_SWING['k']}
+"""
+
+# --- MinHashLSH approx similarity join -------------------------------------
+
+def minhash_lsh_join(spark, sf_dir):
+    from ..feature import MinHashLSH
+    docs = load(spark, sf_dir, "documents")
+    from ..llmdata.dedup import poly_token_hash
+    # vector = token-hash set rendered as sparse indices over a 1024 space
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s"), lambda t: t != "")
+    idx = F.array_sort(F.array_distinct(
+        F.transform(toks, lambda t: F.pmod(poly_token_hash(t), F.lit(1024)).cast("int"))))
+    base = docs.select(F.col("doc_id").alias("id"),
+                       F.struct(F.lit(1024).alias("size"), idx.alias("indices"),
+                                F.transform(idx, lambda i: F.lit(1.0)).alias("values"))
+                       .alias("vec"))
+    model = MinHashLSH(inputCol="vec", outputCol="h", seed=7,
+                       numHashTables=8, numHashFunctionsPerTable=2).fit(base)
+    out = model.approx_similarity_join(base, base, threshold=0.8)
+    return (out.filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", q4(F.col("distCol")).alias("dist")))
+
+
+def _lsh_join_sql() -> str:
+    from ..llmdata.dedup import MINHASH_PRIME, _hash_family
+    fam = _hash_family(16, 7)
+    from .llmdata_queries import TOKHASH, TOKS
+    idx = f"list_sort(list_distinct(list_transform({TOKS}, t -> {TOKHASH.format(t='t')} % 1024)))"
+    mh = [f"list_min(list_transform(idx, j -> ((j + 1) * {a} + {b}) % {MINHASH_PRIME}))"
+          for a, b in fam]
+    tables = [f"concat({mh[2*t]}, '_', {mh[2*t+1]})" for t in range(8)]
+    sig_rows = " UNION ALL ".join(
+        f"SELECT id, idx, {t} AS tbl, {s} AS sig FROM base" for t, s in enumerate(tables))
+    return f"""
+WITH base AS (SELECT doc_id id, {idx} AS idx FROM documents),
+sigs AS ({sig_rows}),
+pairs AS (
+  SELECT DISTINCT a.id id_a, b.id id_b, a.idx ia, b.idx ib
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+  WHERE a.id < b.id),
+scored AS (
+  SELECT id_a, id_b,
+         1.0 - CAST(len(list_intersect(ia, ib)) AS DOUBLE)
+             / (len(ia) + len(ib) - len(list_intersect(ia, ib))) AS d
+  FROM pairs)
+SELECT id_a, id_b, {SQL_Q4.format('d')} AS dist FROM scored WHERE d <= 0.8
+"""
+
+
+# --- AgglomerativeClustering (local algorithm → rows-only check) -----------
+
+def agglomerative(spark, sf_dir):
+    from ..clustering import AgglomerativeClustering
+    sup = load(spark, sf_dir, "supplier")
+    df = sup.select("s_suppkey",
+                    F.array((F.col("s_acctbal") / 1000).cast("double"),
+                            (F.col("s_nationkey").cast("double") / 10)).alias("features"))
+    op = AgglomerativeClustering(featuresCol="features", predictionCol="cluster",
+                                 numClusters=5, linkage="ward")
+    assigned, _tree = op.transform(df)
+    return assigned.select("s_suppkey", "cluster")
+
+
 # --- stats tests ------------------------------------------------------------
 # categorical features: same discretization as NaiveBayes; statistic + dof
 # are oracle-checked (p-values come from our own special functions, unit-
@@ -370,4 +485,7 @@ QUERIES = {
     "anova_test": (anova_test, ANOVA_SQL),
     "fvalue_test": (fvalue_test, FVALUE_SQL),
     "binary_evaluator": (binary_evaluator, BINARY_EVALUATOR_SQL),
+    "swing": (swing, SWING_SQL),
+    "minhash_lsh_join": (minhash_lsh_join, _lsh_join_sql()),
+    "agglomerative": (agglomerative, None),
 }
