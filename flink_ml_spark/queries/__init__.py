@@ -31,10 +31,22 @@ def load(spark, sf_dir: str, *names: str):
     return dfs[0] if len(dfs) == 1 else dfs
 
 
+def load_events(spark, sf_dir: str):
+    """events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4
+    rejects — read nanos as long and expose ``ts_ms`` (epoch millis,
+    exact integer division) plus a micros-precision ``ts_t`` timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (df.withColumn("ts_ms", F.expr("ts div 1000000"))
+            .withColumn("ts_t", F.timestamp_millis(F.col("ts_ms"))))
+
+
 def all_queries():
-    from . import feature_queries, llmdata_queries, ml_queries, text_queries
+    from . import (feature_queries, llmdata_queries, ml_queries,
+                   streaming_queries, text_queries)
     out = {}
-    for mod in (feature_queries, text_queries, ml_queries, llmdata_queries):
+    for mod in (feature_queries, text_queries, ml_queries, llmdata_queries,
+                streaming_queries):
         out.update(mod.QUERIES)
     return out
 

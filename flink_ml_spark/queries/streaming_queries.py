@@ -1,0 +1,108 @@
+"""Online/streaming-semantics queries vs DuckDB oracles.
+
+The online estimators are driven in deterministic batch mode (the same
+``process_batch`` contract foreachBatch uses), so their window-cumulative
+model versions are a pure function of the data — the oracle recomputes
+them relationally (cumulative window aggregates + as-of version pick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import SQL_Q4, load_events, q4
+
+DAY_MS = 86400000
+
+
+def online_standard_scaler(spark, sf_dir):
+    """Event-time daily windows over events.value: one model version per
+    day (history-cumulative mean/std), then versioned as-of inference on
+    the same stream (OnlineStandardScaler + Model semantics)."""
+    from ..streaming import OnlineStandardScaler
+    events = load_events(spark, sf_dir)
+    data = events.select("event_id", F.col("ts_ms").alias("ts"),
+                         F.array(F.col("value")).alias("features"))
+    scaler = OnlineStandardScaler(featuresCol="features", timeCol="ts",
+                                  windowMillis=DAY_MS)
+    scaler.process_batch(data, 0)
+    model = scaler.latest_model()
+    model.set_(maxAllowedModelDelayMs=0, modelVersionCol="ver")
+    model.set(type(model).timeCol, "ts")
+    out = model.transform(data)[0]
+    return out.select("event_id", "ver",
+                      q4(F.element_at("output", 1)).alias("scaled"))
+
+
+ONLINE_SCALER_SQL = f"""
+WITH base AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+per_w AS (
+  SELECT CAST(floor(ts_ms / {DAY_MS}) AS BIGINT) w,
+         CAST(count(*) AS DOUBLE) n, sum(value) s, sum(value * value) ss
+  FROM base GROUP BY 1),
+cum AS (
+  SELECT w, row_number() OVER (ORDER BY w) - 1 AS version,
+         (w + 1) * {DAY_MS} AS model_ts,
+         sum(n) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) cn,
+         sum(s) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) cs,
+         sum(ss) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) css
+  FROM per_w),
+models AS (
+  SELECT version, model_ts, cs / cn AS mean,
+         sqrt(greatest(css / cn - (cs / cn) * (cs / cn), 0)
+              * (CASE WHEN cn > 1 THEN cn / (cn - 1) ELSE 1 END)) AS std
+  FROM cum),
+picked AS (
+  SELECT b.event_id, b.ts_ms, b.value,
+         max(m.version) AS ver
+  FROM base b LEFT JOIN models m ON m.model_ts <= b.ts_ms
+  GROUP BY b.event_id, b.ts_ms, b.value)
+SELECT p.event_id, CAST(p.ver AS INT) AS ver,
+       {SQL_Q4.format('(p.value - m.mean) / (CASE WHEN m.std = 0 THEN 1.0 ELSE m.std END)')} AS scaled
+FROM picked p LEFT JOIN models m ON m.version = p.ver
+"""
+
+
+def online_kmeans(spark, sf_dir):
+    """Mini-batch k-means over events (value, hour-of-day) in 10 ordered
+    event-time batches with decay 0.9 — iterative feedback → rows-only."""
+    from ..streaming import OnlineKMeans
+    events = load_events(spark, sf_dir).orderBy("ts_ms")
+    data = events.select(
+        "event_id", "ts_t",
+        F.array(F.col("value"),
+                (F.hour("ts_t").cast("double") / 24.0)).alias("features"))
+    km = OnlineKMeans(featuresCol="features", k=3, decayFactor=0.9)
+    km.set_initial_model([[0.0, 0.0], [1.0, 0.5], [2.0, 1.0]])
+    days = data.withColumn("day", F.dayofmonth("ts_t"))
+    for d in range(1, 11):
+        km.process_batch(days.filter(F.col("day") == d).drop("day"), d)
+    model = km.latest_model()
+    return model.transform(data)[0].select("event_id", F.col("prediction").alias("cluster"))
+
+
+def online_logistic_regression(spark, sf_dir):
+    """FTRL over an events-derived click-ish label — iterative driver
+    state → rows-only check (weights sanity-tested in unit tests)."""
+    from ..streaming import OnlineLogisticRegression
+    events = load_events(spark, sf_dir).orderBy("ts_ms")
+    data = events.select(
+        "event_id",
+        F.array((F.col("value") / 10.0), F.lit(1.0)).alias("features"),
+        F.when(F.col("event_type") == "click", 1.0).otherwise(0.0).alias("label"),
+        F.dayofmonth("ts_t").alias("day"))
+    ftrl = OnlineLogisticRegression(featuresCol="features", labelCol="label",
+                                    alpha=0.5, l1=0.001, l2=0.001)
+    for d in range(1, 11):
+        ftrl.process_batch(data.filter(F.col("day") == d), d)
+    model = ftrl.latest_model()
+    out = model.transform(data)[0]
+    return out.select("event_id", q4(F.element_at("rawPrediction", 2)).alias("prob"))
+
+
+QUERIES = {
+    "online_standard_scaler": (online_standard_scaler, ONLINE_SCALER_SQL),
+    "online_kmeans": (online_kmeans, None),
+    "online_logistic_regression": (online_logistic_regression, None),
+}

@@ -1,0 +1,42 @@
+"""Window strategies for online mini-batching.
+
+Reference: flink-ml-core/.../common/window/Windows.java:22 and subtypes
+(GlobalWindows, CountTumblingWindows.java:42, EventTimeTumblingWindows.java:41,
+ProcessingTimeTumblingWindows, EventTimeSessionWindows,
+ProcessingTimeSessionWindows); dispatch in DataStreamUtils.java:407-430.
+
+Spark mapping (SURVEY §2.10): GlobalWindows → one model update per
+micro-batch with cumulative state; CountTumblingWindows → re-chunk batches
+to exact counts in the driver harness; EventTimeTumblingWindows →
+``F.window`` buckets; session windows → ``F.session_window``.  JSON-able
+so stages can persist their window choice.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Windows:
+    kind: str = "global"           # global | count | event_time
+    size: int | None = None        # count, or window millis
+
+    @staticmethod
+    def global_windows() -> "Windows":
+        return Windows("global", None)
+
+    @staticmethod
+    def count_tumbling(n: int) -> "Windows":
+        return Windows("count", n)
+
+    @staticmethod
+    def event_time_tumbling(millis: int) -> "Windows":
+        return Windows("event_time", millis)
+
+    def to_json(self) -> dict:
+        return {"kind": self.kind, "size": self.size}
+
+    @staticmethod
+    def from_json(d: dict) -> "Windows":
+        return Windows(d["kind"], d.get("size"))

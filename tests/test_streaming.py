@@ -1,0 +1,119 @@
+"""Online estimator tests: deterministic batch-driven harness (the
+foreachBatch contract) + one true Structured Streaming smoke test
+(FIXTURES.md §8 pattern)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ml_spark.streaming import (OnlineKMeans, OnlineLogisticRegression,
+                                      OnlineStandardScaler, Windows)
+
+
+def _batches(spark, data, n_batches):
+    per = len(data) // n_batches
+    return [spark.createDataFrame(data[i * per:(i + 1) * per],
+                                  "ts double, features array<double>")
+            for i in range(n_batches)]
+
+
+def test_online_standard_scaler_cumulative(spark):
+    data = [(float(i), [float(i)]) for i in range(10)]
+    scaler = OnlineStandardScaler(featuresCol="features")
+    for bid, b in enumerate(_batches(spark, data, 2)):
+        scaler.process_batch(b, bid)
+    vs = scaler._versions
+    assert len(vs) == 2
+    # after batch 1: values 0..4 → mean 2; after batch 2 cumulative 0..9
+    assert vs[0]["mean"][0] == pytest.approx(2.0)
+    assert vs[1]["mean"][0] == pytest.approx(4.5)
+    assert vs[1]["std"][0] == pytest.approx(np.std(range(10), ddof=1))
+
+
+def test_online_scaler_model_versioned_inference(spark):
+    # ts in epoch millis
+    data = [(float(i) * 1000, [float(i)]) for i in range(10)]
+    scaler = OnlineStandardScaler(featuresCol="features", windowMillis=5000)
+    scaler.process_batch(spark.createDataFrame(
+        data, "ts double, features array<double>"), 0)
+    # windows [0,5s) and [5s,10s) → two versions with timestamps 5000/10000
+    model = scaler.latest_model()
+    model.set_(maxAllowedModelDelayMs=0, modelVersionCol="ver")
+    model.set(type(model).timeCol, "ts")
+    test = spark.createDataFrame([(6000.0, [1.0]), (11000.0, [1.0])],
+                                 "ts double, features array<double>")
+    got = {r["ts"]: r["ver"] for r in model.transform(test)[0].collect()}
+    # ts=6s: only window-1 model (ts 5000) is old enough; ts=11s: version 1
+    assert got[6000.0] == 0
+    assert got[11000.0] == 1
+
+
+def test_online_kmeans_decay(spark):
+    b1 = spark.createDataFrame([([0.0, 0.0],), ([0.2, 0.0],), ([10.0, 0.0],), ([10.2, 0.0],)],
+                               "features array<double>")
+    b2 = spark.createDataFrame([([1.0, 0.0],), ([11.0, 0.0],)],
+                               "features array<double>")
+    km = OnlineKMeans(featuresCol="features", k=2, decayFactor=1.0)
+    km.set_initial_model([[0.0, 0.0], [10.0, 0.0]])
+    km.process_batch(b1, 0)
+    c1 = sorted(r[0] for r in km._centers)
+    assert c1[0] == pytest.approx(0.1) and c1[1] == pytest.approx(10.1)
+    km.process_batch(b2, 1)
+    # decay=1: running weighted mean of 3 points per cluster
+    c2 = sorted(r[0] for r in km._centers)
+    assert c2[0] == pytest.approx((0.0 + 0.2 + 1.0) / 3)
+    assert c2[1] == pytest.approx((10.0 + 10.2 + 11.0) / 3)
+
+
+def test_online_kmeans_full_decay_forgets(spark):
+    km = OnlineKMeans(featuresCol="features", k=2, decayFactor=0.0)
+    km.set_initial_model([[0.0], [10.0]])
+    b = spark.createDataFrame([([2.0],), ([12.0],)], "features array<double>")
+    km.process_batch(b, 0)
+    c = sorted(r[0] for r in km._centers)
+    assert c == pytest.approx([2.0, 12.0])  # decay 0 → only the new batch
+
+
+def test_online_ftrl_learns(spark):
+    rng = np.random.RandomState(5)
+    w_true = np.array([1.5, -2.0])
+    ftrl = OnlineLogisticRegression(featuresCol="features", labelCol="label",
+                                    alpha=0.5, l1=0.001, l2=0.001)
+    for bid in range(20):
+        x = rng.randn(200, 2)
+        p = 1 / (1 + np.exp(-(x @ w_true)))
+        y = (rng.rand(200) < p).astype(float)
+        b = spark.createDataFrame(
+            [([float(a), float(bb)], float(c)) for (a, bb), c in zip(x, y)],
+            "features array<double>, label double")
+        ftrl.process_batch(b, bid)
+    w = ftrl.weights()
+    assert w[0] > 0.5 and w[1] < -0.7  # signs + rough magnitude learned
+    model = ftrl.latest_model()
+    test = spark.createDataFrame([([2.0, -2.0],), ([-2.0, 2.0],)],
+                                 "features array<double>")
+    got = [r["prediction"] for r in model.transform(test)[0].collect()]
+    assert got == [1.0, 0.0]
+
+
+def test_online_scaler_true_stream(spark, tmp_path):
+    """End-to-end Structured Streaming: parquet source → foreachBatch."""
+    import pandas as pd
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pd.DataFrame({"ts": [0.0, 1.0], "v0": [1.0, 2.0], "v1": [10.0, 20.0]}) \
+        .to_parquet(src / "a.parquet")
+    pd.DataFrame({"ts": [2.0, 3.0], "v0": [3.0, 4.0], "v1": [30.0, 40.0]}) \
+        .to_parquet(src / "b.parquet")
+    stream = (spark.readStream
+              .schema("ts double, v0 double, v1 double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src))
+              .select("ts", F.array("v0", "v1").alias("features")))
+    scaler = OnlineStandardScaler(featuresCol="features")
+    q = scaler.attach(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert len(scaler._versions) >= 1
+    final = scaler._versions[-1]
+    assert final["mean"] == pytest.approx([2.5, 25.0])
