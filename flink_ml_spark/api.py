@@ -50,6 +50,10 @@ class Stage(WithParams):
             meta = json.load(f)
         module, _, name = meta["className"].rpartition(".")
         klass = getattr(importlib.import_module(module), name)
+        # composite stages (Pipeline/PipelineModel/Graph) override load() to
+        # restore their children — defer to it instead of the generic path
+        if klass.load.__func__ is not cls.load.__func__:
+            return klass.load(spark, path)
         stage = klass()
         stage.load_params_json(meta["paramMap"])
         stage._load_extra_metadata(meta.get("extra") or {})

@@ -1,0 +1,191 @@
+"""Graph / GraphBuilder / GraphModel — DAG composition of stages.
+
+Reference: ml/builder/GraphBuilder.java:39 (addAlgoOperator :98),
+Graph.java:153, GraphModel.java:50, topo execution in
+GraphExecutionHelper.java.  No Spark builtin — a pure-Python DAG executor
+over DataFrames (SURVEY §2.1): tables are symbolic ``TableId``s wired
+between stages; ``Graph`` acts as an Estimator (fits each Estimator node
+in topological order, like Pipeline but non-linear), ``GraphModel`` as
+the composed Transformer.  DataFrames stay lazy — executing the DAG only
+builds the combined logical plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .api import AlgoOperator, Estimator, Model, Stage
+
+
+@dataclass(frozen=True)
+class TableId:
+    id: int
+
+
+@dataclass
+class GraphNode:
+    stage: Stage
+    inputs: list[TableId]
+    outputs: list[TableId]
+    estimator_inputs: list[TableId] | None = None  # fit inputs if different
+
+
+class GraphBuilder:
+    def __init__(self):
+        self._next = 0
+        self.nodes: list[GraphNode] = []
+
+    def new_table_id(self) -> TableId:
+        self._next += 1
+        return TableId(self._next)
+
+    def new_table_ids(self, n: int) -> list[TableId]:
+        return [self.new_table_id() for _ in range(n)]
+
+    def add_algo_operator(self, op: AlgoOperator, inputs: list[TableId],
+                          n_outputs: int = 1) -> list[TableId]:
+        outs = self.new_table_ids(n_outputs)
+        self.nodes.append(GraphNode(op, list(inputs), outs))
+        return outs
+
+    def add_estimator(self, est: Estimator, inputs: list[TableId],
+                      transform_inputs: list[TableId] | None = None,
+                      n_outputs: int = 1) -> list[TableId]:
+        """fit ``est`` on ``inputs``; the fitted model transforms
+        ``transform_inputs`` (default: same tables) → outputs."""
+        outs = self.new_table_ids(n_outputs)
+        self.nodes.append(GraphNode(est, list(transform_inputs or inputs), outs,
+                                    estimator_inputs=list(inputs)))
+        return outs
+
+    def build_estimator(self, inputs: list[TableId],
+                        outputs: list[TableId]) -> "Graph":
+        return Graph(self.nodes, inputs, outputs)
+
+
+class Graph(Estimator):
+    def __init__(self, nodes=None, inputs=None, outputs=None, **kwargs):
+        super().__init__(**kwargs)
+        self.nodes = list(nodes or [])
+        self.input_ids = list(inputs or [])
+        self.output_ids = list(outputs or [])
+
+    def fit(self, *tables: DataFrame) -> "GraphModel":
+        env: dict[TableId, DataFrame] = dict(zip(self.input_ids, tables))
+        fitted_nodes: list[GraphNode] = []
+        for node in _topo_order(self.nodes, set(env)):
+            ins = [env[t] for t in node.inputs]
+            if isinstance(node.stage, Estimator):
+                fit_ins = [env[t] for t in (node.estimator_inputs or node.inputs)]
+                model = node.stage.fit(*fit_ins)
+                outs = model.transform(*ins)
+                fitted_nodes.append(GraphNode(model, node.inputs, node.outputs))
+            else:
+                outs = node.stage.transform(*ins)
+                fitted_nodes.append(node)
+            for tid, df in zip(node.outputs, outs):
+                env[tid] = df
+        return GraphModel(fitted_nodes, self.input_ids, self.output_ids)
+
+    def save(self, path: str) -> None:
+        _save_graph(self, self.nodes, self.input_ids, self.output_ids, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Graph":
+        return cls(*_load_graph(spark, path))
+
+
+class GraphModel(Model):
+    def __init__(self, nodes=None, inputs=None, outputs=None, **kwargs):
+        super().__init__(**kwargs)
+        self.nodes = list(nodes or [])
+        self.input_ids = list(inputs or [])
+        self.output_ids = list(outputs or [])
+
+    def transform(self, *tables: DataFrame) -> list[DataFrame]:
+        env: dict[TableId, DataFrame] = dict(zip(self.input_ids, tables))
+        for node in _topo_order(self.nodes, set(env)):
+            ins = [env[t] for t in node.inputs]
+            outs = node.stage.transform(*ins)  # type: ignore[union-attr]
+            for tid, df in zip(node.outputs, outs):
+                env[tid] = df
+        return [env[t] for t in self.output_ids]
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return self.transform(df)[0]
+
+    def save(self, path: str) -> None:
+        _save_graph(self, self.nodes, self.input_ids, self.output_ids, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "GraphModel":
+        return cls(*_load_graph(spark, path))
+
+
+def _save_graph(owner: Stage, nodes, inputs, outputs, path: str) -> None:
+    """Persist wiring as JSON + each stage in its own subdir (mirrors
+    Graph.java GraphData save semantics)."""
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "className": f"{type(owner).__module__}.{type(owner).__qualname__}",
+        "paramMap": {},
+        "graph": {
+            "inputs": [t.id for t in inputs],
+            "outputs": [t.id for t in outputs],
+            "nodes": [
+                {
+                    "inputs": [t.id for t in n.inputs],
+                    "outputs": [t.id for t in n.outputs],
+                    "estimatorInputs": ([t.id for t in n.estimator_inputs]
+                                        if n.estimator_inputs else None),
+                }
+                for n in nodes
+            ],
+        },
+    }
+    with open(os.path.join(path, "metadata"), "w") as f:
+        json.dump(meta, f)
+    for i, n in enumerate(nodes):
+        n.stage.save(os.path.join(path, "stages", f"{i:04d}"))
+
+
+def _load_graph(spark: SparkSession, path: str):
+    with open(os.path.join(path, "metadata")) as f:
+        meta = json.load(f)
+    g = meta["graph"]
+    nodes = []
+    for i, nd in enumerate(g["nodes"]):
+        stage = Stage.load(spark, os.path.join(path, "stages", f"{i:04d}"))
+        nodes.append(GraphNode(
+            stage,
+            [TableId(t) for t in nd["inputs"]],
+            [TableId(t) for t in nd["outputs"]],
+            [TableId(t) for t in nd["estimatorInputs"]]
+            if nd.get("estimatorInputs") else None))
+    inputs = [TableId(t) for t in g["inputs"]]
+    outputs = [TableId(t) for t in g["outputs"]]
+    return nodes, inputs, outputs
+
+
+def _topo_order(nodes: list[GraphNode], ready: set) -> list[GraphNode]:
+    """Kahn topological order over table dependencies
+    (GraphExecutionHelper semantics)."""
+    ready = set(ready)
+    pending = list(nodes)
+    ordered: list[GraphNode] = []
+    while pending:
+        progressed = False
+        for node in list(pending):
+            needs = set(node.inputs) | set(node.estimator_inputs or [])
+            if needs <= ready:
+                ordered.append(node)
+                ready |= set(node.outputs)
+                pending.remove(node)
+                progressed = True
+        if not progressed:
+            raise ValueError("Graph has a cycle or unbound input tables")
+    return ordered
