@@ -37,22 +37,31 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         fcol = self.get_("featuresCol")
         k = self.get_("k")
         measure = self.get_("distanceMeasure")
-        data = df.select(F.col(fcol).alias("__f__")).persist(StorageLevel.MEMORY_AND_DISK)
+        data = df.select(F.col(fcol).alias("__f__"))
+        # the cache is scanned maxIter times — pay one narrow shuffle up
+        # front to balance it across all cores if the scan under-splits
+        # (local single-file parquet is row-group-bound)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if data.rdd.getNumPartitions() < par:
+            data = data.repartition(par)
+        data = data.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             centers = self._init_centers(data, k)
+            dim = centers.shape[1]
+            # per round ONE narrow job: k groups × dim sum columns, all
+            # map-side combined in HashAggregate — no row multiplication
+            # (a posexplode here shuffles dim× the input)
+            sum_cols = [F.sum(F.col("__f__")[i]).alias(f"s{i}") for i in range(dim)]
             for _ in range(self.get_("maxIter")):
                 cid = closest_centroid_expr(F.col("__f__"), centers, measure)
-                rows = (data.select(cid.alias("__c__"),
-                                    F.posexplode(F.col("__f__")).alias("pos", "x"))
-                        .groupBy("__c__", "pos")
-                        .agg(F.sum("x").alias("s"),
-                             F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("n"))
+                rows = (data.groupBy(cid.alias("__c__"))
+                        .agg(*sum_cols, F.count("*").alias("n"))
                         .collect())
                 sums = np.zeros_like(centers)
                 counts = np.zeros(len(centers))
                 for r in rows:
-                    sums[r["__c__"], r["pos"]] = r["s"]
-                    counts[r["__c__"]] += r["n"]
+                    sums[r["__c__"]] = [r[f"s{i}"] for i in range(dim)]
+                    counts[r["__c__"]] = r["n"]
                 new_centers = centers.copy()
                 nz = counts > 0
                 new_centers[nz] = sums[nz] / counts[nz, None]

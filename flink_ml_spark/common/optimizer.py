@@ -87,12 +87,17 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
     n = df.count()
     num_batches = max(1, int(np.ceil(n / global_batch_size)))
     w_col = (F.col(weight_col).cast("double") if weight_col else F.lit(1.0))
-    prepared = (df.select(
+    prepared = df.select(
         F.col(features_col).alias("__f__"),
         F.col(label_col).cast("double").alias("__y__"),
         w_col.alias("__w__"),
         F.pmod(F.monotonically_increasing_id(), F.lit(num_batches)).alias("__batch__"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    # cache is scanned max_iter times — balance it across cores once if the
+    # file scan under-splits (row-group-bound local parquet)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if prepared.rdd.getNumPartitions() < par:
+        prepared = prepared.repartition(par)
+    prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
     prepared.count()  # materialize cache once
 
     w = np.zeros(dim) if init_w is None else np.asarray(init_w, dtype=float).copy()
@@ -105,16 +110,18 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
             margin = dot_lit(F.col("__f__"), w)
             r = (loss.residual(margin, F.col("__y__")) * F.col("__w__")).alias("__r__")
             l = (loss.loss(margin, F.col("__y__")) * F.col("__w__")).alias("__l__")
-            ex = (batch.select(r, l, F.col("__w__"),
-                               F.posexplode(F.col("__f__")).alias("pos", "x")))
-            rows = (ex.groupBy("pos")
-                    .agg(F.sum(F.col("__r__") * F.col("x")).alias("g"),
-                         F.sum(F.when(F.col("pos") == 0, F.col("__l__"))).alias("lsum"),
-                         F.sum(F.when(F.col("pos") == 0, F.col("__w__"))).alias("wsum"))
-                    .orderBy("pos").collect())
-            grad = np.array([row["g"] for row in rows])
-            weight_sum = rows[0]["wsum"] or 0.0
-            loss_val = (rows[0]["lsum"] or 0.0) / max(weight_sum, 1e-300)
+            # one global agg of dim+2 sums — partial map-side combine, only
+            # dim+2 doubles per partition cross the shuffle (the allReduceSum
+            # analogue; a posexplode here would shuffle dim× the batch)
+            row = (batch.select(r, l, F.col("__w__"), F.col("__f__"))
+                   .agg(*[F.sum(F.col("__r__") * F.col("__f__")[j]).alias(f"g{j}")
+                          for j in range(dim)],
+                        F.sum("__l__").alias("lsum"),
+                        F.sum("__w__").alias("wsum"))
+                   .first())
+            grad = np.array([row[f"g{j}"] or 0.0 for j in range(dim)])
+            weight_sum = row["wsum"] or 0.0
+            loss_val = (row["lsum"] or 0.0) / max(weight_sum, 1e-300)
             losses.append(float(loss_val))
             if weight_sum > 0:
                 grad = grad / weight_sum

@@ -67,32 +67,34 @@ class CountVectorizerModel(Model, HasInputCol, HasOutputCol):
     binary = BoolParam("binary", "Binary output toggles.", False)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        vocab = self.model_data["vocabulary"]
-        pairs = []
-        for i, term in enumerate(vocab):
-            pairs.extend([F.lit(term), F.lit(i)])
-        lookup = F.create_map(*pairs) if pairs else F.create_map()
-        toks = F.col(self.get_("inputCol"))
-        min_tf = self.get_("minTF")
-        idx_all = F.transform(toks, lambda t: lookup.getItem(t))
-        idx_hit = F.array_sort(F.filter(idx_all, lambda i: i.isNotNull()))
-        uniq = F.array_distinct(idx_hit)
-        counts = F.transform(
-            uniq, lambda i: F.size(F.filter(idx_hit, lambda x: x == i)).cast("double"))
-        # minTF: absolute count if >=1 else fraction of the doc's token count
-        thr = (F.lit(float(min_tf)) if min_tf >= 1.0
-               else F.lit(float(min_tf)) * F.size(toks))
-        keep = F.transform(counts, lambda c: c >= thr)
-        idx_f = F.filter(F.zip_with(uniq, keep, lambda i, k: F.when(k, i)),
-                         lambda x: x.isNotNull())
-        val_f = F.filter(F.zip_with(counts, keep, lambda c, k: F.when(k, c)),
-                         lambda x: x.isNotNull())
-        if self.get_("binary"):
-            val_f = F.transform(val_f, lambda v: F.lit(1.0))
-        out = F.struct(F.lit(len(vocab)).alias("size"),
-                       idx_f.cast("array<int>").alias("indices"),
-                       val_f.alias("values"))
-        return df.withColumn(self.get_("outputCol"), out)
+        # Arrow-vectorized UDF with the vocab dict shipped to executors —
+        # O(1) per-token lookup, same design as Spark MLlib's own
+        # CountVectorizerModel (a closure over the broadcast vocab).  A pure
+        # Column-expression plan needs a per-token map lookup + per-distinct
+        # count scan, which is quadratic per document and re-evaluated on
+        # every downstream reference.
+        from pyspark.sql.functions import pandas_udf
+        vocab = {t: i for i, t in enumerate(self.model_data["vocabulary"])}
+        size = len(vocab)
+        min_tf = float(self.get_("minTF"))
+        binary = self.get_("binary")
+
+        @pandas_udf("struct<size:int,indices:array<int>,values:array<double>>")
+        def to_sparse(tokens):
+            import pandas as pd
+            from collections import Counter
+            out = {"size": [], "indices": [], "values": []}
+            for toks in tokens:
+                cnt = Counter(vocab[t] for t in toks if t in vocab)
+                thr = min_tf if min_tf >= 1.0 else min_tf * len(toks)
+                items = sorted((i, c) for i, c in cnt.items() if c >= thr)
+                out["size"].append(size)
+                out["indices"].append([i for i, _ in items])
+                out["values"].append([1.0 if binary else float(c) for _, c in items])
+            return pd.DataFrame(out)
+
+        return df.withColumn(self.get_("outputCol"),
+                             to_sparse(F.col(self.get_("inputCol"))))
 
 
 class IDF(Estimator, HasInputCol, HasOutputCol):

