@@ -87,26 +87,47 @@ class FeatureHasher(Transformer, HasInputCols, HasOutputCol, HasCategoricalCols,
                                 ParamValidators.in_array(["native", "poly"]))
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        # Arrow UDF over a struct of the input columns; numeric column
+        # buckets (hash of the column NAME) are precomputed driver-side,
+        # categorical ``name=value`` buckets are memoized per batch
+        from pyspark.sql.functions import pandas_udf
+        from ..common.hashing import poly_hash31, spark_murmur3_32
         n = self.get_("numFeatures")
         algo = self.get_("hashAlgorithm")
         cat = set(self.get_("categoricalCols") or [])
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        entries = []
-        for c in self.get_("inputCols"):
-            is_cat = c in cat or schema[c] in ("string", "boolean")
-            if is_cat:
-                term = F.concat(F.lit(c + "="), F.col(c).cast("string"))
-                entries.append(F.struct(term_index(term, n, algo).alias("i"),
-                                        F.lit(1.0).alias("v")))
-            else:
-                entries.append(F.struct(term_index(F.lit(c), n, algo).alias("i"),
-                                        F.col(c).cast("double").alias("v")))
-        arr = F.array(*entries)
-        idx = F.array_sort(F.array_distinct(F.transform(arr, lambda e: e["i"])))
-        vals = F.transform(
-            idx,
-            lambda i: F.aggregate(
-                F.filter(arr, lambda e: e["i"] == i),
-                F.lit(0.0), lambda acc, e: acc + e["v"]))
-        out = F.struct(F.lit(n).alias("size"), idx.alias("indices"), vals.alias("values"))
-        return df.withColumn(self.get_("outputCol"), out)
+        cols = list(self.get_("inputCols"))
+        raw = poly_hash31 if algo == "poly" else spark_murmur3_32
+        is_cat = {c: (c in cat or schema[c] in ("string", "boolean")) for c in cols}
+        num_bucket = {c: raw(c) % n for c in cols if not is_cat[c]}
+
+        @pandas_udf("struct<size:int,indices:array<int>,values:array<double>>")
+        def to_sparse(block):
+            import pandas as pd
+            memo: dict = {}
+
+            def bucket(term):
+                i = memo.get(term)
+                if i is None:
+                    i = memo[term] = raw(term) % n
+                return i
+
+            out = {"size": [], "indices": [], "values": []}
+            for row in block.itertuples(index=False):
+                acc: dict[int, float] = {}
+                for c, v in zip(cols, row):
+                    if is_cat[c]:
+                        i = bucket(f"{c}={v}")
+                        acc[i] = acc.get(i, 0.0) + 1.0
+                    else:
+                        i = num_bucket[c]
+                        acc[i] = acc.get(i, 0.0) + float(v)
+                items = sorted(acc.items())
+                out["size"].append(n)
+                out["indices"].append([i for i, _ in items])
+                out["values"].append([v for _, v in items])
+            return pd.DataFrame(out)
+
+        block = F.struct(*[F.col(c).cast("string").alias(c) if is_cat[c]
+                           else F.col(c).cast("double").alias(c) for c in cols])
+        return df.withColumn(self.get_("outputCol"), to_sparse(block))

@@ -371,8 +371,234 @@ FROM lineitem
 """
 
 
+# --- DCT (orthonormal DCT-II, dim 4 closed form) ----------------------------
+
+_DCT_X = ["l_quantity / 50", "l_extendedprice / 100000", "l_discount * 10",
+          "l_tax * 10"]
+
+
+def dct(spark, sf_dir):
+    from ..feature import DCT
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        F.array(F.col("l_quantity") / 50, F.col("l_extendedprice") / 100000,
+                F.col("l_discount") * 10, F.col("l_tax") * 10).alias("v"))
+    out = DCT(inputCol="v", outputCol="y").transform(df)[0]
+    # +1e-6 inside the quantization: DCT row k=2 degenerates to the rational
+    # 0.5*(x0-x1-x2+x3) on decimal inputs, so outputs land EXACTLY on .5
+    # rounding ties where engine float noise flips the direction; the
+    # epsilon (>> 1e-12 noise, << 1e-4 grid) breaks ties identically
+    return out.select(*KEY, *[
+        F.round(F.element_at("y", i + 1) * 10000 + F.lit(1e-6)).cast("long")
+        .alias(f"y{i}") for i in range(4)])
+
+
+def _dct_sql() -> str:
+    xs = ", ".join(f"CAST({x} AS DOUBLE) AS x{i}" for i, x in enumerate(_DCT_X))
+    outs = ["0.5 * (x0 + x1 + x2 + x3)"]
+    for k_ in range(1, 4):
+        terms = " + ".join(f"x{n_} * cos(pi() * {2 * n_ + 1} * {k_} / 8.0)"
+                           for n_ in range(4))
+        outs.append(f"sqrt(0.5) * ({terms})")
+    sel = ", ".join(
+        f"CAST(ROUND(({o}) * 10000 + 1e-6) AS BIGINT) AS y{k_}"
+        for k_, o in enumerate(outs))
+    return f"""
+WITH d AS (SELECT l_orderkey, l_linenumber, {xs} FROM lineitem)
+SELECT l_orderkey, l_linenumber, {sel} FROM d
+"""
+
+
+DCT_SQL = _dct_sql()
+
+# --- FeatureHasher (poly hash, categorical + numeric, collisions sum) -------
+
+_FH_N = 128
+_POLY_SQL = ("CAST(list_reduce(list_transform(range(1, length({s}) + 1), "
+             "i -> CAST(ascii(substr({s}, CAST(i AS INT), 1)) AS BIGINT)), "
+             "(a, b) -> (a * 31 + b) % 2147483647) % " + str(_FH_N)
+             + " AS INT)")
+
+
+def feature_hasher(spark, sf_dir):
+    from ..feature import FeatureHasher
+    li = load(spark, sf_dir, "lineitem")
+    fh = FeatureHasher(inputCols=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_discount"],
+                       categoricalCols=["l_returnflag", "l_linestatus"],
+                       outputCol="fh", numFeatures=_FH_N, hashAlgorithm="poly")
+    out = fh.transform(li)[0]
+    # global per-bucket histogram: (l_orderkey, l_linenumber) is NOT unique
+    # in the synthetic data, so per-row keyed output can't be compared
+    # against a grouped oracle — the global sum checks the same hash +
+    # collision-accumulate semantics
+    return (out.select(F.arrays_zip(F.col("fh")["indices"],
+                                    F.col("fh")["values"]).alias("z"))
+            .select(F.explode("z").alias("e"))
+            .select(F.col("e")["indices"].alias("idx"),
+                    F.col("e")["values"].alias("v"))
+            .groupBy("idx").agg(q4(F.sum("v")).alias("val")))
+
+
+def _feature_hasher_sql() -> str:
+    from ..common.hashing import poly_hash31
+    cat = " UNION ALL ".join(
+        "SELECT l_orderkey, l_linenumber, "
+        + _POLY_SQL.format(s=f"'{c}=' || {c}") + " AS idx, 1.0 AS v FROM lineitem"
+        for c in ("l_returnflag", "l_linestatus"))
+    num = " UNION ALL ".join(
+        f"SELECT l_orderkey, l_linenumber, {poly_hash31(c) % _FH_N} AS idx, "
+        f"CAST({c} AS DOUBLE) AS v FROM lineitem"
+        for c in ("l_quantity", "l_discount"))
+    return f"""
+WITH entries AS ({cat} UNION ALL {num})
+SELECT idx, {SQL_Q4.format('sum(v)')} AS val
+FROM entries GROUP BY idx
+"""
+
+
+FEATURE_HASHER_SQL = _feature_hasher_sql()
+
+# --- PolynomialExpansion (degree 2, dim 2 → [b, b², a, ab, a²]) -------------
+
+def polynomial_expansion(spark, sf_dir):
+    from ..feature import PolynomialExpansion
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(*KEY, F.array(F.col("l_discount") * 10,
+                                 F.col("l_tax") * 10).alias("v"))
+    out = PolynomialExpansion(inputCol="v", outputCol="p", degree=2).transform(df)[0]
+    return out.select(*KEY, *[q4(F.element_at("p", i + 1)).alias(f"p{i}")
+                              for i in range(5)])
+
+
+POLYNOMIAL_EXPANSION_SQL = f"""
+WITH d AS (SELECT l_orderkey, l_linenumber, l_discount * 10 AS a, l_tax * 10 AS b
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format('b')} AS p0, {SQL_Q4.format('b * b')} AS p1,
+       {SQL_Q4.format('a')} AS p2, {SQL_Q4.format('a * b')} AS p3,
+       {SQL_Q4.format('a * a')} AS p4
+FROM d
+"""
+
+# --- StringIndexer → IndexToString round trip --------------------------------
+
+def index_to_string(spark, sf_dir):
+    from ..feature import IndexToStringModel
+    li = load(spark, sf_dir, "lineitem")
+    si = StringIndexer(inputCols=["l_returnflag"], outputCols=["rf_idx"],
+                       stringOrderType="freqDesc").fit(li)
+    indexed = si.transform(li)[0]
+    its = IndexToStringModel(inputCols=["rf_idx"], outputCols=["rf_back"])
+    its.set_model_data_arrays(si.model_data["stringArrays"])
+    return its.transform(indexed)[0].select(*KEY, "rf_back")
+
+
+INDEX_TO_STRING_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag AS rf_back FROM lineitem
+"""
+
+# --- VectorIndexer (linenumber categorical, quantity passthrough) -----------
+
+def vector_indexer(spark, sf_dir):
+    from ..feature import VectorIndexer
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(*KEY, F.array(F.col("l_linenumber").cast("double"),
+                                 F.col("l_quantity")).alias("v"))
+    m = VectorIndexer(inputCol="v", outputCol="iv", maxCategories=10).fit(df)
+    out = m.transform(df)[0]
+    return out.select(*KEY, q4(F.element_at("iv", 1)).alias("v0"),
+                      q4(F.element_at("iv", 2)).alias("v1"))
+
+
+VECTOR_INDEXER_SQL = f"""
+WITH m AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS idx
+           FROM (SELECT DISTINCT CAST(l_linenumber AS DOUBLE) AS v FROM lineitem))
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format('m.idx')} AS v0, {SQL_Q4.format('l_quantity')} AS v1
+FROM lineitem JOIN m ON CAST(l_linenumber AS DOUBLE) = m.v
+"""
+
+# --- UnivariateFeatureSelector (ANOVA, top-2 of 4 continuous dims) ----------
+
+_UFS_X = ["l_quantity / 50", "l_extendedprice / 100000", "l_discount * 10",
+          "l_tax * 10"]
+_UFS_LABEL = ("CASE WHEN l_returnflag = 'A' THEN 0.0 "
+              "WHEN l_returnflag = 'F' THEN 1.0 ELSE 2.0 END")
+
+
+def univariate_feature_selector(spark, sf_dir):
+    from ..feature import UnivariateFeatureSelector
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        F.array(F.col("l_quantity") / 50, F.col("l_extendedprice") / 100000,
+                F.col("l_discount") * 10, F.col("l_tax") * 10).alias("features"),
+        F.when(F.col("l_returnflag") == "A", 0.0)
+        .when(F.col("l_returnflag") == "F", 1.0).otherwise(2.0).alias("label"))
+    m = UnivariateFeatureSelector(
+        featuresCol="features", labelCol="label", outputCol="sel",
+        featureType="continuous", labelType="categorical",
+        selectionMode="numTopFeatures", selectionThreshold=2).fit(df)
+    out = m.transform(df)[0]
+    return out.select(*KEY, q4(F.element_at("sel", 1)).alias("s0"),
+                      q4(F.element_at("sel", 2)).alias("s1"))
+
+
+def _ufs_sql() -> str:
+    # per-dim one-way ANOVA F; equal dofs across dims → p-value rank ==
+    # F-desc rank; selected indices output in ascending-index order
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS fi, CAST({x} AS DOUBLE) AS x, {_UFS_LABEL} AS y FROM lineitem"
+        for i, x in enumerate(_UFS_X))
+    xs = ", ".join(f"CAST({x} AS DOUBLE) AS x{i}" for i, x in enumerate(_UFS_X))
+    case0 = "CASE (SELECT fi FROM sel WHERE rn = 1) " + " ".join(
+        f"WHEN {i} THEN x{i}" for i in range(4)) + " END"
+    case1 = "CASE (SELECT fi FROM sel WHERE rn = 2) " + " ".join(
+        f"WHEN {i} THEN x{i}" for i in range(4)) + " END"
+    return f"""
+WITH ex AS ({unions}),
+g AS (SELECT fi, y, CAST(count(*) AS DOUBLE) n, sum(x) s, sum(x * x) ss
+      FROM ex GROUP BY fi, y),
+f AS (SELECT fi, sum(n) n, count(*) k, sum(s) ts, sum(ss) tss,
+             sum(s * s / n) AS sb FROM g GROUP BY fi),
+stats AS (SELECT fi, (sb - ts * ts / n) / (k - 1)
+                     / ((tss - sb) / (n - k)) AS fv FROM f),
+sel AS (SELECT fi, row_number() OVER (ORDER BY fi) AS rn
+        FROM (SELECT fi FROM stats ORDER BY fv DESC, fi ASC LIMIT 2)),
+d AS (SELECT l_orderkey, l_linenumber, {xs} FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format(case0)} AS s0, {SQL_Q4.format(case1)} AS s1
+FROM d
+"""
+
+
+UFS_SQL = _ufs_sql()
+
+# --- RandomSplitter (seeded Bernoulli split; per-row assignment is
+#     engine-RNG-specific → rows-only: total rows & schema are stable) -------
+
+def random_splitter(spark, sf_dir):
+    from ..feature import RandomSplitter
+    li = load(spark, sf_dir, "lineitem")
+    splits = RandomSplitter(weights=[0.8, 0.2], seed=42).transform(li)
+    parts = [s.select(*KEY, F.lit(i).alias("split")) for i, s in enumerate(splits)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 QUERIES = {
     "binarizer": (binarizer, BINARIZER_SQL),
+    "dct": (dct, DCT_SQL),
+    "feature_hasher": (feature_hasher, FEATURE_HASHER_SQL),
+    "polynomial_expansion": (polynomial_expansion, POLYNOMIAL_EXPANSION_SQL),
+    "index_to_string": (index_to_string, INDEX_TO_STRING_SQL),
+    "vector_indexer": (vector_indexer, VECTOR_INDEXER_SQL),
+    "univariate_feature_selector": (univariate_feature_selector, UFS_SQL),
+    "random_splitter": (random_splitter, None),
     "bucketizer": (bucketizer, BUCKETIZER_SQL),
     "standard_scaler": (standard_scaler, STANDARD_SCALER_SQL),
     "minmax_scaler": (minmax_scaler, MINMAX_SCALER_SQL),

@@ -72,6 +72,22 @@ LOGISTIC_REGRESSION_SQL = _gd_cte(
     out=SQL_Q4.format("1.0/(1.0 + exp(-({margin})))") + " AS prob")
 
 
+def linear_svc(spark, sf_dir):
+    from ..classification import LinearSVC
+    df = _lr_frame(spark, sf_dir)
+    m = LinearSVC(maxIter=GD_ITERS, learningRate=GD_LR, tol=0.0,
+                  globalBatchSize=1 << 40).fit(df)
+    out = m.transform(df)[0]
+    return out.select(*KEY, q4(F.col("rawPrediction")).alias("svc_raw"))
+
+
+# hinge residual: ysign = 2y-1; -ysign where ysign*margin < 1 else 0
+_HINGE_RES = "CASE WHEN (2*y - 1) * ({margin}) < 1 THEN -(2*y - 1) ELSE 0.0 END"
+LINEAR_SVC_SQL = _gd_cte(
+    _HINGE_RES, GD_ITERS, GD_LR,
+    out=SQL_Q4.format("({margin})") + " AS svc_raw")
+
+
 def linear_regression(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     df = li.select(
@@ -477,6 +493,7 @@ FROM m, t
 
 QUERIES = {
     "logistic_regression": (logistic_regression, LOGISTIC_REGRESSION_SQL),
+    "linear_svc": (linear_svc, LINEAR_SVC_SQL),
     "linear_regression": (linear_regression, LINEAR_REGRESSION_SQL),
     "naive_bayes": (naive_bayes, NAIVE_BAYES_SQL),
     "knn": (knn, KNN_SQL),
