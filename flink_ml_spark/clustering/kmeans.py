@@ -48,20 +48,29 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         try:
             centers = self._init_centers(data, k)
             dim = centers.shape[1]
-            # per round ONE narrow job: k groups × dim sum columns, all
-            # map-side combined in HashAggregate — no row multiplication
-            # (a posexplode here shuffles dim× the input)
+            wide = k * dim > 512
+            # per round ONE narrow job.  Narrow vectors: assignment is a
+            # codegen'd k×dim literal-distance expression and partial sums
+            # are map-side HashAggregate columns (no row multiplication —
+            # a posexplode here shuffles dim× the input).  Wide vectors:
+            # the literal expression would recompile ~k*dim codegen terms
+            # every round, so assignment + partial sums move into one
+            # numpy gemm per partition (mapInPandas, centroids broadcast),
+            # emitting k×(dim+2) partials per partition.
             sum_cols = [F.sum(F.col("__f__")[i]).alias(f"s{i}") for i in range(dim)]
             for _ in range(self.get_("maxIter")):
-                cid = closest_centroid_expr(F.col("__f__"), centers, measure)
-                rows = (data.groupBy(cid.alias("__c__"))
-                        .agg(*sum_cols, F.count("*").alias("n"))
-                        .collect())
-                sums = np.zeros_like(centers)
-                counts = np.zeros(len(centers))
-                for r in rows:
-                    sums[r["__c__"]] = [r[f"s{i}"] for i in range(dim)]
-                    counts[r["__c__"]] = r["n"]
+                if wide:
+                    sums, counts = _wide_partials(data, centers, measure)
+                else:
+                    cid = closest_centroid_expr(F.col("__f__"), centers, measure)
+                    rows = (data.groupBy(cid.alias("__c__"))
+                            .agg(*sum_cols, F.count("*").alias("n"))
+                            .collect())
+                    sums = np.zeros_like(centers)
+                    counts = np.zeros(len(centers))
+                    for r in rows:
+                        sums[r["__c__"]] = [r[f"s{i}"] for i in range(dim)]
+                        counts[r["__c__"]] = r["n"]
                 new_centers = centers.copy()
                 nz = counts > 0
                 new_centers[nz] = sums[nz] / counts[nz, None]
@@ -95,9 +104,63 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         return np.array([list(r["__f__"]) for r in rows], dtype=float)
 
 
+def _wide_partials(data: DataFrame, centers: np.ndarray, measure: str):
+    """One Lloyd round for wide vectors: per-partition numpy assignment +
+    partial sums (KMeans.java:219-315's CentroidsUpdateAccumulator shape);
+    only num_partitions × k × (dim+2) numbers cross the wire."""
+    import pandas as pd
+    from ..common.distance import distance_np
+    k, dim = centers.shape
+    schema = "c int, n double, " + ", ".join(f"s{i} double" for i in range(dim))
+    bc = data.sparkSession.sparkContext.broadcast((centers, measure))
+
+    def partials(it):
+        C, meas = bc.value
+        S = np.zeros((len(C), C.shape[1]))
+        N = np.zeros(len(C))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__f__"].to_numpy())
+            cid = distance_np(x, C, meas).argmin(axis=1)
+            for j in np.unique(cid):
+                S[j] += x[cid == j].sum(axis=0)
+            N += np.bincount(cid, minlength=len(C))
+        out = {"c": np.arange(len(C)), "n": N}
+        for i in range(C.shape[1]):
+            out[f"s{i}"] = S[:, i]
+        yield pd.DataFrame(out)
+
+    pdf = data.mapInPandas(partials, schema).toPandas()
+    bc.unpersist()
+    sums = np.zeros_like(centers)
+    counts = np.zeros(k)
+    for j in range(k):
+        rows = pdf[pdf["c"] == j]
+        counts[j] = rows["n"].sum()
+        sums[j] = rows[[f"s{i}" for i in range(dim)]].to_numpy().sum(axis=0)
+    return sums, counts
+
+
 class KMeansModel(Model, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure):
     def _transform(self, df: DataFrame) -> DataFrame:
         centers = np.array(self.model_data["centroids"])
+        if centers.size > 512:
+            from pyspark.sql.functions import pandas_udf
+            measure = self.get_("distanceMeasure")
+
+            @pandas_udf("int")
+            def assign(vs):
+                import pandas as pd
+                from ..common.distance import distance_np
+                if not len(vs):
+                    return pd.Series([], dtype="int32")
+                x = np.stack(vs.to_numpy())
+                return pd.Series(distance_np(x, centers, measure)
+                                 .argmin(axis=1).astype("int32"))
+
+            return df.withColumn(self.get_("predictionCol"),
+                                 assign(F.col(self.get_("featuresCol"))))
         cid = closest_centroid_expr(F.col(self.get_("featuresCol")), centers,
                                     self.get_("distanceMeasure"))
         return df.withColumn(self.get_("predictionCol"), cid)

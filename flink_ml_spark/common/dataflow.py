@@ -1,0 +1,129 @@
+"""Dataflow primitives — the reference's "physical operator" layer (SURVEY
+§2.8), re-expressed on Spark's public API.
+
+Reference: flink-ml-core/src/main/java/org/apache/flink/ml/common/
+datastream/DataStreamUtils.java (mapPartition :120, reduce :155-233,
+aggregate :238-295, sample :300-321, allReduceSum :107 +
+AllReduceImpl.java:24-40, coGroup :388-412, windowAllAndProcess :333-385,
+generateBatchData :718) and broadcast/BroadcastUtils.java:41-110.
+
+Most primitives collapse to one-line Spark built-ins — that is the point:
+partial-then-final aggregation, sort-merge co-group, broadcast joins and
+managed spill are Catalyst/Tungsten features, not library code.  They are
+still exposed here as named functions so every reference utility has a
+checkable, tested equivalent, and so algorithm code reads like the
+reference design docs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def map_partition(df: DataFrame, func: Callable, schema) -> DataFrame:
+    """Buffer a partition, apply ``func(iterator[pandas.DataFrame]) ->
+    iterator[pandas.DataFrame]`` (DataStreamUtils.mapPartition:120).
+    Arrow-batched; ``func`` sees one partition per task."""
+    return df.mapInPandas(func, schema=schema)
+
+
+def reduce_rows(df: DataFrame, *aggs: Column):
+    """Global partial→final reduction (DataStreamUtils.reduce:155-233).
+    Spark plans a map-side partial HashAggregate per partition and a final
+    merge — the explicit p-parallel → p=1 topology of the reference."""
+    return df.agg(*aggs).first()
+
+
+def aggregate_keyed(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """Keyed ACC-based aggregation (DataStreamUtils.aggregate:238-295)."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def sample_n(df: DataFrame, n: int, seed: int = 0) -> list:
+    """n rows without replacement (DataStreamUtils.sample:300-321 — the
+    2-round distributed reservoir).  Driver receives exactly n rows; the
+    oversample fraction bounds the collect size."""
+    total = df.count()
+    if total <= n:
+        return df.collect()
+    frac = min(1.0, (n * 4.0) / total + 1e-6)
+    got = df.sample(False, frac, seed=seed).limit(n).collect()
+    if len(got) < n:  # rare under-sample: fall back to exact
+        got = df.limit(n).collect()
+    return got
+
+
+def all_reduce_sum(df: DataFrame, vec_col: str) -> np.ndarray:
+    """Sum one vector per row across the cluster and return it to the
+    driver (DataStreamUtils.allReduceSum:107, AllReduceImpl.java:24-40).
+    The reference's 3-stage chunked all-reduce becomes a partial/final
+    aggregate: only one vector per partition crosses the shuffle, and the
+    driver re-broadcasts the result — same communication volume, no custom
+    protocol."""
+    dim = len(df.select(vec_col).first()[0])
+    row = df.agg(*[F.sum(F.col(vec_col)[i]).alias(f"s{i}")
+                   for i in range(dim)]).first()
+    return np.array([row[f"s{i}"] or 0.0 for i in range(dim)])
+
+
+def co_group(left: DataFrame, right: DataFrame, left_key: str, right_key: str,
+             func: Callable, schema) -> DataFrame:
+    """Keyed two-input co-group (DataStreamUtils.coGroup:388-412, sort
+    machinery datastream/sort/*).  Spark's cogroup + applyInPandas handles
+    the sort/spill natively."""
+    return (left.groupBy(left_key).cogroup(right.groupBy(right_key))
+            .applyInPandas(func, schema=schema))
+
+
+def window_all_and_process(df: DataFrame, windows, time_col: str | None,
+                           *aggs: Column) -> DataFrame:
+    """Apply a Windows strategy to the whole table
+    (DataStreamUtils.windowAllAndProcess:333-385).  GlobalWindows → plain
+    agg; tumbling event-time windows → F.window groups; count windows →
+    monotonic-id bucketing (batch analogue of countWindowAll)."""
+    from ..streaming.windows import Windows
+    w: Windows = windows
+    if w.kind == "global":
+        return df.agg(*aggs)
+    if w.kind == "event_time":
+        win = F.window(F.col(time_col), f"{w.size} milliseconds")
+        return (df.groupBy(win.alias("w")).agg(*aggs)
+                .withColumn("window_start", F.col("w")["start"]).drop("w"))
+    if w.kind == "count":
+        # count windows impose a global sequence (countWindowAll); the
+        # row_number sort is the price of that semantic — use event-time
+        # windows where the input has a time attribute instead
+        seq = _contiguous_id()
+        return (df.withColumn("__seq__", seq)
+                .groupBy(F.floor((F.col("__seq__") - 1) / w.size)
+                         .alias("window_id")).agg(*aggs))
+    raise ValueError(f"unsupported window kind {w.kind}")
+
+
+def _contiguous_id() -> Column:
+    """1-based gap-free global row id (monotonically_increasing_id is
+    partition-sparse)."""
+    from pyspark.sql import Window
+    return F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+
+
+def generate_batch_data(df: DataFrame, batch_size: int) -> Iterable[DataFrame]:
+    """Re-chunk a bounded table into global batches of ``batch_size``
+    (DataStreamUtils.generateBatchData:718) — batch analogue used by the
+    online estimators' tests; streaming uses real micro-batches."""
+    n = df.count()
+    num = max(1, -(-n // batch_size))
+    tagged = df.withColumn("__batch__",
+                           F.floor((_contiguous_id() - 1) / batch_size))
+    for b in range(num):
+        yield tagged.filter(F.col("__batch__") == b).drop("__batch__")
+
+
+def with_broadcast(df: DataFrame, small: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Broadcast-join a small table into every task
+    (BroadcastUtils.withBroadcastStream:41-110).  No deadlock machinery
+    needed: fit already materialized the broadcast side."""
+    return df.join(F.broadcast(small), on=on, how=how)

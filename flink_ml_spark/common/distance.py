@@ -48,7 +48,12 @@ def distance_np(x: np.ndarray, centers: np.ndarray, measure: str) -> np.ndarray:
     """Batch distances (rows of x) × (rows of centers) — numpy mirror for
     local inference; returns (n, k)."""
     if measure == "euclidean":
-        return ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        # gemm form |x|² + |c|² - 2x·c (norm precomputation à la
+        # VectorWithNorm.java) — O(nk) memory, BLAS-backed, instead of an
+        # (n,k,dim) broadcast tensor
+        x2 = (x * x).sum(axis=1)[:, None]
+        c2 = (centers * centers).sum(axis=1)[None, :]
+        return np.maximum(x2 + c2 - 2.0 * (x @ centers.T), 0.0)
     if measure == "manhattan":
         return np.abs(x[:, None, :] - centers[None, :, :]).sum(axis=2)
     if measure == "cosine":

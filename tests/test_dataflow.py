@@ -1,0 +1,85 @@
+"""Dataflow-primitive tests (SURVEY §2.8 — DataStreamUtils parity)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ml_spark.common import dataflow as D
+from flink_ml_spark.streaming.windows import Windows
+
+
+@pytest.fixture()
+def nums(spark):
+    return spark.createDataFrame([(i, float(i), [float(i), 1.0]) for i in range(100)],
+                                 "id long, x double, v array<double>")
+
+
+def test_map_partition(spark, nums):
+    def add_col(it):
+        for pdf in it:
+            pdf = pdf[["id"]].copy()
+            pdf["twice"] = pdf["id"] * 2
+            yield pdf
+
+    out = D.map_partition(nums, add_col, "id long, twice long")
+    rows = {r["id"]: r["twice"] for r in out.collect()}
+    assert rows[7] == 14 and len(rows) == 100
+
+
+def test_reduce_rows(spark, nums):
+    row = D.reduce_rows(nums, F.sum("x").alias("s"), F.count("*").alias("n"))
+    assert row["s"] == pytest.approx(4950.0) and row["n"] == 100
+
+
+def test_aggregate_keyed(spark, nums):
+    out = D.aggregate_keyed(nums.withColumn("k", F.col("id") % 2), ["k"],
+                            F.sum("x").alias("s"))
+    got = {r["k"]: r["s"] for r in out.collect()}
+    assert got[0] == pytest.approx(2450.0) and got[1] == pytest.approx(2500.0)
+
+
+def test_sample_n(spark, nums):
+    got = D.sample_n(nums, 10, seed=7)
+    assert len(got) == 10
+    assert len({r["id"] for r in got}) == 10  # without replacement
+
+
+def test_all_reduce_sum(spark, nums):
+    s = D.all_reduce_sum(nums, "v")
+    assert s == pytest.approx(np.array([4950.0, 100.0]))
+
+
+def test_co_group(spark):
+    left = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, s string")
+    right = spark.createDataFrame([(1, 10.0), (2, 20.0), (2, 30.0)], "k long, x double")
+
+    def merge(l, r):
+        import pandas as pd
+        return pd.DataFrame({"k": [l["k"].iloc[0] if len(l) else r["k"].iloc[0]],
+                             "n_left": [len(l)], "sum_right": [r["x"].sum()]})
+
+    out = D.co_group(left, right, "k", "k", merge, "k long, n_left long, sum_right double")
+    got = {r["k"]: (r["n_left"], r["sum_right"]) for r in out.collect()}
+    assert got[1] == (2, 10.0) and got[2] == (1, 50.0)
+
+
+def test_window_all_global_and_count(spark, nums):
+    row = D.window_all_and_process(nums, Windows.global_windows(), None,
+                                   F.sum("x").alias("s")).first()
+    assert row["s"] == pytest.approx(4950.0)
+    out = D.window_all_and_process(nums, Windows.count_tumbling(25), None,
+                                   F.count("*").alias("n"))
+    assert sorted(r["n"] for r in out.collect()) == [25, 25, 25, 25]
+
+
+def test_generate_batch_data(spark, nums):
+    batches = list(D.generate_batch_data(nums, 30))
+    sizes = sorted(b.count() for b in batches)
+    assert sum(sizes) == 100 and len(batches) == 4
+
+
+def test_with_broadcast(spark, nums):
+    dim = spark.createDataFrame([(0, "even"), (1, "odd")], "k long, name string")
+    out = D.with_broadcast(nums.withColumn("k", F.col("id") % 2), dim, "k")
+    assert out.count() == 100
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
