@@ -73,25 +73,56 @@ class MinHashLSHModel(Model, HasInputCol, HasOutputCol):
         return dict((f.name, f.dataType.simpleString())
                     for f in df.schema.fields)[self.get_("inputCol")]
 
-    def _signature(self, idx: Column) -> Column:
-        """array of per-table signature strings (table = joined min-hashes)."""
-        a_list = self.model_data["coeffA"]
-        b_list = self.model_data["coeffB"]
+    def _sig_fn(self):
+        """Closure-free signature function (plain captured values — the
+        executor pickle must not drag the Stage/Param machinery along)."""
+        A = np.asarray(self.model_data["coeffA"], dtype=np.int64)[None, :]
+        B = np.asarray(self.model_data["coeffB"], dtype=np.int64)[None, :]
         per = self.get_("numHashFunctionsPerTable")
-        tables = []
+        nt = self.get_("numHashTables")
 
-        def mh(a: int, b: int) -> Column:
-            return F.array_min(F.transform(
-                idx, lambda j: ((j + 1).cast("long") * a + b) % MINHASH_PRIME))
-        all_h = [mh(a, b) for a, b in zip(a_list, b_list)]
-        for t in range(self.get_("numHashTables")):
-            parts = all_h[t * per: (t + 1) * per]
-            tables.append(F.concat_ws("_", *[p.cast("string") for p in parts]))
-        return F.array(*tables)
+        def sig_py(idx: np.ndarray) -> list[str]:
+            if len(idx) == 0:
+                mins = ((0 * A + B) % MINHASH_PRIME)[0]
+            else:
+                mins = (((idx.astype(np.int64) + 1)[:, None] * A + B)
+                        % MINHASH_PRIME).min(axis=0)
+            return ["_".join(str(int(v)) for v in mins[t * per:(t + 1) * per])
+                    for t in range(nt)]
+        return sig_py
+
+    def _signature_py(self, idx: np.ndarray) -> list[str]:
+        return self._sig_fn()(idx)
+
+    def _signature(self, vec: Column, dtype: str) -> Column:
+        """array of per-table signature strings (table = joined min-hashes).
+        One Arrow UDF applies ALL hash functions in a single (set × hashes)
+        numpy pass — a per-hash array_min(transform(...)) expression stack
+        re-evaluates the (possibly expensive) input expression per hash
+        function, numHashes× the work."""
+        from pyspark.sql.functions import pandas_udf
+        is_struct = dtype.startswith("struct")
+        sig_py = self._sig_fn()
+
+        @pandas_udf("array<string>")
+        def sigs(col):
+            import pandas as pd
+            out = []
+            for v in col:
+                arr = np.asarray(v if v is not None else [])
+                idx = arr if is_struct else np.nonzero(arr)[0]
+                out.append(sig_py(idx))
+            return pd.Series(out)
+
+        # struct input: pass only the indices field (plain field access —
+        # a higher-order-lambda argument breaks ArrowEvalPython)
+        return sigs(vec["indices"] if is_struct else vec)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        idx = _active_indices(F.col(self.get_("inputCol")), self._dtype(df))
-        return df.withColumn(self.get_("outputCol"), self._signature(idx))
+        dtype = self._dtype(df)
+        return df.withColumn(
+            self.get_("outputCol"),
+            self._signature(F.col(self.get_("inputCol")), dtype))
 
     def approx_nearest_neighbors(self, dataset: DataFrame, key,
                                  k: int = 5, id_col: str = "id",
@@ -101,9 +132,13 @@ class MinHashLSHModel(Model, HasInputCol, HasOutputCol):
         key_arr = F.array(*[F.lit(int(i)) for i in sorted(key)])
         dtype = self._dtype(dataset)
         idx = _active_indices(F.col(self.get_("inputCol")), dtype)
-        with_sig = dataset.withColumn("__sig__", self._signature(idx)) \
-                          .withColumn("__idx__", idx)
-        key_sig = self._signature(key_arr.cast("array<int>"))
+        with_sig = dataset.withColumn(
+            "__sig__",
+            self._signature(F.col(self.get_("inputCol")), dtype)) \
+            .withColumn("__idx__", idx)
+        # key signature computed driver-side (fixed-size model state)
+        key_sig = F.array(*[F.lit(s) for s in
+                            self._signature_py(np.array(sorted(key)))])
         cand = with_sig.filter(
             F.size(F.array_intersect(F.col("__sig__"), key_sig)) > 0)
         scored = cand.withColumn(
@@ -121,7 +156,9 @@ class MinHashLSHModel(Model, HasInputCol, HasOutputCol):
         def prep(df: DataFrame, side: str) -> DataFrame:
             idx = _active_indices(F.col(self.get_("inputCol")), dtype)
             return (df.withColumn("__idx__", idx)
-                    .withColumn("__sig__", self._signature(idx))
+                    .withColumn("__sig__",
+                                self._signature(F.col(self.get_("inputCol")),
+                                                dtype))
                     .select(F.col(id_col).alias(f"id_{side}"),
                             F.col("__idx__").alias(f"idx_{side}"),
                             F.posexplode("__sig__").alias("table", f"sig_{side}")))

@@ -2,9 +2,11 @@
 
 These are AlgoOperators beyond the reference's own surface (BASELINE.json
 north star): exact dedup, MinHash+LSH near-dedup, SimHash, and n-gram
-Jaccard.  All are pure DataFrame/SQL plans (no UDFs) built from the same
+Jaccard.  Join/shuffle plans are pure DataFrame/SQL, built from the same
 machinery as MinHashLSH (reference feature/lsh/LSHModel.java:211-276 uses
-the identical explode → equi-join → dedup-pairs → distance-filter shape).
+the identical explode → equi-join → dedup-pairs → distance-filter shape);
+per-row signature computation (minhash/simhash) is Arrow-vectorized numpy
+— one (tokens × hashes) pass per row.
 
 Scale notes (100 TB): every plan below shuffles on content-derived keys
 (hash / band signature), so work distributes by key cardinality; no
@@ -15,6 +17,7 @@ can be salted or capped upstream.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..api import AlgoOperator, Transformer
@@ -50,14 +53,46 @@ def poly_token_hash(tok: Column) -> Column:
 
 
 def shingles(text: Column, n: int) -> Column:
-    """Word n-gram shingle set of lowercased text."""
+    """Word n-gram shingle set of lowercased text (zip_with over shifted
+    slices — the per-position slice+join form is ~8× slower, see NGram)."""
     toks = F.filter(F.split(F.lower(text), r"\s"), lambda t: t != "")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
-                    lambda i: F.array_join(F.slice(toks, i, n), " "))
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    m = F.size(toks) - n + 1
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(toks, j + 1, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(F.size(toks) >= n, acc) \
+        .otherwise(F.array(F.array_join(toks, " ")))
     return F.array_distinct(grams)
+
+
+def token_indices_udf(space: int):
+    """text → sorted distinct array<int> of token poly-hashes mod ``space``
+    (Arrow UDF; safe to feed into other Python UDFs — higher-order lambda
+    expressions cannot appear in a Python UDF argument)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def idxs(texts):
+        import pandas as pd
+        memo: dict = {}
+
+        def thash(t):
+            h = memo.get(t)
+            if h is None:
+                h = 0
+                for ch in t:
+                    h = (h * 31 + ord(ch)) % MINHASH_PRIME
+                memo[t] = h % space
+            return memo[t]
+
+        out = []
+        for txt in texts:
+            toks = [t for t in (txt or "").lower().split() if t]
+            out.append(sorted({thash(t) for t in toks}))
+        return pd.Series(out)
+
+    return idxs
 
 
 class ExactDeduplicator(Transformer, HasInputCol):
@@ -84,16 +119,44 @@ class MinHashSignature(Transformer, HasInputCol, HasOutputCol):
     seed = IntParam("seed", "Hash family seed.", 42)
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        # vectorized Arrow UDF: token hashes are computed ONCE per row and
+        # all hash functions applied as one (tokens × hashes) numpy matmul-
+        # style pass.  (A pure-expression plan re-evaluates the per-char
+        # token hash fold per hash function — no CSE across higher-order
+        # lambdas — which is numHashes× the work.)  int64-safe: a, h < 2^31.
+        from pyspark.sql.functions import pandas_udf
         fam = _hash_family(self.get_("numHashes"), self.get_("seed"))
-        toks = F.array_distinct(F.col(self.get_("inputCol")))
-        hs = F.transform(toks, poly_token_hash)
+        A = np.array([a for a, _ in fam], dtype=np.int64)[None, :]
+        B = np.array([b for _, b in fam], dtype=np.int64)[None, :]
+        empty_sig = list(((0 * A + B) % MINHASH_PRIME)[0])
 
-        def min_hash(a: int, b: int) -> Column:
-            return F.array_min(F.transform(
-                hs, lambda h: (h * a + b) % MINHASH_PRIME))
+        @pandas_udf("array<long>")
+        def signature(tokens):
+            import pandas as pd
+            memo: dict = {}
 
-        sig = F.array(*[min_hash(a, b) for a, b in fam])
-        return df.withColumn(self.get_("outputCol"), sig)
+            def thash(t):
+                h = memo.get(t)
+                if h is None:
+                    h = 0
+                    for ch in t:
+                        h = (h * 31 + ord(ch)) % MINHASH_PRIME
+                    memo[t] = h
+                return h
+
+            out = []
+            for toks in tokens:
+                hs = np.fromiter((thash(t) for t in set(toks)),
+                                 dtype=np.int64)
+                if not len(hs):
+                    out.append(empty_sig)
+                    continue
+                out.append(list(((hs[:, None] * A + B) % MINHASH_PRIME)
+                                .min(axis=0)))
+            return pd.Series(out)
+
+        return df.withColumn(self.get_("outputCol"),
+                             signature(F.col(self.get_("inputCol"))))
 
 
 class MinHashLSHDeduplicator(AlgoOperator):
@@ -164,20 +227,42 @@ class SimHashDeduplicator(AlgoOperator):
                            ParamValidators.in_range(0, 63))
 
     def fingerprint(self, text: Column) -> Column:
+        # bit b weight = Σ_tok (bit_b(hash´(tok)) ? 1 : -1); re-hash per
+        # bit with odd multiplier to decorrelate bits beyond the 31 low
+        # bits.  One vectorized (tokens × bits) pass per row in an Arrow
+        # UDF — the expression form recomputed the token-hash fold per bit.
+        from pyspark.sql.functions import pandas_udf
         bits = self.get_("bits")
-        toks = F.filter(F.split(F.lower(text), r"\s"), lambda t: t != "")
-        hs = F.transform(toks, poly_token_hash)
-        # bit b weight = Σ_tok (bit_b(hash´(tok)) ? 1 : -1); re-hash per bit
-        # with odd multiplier to decorrelate bits beyond the 31 low bits
-        def bit_sum(b: int) -> Column:
-            return F.aggregate(
-                hs, F.lit(0),
-                lambda acc, h: acc + F.when(
-                    ((h * (2 * b + 1)) % MINHASH_PRIME) % 2 == 1, 1).otherwise(-1))
-        fp = F.lit(0).cast("long")
-        for b in range(bits):
-            fp = fp + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(0)
-        return fp
+        mult = np.array([2 * b + 1 for b in range(bits)], dtype=np.int64)[None, :]
+        weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
+
+        @pandas_udf("long")
+        def simhash(texts):
+            import pandas as pd
+            memo: dict = {}
+
+            def thash(t):
+                h = memo.get(t)
+                if h is None:
+                    h = 0
+                    for ch in t:
+                        h = (h * 31 + ord(ch)) % MINHASH_PRIME
+                    memo[t] = h
+                return h
+
+            out = []
+            for txt in texts:
+                toks = [t for t in (txt or "").lower().split() if t]
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.fromiter((thash(t) for t in toks), dtype=np.int64)
+                pm = ((hs[:, None] * mult) % MINHASH_PRIME) % 2  # (n, bits)
+                bsum = (2 * pm - 1).sum(axis=0)
+                out.append(int(weights[bsum > 0].sum()))
+            return pd.Series(out)
+
+        return simhash(text)
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs

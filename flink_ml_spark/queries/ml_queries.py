@@ -268,15 +268,16 @@ FROM ranked WHERE rank <= {_SWING['k']}
 def minhash_lsh_join(spark, sf_dir):
     from ..feature import MinHashLSH
     docs = load(spark, sf_dir, "documents")
-    from ..llmdata.dedup import poly_token_hash
-    # vector = token-hash set rendered as sparse indices over a 1024 space
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s"), lambda t: t != "")
-    idx = F.array_sort(F.array_distinct(
-        F.transform(toks, lambda t: F.pmod(poly_token_hash(t), F.lit(1024)).cast("int"))))
-    base = docs.select(F.col("doc_id").alias("id"),
-                       F.struct(F.lit(1024).alias("size"), idx.alias("indices"),
-                                F.transform(idx, lambda i: F.lit(1.0)).alias("values"))
-                       .alias("vec"))
+    from ..llmdata.dedup import token_indices_udf
+    # vector = token-hash set rendered as sparse indices over a 1024 space;
+    # index set computed in an Arrow UDF (lambda-HOF expressions can't
+    # feed the model's signature UDF) — values via array_repeat, no lambda
+    idx = token_indices_udf(1024)(F.col("text"))
+    base = (docs.select(F.col("doc_id").alias("id"), idx.alias("indices"))
+            .select("id",
+                    F.struct(F.lit(1024).alias("size"), F.col("indices"),
+                             F.array_repeat(F.lit(1.0), F.size("indices"))
+                             .alias("values")).alias("vec")))
     model = MinHashLSH(inputCol="vec", outputCol="h", seed=7,
                        numHashTables=8, numHashFunctionsPerTable=2).fit(base)
     out = model.approx_similarity_join(base, base, threshold=0.8)
