@@ -105,8 +105,17 @@ class Model(Transformer):
         self.model_data: dict[str, Any] = {}
 
     def set_model_data(self, *tables: DataFrame) -> "Model":
-        raise NotImplementedError(
-            f"{type(self).__name__} does not support set_model_data")
+        """Inverse of get_model_data (ml/api/Model.java:38-48): read the
+        single model-data row back into driver-held state.  Works for every
+        model whose state round-trips through get_model_data's one-row
+        DataFrame; models with table-shaped state override."""
+        (df,) = tables
+        row = df.first()
+        if row is None:
+            raise ValueError("empty model data table")
+        self.model_data = {k: (list(v) if isinstance(v, (list, tuple)) else v)
+                           for k, v in row.asDict(recursive=True).items()}
+        return self
 
     def get_model_data(self, spark: SparkSession) -> list[DataFrame]:
         import pandas as pd

@@ -318,8 +318,46 @@ FROM h
 """
 
 
+# --- IVF ANN (approximate; deterministic init → stable rows, rows-only) -----
+
+def ann_ivf(spark, sf_dir):
+    from ..llmdata import IVFIndex
+    emb = load(spark, sf_dir, "embeddings")
+    idx = IVFIndex(vecCol="embedding", nlist=8, maxIter=3).fit(emb)
+    corpus = idx.transform(emb.select(F.col("vec_id").alias("corpus_id"),
+                                      "embedding"))[0]
+    queries = emb.filter(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = idx.search(queries, corpus, "query_id", "corpus_id", k=5)
+    return out.select("query_id", "corpus_id", q4(F.col("cosine")).alias("cosine"),
+                      "rank")
+
+
+# --- Multimodal plumbing (stub decode; deterministic sha256 features) -------
+
+def media_pipeline(spark, sf_dir):
+    from ..llmdata import MediaFeatureExtractor, VideoFrameSampler
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(640).alias("width"), F.lit(480).alias("height"),
+        (F.length("text") * 10).cast("int").alias("duration_ms"))
+    feats = MediaFeatureExtractor(featureDim=8).transform(media)[0]
+    frames = VideoFrameSampler(numFrames=4).transform(media)[0]
+    f1 = feats.select(F.col("media_id"), F.lit("feat").alias("kind"),
+                      q4(F.element_at("media_features", 1)).alias("val"))
+    f2 = frames.select("media_id", F.lit("frame").alias("kind"),
+                       F.col("ts_ms").cast("long").alias("val"))
+    return f1.unionAll(f2)
+
+
 QUERIES = {
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
+    "ann_ivf": (ann_ivf, None),
+    "media_pipeline": (media_pipeline, None),
     "minhash_signature": (minhash_signature, MINHASH_SQL),
     "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, NGRAM_JACCARD_SQL),
