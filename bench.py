@@ -23,14 +23,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # headline set: one per operator family — transformer chain, aggregate-fit
-# scalers, vocab/text, hashing, iterative learners, knn, dedup/llm ops
+# scalers, vocab/text, hashing, iterative learners, stats/eval, knn,
+# dedup/similarity/text-analysis extensions
 HEADLINE = [
     "binarizer", "bucketizer", "standard_scaler", "minmax_scaler",
     "robust_scaler", "normalizer", "imputer", "string_indexer",
-    "one_hot_encoder", "kbins_uniform", "tokenizer", "ngram",
-    "stop_words_remover", "count_vectorizer", "tfidf", "hashing_tf",
-    "logistic_regression", "linear_regression", "naive_bayes", "kmeans",
-    "knn",
+    "one_hot_encoder", "kbins_uniform", "vector_assembler", "vector_slicer",
+    "elementwise_product", "interaction", "polynomial_expansion", "dct",
+    "feature_hasher", "variance_threshold", "univariate_feature_selector",
+    "tokenizer", "ngram", "stop_words_remover", "count_vectorizer", "tfidf",
+    "hashing_tf", "logistic_regression", "linear_svc", "linear_regression",
+    "naive_bayes", "kmeans", "knn", "chisq_test", "anova_test", "fvalue_test",
+    "binary_evaluator", "exact_dedup", "simhash_dedup", "minhash_signature",
+    "ann_bruteforce", "language_id", "text_quality", "token_count",
+    "fingerprint",
 ]
 
 
@@ -56,6 +62,16 @@ def main() -> None:
 
     from flink_ml_spark.queries import queries_dict
     queries = queries_dict()
+
+    # JVM/codegen + Python-worker warmup (excluded from timings)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _wu(s):
+        return s
+    spark.range(int(CPUS) * 100).repartition(int(CPUS)) \
+        .select(_wu("id")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

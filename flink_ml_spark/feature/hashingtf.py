@@ -103,6 +103,7 @@ class FeatureHasher(Transformer, HasInputCols, HasOutputCol, HasCategoricalCols,
 
         @pandas_udf("struct<size:int,indices:array<int>,values:array<double>>")
         def to_sparse(block):
+            import numpy as np
             import pandas as pd
             memo: dict = {}
 
@@ -112,20 +113,36 @@ class FeatureHasher(Transformer, HasInputCols, HasOutputCol, HasCategoricalCols,
                     i = memo[term] = raw(term) % n
                 return i
 
-            out = {"size": [], "indices": [], "values": []}
-            for row in block.itertuples(index=False):
-                acc: dict[int, float] = {}
-                for c, v in zip(cols, row):
-                    if is_cat[c]:
-                        i = bucket(f"{c}={v}")
-                        acc[i] = acc.get(i, 0.0) + 1.0
-                    else:
-                        i = num_bucket[c]
-                        acc[i] = acc.get(i, 0.0) + float(v)
-                items = sorted(acc.items())
-                out["size"].append(n)
-                out["indices"].append([i for i, _ in items])
-                out["values"].append([v for _, v in items])
+            m = len(block)
+            c = len(cols)
+            B = np.empty((m, c), dtype=np.int64)
+            V = np.empty((m, c), dtype=np.float64)
+            for j, col in enumerate(cols):
+                s = block[col]
+                if is_cat[col]:
+                    # categorical arity is small → hash distinct values
+                    # once, then one C-level dict map over the column
+                    mapping = {v: bucket(f"{col}={v}") for v in s.unique()}
+                    B[:, j] = s.map(mapping).to_numpy()
+                    V[:, j] = 1.0
+                else:
+                    B[:, j] = num_bucket[col]
+                    V[:, j] = s.to_numpy(dtype=np.float64)
+            # row-sort buckets, fold duplicate buckets left→right (collisions
+            # accumulate), then slice the surviving entries per row
+            order = np.argsort(B, axis=1, kind="stable")
+            B = np.take_along_axis(B, order, 1)
+            V = np.take_along_axis(V, order, 1)
+            keep = np.ones((m, c), dtype=bool)
+            for j in range(c - 1):
+                dup = B[:, j] == B[:, j + 1]
+                V[dup, j + 1] += V[dup, j]
+                keep[dup, j] = False
+            out = {"size": np.full(m, n), "indices": [], "values": []}
+            for r in range(m):
+                k = keep[r]
+                out["indices"].append(B[r, k].tolist())
+                out["values"].append(V[r, k].tolist())
             return pd.DataFrame(out)
 
         block = F.struct(*[F.col(c).cast("string").alias(c) if is_cat[c]
