@@ -101,8 +101,64 @@ def online_logistic_regression(spark, sf_dir):
     return out.select("event_id", q4(F.element_at("rawPrediction", 2)).alias("prob"))
 
 
+def _ftrl_sql() -> str:
+    """Recursive-CTE replay of OnlineLogisticRegression.process_batch
+    (streaming/online.py): per day-batch d —
+      w_j  = 0 if |z_j| <= l1 else -(z_j - sign(z_j)l1)/((β+√n_j)/α + l2)
+      r    = σ(x·w) - y           (over batch d)
+      g_j  = Σ r·x_j / cnt ;  g2_j = Σ r²·x_j² / cnt
+      z_j += g_j - ((√(n_j+g2_j) - √n_j)/α)·w_j ;  n_j += g2_j
+    FTRL is a smooth recurrence (like the GD oracles), so float noise
+    stays below the q4 quantization."""
+    alpha, beta, l1, l2 = 0.5, 0.1, 0.001, 0.001
+    xs = ["value / 10.0", "1.0"]
+
+    def w(j: str) -> str:
+        z, n = f"z{j}", f"n{j}"
+        return (f"(CASE WHEN abs({z}) > {l1} THEN "
+                f"-({z} - sign({z}) * {l1}) / (({beta} + sqrt({n})) / {alpha} + {l2}) "
+                f"ELSE 0.0 END)")
+
+    margin = " + ".join(f"{w(j)} * x{j}" for j in range(2))
+    resid = f"(1.0 / (1.0 + exp(-({margin}))) - y)"
+    cnt = "(SELECT greatest(count(*), 1) FROM data WHERE day = it.d + 1)"
+    steps = []
+    for j in range(2):
+        g = (f"((SELECT sum({resid} * x{j}) FROM data WHERE day = it.d + 1)"
+             f" / {cnt})")
+        g2 = (f"((SELECT sum({resid} * {resid} * x{j} * x{j}) FROM data "
+              f"WHERE day = it.d + 1) / {cnt})")
+        sigma = f"((sqrt(n{j} + {g2}) - sqrt(n{j})) / {alpha})"
+        steps.append(f"z{j} + {g} - {sigma} * {w(j)}")
+    for j in range(2):
+        g2 = (f"((SELECT sum({resid} * {resid} * x{j} * x{j}) FROM data "
+              f"WHERE day = it.d + 1) / {cnt})")
+        steps.append(f"n{j} + {g2}")
+    final_margin = " + ".join(f"{w(j)} * x{j}" for j in range(2))
+    return f"""
+WITH RECURSIVE data AS (
+  SELECT event_id, {xs[0]} AS x0, {xs[1]} AS x1,
+         CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS y,
+         day(ts) AS day
+  FROM events),
+it(d, z0, z1, n0, n1) AS (
+  SELECT 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+  UNION ALL
+  SELECT it.d + 1, {steps[0]}, {steps[1]}, {steps[2]}, {steps[3]}
+  FROM it WHERE it.d < 10),
+fin AS (SELECT z0, z1, n0, n1 FROM it ORDER BY d DESC LIMIT 1)
+SELECT event_id,
+       {SQL_Q4.format(f'1.0 / (1.0 + exp(-({final_margin})))')} AS prob
+FROM data, fin
+"""
+
+
+ONLINE_FTRL_SQL = _ftrl_sql()
+
+
 QUERIES = {
     "online_standard_scaler": (online_standard_scaler, ONLINE_SCALER_SQL),
     "online_kmeans": (online_kmeans, None),
-    "online_logistic_regression": (online_logistic_regression, None),
+    "online_logistic_regression": (online_logistic_regression, ONLINE_FTRL_SQL),
 }
