@@ -15,8 +15,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..api import Estimator, Model
 from ..common.aggregates import quantiles_vector_col, summarize_vector_col
-from ..param import (HasInputCol, HasOutputCol, IntParam, ParamValidators,
-                     StringParam)
+from ..param import (FloatParam, HasInputCol, HasOutputCol, IntParam,
+                     ParamValidators, StringParam)
 
 
 def _kmeans_1d(values: np.ndarray, k: int, max_iter: int = 300) -> np.ndarray:
@@ -46,6 +46,9 @@ class KBinsDiscretizer(Estimator, HasInputCol, HasOutputCol):
                            ParamValidators.in_array(["uniform", "quantile", "kmeans"]))
     subSamples = IntParam("subSamples", "Sample size for the kmeans strategy.", 200000,
                           ParamValidators.gt(0))
+    relativeError = FloatParam("relativeError", "Quantile sketch relative error "
+                               "(0 = exact interpolating percentile).", 0.001,
+                               ParamValidators.gt_eq(0))
 
     def fit(self, *inputs: DataFrame) -> "KBinsDiscretizerModel":
         (df,) = inputs
@@ -58,7 +61,8 @@ class KBinsDiscretizer(Estimator, HasInputCol, HasOutputCol):
                      for lo, hi in zip(stats["min"], stats["max"])]
         elif strategy == "quantile":
             probs = np.linspace(0, 1, k + 1).tolist()
-            q = quantiles_vector_col(df, col, probs)
+            q = quantiles_vector_col(df, col, probs,
+                                     relative_error=self.get_("relativeError"))
             edges = [row.tolist() for row in q]
         else:  # kmeans on a bounded sample (reference samples subSamples rows)
             n = df.count()

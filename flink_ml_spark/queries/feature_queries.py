@@ -265,6 +265,57 @@ SELECT l_orderkey, l_linenumber,
 FROM base, s
 """
 
+def imputer_median(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    df = li.withColumn("qty_n", F.when(F.col("l_quantity") > 45, None)
+                       .otherwise(F.col("l_quantity")))
+    m = Imputer(inputCols=["qty_n"], outputCols=["qty_i"],
+                strategy="median", relativeError=0.0).fit(df)
+    return m.transform(df)[0].select(*KEY, q4(F.col("qty_i")).alias("qty_i"))
+
+
+IMPUTER_MEDIAN_SQL = f"""
+WITH base AS (
+  SELECT *, CASE WHEN l_quantity > 45 THEN NULL ELSE l_quantity END AS qty_n
+  FROM lineitem),
+s AS (SELECT quantile_cont(qty_n, 0.5) m FROM base)
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format('COALESCE(qty_n, m)')} AS qty_i
+FROM base, s
+"""
+
+
+def kbins_quantile(spark, sf_dir):
+    """Quantile strategy with exact percentiles (relativeError=0; the GK
+    sketch with relativeError>0 remains the 100 TB path)."""
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(*KEY, F.array(F.col("l_quantity"),
+                                 F.col("l_extendedprice")).alias("v"))
+    m = KBinsDiscretizer(inputCol="v", outputCol="bins", strategy="quantile",
+                         numBins=4, relativeError=0.0).fit(df)
+    out = m.transform(df)[0]
+    return out.select(*KEY, F.element_at("bins", 1).alias("qty_bin"),
+                      F.element_at("bins", 2).alias("price_bin"))
+
+
+def _kbins_quantile_sql() -> str:
+    def bins(col: str, out: str) -> str:
+        return (f"CASE WHEN {col} < q_{col}[2] THEN 0.0 "
+                f"WHEN {col} < q_{col}[3] THEN 1.0 "
+                f"WHEN {col} < q_{col}[4] THEN 2.0 ELSE 3.0 END AS {out}")
+    return f"""
+WITH s AS (
+  SELECT quantile_cont(l_quantity, [0, 0.25, 0.5, 0.75, 1]) q_l_quantity,
+         quantile_cont(l_extendedprice, [0, 0.25, 0.5, 0.75, 1]) q_l_extendedprice
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       {bins('l_quantity', 'qty_bin')}, {bins('l_extendedprice', 'price_bin')}
+FROM lineitem, s
+"""
+
+
+KBINS_QUANTILE_SQL = _kbins_quantile_sql()
+
 # --- StringIndexer (freqDesc, ties by value asc) ---------------------------
 
 def string_indexer(spark, sf_dir):
@@ -610,6 +661,8 @@ QUERIES = {
     "vector_slicer": (vector_slicer, VECTOR_SLICER_SQL),
     "vector_assembler": (vector_assembler, VECTOR_ASSEMBLER_SQL),
     "imputer": (imputer, IMPUTER_SQL),
+    "imputer_median": (imputer_median, IMPUTER_MEDIAN_SQL),
+    "kbins_quantile": (kbins_quantile, KBINS_QUANTILE_SQL),
     "string_indexer": (string_indexer, STRING_INDEXER_SQL),
     "one_hot_encoder": (one_hot_encoder, ONE_HOT_SQL),
     "kbins_uniform": (kbins_uniform, KBINS_SQL),
