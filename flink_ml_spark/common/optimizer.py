@@ -36,6 +36,18 @@ def _lit_arr(v) -> Column:
 
 
 def dot_lit(col: Column, w: np.ndarray) -> Column:
+    # narrow vectors: unrolled element sum — stays inside whole-stage
+    # codegen (higher-order zip_with/aggregate lambdas are interpreted,
+    # measured ~3x slower in the SGD hot loop); wide vectors: HOF form
+    # (unrolling thousands of terms blows up codegen)
+    if len(w) <= 64:
+        terms = [col[j] * float(w[j]) for j in range(len(w)) if w[j] != 0.0]
+        if not terms:
+            return F.lit(0.0)
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(F.zip_with(col, _lit_arr(w), lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 

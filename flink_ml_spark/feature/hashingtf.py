@@ -24,11 +24,14 @@ POLY_MOD = 2147483647  # 2^31-1, keeps the fold in int64 range
 
 
 def _poly_hash(col: Column) -> Column:
-    """h = fold(h*31 + ascii(char)) mod (2^31-1), left-to-right."""
-    ords = F.transform(F.sequence(F.lit(1), F.length(col)),
-                       lambda i: F.ascii(F.substr(col, i, F.lit(1))))
-    return F.aggregate(ords, F.lit(0).cast("long"),
-                       lambda acc, o: (acc * 31 + o) % POLY_MOD)
+    """h = fold(h*31 + ascii(char)) mod (2^31-1), left-to-right.
+
+    O(len) expression (split → per-char fold).  Interpreted HOFs — fine as
+    the rarely-hit fallback of the oracle hash; the production algorithm is
+    ``native`` (codegen'd murmur3 ``F.hash``)."""
+    chars = F.slice(F.split(col, ""), 1, F.length(col))
+    return F.aggregate(chars, F.lit(0).cast("long"),
+                       lambda acc, ch: (acc * 31 + F.ascii(ch)) % POLY_MOD)
 
 
 def term_index(term: Column, num_features: int, algo: str) -> Column:
@@ -87,9 +90,16 @@ class FeatureHasher(Transformer, HasInputCols, HasOutputCol, HasCategoricalCols,
                                 ParamValidators.in_array(["native", "poly"]))
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        # Arrow UDF over a struct of the input columns; numeric column
-        # buckets (hash of the column NAME) are precomputed driver-side,
-        # categorical ``name=value`` buckets are memoized per batch
+        # Hybrid plan: the per-row HASHING runs JVM-side inside whole-stage
+        # codegen (murmur3 = native F.hash; poly = map literal over the
+        # column's distinct values, one tiny agg job per categorical col,
+        # with a lazy expression-hash fallback for values unseen at plan
+        # time), producing a fixed-width (bucket, value) column block.  One
+        # Arrow UDF then assembles the sparse vector fully vectorized —
+        # numpy row-sort + collision fold, pyarrow ListArray built from
+        # flat arrays + offsets, no per-row Python.  Null inputs are
+        # skipped (reference FeatureHasher.java:122,128); bucket -1 marks
+        # a skipped entry across the Arrow boundary.
         from pyspark.sql.functions import pandas_udf
         from ..common.hashing import poly_hash31, spark_murmur3_32
         n = self.get_("numFeatures")
@@ -99,52 +109,66 @@ class FeatureHasher(Transformer, HasInputCols, HasOutputCol, HasCategoricalCols,
         cols = list(self.get_("inputCols"))
         raw = poly_hash31 if algo == "poly" else spark_murmur3_32
         is_cat = {c: (c in cat or schema[c] in ("string", "boolean")) for c in cols}
-        num_bucket = {c: raw(c) % n for c in cols if not is_cat[c]}
+
+        poly_maps: dict[str, Column] = {}
+        if algo == "poly":
+            for c in (c for c in cols if is_cat[c]):
+                vals = [r[0] for r in df.select(F.col(c).cast("string"))
+                        .where(F.col(c).isNotNull()).distinct().collect()]
+                poly_maps[c] = F.create_map(
+                    *[x for v in vals
+                      for x in (F.lit(v), F.lit(poly_hash31(f"{c}={v}") % n))])
+
+        def bucket_value(c: str) -> tuple[Column, Column]:
+            if is_cat[c]:
+                term = F.concat(F.lit(c + "="), F.col(c).cast("string"))
+                if algo == "poly":
+                    idx = F.coalesce(poly_maps[c][F.col(c).cast("string")],
+                                     term_index(term, n, algo))
+                else:
+                    idx = term_index(term, n, algo)
+                val = F.lit(1.0)
+            else:
+                idx = F.lit(raw(c) % n)
+                val = F.col(c).cast("double")
+            skip = F.col(c).isNull()
+            return (F.when(skip, F.lit(-1)).otherwise(idx),
+                    F.when(skip, F.lit(0.0)).otherwise(val))
+
+        c_num = len(cols)
 
         @pandas_udf("struct<size:int,indices:array<int>,values:array<double>>")
-        def to_sparse(block):
+        def assemble(block):
             import numpy as np
             import pandas as pd
-            memo: dict = {}
-
-            def bucket(term):
-                i = memo.get(term)
-                if i is None:
-                    i = memo[term] = raw(term) % n
-                return i
-
+            import pyarrow as pa
             m = len(block)
-            c = len(cols)
-            B = np.empty((m, c), dtype=np.int64)
-            V = np.empty((m, c), dtype=np.float64)
-            for j, col in enumerate(cols):
-                s = block[col]
-                if is_cat[col]:
-                    # categorical arity is small → hash distinct values
-                    # once, then one C-level dict map over the column
-                    mapping = {v: bucket(f"{col}={v}") for v in s.unique()}
-                    B[:, j] = s.map(mapping).to_numpy()
-                    V[:, j] = 1.0
-                else:
-                    B[:, j] = num_bucket[col]
-                    V[:, j] = s.to_numpy(dtype=np.float64)
-            # row-sort buckets, fold duplicate buckets left→right (collisions
-            # accumulate), then slice the surviving entries per row
+            B = np.column_stack([block[f"b{j}"].to_numpy(dtype=np.int64)
+                                 for j in range(c_num)])
+            V = np.column_stack([block[f"v{j}"].to_numpy(dtype=np.float64)
+                                 for j in range(c_num)])
             order = np.argsort(B, axis=1, kind="stable")
             B = np.take_along_axis(B, order, 1)
             V = np.take_along_axis(V, order, 1)
-            keep = np.ones((m, c), dtype=bool)
-            for j in range(c - 1):
+            keep = np.ones((m, c_num), dtype=bool)
+            for j in range(c_num - 1):
                 dup = B[:, j] == B[:, j + 1]
                 V[dup, j + 1] += V[dup, j]
                 keep[dup, j] = False
-            out = {"size": np.full(m, n), "indices": [], "values": []}
-            for r in range(m):
-                k = keep[r]
-                out["indices"].append(B[r, k].tolist())
-                out["values"].append(V[r, k].tolist())
-            return pd.DataFrame(out)
+            keep &= B >= 0  # null inputs were marked -1 → skipped
+            counts = keep.sum(axis=1)
+            offsets = np.zeros(m + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            ind = pa.ListArray.from_arrays(pa.array(offsets),
+                                           pa.array(B[keep].astype(np.int32)))
+            val = pa.ListArray.from_arrays(pa.array(offsets), pa.array(V[keep]))
+            return pd.DataFrame({
+                "size": np.full(m, n, dtype=np.int32),
+                "indices": ind.to_pandas(),
+                "values": val.to_pandas()})
 
-        block = F.struct(*[F.col(c).cast("string").alias(c) if is_cat[c]
-                           else F.col(c).cast("double").alias(c) for c in cols])
-        return df.withColumn(self.get_("outputCol"), to_sparse(block))
+        parts = []
+        for j, c in enumerate(cols):
+            b, v = bucket_value(c)
+            parts += [b.alias(f"b{j}"), v.alias(f"v{j}")]
+        return df.withColumn(self.get_("outputCol"), assemble(F.struct(*parts)))

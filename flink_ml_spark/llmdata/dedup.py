@@ -52,6 +52,40 @@ def poly_token_hash(tok: Column) -> Column:
                        lambda acc, o: (acc * 31 + o) % MINHASH_PRIME)
 
 
+def np_poly_hash(tokens) -> np.ndarray:
+    """Vectorized poly hash of a 1-D sequence of strings: pad to a
+    codepoint matrix, fold ``h = (h*31 + ord) mod P`` column-wise — one
+    numpy pass per character position over the WHOLE batch, zero Python
+    per token.  Padding NULs leave h untouched (tokens never contain
+    U+0000)."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    u = np.asarray(tokens, dtype="U")
+    width = u.dtype.itemsize // 4
+    if width == 0:  # every token empty
+        return np.zeros(n, dtype=np.int64)
+    C = u.view(np.uint32).reshape(n, width).astype(np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(width):
+        c = C[:, j]
+        h = np.where(c == 0, h, (h * 31 + c) % MINHASH_PRIME)
+    return h
+
+
+def flat_tokens(tokens) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a pandas Series of token lists → (flat array, per-row
+    lengths, per-row start offsets)."""
+    lens = np.fromiter((len(t) if t is not None else 0 for t in tokens),
+                       dtype=np.int64, count=len(tokens))
+    parts = [np.asarray(t, dtype=object) for t in tokens
+             if t is not None and len(t)]
+    flat = np.concatenate(parts) if parts else np.empty(0, dtype=object)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return flat, lens, starts
+
+
 def shingles(text: Column, n: int) -> Column:
     """Word n-gram shingle set of lowercased text (zip_with over shifted
     slices — the per-position slice+join form is ~8× slower, see NGram)."""
@@ -130,30 +164,24 @@ class MinHashSignature(Transformer, HasInputCol, HasOutputCol):
         B = np.array([b for _, b in fam], dtype=np.int64)[None, :]
         empty_sig = list(((0 * A + B) % MINHASH_PRIME)[0])
 
+        empty_row = np.array(empty_sig, dtype=np.int64)
+
         @pandas_udf("array<long>")
         def signature(tokens):
             import pandas as pd
-            memo: dict = {}
-
-            def thash(t):
-                h = memo.get(t)
-                if h is None:
-                    h = 0
-                    for ch in t:
-                        h = (h * 31 + ord(ch)) % MINHASH_PRIME
-                    memo[t] = h
-                return h
-
-            out = []
-            for toks in tokens:
-                hs = np.fromiter((thash(t) for t in set(toks)),
-                                 dtype=np.int64)
-                if not len(hs):
-                    out.append(empty_sig)
-                    continue
-                out.append(list(((hs[:, None] * A + B) % MINHASH_PRIME)
-                                .min(axis=0)))
-            return pd.Series(out)
+            flat, lens, starts = flat_tokens(tokens)
+            n = len(lens)
+            sigs = np.tile(empty_row, (n, 1))
+            nonempty = lens > 0
+            if nonempty.any():
+                hs = np_poly_hash(flat)
+                M = (hs[:, None] * A + B) % MINHASH_PRIME  # (T, k)
+                # zero-length rows contribute no elements, so reduceat over
+                # the nonempty rows' starts yields exactly one segment per
+                # nonempty row
+                sigs[nonempty] = np.minimum.reduceat(M, starts[nonempty],
+                                                     axis=0)
+            return pd.Series(list(sigs))
 
         return df.withColumn(self.get_("outputCol"),
                              signature(F.col(self.get_("inputCol"))))
@@ -239,28 +267,18 @@ class SimHashDeduplicator(AlgoOperator):
         @pandas_udf("long")
         def simhash(texts):
             import pandas as pd
-            memo: dict = {}
-
-            def thash(t):
-                h = memo.get(t)
-                if h is None:
-                    h = 0
-                    for ch in t:
-                        h = (h * 31 + ord(ch)) % MINHASH_PRIME
-                    memo[t] = h
-                return h
-
-            out = []
-            for txt in texts:
-                toks = [t for t in (txt or "").lower().split() if t]
-                if not toks:
-                    out.append(0)
-                    continue
-                hs = np.fromiter((thash(t) for t in toks), dtype=np.int64)
-                pm = ((hs[:, None] * mult) % MINHASH_PRIME) % 2  # (n, bits)
-                bsum = (2 * pm - 1).sum(axis=0)
-                out.append(int(weights[bsum > 0].sum()))
-            return pd.Series(out)
+            toks_per_row = texts.fillna("").str.lower().str.split()
+            flat, lens, starts = flat_tokens(toks_per_row)
+            n = len(lens)
+            fp = np.zeros(n, dtype=np.int64)
+            nonempty = lens > 0
+            if nonempty.any():
+                hs = np_poly_hash(flat)
+                pm = ((hs[:, None] * mult) % MINHASH_PRIME) % 2  # (T, bits)
+                contrib = (2 * pm - 1).astype(np.int64)
+                bsum = np.add.reduceat(contrib, starts[nonempty], axis=0)
+                fp[nonempty] = (bsum > 0).astype(np.int64) @ weights
+            return pd.Series(fp)
 
         return simhash(text)
 
