@@ -19,7 +19,32 @@ def _lit_arr(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+def _sum_terms(terms) -> Column:
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def distance_expr(col: Column, center: np.ndarray, measure: str) -> Column:
+    # narrow vectors: unrolled left-to-right term sum — stays in
+    # whole-stage codegen (higher-order lambdas are interpreted, and this
+    # sits in the k*dim Lloyd assignment hot path); identical float
+    # summation order to the HOF fold used for wide vectors
+    dim = len(center)
+    if dim <= 64:
+        if measure == "euclidean":
+            return _sum_terms([(col[j] - float(center[j]))
+                               * (col[j] - float(center[j]))
+                               for j in range(dim)])  # squared
+        if measure == "manhattan":
+            return _sum_terms([F.abs(col[j] - float(center[j]))
+                               for j in range(dim)])
+        if measure == "cosine":
+            dot = _sum_terms([col[j] * float(center[j]) for j in range(dim)])
+            xnorm = F.sqrt(_sum_terms([col[j] * col[j] for j in range(dim)]))
+            cnorm = float(np.linalg.norm(center))
+            return F.lit(1.0) - dot / (xnorm * F.lit(cnorm if cnorm != 0 else 1.0))
     c = _lit_arr(center)
     if measure == "euclidean":
         d = F.zip_with(col, c, lambda x, y: x - y)

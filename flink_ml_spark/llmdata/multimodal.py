@@ -43,8 +43,10 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     h = hashlib.sha256(payload).digest()
     reps = (out_dim * 8 // len(h)) + 1
     buf = (h * reps)[: out_dim * 8]
-    arr = np.frombuffer(buf, dtype=np.uint64).astype(np.float64)
-    return (arr % 1000) / 1000.0
+    arr = np.frombuffer(buf, dtype=np.uint64)
+    # mod in integer space BEFORE the float conversion — uint64 > 2^53
+    # rounds in float64 and would scramble the remainder
+    return (arr % 1000).astype(np.float64) / 1000.0
 
 
 class MediaFeatureExtractor(Transformer):

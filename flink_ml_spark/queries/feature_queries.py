@@ -633,12 +633,23 @@ UFS_SQL = _ufs_sql()
 def random_splitter(spark, sf_dir):
     from ..feature import RandomSplitter
     li = load(spark, sf_dir, "lineitem")
-    splits = RandomSplitter(weights=[0.8, 0.2], seed=42).transform(li)
+    df = li.withColumn("__k__", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    splits = RandomSplitter(weights=[0.8, 0.2], seed=42,
+                            splitStrategy="hash", hashCol="__k__").transform(df)
     parts = [s.select(*KEY, F.lit(i).alias("split")) for i, s in enumerate(splits)]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+RANDOM_SPLITTER_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN ((l_orderkey * 8 + l_linenumber) * 2654435761 + 42)
+                 % 2147483648 / 2147483648.0 < 0.8
+            THEN 0 ELSE 1 END AS split
+FROM lineitem
+"""
 
 
 QUERIES = {
@@ -649,7 +660,7 @@ QUERIES = {
     "index_to_string": (index_to_string, INDEX_TO_STRING_SQL),
     "vector_indexer": (vector_indexer, VECTOR_INDEXER_SQL),
     "univariate_feature_selector": (univariate_feature_selector, UFS_SQL),
-    "random_splitter": (random_splitter, None),
+    "random_splitter": (random_splitter, RANDOM_SPLITTER_SQL),
     "bucketizer": (bucketizer, BUCKETIZER_SQL),
     "standard_scaler": (standard_scaler, STANDARD_SCALER_SQL),
     "minmax_scaler": (minmax_scaler, MINMAX_SCALER_SQL),

@@ -354,10 +354,44 @@ def media_pipeline(spark, sf_dir):
     return f1.unionAll(f2)
 
 
+def _media_pipeline_sql() -> str:
+    """DuckDB replay of the deterministic media stubs: feature[0] is the
+    first little-endian uint64 of sha256(payload) % 1000 / 1000 (see
+    multimodal._fake_decode); frame timestamps are evenly spaced integer
+    truncations.  The uint64 is assembled from the hex digest nibble by
+    nibble in HUGEINT to dodge signed-64 overflow."""
+    def nib(i: int) -> str:  # 0-based nibble index into the hex digest
+        return f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+    u64 = " + ".join(
+        f"CAST({nib(2 * i)} * 16 + {nib(2 * i + 1)} AS HUGEINT) * "
+        f"CAST({256 ** i} AS HUGEINT)" for i in range(8))
+    return f"""
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS media_type,
+         sha256(text) AS h,
+         length(text) * 10 AS duration_ms
+  FROM documents),
+feat AS (
+  SELECT media_id, 'feat' AS kind,
+         CAST(ROUND(CAST(({u64}) % 1000 AS DOUBLE) / 1000.0 * 10000) AS BIGINT) AS val
+  FROM media),
+frames AS (
+  SELECT media_id, 'frame' AS kind,
+         CAST(FLOOR(fi * duration_ms / 4.0) AS BIGINT) AS val
+  FROM media, unnest([0, 1, 2, 3]) AS t(fi)
+  WHERE media_type = 'video')
+SELECT * FROM feat UNION ALL SELECT * FROM frames
+"""
+
+
+MEDIA_PIPELINE_SQL = _media_pipeline_sql()
+
+
 QUERIES = {
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
     "ann_ivf": (ann_ivf, None),
-    "media_pipeline": (media_pipeline, None),
+    "media_pipeline": (media_pipeline, MEDIA_PIPELINE_SQL),
     "minhash_signature": (minhash_signature, MINHASH_SQL),
     "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, NGRAM_JACCARD_SQL),

@@ -4,7 +4,8 @@ LogisticRegression / LinearRegression run full-batch GD with tol=0 so the
 trajectory is a deterministic function of per-round aggregate sums — the
 oracle replays the SAME gradient-descent recurrence as a recursive CTE.
 NaiveBayes / Knn predictions are closed-form over aggregates / joins.
-KMeans is iterative with data-dependent control flow → rows-only check.
+KMeans (first_distinct init, fixed iters) is replayed exactly in DuckDB
+with materialized per-iteration CTEs (assignment + centroid update).
 """
 
 from __future__ import annotations
@@ -207,6 +208,56 @@ def kmeans(spark, sf_dir):
                 F.col("l_discount") * 10, F.col("l_tax") * 10).alias("features"))
     m = KMeans(k=4, maxIter=10, initMode="first_distinct", tol=0.0).fit(df)
     return m.transform(df)[0].select(*KEY, F.col("prediction").alias("cluster"))
+
+
+def _kmeans_sql(k: int = 4, iters: int = 10, dim: int = 4) -> str:
+    """Exact DuckDB replay of the deterministic Lloyd run: first_distinct
+    init (k lexicographically-smallest distinct vectors), per-iteration
+    argmin assignment (ties -> lowest cid, mirroring
+    closest_centroid_expr's array_position) and sum/count centroid update
+    with empty clusters keeping their previous centroid."""
+    feats = ["l_quantity / 50", "l_extendedprice / 100000",
+             "l_discount * 10", "l_tax * 10"]
+    fl = [f"f{j}" for j in range(dim)]
+    flist = ", ".join(fl)
+    parts = [
+        f"WITH pts AS MATERIALIZED (SELECT row_number() OVER () AS rid, l_orderkey, "
+        f"l_linenumber, "
+        + ", ".join(f"{e} AS f{j}" for j, e in enumerate(feats))
+        + " FROM lineitem)",
+        f"c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY {flist}) - 1 AS cid, "
+        + ", ".join(f"f{j} AS m{j}" for j in range(dim))
+        + f" FROM (SELECT DISTINCT {flist} FROM pts) ORDER BY {flist} LIMIT {k})",
+    ]
+    dist = " + ".join(f"(p.f{j} - c.m{j}) * (p.f{j} - c.m{j})"
+                      for j in range(dim))
+    pcols = ", ".join(f"p.f{j}" for j in range(dim))
+    def assign(src: str, out: str, alias: str) -> str:
+        # ties -> lowest cid, mirroring closest_centroid_expr's
+        # array_position-of-min
+        return (f"{alias} AS MATERIALIZED (SELECT rid, l_orderkey, l_linenumber, {flist}, "
+                f"cid AS {out} FROM ("
+                f"SELECT p.*, c.cid, row_number() OVER (PARTITION BY p.rid "
+                f"ORDER BY {dist}, c.cid) AS __rn "
+                f"FROM pts p CROSS JOIN {src} c) WHERE __rn = 1)")
+
+    for it in range(1, iters + 1):
+        parts.append(assign(f"c{it - 1}", "cid", f"a{it}"))
+        upd = ", ".join(
+            f"CASE WHEN s.n IS NULL OR s.n = 0 THEN c.m{j} "
+            f"ELSE s.s{j} / s.n END AS m{j}" for j in range(dim))
+        sums = ", ".join(f"sum(f{j}) AS s{j}" for j in range(dim))
+        parts.append(
+            f"c{it} AS MATERIALIZED (SELECT c.cid, {upd} FROM c{it - 1} c LEFT JOIN "
+            f"(SELECT cid, count(*) AS n, {sums} FROM a{it} GROUP BY cid) s "
+            f"ON s.cid = c.cid)")
+    # the fitted model (c_iters) drives the final transform assignment
+    parts.append(assign(f"c{iters}", "cluster", "final"))
+    return (", ".join(parts)
+            + " SELECT l_orderkey, l_linenumber, cluster FROM final")
+
+
+KMEANS_SQL = _kmeans_sql()
 
 
 # --- Swing (user=o_custkey, item=l_partkey) --------------------------------
@@ -498,7 +549,7 @@ QUERIES = {
     "linear_regression": (linear_regression, LINEAR_REGRESSION_SQL),
     "naive_bayes": (naive_bayes, NAIVE_BAYES_SQL),
     "knn": (knn, KNN_SQL),
-    "kmeans": (kmeans, None),
+    "kmeans": (kmeans, KMEANS_SQL),
     "chisq_test": (chisq_test, CHISQ_SQL),
     "anova_test": (anova_test, ANOVA_SQL),
     "fvalue_test": (fvalue_test, FVALUE_SQL),

@@ -66,7 +66,8 @@ FROM picked p LEFT JOIN models m ON m.version = p.ver
 
 def online_kmeans(spark, sf_dir):
     """Mini-batch k-means over events (value, hour-of-day) in 10 ordered
-    event-time batches with decay 0.9 — iterative feedback → rows-only."""
+    event-time batches with decay 0.9; the decay recurrence is replayed
+    exactly by the DuckDB oracle (fixed init, day-of-month batches)."""
     from ..streaming import OnlineKMeans
     events = load_events(spark, sf_dir).orderBy("ts_ms")
     data = events.select(
@@ -80,6 +81,57 @@ def online_kmeans(spark, sf_dir):
         km.process_batch(days.filter(F.col("day") == d).drop("day"), d)
     model = km.latest_model()
     return model.transform(data)[0].select("event_id", F.col("prediction").alias("cluster"))
+
+
+def _online_kmeans_sql(k: int = 3, batches: int = 10,
+                       decay: float = 0.9) -> str:
+    """DuckDB replay of the mini-batch decay recurrence
+    c' = (decay*w*c + batch_sum) / max(decay*w + batch_n, 1e-300)
+    over the same 10 day-of-month batches, with the same fixed initial
+    model and lowest-cid tie-breaking; final assignment uses the last
+    centroids (OnlineKMeans.process_batch)."""
+    init = [[0.0, 0.0], [1.0, 0.5], [2.0, 1.0]]
+    dim = 2
+    init_rows = " UNION ALL ".join(
+        f"SELECT {c} AS cid, " + ", ".join(
+            f"CAST({init[c][j]} AS DOUBLE) AS m{j}" for j in range(dim))
+        + ", CAST(0 AS DOUBLE) AS w" for c in range(k))
+    dist = " + ".join(f"(p.f{j} - c.m{j}) * (p.f{j} - c.m{j})"
+                      for j in range(dim))
+    flist = ", ".join(f"f{j}" for j in range(dim))
+    parts = [
+        "WITH pts AS MATERIALIZED (SELECT event_id, "
+        "CAST(value AS DOUBLE) AS f0, "
+        "CAST((epoch_ms(ts) // 3600000) % 24 AS DOUBLE) / 24.0 AS f1, "
+        "day(make_timestamp(epoch_ms(ts) * 1000)) AS d FROM events)",
+        f"c0 AS MATERIALIZED ({init_rows})",
+    ]
+    for b in range(1, batches + 1):
+        parts.append(
+            f"a{b} AS MATERIALIZED (SELECT event_id, {flist}, cid FROM ("
+            f"SELECT p.*, c.cid, row_number() OVER (PARTITION BY p.event_id "
+            f"ORDER BY {dist}, c.cid) AS __rn "
+            f"FROM pts p CROSS JOIN c{b - 1} c WHERE p.d = {b}) "
+            f"WHERE __rn = 1)")
+        sums = ", ".join(f"sum(f{j}) AS s{j}" for j in range(dim))
+        upd = ", ".join(
+            f"(c.w * {decay} * c.m{j} + COALESCE(s.s{j}, 0)) / "
+            f"greatest(c.w * {decay} + COALESCE(s.n, 0), 1e-300) AS m{j}"
+            for j in range(dim))
+        parts.append(
+            f"c{b} AS MATERIALIZED (SELECT c.cid, {upd}, "
+            f"c.w * {decay} + COALESCE(s.n, 0) AS w FROM c{b - 1} c "
+            f"LEFT JOIN (SELECT cid, count(*) AS n, {sums} FROM a{b} "
+            f"GROUP BY cid) s ON s.cid = c.cid)")
+    parts.append(
+        f"final AS (SELECT event_id, cid AS cluster FROM ("
+        f"SELECT p.event_id, c.cid, row_number() OVER (PARTITION BY "
+        f"p.event_id ORDER BY {dist}, c.cid) AS __rn "
+        f"FROM pts p CROSS JOIN c{batches} c) WHERE __rn = 1)")
+    return ", ".join(parts) + " SELECT event_id, cluster FROM final"
+
+
+ONLINE_KMEANS_SQL = _online_kmeans_sql()
 
 
 def online_logistic_regression(spark, sf_dir):
@@ -159,6 +211,6 @@ ONLINE_FTRL_SQL = _ftrl_sql()
 
 QUERIES = {
     "online_standard_scaler": (online_standard_scaler, ONLINE_SCALER_SQL),
-    "online_kmeans": (online_kmeans, None),
+    "online_kmeans": (online_kmeans, ONLINE_KMEANS_SQL),
     "online_logistic_regression": (online_logistic_regression, ONLINE_FTRL_SQL),
 }
