@@ -48,7 +48,7 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         try:
             centers = self._init_centers(data, k)
             dim = centers.shape[1]
-            wide = k * dim > 512
+            wide = k * dim >= 256
             # per round ONE narrow job.  Narrow vectors: assignment is a
             # codegen'd k×dim literal-distance expression and partial sums
             # are map-side HashAggregate columns (no row multiplication —

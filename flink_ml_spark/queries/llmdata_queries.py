@@ -333,6 +333,69 @@ def ann_ivf(spark, sf_dir):
                       "rank")
 
 
+def _ann_ivf_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
+                 nprobe: int = 2, k: int = 5) -> str:
+    """DuckDB replay of the IVF pipeline: the coarse quantizer's
+    deterministic KMeans (first_distinct init = lexicographically smallest
+    distinct vectors, per-iteration argmin assignment with lowest-cid
+    ties, mean update keeping empty cells), then probe the nprobe nearest
+    cells per query and rank candidates by cosine (ties -> lowest
+    corpus_id) — mirroring IVFIndexModel.search."""
+    d2 = (f"list_aggregate(list_transform(range(1, {dim + 1}), "
+          f"i -> (p.v[i] - c.m[i]) * (p.v[i] - c.m[i])), 'sum')")
+    parts = [
+        "WITH pts AS MATERIALIZED (SELECT vec_id, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY v) - 1 AS "
+        f"cid, v AS m FROM (SELECT DISTINCT v FROM pts) ORDER BY v LIMIT {nlist})",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"a{it} AS MATERIALIZED (SELECT vec_id, v, cid FROM ("
+            f"SELECT p.vec_id, p.v, c.cid, row_number() OVER (PARTITION BY "
+            f"p.vec_id ORDER BY {d2}, c.cid) AS rn "
+            f"FROM pts p CROSS JOIN c{it - 1} c) WHERE rn = 1)")
+        parts.append(
+            f"c{it} AS MATERIALIZED (SELECT c.cid, COALESCE(s.m, c.m) AS m "
+            f"FROM c{it - 1} c LEFT JOIN (SELECT cid, list(sv ORDER BY pos) "
+            f"AS m FROM (SELECT cid, pos, sum(x) / count(*) AS sv FROM ("
+            f"SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos "
+            f"FROM a{it}) GROUP BY cid, pos) GROUP BY cid) s "
+            f"ON s.cid = c.cid)")
+    dot = (f"list_aggregate(list_transform(range(1, {dim + 1}), "
+           f"i -> q.v[i] * t.v[i]), 'sum')")
+    nrm = ("sqrt(list_aggregate(list_transform(range(1, {d}), "
+           "i -> {x}.v[i] * {x}.v[i]), 'sum'))")
+    parts.append(
+        f"cells AS MATERIALIZED (SELECT vec_id AS corpus_id, v, cid AS cell "
+        f"FROM a{iters} a WHERE TRUE)")
+    # corpus cells come from assignment against the FITTED model c{iters}
+    parts[-1] = (
+        f"cells AS MATERIALIZED (SELECT vec_id AS corpus_id, p.v, cid AS "
+        f"cell FROM (SELECT p.vec_id, p.v, c.cid, row_number() OVER ("
+        f"PARTITION BY p.vec_id ORDER BY {d2}, c.cid) AS rn "
+        f"FROM pts p CROSS JOIN c{iters} c) p WHERE rn = 1)")
+    parts.append(
+        f"probes AS MATERIALIZED (SELECT vec_id AS query_id, p.v, cid AS "
+        f"cell FROM (SELECT p.vec_id, p.v, c.cid, row_number() OVER ("
+        f"PARTITION BY p.vec_id ORDER BY {d2}, c.cid) AS rn "
+        f"FROM pts p CROSS JOIN c{iters} c WHERE p.vec_id % 100 = 0) p "
+        f"WHERE rn <= {nprobe})")
+    parts.append(
+        "scored AS (SELECT q.query_id, t.corpus_id, "
+        + dot.replace("q.v", "q.v").replace("t.v", "t.v") + " / ("
+        + nrm.format(d=dim + 1, x="q") + " * " + nrm.format(d=dim + 1, x="t")
+        + ") AS cosine FROM probes q JOIN cells t ON q.cell = t.cell)")
+    return (", ".join(parts)
+            + f" SELECT query_id, corpus_id, "
+              f"CAST(ROUND(cosine * 10000) AS BIGINT) AS cosine, rank FROM ("
+              f"SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY "
+              f"cosine DESC, corpus_id) AS rank FROM scored) WHERE rank <= {k}")
+
+
+ANN_IVF_SQL = _ann_ivf_sql()
+
+
 # --- Multimodal plumbing (stub decode; deterministic sha256 features) -------
 
 def media_pipeline(spark, sf_dir):
@@ -390,7 +453,7 @@ MEDIA_PIPELINE_SQL = _media_pipeline_sql()
 
 QUERIES = {
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
-    "ann_ivf": (ann_ivf, None),
+    "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "media_pipeline": (media_pipeline, MEDIA_PIPELINE_SQL),
     "minhash_signature": (minhash_signature, MINHASH_SQL),
     "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
