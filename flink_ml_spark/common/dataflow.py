@@ -127,3 +127,39 @@ def with_broadcast(df: DataFrame, small: DataFrame, on, how: str = "inner") -> D
     (BroadcastUtils.withBroadcastStream:41-110).  No deadlock machinery
     needed: fit already materialized the broadcast side."""
     return df.join(F.broadcast(small), on=on, how=how)
+
+
+def numpy_block_rdd(df: DataFrame, col: str, parallelism: int | None = None):
+    """Cache-ready RDD of one (rows × dim) float64 matrix per partition,
+    built Arrow-vectorized (mapInArrow reshapes the list-array value
+    buffer; one pickled blob per partition crosses the DF→RDD boundary —
+    never a per-row Python object).  This is Spark MLlib's block-cache
+    architecture for iterative learners: per-round work becomes
+    mapPartitions(numpy) + treeReduce, with no query planning, columnar
+    cache decode, or Arrow conversion inside the loop."""
+    import pickle
+
+    import pyarrow as pa
+
+    data = df.select(F.col(col).cast("array<double>").alias("__v__"))
+    if parallelism:
+        parts = data.rdd.getNumPartitions()
+        if parts < parallelism:
+            data = data.repartition(parallelism)
+
+    def conv(batches):
+        mats = []
+        for b in batches:
+            arr = b.column(0)
+            n = len(arr)
+            if n == 0:
+                continue
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            mats.append(flat.reshape(n, len(flat) // n))
+        if mats:
+            X = np.vstack(mats)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([pickle.dumps(X)])], ["blob"])
+
+    return (data.mapInArrow(conv, "blob binary")
+            .rdd.map(lambda r: pickle.loads(bytes(r[0]))))

@@ -32,7 +32,7 @@ def distance_expr(col: Column, center: np.ndarray, measure: str) -> Column:
     # sits in the k*dim Lloyd assignment hot path); identical float
     # summation order to the HOF fold used for wide vectors
     dim = len(center)
-    if dim <= 64:
+    if dim <= 16:
         if measure == "euclidean":
             return _sum_terms([(col[j] - float(center[j]))
                                * (col[j] - float(center[j]))
