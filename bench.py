@@ -82,6 +82,14 @@ def main() -> None:
     spark.range(int(CPUS) * 100).repartition(int(CPUS)) \
         .select(_wu("id")).count()
 
+    # the plain-pickle RDD worker pool (block-cache learners) is separate
+    # from the Arrow UDF pool — warm it too
+    def _wu_rdd(it):
+        import numpy as np
+        yield np.zeros(2).sum()
+    spark.sparkContext.parallelize(range(int(CPUS) * 4), int(CPUS)) \
+        .mapPartitions(_wu_rdd).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
