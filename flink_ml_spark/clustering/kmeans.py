@@ -50,9 +50,30 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         blocks = numpy_block_rdd(data, "__f__", sc.defaultParallelism) \
             .persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            centers = self._init_centers(data, blocks, k)
+            # tiny-input fast path: when the whole dataset is smaller than
+            # one round's worth of partial results would justify (default
+            # 2^21 values ≈ 16 MB), collect the blocks ONCE and run Lloyd
+            # locally — identical init/assignment/update arithmetic, no
+            # per-round job scheduling (20 rounds × ~0.3 s of task latency
+            # dwarfs the compute at 10 k rows).  At production scale the
+            # gate never fires and every round is mapPartitions+treeReduce.
+            sizes = blocks.map(lambda X: X.shape).collect()
+            total_vals = sum(r * c for r, c in sizes)
+            local = total_vals <= (1 << 21)
+            if local:
+                X_all = np.vstack(blocks.collect()) if sizes else None
+                if X_all is None or not len(X_all):
+                    raise ValueError("KMeans: empty input")
+            centers = self._init_centers(data, blocks, k, X_all if local else None)
             for _ in range(self.get_("maxIter")):
-                sums, counts = _block_partials(sc, blocks, centers, measure)
+                if local:
+                    cid = distance_np(X_all, centers, measure).argmin(axis=1)
+                    sums = np.zeros_like(centers)
+                    counts = np.bincount(cid, minlength=k).astype(float)
+                    for j in np.unique(cid):
+                        sums[j] = X_all[cid == j].sum(axis=0)
+                else:
+                    sums, counts = _block_partials(sc, blocks, centers, measure)
                 new_centers = centers.copy()
                 nz = counts > 0
                 new_centers[nz] = sums[nz] / counts[nz, None]
@@ -68,12 +89,19 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         model.model_data = {"centroids": centers.tolist()}
         return model
 
-    def _init_centers(self, data: DataFrame, blocks, k: int) -> np.ndarray:
+    def _init_centers(self, data: DataFrame, blocks, k: int,
+                      X_local: np.ndarray | None = None) -> np.ndarray:
         if self.get_("initMode") == "first_distinct":
             # deterministic: k lexicographically-smallest distinct vectors.
             # np.unique(axis=0) sorts lexicographically, so per-partition
             # local top-k candidates + a driver merge replace the full
             # distinct shuffle (k×partitions rows cross the wire)
+            if X_local is not None:
+                arr = np.unique(X_local, axis=0)[:k]
+                if len(arr) < k:
+                    raise ValueError(f"KMeans: fewer than k={k} distinct points")
+                return arr
+
             def local_cands(bs):
                 for X in bs:
                     yield np.unique(X, axis=0)[:k]
