@@ -23,7 +23,7 @@ from ..common.optimizer import (BinaryLogisticLoss, HingeLoss,
 from ..param import (HasElasticNet, HasFeaturesCol, HasGlobalBatchSize,
                      HasLabelCol, HasLearningRate, HasMaxIter,
                      HasPredictionCol, HasRawPredictionCol, HasReg, HasTol,
-                     HasWeightCol)
+                     HasWeightCol, IntParam, ParamValidators)
 
 
 class _LinearEstimatorBase(Estimator, HasFeaturesCol, HasLabelCol, HasWeightCol,
@@ -32,6 +32,11 @@ class _LinearEstimatorBase(Estimator, HasFeaturesCol, HasLabelCol, HasWeightCol,
                            HasPredictionCol, HasRawPredictionCol):
     _loss = None
     _model_cls = None
+
+    weightRounding = IntParam(
+        "weightRounding", "Round coefficients to this many decimals after "
+        "each SGD round (0 = off) — cross-engine reproducibility aid.", 0,
+        ParamValidators.gt_eq(0))
 
     def fit(self, *inputs: DataFrame) -> "Model":
         (df,) = inputs
@@ -42,7 +47,8 @@ class _LinearEstimatorBase(Estimator, HasFeaturesCol, HasLabelCol, HasWeightCol,
             self._loss, dim,
             max_iter=self.get_("maxIter"), learning_rate=self.get_("learningRate"),
             global_batch_size=self.get_("globalBatchSize"), tol=self.get_("tol"),
-            reg=self.get_("reg"), elastic_net=self.get_("elasticNet"))
+            reg=self.get_("reg"), elastic_net=self.get_("elasticNet"),
+            weight_decimals=self.get_("weightRounding"))
         model = self._model_cls()
         model.set_(featuresCol=fcol, predictionCol=self.get_("predictionCol"),
                    rawPredictionCol=self.get_("rawPredictionCol"))

@@ -6,19 +6,15 @@ SGD.java:67, RegularizationUtils.java:34) and loss trio
 
 The reference runs SGD inside its 12k-LoC iteration framework with
 allReduceSum gradient sync (SGD.java:125-132).  Spark-first (SURVEY §3.2):
-a driver ``for`` loop over a cached DataFrame; each round computes the
-batch gradient **entirely JVM-side** —
-
-  margin   = dot(features, lit(w))           (zip_with + aggregate, codegen)
-  residual = dLoss/dMargin (per loss)        (when/exp expressions)
-  grad_j   = sum(weight * residual * x_j)    (posexplode + groupBy(pos):
-                                              partial agg per partition →
-                                              dim rows shuffled)
-
-so the per-round cost is one scan + a dim-row shuffle, no Python in the
-data path.  Mini-batches: a precomputed ``__batch__`` column cycles
-deterministically (batch b on round r where r ≡ b mod numBatches) —
-mirroring SGD.java's per-round local batch walk (:262-284).
+a driver ``for`` loop over an Arrow-built numpy block cache (one
+(label, weight, batch, features…) matrix per partition — see
+``dataflow.numpy_block_rdd``); each round is ONE
+``mapPartitions(gemm gradient partials) → treeReduce`` job and only
+dim+2 doubles reach the driver — the allReduceSum analogue with the p=1
+merge replaced by a tree.  Mini-batches: a precomputed batch column
+cycles deterministically (batch b on round r where r ≡ b mod
+numBatches) — mirroring SGD.java's per-round local batch walk
+(:262-284).  Tiny inputs run the identical loop driver-local.
 Regularization: elastic net  reg*(en*||w||_1 + (1-en)/2*||w||_2²) applied
 driver-side (RegularizationUtils.java:26-31).
 """
@@ -83,6 +79,29 @@ class LossFunc:
     def predict_raw_np(self, x: np.ndarray, w: np.ndarray) -> np.ndarray:
         return x @ w
 
+    def residual_np(self, margin: np.ndarray, label: np.ndarray) -> np.ndarray:
+        if self.name == "logistic":
+            return 1.0 / (1.0 + np.exp(-margin)) - label
+        if self.name == "hinge":
+            ysign = label * 2.0 - 1.0
+            return np.where(ysign * margin < 1.0, -ysign, 0.0)
+        if self.name == "squared":
+            return margin - label
+        raise ValueError(self.name)
+
+    def loss_np(self, margin: np.ndarray, label: np.ndarray) -> np.ndarray:
+        if self.name == "logistic":
+            ym = (label * 2.0 - 1.0) * margin
+            return np.where(ym > 0, np.log1p(np.exp(-np.abs(ym))),
+                            -ym + np.log1p(np.exp(-np.abs(ym))))
+        if self.name == "hinge":
+            ysign = label * 2.0 - 1.0
+            return np.maximum(0.0, 1.0 - ysign * margin)
+        if self.name == "squared":
+            d = margin - label
+            return d * d * 0.5
+        raise ValueError(self.name)
+
 
 
 
@@ -110,50 +129,76 @@ LeastSquareLoss = LossFunc("squared")
 def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None,
         loss: LossFunc, dim: int, *, max_iter: int = 20, learning_rate: float = 0.1,
         global_batch_size: int = 32, tol: float = 1e-6, reg: float = 0.0,
-        elastic_net: float = 0.0, init_w: np.ndarray | None = None) -> tuple[np.ndarray, list[float]]:
-    """Returns (coefficients, per-round losses).  One Spark job per round."""
+        elastic_net: float = 0.0, init_w: np.ndarray | None = None,
+        weight_decimals: int = 0) -> tuple[np.ndarray, list[float]]:
+    """Returns (coefficients, per-round losses).
+
+    The train set is cached as one (label, weight, batch, features...)
+    numpy matrix per partition (Arrow-built block RDD, the same
+    architecture as KMeans); per round ONE mapPartitions(gemm) +
+    treeReduce of dim+2 doubles — the reference's allReduceSum
+    (SGD.java:125-132) with the p=1 merge replaced by a tree.  Tiny
+    inputs (< 2^21 values) collect the blocks once and run the loop
+    driver-local with identical arithmetic."""
     from pyspark import StorageLevel
 
-    n = df.count()
-    num_batches = max(1, int(np.ceil(n / global_batch_size)))
+    from .dataflow import numpy_block_rdd
+
+    sc = df.sparkSession.sparkContext
+    # num_batches needs a count only when mini-batching is actually on
+    if global_batch_size >= (1 << 40):
+        num_batches = 1
+    else:
+        num_batches = max(1, int(np.ceil(df.count() / global_batch_size)))
     w_col = (F.col(weight_col).cast("double") if weight_col else F.lit(1.0))
-    prepared = df.select(
-        F.col(features_col).alias("__f__"),
-        F.col(label_col).cast("double").alias("__y__"),
-        w_col.alias("__w__"),
-        F.pmod(F.monotonically_increasing_id(), F.lit(num_batches)).alias("__batch__"))
-    # cache is scanned max_iter times — balance it across cores once if the
-    # file scan under-splits (row-group-bound local parquet)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if prepared.rdd.getNumPartitions() < par:
-        prepared = prepared.repartition(par)
-    prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
-    prepared.count()  # materialize cache once
-    _aqe = _NoAQE(df.sparkSession)
-    _aqe.__enter__()
+    packed = df.select(F.concat(
+        F.array(F.col(label_col).cast("double"), w_col,
+                F.pmod(F.monotonically_increasing_id(),
+                       F.lit(num_batches)).cast("double")),
+        F.col(features_col).cast("array<double>")).alias("__p__"))
+    blocks = numpy_block_rdd(packed, "__p__", sc.defaultParallelism) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _partial(P: np.ndarray, wv: np.ndarray, bid):
+        if bid is not None:
+            P = P[P[:, 2] == bid]
+        if not len(P):
+            return np.zeros(dim), 0.0, 0.0
+        y, wgt, X = P[:, 0], P[:, 1], P[:, 3:]
+        m = X @ wv
+        r = loss.residual_np(m, y) * wgt
+        return X.T @ r, float((loss.loss_np(m, y) * wgt).sum()), float(wgt.sum())
 
     w = np.zeros(dim) if init_w is None else np.asarray(init_w, dtype=float).copy()
     losses: list[float] = []
     prev_loss = None
     try:
+        counts = blocks.map(len).collect()
+        total = sum(counts)
+        if total == 0:
+            return w, losses
+        local = total * (dim + 3) <= (1 << 21)
+        X_all = np.vstack(blocks.collect()) if local else None
         for it in range(max_iter):
-            batch = (prepared if num_batches == 1
-                     else prepared.filter(F.col("__batch__") == F.lit(it % num_batches)))
-            margin = dot_lit(F.col("__f__"), w)
-            r = (loss.residual(margin, F.col("__y__")) * F.col("__w__")).alias("__r__")
-            l = (loss.loss(margin, F.col("__y__")) * F.col("__w__")).alias("__l__")
-            # one global agg of dim+2 sums — partial map-side combine, only
-            # dim+2 doubles per partition cross the shuffle (the allReduceSum
-            # analogue; a posexplode here would shuffle dim× the batch)
-            row = (batch.select(r, l, F.col("__w__"), F.col("__f__"))
-                   .agg(*[F.sum(F.col("__r__") * F.col("__f__")[j]).alias(f"g{j}")
-                          for j in range(dim)],
-                        F.sum("__l__").alias("lsum"),
-                        F.sum("__w__").alias("wsum"))
-                   .first())
-            grad = np.array([row[f"g{j}"] or 0.0 for j in range(dim)])
-            weight_sum = row["wsum"] or 0.0
-            loss_val = (row["lsum"] or 0.0) / max(weight_sum, 1e-300)
+            bid = float(it % num_batches) if num_batches > 1 else None
+            if local:
+                grad, lsum, weight_sum = _partial(X_all, w, bid)
+            else:
+                bc = sc.broadcast(w)
+
+                def part(bs, _bid=bid):
+                    G, L, WS = np.zeros(dim), 0.0, 0.0
+                    for P in bs:
+                        g, l, ws = _partial(P, bc.value, _bid)
+                        G += g
+                        L += l
+                        WS += ws
+                    yield G, L, WS
+
+                grad, lsum, weight_sum = blocks.mapPartitions(part).treeReduce(
+                    lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]))
+                bc.unpersist()
+            loss_val = lsum / max(weight_sum, 1e-300)
             losses.append(float(loss_val))
             if weight_sum > 0:
                 grad = grad / weight_sum
@@ -161,10 +206,15 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
                 grad = grad + reg * (elastic_net * np.sign(w)
                                      + (1 - elastic_net) * w)
             w = w - learning_rate * grad
+            if weight_decimals:
+                # cross-engine determinism aid: snap both this loop and a
+                # replaying oracle to the same weights each round, so float
+                # summation-order noise cannot compound through the
+                # discontinuous losses (hinge)
+                w = np.round(w, weight_decimals)
             if prev_loss is not None and abs(prev_loss - loss_val) < tol:
                 break
             prev_loss = loss_val
     finally:
-        _aqe.__exit__()
-        prepared.unpersist()
+        blocks.unpersist()
     return w, losses

@@ -39,8 +39,12 @@ def _gd_cte(residual_tpl: str, iters: int, lr: float, out: str,
     """Recursive-CTE replay of common/optimizer.py's full-batch update:
     w -= lr * avg(residual * x_j)."""
     feats = ", ".join(f"({f}) AS x{i}" for i, f in enumerate(_FEAT))
+    # round(…, 12) after every update mirrors weightRounding=12 on the
+    # Spark side: both engines snap to the same weights each round, so
+    # summation-order float noise cannot compound (the hinge residual is
+    # discontinuous — unquantized trajectories diverged measurably)
     grads = ", ".join(
-        f"w{j} - {lr} * (SELECT avg(({residual_tpl}) * x{j}) FROM data)"
+        f"round(w{j} - {lr} * (SELECT avg(({residual_tpl}) * x{j}) FROM data), 12)"
         for j in range(4))
     margin = " + ".join(f"w{j} * x{j}" for j in range(4))
     sql = f"""
@@ -62,7 +66,7 @@ GD_ITERS, GD_LR = 10, 0.5
 def logistic_regression(spark, sf_dir):
     df = _lr_frame(spark, sf_dir)
     m = LogisticRegression(maxIter=GD_ITERS, learningRate=GD_LR, tol=0.0,
-                           globalBatchSize=1 << 40).fit(df)
+                           globalBatchSize=1 << 40, weightRounding=12).fit(df)
     out = m.transform(df)[0]
     return out.select(*KEY, q4(F.element_at("rawPrediction", 2)).alias("prob"))
 
@@ -77,7 +81,7 @@ def linear_svc(spark, sf_dir):
     from ..classification import LinearSVC
     df = _lr_frame(spark, sf_dir)
     m = LinearSVC(maxIter=GD_ITERS, learningRate=GD_LR, tol=0.0,
-                  globalBatchSize=1 << 40).fit(df)
+                  globalBatchSize=1 << 40, weightRounding=12).fit(df)
     out = m.transform(df)[0]
     return out.select(*KEY, q4(F.col("rawPrediction")).alias("svc_raw"))
 
@@ -97,7 +101,7 @@ def linear_regression(spark, sf_dir):
                 F.col("l_tax") * 10, F.lit(1.0)).alias("features"),
         (F.col("l_extendedprice") / 100000.0).alias("label"))
     m = LinearRegression(maxIter=GD_ITERS, learningRate=GD_LR, tol=0.0,
-                         globalBatchSize=1 << 40).fit(df)
+                         globalBatchSize=1 << 40, weightRounding=12).fit(df)
     return m.transform(df)[0].select(*KEY, q4(F.col("prediction")).alias("pred"))
 
 
