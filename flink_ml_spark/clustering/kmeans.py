@@ -38,33 +38,47 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         k = self.get_("k")
         measure = self.get_("distanceMeasure")
         sc = df.sparkSession.sparkContext
-        data = df.select(F.col(fcol).alias("__f__"))
-        # Block cache (Spark MLlib KMeans architecture): one numpy matrix
-        # per partition, cached as an RDD.  Per round the only job is
-        # mapPartitions(gemm assignment + partial sums) → treeReduce of
-        # k×(dim+1) doubles — no per-round query planning, no columnar
-        # cache decode, no shuffle; the broadcast centroids are the only
-        # thing shipped.  (A DataFrame groupBy-agg round measured ~0.5 s
-        # of fixed per-job cost at 600 k rows; the block round is ~0.1 s.)
-        from ..common.dataflow import numpy_block_rdd
-        blocks = numpy_block_rdd(data, "__f__", sc.defaultParallelism) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        data = df.select(F.col(fcol).cast("array<double>").alias("__f__"))
+        # Regime-gated by measurement (PLANS.md):
+        # - tiny input (rows*dim <= 2^21 values): ONE Arrow collect, Lloyd
+        #   runs driver-local with identical arithmetic — 20 rounds of task
+        #   scheduling dwarf the compute at that size.
+        # - narrow vectors: columnar cache + per-round codegen'd k*dim
+        #   literal-distance assignment folded into a groupBy partial agg —
+        #   only k*(dim+1) doubles cross the shuffle per round
+        #   (CentroidsUpdateAccumulator + countWindowAll merge of
+        #   KMeans.java:219-315,:171-175, with no p=1 stage on data).
+        # - wide vectors (k*dim >= 256: unrolled codegen overflows janino's
+        #   64 KB method limit): per-round Arrow partials — one numpy gemm
+        #   per partition, k*(dim+1) doubles out.
+        n = data.count()
+        local = False
+        X_all = None
+        dim = None
+        first = df.select(fcol).first()
+        if first is not None:
+            dim = len(first[0])
+            from ..common.optimizer import LOCAL_SOLVE_MAX_VALUES
+            local = n * dim <= LOCAL_SOLVE_MAX_VALUES
+        if local:
+            X_all = np.stack(data.toPandas()["__f__"].to_numpy())
+            centers = self._init_centers(data, k, X_all)
+            prepared = None
+        else:
+            par = sc.defaultParallelism
+            if data.rdd.getNumPartitions() < par:
+                data = data.repartition(par)
+            prepared = data.persist(StorageLevel.MEMORY_AND_DISK)
+            prepared.count()
+            centers = self._init_centers(prepared, k, None)
+        dim = centers.shape[1]
+        wide = k * dim >= 256
+        sum_cols = [F.sum(F.col("__f__")[i]).alias(f"s{i}") for i in range(dim)]
+        from ..common.optimizer import _NoAQE
+        _aqe = _NoAQE(df.sparkSession) if not local else None
+        if _aqe:
+            _aqe.__enter__()
         try:
-            # tiny-input fast path: when the whole dataset is smaller than
-            # one round's worth of partial results would justify (default
-            # 2^21 values ≈ 16 MB), collect the blocks ONCE and run Lloyd
-            # locally — identical init/assignment/update arithmetic, no
-            # per-round job scheduling (20 rounds × ~0.3 s of task latency
-            # dwarfs the compute at 10 k rows).  At production scale the
-            # gate never fires and every round is mapPartitions+treeReduce.
-            sizes = blocks.map(lambda X: X.shape).collect()
-            total_vals = sum(r * c for r, c in sizes)
-            local = total_vals <= (1 << 21)
-            if local:
-                X_all = np.vstack(blocks.collect()) if sizes else None
-                if X_all is None or not len(X_all):
-                    raise ValueError("KMeans: empty input")
-            centers = self._init_centers(data, blocks, k, X_all if local else None)
             for _ in range(self.get_("maxIter")):
                 if local:
                     cid = distance_np(X_all, centers, measure).argmin(axis=1)
@@ -72,8 +86,18 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
                     counts = np.bincount(cid, minlength=k).astype(float)
                     for j in np.unique(cid):
                         sums[j] = X_all[cid == j].sum(axis=0)
+                elif wide:
+                    sums, counts = _wide_partials(prepared, centers, measure)
                 else:
-                    sums, counts = _block_partials(sc, blocks, centers, measure)
+                    cid = closest_centroid_expr(F.col("__f__"), centers, measure)
+                    rows = (prepared.groupBy(cid.alias("__c__"))
+                            .agg(*sum_cols, F.count("*").alias("n"))
+                            .collect())
+                    sums = np.zeros_like(centers)
+                    counts = np.zeros(len(centers))
+                    for r in rows:
+                        sums[r["__c__"]] = [r[f"s{i}"] for i in range(dim)]
+                        counts[r["__c__"]] = r["n"]
                 new_centers = centers.copy()
                 nz = counts > 0
                 new_centers[nz] = sums[nz] / counts[nz, None]
@@ -82,38 +106,38 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
                 if shift <= self.get_("tol"):
                     break
         finally:
-            blocks.unpersist()
+            if _aqe:
+                _aqe.__exit__()
+            if prepared is not None:
+                prepared.unpersist()
         model = KMeansModel()
         model.set_(featuresCol=fcol, predictionCol=self.get_("predictionCol"),
                    distanceMeasure=measure)
         model.model_data = {"centroids": centers.tolist()}
         return model
 
-    def _init_centers(self, data: DataFrame, blocks, k: int,
+    def _init_centers(self, data: DataFrame, k: int,
                       X_local: np.ndarray | None = None) -> np.ndarray:
         if self.get_("initMode") == "first_distinct":
-            # deterministic: k lexicographically-smallest distinct vectors.
-            # np.unique(axis=0) sorts lexicographically, so per-partition
-            # local top-k candidates + a driver merge replace the full
-            # distinct shuffle (k×partitions rows cross the wire)
+            # deterministic: k lexicographically-smallest distinct vectors
+            # (np.unique(axis=0) and Spark array ordering agree)
             if X_local is not None:
                 arr = np.unique(X_local, axis=0)[:k]
-                if len(arr) < k:
-                    raise ValueError(f"KMeans: fewer than k={k} distinct points")
-                return arr
-
-            def local_cands(bs):
-                for X in bs:
-                    yield np.unique(X, axis=0)[:k]
-
-            cands = blocks.mapPartitions(local_cands).collect()
-            if not cands:
-                raise ValueError("KMeans: empty input")
-            arr = np.unique(np.vstack(cands), axis=0)[:k]
+            else:
+                rows = (data.select("__f__").distinct()
+                        .orderBy(F.col("__f__")).limit(k).collect())
+                arr = np.array([list(r["__f__"]) for r in rows], dtype=float)
             if len(arr) < k:
                 raise ValueError(f"KMeans: fewer than k={k} distinct points")
             return arr
         seed = self.get_("seed")
+        if X_local is not None:
+            rng = np.random.RandomState(seed if seed is not None else 0)
+            uniq = np.unique(X_local, axis=0)
+            if len(uniq) < k:
+                raise ValueError(f"KMeans: fewer than k={k} distinct points")
+            idx = rng.choice(len(uniq), size=k, replace=False)
+            return uniq[idx]
         n = data.count()
         frac = min(1.0, (10.0 * k) / max(n, 1))
         sampled = data.sample(False, frac, seed=seed if seed is not None else 0)
@@ -125,31 +149,45 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         return np.array([list(r["__f__"]) for r in rows], dtype=float)
 
 
-def _block_partials(sc, blocks, centers: np.ndarray, measure: str):
-    """One Lloyd round over the numpy block cache: per-partition gemm
-    assignment (argmin ties -> lowest index, matching
-    closest_centroid_expr) + per-cluster partial sums, merged with a
-    depth-2 treeReduce — the reference's CentroidsUpdateAccumulator +
-    countWindowAll merge (KMeans.java:219-315, :171-175) with the p=1
-    merge replaced by a tree (100 TB-safe)."""
-    from ..common.distance import distance_np
-    bc = sc.broadcast(centers)
+def _wide_partials(prepared: DataFrame, centers: np.ndarray, measure: str):
+    """One Lloyd round for wide vectors: per-partition Arrow batches ->
+    numpy gemm assignment + per-cluster partial sums; only
+    partitions x k x (dim+1) doubles come back (the
+    CentroidsUpdateAccumulator shape, KMeans.java:219-315)."""
+    import pickle
 
-    def partials(bs, _meas=measure):
-        C = bc.value
-        k = len(C)
-        S = np.zeros((k, C.shape[1]))
-        N = np.zeros(k)
-        for X in bs:
-            cid = distance_np(X, C, _meas).argmin(axis=1)
+    import pyarrow as pa
+
+    from ..common.distance import distance_np
+    k, dim = centers.shape
+    bc = prepared.sparkSession.sparkContext.broadcast((centers, measure))
+
+    def partials(batches):
+        C, meas = bc.value
+        S = np.zeros((len(C), C.shape[1]))
+        N = np.zeros(len(C))
+        seen = False
+        for b in batches:
+            arr = b.column(0)
+            n = len(arr)
+            if not n:
+                continue
+            seen = True
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, len(flat) // n)
+            cid = distance_np(X, C, meas).argmin(axis=1)
             for j in np.unique(cid):
                 S[j] += X[cid == j].sum(axis=0)
-            N += np.bincount(cid, minlength=k)
-        yield S, N
+            N += np.bincount(cid, minlength=len(C))
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([pickle.dumps((S, N))])], ["blob"])
 
-    sums, counts = blocks.mapPartitions(partials).treeReduce(
-        lambda a, b: (a[0] + b[0], a[1] + b[1]))
+    rows = prepared.select("__f__").mapInArrow(partials, "blob binary").collect()
     bc.unpersist()
+    parts = [pickle.loads(bytes(r[0])) for r in rows]
+    sums = sum((p[0] for p in parts), np.zeros_like(centers))
+    counts = sum((p[1] for p in parts), np.zeros(k))
     return sums, counts
 
 

@@ -121,6 +121,12 @@ class _NoAQE:
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
 
+# tiny-input gate shared by the iterative learners: below this many
+# values the whole train set is collected once and the loop runs
+# driver-local (identical arithmetic).  Tests pin it to 0 to force the
+# distributed path on small fixtures.
+LOCAL_SOLVE_MAX_VALUES = 1 << 21
+
 BinaryLogisticLoss = LossFunc("logistic")
 HingeLoss = LossFunc("hinge")
 LeastSquareLoss = LossFunc("squared")
@@ -133,71 +139,77 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
         weight_decimals: int = 0) -> tuple[np.ndarray, list[float]]:
     """Returns (coefficients, per-round losses).
 
-    The train set is cached as one (label, weight, batch, features...)
-    numpy matrix per partition (Arrow-built block RDD, the same
-    architecture as KMeans); per round ONE mapPartitions(gemm) +
-    treeReduce of dim+2 doubles — the reference's allReduceSum
-    (SGD.java:125-132) with the p=1 merge replaced by a tree.  Tiny
-    inputs (< 2^21 values) collect the blocks once and run the loop
-    driver-local with identical arithmetic."""
+    Regime-gated by measurement (PLANS.md):
+    - tiny input (rows x (dim+3) <= 2^21): ONE Arrow collect, then the
+      identical loop driver-local — round-trip scheduling dwarfs compute.
+    - otherwise: columnar-cached DataFrame, per round ONE codegen'd
+      aggregate of dim+2 sums (partial map-side combine — only dim+2
+      doubles per partition cross the shuffle, the allReduceSum analogue
+      of SGD.java:125-132).  A numpy-block RDD variant measured slower
+      end-to-end at 10-round fits: its build fee (shuffle + two Python
+      hops) exceeds the ~0.2 s/round it saves.
+    """
     from pyspark import StorageLevel
 
-    from .dataflow import numpy_block_rdd
-
     sc = df.sparkSession.sparkContext
-    # num_batches needs a count only when mini-batching is actually on
-    if global_batch_size >= (1 << 40):
-        num_batches = 1
-    else:
-        num_batches = max(1, int(np.ceil(df.count() / global_batch_size)))
+    n = df.count()
+    num_batches = (1 if global_batch_size >= n
+                   else max(1, int(np.ceil(n / global_batch_size))))
     w_col = (F.col(weight_col).cast("double") if weight_col else F.lit(1.0))
-    packed = df.select(F.concat(
-        F.array(F.col(label_col).cast("double"), w_col,
-                F.pmod(F.monotonically_increasing_id(),
-                       F.lit(num_batches)).cast("double")),
-        F.col(features_col).cast("array<double>")).alias("__p__"))
-    blocks = numpy_block_rdd(packed, "__p__", sc.defaultParallelism) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-
-    def _partial(P: np.ndarray, wv: np.ndarray, bid):
-        if bid is not None:
-            P = P[P[:, 2] == bid]
-        if not len(P):
-            return np.zeros(dim), 0.0, 0.0
-        y, wgt, X = P[:, 0], P[:, 1], P[:, 3:]
-        m = X @ wv
-        r = loss.residual_np(m, y) * wgt
-        return X.T @ r, float((loss.loss_np(m, y) * wgt).sum()), float(wgt.sum())
+    prepared = df.select(
+        F.col(features_col).cast("array<double>").alias("__f__"),
+        F.col(label_col).cast("double").alias("__y__"),
+        w_col.alias("__w__"),
+        F.pmod(F.monotonically_increasing_id(), F.lit(num_batches))
+        .cast("double").alias("__batch__"))
 
     w = np.zeros(dim) if init_w is None else np.asarray(init_w, dtype=float).copy()
     losses: list[float] = []
     prev_loss = None
-    try:
-        counts = blocks.map(len).collect()
-        total = sum(counts)
-        if total == 0:
+
+    local = n * (dim + 3) <= LOCAL_SOLVE_MAX_VALUES
+    if local:
+        pdf = prepared.toPandas()
+        X = np.stack(pdf["__f__"].to_numpy()) if len(pdf) else np.zeros((0, dim))
+        y = pdf["__y__"].to_numpy(dtype=float)
+        wgt = pdf["__w__"].to_numpy(dtype=float)
+        bcol = pdf["__batch__"].to_numpy(dtype=float)
+        if not len(X):
             return w, losses
-        local = total * (dim + 3) <= (1 << 21)
-        X_all = np.vstack(blocks.collect()) if local else None
+    else:
+        par = sc.defaultParallelism
+        if prepared.rdd.getNumPartitions() < par:
+            prepared = prepared.repartition(par)
+        prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
+        prepared.count()
+        _aqe = _NoAQE(df.sparkSession)
+        _aqe.__enter__()
+    try:
         for it in range(max_iter):
-            bid = float(it % num_batches) if num_batches > 1 else None
+            bid = it % num_batches
             if local:
-                grad, lsum, weight_sum = _partial(X_all, w, bid)
+                mask = slice(None) if num_batches == 1 else (bcol == bid)
+                Xb, yb, wb = X[mask], y[mask], wgt[mask]
+                m = Xb @ w
+                r = loss.residual_np(m, yb) * wb
+                grad = Xb.T @ r
+                lsum = float((loss.loss_np(m, yb) * wb).sum())
+                weight_sum = float(wb.sum())
             else:
-                bc = sc.broadcast(w)
-
-                def part(bs, _bid=bid):
-                    G, L, WS = np.zeros(dim), 0.0, 0.0
-                    for P in bs:
-                        g, l, ws = _partial(P, bc.value, _bid)
-                        G += g
-                        L += l
-                        WS += ws
-                    yield G, L, WS
-
-                grad, lsum, weight_sum = blocks.mapPartitions(part).treeReduce(
-                    lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]))
-                bc.unpersist()
+                batch = (prepared if num_batches == 1
+                         else prepared.filter(F.col("__batch__") == F.lit(float(bid))))
+                margin = dot_lit(F.col("__f__"), w)
+                r = (loss.residual(margin, F.col("__y__")) * F.col("__w__")).alias("__r__")
+                l = (loss.loss(margin, F.col("__y__")) * F.col("__w__")).alias("__l__")
+                row = (batch.select(r, l, F.col("__w__"), F.col("__f__"))
+                       .agg(*[F.sum(F.col("__r__") * F.col("__f__")[j]).alias(f"g{j}")
+                              for j in range(dim)],
+                            F.sum("__l__").alias("lsum"),
+                            F.sum("__w__").alias("wsum"))
+                       .first())
+                grad = np.array([row[f"g{j}"] or 0.0 for j in range(dim)])
+                weight_sum = row["wsum"] or 0.0
+                lsum = row["lsum"] or 0.0
             loss_val = lsum / max(weight_sum, 1e-300)
             losses.append(float(loss_val))
             if weight_sum > 0:
@@ -216,5 +228,7 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
                 break
             prev_loss = loss_val
     finally:
-        blocks.unpersist()
+        if not local:
+            _aqe.__exit__()
+            prepared.unpersist()
     return w, losses

@@ -101,3 +101,35 @@ def test_knn(spark):
                                  "id long, features array<double>")
     got = {r["id"]: r["prediction"] for r in model.transform(test)[0].collect()}
     assert got == {1: 0.0, 2: 1.0}
+
+
+def test_sgd_distributed_matches_local(spark, monkeypatch):
+    """The distributed DF-agg rounds and the tiny-input local loop are the
+    same algorithm — force both on one fixture and compare coefficients."""
+    import numpy as np
+    from flink_ml_spark.common import optimizer
+    from flink_ml_spark.classification import LogisticRegression
+
+    data = [([float(i % 7) / 7, 1.0], float(i % 2)) for i in range(200)]
+    df = spark.createDataFrame(data, "features array<double>, label double")
+    kw = dict(featuresCol="features", labelCol="label", maxIter=5,
+              learningRate=0.5, tol=0.0, globalBatchSize=1 << 40)
+    m_local = LogisticRegression(**kw).fit(df)
+    monkeypatch.setattr(optimizer, "LOCAL_SOLVE_MAX_VALUES", 0)
+    m_dist = LogisticRegression(**kw).fit(df)
+    np.testing.assert_allclose(m_local.model_data["coefficient"],
+                               m_dist.model_data["coefficient"], rtol=1e-9)
+
+
+def test_kmeans_distributed_matches_local(spark, monkeypatch):
+    import numpy as np
+    from flink_ml_spark.common import optimizer
+    from flink_ml_spark.clustering import KMeans
+
+    data = [([float(i % 10), float((i * 3) % 7)],) for i in range(300)]
+    df = spark.createDataFrame(data, "features array<double>")
+    kw = dict(k=3, maxIter=5, initMode="first_distinct", tol=0.0)
+    c_local = KMeans(**kw).fit(df).model_data["centroids"]
+    monkeypatch.setattr(optimizer, "LOCAL_SOLVE_MAX_VALUES", 0)
+    c_dist = KMeans(**kw).fit(df).model_data["centroids"]
+    np.testing.assert_allclose(c_local, c_dist, rtol=1e-9)
