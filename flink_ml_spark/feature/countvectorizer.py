@@ -67,31 +67,57 @@ class CountVectorizerModel(Model, HasInputCol, HasOutputCol):
     binary = BoolParam("binary", "Binary output toggles.", False)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        # Arrow-vectorized UDF with the vocab dict shipped to executors —
-        # O(1) per-token lookup, same design as Spark MLlib's own
-        # CountVectorizerModel (a closure over the broadcast vocab).  A pure
-        # Column-expression plan needs a per-token map lookup + per-distinct
-        # count scan, which is quadratic per document and re-evaluated on
-        # every downstream reference.
+        # Arrow UDF, fully vectorized: the batch's tokens are flattened
+        # once, resolved against the SORTED vocab with searchsorted (no
+        # per-token Python), then (row, term) pairs are counted with one
+        # np.unique over composite int keys and sliced back into per-row
+        # ListArrays.  Same broadcast-vocab design as Spark MLlib's
+        # CountVectorizerModel, minus the per-row Counter loop.
         from pyspark.sql.functions import pandas_udf
-        vocab = {t: i for i, t in enumerate(self.model_data["vocabulary"])}
-        size = len(vocab)
+        vocabulary = list(self.model_data["vocabulary"])
+        size = len(vocabulary)
+        order = np.argsort(np.asarray(vocabulary, dtype=object))
+        vocab_sorted = np.asarray(vocabulary, dtype=object)[order]
+        sorted_to_orig = np.asarray(order, dtype=np.int64)
         min_tf = float(self.get_("minTF"))
         binary = self.get_("binary")
 
         @pandas_udf("struct<size:int,indices:array<int>,values:array<double>>")
         def to_sparse(tokens):
             import pandas as pd
-            from collections import Counter
-            out = {"size": [], "indices": [], "values": []}
-            for toks in tokens:
-                cnt = Counter(vocab[t] for t in toks if t in vocab)
-                thr = min_tf if min_tf >= 1.0 else min_tf * len(toks)
-                items = sorted((i, c) for i, c in cnt.items() if c >= thr)
-                out["size"].append(size)
-                out["indices"].append([i for i, _ in items])
-                out["values"].append([1.0 if binary else float(c) for _, c in items])
-            return pd.DataFrame(out)
+            import pyarrow as pa
+            from flink_ml_spark.llmdata.dedup import flat_tokens
+            flat, lens, starts = flat_tokens(tokens)
+            m = len(lens)
+            if len(flat):
+                pos = np.searchsorted(vocab_sorted, flat)
+                pos_c = np.clip(pos, 0, len(vocab_sorted) - 1)
+                hit = vocab_sorted[pos_c] == flat if len(vocab_sorted) \
+                    else np.zeros(len(flat), dtype=bool)
+                row_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+                rows_h = row_of[hit]
+                terms_h = sorted_to_orig[pos_c[hit]]
+                keys, counts = np.unique(rows_h * size + terms_h,
+                                         return_counts=True)
+                krow, kterm = keys // size, keys % size
+                thr = (np.full(len(keys), min_tf) if min_tf >= 1.0
+                       else min_tf * lens[krow])
+                keep = counts >= thr
+                krow, kterm, counts = krow[keep], kterm[keep], counts[keep]
+            else:
+                krow = np.empty(0, dtype=np.int64)
+                kterm = counts = krow
+            per_row = np.bincount(krow, minlength=m)
+            offsets = np.zeros(m + 1, dtype=np.int32)
+            np.cumsum(per_row, out=offsets[1:])
+            vals = (np.ones(len(kterm)) if binary
+                    else counts.astype(np.float64))
+            ind = pa.ListArray.from_arrays(pa.array(offsets),
+                                           pa.array(kterm.astype(np.int32)))
+            val = pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals))
+            return pd.DataFrame({"size": np.full(m, size, dtype=np.int32),
+                                 "indices": ind.to_pandas(),
+                                 "values": val.to_pandas()})
 
         return df.withColumn(self.get_("outputCol"),
                              to_sparse(F.col(self.get_("inputCol"))))
@@ -108,15 +134,25 @@ class IDF(Estimator, HasInputCol, HasOutputCol):
         # input: count/tf vectors as dense array<double> (or sparse struct)
         dtype = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[col]
         if dtype.startswith("struct"):
-            from .functions import vector_to_array
-            vec = vector_to_array(F.col(col))
+            # doc-freq straight from the sparse indices — never densify
+            # (a dense explode of |vocab|-dim vectors is vocab x docs rows)
+            c = F.col(col)
+            nz = F.filter(F.arrays_zip(c["indices"].alias("i"),
+                                       c["values"].alias("v")),
+                          lambda e: e["v"] != 0.0)
+            exploded = df.select(
+                F.explode(F.transform(nz, lambda e: e["i"])).alias("pos"))
+            dim_row = df.select(F.max(c["size"]).alias("d")).first()
+            dim = int(dim_row["d"] or 0)
         else:
-            vec = F.col(col)
-        exploded = df.select(F.posexplode(vec).alias("pos", "x"))
-        rows = (exploded.groupBy("pos")
-                .agg(F.sum(F.when(F.col("x") != 0.0, 1).otherwise(0)).alias("df"))
-                .orderBy("pos").collect())
-        dfreq = np.array([r["df"] for r in rows], dtype=float)
+            exploded = (df.select(F.posexplode(F.col(col)).alias("pos", "x"))
+                        .where(F.col("x") != 0.0).select("pos"))
+            dim_row = df.select(F.max(F.size(F.col(col))).alias("d")).first()
+            dim = int(dim_row["d"] or 0)
+        rows = exploded.groupBy("pos").count().collect()
+        dfreq = np.zeros(dim, dtype=float)
+        for r in rows:
+            dfreq[r["pos"]] = r["count"]
         idf = np.log((n_docs + 1.0) / (dfreq + 1.0))
         idf = np.where(dfreq >= self.get_("minDocFreq"), idf, 0.0)
         model = IDFModel()

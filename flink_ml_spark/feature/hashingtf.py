@@ -111,12 +111,15 @@ class FeatureHasher(Transformer, HasInputCols, HasOutputCol, HasCategoricalCols,
         is_cat = {c: (c in cat or schema[c] in ("string", "boolean")) for c in cols}
 
         poly_maps: dict[str, Column] = {}
-        if algo == "poly":
-            for c in (c for c in cols if is_cat[c]):
-                vals = [r[0] for r in df.select(F.col(c).cast("string"))
-                        .where(F.col(c).isNotNull()).distinct().collect()]
+        cat_cols = [c for c in cols if is_cat[c]]
+        if algo == "poly" and cat_cols:
+            # one scan for all columns' distinct values (collect_set has
+            # map-side partial aggregation — only distincts shuffle)
+            row = df.agg(*[F.collect_set(F.col(c).cast("string")).alias(c)
+                           for c in cat_cols]).first()
+            for c in cat_cols:
                 poly_maps[c] = F.create_map(
-                    *[x for v in vals
+                    *[x for v in row[c]
                       for x in (F.lit(v), F.lit(poly_hash31(f"{c}={v}") % n))])
 
         def bucket_value(c: str) -> tuple[Column, Column]:
