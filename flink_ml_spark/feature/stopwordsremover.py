@@ -47,8 +47,27 @@ ENGLISH_STOP_WORDS = [
 
 
 def load_default_stop_words(language: str = "english") -> list[str]:
+    """Default corpus per language — the same Snowball lists the reference
+    bundles (flink-ml-lib/src/main/resources/.../stopwords/, 14 languages,
+    identical to Spark MLlib's).  Read straight from the spark-mllib jar
+    resource so no SparkSession is needed (servable/local path)."""
     if language == "english":
         return list(ENGLISH_STOP_WORDS)
+    import glob
+    import os
+    import zipfile
+
+    import pyspark
+    jars = glob.glob(os.path.join(os.path.dirname(pyspark.__file__),
+                                  "jars", "spark-mllib_*.jar"))
+    for jar in jars:
+        with zipfile.ZipFile(jar) as z:
+            name = f"org/apache/spark/ml/feature/stopwords/{language}.txt"
+            try:
+                with z.open(name) as f:
+                    return f.read().decode("utf-8").splitlines()
+            except KeyError:
+                continue
     from pyspark.ml.feature import StopWordsRemover as _S
     return list(_S.loadDefaultStopWords(language))
 
