@@ -106,3 +106,45 @@ def test_dataflow_primitives_exist():
                "all_reduce_sum", "co_group", "window_all_and_process",
                "generate_batch_data", "with_broadcast", "numpy_block_rdd"):
         assert callable(getattr(dataflow, fn)), fn
+
+
+import os
+
+
+@pytest.mark.skipif(not os.path.isdir(
+    "/root/reference/flink-ml-lib/src/main/resources/org/apache/flink/ml/feature/stopwords"),
+    reason="reference corpus not available")
+@pytest.mark.parametrize("lang", [
+    "english", "danish", "dutch", "finnish", "french", "german", "hungarian",
+    "italian", "norwegian", "portuguese", "russian", "spanish", "swedish",
+    "turkish"])
+def test_stopwords_corpus_parity(lang):
+    """The bundled per-language defaults equal the reference's corpus
+    (flink-ml-lib/src/main/resources/.../stopwords/, 14 languages)."""
+    from flink_ml_spark.feature.stopwordsremover import load_default_stop_words
+    ref = set(open(
+        "/root/reference/flink-ml-lib/src/main/resources/org/apache/flink/ml/"
+        f"feature/stopwords/{lang}.txt").read().splitlines())
+    assert set(load_default_stop_words(lang)) == ref
+
+
+def test_servable_transform_local_matches_spark(spark):
+    """Servable path parity (TransformerServable.java:38-48 equivalent):
+    a fitted pipeline's transform_local(pandas) output matches the Spark
+    transform on the same rows — no cluster needed for inference."""
+    import pandas as pd
+    from flink_ml_spark.feature import StandardScaler
+    from flink_ml_spark.classification import LogisticRegression
+    from flink_ml_spark.pipeline import Pipeline
+
+    data = [([float(i), float(i % 3)], float(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(data, "features array<double>, label double")
+    pm = Pipeline(stages=[
+        StandardScaler(inputCol="features", outputCol="scaled"),
+        LogisticRegression(featuresCol="scaled", labelCol="label", maxIter=3,
+                           globalBatchSize=1 << 40, tol=0.0)]).fit(df)
+    spark_out = pm.transform(df)[0].select("prediction").toPandas()
+    pdf = pd.DataFrame({"features": [d[0] for d in data],
+                        "label": [d[1] for d in data]})
+    local_out = pm.transform_local(pdf)
+    assert list(local_out["prediction"]) == list(spark_out["prediction"])
