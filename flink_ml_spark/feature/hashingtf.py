@@ -5,11 +5,12 @@ vector, ``binary`` option) and feature/featurehasher/FeatureHasher.java:68
 (categorical ``name=value`` → 1.0, numeric ``name`` → value, collisions
 accumulate; MurmurHash3).
 
-Spark-first: term hashing uses ``F.hash`` (Spark's JVM MurmurHash3 x86_32,
-seed 42 — same family the reference uses) and the whole transform is
-higher-order expressions, no Python.  ``hashAlgorithm='poly'`` swaps in a
-deterministic polynomial rolling hash expressible in any SQL engine, which
-the oracle queries use for cross-engine verification.
+Spark-first split of work: fixed-width hashing (FeatureHasher) runs
+JVM-side in whole-stage codegen (murmur3 = ``F.hash``, seed 42 — the
+family the reference uses); variable-length sparse assembly crosses Arrow
+once and is fully numpy-vectorized (flat buffers + ListArrays, no per-row
+Python).  ``hashAlgorithm='poly'`` swaps in a polynomial rolling hash
+expressible in any SQL engine — the oracle queries' cross-engine path.
 """
 
 from __future__ import annotations
@@ -34,6 +35,25 @@ def _poly_hash(col: Column) -> Column:
                        lambda acc, ch: (acc * 31 + F.ascii(ch)) % POLY_MOD)
 
 
+def _np_poly31(tokens) -> "np.ndarray":
+    """Vectorized poly_hash31 (mod 2^31-1) over a 1-D string sequence:
+    codepoint matrix fold, one numpy pass per character position."""
+    import numpy as np
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    u = np.asarray(tokens, dtype="U")
+    width = u.dtype.itemsize // 4
+    if width == 0:
+        return np.zeros(n, dtype=np.int64)
+    C = u.view(np.uint32).reshape(n, width).astype(np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(width):
+        c = C[:, j]
+        h = np.where(c == 0, h, (h * 31 + c) % POLY_MOD)
+    return h
+
+
 def term_index(term: Column, num_features: int, algo: str) -> Column:
     if algo == "poly":
         h = _poly_hash(term)
@@ -48,37 +68,52 @@ class HashingTF(Transformer, HasInputCol, HasOutputCol, HasNumFeatures):
                                 ParamValidators.in_array(["native", "poly"]))
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        # One Arrow UDF does hash + count with a per-batch memo of distinct
-        # terms — O(n) per row.  Hashing in Python rather than a JVM
-        # expression: the Python murmur3 is verified bit-exact against
-        # F.hash, and a higher-order lambda can't be nested inside a Python
-        # UDF argument (Catalyst INTERNAL_ERROR after CollapseProject).
+        # One Arrow UDF, vectorized: flatten the batch's tokens, hash each
+        # DISTINCT token once (np.unique inverse; the poly hash is a pure
+        # numpy codepoint fold, murmur3 runs per distinct only — verified
+        # bit-exact against F.hash), count (row, bucket) pairs with one
+        # np.unique over composite keys, and build the per-row ListArrays
+        # from flat buffers.  No per-row or per-token Python.
         from pyspark.sql.functions import pandas_udf
-        from ..common.hashing import poly_hash31, spark_murmur3_32
+        from ..common.hashing import spark_murmur3_32
         n = self.get_("numFeatures")
         algo = self.get_("hashAlgorithm")
         binary = self.get_("binary")
-        raw = poly_hash31 if algo == "poly" else spark_murmur3_32
 
         @pandas_udf("struct<size:int,indices:array<int>,values:array<double>>")
         def to_sparse(tokens):
+            import numpy as np
             import pandas as pd
-            from collections import Counter
-            memo: dict = {}
-
-            def bucket(t):
-                i = memo.get(t)
-                if i is None:
-                    i = memo[t] = raw(t) % n
-                return i
-
-            out = {"size": [], "indices": [], "values": []}
-            for toks in tokens:
-                items = sorted(Counter(bucket(t) for t in toks).items())
-                out["size"].append(n)
-                out["indices"].append([i for i, _ in items])
-                out["values"].append([1.0 if binary else float(c) for _, c in items])
-            return pd.DataFrame(out)
+            import pyarrow as pa
+            from flink_ml_spark.llmdata.dedup import flat_tokens
+            flat, lens, _ = flat_tokens(tokens)
+            m = len(lens)
+            if len(flat):
+                uniq, inv = np.unique(flat, return_inverse=True)
+                if algo == "poly":
+                    uh = _np_poly31(uniq)
+                else:
+                    uh = np.fromiter((spark_murmur3_32(t) for t in uniq),
+                                     dtype=np.int64, count=len(uniq))
+                buckets = np.mod(uh, n)[inv]
+                row_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+                keys, counts = np.unique(row_of * n + buckets,
+                                         return_counts=True)
+                krow, kbkt = keys // n, keys % n
+            else:
+                krow = np.empty(0, dtype=np.int64)
+                kbkt = counts = krow
+            per_row = np.bincount(krow, minlength=m)
+            offsets = np.zeros(m + 1, dtype=np.int32)
+            np.cumsum(per_row, out=offsets[1:])
+            vals = (np.ones(len(kbkt)) if binary
+                    else counts.astype(np.float64))
+            ind = pa.ListArray.from_arrays(pa.array(offsets),
+                                           pa.array(kbkt.astype(np.int32)))
+            val = pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals))
+            return pd.DataFrame({"size": np.full(m, n, dtype=np.int32),
+                                 "indices": ind.to_pandas(),
+                                 "values": val.to_pandas()})
 
         return df.withColumn(self.get_("outputCol"),
                              to_sparse(F.col(self.get_("inputCol"))))
