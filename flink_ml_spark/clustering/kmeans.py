@@ -51,25 +51,23 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         # - wide vectors (k*dim >= 256: unrolled codegen overflows janino's
         #   64 KB method limit): per-round Arrow partials — one numpy gemm
         #   per partition, k*(dim+1) doubles out.
-        n = data.count()
-        local = False
-        X_all = None
-        dim = None
+        par = sc.defaultParallelism
+        if data.rdd.getNumPartitions() < par:
+            data = data.repartition(par)
+        cached = data.persist(StorageLevel.MEMORY_AND_DISK)
+        n = cached.count()  # ONE scan: gate + cache materialization
         first = df.select(fcol).first()
-        if first is not None:
-            dim = len(first[0])
-            from ..common.optimizer import LOCAL_SOLVE_MAX_VALUES
-            local = n * dim <= LOCAL_SOLVE_MAX_VALUES
+        dim = len(first[0]) if first is not None else 0
+        from ..common.optimizer import LOCAL_SOLVE_MAX_VALUES
+        local = n * dim <= LOCAL_SOLVE_MAX_VALUES
+        X_all = None
         if local:
-            X_all = np.stack(data.toPandas()["__f__"].to_numpy())
-            centers = self._init_centers(data, k, X_all)
+            X_all = np.stack(cached.toPandas()["__f__"].to_numpy())
+            cached.unpersist()
+            centers = self._init_centers(cached, k, X_all)
             prepared = None
         else:
-            par = sc.defaultParallelism
-            if data.rdd.getNumPartitions() < par:
-                data = data.repartition(par)
-            prepared = data.persist(StorageLevel.MEMORY_AND_DISK)
-            prepared.count()
+            prepared = cached
             centers = self._init_centers(prepared, k, None)
         dim = centers.shape[1]
         wide = k * dim >= 256

@@ -6,15 +6,14 @@ SGD.java:67, RegularizationUtils.java:34) and loss trio
 
 The reference runs SGD inside its 12k-LoC iteration framework with
 allReduceSum gradient sync (SGD.java:125-132).  Spark-first (SURVEY §3.2):
-a driver ``for`` loop over an Arrow-built numpy block cache (one
-(label, weight, batch, features…) matrix per partition — see
-``dataflow.numpy_block_rdd``); each round is ONE
-``mapPartitions(gemm gradient partials) → treeReduce`` job and only
-dim+2 doubles reach the driver — the allReduceSum analogue with the p=1
-merge replaced by a tree.  Mini-batches: a precomputed batch column
-cycles deterministically (batch b on round r where r ≡ b mod
-numBatches) — mirroring SGD.java's per-round local batch walk
-(:262-284).  Tiny inputs run the identical loop driver-local.
+a driver ``for`` loop over a columnar-cached DataFrame; each round is ONE
+codegen'd aggregate of dim+2 sums with map-side partial combine — only
+dim+2 doubles per partition cross the shuffle (the allReduceSum
+analogue, no p=1 stage on data).  Mini-batches: a batch column derived
+from the cached layout cycles deterministically (batch b on round r
+where r ≡ b mod numBatches) — mirroring SGD.java's per-round local
+batch walk (:262-284).  Tiny inputs run the identical loop
+driver-local (see sgd()'s regime notes).
 Regularization: elastic net  reg*(en*||w||_1 + (1-en)/2*||w||_2²) applied
 driver-side (RegularizationUtils.java:26-31).
 """
@@ -152,16 +151,23 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
     from pyspark import StorageLevel
 
     sc = df.sparkSession.sparkContext
-    n = df.count()
-    num_batches = (1 if global_batch_size >= n
-                   else max(1, int(np.ceil(n / global_batch_size))))
     w_col = (F.col(weight_col).cast("double") if weight_col else F.lit(1.0))
-    prepared = df.select(
+    base = df.select(
         F.col(features_col).cast("array<double>").alias("__f__"),
         F.col(label_col).cast("double").alias("__y__"),
-        w_col.alias("__w__"),
-        F.pmod(F.monotonically_increasing_id(), F.lit(num_batches))
-        .cast("double").alias("__batch__"))
+        w_col.alias("__w__"))
+    par = sc.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    n = base.count()  # ONE scan: gate + num_batches + cache materialization
+    num_batches = (1 if global_batch_size >= n
+                   else max(1, int(np.ceil(n / global_batch_size))))
+    # batch ids derive from the CACHED layout, so they are stable across
+    # every round's job
+    prepared = base.withColumn(
+        "__batch__", F.pmod(F.monotonically_increasing_id(),
+                            F.lit(num_batches)).cast("double"))
 
     w = np.zeros(dim) if init_w is None else np.asarray(init_w, dtype=float).copy()
     losses: list[float] = []
@@ -170,6 +176,7 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
     local = n * (dim + 3) <= LOCAL_SOLVE_MAX_VALUES
     if local:
         pdf = prepared.toPandas()
+        base.unpersist()
         X = np.stack(pdf["__f__"].to_numpy()) if len(pdf) else np.zeros((0, dim))
         y = pdf["__y__"].to_numpy(dtype=float)
         wgt = pdf["__w__"].to_numpy(dtype=float)
@@ -177,11 +184,6 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
         if not len(X):
             return w, losses
     else:
-        par = sc.defaultParallelism
-        if prepared.rdd.getNumPartitions() < par:
-            prepared = prepared.repartition(par)
-        prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
-        prepared.count()
         _aqe = _NoAQE(df.sparkSession)
         _aqe.__enter__()
     try:
@@ -230,5 +232,5 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
     finally:
         if not local:
             _aqe.__exit__()
-            prepared.unpersist()
+            base.unpersist()
     return w, losses
