@@ -36,7 +36,7 @@ HEADLINE = [
     "naive_bayes", "kmeans", "knn", "chisq_test", "anova_test", "fvalue_test",
     "binary_evaluator", "exact_dedup", "simhash_dedup", "minhash_signature",
     "ann_bruteforce", "language_id", "text_quality", "token_count",
-    "fingerprint",
+    "fingerprint", "llm_prep_pipeline",
 ]
 
 

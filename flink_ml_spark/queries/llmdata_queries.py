@@ -451,7 +451,72 @@ SELECT * FROM feat UNION ALL SELECT * FROM frames
 MEDIA_PIPELINE_SQL = _media_pipeline_sql()
 
 
+def llm_prep_pipeline(spark, sf_dir):
+    """End-to-end training-data prep composed from the engine's own
+    operators: language-ID filter (en) → quality filter (score ≥ 0.5) →
+    exact dedup (keep lowest doc_id per text) → deterministic hash split
+    (90/10 train/eval) → per-doc token count.  The shape every 100 TB
+    corpus pipeline takes: row-local scoring, one dedup shuffle, a pure
+    row-function split."""
+    from ..feature import RandomSplitter
+    docs = load(spark, sf_dir, "documents")
+    lang = LanguageIdentifier(inputCol="text", outputCol="lang_pred")
+    qual = TextQualityScorer(inputCol="text")
+    tok = TokenCounter(inputCol="text")
+    dedup = ExactDeduplicator(inputCol="text").set_(idCol="doc_id")
+    scored = qual.transform(lang.transform(docs)[0])[0]
+    kept = scored.where((F.col("lang_pred") == "en")
+                        & (F.col("quality_score") >= 0.5))
+    deduped = dedup.transform(kept)[0]
+    splits = RandomSplitter(weights=[0.9, 0.1], seed=7, splitStrategy="hash",
+                            hashCol="doc_id").transform(deduped)
+    parts = [s.withColumn("split", F.lit(i)) for i, s in enumerate(splits)]
+    union = parts[0].unionAll(parts[1])
+    return tok.transform(union)[0].select("doc_id", "split", "n_tokens_ws")
+
+
+def _llm_prep_sql() -> str:
+    cases = []
+    for lang in sorted(LANG_MARKERS):
+        lit = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        cases.append(f"len(list_filter({TOKS}, t -> t IN ({lit}))) AS hit_{lang}")
+    langs = sorted(LANG_MARKERS)
+    pairs = ", ".join(f"{{'neg': -hit_{l}, 'lang': '{l}'}}" for l in langs)
+    stop_lit = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    mean_wl = (f"CASE WHEN len({TOKS}) > 0 THEN CAST(list_sum(list_transform("
+               f"{TOKS}, t -> length(t))) AS DOUBLE) / len({TOKS}) ELSE 0.0 END")
+    stop_ratio = (f"CASE WHEN len({TOKS}) > 0 THEN CAST(len(list_filter({TOKS}, "
+                  f"t -> t IN ({stop_lit}))) AS DOUBLE) / len({TOKS}) ELSE 0.0 END")
+    digit_ratio = ("CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace("
+                   "text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) "
+                   "ELSE 0.0 END")
+    score = (f"(CASE WHEN ({mean_wl}) >= 3 AND ({mean_wl}) <= 10 THEN 0.4 ELSE 0.0 END"
+             f" + CASE WHEN ({stop_ratio}) >= 0.05 THEN 0.3 ELSE 0.0 END"
+             f" + CASE WHEN ({digit_ratio}) <= 0.2 THEN 0.2 ELSE 0.0 END"
+             f" + CASE WHEN len({TOKS}) >= 10 THEN 0.1 ELSE 0.0 END)")
+    return f"""
+WITH hits AS (SELECT doc_id, text, {', '.join(cases)} FROM documents),
+lang AS (SELECT doc_id, text, list_min([{pairs}]) AS b FROM hits),
+kept AS (
+  SELECT doc_id, text FROM lang
+  WHERE (CASE WHEN b['neg'] < 0 THEN b['lang'] ELSE 'und' END) = 'en'
+    AND ({score}) >= 0.5),
+deduped AS (
+  SELECT doc_id, text FROM kept
+  WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text))
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761 + 7) % 2147483648 / 2147483648.0 < 0.9
+            THEN 0 ELSE 1 END AS split,
+       CAST(len({TOKS}) AS INT) AS n_tokens_ws
+FROM deduped
+"""
+
+
+LLM_PREP_SQL = _llm_prep_sql()
+
+
 QUERIES = {
+    "llm_prep_pipeline": (llm_prep_pipeline, LLM_PREP_SQL),
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "media_pipeline": (media_pipeline, MEDIA_PIPELINE_SQL),
