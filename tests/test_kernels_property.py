@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the deterministic kernels the
+oracle gate leans on.  These are pure-Python/numpy — no SparkSession —
+so they run in milliseconds and cover the input space the example-based
+tests cannot.  (Beyond the reference's test strategy, which has no
+property testing — SURVEY §5.)
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from flink_ml_spark.common.hashing import POLY_MOD, poly_hash31, spark_murmur3_32
+from flink_ml_spark.feature.hashingtf import _np_poly31
+from flink_ml_spark.llmdata.dedup import (MINHASH_PRIME, flat_tokens,
+                                          np_poly_hash)
+
+token = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+    min_size=0, max_size=24)
+
+
+@given(st.lists(token, min_size=1, max_size=50))
+def test_np_poly_hash_matches_scalar(tokens):
+    """Vectorized codepoint-matrix fold == per-char Python fold (mod P)."""
+    vec = np_poly_hash(np.asarray(tokens, dtype=object))
+    for t, h in zip(tokens, vec):
+        expect = 0
+        for ch in t:
+            expect = (expect * 31 + ord(ch)) % MINHASH_PRIME
+        assert h == expect
+
+
+@given(st.lists(token, min_size=1, max_size=50))
+def test_np_poly31_matches_poly_hash31(tokens):
+    vec = _np_poly31(np.asarray(tokens, dtype=object))
+    for t, h in zip(tokens, vec):
+        assert h == poly_hash31(t), t
+
+
+@given(st.lists(st.lists(token, max_size=8) | st.none(), min_size=1,
+                max_size=30))
+def test_flat_tokens_roundtrip(rows):
+    flat, lens, starts = flat_tokens(rows)
+    assert len(flat) == sum(len(r) for r in rows if r is not None)
+    for i, r in enumerate(rows):
+        want = list(r) if r is not None else []
+        assert list(flat[starts[i]:starts[i] + lens[i]]) == want
+
+
+@given(st.text(min_size=0, max_size=64))
+@settings(max_examples=200)
+def test_murmur3_is_signed_32bit_and_deterministic(s):
+    h1, h2 = spark_murmur3_32(s), spark_murmur3_32(s)
+    assert h1 == h2
+    assert -(1 << 31) <= h1 < (1 << 31)
+
+
+def test_murmur3_known_spark_values():
+    """Bit-exact against Spark's F.hash, captured from a live session
+    (hash(lit('x')) etc.) — pins the tail/sign handling."""
+    assert spark_murmur3_32("") == 142593372
+    assert spark_murmur3_32("a") == 1485273170
+    assert spark_murmur3_32("ab") == -97053317
+    assert spark_murmur3_32("abc") == 1322437556
+    assert spark_murmur3_32("abcd") == -396302900
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=2, max_size=200),
+       st.lists(st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+                min_size=1, max_size=5))
+def test_order_statistic_interpolation_matches_numpy(values, probs):
+    """The driver-side interpolation in _exact_quantiles is
+    percentile_cont: value at rank h=(n-1)p with linear interpolation —
+    numpy's 'linear' percentile is the same definition."""
+    arr = np.asarray(values, dtype=float)
+    srt = np.sort(arr)
+    n = len(srt)
+    for p in probs:
+        h = (n - 1) * p
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        got = srt[lo] + (h - lo) * (srt[hi] - srt[lo])
+        want = np.percentile(arr, p * 100, method="linear")
+        assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
