@@ -79,12 +79,14 @@ def _exact_quantiles(exploded: DataFrame, probs: list[float]) -> np.ndarray:
 
     counts = (exploded.where(F.col("x").isNotNull())
               .groupBy("pos", "x").agg(F.count("*").alias("c")))
+    counts = counts.persist()
     w = (Window.partitionBy("pos").orderBy("x")
          .rowsBetween(Window.unboundedPreceding, 0))
     cum = counts.withColumn("cum", F.sum("c").over(w))
+    # per-dim row counts come from the (much smaller) cached counts
+    # relation — one scan of the base data total
     ns = {r["pos"]: r["n"] for r in
-          exploded.where(F.col("x").isNotNull())
-          .groupBy("pos").agg(F.count("*").alias("n")).collect()}
+          counts.groupBy("pos").agg(F.sum("c").alias("n")).collect()}
     # target order-statistic indices per dim: h = (n-1)p → floor/ceil
     targets: dict[int, set[int]] = {}
     for pos, n in ns.items():
@@ -103,6 +105,7 @@ def _exact_quantiles(exploded: DataFrame, probs: list[float]) -> np.ndarray:
         branch = (F.col("pos") == pos) & hit
         cond = branch if cond is None else (cond | branch)
     rows = cum.where(cond).select("pos", "x", "c", "cum").collect()
+    counts.unpersist()
     # value at integer rank i (0-based over the sorted multiset)
     val_at: dict[int, dict[int, float]] = {}
     for r in rows:
