@@ -64,6 +64,56 @@ FROM picked p LEFT JOIN models m ON m.version = p.ver
 """
 
 
+def online_scaler_delayed(spark, sf_dir):
+    """Versioned as-of inference with a NONZERO model-delay allowance:
+    each row may use the newest model whose timestamp is within
+    maxAllowedModelDelayMs AFTER the row (HasMaxAllowedModelDelayMs /
+    OnlineStandardScalerModel.java:128-160 semantics)."""
+    from ..streaming import OnlineStandardScaler
+    events = load_events(spark, sf_dir)
+    data = events.select("event_id", F.col("ts_ms").alias("ts"),
+                         F.array(F.col("value")).alias("features"))
+    scaler = OnlineStandardScaler(featuresCol="features", timeCol="ts",
+                                  windowMillis=DAY_MS)
+    scaler.process_batch(data, 0)
+    model = scaler.latest_model()
+    model.set_(maxAllowedModelDelayMs=DAY_MS, modelVersionCol="ver")
+    model.set(type(model).timeCol, "ts")
+    out = model.transform(data)[0]
+    return out.select("event_id", "ver",
+                      q4(F.element_at("output", 1)).alias("scaled"))
+
+
+ONLINE_SCALER_DELAYED_SQL = f"""
+WITH base AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+per_w AS (
+  SELECT CAST(floor(ts_ms / {DAY_MS}) AS BIGINT) w,
+         CAST(count(*) AS DOUBLE) n, sum(value) s, sum(value * value) ss
+  FROM base GROUP BY 1),
+cum AS (
+  SELECT w, row_number() OVER (ORDER BY w) - 1 AS version,
+         (w + 1) * {DAY_MS} AS model_ts,
+         sum(n) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) cn,
+         sum(s) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) cs,
+         sum(ss) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) css
+  FROM per_w),
+models AS (
+  SELECT version, model_ts, cs / cn AS mean,
+         sqrt(greatest(css / cn - (cs / cn) * (cs / cn), 0)
+              * (CASE WHEN cn > 1 THEN cn / (cn - 1) ELSE 1 END)) AS std
+  FROM cum),
+picked AS (
+  SELECT b.event_id, b.ts_ms, b.value, max(m.version) AS ver
+  FROM base b LEFT JOIN models m ON m.model_ts <= b.ts_ms + {DAY_MS}
+  GROUP BY b.event_id, b.ts_ms, b.value)
+SELECT p.event_id, CAST(p.ver AS INT) AS ver,
+       {{q4}} AS scaled
+FROM picked p LEFT JOIN models m ON m.version = p.ver
+""".replace("{q4}", SQL_Q4.format(
+    "(p.value - m.mean) / (CASE WHEN m.std = 0 THEN 1.0 ELSE m.std END)"))
+
+
 def online_kmeans(spark, sf_dir):
     """Mini-batch k-means over events (value, hour-of-day) in 10 ordered
     event-time batches with decay 0.9; the decay recurrence is replayed
@@ -212,5 +262,6 @@ ONLINE_FTRL_SQL = _ftrl_sql()
 QUERIES = {
     "online_standard_scaler": (online_standard_scaler, ONLINE_SCALER_SQL),
     "online_kmeans": (online_kmeans, ONLINE_KMEANS_SQL),
+    "online_scaler_delayed": (online_scaler_delayed, ONLINE_SCALER_DELAYED_SQL),
     "online_logistic_regression": (online_logistic_regression, ONLINE_FTRL_SQL),
 }
