@@ -514,6 +514,7 @@ def binary_evaluator(spark, sf_dir):
     ev = BinaryClassificationEvaluator(labelCol="label", rawPredictionCol="score")
     out = ev.transform(df)[0]
     return out.select(q4(F.col("areaUnderROC")).alias("auc"),
+                      q4(F.col("areaUnderPR")).alias("pr"),
                       q4(F.col("ks")).alias("ks"),
                       q4(F.col("areaUnderLorenz")).alias("lorenz"))
 
@@ -539,10 +540,12 @@ cum AS (
 m AS (
   SELECT sum(pos * (nb + neg / 2)) u,
          max(abs(cpd / t.p - cnd / t.n)) ks,
+         sum((pos / t.p) * ((cpd / (cpd + cnd))
+             + ((cpd - pos) / greatest(cpd - pos + cnd - neg, 1e-300))) / 2) pr,
          sum(((pos + neg) / (t.p + t.n)) * ((pb + pb + pos) / t.p) / 2) lorenz
   FROM cum, t GROUP BY t.p, t.n)
-SELECT {SQL_Q4.format('u / (t.p * t.n)')} AS auc, {SQL_Q4.format('ks')} AS ks,
-       {SQL_Q4.format('lorenz')} AS lorenz
+SELECT {SQL_Q4.format('u / (t.p * t.n)')} AS auc, {SQL_Q4.format('pr')} AS pr,
+       {SQL_Q4.format('ks')} AS ks, {SQL_Q4.format('lorenz')} AS lorenz
 FROM m, t
 """
 
