@@ -366,6 +366,55 @@ SELECT id_a, id_b, {SQL_Q4.format('d')} AS dist FROM scored WHERE d <= 0.8
 """
 
 
+def minhash_lsh_nn(spark, sf_dir):
+    """approxNearestNeighbors (LSHModel.java:142): candidates share ≥1
+    table signature with the key, ranked by exact Jaccard distance (ties
+    → lowest id), top-5.  Key = doc 0's index set."""
+    from ..feature import MinHashLSH
+    from ..llmdata.dedup import token_indices_udf
+    docs = load(spark, sf_dir, "documents")
+    idx = token_indices_udf(1024)(F.col("text"))
+    base = (docs.select(F.col("doc_id").alias("id"), idx.alias("indices"))
+            .select("id",
+                    F.struct(F.lit(1024).alias("size"), F.col("indices"),
+                             F.array_repeat(F.lit(1.0), F.size("indices"))
+                             .alias("values")).alias("vec")))
+    model = MinHashLSH(inputCol="vec", outputCol="h", seed=7,
+                       numHashTables=8, numHashFunctionsPerTable=2).fit(base)
+    key = sorted(base.where(F.col("id") == 0).first()["vec"]["indices"])
+    out = model.approx_nearest_neighbors(base, key, k=5, id_col="id")
+    return out.select("id", q4(F.col("distCol")).alias("dist"))
+
+
+def _lsh_nn_sql() -> str:
+    from ..llmdata.dedup import MINHASH_PRIME, _hash_family
+    fam = _hash_family(16, 7)
+    from .llmdata_queries import TOKHASH, TOKS
+    idx = (f"list_sort(list_distinct(list_transform({TOKS}, "
+           f"t -> {TOKHASH.format(t='t')} % 1024)))")
+    mh = [f"list_min(list_transform(idx, j -> ((j + 1) * {a} + {b}) % {MINHASH_PRIME}))"
+          for a, b in fam]
+    tables = [f"concat({mh[2 * t]}, '_', {mh[2 * t + 1]})" for t in range(8)]
+    sig_rows = " UNION ALL ".join(
+        f"SELECT id, idx, {t} AS tbl, {s} AS sig FROM base"
+        for t, s in enumerate(tables))
+    return f"""
+WITH base AS (SELECT doc_id id, {idx} AS idx FROM documents),
+sigs AS ({sig_rows}),
+keysigs AS (SELECT tbl, sig FROM sigs WHERE id = 0),
+keyidx AS (SELECT idx FROM base WHERE id = 0),
+cand AS (
+  SELECT DISTINCT s.id, s.idx FROM sigs s
+  JOIN keysigs k ON s.tbl = k.tbl AND s.sig = k.sig),
+scored AS (
+  SELECT c.id,
+         1.0 - CAST(len(list_intersect(c.idx, k.idx)) AS DOUBLE)
+             / (len(c.idx) + len(k.idx) - len(list_intersect(c.idx, k.idx))) AS d
+  FROM cand c, keyidx k)
+SELECT id, {SQL_Q4.format('d')} AS dist FROM scored ORDER BY d, id LIMIT 5
+"""
+
+
 # --- AgglomerativeClustering (local algorithm → rows-only check) -----------
 
 def agglomerative(spark, sf_dir):
@@ -563,5 +612,6 @@ QUERIES = {
     "binary_evaluator": (binary_evaluator, BINARY_EVALUATOR_SQL),
     "swing": (swing, SWING_SQL),
     "minhash_lsh_join": (minhash_lsh_join, _lsh_join_sql()),
+    "minhash_lsh_nn": (minhash_lsh_nn, _lsh_nn_sql()),
     "agglomerative": (agglomerative, None),
 }
