@@ -35,13 +35,16 @@ class UnivariateFeatureSelector(Estimator, HasFeaturesCol, HasLabelCol,
         (df,) = inputs
         ft, lt = self.get_("featureType"), self.get_("labelType")
         if ft == "categorical" and lt == "categorical":
-            test = ChiSqTest(featuresCol=self.get_("featuresCol"),
+            test = ChiSqTest(flatten=True,
+                              featuresCol=self.get_("featuresCol"),
                              labelCol=self.get_("labelCol"))
         elif ft == "continuous" and lt == "categorical":
-            test = ANOVATest(featuresCol=self.get_("featuresCol"),
+            test = ANOVATest(flatten=True,
+                              featuresCol=self.get_("featuresCol"),
                              labelCol=self.get_("labelCol"))
         elif ft == "continuous" and lt == "continuous":
-            test = FValueTest(featuresCol=self.get_("featuresCol"),
+            test = FValueTest(flatten=True,
+                              featuresCol=self.get_("featuresCol"),
                               labelCol=self.get_("labelCol"))
         else:
             raise ValueError(f"unsupported featureType={ft} labelType={lt}")

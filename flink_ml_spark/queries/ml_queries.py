@@ -443,7 +443,7 @@ def chisq_test(spark, sf_dir):
                 F.col("l_linenumber").cast("double")).alias("features"),
         F.when(F.col("l_returnflag") == "A", 0.0)
         .when(F.col("l_returnflag") == "F", 1.0).otherwise(2.0).alias("label"))
-    out = ChiSqTest(featuresCol="features", labelCol="label").transform(df)[0]
+    out = ChiSqTest(featuresCol="features", labelCol="label", flatten=True).transform(df)[0]
     return out.select("featureIndex", q4(F.col("statistic")).alias("stat"),
                       "degreeOfFreedom")
 
@@ -484,7 +484,7 @@ def anova_test(spark, sf_dir):
                 (F.col("l_extendedprice") / 100000).cast("double")).alias("features"),
         F.when(F.col("l_returnflag") == "A", 0.0)
         .when(F.col("l_returnflag") == "F", 1.0).otherwise(2.0).alias("label"))
-    out = ANOVATest(featuresCol="features", labelCol="label").transform(df)[0]
+    out = ANOVATest(featuresCol="features", labelCol="label", flatten=True).transform(df)[0]
     return out.select("featureIndex", q4(F.col("fValue")).alias("f"),
                       "degreeOfFreedom")
 
@@ -525,7 +525,7 @@ def fvalue_test(spark, sf_dir):
         F.array((F.col("l_quantity") / 50).cast("double"),
                 (F.col("l_discount") * 10).cast("double")).alias("features"),
         (F.col("l_extendedprice") / 100000).alias("label"))
-    out = FValueTest(featuresCol="features", labelCol="label").transform(df)[0]
+    out = FValueTest(featuresCol="features", labelCol="label", flatten=True).transform(df)[0]
     return out.select("featureIndex", q4(F.col("fValue")).alias("f"),
                       "degreeOfFreedom")
 

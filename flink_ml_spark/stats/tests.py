@@ -12,8 +12,9 @@ Reference:
 Spark-first: all fits are single groupBy aggregations with map-side
 combine (contingency cells / per-label moments / corr components); the
 closed-form statistics are evaluated driver-side on the tiny aggregate,
-p-values via common/special.py.  Output is always the flattened form
-(one row per feature) — the richer of the two reference layouts.
+p-values via common/special.py.  ``flatten=True`` (default) gives
+one row per feature; ``flatten=False`` gives the reference's single row
+of arrays (HasFlatten semantics).
 """
 
 from __future__ import annotations
@@ -23,10 +24,22 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..api import AlgoOperator
 from ..common.special import chi2_sf, f_sf
+from ..param import HasFlatten
+
+
+def _emit(spark, rows, stat_name: str, flatten: bool):
+    """Reference output layouts (HasFlatten): flattened = one row per
+    feature; unflattened = ONE row of arrays (pValues/dof/statistics)."""
+    if flatten:
+        return spark.createDataFrame(
+            rows, f"featureIndex int, pValue double, degreeOfFreedom long, {stat_name} double")
+    return spark.createDataFrame(
+        [([r[1] for r in rows], [r[2] for r in rows], [r[3] for r in rows])],
+        f"pValues array<double>, degreesOfFreedom array<bigint>, {stat_name}s array<double>")
 from ..param import HasFeaturesCol, HasLabelCol
 
 
-class ChiSqTest(AlgoOperator, HasFeaturesCol, HasLabelCol):
+class ChiSqTest(AlgoOperator, HasFeaturesCol, HasLabelCol, HasFlatten):
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
         spark = df.sparkSession
@@ -52,12 +65,10 @@ class ChiSqTest(AlgoOperator, HasFeaturesCol, HasLabelCol):
             dof = (len(vals) - 1) * (len(labels) - 1)
             p = chi2_sf(stat, dof) if dof > 0 else 1.0
             rows.append((fi, float(p), int(dof), float(stat)))
-        out = spark.createDataFrame(
-            rows, "featureIndex int, pValue double, degreeOfFreedom long, statistic double")
-        return [out]
+        return [_emit(spark, rows, "statistic", self.get_("flatten"))]
 
 
-class ANOVATest(AlgoOperator, HasFeaturesCol, HasLabelCol):
+class ANOVATest(AlgoOperator, HasFeaturesCol, HasLabelCol, HasFlatten):
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
         spark = df.sparkSession
@@ -86,12 +97,10 @@ class ANOVATest(AlgoOperator, HasFeaturesCol, HasLabelCol):
             fstat = (ssb / dfn) / (ssw / dfd) if dfn > 0 and dfd > 0 and ssw > 0 else float("nan")
             p = f_sf(fstat, dfn, dfd) if np.isfinite(fstat) else float("nan")
             rows.append((fi, float(p), int(dfd), float(fstat)))
-        out = spark.createDataFrame(
-            rows, "featureIndex int, pValue double, degreeOfFreedom long, fValue double")
-        return [out]
+        return [_emit(spark, rows, "fValue", self.get_("flatten"))]
 
 
-class FValueTest(AlgoOperator, HasFeaturesCol, HasLabelCol):
+class FValueTest(AlgoOperator, HasFeaturesCol, HasLabelCol, HasFlatten):
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
         spark = df.sparkSession
@@ -109,6 +118,4 @@ class FValueTest(AlgoOperator, HasFeaturesCol, HasLabelCol):
             fstat = corr * corr / denom * dfd if denom > 0 and dfd > 0 else float("inf")
             p = f_sf(fstat, 1, dfd) if np.isfinite(fstat) else 0.0
             rows.append((r["fi"], float(p), int(dfd), float(fstat)))
-        out = spark.createDataFrame(
-            rows, "featureIndex int, pValue double, degreeOfFreedom long, fValue double")
-        return [out]
+        return [_emit(spark, rows, "fValue", self.get_("flatten"))]

@@ -25,7 +25,7 @@ def test_chisq(spark):
     # perfectly independent 2x2 → stat 0, p 1
     rows = [([0.0], 0.0)] * 5 + [([0.0], 1.0)] * 5 + [([1.0], 0.0)] * 5 + [([1.0], 1.0)] * 5
     df = spark.createDataFrame(rows, "features array<double>, label double")
-    r = ChiSqTest(featuresCol="features", labelCol="label").transform(df)[0].collect()[0]
+    r = ChiSqTest(featuresCol="features", labelCol="label", flatten=True).transform(df)[0].collect()[0]
     assert r["statistic"] == pytest.approx(0.0)
     assert r["pValue"] == pytest.approx(1.0)
     assert r["degreeOfFreedom"] == 1
@@ -34,7 +34,7 @@ def test_chisq(spark):
 def test_chisq_dependent(spark):
     rows = [([0.0], 0.0)] * 10 + [([1.0], 1.0)] * 10
     df = spark.createDataFrame(rows, "features array<double>, label double")
-    r = ChiSqTest(featuresCol="features", labelCol="label").transform(df)[0].collect()[0]
+    r = ChiSqTest(featuresCol="features", labelCol="label", flatten=True).transform(df)[0].collect()[0]
     assert r["statistic"] == pytest.approx(20.0)  # n for perfect association
     assert r["pValue"] < 1e-4
 
@@ -44,7 +44,7 @@ def test_anova(spark):
     rows = [([1.0], 0.0), ([2.0], 0.0), ([3.0], 0.0),
             ([4.0], 1.0), ([5.0], 1.0), ([6.0], 1.0)]
     df = spark.createDataFrame(rows, "features array<double>, label double")
-    r = ANOVATest(featuresCol="features", labelCol="label").transform(df)[0].collect()[0]
+    r = ANOVATest(featuresCol="features", labelCol="label", flatten=True).transform(df)[0].collect()[0]
     # SSB = 13.5, SSW = 4, F = 13.5/ (4/4) = 13.5
     assert r["fValue"] == pytest.approx(13.5)
     assert r["degreeOfFreedom"] == 4
@@ -56,7 +56,7 @@ def test_fvalue(spark):
     y = 2 * x + rng.rand(50) * 0.1
     df = spark.createDataFrame([([float(a)], float(b)) for a, b in zip(x, y)],
                                "features array<double>, label double")
-    r = FValueTest(featuresCol="features", labelCol="label").transform(df)[0].collect()[0]
+    r = FValueTest(featuresCol="features", labelCol="label", flatten=True).transform(df)[0].collect()[0]
     corr = np.corrcoef(x, y)[0, 1]
     expect = corr ** 2 / (1 - corr ** 2) * (50 - 2)
     assert r["fValue"] == pytest.approx(expect, rel=1e-6)
@@ -111,3 +111,15 @@ def test_univariate_selector(spark):
         selectionMode="numTopFeatures").set_(selectionThreshold=1.0)
     model = sel.fit(df)
     assert model.model_data["indices"] == [0]
+
+
+def test_stats_unflattened_layout(spark):
+    """flatten=False (reference default) → one row of arrays."""
+    from flink_ml_spark.stats import ChiSqTest
+    data = [([float(i % 2), float(i % 3)], float(i % 2)) for i in range(30)]
+    df = spark.createDataFrame(data, "features array<double>, label double")
+    out = ChiSqTest(featuresCol="features", labelCol="label").transform(df)[0]
+    row = out.collect()[0]
+    assert len(row["pValues"]) == 2
+    assert len(row["degreesOfFreedom"]) == 2
+    assert len(row["statistics"]) == 2
