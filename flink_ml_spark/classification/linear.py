@@ -21,7 +21,7 @@ from ..api import Estimator, Model
 from ..common.optimizer import (BinaryLogisticLoss, HingeLoss,
                                 LeastSquareLoss, dot_lit, sgd)
 from ..param import (HasElasticNet, HasFeaturesCol, HasGlobalBatchSize,
-                     HasLabelCol, HasLearningRate, HasMaxIter,
+                     HasLabelCol, HasLearningRate, HasMaxIter, HasMultiClass,
                      HasPredictionCol, HasRawPredictionCol, HasReg, HasTol,
                      HasWeightCol, IntParam, ParamValidators)
 
@@ -82,7 +82,18 @@ class LogisticRegressionModel(_LinearModelBase):
         return out
 
 
-class LogisticRegression(_LinearEstimatorBase):
+class LogisticRegression(_LinearEstimatorBase, HasMultiClass):
+    """Binary LR via full/mini-batch gradient descent.  Like the
+    reference (LogisticRegression.java:62-65), only auto/binomial are
+    supported — multinomial raises."""
+
+    def fit(self, *inputs):
+        if self.get_("multiClass") not in ("auto", "binomial"):
+            raise ValueError(
+                "Multinomial classification is not supported yet. "
+                "Supported options: [auto, binomial].")
+        return super().fit(*inputs)
+
     _loss = BinaryLogisticLoss
     _model_cls = LogisticRegressionModel
 
