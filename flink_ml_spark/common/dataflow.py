@@ -92,6 +92,10 @@ def window_all_and_process(df: DataFrame, windows, time_col: str | None,
         win = F.window(F.col(time_col), f"{w.size} milliseconds")
         return (df.groupBy(win.alias("w")).agg(*aggs)
                 .withColumn("window_start", F.col("w")["start"]).drop("w"))
+    if w.kind == "session":
+        win = F.session_window(F.col(time_col), f"{w.size} milliseconds")
+        return (df.groupBy(win.alias("w")).agg(*aggs)
+                .withColumn("window_start", F.col("w")["start"]).drop("w"))
     if w.kind == "count":
         # count windows impose a global sequence (countWindowAll); the
         # row_number sort is the price of that semantic — use event-time

@@ -19,8 +19,8 @@ from dataclasses import dataclass
 
 @dataclass(frozen=True)
 class Windows:
-    kind: str = "global"           # global | count | event_time
-    size: int | None = None        # count, or window millis
+    kind: str = "global"      # global | count | event_time | session
+    size: int | None = None   # count, window millis, or session gap millis
 
     @staticmethod
     def global_windows() -> "Windows":
@@ -33,6 +33,20 @@ class Windows:
     @staticmethod
     def event_time_tumbling(millis: int) -> "Windows":
         return Windows("event_time", millis)
+
+    @staticmethod
+    def event_time_session(gap_millis: int) -> "Windows":
+        """EventTimeSessionWindows.withGap — windows close after
+        ``gap_millis`` of event-time silence."""
+        return Windows("session", gap_millis)
+
+    @staticmethod
+    def processing_time_tumbling(millis: int) -> "Windows":
+        """ProcessingTimeTumblingWindows: in the micro-batch harness each
+        foreachBatch invocation IS a processing-time window, so this maps
+        to per-batch (global) processing — documented Spark difference
+        (SURVEY §2.10)."""
+        return Windows("global", millis)
 
     def to_json(self) -> dict:
         return {"kind": self.kind, "size": self.size}

@@ -83,3 +83,17 @@ def test_with_broadcast(spark, nums):
     out = D.with_broadcast(nums.withColumn("k", F.col("id") % 2), dim, "k")
     assert out.count() == 100
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_window_all_session(spark):
+    """EventTimeSessionWindows.withGap → F.session_window groups."""
+    from pyspark.sql import functions as F
+    from flink_ml_spark.common.dataflow import window_all_and_process
+    from flink_ml_spark.streaming import Windows
+    rows = [(0.0, 1.0), (1000.0, 2.0), (10000.0, 3.0), (10500.0, 4.0)]
+    df = spark.createDataFrame(rows, "ts double, v double") \
+        .withColumn("t", F.timestamp_millis(F.col("ts").cast("long")))
+    out = window_all_and_process(
+        df, Windows.event_time_session(2000), "t",
+        F.sum("v").alias("s")).orderBy("window_start").collect()
+    assert [r["s"] for r in out] == [3.0, 7.0]
