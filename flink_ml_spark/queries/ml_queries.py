@@ -580,18 +580,15 @@ t AS (SELECT sum(pos) p, sum(neg) n FROM g),
 cum AS (
   SELECT score, pos, neg,
          sum(pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) cpd,
-         sum(neg) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) cnd,
-         COALESCE(sum(neg) OVER (ORDER BY score ASC ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND 1 PRECEDING), 0) nb,
-         COALESCE(sum(pos) OVER (ORDER BY score ASC ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND 1 PRECEDING), 0) pb
+         sum(neg) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) cnd
   FROM g),
 m AS (
-  SELECT sum(pos * (nb + neg / 2)) u,
+  SELECT sum(pos * ((t.n - cnd) + neg / 2)) u,
          max(abs(cpd / t.p - cnd / t.n)) ks,
          sum((pos / t.p) * ((cpd / (cpd + cnd))
-             + ((cpd - pos) / greatest(cpd - pos + cnd - neg, 1e-300))) / 2) pr,
-         sum(((pos + neg) / (t.p + t.n)) * ((pb + pb + pos) / t.p) / 2) lorenz
+             + (CASE WHEN cpd - pos + cnd - neg = 0 THEN 1.0
+                ELSE (cpd - pos) / (cpd - pos + cnd - neg) END)) / 2) pr,
+         sum(((pos + neg) / (t.p + t.n)) * ((cpd - pos) + cpd) / t.p / 2) lorenz
   FROM cum, t GROUP BY t.p, t.n)
 SELECT {SQL_Q4.format('u / (t.p * t.n)')} AS auc, {SQL_Q4.format('pr')} AS pr,
        {SQL_Q4.format('ks')} AS ks, {SQL_Q4.format('lorenz')} AS lorenz

@@ -96,6 +96,33 @@ def test_auc_weighted(spark):
     assert r1["areaUnderROC"] == pytest.approx(r2["areaUnderROC"])
 
 
+def test_pr_lorenz_reference_conventions(spark):
+    # perfectly separated 1 pos / 1 neg: the reference's first PR trapezoid
+    # uses previous-precision = 1.0 → AUPRC = 1.0, and the Lorenz gain curve
+    # accumulates descending → 0.75 (not the ascending complement 0.25)
+    rows = [(0.9, 1.0), (0.1, 0.0)]
+    df = spark.createDataFrame(rows, "score double, label double")
+    r = BinaryClassificationEvaluator(labelCol="label", rawPredictionCol="score") \
+        .transform(df)[0].collect()[0]
+    assert r["areaUnderPR"] == pytest.approx(1.0)
+    assert r["areaUnderLorenz"] == pytest.approx(0.75)
+    assert r["areaUnderROC"] == pytest.approx(1.0)
+
+
+def test_evaluator_plan_range_partitioned(spark):
+    # the cumulative stage must be range-partitioned (sampled boundaries,
+    # like the reference), never an unpartitioned global-sort Window
+    rng = np.random.RandomState(7)
+    rows = [(float(s), float(l)) for s, l in
+            zip(rng.rand(500), rng.randint(0, 2, 500))]
+    df = spark.createDataFrame(rows, "score double, label double")
+    ev = BinaryClassificationEvaluator(labelCol="label", rawPredictionCol="score")
+    ev.transform(df)[0].collect()
+    plan = ev.last_plan_
+    assert "rangepartitioning" in plan
+    assert "Window" not in plan
+
+
 def test_univariate_selector(spark):
     rng = np.random.RandomState(4)
     n = 100
