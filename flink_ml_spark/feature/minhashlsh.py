@@ -31,11 +31,17 @@ from ..param import (HasInputCol, HasOutputCol, HasSeed, IntParam,
 
 
 def _active_indices(col: Column, dtype: str) -> Column:
-    """Vector → sorted array of non-zero indices (the Jaccard set)."""
+    """Vector → sorted array of non-zero indices (the Jaccard set).
+
+    Guarded for zero-length dense vectors: sequence(0, -1) would yield
+    [0, -1] and element_at(col, 0) raises, so empty input short-circuits
+    to an empty int array."""
     if dtype.startswith("struct"):
         return col["indices"]
-    return F.filter(F.sequence(F.lit(0), F.size(col) - 1),
-                    lambda i: F.element_at(col, i + 1) != 0.0)
+    nonzero = F.filter(F.sequence(F.lit(0), F.size(col) - 1),
+                       lambda i: F.element_at(col, i + 1) != 0.0)
+    return F.when(F.size(col) > 0, nonzero).otherwise(
+        F.array().cast("array<int>"))
 
 
 def jaccard_distance(a: Column, b: Column) -> Column:
@@ -83,7 +89,9 @@ class MinHashLSHModel(Model, HasInputCol, HasOutputCol):
 
         def sig_py(idx: np.ndarray) -> list[str]:
             if len(idx) == 0:
-                mins = ((0 * A + B) % MINHASH_PRIME)[0]
+                # reference leaves minv = HASH_PRIME when no index is active
+                # (MinHashLSHModelData.java:135-137)
+                mins = np.full(A.shape[1], MINHASH_PRIME, dtype=np.int64)
             else:
                 mins = (((idx.astype(np.int64) + 1)[:, None] * A + B)
                         % MINHASH_PRIME).min(axis=0)
@@ -150,24 +158,33 @@ class MinHashLSHModel(Model, HasInputCol, HasOutputCol):
                                threshold: float, id_col: str = "id",
                                dist_col: str = "distCol") -> DataFrame:
         """Pairs (id_a, id_b, dist) with Jaccard distance ≤ threshold among
-        LSH candidates (explode signatures → equi-join → dedup → filter)."""
+        LSH candidates (explode signatures → equi-join → dedup → filter).
+
+        The band join carries ids ONLY — the (large) index sets are joined
+        back by id after the pair dedup, so signature explosion never
+        multiplies the set payload (reference shape, LSHModel.java:211-276:
+        dedup pairs first, compute distance after)."""
         dtype = self._dtype(a)
 
         def prep(df: DataFrame, side: str) -> DataFrame:
-            idx = _active_indices(F.col(self.get_("inputCol")), dtype)
-            return (df.withColumn("__idx__", idx)
-                    .withColumn("__sig__",
-                                self._signature(F.col(self.get_("inputCol")),
-                                                dtype))
+            return (df.withColumn("__sig__",
+                                  self._signature(F.col(self.get_("inputCol")),
+                                                  dtype))
                     .select(F.col(id_col).alias(f"id_{side}"),
-                            F.col("__idx__").alias(f"idx_{side}"),
                             F.posexplode("__sig__").alias("table", f"sig_{side}")))
+
+        def idx_of(df: DataFrame, side: str) -> DataFrame:
+            idx = _active_indices(F.col(self.get_("inputCol")), dtype)
+            return df.select(F.col(id_col).alias(f"id_{side}"),
+                             idx.alias(f"idx_{side}"))
 
         pa, pb = prep(a, "a"), prep(b, "b")
         pairs = (pa.join(pb, (pa["table"] == pb["table"])
                          & (pa["sig_a"] == pb["sig_b"]))
-                 .select("id_a", "id_b", "idx_a", "idx_b")
+                 .select("id_a", "id_b")
                  .dropDuplicates(["id_a", "id_b"]))
+        pairs = (pairs.join(idx_of(a, "a"), "id_a")
+                 .join(idx_of(b, "b"), "id_b"))
         return (pairs.withColumn(dist_col,
                                  jaccard_distance(F.col("idx_a"), F.col("idx_b")))
                 .filter(F.col(dist_col) <= threshold)

@@ -507,7 +507,7 @@ f AS (
 stats AS (
   SELECT fi, (sb - ts * ts / n) / (k - 1)
              / ((tss - ts * ts / n - (sb - ts * ts / n)) / (n - k)) AS fv,
-         n - k AS dof
+         n - 1 AS dof
   FROM f)
 SELECT CAST(fi AS INT) AS featureIndex, {SQL_Q4.format('fv')} AS f,
        CAST(dof AS BIGINT) AS degreeOfFreedom

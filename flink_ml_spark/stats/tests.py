@@ -12,9 +12,9 @@ Reference:
 Spark-first: all fits are single groupBy aggregations with map-side
 combine (contingency cells / per-label moments / corr components); the
 closed-form statistics are evaluated driver-side on the tiny aggregate,
-p-values via common/special.py.  ``flatten=True`` (default) gives
-one row per feature; ``flatten=False`` gives the reference's single row
-of arrays (HasFlatten semantics).
+p-values via common/special.py.  ``flatten=False`` (the default, matching
+the reference) gives the single row of arrays; ``flatten=True`` gives one
+row per feature (HasFlatten semantics).
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..api import AlgoOperator
 from ..common.special import chi2_sf, f_sf
-from ..param import HasFlatten
+from ..param import HasFeaturesCol, HasFlatten, HasLabelCol
 
 
 def _emit(spark, rows, stat_name: str, flatten: bool):
@@ -36,7 +36,6 @@ def _emit(spark, rows, stat_name: str, flatten: bool):
     return spark.createDataFrame(
         [([r[1] for r in rows], [r[2] for r in rows], [r[3] for r in rows])],
         f"pValues array<double>, degreesOfFreedom array<bigint>, {stat_name}s array<double>")
-from ..param import HasFeaturesCol, HasLabelCol
 
 
 class ChiSqTest(AlgoOperator, HasFeaturesCol, HasLabelCol, HasFlatten):
@@ -96,7 +95,9 @@ class ANOVATest(AlgoOperator, HasFeaturesCol, HasLabelCol, HasFlatten):
             dfn, dfd = k - 1, n - k
             fstat = (ssb / dfn) / (ssw / dfd) if dfn > 0 and dfd > 0 and ssw > 0 else float("nan")
             p = f_sf(fstat, dfn, dfd) if np.isfinite(fstat) else float("nan")
-            rows.append((fi, float(p), int(dfd), float(fstat)))
+            # reference reports dfBetween + dfWithin = n - 1
+            # (ANOVATest.java:241-243); dfn/dfd above drive F and p
+            rows.append((fi, float(p), int(dfn + dfd), float(fstat)))
         return [_emit(spark, rows, "fValue", self.get_("flatten"))]
 
 

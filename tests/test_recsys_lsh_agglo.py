@@ -57,6 +57,26 @@ def test_minhash_lsh_similarity_join(spark):
     assert got.get((1, 11)) == pytest.approx(1 / 3)
 
 
+def test_minhash_empty_and_zero_length_vectors(spark):
+    # all-zero set → reference leaves every min-hash at HASH_PRIME
+    # (MinHashLSHModelData.java:135-137); zero-length dense vector must not
+    # blow up the active-index sequence
+    from flink_ml_spark.llmdata.dedup import MINHASH_PRIME
+    rows = [(0, [0.0, 0.0, 0.0]), (1, []), (2, [1.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    model = MinHashLSH(inputCol="vec", outputCol="h", seed=5,
+                       numHashTables=2, numHashFunctionsPerTable=2).fit(df)
+    out = {r["id"]: r["h"] for r in model._transform(df).collect()}
+    prime_sig = f"{MINHASH_PRIME}_{MINHASH_PRIME}"
+    assert out[0] == [prime_sig, prime_sig]
+    assert out[1] == [prime_sig, prime_sig]
+    assert out[2] != out[0]
+    # the join path tolerates the empty sets too (no element_at(col, 0))
+    joined = model.approx_similarity_join(df, df, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in joined.collect()}
+    assert (2, 2) in got
+
+
 def test_minhash_lsh_ann(spark):
     rows = [(i, [1.0 if j in (i, i + 1, i + 2) else 0.0 for j in range(10)])
             for i in range(6)]

@@ -47,7 +47,8 @@ def test_anova(spark):
     r = ANOVATest(featuresCol="features", labelCol="label", flatten=True).transform(df)[0].collect()[0]
     # SSB = 13.5, SSW = 4, F = 13.5/ (4/4) = 13.5
     assert r["fValue"] == pytest.approx(13.5)
-    assert r["degreeOfFreedom"] == 4
+    # reference reports dfBetween + dfWithin = n - 1 (ANOVATest.java:241-243)
+    assert r["degreeOfFreedom"] == 5
 
 
 def test_fvalue(spark):
