@@ -154,25 +154,65 @@ class IVFIndexModel(Model):
                 .select(query_id, corpus_id, "cosine", "rank"))
 
 
-class EmbeddingCosineDeduplicator(AlgoOperator):
-    """Embedding near-dup pairs: cosine ≥ threshold via LSH-bucketed join
-    (exact variant: bucket by nothing → cross join; default buckets on
-    random hyperplanes with multiple tables for recall)."""
+class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
+    """Embedding near-dup pairs: cosine ≥ threshold.
+
+    ``exact=1`` (small corpora): all-pairs cross join.
+    ``exact=0`` (the 100 TB path): RandomHyperplaneLSH candidates —
+    ``numTables`` independent hyperplane sign-buckets, pairs agreeing on
+    any table's full bucket are candidates (bucket equi-join; recall
+    grows with tables, bucket size shrinks with planes).  The bucket join
+    carries ids only; vectors are joined back by id after the pair dedup,
+    so the explode never multiplies the embedding payload."""
 
     idCol = StringParam("idCol", "Id column.", "id")
     vecCol = StringParam("vecCol", "Embedding column.", "embedding")
     threshold = FloatParam("threshold", "Cosine threshold.", 0.95)
-    exact = IntParam("exact", "1 = exact cross-join (small corpora).", 1)
+    exact = IntParam("exact", "1 = exact cross-join (small corpora); "
+                              "0 = hyperplane-LSH bucketed candidates.", 1)
+    numTables = IntParam("numTables", "LSH tables (recall).", 4,
+                         ParamValidators.gt(0))
+    numPlanes = IntParam("numPlanes", "Hyperplanes per table (bucket bits).",
+                         10, ParamValidators.gt(0))
+
+    def _cosine_pairs(self, pairs: DataFrame) -> DataFrame:
+        cos = V.dot("va", "vb") / (V.p_norm("va", 2.0) * V.p_norm("vb", 2.0))
+        return (pairs.withColumn("cosine", cos)
+                .filter(F.col("cosine") >= self.get_("threshold"))
+                .select("id_a", "id_b", "cosine"))
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
         idc = self.get_("idCol")
         v = df.select(F.col(idc).alias("id"),
                       F.col(self.get_("vecCol")).cast("array<double>").alias("v"))
-        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-        cos = V.dot("va", "vb") / (V.p_norm("va", 2.0) * V.p_norm("vb", 2.0))
-        return [pairs.withColumn("cosine", cos)
-                .filter(F.col("cosine") >= self.get_("threshold"))
-                .select("id_a", "id_b", "cosine")]
+        if self.get_("exact"):
+            a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+            b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+            return [self._cosine_pairs(
+                a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")))]
+        # LSH candidates: one sign-bucket per table, all JVM-side
+        seed = self.get_("seed") or 0
+        dim = len(v.select("v").first()[0])
+        sigs = v
+        bucket_cols = []
+        for t in range(self.get_("numTables")):
+            m = RandomHyperplaneLSH(seed=seed + t, dim=dim,
+                                    numPlanes=self.get_("numPlanes")) \
+                .set_(vecCol="v", outputCol=f"__b{t}__").fit(v)
+            sigs = m._transform(sigs)
+            bucket_cols.append(F.col(f"__b{t}__"))
+        exploded = sigs.select(
+            "id", F.posexplode(F.array(*bucket_cols)).alias("t", "b"))
+        ea = exploded.select(F.col("id").alias("id_a"), "t", "b")
+        eb = exploded.select(F.col("id").alias("id_b"), "t", "b")
+        cand = (ea.join(eb, ["t", "b"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"]))
+        pairs = (cand
+                 .join(v.select(F.col("id").alias("id_a"),
+                                F.col("v").alias("va")), "id_a")
+                 .join(v.select(F.col("id").alias("id_b"),
+                                F.col("v").alias("vb")), "id_b"))
+        return [self._cosine_pairs(pairs)]

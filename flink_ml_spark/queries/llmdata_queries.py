@@ -198,6 +198,53 @@ pairs AS (
 SELECT id_a, id_b, {SQL_Q4.format('c')} AS cosine FROM pairs WHERE c >= 0.3
 """
 
+LSH_DEDUP_SEED, LSH_DEDUP_PLANES, LSH_DEDUP_TABLES = 42, 8, 4
+
+
+def embedding_dedup_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed near-dup path (exact=0): candidates agree on
+    a full sign bucket in ≥1 of the tables; ids-only band join."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = EmbeddingCosineDeduplicator(idCol="vec_id", vecCol="embedding",
+                                    seed=LSH_DEDUP_SEED) \
+        .set_(threshold=0.3, exact=0, numPlanes=LSH_DEDUP_PLANES,
+              numTables=LSH_DEDUP_TABLES)
+    out = d.transform(emb)[0]
+    return out.select("id_a", "id_b", q4(F.col("cosine")).alias("cosine"))
+
+
+def _embedding_dedup_lsh_sql(dim: int = 64) -> str:
+    # replay the seeded hyperplanes (np.random.RandomState(seed + t).randn)
+    import numpy as np
+    tables = []
+    for t in range(LSH_DEDUP_TABLES):
+        planes = np.random.RandomState(LSH_DEDUP_SEED + t).randn(
+            LSH_DEDUP_PLANES, dim)
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(v, "
+            f"[{', '.join(repr(float(x)) for x in planes[i])}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_DEDUP_PLANES))
+        tables.append(f"SELECT vec_id, {t} AS t, ({bits}) AS b FROM e")
+    exploded = " UNION ALL ".join(tables)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+x AS ({exploded}),
+cand AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+         FROM x a JOIN x b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT id_a, id_b,
+         list_inner_product(ea.v, eb.v)
+           / (sqrt(list_inner_product(ea.v, ea.v))
+              * sqrt(list_inner_product(eb.v, eb.v))) AS c
+  FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+            JOIN e eb ON cand.id_b = eb.vec_id)
+SELECT id_a, id_b, {SQL_Q4.format('c')} AS cosine FROM pairs WHERE c >= 0.3
+"""
+
+
+EMBEDDING_DEDUP_LSH_SQL = _embedding_dedup_lsh_sql()
+
 ANN_K = 5
 
 
@@ -525,6 +572,7 @@ QUERIES = {
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, NGRAM_JACCARD_SQL),
     "simhash_dedup": (simhash_dedup, SIMHASH_SQL),
     "embedding_dedup": (embedding_dedup, EMBEDDING_DEDUP_SQL),
+    "embedding_dedup_lsh": (embedding_dedup_lsh, EMBEDDING_DEDUP_LSH_SQL),
     "ann_bruteforce": (ann_bruteforce, ANN_SQL),
     "language_id": (language_id, LANGUAGE_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

@@ -1,0 +1,47 @@
+"""LLM-data operator unit tests (dedup / simsearch plan shapes)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_ml_spark.llmdata import EmbeddingCosineDeduplicator
+
+
+def _emb_df(spark, n=60, dim=16, seed=0):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n // 2, dim)
+    # each base vector plus a tiny-perturbation near-duplicate
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.randn(dim) * 1e-3]))
+    return spark.createDataFrame(rows, "id long, embedding array<double>")
+
+
+def test_embedding_dedup_lsh_finds_near_dups(spark):
+    df = _emb_df(spark)
+    lsh = EmbeddingCosineDeduplicator(idCol="id", vecCol="embedding", seed=1) \
+        .set_(threshold=0.999, exact=0, numPlanes=6, numTables=6)
+    got = {(r["id_a"], r["id_b"]) for r in lsh.transform(df)[0].collect()}
+    exact = EmbeddingCosineDeduplicator(idCol="id", vecCol="embedding") \
+        .set_(threshold=0.999, exact=1)
+    want = {(r["id_a"], r["id_b"]) for r in exact.transform(df)[0].collect()}
+    # LSH candidates are a subset of the exact pairs; with 6 tables the
+    # perturbation-level near-dups should essentially all be recalled
+    assert got <= want
+    assert len(got) >= 0.8 * len(want) > 0
+
+
+def test_embedding_dedup_lsh_plan_has_no_cross_join(spark):
+    df = _emb_df(spark, n=20)
+    lsh = EmbeddingCosineDeduplicator(idCol="id", vecCol="embedding", seed=1) \
+        .set_(threshold=0.9, exact=0, numPlanes=4, numTables=2)
+    plan = lsh.transform(df)[0]._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    exact = EmbeddingCosineDeduplicator(idCol="id", vecCol="embedding") \
+        .set_(threshold=0.9, exact=1)
+    plan_e = exact.transform(df)[0]._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in plan_e or "BroadcastNestedLoopJoin" in plan_e
