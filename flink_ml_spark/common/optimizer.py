@@ -147,6 +147,16 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
       of SGD.java:125-132).  A numpy-block RDD variant measured slower
       end-to-end at 10-round fits: its build fee (shuffle + two Python
       hops) exceeds the ~0.2 s/round it saves.
+
+    Mini-batch access is scan-proportional, mirroring the reference's
+    operator-state batch walk (SGD.java:262-284): each batch slice is
+    persisted the first round it is used (that first touch scans the base
+    cache once — amortized, one epoch's worth total), and every revisit
+    scans ONLY the slice (≈ batchSize rows), never the full cache.  The
+    base cache is released once every batch has its own slice.  When
+    maxIter <= numBatches no batch repeats, so slices skip the persist.
+    Batch MEMBERSHIP is unchanged (ids derive from the cached layout), so
+    results are bit-identical to the naive per-round filter.
     """
     from pyspark import StorageLevel
 
@@ -186,6 +196,21 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
     else:
         _aqe = _NoAQE(df.sparkSession)
         _aqe.__enter__()
+    slices: dict[int, DataFrame] = {}
+    revisits = num_batches > 1 and max_iter > num_batches
+    base_live = True
+
+    def get_batch(bid: int) -> DataFrame:
+        if num_batches == 1:
+            return prepared
+        if not revisits:
+            return prepared.filter(F.col("__batch__") == F.lit(float(bid)))
+        if bid not in slices:
+            slices[bid] = (prepared
+                           .filter(F.col("__batch__") == F.lit(float(bid)))
+                           .persist(StorageLevel.MEMORY_AND_DISK))
+        return slices[bid]
+
     try:
         for it in range(max_iter):
             bid = it % num_batches
@@ -198,8 +223,7 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
                 lsum = float((loss.loss_np(m, yb) * wb).sum())
                 weight_sum = float(wb.sum())
             else:
-                batch = (prepared if num_batches == 1
-                         else prepared.filter(F.col("__batch__") == F.lit(float(bid))))
+                batch = get_batch(bid)
                 margin = dot_lit(F.col("__f__"), w)
                 r = (loss.residual(margin, F.col("__y__")) * F.col("__w__")).alias("__r__")
                 l = (loss.loss(margin, F.col("__y__")) * F.col("__w__")).alias("__l__")
@@ -212,6 +236,11 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
                 grad = np.array([row[f"g{j}"] or 0.0 for j in range(dim)])
                 weight_sum = row["wsum"] or 0.0
                 lsum = row["lsum"] or 0.0
+                # the agg above materialized slice `bid`; once every batch
+                # has its own cached slice the base cache is redundant
+                if base_live and len(slices) == num_batches:
+                    base.unpersist()
+                    base_live = False
             loss_val = lsum / max(weight_sum, 1e-300)
             losses.append(float(loss_val))
             if weight_sum > 0:
@@ -232,5 +261,8 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
     finally:
         if not local:
             _aqe.__exit__()
-            base.unpersist()
+            if base_live:
+                base.unpersist()
+            for s in slices.values():
+                s.unpersist()
     return w, losses

@@ -121,6 +121,25 @@ def test_sgd_distributed_matches_local(spark, monkeypatch):
                                m_dist.model_data["coefficient"], rtol=1e-9)
 
 
+def test_sgd_minibatch_slices_match_local(spark, monkeypatch):
+    """Mini-batch revisits (maxIter > numBatches) hit the persisted batch
+    slices; membership and arithmetic must be identical to the local loop."""
+    import numpy as np
+    from flink_ml_spark.common import optimizer
+    from flink_ml_spark.classification import LogisticRegression
+
+    data = [([float(i % 7) / 7, 1.0], float(i % 2)) for i in range(200)]
+    df = spark.createDataFrame(data, "features array<double>, label double")
+    # 200 rows / 60 per batch -> 4 batches; 9 rounds revisit each slice
+    kw = dict(featuresCol="features", labelCol="label", maxIter=9,
+              learningRate=0.5, tol=0.0, globalBatchSize=60)
+    m_local = LogisticRegression(**kw).fit(df)
+    monkeypatch.setattr(optimizer, "LOCAL_SOLVE_MAX_VALUES", 0)
+    m_dist = LogisticRegression(**kw).fit(df)
+    np.testing.assert_allclose(m_local.model_data["coefficient"],
+                               m_dist.model_data["coefficient"], rtol=1e-9)
+
+
 def test_kmeans_distributed_matches_local(spark, monkeypatch):
     import numpy as np
     from flink_ml_spark.common import optimizer
