@@ -62,26 +62,27 @@ class Swing(AlgoOperator):
             & (F.col("n") <= self.get_("maxUserBehavior")))
         weights = activity.select(
             "u", F.pow(F.lit(a1) + F.col("n"), F.lit(-beta)).alias("w"))
-        ui = ui.join(F.broadcast(weights.select("u")), "u", "left_semi")
+        # user cardinality is unbounded → NO broadcast of per-user state;
+        # carry w on the (u, i) rows from the first aggregation (plain
+        # shuffle join on u, AQE free to pick the strategy)
+        ui = ui.join(weights, "u")
         # cap users per item (deterministic: lowest hash first)
         wcap = Window.partitionBy("i").orderBy(F.hash("u"), F.col("u"))
         ui = (ui.withColumn("rn", F.row_number().over(wcap))
               .filter(F.col("rn") <= self.get_("maxUserNumPerItem"))
               .drop("rn"))
-        # user pairs co-interacting per item
-        a = ui.select(F.col("u").alias("ua"), F.col("i"))
-        b = ui.select(F.col("u").alias("ub"), F.col("i"))
+        # user pairs co-interacting per item (w rides along: 1 double/row)
+        a = ui.select(F.col("u").alias("ua"), F.col("i"), F.col("w").alias("wa"))
+        b = ui.select(F.col("u").alias("ub"), F.col("i"), F.col("w").alias("wb"))
         co = a.join(b, "i").filter(F.col("ua") < F.col("ub"))
-        # common-count and pair weight per (ua, ub)
-        pair_cnt = co.groupBy("ua", "ub").agg(F.count("*").alias("c"))
-        pair_w = (pair_cnt
-                  .join(F.broadcast(weights.select(F.col("u").alias("ua"),
-                                                   F.col("w").alias("wa"))), "ua")
-                  .join(F.broadcast(weights.select(F.col("u").alias("ub"),
-                                                   F.col("w").alias("wb"))), "ub")
-                  .select("ua", "ub",
-                          (F.col("wa") * F.col("wb") / (F.lit(a2) + F.col("c")))
-                          .alias("pw")))
+        # common-count and pair weight per (ua, ub); wa/wb are functionally
+        # dependent on ua/ub so min() just picks the constant
+        pair_cnt = co.groupBy("ua", "ub").agg(F.count("*").alias("c"),
+                                              F.min("wa").alias("wa"),
+                                              F.min("wb").alias("wb"))
+        pair_w = pair_cnt.select(
+            "ua", "ub",
+            (F.col("wa") * F.col("wb") / (F.lit(a2) + F.col("c"))).alias("pw"))
         # item pairs within each user pair's common set
         ci = co.select("ua", "ub", F.col("i"))
         cj = co.select("ua", "ub", F.col("i").alias("j"))
