@@ -195,6 +195,12 @@ class MinHashLSHDeduplicator(AlgoOperator):
     ``threshold``.  id_a < id_b, deduped.  Mirrors the reference's
     approxSimilarityJoin plan shape (LSHModel.java:211-276): explode band
     signatures → equi-join on (band, sig) → dropDuplicates → filter.
+
+    The band explode and equi-join carry ids ONLY; the (large) shingle
+    sets are joined back by id after the pair dedup for the exact-Jaccard
+    filter, so shuffle volume through the ×n_bands explode is a few longs
+    per row, never the document shingles (the reference likewise dedups
+    pairs first and computes distance after).
     """
 
     idCol = StringParam("idCol", "Unique id column.", "id")
@@ -220,18 +226,22 @@ class MinHashLSHDeduplicator(AlgoOperator):
             .transform(base)[0]
         # band signature = the band's hash slice rendered as one string key
         bands = sig.select(
-            "id", "sh",
+            "id",
             F.posexplode(F.array(*[
                 F.array_join(F.slice("sig", b * band + 1, band), "_")
                 for b in range(n_bands)])).alias("band", "bsig"))
-        left = bands.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                            "band", "bsig")
-        right = bands.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                             "band", "bsig")
+        left = bands.select(F.col("id").alias("id_a"), "band", "bsig")
+        right = bands.select(F.col("id").alias("id_b"), "band", "bsig")
         pairs = (left.join(right, ["band", "bsig"])
                  .filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b", "sh_a", "sh_b")
+                 .select("id_a", "id_b")
                  .dropDuplicates(["id_a", "id_b"]))
+        # shingles rejoin by id AFTER the dedup — once per surviving pair
+        pairs = (pairs
+                 .join(base.select(F.col("id").alias("id_a"),
+                                   F.col("sh").alias("sh_a")), "id_a")
+                 .join(base.select(F.col("id").alias("id_b"),
+                                   F.col("sh").alias("sh_b")), "id_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
         jacc = F.when(union > 0, inter / union).otherwise(0.0)

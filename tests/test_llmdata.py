@@ -5,7 +5,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from flink_ml_spark.llmdata import EmbeddingCosineDeduplicator
+from flink_ml_spark.llmdata import (EmbeddingCosineDeduplicator,
+                                    MinHashLSHDeduplicator)
 
 
 def _emb_df(spark, n=60, dim=16, seed=0):
@@ -31,6 +32,23 @@ def test_embedding_dedup_lsh_finds_near_dups(spark):
     # perturbation-level near-dups should essentially all be recalled
     assert got <= want
     assert len(got) >= 0.8 * len(want) > 0
+
+
+def test_minhash_dedup_band_join_carries_ids_only(spark):
+    rows = [(0, "the quick brown fox jumps over the lazy dog again"),
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "completely different text with nothing shared at all here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = MinHashLSHDeduplicator(idCol="doc_id", textCol="text",
+                               shingleSize=2, numHashes=16, bandSize=2) \
+        .set_(threshold=0.5)
+    out = d.transform(df)[0]
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(0, 1)}
+    # the pair-dedup aggregate must not haul shingle arrays through the
+    # band explode (ids only; shingles rejoin by id afterwards)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "first(sh_a" not in plan and "first(sh_b" not in plan
 
 
 def test_embedding_dedup_lsh_plan_has_no_cross_join(spark):
