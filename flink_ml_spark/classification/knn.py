@@ -5,23 +5,45 @@ per-partition matrices with precomputed squared norms (genModelData
 :97-134); predict broadcasts the model and does gemv batch distances with a
 per-row top-k priority queue (KnnModel.java PredictLabelFunction:129).
 
-Spark-first: fit collects (features, label) into a driver numpy matrix
-(model size = train-set; the reference equally materializes the whole train
-set as model data), predict = Arrow-batched pandas UDF doing one GEMM per
-batch against the broadcast matrix — numpy BLAS replaces the reference's
-hand-rolled gemv + priority queue.
+Spark-first: fit packs each partition's (features, label) rows into
+flattened matrix blocks DISTRIBUTEDLY (Arrow ``mapInPandas``, one compact
+block row per Arrow batch) — the driver never holds raw training rows,
+mirroring the reference's genModelData map.  The packed blocks live in a
+model-data DataFrame; predict assembles them into one numpy matrix and
+broadcasts it (the reference equally broadcasts the whole packed train set
+at predict), then an Arrow-batched pandas UDF does one GEMM per batch —
+numpy BLAS replaces the reference's hand-rolled gemv + priority queue.
+Both designs cap KNN at broadcastable model size (reference parity).
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import DoubleType
 
 from ..api import Estimator, Model
 from ..param import (HasFeaturesCol, HasLabelCol, HasPredictionCol, IntParam,
                      ParamValidators)
+
+_BLOCK_SCHEMA = "x array<double>, y array<double>, n int, dim int"
+
+
+def _pack_blocks(batches):
+    """One compact block row per Arrow batch: flattened row-major features
+    + labels (Knn.java genModelData's per-partition matrix pack)."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        x = np.stack(pdf["f"].to_numpy())
+        yield pd.DataFrame({
+            "x": [x.ravel().tolist()],
+            "y": [pdf["y"].to_numpy(dtype=float).tolist()],
+            "n": [x.shape[0]], "dim": [x.shape[1]],
+        })
 
 
 class Knn(Estimator, HasFeaturesCol, HasLabelCol, HasPredictionCol):
@@ -29,23 +51,68 @@ class Knn(Estimator, HasFeaturesCol, HasLabelCol, HasPredictionCol):
 
     def fit(self, *inputs: DataFrame) -> "KnnModel":
         (df,) = inputs
-        rows = df.select(self.get_("featuresCol"), self.get_("labelCol")).collect()
-        x = np.array([list(r[0]) for r in rows], dtype=float)
-        y = np.array([float(r[1]) for r in rows])
+        src = df.select(
+            F.col(self.get_("featuresCol")).cast("array<double>").alias("f"),
+            F.col(self.get_("labelCol")).cast("double").alias("y"))
+        blocks = src.mapInPandas(_pack_blocks, _BLOCK_SCHEMA).persist()
+        blocks.count()  # fit is an action: materialize the packed blocks
         model = KnnModel()
         model.set_(featuresCol=self.get_("featuresCol"),
                    predictionCol=self.get_("predictionCol"))
         model.set(KnnModel.k, self.get_("k"))
-        model.model_data = {"packedFeatures": x.tolist(), "labels": y.tolist()}
+        model.model_df = blocks
         return model
 
 
 class KnnModel(Model, HasFeaturesCol, HasPredictionCol):
     k = IntParam("k", "Number of neighbors.", 5, ParamValidators.gt(0))
 
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.model_df: DataFrame | None = None
+        self._mat: tuple[np.ndarray, np.ndarray] | None = None
+
+    def _matrices(self) -> tuple[np.ndarray, np.ndarray]:
+        """Assemble the packed blocks into (train_x, train_y) once.  Block
+        order follows the model-data partition order, so tie-breaking by
+        train index is stable across fit/save/load."""
+        if self._mat is None:
+            pdf = self.model_df.toPandas()
+            if len(pdf):
+                tx = np.concatenate([
+                    np.asarray(x, dtype=float).reshape(int(n), int(d))
+                    for x, n, d in zip(pdf["x"], pdf["n"], pdf["dim"])])
+                ty = np.concatenate([np.asarray(y, dtype=float)
+                                     for y in pdf["y"]])
+            else:
+                tx, ty = np.zeros((0, 0)), np.zeros(0)
+            self._mat = (tx, ty)
+        return self._mat
+
+    # model data IS the packed-block table (Knn.java keeps the whole packed
+    # train set as model data — parity)
+    def get_model_data(self, spark: SparkSession) -> list[DataFrame]:
+        return [self.model_df]
+
+    def set_model_data(self, *tables: DataFrame) -> "KnnModel":
+        (df,) = tables
+        self.model_df = df
+        self._mat = None
+        return self
+
+    def _save_model_data(self, path: str) -> None:
+        if self.model_df is not None:
+            self.model_df.write.mode("overwrite").parquet(
+                os.path.join(path, "data"))
+
+    def _load_model_data(self, spark: SparkSession, path: str) -> None:
+        p = os.path.join(path, "data")
+        if os.path.exists(p):
+            self.model_df = spark.read.parquet(p)
+            self._mat = None
+
     def _transform(self, df: DataFrame) -> DataFrame:
-        train_x = np.array(self.model_data["packedFeatures"])
-        train_y = np.array(self.model_data["labels"])
+        train_x, train_y = self._matrices()
         train_norm2 = (train_x ** 2).sum(axis=1)  # VectorWithNorm precompute
         k = self.get_("k")
         spark = df.sparkSession
@@ -75,8 +142,7 @@ class KnnModel(Model, HasFeaturesCol, HasPredictionCol):
                              predict(F.col(self.get_("featuresCol"))))
 
     def transform_local(self, pdf):
-        tx = np.array(self.model_data["packedFeatures"])
-        ty = np.array(self.model_data["labels"])
+        tx, ty = self._matrices()
         q = np.stack(pdf[self.get_("featuresCol")].to_numpy())
         d2 = (q ** 2).sum(axis=1)[:, None] - 2.0 * (q @ tx.T) + (tx ** 2).sum(axis=1)[None, :]
         kk = min(self.get_("k"), len(ty))
@@ -85,6 +151,7 @@ class KnnModel(Model, HasFeaturesCol, HasPredictionCol):
         for i in range(len(q)):
             vals, cnt = np.unique(ty[idx[i]], return_counts=True)
             preds.append(float(vals[cnt.argmax()]))
+
         out = pdf.copy()
         out[self.get_("predictionCol")] = preds
         return out

@@ -103,6 +103,27 @@ def test_knn(spark):
     assert got == {1: 0.0, 2: 1.0}
 
 
+def test_knn_distributed_pack_and_persistence(spark, tmp_path):
+    """fit never collects raw rows (packed-block model data); save/load
+    round-trips the block table through parquet."""
+    from pyspark.sql import functions as F
+    from flink_ml_spark.classification.knn import KnnModel
+
+    data = [([float(i), float(i)], float(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(data, "features array<double>, label double")
+    model = Knn(k=3).fit(df)
+    assert set(model.model_df.columns) == {"x", "y", "n", "dim"}
+    assert model.model_df.agg(F.sum("n")).first()[0] == 40
+    test = spark.createDataFrame([([2.0, 2.1],), ([31.0, 30.9],)],
+                                 "features array<double>")
+    before = [r["prediction"] for r in model.transform(test)[0].collect()]
+    p = str(tmp_path / "knn_model")
+    model.save(p)
+    loaded = KnnModel.load(spark, p)
+    after = [r["prediction"] for r in loaded.transform(test)[0].collect()]
+    assert before == after == [0.0, 1.0]
+
+
 def test_sgd_distributed_matches_local(spark, monkeypatch):
     """The distributed DF-agg rounds and the tiny-input local loop are the
     same algorithm — force both on one fixture and compare coefficients."""
