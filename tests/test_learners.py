@@ -121,7 +121,9 @@ def test_knn_distributed_pack_and_persistence(spark, tmp_path):
     model.save(p)
     loaded = KnnModel.load(spark, p)
     after = [r["prediction"] for r in loaded.transform(test)[0].collect()]
-    assert before == after == [0.0, 1.0]
+    # (2,2.1): neighbors (2,2)->0,(3,3)->1,(1,1)->1 => 1
+    # (31,30.9): neighbors (31,31)->1,(30,30)->0,(32,32)->0 => 0
+    assert before == after == [1.0, 0.0]
 
 
 def test_sgd_distributed_matches_local(spark, monkeypatch):
