@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import DoubleType
 
 from ..api import Estimator, Model
+from ..common import vector as V
 from ..param import (HasFeaturesCol, HasLabelCol, HasPredictionCol, IntParam,
                      ParamValidators)
 
@@ -52,7 +53,7 @@ class Knn(Estimator, HasFeaturesCol, HasLabelCol, HasPredictionCol):
     def fit(self, *inputs: DataFrame) -> "KnnModel":
         (df,) = inputs
         src = df.select(
-            F.col(self.get_("featuresCol")).cast("array<double>").alias("f"),
+            V.dense_input(df, self.get_("featuresCol")).alias("f"),
             F.col(self.get_("labelCol")).cast("double").alias("y"))
         blocks = src.mapInPandas(_pack_blocks, _BLOCK_SCHEMA).persist()
         blocks.count()  # fit is an action: materialize the packed blocks
@@ -139,7 +140,7 @@ class KnnModel(Model, HasFeaturesCol, HasPredictionCol):
             return pd.Series(preds)
 
         return df.withColumn(self.get_("predictionCol"),
-                             predict(F.col(self.get_("featuresCol"))))
+                             predict(V.dense_input(df, self.get_("featuresCol"))))
 
     def transform_local(self, pdf):
         tx, ty = self._matrices()

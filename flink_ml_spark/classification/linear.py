@@ -18,6 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..api import Estimator, Model
+from ..common import vector as V
 from ..common.optimizer import (BinaryLogisticLoss, HingeLoss,
                                 LeastSquareLoss, dot_lit, sgd)
 from ..param import (HasElasticNet, HasFeaturesCol, HasGlobalBatchSize,
@@ -41,7 +42,7 @@ class _LinearEstimatorBase(Estimator, HasFeaturesCol, HasLabelCol, HasWeightCol,
     def fit(self, *inputs: DataFrame) -> "Model":
         (df,) = inputs
         fcol = self.get_("featuresCol")
-        dim = len(df.select(fcol).first()[0])
+        dim = V.dim_of(df, fcol)
         w, losses = sgd(
             df, fcol, self.get_("labelCol"), self.get_("weightCol"),
             self._loss, dim,
@@ -57,14 +58,24 @@ class _LinearEstimatorBase(Estimator, HasFeaturesCol, HasLabelCol, HasWeightCol,
 
 
 class _LinearModelBase(Model, HasFeaturesCol, HasPredictionCol, HasRawPredictionCol):
-    def _margin(self):
-        return dot_lit(F.col(self.get_("featuresCol")),
-                       np.array(self.model_data["coefficient"]))
+    def _margin(self, df: DataFrame):
+        """w·x against the literal coefficients; sparse inputs use the
+        sparse-native form Σ v·w[i] over (indices, values) — no densify."""
+        fcol = self.get_("featuresCol")
+        w = np.array(self.model_data["coefficient"])
+        if V.is_sparse_type(df, fcol):
+            c = F.col(fcol)
+            lit_w = F.array(*[F.lit(float(x)) for x in w])
+            return F.aggregate(
+                F.zip_with(c["indices"], c["values"],
+                           lambda i, v: v * F.element_at(lit_w, i + 1)),
+                F.lit(0.0), lambda acc, x: acc + x)
+        return dot_lit(F.col(fcol).cast("array<double>"), w)
 
 
 class LogisticRegressionModel(_LinearModelBase):
     def _transform(self, df: DataFrame) -> DataFrame:
-        m = self._margin()
+        m = self._margin(df)
         prob1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
         return (df.withColumn(self.get_("rawPredictionCol"),
                               F.array(F.lit(1.0) - prob1, prob1))
@@ -100,7 +111,7 @@ class LogisticRegression(_LinearEstimatorBase, HasMultiClass):
 
 class LinearSVCModel(_LinearModelBase):
     def _transform(self, df: DataFrame) -> DataFrame:
-        m = self._margin()
+        m = self._margin(df)
         return (df.withColumn(self.get_("rawPredictionCol"), m)
                 .withColumn(self.get_("predictionCol"),
                             F.when(m >= 0.0, 1.0).otherwise(0.0)))
@@ -113,7 +124,7 @@ class LinearSVC(_LinearEstimatorBase):
 
 class LinearRegressionModel(_LinearModelBase):
     def _transform(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(self.get_("predictionCol"), self._margin())
+        return df.withColumn(self.get_("predictionCol"), self._margin(df))
 
 
 class LinearRegression(_LinearEstimatorBase):

@@ -19,6 +19,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..api import Estimator, Model
+from ..common import vector as V
 from ..common.distance import closest_centroid_expr, distance_np
 from ..param import (HasDistanceMeasure, HasFeaturesCol, HasMaxIter,
                      HasPredictionCol, HasSeed, HasTol, IntParam,
@@ -38,7 +39,7 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         k = self.get_("k")
         measure = self.get_("distanceMeasure")
         sc = df.sparkSession.sparkContext
-        data = df.select(F.col(fcol).cast("array<double>").alias("__f__"))
+        data = df.select(V.dense_input(df, fcol).alias("__f__"))
         # Regime-gated by measurement (PLANS.md):
         # - tiny input (rows*dim <= 2^21 values): ONE Arrow collect, Lloyd
         #   runs driver-local with identical arithmetic — 20 rounds of task
@@ -207,9 +208,9 @@ class KMeansModel(Model, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure):
                                  .argmin(axis=1).astype("int32"))
 
             return df.withColumn(self.get_("predictionCol"),
-                                 assign(F.col(self.get_("featuresCol"))))
-        cid = closest_centroid_expr(F.col(self.get_("featuresCol")), centers,
-                                    self.get_("distanceMeasure"))
+                                 assign(V.dense_input(df, self.get_("featuresCol"))))
+        cid = closest_centroid_expr(V.dense_input(df, self.get_("featuresCol")),
+                                    centers, self.get_("distanceMeasure"))
         return df.withColumn(self.get_("predictionCol"), cid)
 
     def transform_local(self, pdf):

@@ -23,7 +23,8 @@ def summarize_vector_col(df: DataFrame, col: str, metrics=("count", "mean", "std
     count, mean, std (unbiased, stddev_samp), var, min, max, max_abs,
     l1, l2sq, sum.
     """
-    exploded = df.select(F.posexplode(F.col(col)).alias("pos", "x"))
+    from . import vector as V
+    exploded = df.select(F.posexplode(V.dense_input(df, col)).alias("pos", "x"))
     aggs = [
         F.count("x").alias("count"),
         F.sum("x").alias("sum"),
@@ -56,7 +57,8 @@ def quantiles_vector_col(df: DataFrame, col: str, probs: list[float],
     paths; the sketch remains the 100 TB path).
     Returns array of shape (dim, len(probs)).
     """
-    exploded = df.select(F.posexplode(F.col(col)).alias("pos", "x"))
+    from . import vector as V
+    exploded = df.select(F.posexplode(V.dense_input(df, col)).alias("pos", "x"))
     if relative_error == 0:
         return _exact_quantiles(exploded, probs)
     parr = F.array(*[F.lit(p) for p in probs])

@@ -160,10 +160,12 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
     """
     from pyspark import StorageLevel
 
+    from . import vector as V
+
     sc = df.sparkSession.sparkContext
     w_col = (F.col(weight_col).cast("double") if weight_col else F.lit(1.0))
     base = df.select(
-        F.col(features_col).cast("array<double>").alias("__f__"),
+        V.dense_input(df, features_col).alias("__f__"),
         F.col(label_col).cast("double").alias("__y__"),
         w_col.alias("__w__"))
     par = sc.defaultParallelism

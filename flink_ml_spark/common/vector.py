@@ -13,6 +13,9 @@ expressions here + numpy inside pandas UDFs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, functions as F
 
 DOUBLE_ARRAY = "array<double>"
@@ -88,3 +91,47 @@ def to_dense(col, size: int | None = None) -> Column:
 def array_col(*cols) -> Column:
     """Assemble numeric scalar columns into array<double>."""
     return F.array(*[_c(c).cast("double") for c in cols])
+
+
+def is_sparse_type(df, col_name: str) -> bool:
+    dtype = dict((f.name, f.dataType.simpleString())
+                 for f in df.schema.fields)[col_name]
+    return dtype.startswith("struct")
+
+
+def _sparse_scatter_udf():
+    """Arrow-batched sparse→dense scatter (one crossing, numpy fill per
+    row) — predictable O(nnz + size) per row vs the per-element map
+    lookups of ``to_dense``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def scatter(size: pd.Series, idx: pd.Series, vals: pd.Series) -> pd.Series:
+        out = []
+        for n, i, v in zip(size, idx, vals):
+            d = np.zeros(int(n))
+            if i is not None and len(i):
+                d[np.asarray(i, dtype=int)] = np.asarray(v, dtype=float)
+            out.append(d)
+        return pd.Series(out)
+
+    return scatter
+
+
+def dense_input(df, col_name: str) -> Column:
+    """Vector-input acceptance: dense ``array<double>`` (or any numeric
+    array, cast) and the sparse struct {size, indices, values} are
+    interchangeable everywhere a features column is consumed — the
+    reference accepts both via its Vector hierarchy
+    (testInputTypeConversion, e.g. KMeansTest.java:191)."""
+    c = _c(col_name)
+    if is_sparse_type(df, col_name):
+        return _sparse_scatter_udf()(c["size"], c["indices"], c["values"])
+    return c.cast(DOUBLE_ARRAY)
+
+
+def dim_of(df, col_name: str) -> int:
+    """Vector dimension from the first row (dense length / sparse size)."""
+    if is_sparse_type(df, col_name):
+        return int(df.select(F.col(col_name)["size"]).first()[0])
+    return len(df.select(col_name).first()[0])

@@ -34,7 +34,8 @@ class _ScalerModelBase(Model, HasInputCol, HasOutputCol):
     def _affine_transform(self, df: DataFrame, scale: np.ndarray,
                           offset: np.ndarray | None) -> DataFrame:
         """out = (x - offset) * scale  (offset=None → x * scale)."""
-        col = F.col(self.get_("inputCol"))
+        from ..common import vector as V
+        col = V.dense_input(df, self.get_("inputCol"))
         if offset is None:
             expr = F.zip_with(col, _lit_arr(scale), lambda x, s: x * s)
         else:

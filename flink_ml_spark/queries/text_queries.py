@@ -170,6 +170,69 @@ SELECT doc_id, idx, count(*) AS cnt FROM hashed GROUP BY doc_id, idx
 """
 
 
+# --- HashingTF → LogisticRegression pipeline (sparse-input acceptance) ------
+# The flagship MLlib composition shape: HashingTF emits the sparse struct
+# {size, indices, values} and LogisticRegression consumes it directly
+# (reference testInputTypeConversion parity, KMeansTest.java:191).
+
+HTF_LR_FEATURES = 16
+HTF_LR_ITERS, HTF_LR_LR = 5, 0.5
+
+
+def hashingtf_logreg(spark, sf_dir):
+    from ..classification import LogisticRegression
+    toks = _tokenized(spark, sf_dir)
+    htf = HashingTF(inputCol="tokens", outputCol="features",
+                    numFeatures=HTF_LR_FEATURES, hashAlgorithm="poly",
+                    binary=True)
+    df = htf.transform(toks)[0].withColumn(
+        "label", (F.col("doc_id") % 2).cast("double"))
+    m = LogisticRegression(featuresCol="features", labelCol="label",
+                           maxIter=HTF_LR_ITERS, learningRate=HTF_LR_LR,
+                           tol=0.0, globalBatchSize=1 << 40,
+                           weightRounding=12).fit(df)
+    out = m.transform(df)[0]
+    return out.select("doc_id", q4(F.element_at("rawPrediction", 2)).alias("prob"))
+
+
+def _hashingtf_logreg_sql() -> str:
+    nf, iters, lr = HTF_LR_FEATURES, HTF_LR_ITERS, HTF_LR_LR
+    feats = ", ".join(
+        f"COALESCE(MAX(CASE WHEN c.idx = {j} THEN 1.0 END), 0.0) AS x{j}"
+        for j in range(nf))
+    margin = " + ".join(f"w{j} * x{j}" for j in range(nf))
+    res = f"1.0/(1.0 + exp(-({margin}))) - y"
+    ws = ", ".join(f"w{j}" for j in range(nf))
+    zeros = ", ".join("CAST(0 AS DOUBLE)" for _ in range(nf))
+    grads = ", ".join(
+        f"round(w{j} - {lr} * (SELECT avg(({res}) * x{j}) FROM data), 12)"
+        for j in range(nf))
+    return f"""
+WITH RECURSIVE tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+hashed AS (
+  SELECT doc_id,
+         CAST(list_reduce(
+           list_transform(range(1, length(term) + 1),
+                          i -> CAST(ascii(substr(term, CAST(i AS INT), 1)) AS BIGINT)),
+           (a, b) -> (a * 31 + b) % 2147483647) % {nf} AS INT) AS idx
+  FROM tok),
+data AS (
+  SELECT d.doc_id, {feats}, CAST(d.doc_id % 2 AS DOUBLE) AS y
+  FROM documents d LEFT JOIN hashed c ON d.doc_id = c.doc_id
+  GROUP BY d.doc_id),
+it(i, {ws}) AS (
+  SELECT 0, {zeros}
+  UNION ALL
+  SELECT i + 1, {grads} FROM it WHERE i < {iters}),
+w AS (SELECT {ws} FROM it ORDER BY i DESC LIMIT 1)
+SELECT doc_id, {SQL_Q4.format(f'1.0/(1.0 + exp(-({margin})))')} AS prob
+FROM data, w
+"""
+
+
+HASHINGTF_LOGREG_SQL = _hashingtf_logreg_sql()
+
+
 QUERIES = {
     "tokenizer": (tokenizer, TOKENIZER_SQL),
     "regex_tokenizer": (regex_tokenizer, REGEX_TOKENIZER_SQL),
@@ -178,4 +241,5 @@ QUERIES = {
     "count_vectorizer": (count_vectorizer, COUNT_VECTORIZER_SQL),
     "tfidf": (tfidf, TFIDF_SQL),
     "hashing_tf": (hashing_tf, HASHING_TF_SQL),
+    "hashingtf_logreg": (hashingtf_logreg, HASHINGTF_LOGREG_SQL),
 }

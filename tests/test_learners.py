@@ -103,6 +103,57 @@ def test_knn(spark):
     assert got == {1: 0.0, 2: 1.0}
 
 
+def test_sparse_struct_input_acceptance(spark):
+    """Learners and scalers accept the sparse {size,indices,values} struct
+    anywhere array<double> is accepted (reference testInputTypeConversion,
+    KMeansTest.java:191) — dense and sparse encodings of the same data must
+    produce identical models/outputs."""
+    import numpy as np
+    from flink_ml_spark.feature import StandardScaler
+
+    dense_rows = [([0.0, 2.0, 0.0, 1.0], 1.0), ([3.0, 0.0, 0.0, 0.0], 0.0),
+                  ([0.0, 0.0, 5.0, 1.0], 1.0), ([1.0, 1.0, 0.0, 0.0], 0.0)] * 5
+    dd = spark.createDataFrame(dense_rows, "features array<double>, label double")
+
+    def sparsify(v):
+        idx = [i for i, x in enumerate(v) if x != 0.0]
+        return (len(v), idx, [v[i] for i in idx])
+
+    sparse_rows = [(sparsify(v), y) for v, y in dense_rows]
+    sd = spark.createDataFrame(
+        sparse_rows,
+        "features struct<size:int,indices:array<int>,values:array<double>>, "
+        "label double")
+
+    kw = dict(featuresCol="features", labelCol="label", maxIter=5,
+              learningRate=0.5, tol=0.0, globalBatchSize=1 << 40)
+    w_dense = LogisticRegression(**kw).fit(dd).model_data["coefficient"]
+    w_sparse = LogisticRegression(**kw).fit(sd).model_data["coefficient"]
+    np.testing.assert_allclose(w_dense, w_sparse, rtol=1e-12)
+    # model transform over sparse input (sparse-native margin)
+    m = LogisticRegression(**kw).fit(sd)
+    preds = [r["prediction"] for r in m.transform(sd)[0].collect()]
+    assert preds == [y for _, y in dense_rows]
+
+    sc_d = StandardScaler(inputCol="features", outputCol="s").fit(dd)
+    sc_s = StandardScaler(inputCol="features", outputCol="s").fit(sd)
+    np.testing.assert_allclose(sc_d.model_data["std"], sc_s.model_data["std"])
+    out = sc_s.transform(sd)[0].select("s").first()[0]
+    out_d = sc_d.transform(dd)[0].select("s").first()[0]
+    np.testing.assert_allclose(out, out_d)
+
+    km_d = KMeans(k=2, maxIter=3, initMode="first_distinct").fit(dd)
+    km_s = KMeans(k=2, maxIter=3, initMode="first_distinct").fit(sd)
+    np.testing.assert_allclose(km_d.model_data["centroids"],
+                               km_s.model_data["centroids"])
+
+    knn_d = Knn(k=3).fit(dd)
+    knn_s = Knn(k=3).fit(sd)
+    pd_ = [r["prediction"] for r in knn_d.transform(dd)[0].collect()]
+    ps_ = [r["prediction"] for r in knn_s.transform(sd)[0].collect()]
+    assert pd_ == ps_
+
+
 def test_knn_distributed_pack_and_persistence(spark, tmp_path):
     """fit never collects raw rows (packed-block model data); save/load
     round-trips the block table through parquet."""
