@@ -415,9 +415,16 @@ SELECT id, {SQL_Q4.format('d')} AS dist FROM scored ORDER BY d, id LIMIT 5
 """
 
 
-# --- AgglomerativeClustering (local algorithm → rows-only check) -----------
+# --- AgglomerativeClustering (precomputed-fixture oracle) -------------------
+# The reference pins exact expected merge trees for seeded inputs
+# (AgglomerativeClusteringTest.java); same idea here: the oracle is the
+# expected assignment for the fixed sf0.01 supplier input, precomputed with
+# the seeded local kernel.  Output is made order-invariant by relabeling
+# each cluster to its minimum member s_suppkey (label NUMBERING depends on
+# the group's row order; MEMBERSHIP does not).
 
 def agglomerative(spark, sf_dir):
+    from pyspark.sql import Window
     from ..clustering import AgglomerativeClustering
     sup = load(spark, sf_dir, "supplier")
     df = sup.select("s_suppkey",
@@ -426,7 +433,38 @@ def agglomerative(spark, sf_dir):
     op = AgglomerativeClustering(featuresCol="features", predictionCol="cluster",
                                  numClusters=5, linkage="ward")
     assigned, _tree = op.transform(df)
-    return assigned.select("s_suppkey", "cluster")
+    w = Window.partitionBy("cluster")
+    return (assigned.select("s_suppkey", "cluster")
+            .withColumn("cluster_rep", F.min("s_suppkey").over(w))
+            .select("s_suppkey", "cluster_rep"))
+
+
+def _agglomerative_sql() -> str | None:
+    """VALUES fixture from the seeded kernel over the sf0.01 supplier table
+    (the driver's correctness gate runs at sf=0.01; None → rows-only if the
+    fixture input is unavailable)."""
+    import os
+    path = "/root/testdata/sf0.01/supplier.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    from ..clustering.agglomerativeclustering import agglomerate
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT s_suppkey, s_acctbal / 1000.0 AS f0, "
+        f"s_nationkey / 10.0 AS f1 FROM read_parquet('{path}') "
+        f"ORDER BY s_suppkey").df()
+    con.close()
+    import numpy as np
+    x = pdf[["f0", "f1"]].to_numpy(dtype=float)
+    labels, _ = agglomerate(x, "ward", 5, None)
+    keys = pdf["s_suppkey"].to_numpy()
+    rep = {lab: int(keys[labels == lab].min()) for lab in np.unique(labels)}
+    values = ", ".join(
+        f"(CAST({int(k)} AS BIGINT), CAST({rep[l]} AS BIGINT))"
+        for k, l in zip(keys, labels))
+    return (f"SELECT * FROM (VALUES {values}) "
+            f"AS t(s_suppkey, cluster_rep)")
 
 
 # --- stats tests ------------------------------------------------------------
@@ -610,5 +648,5 @@ QUERIES = {
     "swing": (swing, SWING_SQL),
     "minhash_lsh_join": (minhash_lsh_join, _lsh_join_sql()),
     "minhash_lsh_nn": (minhash_lsh_nn, _lsh_nn_sql()),
-    "agglomerative": (agglomerative, None),
+    "agglomerative": (agglomerative, _agglomerative_sql()),
 }
