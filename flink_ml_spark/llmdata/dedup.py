@@ -109,21 +109,13 @@ def token_indices_udf(space: int):
     @pandas_udf("array<int>")
     def idxs(texts):
         import pandas as pd
-        memo: dict = {}
-
-        def thash(t):
-            h = memo.get(t)
-            if h is None:
-                h = 0
-                for ch in t:
-                    h = (h * 31 + ord(ch)) % MINHASH_PRIME
-                memo[t] = h % space
-            return memo[t]
-
-        out = []
-        for txt in texts:
-            toks = [t for t in (txt or "").lower().split() if t]
-            out.append(sorted({thash(t) for t in toks}))
+        tok_lists = [(txt or "").lower().split() for txt in texts]
+        flat, lens, starts = flat_tokens(tok_lists)
+        # ONE vectorized (tokens) numpy pass — np_poly_hash replaces the
+        # per-token Python loop
+        h = np_poly_hash(flat) % space
+        out = [sorted(set(h[s:s + n].tolist()))
+               for s, n in zip(starts, lens)]
         return pd.Series(out)
 
     return idxs

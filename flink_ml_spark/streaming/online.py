@@ -106,6 +106,59 @@ class OnlineStandardScaler(Estimator, HasFeaturesCol, HasModelVersionCol,
                 self._update(rows)
                 self._emit(version_ts=batch_id)
 
+    # -- event-time windows + watermark (late data dropped by Spark) --------
+    def attach_event_time(self, stream_df: DataFrame, delay: str = "10 seconds",
+                          checkpoint: str | None = None):
+        """Event-time windowed fit with real late-data handling.
+
+        The reference requires event-time windows + bounded lateness on the
+        model stream (OnlineStandardScaler.java:91-95).  Spark-first: the
+        stream is ``withWatermark``-ed and pre-aggregated per (window, dim)
+        by Spark's STATEFUL windowed aggregation; ``append`` output emits
+        each window's sums exactly once — when the watermark passes its
+        end — and rows later than ``delay`` are dropped by the watermark,
+        deterministically.  foreachBatch then folds the FINALIZED windows
+        into the cumulative model state (one version per window, in
+        window order).  Requires ``windowMillis``; ``timeCol`` may be a
+        double (epoch seconds → cast) or timestamp column.
+        """
+        win = self.get_("windowMillis")
+        if not win:
+            raise ValueError("attach_event_time requires windowMillis")
+        tcol = self.get_("timeCol")
+        fcol = self.get_("featuresCol")
+        dtype = dict((f.name, f.dataType.simpleString())
+                     for f in stream_df.schema.fields)[tcol]
+        ts = (F.col(tcol) if dtype == "timestamp"
+              else F.col(tcol).cast("timestamp"))
+        agg = (stream_df
+               .withColumn("__t__", ts)
+               .withWatermark("__t__", delay)
+               .select("__t__", F.posexplode(F.col(fcol)).alias("pos", "x"))
+               .groupBy(F.window("__t__", f"{win} milliseconds").alias("win"),
+                        F.col("pos"))
+               .agg(F.count("x").alias("n"), F.sum("x").alias("s"),
+                    F.sum(F.col("x") * F.col("x")).alias("ss")))
+        writer = (agg.writeStream
+                  .foreachBatch(lambda df, bid: self._fold_windows(df, bid))
+                  .outputMode("append"))
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return writer.start()
+
+    def _fold_windows(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = (batch_df
+                .select((F.col("win")["start"].cast("double") * 1000).alias("w0"),
+                        "pos", "n", "s", "ss")
+                .orderBy("w0", "pos").collect())
+        by_w: dict[float, list] = {}
+        for r in rows:
+            by_w.setdefault(float(r["w0"]), []).append(r)
+        win = self.get_("windowMillis")
+        for w0 in sorted(by_w):
+            self._update(by_w[w0])
+            self._emit(version_ts=w0 + win)
+
     def _update(self, rows) -> None:
         dim = max(r["pos"] for r in rows) + 1
         if self._n is None:
@@ -143,6 +196,9 @@ class OnlineStandardScaler(Estimator, HasFeaturesCol, HasModelVersionCol,
         return spark.createDataFrame(pd.DataFrame(self._versions))
 
 
+_VERSION_CHAIN_MAX = 64
+
+
 class OnlineStandardScalerModel(Model, HasFeaturesCol, HasModelVersionCol,
                                 HasMaxAllowedModelDelayMs):
     outputCol = StringParam("outputCol", "Scaled output column.", "output")
@@ -161,9 +217,13 @@ class OnlineStandardScalerModel(Model, HasFeaturesCol, HasModelVersionCol,
             scaled = self._scale_expr(v)
             out = df.withColumn(out_col, scaled)
             return out.withColumn(vcol, F.lit(v["version"])) if vcol else out
-        # as-of join: pick max version with model ts ≤ data ts + delay
-        # (model table is tiny → CASE-chain expression, no join/shuffle;
-        # mirrors OnlineStandardScalerModel.java:128-160)
+        # as-of: max version with model ts ≤ data ts + delay (mirrors
+        # OnlineStandardScalerModel.java:128-160).  Short histories inline
+        # as a CASE chain (no join/shuffle); past _VERSION_CHAIN_MAX the
+        # plan size would grow with stream lifetime, so it switches to a
+        # broadcast as-of join against the version table.
+        if len(versions) > _VERSION_CHAIN_MAX:
+            return self._asof_join_transform(df, versions, tcol, out_col, vcol)
         delay = self.get_("maxAllowedModelDelayMs")
         ts = OnlineStandardScaler._time_ms(df, tcol)
         ver = F.lit(None).cast("int")
@@ -178,6 +238,41 @@ class OnlineStandardScalerModel(Model, HasFeaturesCol, HasModelVersionCol,
         if vcol:
             out = out.withColumn(vcol, ver)
         return out
+
+    def _asof_join_transform(self, df: DataFrame, versions, tcol: str,
+                             out_col: str, vcol: str | None) -> DataFrame:
+        """Broadcast as-of join: data × version table (range predicate) →
+        max matching version per row → scale with the joined (mean, std).
+        O(1) plan size regardless of history length; the version table is
+        O(versions × dim) — broadcastable model state, like the CASE chain
+        it replaces."""
+        from pyspark.sql import Window
+        spark = df.sparkSession
+        delay = float(self.get_("maxAllowedModelDelayMs"))
+        vdf = spark.createDataFrame(
+            [(int(v["version"]), float(v["timestamp"]),
+              [float(x) for x in v["mean"]],
+              [float(s) if s != 0 else 1.0 for s in v["std"]])
+             for v in versions],
+            "__ver__ int, __vts__ double, __mean__ array<double>, __std__ array<double>")
+        ts = OnlineStandardScaler._time_ms(df, tcol)
+        d = df.withColumn("__rid__", F.monotonically_increasing_id()) \
+              .withColumn("__ts__", ts)
+        j = d.join(F.broadcast(vdf),
+                   F.col("__ts__") + F.lit(delay) >= F.col("__vts__"), "left")
+        w = Window.partitionBy("__rid__").orderBy(F.desc_nulls_last("__ver__"))
+        best = (j.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1))
+        fcol = F.col(self.get_("featuresCol"))
+        centered = F.zip_with(fcol, F.col("__mean__"), lambda x, m: x - m)
+        scaled = F.when(
+            F.col("__ver__").isNotNull(),
+            F.zip_with(centered, F.col("__std__"), lambda x, s: x / s))
+        out = best.withColumn(out_col, scaled)
+        if vcol:
+            out = out.withColumn(vcol, F.col("__ver__"))
+        return out.drop("__rid__", "__ts__", "__rn__", "__ver__", "__vts__",
+                        "__mean__", "__std__")
 
     def _scale_expr(self, v):
         mean = v["mean"]

@@ -96,6 +96,79 @@ def test_online_ftrl_learns(spark):
     assert got == [1.0, 0.0]
 
 
+def test_online_scaler_long_history_asof_join(spark):
+    """Past _VERSION_CHAIN_MAX versions the model switches from the CASE
+    chain to a broadcast as-of join — same answers."""
+    from flink_ml_spark.streaming.online import OnlineStandardScalerModel
+
+    def mk(n_versions):
+        m = OnlineStandardScalerModel()
+        m.set_(featuresCol="features", maxAllowedModelDelayMs=0,
+               modelVersionCol="ver")
+        m.set(type(m).timeCol, "ts")
+        m.model_data = {"versions": [
+            {"version": v, "timestamp": float(v * 1000),
+             "mean": [float(v)], "std": [1.0]} for v in range(n_versions)]}
+        return m
+
+    test = spark.createDataFrame(
+        [(500.0, [10.0]), (70500.0, [10.0]), (200500.0, [10.0])],
+        "ts double, features array<double>")
+    big = mk(100)   # join path
+    got = {r["ts"]: (r["ver"], r["output"][0])
+           for r in big._transform(test).collect()}
+    # ts=500 → version 0 (mean 0); ts=70500 → version 70; ts beyond last →
+    # version 99
+    assert got[500.0] == (0, 10.0)
+    assert got[70500.0] == (70, 10.0 - 70.0)
+    assert got[200500.0] == (99, 10.0 - 99.0)
+    small = mk(50)  # CASE-chain path, same convention
+    got_s = {r["ts"]: (r["ver"], r["output"][0])
+             for r in small._transform(test).collect()}
+    assert got_s[500.0] == (0, 10.0)
+    assert got_s[70500.0] == (49, 10.0 - 49.0)
+
+
+def test_online_scaler_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windows + watermark: late rows beyond the delay are
+    dropped by Spark's stateful windowed aggregation (reference bounded-
+    lateness contract, OnlineStandardScaler.java:91-95), and windows
+    finalize exactly once in event-time order."""
+    import time
+    import pandas as pd
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    # on-time rows: window [0,5s) = {1,2}, window [5,10s) = {6};
+    # ts=21s advances the watermark (delay 5s → watermark 16s)
+    pd.DataFrame({"ts": [1.0, 2.0, 6.0, 21.0],
+                  "v": [1.0, 2.0, 6.0, 21.0]}).to_parquet(src / "a.parquet")
+    time.sleep(1.1)  # distinct mtimes → files process in write order
+    # a second trigger activates the advanced watermark for input filtering
+    # (Spark applies the watermark computed at the END of batch N to the
+    # INPUT of batch N+1)
+    pd.DataFrame({"ts": [22.0], "v": [22.0]}).to_parquet(src / "b.parquet")
+    time.sleep(1.1)
+    # late row for window [0,5s): watermark is at 16s → dropped
+    pd.DataFrame({"ts": [1.5], "v": [100.0]}).to_parquet(src / "c.parquet")
+    stream = (spark.readStream
+              .schema("ts double, v double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src))
+              .select("ts", F.array("v").alias("features")))
+    scaler = OnlineStandardScaler(featuresCol="features", windowMillis=5000)
+    q = scaler.attach_event_time(stream, delay="5 seconds",
+                                 checkpoint=str(tmp_path / "wm_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    vs = scaler._versions
+    # windows [0,5) and [5,10) finalized; [20,25) never closed (no later
+    # data), and the late 100.0 is NOT in any version
+    assert len(vs) == 2
+    assert vs[0]["timestamp"] == pytest.approx(5000.0)
+    assert vs[0]["mean"][0] == pytest.approx(1.5)        # {1, 2}
+    assert vs[1]["mean"][0] == pytest.approx(3.0)        # cumulative {1,2,6}
+
+
 def test_online_scaler_true_stream(spark, tmp_path):
     """End-to-end Structured Streaming: parquet source → foreachBatch."""
     import pandas as pd
