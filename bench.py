@@ -37,6 +37,8 @@ HEADLINE = [
     "binary_evaluator", "exact_dedup", "simhash_dedup", "minhash_signature",
     "ann_bruteforce", "language_id", "text_quality", "token_count",
     "fingerprint", "llm_prep_pipeline",
+    # round 2 additions: sparse pipeline composition + bucketed LSH dedup
+    "hashingtf_logreg", "embedding_dedup_lsh", "minhash_dedup", "ann_ivf",
 ]
 
 

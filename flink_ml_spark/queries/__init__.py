@@ -70,7 +70,22 @@ def all_queries():
     for mod in (feature_queries, text_queries, ml_queries, llmdata_queries,
                 streaming_queries):
         out.update(mod.QUERIES)
-    return out
+    # Round-1's driver correctness run covered exactly the first 50 registry
+    # entries; order the queries WITHOUT a driver-green row yet first so a
+    # capped run verifies them this round (previously-green queries carry
+    # r01 evidence; local tools/check_oracle.py covers the full set every
+    # session regardless).
+    prio = [
+        "hashingtf_logreg", "media_pipeline", "minhash_signature",
+        "minhash_dedup", "ngram_jaccard_dedup", "simhash_dedup",
+        "embedding_dedup", "embedding_dedup_lsh", "ann_bruteforce",
+        "language_id", "text_quality", "token_count", "fingerprint",
+        "online_standard_scaler", "online_kmeans", "online_scaler_delayed",
+        "online_logistic_regression",
+    ]
+    ordered = {k: out[k] for k in prio if k in out}
+    ordered.update(out)
+    return ordered
 
 
 def queries_dict():
