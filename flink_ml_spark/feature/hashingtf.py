@@ -148,19 +148,29 @@ class FeatureHasher(Transformer, HasInputCols, HasOutputCol, HasCategoricalCols,
         poly_maps: dict[str, Column] = {}
         cat_cols = [c for c in cols if is_cat[c]]
         if algo == "poly" and cat_cols:
-            # one scan for all columns' distinct values (collect_set has
-            # map-side partial aggregation — only distincts shuffle)
-            row = df.agg(*[F.collect_set(F.col(c).cast("string")).alias(c)
-                           for c in cat_cols]).first()
-            for c in cat_cols:
-                poly_maps[c] = F.create_map(
-                    *[x for v in row[c]
-                      for x in (F.lit(v), F.lit(poly_hash31(f"{c}={v}") % n))])
+            # distinct-value map literals are driver state → cap them: a
+            # cheap approx_count_distinct pre-check keeps unbounded-
+            # cardinality columns OFF the driver entirely (they fall back
+            # to the lazy expression hash, same values)
+            MAX_MAP_DISTINCTS = 4096
+            acd = df.agg(*[F.approx_count_distinct(F.col(c).cast("string"))
+                           .alias(c) for c in cat_cols]).first()
+            map_cols = [c for c in cat_cols if acd[c] <= MAX_MAP_DISTINCTS]
+            if map_cols:
+                # one scan for the mappable columns' distinct values
+                # (collect_set has map-side partial aggregation — only
+                # distincts shuffle)
+                row = df.agg(*[F.collect_set(F.col(c).cast("string")).alias(c)
+                               for c in map_cols]).first()
+                for c in map_cols:
+                    poly_maps[c] = F.create_map(
+                        *[x for v in row[c]
+                          for x in (F.lit(v), F.lit(poly_hash31(f"{c}={v}") % n))])
 
         def bucket_value(c: str) -> tuple[Column, Column]:
             if is_cat[c]:
                 term = F.concat(F.lit(c + "="), F.col(c).cast("string"))
-                if algo == "poly":
+                if algo == "poly" and c in poly_maps:
                     idx = F.coalesce(poly_maps[c][F.col(c).cast("string")],
                                      term_index(term, n, algo))
                 else:
