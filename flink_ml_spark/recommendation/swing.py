@@ -24,7 +24,7 @@ emits a packed string column; relational output is declared equivalent).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType
 
 from ..api import AlgoOperator
@@ -66,11 +66,12 @@ class Swing(AlgoOperator):
         # carry w on the (u, i) rows from the first aggregation (plain
         # shuffle join on u, AQE free to pick the strategy)
         ui = ui.join(weights, "u")
-        # cap users per item (deterministic: lowest hash first)
-        wcap = Window.partitionBy("i").orderBy(F.hash("u"), F.col("u"))
-        ui = (ui.withColumn("rn", F.row_number().over(wcap))
-              .filter(F.col("rn") <= self.get_("maxUserNumPerItem"))
-              .drop("rn"))
+        # cap users per item (deterministic: lowest hash first).  Two-stage
+        # salted top-k: a hot item's users never all land in one task
+        # (reference bounds the same blowup by sampling, Swing.java:294-300)
+        from ..common.dataflow import top_k_per_key
+        ui = top_k_per_key(ui, ["i"], [F.hash("u"), F.col("u")],
+                           self.get_("maxUserNumPerItem"), salt_cols=["u"])
         # user pairs co-interacting per item (w rides along: 1 double/row)
         a = ui.select(F.col("u").alias("ua"), F.col("i"), F.col("w").alias("wa"))
         b = ui.select(F.col("u").alias("ub"), F.col("i"), F.col("w").alias("wb"))
@@ -89,9 +90,10 @@ class Swing(AlgoOperator):
         item_pairs = (ci.join(cj, ["ua", "ub"]).filter(F.col("i") != F.col("j"))
                       .join(pair_w, ["ua", "ub"])
                       .groupBy("i", "j").agg(F.sum("pw").alias("score")))
-        wtop = Window.partitionBy("i").orderBy(F.desc("score"), F.asc("j"))
-        out = (item_pairs.withColumn("rank", F.row_number().over(wtop))
-               .filter(F.col("rank") <= self.get_("k"))
+        # per-item top-k, same two-stage shape (hot items at 100 TB)
+        out = (top_k_per_key(item_pairs, ["i"],
+                             [F.desc("score"), F.asc("j")], self.get_("k"),
+                             salt_cols=["j"], rank_col="rank")
                .select(F.col("i").alias("item"), F.col("j").alias("similar_item"),
                        "score", "rank"))
         return [out]

@@ -97,3 +97,20 @@ def test_window_all_session(spark):
         df, Windows.event_time_session(2000), "t",
         F.sum("v").alias("s")).orderBy("window_start").collect()
     assert [r["s"] for r in out] == [3.0, 7.0]
+
+
+def test_top_k_per_key_matches_single_stage(spark):
+    from pyspark.sql import Window, functions as F
+    from flink_ml_spark.common.dataflow import top_k_per_key
+
+    rows = [(i % 5, i, float((i * 37) % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows, "key int, id int, score double")
+    order = [F.desc("score"), F.asc("id")]
+    got = top_k_per_key(df, ["key"], order, 7, salt_cols=["id"],
+                        rank_col="rank", salt_buckets=8)
+    w = Window.partitionBy("key").orderBy(*order)
+    want = (df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 7))
+    g = {(r["key"], r["id"], r["rank"]) for r in got.collect()}
+    e = {(r["key"], r["id"], r["rank"]) for r in want.collect()}
+    assert g == e
