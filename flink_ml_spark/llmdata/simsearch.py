@@ -38,9 +38,13 @@ class BruteForceKNNJoin(AlgoOperator, HasSeed):
         joined = c.crossJoin(F.broadcast(q))
         cos = V.dot("qv", "cv") / (V.p_norm("qv", 2.0) * V.p_norm("cv", 2.0))
         scored = joined.withColumn("cosine", cos)
-        w = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.asc(cid))
-        return [scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= self.get_("k"))
+        # two-stage salted top-k: the per-query candidate set is the whole
+        # corpus here, so a single-window rank would drag it through one
+        # task per query
+        from ..common.dataflow import top_k_per_key
+        return [top_k_per_key(scored, [qid],
+                              [F.desc("cosine"), F.asc(cid)], self.get_("k"),
+                              salt_cols=[cid], rank_col="rank")
                 .select(qid, cid, "cosine", "rank")]
 
 
@@ -146,11 +150,10 @@ class IVFIndexModel(Model):
                                   F.col(vc).cast("array<double>").alias("cv"))
         joined = c.join(F.broadcast(q), cc)
         cos = V.dot("qv", "cv") / (V.p_norm("qv", 2.0) * V.p_norm("cv", 2.0))
-        from pyspark.sql import Window
-        w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
-        return (joined.withColumn("cosine", cos)
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
+        from ..common.dataflow import top_k_per_key
+        return (top_k_per_key(joined.withColumn("cosine", cos), [query_id],
+                              [F.desc("cosine"), F.asc(corpus_id)], k,
+                              salt_cols=[corpus_id], rank_col="rank")
                 .select(query_id, corpus_id, "cosine", "rank"))
 
 
