@@ -9,7 +9,7 @@ products are zip_with/aggregate folds; no Python in the data path.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..api import AlgoOperator, Estimator, Model
 from ..common import vector as V
