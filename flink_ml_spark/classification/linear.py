@@ -42,10 +42,11 @@ class _LinearEstimatorBase(Estimator, HasFeaturesCol, HasLabelCol, HasWeightCol,
     def fit(self, *inputs: DataFrame) -> "Model":
         (df,) = inputs
         fcol = self.get_("featuresCol")
-        dim = V.dim_of(df, fcol)
+        # dim is inferred from sgd's cache (no extra job through the
+        # possibly-expensive upstream pipeline)
         w, losses = sgd(
             df, fcol, self.get_("labelCol"), self.get_("weightCol"),
-            self._loss, dim,
+            self._loss, None,
             max_iter=self.get_("maxIter"), learning_rate=self.get_("learningRate"),
             global_batch_size=self.get_("globalBatchSize"), tol=self.get_("tol"),
             reg=self.get_("reg"), elastic_net=self.get_("elasticNet"),
