@@ -57,7 +57,11 @@ def minhash_signature(spark, sf_dir):
                        shingles(F.col("text"), 3).alias("sh"))
     sig = MinHashSignature(inputCol="sh", outputCol="sig",
                            numHashes=N_HASHES, seed=SEED).transform(base)[0]
-    return sig.select("doc_id", F.posexplode("sig").alias("h", "v"))
+    # posexplode_outer: the plain posexplode's implicit size>0 filter gets
+    # pushed below the scan-fanout Exchange and re-evaluates the signature
+    # UDF twice (measured 3x query time); signatures are never empty, so
+    # outer explode emits identical rows with ONE evaluation
+    return sig.select("doc_id", F.posexplode_outer("sig").alias("h", "v"))
 
 
 def _minhash_sql() -> str:

@@ -90,9 +90,13 @@ def count_vectorizer(spark, sf_dir):
     m = CountVectorizer(inputCol="tokens", outputCol="tf",
                         vocabularySize=VOCAB_SIZE).fit(toks)
     out = m.transform(toks)[0]
+    # explode_outer + not-null filter: ONE UDF evaluation (see
+    # minhash_signature note — inner explode's pushed size>0 filter would
+    # re-run the transform UDF below the Exchange)
     return (out.select("doc_id", F.arrays_zip(F.col("tf")["indices"],
                                               F.col("tf")["values"]).alias("z"))
-            .select("doc_id", F.explode("z").alias("e"))
+            .select("doc_id", F.explode_outer("z").alias("e"))
+            .filter(F.col("e").isNotNull())
             .select("doc_id", F.col("e")["indices"].alias("term_idx"),
                     F.col("e")["values"].cast("long").alias("cnt")))
 
@@ -119,7 +123,8 @@ def tfidf(spark, sf_dir):
     out = idf.transform(with_tf)[0]
     return (out.select("doc_id", F.arrays_zip(F.col("tfidf")["indices"],
                                               F.col("tfidf")["values"]).alias("z"))
-            .select("doc_id", F.explode("z").alias("e"))
+            .select("doc_id", F.explode_outer("z").alias("e"))
+            .filter(F.col("e").isNotNull())
             .select("doc_id", F.col("e")["indices"].alias("term_idx"),
                     q4(F.col("e")["values"]).alias("w")))
 
@@ -152,7 +157,8 @@ def hashing_tf(spark, sf_dir):
     out = t.transform(toks)[0]
     return (out.select("doc_id", F.arrays_zip(F.col("tf")["indices"],
                                               F.col("tf")["values"]).alias("z"))
-            .select("doc_id", F.explode("z").alias("e"))
+            .select("doc_id", F.explode_outer("z").alias("e"))
+            .filter(F.col("e").isNotNull())
             .select("doc_id", F.col("e")["indices"].alias("idx"),
                     F.col("e")["values"].cast("long").alias("cnt")))
 
