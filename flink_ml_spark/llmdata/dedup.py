@@ -310,13 +310,24 @@ class SimHashDeduplicator(AlgoOperator):
 class NGramJaccardDeduplicator(AlgoOperator):
     """Exact all-pairs n-gram Jaccard above a threshold via token-postings
     join (inverted index): explode distinct shingles → self-join on shingle
-    → count shared / sizes.  Distributes by shingle key; for 100 TB apply
-    a document-frequency cap on shingles first (hot-shingle skew)."""
+    → count shared / sizes.  Distributes by shingle key.
+
+    ``maxShingleDocFreq`` is the 100 TB hot-shingle guard: shingles whose
+    document frequency exceeds the cap are dropped from the INDEX before
+    the self-join (a df-D shingle alone contributes D² join rows).  The
+    intersection then undercounts by at most the capped shingles, making
+    the reported jaccard a LOWER BOUND — near-dup pairs, which share many
+    rare shingles, still surface; this is the standard prefix/df-filter
+    trade.  ``None`` (default) keeps exact semantics."""
 
     idCol = StringParam("idCol", "Unique id column.", "id")
     textCol = StringParam("textCol", "Text column.", "text")
     shingleSize = IntParam("shingleSize", "Words per shingle.", 3)
     threshold = FloatParam("threshold", "Jaccard threshold.", 0.5)
+    maxShingleDocFreq = IntParam(
+        "maxShingleDocFreq",
+        "Drop shingles with document frequency above this from the index "
+        "(None = exact).", None)
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
@@ -326,6 +337,11 @@ class NGramJaccardDeduplicator(AlgoOperator):
             shingles(F.col(self.get_("textCol")), self.get_("shingleSize")).alias("sh"))
         sizes = sh.select("id", F.size("sh").alias("n"))
         postings = sh.select("id", F.explode("sh").alias("g"))
+        max_df = self.get_("maxShingleDocFreq")
+        if max_df is not None:
+            keep = (postings.groupBy("g").agg(F.count("*").alias("__df__"))
+                    .filter(F.col("__df__") <= max_df).select("g"))
+            postings = postings.join(keep, "g", "left_semi")
         shared = (postings.alias("a")
                   .join(postings.alias("b"), "g")
                   .filter(F.col("a.id") < F.col("b.id"))

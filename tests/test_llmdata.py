@@ -51,6 +51,30 @@ def test_minhash_dedup_band_join_carries_ids_only(spark):
     assert "first(sh_a" not in plan and "first(sh_b" not in plan
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    from flink_ml_spark.llmdata import NGramJaccardDeduplicator
+
+    # "common common" appears in every doc; the near-dup pair also shares
+    # rare shingles
+    rows = [(0, "common common alpha beta gamma delta"),
+            (1, "common common alpha beta gamma epsilon"),
+            (2, "common common zeta eta theta iota"),
+            (3, "common common kappa lam mu nu")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = NGramJaccardDeduplicator(idCol="doc_id", textCol="text",
+                                     shingleSize=2).set_(threshold=0.3)
+    e = {(r["id_a"], r["id_b"]) for r in exact.transform(df)[0].collect()}
+    capped = NGramJaccardDeduplicator(idCol="doc_id", textCol="text",
+                                      shingleSize=2) \
+        .set_(threshold=0.3, maxShingleDocFreq=2)
+    c = {(r["id_a"], r["id_b"]) for r in capped.transform(df)[0].collect()}
+    # the capped index drops the ubiquitous "common common" shingle, so
+    # unrelated docs (joined only by it) disappear while the true near-dup
+    # pair (0,1) survives on its rare shared shingles
+    assert (0, 1) in e and (0, 1) in c
+    assert c <= e
+
+
 def test_embedding_dedup_lsh_plan_has_no_cross_join(spark):
     df = _emb_df(spark, n=20)
     lsh = EmbeddingCosineDeduplicator(idCol="id", vecCol="embedding", seed=1) \
