@@ -128,21 +128,39 @@ def window_all_and_process(df: DataFrame, windows, time_col: str | None,
         return (df.groupBy(win.alias("w")).agg(*aggs)
                 .withColumn("window_start", F.col("w")["start"]).drop("w"))
     if w.kind == "count":
-        # count windows impose a global sequence (countWindowAll); the
-        # row_number sort is the price of that semantic — use event-time
-        # windows where the input has a time attribute instead
-        seq = _contiguous_id()
-        return (df.withColumn("__seq__", seq)
+        # count windows impose a global sequence (countWindowAll) — built
+        # two-phase (per-partition counts → broadcast offsets), never a
+        # global single-task sort
+        return (with_contiguous_id(df, "__seq__")
                 .groupBy(F.floor((F.col("__seq__") - 1) / w.size)
                          .alias("window_id")).agg(*aggs))
     raise ValueError(f"unsupported window kind {w.kind}")
 
 
-def _contiguous_id() -> Column:
-    """1-based gap-free global row id (monotonically_increasing_id is
-    partition-sparse)."""
+def with_contiguous_id(df: DataFrame, out_col: str = "__seq__") -> DataFrame:
+    """Append a 1-based gap-free global row id
+    (monotonically_increasing_id is partition-sparse).
+
+    Two-phase: one tiny job counts rows per partition, the offsets come
+    back as a broadcast join, and the rank itself is per-partition — the
+    same geometry as the evaluator's range-partitioned cumsum; no
+    unpartitioned Window puts all rows through one task.  Requires a
+    deterministic source (both jobs must see identical partitioning —
+    true for (cached) file scans)."""
     from pyspark.sql import Window
-    return F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+    d = df.withColumn("__pid__", F.spark_partition_id())
+    cnts = sorted(d.groupBy("__pid__").count().collect(),
+                  key=lambda r: r["__pid__"])
+    offs, acc = [], 0
+    for r in cnts:
+        offs.append((int(r["__pid__"]), acc))
+        acc += int(r["count"])
+    spark = df.sparkSession
+    odf = spark.createDataFrame(offs or [(0, 0)], "__pid__ int, __off__ long")
+    w = Window.partitionBy("__pid__").orderBy(F.monotonically_increasing_id())
+    return (d.join(F.broadcast(odf), "__pid__")
+            .withColumn(out_col, F.row_number().over(w) + F.col("__off__"))
+            .drop("__pid__", "__off__"))
 
 
 def generate_batch_data(df: DataFrame, batch_size: int) -> Iterable[DataFrame]:
@@ -151,8 +169,9 @@ def generate_batch_data(df: DataFrame, batch_size: int) -> Iterable[DataFrame]:
     online estimators' tests; streaming uses real micro-batches."""
     n = df.count()
     num = max(1, -(-n // batch_size))
-    tagged = df.withColumn("__batch__",
-                           F.floor((_contiguous_id() - 1) / batch_size))
+    tagged = with_contiguous_id(df, "__seq__") \
+        .withColumn("__batch__", F.floor((F.col("__seq__") - 1) / batch_size)) \
+        .drop("__seq__")
     for b in range(num):
         yield tagged.filter(F.col("__batch__") == b).drop("__batch__")
 

@@ -114,3 +114,15 @@ def test_top_k_per_key_matches_single_stage(spark):
     g = {(r["key"], r["id"], r["rank"]) for r in got.collect()}
     e = {(r["key"], r["id"], r["rank"]) for r in want.collect()}
     assert g == e
+
+
+def test_with_contiguous_id_gap_free(spark):
+    from flink_ml_spark.common.dataflow import with_contiguous_id
+
+    df = spark.range(0, 1000).repartition(13)
+    out = with_contiguous_id(df, "seq")
+    seqs = sorted(r["seq"] for r in out.collect())
+    assert seqs == list(range(1, 1001))
+    # no unpartitioned Window in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
