@@ -38,9 +38,12 @@ class StringIndexer(Estimator, HasInputCols, HasOutputCols, HasHandleInvalid):
                       .filter(F.col("v").isNotNull())
                       .groupBy("v").count())
             if order in ("freqDesc", "arbitrary"):
-                rows = counts.orderBy(F.desc("count"), F.asc("v")).collect()
+                q = counts.orderBy(F.desc("count"), F.asc("v"))
                 if order == "freqDesc":
-                    rows = rows[: self.get_("maxIndexNum")]
+                    # push the cap into the plan (TakeOrderedAndProject) —
+                    # the driver never receives more than maxIndexNum rows
+                    q = q.limit(self.get_("maxIndexNum"))
+                rows = q.collect()
             elif order == "freqAsc":
                 rows = counts.orderBy(F.asc("count"), F.asc("v")).collect()
             elif order == "alphabetAsc":
