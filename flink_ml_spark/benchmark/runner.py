@@ -204,10 +204,13 @@ def main() -> None:
     p.add_argument("--scale", type=float, default=1.0)
     ns = p.parse_args()
     args, scale = ns.names, ns.scale
+    import os
     spark = (SparkSession.builder.master("local[*]")
              .appName("flink_ml_spark_benchmark")
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_MEM", "16g"))
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     names = args or sorted(WORKLOADS().keys())
