@@ -2,10 +2,14 @@
 with typed metadata; decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the decode kernels are STUBBED
-(deterministic fakes clearly marked) — the Spark-side plumbing (schema,
-partition sizing, UDF signatures, batch shape) is real and tested.  At
-scale: binary payloads ride the Arrow batches; keep
+Decode kernels: uncompressed BMP and 16-bit PCM WAV decode for REAL in
+pure numpy (``codecs.py`` — header parse + flat sample buffer, no
+external library).  Compressed codecs (JPEG/PNG/MP3/H.264) are not
+available in this container, so payloads those kernels cannot parse fall
+back to the clearly-marked deterministic hash stub (feature extraction)
+or are passed through with null payloads (resize) — the plumbing
+(schema, partition sizing, UDF signatures, batch shape) is identical
+for both.  At scale: binary payloads ride the Arrow batches; keep
 ``spark.sql.files.maxPartitionBytes`` and the per-batch row count low
 enough that batch_rows × payload fits executor memory.
 """
@@ -49,34 +53,92 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     return (arr % 1000).astype(np.float64) / 1000.0
 
 
+def _image_stats_features(img: np.ndarray, out_dim: int) -> np.ndarray:
+    """Real image features: per-cell mean RGB over a sqrt-grid (a classic
+    color-layout descriptor), padded/truncated to out_dim, in [0, 1]."""
+    cells = max(1, out_dim // 3)
+    g = max(1, int(np.sqrt(cells)))
+    h, w = img.shape[:2]
+    ys = np.linspace(0, h, g + 1, dtype=int)
+    xs = np.linspace(0, w, g + 1, dtype=int)
+    feats = []
+    for i in range(g):
+        for j in range(g):
+            block = img[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            feats.extend(block.reshape(-1, 3).mean(axis=0) / 255.0)
+    out = np.zeros(out_dim)
+    out[: min(out_dim, len(feats))] = feats[:out_dim]
+    return out
+
+
+def _audio_stats_features(rate: int, samples: np.ndarray,
+                          out_dim: int) -> np.ndarray:
+    """Real audio features: per-segment RMS energy over out_dim equal
+    slices of the (mono-mixed) signal, normalized to [0, 1]."""
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    if not len(mono):
+        return np.zeros(out_dim)
+    bounds = np.linspace(0, len(mono), out_dim + 1, dtype=int)
+    out = np.zeros(out_dim)
+    for i in range(out_dim):
+        seg = mono[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
+        out[i] = float(np.sqrt((seg ** 2).mean()))
+    return out
+
+
 class MediaFeatureExtractor(Transformer):
-    """binary payload → feature vector via mapInPandas (Arrow batches)."""
+    """binary payload → feature vector via mapInPandas (Arrow batches).
+
+    ``kernel="auto"`` decodes BMP images / PCM WAV audio for real (pure
+    numpy, codecs.py) and falls back to the deterministic hash stub for
+    payloads needing an external codec; ``kernel="hash"`` forces the stub
+    (cross-engine deterministic — the oracle-replayable mode)."""
 
     payloadCol = StringParam("payloadCol", "Binary payload column.", "payload")
     outputCol = StringParam("outputCol", "Feature vector column.", "media_features")
     featureDim = IntParam("featureDim", "Output feature dimension.", 64,
                           ParamValidators.gt(0))
+    kernel = StringParam("kernel", "auto | hash.", "hash",
+                         ParamValidators.in_array(["auto", "hash"]))
 
     def _transform(self, df: DataFrame) -> DataFrame:
         pcol, ocol = self.get_("payloadCol"), self.get_("outputCol")
         dim = self.get_("featureDim")
+        use_real = self.get_("kernel") == "auto"
         out_schema = StructType(df.schema.fields
                                 + [StructField(ocol, ArrayType(DoubleType()))])
 
+        def feat_of(p) -> np.ndarray:
+            if p is None:
+                return np.zeros(dim)
+            if use_real:
+                from .codecs import decode_bmp, decode_wav
+                img = decode_bmp(p)
+                if img is not None:
+                    return _image_stats_features(img, dim)
+                wav = decode_wav(p)
+                if wav is not None:
+                    return _audio_stats_features(*wav, dim)
+            return _fake_decode(p, dim)
+
         def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                feats = [
-                    _fake_decode(p, dim) if p is not None else np.zeros(dim)
-                    for p in pdf[pcol]]
+                feats = [feat_of(p) for p in pdf[pcol]]
                 yield pdf.assign(**{ocol: [list(map(float, f)) for f in feats]})
 
         return df.mapInPandas(extract, out_schema)
 
 
 class ImageResizer(Transformer):
-    """Resize stub: validates plumbing for byte-in/byte-out media kernels.
-    Raises NotImplementedError when a real resize is requested without a
-    codec; passthrough mode re-emits payloads with updated metadata."""
+    """Byte-in/byte-out image resize.
+
+    ``mode="decode"`` is REAL for uncompressed BMP payloads: pure-numpy
+    decode → nearest-neighbor resize → BMP re-encode, all inside one
+    Arrow ``mapInPandas`` stage.  Payloads the BMP codec cannot parse
+    (JPEG/PNG — no external codec in this container) come back with a
+    null payload so callers can route them to an external decode.
+    ``mode="passthrough"`` re-emits payloads with updated metadata only."""
 
     payloadCol = StringParam("payloadCol", "Binary payload column.", "payload")
     targetWidth = IntParam("targetWidth", "Target width.", 224)
@@ -85,11 +147,25 @@ class ImageResizer(Transformer):
                        ParamValidators.in_array(["passthrough", "decode"]))
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        if self.get_("mode") == "decode":
-            raise NotImplementedError(
-                "ImageResizer(decode): no image codec in this environment — "
-                "plug PIL/opencv into the mapInPandas kernel")
         w, h = self.get_("targetWidth"), self.get_("targetHeight")
+        if self.get_("mode") == "decode":
+            pcol = self.get_("payloadCol")
+            schema = df.schema
+
+            def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                from .codecs import decode_bmp, encode_bmp, resize_nearest
+                for pdf in batches:
+                    out = []
+                    for p in pdf[pcol]:
+                        img = decode_bmp(p)
+                        out.append(encode_bmp(resize_nearest(img, w, h))
+                                   if img is not None else None)
+                    pdf = pdf.assign(**{pcol: out})
+                    if "width" in pdf.columns:
+                        pdf = pdf.assign(width=np.int32(w), height=np.int32(h))
+                    yield pdf
+
+            return df.mapInPandas(resize, schema)
         return (df.withColumn("width", F.lit(w).cast("int"))
                 .withColumn("height", F.lit(h).cast("int")))
 

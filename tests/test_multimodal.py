@@ -36,8 +36,10 @@ def test_image_resizer_passthrough_and_decode_stub(spark, media):
     r = out.filter(F.col("media_id") == "m1").first()
     assert (r["width"], r["height"]) == (224, 224)
     assert r["payload"] == b"\x89PNGfake"    # payload untouched
-    with pytest.raises(NotImplementedError, match="no image codec"):
-        ImageResizer(mode="decode").transform(media)
+    # decode mode: PNG has no pure-numpy codec → null payload signals
+    # "route to an external decoder" (BMP decodes for real, see below)
+    dec = ImageResizer(mode="decode").transform(media)[0]
+    assert dec.filter(F.col("media_id") == "m1").first()["payload"] is None
 
 
 def test_video_frame_sampler(spark, media):
@@ -60,3 +62,75 @@ def test_generic_set_model_data(spark):
     a = [r["o"] for r in m.transform(df)[0].collect()]
     b = [r["o"] for r in m2.transform(df)[0].collect()]
     assert a == b
+
+
+def test_bmp_codec_round_trip():
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import (decode_bmp, encode_bmp,
+                                               resize_nearest)
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (13, 7, 3), dtype=np.uint8)  # odd width → padding
+    payload = encode_bmp(img)
+    back = decode_bmp(payload)
+    assert back is not None and back.shape == (13, 7, 3)
+    np.testing.assert_array_equal(back, img)
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert decode_bmp(b"not a bmp") is None
+    assert decode_bmp(None) is None
+
+
+def test_wav_codec_round_trip():
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import decode_wav, encode_wav
+
+    t = np.arange(800)
+    samples = (np.sin(t / 10.0) * 10000).astype(np.int16)
+    payload = encode_wav(8000, samples)
+    got = decode_wav(payload)
+    assert got is not None
+    rate, back = got
+    assert rate == 8000 and back.shape == (800, 1)
+    np.testing.assert_array_equal(back[:, 0], samples)
+    assert decode_wav(b"RIFFxxxx") is None
+
+
+def test_image_resizer_decode_real_bmp(spark):
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    rows = [("a", "image", bytearray(encode_bmp(img)), 16, 16, None),
+            ("b", "image", bytearray(b"\x89PNG not decodable"), 8, 8, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = ImageResizer(mode="decode", targetWidth=4, targetHeight=4) \
+        .transform(df)[0]
+    got = {r["media_id"]: r for r in out.collect()}
+    resized = decode_bmp(bytes(got["a"]["payload"]))
+    assert resized.shape == (4, 4, 3)
+    assert got["a"]["width"] == 4 and got["a"]["height"] == 4
+    assert got["b"]["payload"] is None  # needs an external codec
+
+
+def test_media_feature_extractor_auto_kernel(spark):
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import encode_bmp, encode_wav
+
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    tone = (np.ones(1000) * 16000).astype(np.int16)
+    rows = [("img", "image", bytearray(encode_bmp(red)), 8, 8, None),
+            ("aud", "audio", bytearray(encode_wav(8000, tone)), None, None, 125),
+            ("other", "video", bytearray(b"opaque"), None, None, 40)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ex = MediaFeatureExtractor(featureDim=12).set_(kernel="auto")
+    got = {r["media_id"]: r["media_features"] for r in ex.transform(df)[0].collect()}
+    # red image → cell means [1, 0, 0, 1, 0, 0, ...]
+    assert got["img"][0] == pytest.approx(1.0)
+    assert got["img"][1] == pytest.approx(0.0)
+    # constant tone → constant positive RMS in every segment
+    assert all(v == pytest.approx(16000 / 32768, rel=1e-6) for v in got["aud"])
+    # undecodable payload falls back to the deterministic hash stub
+    assert got["other"] == pytest.approx(list(_fake_decode(b"opaque", 12)))
