@@ -76,7 +76,8 @@ def all_queries():
     # r01 evidence; local tools/check_oracle.py covers the full set every
     # session regardless).
     prio = [
-        "hashingtf_logreg", "media_pipeline", "minhash_signature",
+        "hashingtf_logreg", "media_pipeline", "media_codec_pipeline",
+        "minhash_signature",
         "minhash_dedup", "ngram_jaccard_dedup", "simhash_dedup",
         "embedding_dedup", "embedding_dedup_lsh", "ann_bruteforce",
         "language_id", "text_quality", "token_count", "fingerprint",

@@ -202,6 +202,52 @@ pairs AS (
 SELECT id_a, id_b, {SQL_Q4.format('c')} AS cosine FROM pairs WHERE c >= 0.3
 """
 
+# --- real-codec media pipeline ---------------------------------------------
+# Synthesizes solid-color 8x8 BMPs from doc_id, then runs the REAL decode →
+# nearest-resize → re-encode → decode → color-layout features path
+# (llmdata/codecs.py, pure numpy).  Solid colors make the block-mean
+# features closed-form: (doc_id % 256)/255 etc. — an exact SQL oracle for
+# an end-to-end binary-payload kernel chain.
+
+def media_codec_pipeline(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from ..llmdata import ImageResizer, MediaFeatureExtractor
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from ..llmdata.codecs import encode_bmp
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                rgb = np.array([d % 256, (2 * d) % 256, (3 * d) % 256],
+                               dtype=np.uint8)
+                payloads.append(encode_bmp(
+                    np.ascontiguousarray(np.broadcast_to(rgb, (8, 8, 3)))))
+            yield pdf.assign(payload=payloads)
+
+    media = docs.mapInPandas(synth, "doc_id long, payload binary") \
+        .withColumn("width", F.lit(8)).withColumn("height", F.lit(8))
+    resized = ImageResizer(mode="decode", targetWidth=4, targetHeight=4) \
+        .transform(media)[0]
+    feat = MediaFeatureExtractor(featureDim=3).set_(kernel="auto") \
+        .transform(resized)[0]
+    f = F.col("media_features")
+    return feat.select("doc_id", "width",
+                       q4(F.element_at(f, 1)).alias("r"),
+                       q4(F.element_at(f, 2)).alias("g"),
+                       q4(F.element_at(f, 3)).alias("b"))
+
+
+MEDIA_CODEC_SQL = f"""
+SELECT doc_id, 4 AS width,
+       {SQL_Q4.format('(doc_id % 256) / 255.0')} AS r,
+       {SQL_Q4.format('((2 * doc_id) % 256) / 255.0')} AS g,
+       {SQL_Q4.format('((3 * doc_id) % 256) / 255.0')} AS b
+FROM documents
+"""
+
 LSH_DEDUP_SEED, LSH_DEDUP_PLANES, LSH_DEDUP_TABLES = 42, 8, 4
 
 
@@ -571,6 +617,7 @@ QUERIES = {
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "media_pipeline": (media_pipeline, MEDIA_PIPELINE_SQL),
+    "media_codec_pipeline": (media_codec_pipeline, MEDIA_CODEC_SQL),
     "minhash_signature": (minhash_signature, MINHASH_SQL),
     "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, NGRAM_JACCARD_SQL),
