@@ -1,6 +1,6 @@
-from .dedup import (ExactDeduplicator, MinHashLSHDeduplicator,
-                    MinHashSignature, NGramJaccardDeduplicator,
-                    SimHashDeduplicator)
+from .dedup import (ConnectedComponents, ExactDeduplicator,
+                    MinHashLSHDeduplicator, MinHashSignature,
+                    NGramJaccardDeduplicator, SimHashDeduplicator)
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,

@@ -243,6 +243,82 @@ class MinHashLSHDeduplicator(AlgoOperator):
         return [out]
 
 
+class ConnectedComponents(AlgoOperator):
+    """Transitive closure over near-dup pairs → duplicate-cluster labels.
+
+    ``transform(pairs)`` -> ``[(id, component)]`` with one row per
+    distinct node in the pair relation; ``component`` is the smallest id
+    reachable through the pair graph, so every member of a duplicate
+    cluster gets the same label and the label itself is the natural
+    surviving representative (keep ``id == component``).
+
+    Plan: iterative min-label propagation with pointer jumping, a driver
+    loop like KMeans / the reference's iteration bodies.  Per round each
+    node takes ``min(own label, neighbours' labels)`` (one labels⋈edges
+    join + one ``groupBy`` min over the edge destination, both shuffles
+    keyed on node id with map-side combine), then follows its new label
+    one step through the label table (``comp ← comp(comp)``, pointer
+    jumping), which halves label-chain depth every round — a diameter-d
+    component converges in O(log d) rounds instead of d.  The loop stops
+    when a round changes nothing; each round's label table is
+    ``localCheckpoint``-ed, truncating the logical plan so the lineage
+    never compounds across rounds.
+
+    100 TB notes: labels and edges distribute by id hash; per-round
+    driver traffic is ONE aggregated counter (the changed-label count) —
+    no node data ever reaches the driver.  A hot node (one document
+    near-dup to millions) bounds its own work by degree, the same skew
+    AQE's skew-join split handles; labels only ever decrease, so
+    convergence is monotone and the fixpoint is exactly the per-component
+    minimum.
+    """
+
+    srcCol = StringParam("srcCol", "Pair source id column.", "id_a")
+    dstCol = StringParam("dstCol", "Pair destination id column.", "id_b")
+    maxIter = IntParam("maxIter", "Max propagation rounds.", 50,
+                       ParamValidators.gt(0))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (pairs,) = inputs
+        a, b = self.get_("srcCol"), self.get_("dstCol")
+        # symmetric closure once, cached for every round
+        fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        edges = (fwd.union(pairs.select(F.col(b).alias("src"),
+                                        F.col(a).alias("dst")))
+                 .distinct().persist())
+        labels = (edges.select(F.col("src").alias("id"))
+                  .distinct()
+                  .withColumn("comp", F.col("id"))
+                  .localCheckpoint(eager=True))
+        try:
+            for _ in range(self.get_("maxIter")):
+                cand = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                        .groupBy(F.col("dst").alias("id"))
+                        .agg(F.min("comp").alias("cand")))
+                m = (labels.join(cand, "id", "left")
+                     .select("id", "comp",
+                             F.least("comp", F.coalesce("cand", "comp"))
+                             .alias("m")))
+                # pointer jump: comp(v) ← comp(comp(v)) — the label table
+                # looked up at the freshly-computed label
+                lookup = m.select(F.col("id").alias("jid"),
+                                  F.col("m").alias("jm"))
+                upd = (m.withColumn("jid", F.col("m"))
+                       .join(lookup, "jid", "left")
+                       .select("id", "comp",
+                               F.least("m", F.coalesce("jm", "m"))
+                               .alias("new_comp")))
+                # one checkpoint materializes the round and truncates lineage
+                upd = upd.localCheckpoint(eager=True)
+                changed = upd.filter(F.col("new_comp") < F.col("comp")).count()
+                labels = upd.select("id", F.col("new_comp").alias("comp"))
+                if changed == 0:
+                    break
+            return [labels.select("id", F.col("comp").alias("component"))]
+        finally:
+            edges.unpersist()
+
+
 class SimHashDeduplicator(AlgoOperator):
     """SimHash near-dup: ``bits``-wide fingerprint from token hashes; pairs
     whose hamming distance ≤ ``maxDistance`` (candidate-join on fingerprint

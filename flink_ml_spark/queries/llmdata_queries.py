@@ -8,11 +8,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..llmdata import (BruteForceKNNJoin, DocumentFingerprinter,
-                       EmbeddingCosineDeduplicator, ExactDeduplicator,
-                       LanguageIdentifier, MinHashLSHDeduplicator,
-                       MinHashSignature, NGramJaccardDeduplicator,
-                       SimHashDeduplicator, TextQualityScorer, TokenCounter)
+from ..llmdata import (BruteForceKNNJoin, ConnectedComponents,
+                       DocumentFingerprinter, EmbeddingCosineDeduplicator,
+                       ExactDeduplicator, LanguageIdentifier,
+                       MinHashLSHDeduplicator, MinHashSignature,
+                       NGramJaccardDeduplicator, SimHashDeduplicator,
+                       TextQualityScorer, TokenCounter)
 from ..llmdata.dedup import MINHASH_PRIME, _hash_family, shingles
 from ..llmdata.textanalysis import LANG_MARKERS
 from . import SQL_Q4, load, q4
@@ -118,6 +119,38 @@ SELECT id_a, id_b, {SQL_Q4.format('j')} AS jaccard FROM scored WHERE j >= 0.4
 
 
 MINHASH_DEDUP_SQL = _minhash_dedup_sql()
+
+# --- duplicate-cluster labels (connected components over pairs) -------------
+
+def dup_clusters(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = MinHashLSHDeduplicator(idCol="doc_id", textCol="text", shingleSize=3,
+                               numHashes=16, bandSize=4, threshold=0.4, seed=SEED)
+    pairs = d.transform(docs)[0]
+    cc = ConnectedComponents(srcCol="id_a", dstCol="id_b")
+    return cc.transform(pairs)[0].select("id", "component")
+
+
+def _dup_clusters_sql() -> str:
+    # the minhash pair relation, then min-reachable-id per node via a
+    # recursive closure (components are tiny, so the closure is cheap)
+    pairs_sql = _minhash_dedup_sql().strip().rstrip()
+    return f"""
+WITH RECURSIVE pairrel AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairrel
+  UNION
+  SELECT id_b, id_a FROM pairrel),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, m) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, r.m FROM edges e JOIN reach r ON e.dst = r.id)
+SELECT id, min(m) AS component FROM reach GROUP BY id
+"""
+
+
+DUP_CLUSTERS_SQL = _dup_clusters_sql()
 
 # --- n-gram Jaccard all-pairs ----------------------------------------------
 
@@ -620,6 +653,7 @@ QUERIES = {
     "media_codec_pipeline": (media_codec_pipeline, MEDIA_CODEC_SQL),
     "minhash_signature": (minhash_signature, MINHASH_SQL),
     "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
+    "dup_clusters": (dup_clusters, DUP_CLUSTERS_SQL),
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, NGRAM_JACCARD_SQL),
     "simhash_dedup": (simhash_dedup, SIMHASH_SQL),
     "embedding_dedup": (embedding_dedup, EMBEDDING_DEDUP_SQL),

@@ -87,3 +87,27 @@ def test_embedding_dedup_lsh_plan_has_no_cross_join(spark):
         .set_(threshold=0.9, exact=1)
     plan_e = exact.transform(df)[0]._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" in plan_e or "BroadcastNestedLoopJoin" in plan_e
+
+
+def test_connected_components_clusters_and_converges(spark):
+    from flink_ml_spark.llmdata import ConnectedComponents
+    # chain 1-2-3-4, triangle 10-11-12 (cyclic), isolated pair (20, 21)
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (11, 12), (12, 10), (21, 20)],
+        "id_a long, id_b long")
+    out = ConnectedComponents(srcCol="id_a", dstCol="id_b") \
+        .transform(pairs)[0]
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    from flink_ml_spark.llmdata import ConnectedComponents
+    # a 30-node chain ordered so min-propagation needs several rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    out = ConnectedComponents(srcCol="id_a", dstCol="id_b") \
+        .transform(pairs)[0]
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
