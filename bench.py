@@ -39,6 +39,10 @@ HEADLINE = [
     "fingerprint", "llm_prep_pipeline",
     # round 2 additions: sparse pipeline composition + bucketed LSH dedup
     "hashingtf_logreg", "embedding_dedup_lsh", "minhash_dedup", "ann_ivf",
+    # corpus-composition ops: dup clustering, repetition/PII filters,
+    # mixture sampling, sequence packing
+    "dup_clusters", "repetition_quality", "pii_redaction", "domain_mixture",
+    "sequence_packing",
 ]
 
 

@@ -6,7 +6,9 @@ from .multimodal import (ImageResizer, MediaFeatureExtractor,
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         IVFIndex, IVFIndexModel, RandomHyperplaneLSH,
                         RandomHyperplaneLSHModel)
+from .sampling import DomainMixtureSampler, SequencePacker
 from .textanalysis import (DocumentFingerprinter, LanguageIdentifier,
-                           TextQualityScorer, TokenCounter)
+                           PIIRedactor, RepetitionScorer, TextQualityScorer,
+                           TokenCounter)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

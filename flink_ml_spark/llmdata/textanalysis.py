@@ -93,6 +93,93 @@ class TokenCounter(Transformer, HasInputCol):
                 .withColumn("n_tokens_bpe", F.size(pieces)))
 
 
+class RepetitionScorer(Transformer, HasInputCol):
+    """Repetition signals from the public Gopher/MassiveText filter family:
+
+    - ``rep_dup_line_frac``: fraction of lines that are duplicates of an
+      earlier-seen line value;
+    - ``rep_dup_line_char_frac``: fraction of characters sitting in
+      duplicated line values;
+    - ``rep_top_word_frac`` / ``rep_top_bigram_frac``: fraction of the
+      token (bigram) stream covered by the single most frequent token
+      (bigram).
+
+    All pure Column expressions — the per-row distinct×occurrence scans
+    are O(distinct · n) in the row's own token count, which is the right
+    trade for typical web documents; for million-token rows swap in an
+    Arrow kernel (np.unique is O(n log n)) — the plan shape (no shuffle,
+    no UDF in the default path) is what matters at 100 TB.
+    """
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.get_("inputCol"))
+        lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+        n_lines = F.size(lines)
+        dlines = F.array_distinct(lines)
+        dup_line_frac = F.when(
+            n_lines > 0,
+            (n_lines - F.size(dlines)).cast("double") / n_lines).otherwise(0.0)
+        line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+        # chars inside line values that occur ≥2 times (all occurrences)
+        dup_chars = F.aggregate(
+            F.filter(dlines, lambda d: F.size(
+                F.filter(lines, lambda l: l == d)) > 1),
+            F.lit(0),
+            lambda a, d: a + F.length(d) * F.size(
+                F.filter(lines, lambda l: l == d)))
+        dup_char_frac = F.when(line_chars > 0,
+                               dup_chars.cast("double") / line_chars) \
+            .otherwise(0.0)
+
+        toks = _tokens(text)
+        n_tok = F.size(toks)
+        top_word = F.array_max(F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d))))
+        top_word_frac = F.when(n_tok > 0,
+                               top_word.cast("double") / n_tok).otherwise(0.0)
+        m = n_tok - 1
+        bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                             lambda x, y: F.concat_ws(" ", x, y))
+        top_bi = F.array_max(F.transform(
+            F.array_distinct(bigrams),
+            lambda d: F.size(F.filter(bigrams, lambda g: g == d))))
+        top_bi_frac = F.when(m > 0, top_bi.cast("double") / m).otherwise(0.0)
+        return (df.withColumn("rep_dup_line_frac", dup_line_frac)
+                .withColumn("rep_dup_line_char_frac", dup_char_frac)
+                .withColumn("rep_top_word_frac", top_word_frac)
+                .withColumn("rep_top_bigram_frac", top_bi_frac))
+
+
+# redaction patterns: ordered, RE2-safe (work identically under Java regex
+# and RE2-style engines — no lookaround, no backreferences)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+class PIIRedactor(Transformer, HasInputCol, HasOutputCol):
+    """Regex PII redaction: emails, IPv4 addresses, phone-shaped digit
+    runs → typed placeholder tokens, applied in a fixed order so later
+    patterns never re-match inside an earlier replacement.  Adds
+    ``pii_<kind>_count`` columns plus the redacted ``outputCol``.  Pure
+    codegen'd Column expressions (regexp_count / regexp_replace) — no
+    shuffle, no Python."""
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.get_("inputCol"))
+        out = text
+        counts = {}
+        for kind, pat, token in PII_PATTERNS:
+            counts[kind] = F.regexp_count(out, F.lit(pat))
+            out = F.regexp_replace(out, pat, token)
+        for kind, c in counts.items():
+            df = df.withColumn(f"pii_{kind}_count", c)
+        return df.withColumn(self.get_("outputCol"), out)
+
+
 class DocumentFingerprinter(Transformer, HasInputCol, HasOutputCol):
     """Order-sensitive rolling-hash fingerprint of the token stream
     (content-defined; equal texts → equal fingerprints, reordered texts

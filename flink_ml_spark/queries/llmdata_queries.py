@@ -448,6 +448,136 @@ FROM h
 """
 
 
+# --- repetition signals (Gopher-style) --------------------------------------
+
+def repetition_quality(spark, sf_dir):
+    from ..llmdata import RepetitionScorer
+    docs = load(spark, sf_dir, "documents")
+    out = RepetitionScorer(inputCol="text").transform(docs)[0]
+    return out.select("doc_id",
+                      q4(F.col("rep_top_word_frac")).alias("top_word_frac"),
+                      q4(F.col("rep_top_bigram_frac")).alias("top_bigram_frac"),
+                      q4(F.col("rep_dup_line_frac")).alias("dup_line_frac"))
+
+
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, text, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]) AS bis,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+      FROM t)
+SELECT doc_id,
+       {SQL_Q4.format("CASE WHEN len(toks) > 0 THEN CAST(list_aggregate(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d))), 'max') AS DOUBLE) / len(toks) ELSE 0.0 END")} AS top_word_frac,
+       {SQL_Q4.format("CASE WHEN len(bis) > 0 THEN CAST(list_aggregate(list_transform(list_distinct(bis), d -> len(list_filter(bis, x -> x = d))), 'max') AS DOUBLE) / len(bis) ELSE 0.0 END")} AS top_bigram_frac,
+       {SQL_Q4.format("CASE WHEN len(lines) > 0 THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) ELSE 0.0 END")} AS dup_line_frac
+FROM b
+"""
+
+
+# --- PII redaction -----------------------------------------------------------
+
+def pii_redaction(spark, sf_dir):
+    from ..llmdata import PIIRedactor
+    docs = load(spark, sf_dir, "documents")
+    # inject deterministic synthetic PII so the redaction paths actually fire
+    injected = docs.withColumn("pii_text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" contact user"), F.col("doc_id"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" from host 10.0.0.1 port 80")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" call +555 867 5309 now")).otherwise(F.lit(""))))
+    out = PIIRedactor(inputCol="pii_text", outputCol="redacted") \
+        .transform(injected)[0]
+    return out.select("doc_id", "pii_email_count", "pii_ipv4_count",
+                      "pii_phone_count", F.md5("redacted").alias("red_md5"))
+
+
+def _pii_sql() -> str:
+    from ..llmdata.textanalysis import PII_PATTERNS
+    (em_pat, em_tok), (ip_pat, ip_tok), (ph_pat, ph_tok) = \
+        [(p, t) for _, p, t in PII_PATTERNS]
+    # DuckDB '…' literals keep backslashes verbatim — only quotes escape
+    e = lambda s: s.replace("'", "''")
+    return f"""
+WITH inj AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' from host 10.0.0.1 port 80' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call +555 867 5309 now' ELSE '' END AS t
+  FROM documents),
+r1 AS (SELECT doc_id, len(regexp_extract_all(t, '{e(em_pat)}')) AS n_email,
+              regexp_replace(t, '{e(em_pat)}', '{em_tok}', 'g') AS t FROM inj),
+r2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{e(ip_pat)}')) AS n_ip,
+              regexp_replace(t, '{e(ip_pat)}', '{ip_tok}', 'g') AS t FROM r1),
+r3 AS (SELECT doc_id, n_email, n_ip, len(regexp_extract_all(t, '{e(ph_pat)}')) AS n_phone,
+              regexp_replace(t, '{e(ph_pat)}', '{ph_tok}', 'g') AS t FROM r2)
+SELECT doc_id, n_email AS pii_email_count, n_ip AS pii_ipv4_count,
+       n_phone AS pii_phone_count, md5(t) AS red_md5
+FROM r3
+"""
+
+
+PII_SQL = _pii_sql()
+
+
+# --- weighted domain-mixture sampling ---------------------------------------
+
+MIX_RATES = {"src0": 0.25, "src1": 0.5}
+
+
+def domain_mixture(spark, sf_dir):
+    from ..llmdata import DomainMixtureSampler
+    docs = load(spark, sf_dir, "documents")
+    s = DomainMixtureSampler(idCol="doc_id", domainCol="source",
+                             rates=MIX_RATES, defaultRate=0.75)
+    return s.transform(docs)[0].select("doc_id", "source")
+
+
+DOMAIN_MIXTURE_SQL = """
+SELECT doc_id, source FROM documents
+WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
+      / 2147483648.0
+      < CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5 ELSE 0.75 END
+"""
+
+
+# --- token-budget sequence packing ------------------------------------------
+
+PACK_BUDGET, PACK_SHARDS = 256, 4
+
+
+def sequence_packing(spark, sf_dir):
+    from ..llmdata import SequencePacker
+    docs = load(spark, sf_dir, "documents")
+    counted = TokenCounter(inputCol="text").transform(docs)[0]
+    packed = SequencePacker(idCol="doc_id", tokenCol="n_tokens_ws",
+                            budget=PACK_BUDGET, numShards=PACK_SHARDS) \
+        .transform(counted)[0]
+    return packed.select("doc_id", "shard", "seq")
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH RECURSIVE items AS (
+  SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(len({TOKS}) AS INT) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+pack(shard, rn, doc_id, seq, fill) AS (
+  SELECT shard, rn, doc_id, 0, n_tok FROM items WHERE rn = 1
+  UNION ALL
+  SELECT i.shard, i.rn, i.doc_id,
+         CASE WHEN p.fill + i.n_tok > {PACK_BUDGET} THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.fill + i.n_tok > {PACK_BUDGET} THEN i.n_tok ELSE p.fill + i.n_tok END
+  FROM items i JOIN pack p ON i.shard = p.shard AND i.rn = p.rn + 1)
+SELECT doc_id, shard, seq FROM pack
+"""
+
+
 # --- IVF ANN (approximate; deterministic init → stable rows, rows-only) -----
 
 def ann_ivf(spark, sf_dir):
@@ -659,6 +789,10 @@ QUERIES = {
     "embedding_dedup": (embedding_dedup, EMBEDDING_DEDUP_SQL),
     "embedding_dedup_lsh": (embedding_dedup_lsh, EMBEDDING_DEDUP_LSH_SQL),
     "ann_bruteforce": (ann_bruteforce, ANN_SQL),
+    "repetition_quality": (repetition_quality, REPETITION_SQL),
+    "pii_redaction": (pii_redaction, PII_SQL),
+    "domain_mixture": (domain_mixture, DOMAIN_MIXTURE_SQL),
+    "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "language_id": (language_id, LANGUAGE_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

@@ -111,3 +111,68 @@ def test_connected_components_long_chain(spark):
         .transform(pairs)[0]
     comps = {r["component"] for r in out.collect()}
     assert comps == {0}
+
+
+def test_repetition_scorer_signals(spark):
+    from flink_ml_spark.llmdata import RepetitionScorer
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),            # top word 'a' 3/5, top bigram 'a b' 2/4
+         (2, "x\ny\nx\nz"),            # 4 lines, 1 dup value → dup frac 1/4
+         (3, "")],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           RepetitionScorer(inputCol="text")._transform(df).collect()}
+    assert abs(out[1]["rep_top_word_frac"] - 3 / 5) < 1e-9
+    assert abs(out[1]["rep_top_bigram_frac"] - 2 / 4) < 1e-9
+    assert abs(out[2]["rep_dup_line_frac"] - 1 / 4) < 1e-9
+    # chars in duplicated line values: 'x' appears twice → 2 of 4 chars
+    assert abs(out[2]["rep_dup_line_char_frac"] - 2 / 4) < 1e-9
+    assert out[3]["rep_top_word_frac"] == 0.0
+
+
+def test_pii_redactor(spark):
+    from flink_ml_spark.llmdata import PIIRedactor
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@site.org or 10.1.2.3 or +555 123 4567 ok"),
+         (2, "nothing here")],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           PIIRedactor(inputCol="text", outputCol="red")
+           ._transform(df).collect()}
+    assert (out[1]["pii_email_count"], out[1]["pii_ipv4_count"],
+            out[1]["pii_phone_count"]) == (1, 1, 1)
+    assert out[1]["red"] == "mail me at <EMAIL> or <IP> or <PHONE> ok"
+    assert out[2]["red"] == "nothing here"
+
+
+def test_domain_mixture_sampler(spark):
+    from flink_ml_spark.llmdata import DomainMixtureSampler
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "id long, source string")
+    none_kept = DomainMixtureSampler(idCol="id", domainCol="source",
+                                     rates={"a": 0.0, "b": 0.0}) \
+        ._transform(df).count()
+    all_kept = DomainMixtureSampler(idCol="id", domainCol="source",
+                                    rates={"a": 1.0}, defaultRate=1.0) \
+        ._transform(df).count()
+    assert none_kept == 0 and all_kept == 200
+    half = DomainMixtureSampler(idCol="id", domainCol="source",
+                                rates={"a": 0.5, "b": 0.5})._transform(df)
+    n1, n2 = half.count(), half.count()
+    assert n1 == n2  # deterministic
+    assert 60 <= n1 <= 140
+
+
+def test_sequence_packer_greedy(spark):
+    from flink_ml_spark.llmdata import SequencePacker
+    # one shard; token counts 60,60,60,150,90,10 with budget 100:
+    # [60], [60], [60], [150] (oversized alone), [90,10]
+    df = spark.createDataFrame(
+        [(0, 60), (4, 60), (8, 60), (12, 150), (16, 90), (20, 10)],
+        "id long, n_tokens int")
+    out = SequencePacker(idCol="id", tokenCol="n_tokens", budget=100,
+                         numShards=4)._transform(df).collect()
+    seq = {r["id"]: r["seq"] for r in out}
+    assert all(r["shard"] == 0 for r in out)
+    assert seq == {0: 0, 4: 1, 8: 2, 12: 3, 16: 4, 20: 4}
