@@ -652,7 +652,61 @@ FROM lineitem
 """
 
 
+def graph_dag(spark, sf_dir):
+    """GraphBuilder fan-out DAG: one assembled input feeds TWO estimator
+    nodes (StandardScaler, MinMaxScaler); the GraphModel returns both
+    outputs, joined on the lineitem key.  Driver-green coverage for
+    Graph/GraphBuilder/GraphModel (reference ml/builder/GraphBuilder.java:39,
+    Graph.java:153, GraphModel.java:50)."""
+    from ..graph import GraphBuilder
+    df = _assembled(spark, sf_dir)
+    b = GraphBuilder()
+    t0 = b.new_table_id()
+    (t1,) = b.add_estimator(
+        StandardScaler(inputCol="features", outputCol="std",
+                       withMean=True, withStd=True), [t0])
+    (t2,) = b.add_estimator(MinMaxScaler(inputCol="features", outputCol="mm"),
+                            [t0])
+    model = b.build_estimator([t0], [t1, t2]).fit(df)
+    std_df, mm_df = model.transform(df)
+    # (l_orderkey, l_linenumber) alone is not unique in the synthetic data;
+    # the 4-tuple with part/supp keys is
+    k4 = KEY + ["l_partkey", "l_suppkey"]
+    a = std_df.select(*k4, *[q4(F.element_at(F.col("std"), i + 1))
+                             .alias(f"std{i}") for i in range(4)])
+    c = mm_df.select(*k4, *[q4(F.element_at(F.col("mm"), i + 1))
+                            .alias(f"mm{i}") for i in range(4)])
+    return a.join(c, k4).drop("l_partkey", "l_suppkey")
+
+
+GRAPH_DAG_SQL = f"""
+WITH sstats AS (
+  SELECT avg(l_quantity) m0, stddev_samp(l_quantity) s0,
+         avg(l_extendedprice) m1, stddev_samp(l_extendedprice) s1,
+         avg(l_discount) m2, stddev_samp(l_discount) s2,
+         avg(l_tax) m3, stddev_samp(l_tax) s3
+  FROM lineitem),
+mstats AS (
+  SELECT min(l_quantity) mn0, max(l_quantity) mx0,
+         min(l_extendedprice) mn1, max(l_extendedprice) mx1,
+         min(l_discount) mn2, max(l_discount) mx2,
+         min(l_tax) mn3, max(l_tax) mx3
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       {SQL_Q4.format('(l_quantity - m0) / s0')} AS std0,
+       {SQL_Q4.format('(l_extendedprice - m1) / s1')} AS std1,
+       {SQL_Q4.format('(l_discount - m2) / s2')} AS std2,
+       {SQL_Q4.format('(l_tax - m3) / s3')} AS std3,
+       {SQL_Q4.format('(l_quantity - mn0) * ((1.0 - 0.0) / (mx0 - mn0)) + 0.0')} AS mm0,
+       {SQL_Q4.format('(l_extendedprice - mn1) * ((1.0 - 0.0) / (mx1 - mn1)) + 0.0')} AS mm1,
+       {SQL_Q4.format('(l_discount - mn2) * ((1.0 - 0.0) / (mx2 - mn2)) + 0.0')} AS mm2,
+       {SQL_Q4.format('(l_tax - mn3) * ((1.0 - 0.0) / (mx3 - mn3)) + 0.0')} AS mm3
+FROM lineitem, sstats, mstats
+"""
+
+
 QUERIES = {
+    "graph_dag": (graph_dag, GRAPH_DAG_SQL),
     "binarizer": (binarizer, BINARIZER_SQL),
     "dct": (dct, DCT_SQL),
     "feature_hasher": (feature_hasher, FEATURE_HASHER_SQL),
