@@ -42,7 +42,7 @@ HEADLINE = [
     # corpus-composition ops: dup clustering, repetition/PII filters,
     # mixture sampling, sequence packing
     "dup_clusters", "repetition_quality", "pii_redaction", "domain_mixture",
-    "sequence_packing",
+    "sequence_packing", "text_normalize", "corpus_stats", "graph_dag",
 ]
 
 

@@ -8,7 +8,7 @@ from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         RandomHyperplaneLSHModel)
 from .sampling import DomainMixtureSampler, SequencePacker
 from .textanalysis import (DocumentFingerprinter, LanguageIdentifier,
-                           PIIRedactor, RepetitionScorer, TextQualityScorer,
-                           TokenCounter)
+                           PIIRedactor, RepetitionScorer, TextNormalizer,
+                           TextQualityScorer, TokenCounter)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

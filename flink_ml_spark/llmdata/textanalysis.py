@@ -8,8 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..api import Transformer
-from ..param import (HasInputCol, HasOutputCol, IntParam, ParamValidators,
-                     StringParam)
+from ..param import (BoolParam, HasInputCol, HasOutputCol, IntParam,
+                     ParamValidators, StringParam)
 from .dedup import MINHASH_PRIME, poly_token_hash
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -91,6 +91,24 @@ class TokenCounter(Transformer, HasInputCol):
             F.lower(text), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0)
         return (df.withColumn("n_tokens_ws", ws)
                 .withColumn("n_tokens_bpe", F.size(pieces)))
+
+
+class TextNormalizer(Transformer, HasInputCol, HasOutputCol):
+    """Canonical text cleanup before hashing/dedup: strip control
+    characters, collapse whitespace runs to single spaces, trim, and
+    (default) lowercase.  Deterministic regexp chain — pure codegen'd
+    Column expressions, no shuffle; normalizing BEFORE MinHash/SimHash
+    makes near-dup detection robust to whitespace/case-only variants."""
+
+    lowercase = BoolParam("lowercase", "Lowercase after cleanup.", True)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.get_("inputCol"))
+        out = F.regexp_replace(text, r"[\x00-\x1F\x7F]", " ")
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+        if self.get_("lowercase"):
+            out = F.lower(out)
+        return df.withColumn(self.get_("outputCol"), out)
 
 
 class RepetitionScorer(Transformer, HasInputCol):

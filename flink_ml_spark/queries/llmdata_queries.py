@@ -396,7 +396,7 @@ def text_quality(spark, sf_dir):
                       q4(F.col("quality_score")).alias("score"))
 
 
-def _quality_sql() -> str:
+def _quality_exprs() -> dict[str, str]:
     stop_lit = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
     mean_wl = f"CASE WHEN len({TOKS}) > 0 THEN CAST(list_sum(list_transform({TOKS}, t -> length(t))) AS DOUBLE) / len({TOKS}) ELSE 0.0 END"
     stop_ratio = f"CASE WHEN len({TOKS}) > 0 THEN CAST(len(list_filter({TOKS}, t -> t IN ({stop_lit}))) AS DOUBLE) / len({TOKS}) ELSE 0.0 END"
@@ -405,6 +405,13 @@ def _quality_sql() -> str:
              f" + CASE WHEN ({stop_ratio}) >= 0.05 THEN 0.3 ELSE 0.0 END"
              f" + CASE WHEN ({digit_ratio}) <= 0.2 THEN 0.2 ELSE 0.0 END"
              f" + CASE WHEN len({TOKS}) >= 10 THEN 0.1 ELSE 0.0 END)")
+    return {"mean_wl": mean_wl, "stop_ratio": stop_ratio,
+            "digit_ratio": digit_ratio, "score": score}
+
+
+def _quality_sql() -> str:
+    ex = _quality_exprs()
+    mean_wl, stop_ratio, score = ex["mean_wl"], ex["stop_ratio"], ex["score"]
     return f"""
 SELECT doc_id,
        {SQL_Q4.format(mean_wl)} AS mean_wl,
@@ -522,6 +529,64 @@ FROM r3
 
 
 PII_SQL = _pii_sql()
+
+
+# --- text normalization ------------------------------------------------------
+
+def text_normalize(spark, sf_dir):
+    from ..llmdata import TextNormalizer
+    docs = load(spark, sf_dir, "documents")
+    # deterministically dirty the text so every cleanup path fires
+    messy = docs.withColumn("messy", F.concat(
+        F.lit("\t  "), F.upper(F.col("text")), F.lit(" \x01 trailing  \n")))
+    out = TextNormalizer(inputCol="messy", outputCol="norm") \
+        ._transform(messy)
+    return out.select("doc_id", F.md5("norm").alias("norm_md5"),
+                      F.length("norm").alias("norm_len"))
+
+
+TEXT_NORMALIZE_SQL = r"""
+WITH messy AS (
+  SELECT doc_id, chr(9) || '  ' || upper(text) || ' ' || chr(1) || ' trailing  ' || chr(10) AS m
+  FROM documents),
+norm AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(regexp_replace(m, '[\x00-\x1F\x7F]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS n
+  FROM messy)
+SELECT doc_id, md5(n) AS norm_md5, length(n) AS norm_len FROM norm
+"""
+
+
+# --- corpus composition report ----------------------------------------------
+
+def corpus_stats(spark, sf_dir):
+    from ..llmdata import TextQualityScorer as _TQS
+    docs = load(spark, sf_dir, "documents")
+    scored = _TQS(inputCol="text")._transform(docs)
+    counted = TokenCounter(inputCol="text")._transform(scored)
+    return (counted.groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens_ws").alias("total_tokens"),
+                 q4(F.avg("quality_score")).alias("avg_quality"),
+                 q4(F.avg(F.length("text"))).alias("avg_chars")))
+
+
+def _corpus_stats_sql() -> str:
+    ex = _quality_exprs()
+    return f"""
+WITH per_doc AS (
+  SELECT source, lang, len({TOKS}) AS n_tok, length(text) AS n_ch,
+         {ex['score']} AS score
+  FROM documents)
+SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+       {SQL_Q4.format('avg(score)')} AS avg_quality,
+       {SQL_Q4.format('avg(n_ch)')} AS avg_chars
+FROM per_doc GROUP BY source, lang
+"""
+
+
+CORPUS_STATS_SQL = _corpus_stats_sql()
 
 
 # --- weighted domain-mixture sampling ---------------------------------------
@@ -790,6 +855,8 @@ QUERIES = {
     "embedding_dedup_lsh": (embedding_dedup_lsh, EMBEDDING_DEDUP_LSH_SQL),
     "ann_bruteforce": (ann_bruteforce, ANN_SQL),
     "repetition_quality": (repetition_quality, REPETITION_SQL),
+    "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
+    "corpus_stats": (corpus_stats, CORPUS_STATS_SQL),
     "pii_redaction": (pii_redaction, PII_SQL),
     "domain_mixture": (domain_mixture, DOMAIN_MIXTURE_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),

@@ -176,3 +176,18 @@ def test_sequence_packer_greedy(spark):
     seq = {r["id"]: r["seq"] for r in out}
     assert all(r["shard"] == 0 for r in out)
     assert seq == {0: 0, 4: 1, 8: 2, 12: 3, 16: 4, 20: 4}
+
+
+def test_text_normalizer(spark):
+    from flink_ml_spark.llmdata import TextNormalizer
+    df = spark.createDataFrame(
+        [(1, "\t Hello   WORLD \x01\x02  x \n"), (2, "ok")],
+        "id long, text string")
+    out = {r["id"]: r["n"] for r in
+           TextNormalizer(inputCol="text", outputCol="n")
+           ._transform(df).collect()}
+    assert out[1] == "hello world x"
+    assert out[2] == "ok"
+    keep = TextNormalizer(inputCol="text", outputCol="n") \
+        .set_(lowercase=False)._transform(df).collect()
+    assert {r["id"]: r["n"] for r in keep}[1] == "Hello WORLD x"
