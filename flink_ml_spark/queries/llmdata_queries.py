@@ -636,8 +636,8 @@ pack(shard, rn, doc_id, seq, fill) AS (
   SELECT shard, rn, doc_id, 0, n_tok FROM items WHERE rn = 1
   UNION ALL
   SELECT i.shard, i.rn, i.doc_id,
-         CASE WHEN p.fill + i.n_tok > {PACK_BUDGET} THEN p.seq + 1 ELSE p.seq END,
-         CASE WHEN p.fill + i.n_tok > {PACK_BUDGET} THEN i.n_tok ELSE p.fill + i.n_tok END
+         CASE WHEN p.fill > 0 AND p.fill + i.n_tok > {PACK_BUDGET} THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.fill > 0 AND p.fill + i.n_tok > {PACK_BUDGET} THEN i.n_tok ELSE p.fill + i.n_tok END
   FROM items i JOIN pack p ON i.shard = p.shard AND i.rn = p.rn + 1)
 SELECT doc_id, shard, seq FROM pack
 """

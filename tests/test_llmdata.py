@@ -191,3 +191,62 @@ def test_text_normalizer(spark):
     keep = TextNormalizer(inputCol="text", outputCol="n") \
         .set_(lowercase=False)._transform(df).collect()
     assert {r["id"]: r["n"] for r in keep}[1] == "Hello WORLD x"
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    import random
+    from flink_ml_spark.llmdata import ConnectedComponents
+
+    def union_find(n_nodes, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(trial * 1000, trial * 1000 + 120))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = union_find(len(nodes), edges)
+        got = {r["id"]: r["component"] for r in
+               ConnectedComponents(srcCol="id_a", dstCol="id_b")
+               .transform(spark.createDataFrame(edges, "id_a long, id_b long"))[0]
+               .collect()}
+        # union-find roots are already per-component minima (min-merge above)
+        assert got == want, f"trial {trial}"
+
+
+def test_sequence_packer_random_matches_replay(spark):
+    import random
+    rng = random.Random(3)
+    from flink_ml_spark.llmdata import SequencePacker
+    rows = [(i, rng.randint(0, 300)) for i in range(200)]
+    budget, shards = 512, 4
+    out = SequencePacker(idCol="id", tokenCol="t", budget=budget,
+                         numShards=shards) \
+        ._transform(spark.createDataFrame(rows, "id long, t int")).collect()
+    got = {r["id"]: (r["shard"], r["seq"]) for r in out}
+    # pure-Python greedy replay per shard
+    want = {}
+    for s in range(shards):
+        fill, cur = 0, 0
+        for i, t in sorted(rows):
+            if i % shards != s:
+                continue
+            if fill > 0 and fill + t > budget:
+                cur += 1
+                fill = 0
+            fill += t
+            want[i] = (s, cur)
+    assert got == want
