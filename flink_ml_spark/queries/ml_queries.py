@@ -634,7 +634,56 @@ FROM m, t
 """
 
 
+def dataflow_pipeline(spark, sf_dir):
+    """Driver-green coverage for the dataflow primitives (SURVEY §2.8,
+    reference DataStreamUtils): co_group (customer ⋈ orders per key) into
+    top_k_per_key (two-stage salted exact top-k per market segment)."""
+    import pandas as pd
+    from ..common.dataflow import co_group, top_k_per_key
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+
+    def per_customer(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:  # orders with no customer row: drop (inner semantics)
+            return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                                 "c_mktsegment": pd.Series(dtype="object"),
+                                 "n_orders": pd.Series(dtype="int64"),
+                                 "spend": pd.Series(dtype="float64")})
+        return pd.DataFrame({
+            "c_custkey": [int(l["c_custkey"].iloc[0])],
+            "c_mktsegment": [l["c_mktsegment"].iloc[0]],
+            "n_orders": [len(r)],
+            "spend": [float(r["o_totalprice"].sum()) if len(r) else 0.0]})
+
+    per_c = co_group(
+        cust, orders, "c_custkey", "o_custkey", per_customer,
+        "c_custkey long, c_mktsegment string, n_orders long, spend double")
+    top = top_k_per_key(per_c, ["c_mktsegment"],
+                        [F.col("spend").desc(), F.col("c_custkey")],
+                        5, salt_cols=["c_custkey"], rank_col="rank")
+    return top.select("c_mktsegment", "c_custkey", "n_orders",
+                      q4(F.col("spend")).alias("spend"), "rank")
+
+
+DATAFLOW_PIPELINE_SQL = f"""
+WITH per_c AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         count(o.o_orderkey) AS n_orders,
+         coalesce(sum(o.o_totalprice), 0.0) AS spend
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY spend DESC, c_custkey) AS rank
+  FROM per_c)
+SELECT c_mktsegment, c_custkey, n_orders,
+       {SQL_Q4.format('spend')} AS spend, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
+    "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),
     "logistic_regression": (logistic_regression, LOGISTIC_REGRESSION_SQL),
     "linear_svc": (linear_svc, LINEAR_SVC_SQL),
     "linear_regression": (linear_regression, LINEAR_REGRESSION_SQL),
