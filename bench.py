@@ -43,7 +43,7 @@ HEADLINE = [
     # mixture sampling, sequence packing
     "dup_clusters", "repetition_quality", "pii_redaction", "domain_mixture",
     "sequence_packing", "text_normalize", "corpus_stats", "graph_dag",
-    "dataflow_pipeline",
+    "dataflow_pipeline", "event_windows", "session_windows",
 ]
 
 

@@ -259,7 +259,62 @@ FROM data, fin
 ONLINE_FTRL_SQL = _ftrl_sql()
 
 
+def event_windows(spark, sf_dir):
+    """Driver-green coverage for the Windows strategies (SURVEY §2.10):
+    event-time tumbling windows through window_all_and_process."""
+    from ..common.dataflow import window_all_and_process
+    from ..streaming.windows import Windows
+    events = load_events(spark, sf_dir)
+    out = window_all_and_process(
+        events.select(F.col("ts_t").alias("ts"), "value"),
+        Windows.event_time_tumbling(3600_000), "ts",
+        F.count("*").alias("n"), q4(F.sum("value")).alias("sum_value"))
+    return out.select(F.unix_millis("window_start").alias("w_start"),
+                      "n", "sum_value")
+
+
+EVENT_WINDOWS_SQL = f"""
+WITH base AS (SELECT epoch_ms(ts) AS ts_ms, value FROM events)
+SELECT CAST(floor(ts_ms / 3600000) AS BIGINT) * 3600000 AS w_start,
+       count(*) AS n, {SQL_Q4.format('sum(value)')} AS sum_value
+FROM base GROUP BY 1
+"""
+
+
+def session_windows(spark, sf_dir):
+    """Per-user event-time session windows (gap = 10 min of silence),
+    Windows.event_time_session semantics via F.session_window."""
+    events = load_events(spark, sf_dir)
+    return (events
+            .groupBy("user_id",
+                     F.session_window(F.col("ts_t"), "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 q4(F.sum("value")).alias("sum_value"))
+            .select("user_id",
+                    F.unix_millis(F.col("w")["start"]).alias("s_start"),
+                    "n_events", "sum_value"))
+
+
+SESSION_WINDOWS_SQL = f"""
+WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w >= 600000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id, min(ts_ms) AS s_start, count(*) AS n_events,
+       {SQL_Q4.format('sum(value)')} AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
+    "event_windows": (event_windows, EVENT_WINDOWS_SQL),
+    "session_windows": (session_windows, SESSION_WINDOWS_SQL),
     "online_standard_scaler": (online_standard_scaler, ONLINE_SCALER_SQL),
     "online_kmeans": (online_kmeans, ONLINE_KMEANS_SQL),
     "online_scaler_delayed": (online_scaler_delayed, ONLINE_SCALER_DELAYED_SQL),
