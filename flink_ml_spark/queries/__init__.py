@@ -76,6 +76,12 @@ def all_queries():
     # r01 evidence; local tools/check_oracle.py covers the full set every
     # session regardless).
     prio = [
+        # round-2 additions (no driver row at all yet)
+        "dup_clusters", "repetition_quality", "pii_redaction",
+        "domain_mixture", "sequence_packing", "text_normalize",
+        "corpus_stats", "graph_dag", "dataflow_pipeline", "event_windows",
+        "session_windows",
+        # round-1 queries the driver's capped run never reached
         "hashingtf_logreg", "media_pipeline", "media_codec_pipeline",
         "minhash_signature",
         "minhash_dedup", "ngram_jaccard_dedup", "simhash_dedup",
