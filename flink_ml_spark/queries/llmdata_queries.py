@@ -565,11 +565,15 @@ def corpus_stats(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     scored = _TQS(inputCol="text")._transform(docs)
     counted = TokenCounter(inputCol="text")._transform(scored)
+    # sums, not avgs: quality scores are multiples of 0.1 and counts are
+    # ints, so the quantized values sit far from rounding boundaries in
+    # both engines (an avg can land exactly on a q4 half-step and round
+    # differently per FP summation order)
     return (counted.groupBy("source", "lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens_ws").alias("total_tokens"),
-                 q4(F.avg("quality_score")).alias("avg_quality"),
-                 q4(F.avg(F.length("text"))).alias("avg_chars")))
+                 q4(F.sum("quality_score")).alias("sum_quality"),
+                 F.sum(F.length("text")).alias("total_chars")))
 
 
 def _corpus_stats_sql() -> str:
@@ -580,8 +584,8 @@ WITH per_doc AS (
          {ex['score']} AS score
   FROM documents)
 SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
-       {SQL_Q4.format('avg(score)')} AS avg_quality,
-       {SQL_Q4.format('avg(n_ch)')} AS avg_chars
+       {SQL_Q4.format('sum(score)')} AS sum_quality,
+       sum(n_ch) AS total_chars
 FROM per_doc GROUP BY source, lang
 """
 

@@ -440,11 +440,14 @@ def agglomerative(spark, sf_dir):
 
 
 def _agglomerative_sql() -> str | None:
-    """VALUES fixture from the seeded kernel over the sf0.01 supplier table
-    (the driver's correctness gate runs at sf=0.01; None → rows-only if the
-    fixture input is unavailable)."""
+    """VALUES fixture from the seeded kernel over the supplier table of the
+    active sf dir ($SPARK_GRAFT_SF_DIR when set — tools/check_oracle.py and
+    bench.py export it — else the driver's sf0.01); None → rows-only if the
+    fixture input is unavailable.  Each sf has its own generated rows, so
+    the fixture must come from the same dir the query reads."""
     import os
-    path = "/root/testdata/sf0.01/supplier.parquet"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/supplier.parquet"
     if not os.path.exists(path):
         return None
     import duckdb

@@ -72,6 +72,8 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # fixture-based oracles (agglomerative) build from the active sf dir
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
     import __spark_entry__ as entry
     queries = entry.queries()
     oracles = entry.oracle_sql()
