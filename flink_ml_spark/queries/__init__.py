@@ -80,7 +80,7 @@ def all_queries():
         "dup_clusters", "repetition_quality", "pii_redaction",
         "domain_mixture", "sequence_packing", "text_normalize",
         "corpus_stats", "graph_dag", "dataflow_pipeline", "event_windows",
-        "session_windows",
+        "session_windows", "llm_prep_pipeline_v2",
         # round-1 queries the driver's capped run never reached
         "hashingtf_logreg", "media_pipeline", "media_codec_pipeline",
         "minhash_signature",

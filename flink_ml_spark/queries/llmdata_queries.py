@@ -804,6 +804,79 @@ def llm_prep_pipeline(spark, sf_dir):
     return tok.transform(union)[0].select("doc_id", "split", "n_tokens_ws")
 
 
+def llm_prep_pipeline_v2(spark, sf_dir):
+    """The round-2 corpus-prep flagship — every stage is one of the
+    engine's own operators: TextNormalizer (control-strip / whitespace /
+    case) → TextQualityScorer filter (score ≥ 0.5) → PIIRedactor →
+    ExactDeduplicator on the redacted text → DomainMixtureSampler
+    (downsample src0/src1) → TokenCounter → SequencePacker into
+    256-token training sequences.  Row-local work end-to-end except ONE
+    dedup shuffle and ONE pack shard shuffle — the 100 TB shape."""
+    from ..llmdata import (DomainMixtureSampler, PIIRedactor, SequencePacker,
+                           TextNormalizer)
+    docs = load(spark, sf_dir, "documents")
+    norm = TextNormalizer(inputCol="text", outputCol="norm")._transform(docs)
+    scored = TextQualityScorer(inputCol="norm")._transform(norm)
+    kept = scored.where(F.col("quality_score") >= 0.5)
+    red = PIIRedactor(inputCol="norm", outputCol="clean")._transform(kept)
+    deduped = ExactDeduplicator(inputCol="clean").set_(idCol="doc_id") \
+        .transform(red)[0]
+    mixed = DomainMixtureSampler(idCol="doc_id", domainCol="source",
+                                 rates=MIX_RATES, defaultRate=0.75) \
+        ._transform(deduped)
+    counted = TokenCounter(inputCol="clean")._transform(mixed)
+    packed = SequencePacker(idCol="doc_id", tokenCol="n_tokens_ws",
+                            budget=PACK_BUDGET, numShards=PACK_SHARDS) \
+        ._transform(counted)
+    return packed.select("doc_id", "source", "n_tokens_ws", "shard", "seq")
+
+
+def _llm_prep_v2_sql() -> str:
+    ex = _quality_exprs()
+    # quality expressions evaluate over the NORMALIZED text column `n`
+    score_n = ex["score"].replace("text", "n")
+    from ..llmdata.textanalysis import PII_PATTERNS
+    reds = ""
+    src = "n"
+    for _, pat, token in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        src = f"regexp_replace({src}, '{p}', '{token}', 'g')"
+    return f"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, source,
+         lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                                   '\\s+', ' ', 'g'))) AS n
+  FROM documents),
+kept AS (SELECT doc_id, source, n FROM norm WHERE ({score_n}) >= 0.5),
+red AS (SELECT doc_id, source, {src} AS clean FROM kept),
+deduped AS (
+  SELECT doc_id, source, clean FROM red
+  WHERE doc_id IN (SELECT min(doc_id) FROM red GROUP BY clean)),
+mixed AS (
+  SELECT doc_id, source, clean FROM deduped
+  WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
+        / 2147483648.0
+        < CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5 ELSE 0.75 END),
+items AS (
+  SELECT doc_id, source, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(len(list_filter(string_split(lower(clean), ' '), t -> t <> '')) AS INT) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM mixed),
+pack(shard, rn, doc_id, source, n_tok, seq, fill) AS (
+  SELECT shard, rn, doc_id, source, n_tok, 0, n_tok FROM items WHERE rn = 1
+  UNION ALL
+  SELECT i.shard, i.rn, i.doc_id, i.source, i.n_tok,
+         CASE WHEN p.fill > 0 AND p.fill + i.n_tok > {PACK_BUDGET} THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.fill > 0 AND p.fill + i.n_tok > {PACK_BUDGET} THEN i.n_tok ELSE p.fill + i.n_tok END
+  FROM items i JOIN pack p ON i.shard = p.shard AND i.rn = p.rn + 1)
+SELECT doc_id, source, n_tok AS n_tokens_ws, shard, seq FROM pack
+"""
+
+
+LLM_PREP_V2_SQL = _llm_prep_v2_sql()
+
+
 def _llm_prep_sql() -> str:
     cases = []
     for lang in sorted(LANG_MARKERS):
@@ -846,6 +919,7 @@ LLM_PREP_SQL = _llm_prep_sql()
 
 QUERIES = {
     "llm_prep_pipeline": (llm_prep_pipeline, LLM_PREP_SQL),
+    "llm_prep_pipeline_v2": (llm_prep_pipeline_v2, LLM_PREP_V2_SQL),
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "media_pipeline": (media_pipeline, MEDIA_PIPELINE_SQL),

@@ -646,20 +646,32 @@ def dataflow_pipeline(spark, sf_dir):
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
 
-    def per_customer(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+    # co-group on a BUCKETED key, not the raw custkey: cogroup invokes the
+    # pandas function once per key, so raw-key granularity is one Python
+    # call per customer; a few hundred buckets keep the per-call frames
+    # large and the inside vectorized (groupby+merge) — the shape that
+    # holds when customers are billions
+    def per_bucket(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if l.empty:  # orders with no customer row: drop (inner semantics)
             return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                                  "c_mktsegment": pd.Series(dtype="object"),
                                  "n_orders": pd.Series(dtype="int64"),
                                  "spend": pd.Series(dtype="float64")})
-        return pd.DataFrame({
-            "c_custkey": [int(l["c_custkey"].iloc[0])],
-            "c_mktsegment": [l["c_mktsegment"].iloc[0]],
-            "n_orders": [len(r)],
-            "spend": [float(r["o_totalprice"].sum()) if len(r) else 0.0]})
+        agg = (r.groupby("o_custkey")
+               .agg(n_orders=("o_orderkey", "size"),
+                    spend=("o_totalprice", "sum"))
+               if len(r) else pd.DataFrame(columns=["n_orders", "spend"]))
+        m = l[["c_custkey", "c_mktsegment"]].merge(
+            agg, left_on="c_custkey", right_index=True, how="left")
+        m["n_orders"] = m["n_orders"].fillna(0).astype("int64")
+        m["spend"] = m["spend"].fillna(0.0).astype("float64")
+        return m
 
+    n_buckets = 512
     per_c = co_group(
-        cust, orders, "c_custkey", "o_custkey", per_customer,
+        cust.withColumn("__b__", F.pmod("c_custkey", F.lit(n_buckets))),
+        orders.withColumn("__b__", F.pmod("o_custkey", F.lit(n_buckets))),
+        "__b__", "__b__", per_bucket,
         "c_custkey long, c_mktsegment string, n_orders long, spend double")
     top = top_k_per_key(per_c, ["c_mktsegment"],
                         [F.col("spend").desc(), F.col("c_custkey")],
