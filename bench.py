@@ -90,6 +90,14 @@ def main() -> None:
     spark.range(int(CPUS) * 100).repartition(int(CPUS)) \
         .select(_wu("id")).count()
 
+    # JIT-compile the generate/shuffle codegen templates the text queries
+    # hit first (explode over split crossing an exchange) — one-time JVM
+    # compilation, not data work, so it belongs in warmup
+    from pyspark.sql import functions as _F
+    spark.range(int(CPUS) * 10).repartition(int(CPUS)) \
+        .select(_F.explode(_F.split(_F.lit("a b c"), " ")).alias("t")) \
+        .groupBy("t").count().count()
+
     # the plain-pickle RDD worker pool (block-cache learners) is separate
     # from the Arrow UDF pool — warm it too
     def _wu_rdd(it):

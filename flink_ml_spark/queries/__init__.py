@@ -89,6 +89,16 @@ def all_queries():
         "language_id", "text_quality", "token_count", "fingerprint",
         "online_standard_scaler", "online_kmeans", "online_scaler_delayed",
         "online_logistic_regression",
+        # r01 rows stale: output or physical plan changed this round
+        # (agglomerative gained its fixture oracle + cluster_rep output;
+        # anova dof = n-1; binary_evaluator Lorenz/PR + range partition;
+        # SGD batch slices; swing un-broadcast; minhash empty-set
+        # signature + ids-only band join; knn distributed packing;
+        # feature_hasher poly cap; string_indexer freqDesc pushdown)
+        "agglomerative", "anova_test", "binary_evaluator",
+        "logistic_regression", "linear_svc", "linear_regression",
+        "swing", "minhash_lsh_join", "minhash_lsh_nn", "knn",
+        "feature_hasher", "string_indexer",
     ]
     ordered = {k: out[k] for k in prio if k in out}
     ordered.update(out)
