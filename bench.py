@@ -44,7 +44,7 @@ HEADLINE = [
     "dup_clusters", "repetition_quality", "pii_redaction", "domain_mixture",
     "sequence_packing", "text_normalize", "corpus_stats", "graph_dag",
     "dataflow_pipeline", "event_windows", "session_windows",
-    "llm_prep_pipeline_v2",
+    "llm_prep_pipeline_v2", "bm25_scoring",
 ]
 
 
@@ -121,12 +121,19 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # the headline set grew from 44 (round 1) to 60+ queries; this subtotal
+    # covers exactly the round-1 set so round-over-round totals compare
+    # like-for-like
+    r01_n = HEADLINE.index("hashingtf_logreg")
+    r01_subset = round(sum(timings.get(q, 0.0) for q in HEADLINE[:r01_n]
+                           if timings.get(q, -1) >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "r01_subset_total": r01_subset,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

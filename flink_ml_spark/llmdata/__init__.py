@@ -7,7 +7,8 @@ from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         IVFIndex, IVFIndexModel, RandomHyperplaneLSH,
                         RandomHyperplaneLSHModel)
 from .sampling import DomainMixtureSampler, SequencePacker
-from .textanalysis import (DocumentFingerprinter, LanguageIdentifier,
+from .textanalysis import (Bm25Scorer, Bm25ScorerModel,
+                           DocumentFingerprinter, LanguageIdentifier,
                            PIIRedactor, RepetitionScorer, TextNormalizer,
                            TextQualityScorer, TokenCounter)
 

@@ -7,9 +7,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..api import Transformer
-from ..param import (BoolParam, HasInputCol, HasOutputCol, IntParam,
-                     ParamValidators, StringParam)
+from ..api import Estimator, Model, Transformer
+from ..param import (BoolParam, FloatParam, HasInputCol, HasOutputCol,
+                     IntParam, ParamValidators, StringArrayParam, StringParam)
 from .dedup import MINHASH_PRIME, poly_token_hash
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -196,6 +196,77 @@ class PIIRedactor(Transformer, HasInputCol, HasOutputCol):
         for kind, c in counts.items():
             df = df.withColumn(f"pii_{kind}_count", c)
         return df.withColumn(self.get_("outputCol"), out)
+
+
+class Bm25Scorer(Estimator, HasInputCol, HasOutputCol):
+    """BM25 relevance of each document to a fixed seed-term set — the
+    standard importance-sampling signal for corpus curation (score against
+    a seed query drawn from the target domain, keep the top mass; public
+    CCNet/DSIR family).
+
+    ``fit`` runs ONE aggregation job over the corpus producing only
+    fixed-size state: row count N, average document length, and one
+    document frequency per query term (``sum(array_contains)`` — map-side
+    combined, never a per-doc shuffle).  The model scores rows with pure
+    codegen'd Column expressions: per term t,
+
+        idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+        idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+
+    (Robertson/Sparck-Jones BM25+). idf constants fold at plan time, so
+    scoring is zero-shuffle and scales embarrassingly at 100 TB.
+    """
+
+    queryTerms = StringArrayParam("queryTerms", "Seed query terms.", [])
+    k1 = FloatParam("k1", "Term-frequency saturation.", 1.2)
+    b = FloatParam("b", "Length normalization strength.", 0.75)
+
+    def fit(self, *inputs: DataFrame) -> "Bm25ScorerModel":
+        (df,) = inputs
+        toks = _tokens(F.col(self.get_("inputCol")))
+        terms = list(dict.fromkeys(self.get_("queryTerms") or []))
+        aggs = [F.count(F.lit(1)).alias("__n"),
+                F.avg(F.size(toks)).alias("__avgdl")]
+        aggs += [F.sum(F.array_contains(toks, t).cast("long")).alias(f"__df{i}")
+                 for i, t in enumerate(terms)]
+        row = df.agg(*aggs).first()
+        model = Bm25ScorerModel(
+            inputCol=self.get_("inputCol"), outputCol=self.get_("outputCol"),
+            k1=self.get_("k1"), b=self.get_("b"))
+        model.model_data = {
+            "terms": terms,
+            "docFreq": [int(row[f"__df{i}"]) for i in range(len(terms))],
+            "numDocs": int(row["__n"]),
+            "avgDocLen": float(row["__avgdl"] or 0.0)}
+        return model
+
+
+class Bm25ScorerModel(Model, HasInputCol, HasOutputCol):
+    k1 = FloatParam("k1", "Term-frequency saturation.", 1.2)
+    b = FloatParam("b", "Length normalization strength.", 0.75)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        import math
+        toks = _tokens(F.col(self.get_("inputCol")))
+        dl = F.size(toks).cast("double")
+        k1, b = self.get_("k1"), self.get_("b")
+        n = self.model_data["numDocs"]
+        avgdl = self.model_data["avgDocLen"]
+        score: Column = F.lit(0.0)
+        if avgdl > 0:
+            norm = F.lit(k1) * (1.0 - b + F.lit(b) * dl / avgdl)
+
+            def _eq(term: str):
+                return lambda x: x == F.lit(term)
+
+            for t, dft in zip(self.model_data["terms"],
+                              self.model_data["docFreq"]):
+                idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+                tf = F.size(F.filter(toks, _eq(t))).cast("double")
+                score = score + F.when(
+                    tf > 0, F.lit(idf) * tf * (k1 + 1.0) / (tf + norm)) \
+                    .otherwise(0.0)
+        return df.withColumn(self.get_("outputCol"), score)
 
 
 class DocumentFingerprinter(Transformer, HasInputCol, HasOutputCol):

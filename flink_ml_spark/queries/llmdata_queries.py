@@ -917,7 +917,45 @@ FROM deduped
 LLM_PREP_SQL = _llm_prep_sql()
 
 
+_BM25_TERMS = ["spark", "join", "vector", "quantile"]  # quantile: df=0 branch
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_scoring(spark, sf_dir):
+    from ..llmdata import Bm25Scorer
+    docs = load(spark, sf_dir, "documents")
+    model = Bm25Scorer(inputCol="text", outputCol="bm25",
+                       queryTerms=_BM25_TERMS, k1=_BM25_K1, b=_BM25_B).fit(docs)
+    out = model.transform(docs)[0]
+    return out.select("doc_id", q4(F.col("bm25")).alias("bm25"))
+
+
+def _bm25_sql() -> str:
+    dfs = ", ".join(
+        f"(SELECT count(*) FROM tok WHERE list_contains(toks, '{t}')) AS df{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    terms = " + ".join(
+        f"""CASE WHEN len(list_filter(toks, x -> x = '{t}')) > 0 THEN
+  ln(1 + (n - df{i} + 0.5)/(df{i} + 0.5))
+  * len(list_filter(toks, x -> x = '{t}')) * ({_BM25_K1} + 1.0)
+  / (len(list_filter(toks, x -> x = '{t}'))
+     + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * len(toks) / avgdl))
+ELSE 0.0 END"""
+        for i, t in enumerate(_BM25_TERMS))
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+dfs AS (SELECT {dfs})
+SELECT doc_id, {SQL_Q4.format(f'0.0 + {terms}')} AS bm25
+FROM tok, stats, dfs
+"""
+
+
+BM25_SQL = _bm25_sql()
+
+
 QUERIES = {
+    "bm25_scoring": (bm25_scoring, BM25_SQL),
     "llm_prep_pipeline": (llm_prep_pipeline, LLM_PREP_SQL),
     "llm_prep_pipeline_v2": (llm_prep_pipeline_v2, LLM_PREP_V2_SQL),
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),

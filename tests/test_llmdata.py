@@ -250,3 +250,32 @@ def test_sequence_packer_random_matches_replay(spark):
             fill += t
             want[i] = (s, cur)
     assert got == want
+
+
+def test_bm25_scorer(spark, tmp_path):
+    import math
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.llmdata import Bm25Scorer
+    df = spark.createDataFrame(
+        [(1, "spark join spark"), (2, "vector scan row"), (3, "the a of")],
+        "doc_id long, text string")
+    est = Bm25Scorer(inputCol="text", outputCol="s",
+                     queryTerms=["spark", "vector", "missing"], k1=1.2, b=0.75)
+    model = est.fit(df)
+    md = model.model_data
+    assert md["numDocs"] == 3 and md["avgDocLen"] == 3.0
+    assert md["docFreq"] == [1, 1, 0]  # spark, vector, missing
+    got = {r["doc_id"]: r["s"] for r in model.transform(df)[0].collect()}
+
+    def bm25(tf, dft, dl, n=3, avgdl=3.0, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        return idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1] == pytest.approx(bm25(2, 1, 3))   # "spark" twice
+    assert got[2] == pytest.approx(bm25(1, 1, 3))   # "vector" once
+    assert got[3] == 0.0                            # no query terms
+    p = str(tmp_path / "bm25")
+    model.save(p)
+    loaded = Stage.load(spark, p)
+    got2 = {r["doc_id"]: r["s"] for r in loaded.transform(df)[0].collect()}
+    assert got2 == got
