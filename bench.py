@@ -44,7 +44,7 @@ HEADLINE = [
     "dup_clusters", "repetition_quality", "pii_redaction", "domain_mixture",
     "sequence_packing", "text_normalize", "corpus_stats", "graph_dag",
     "dataflow_pipeline", "event_windows", "session_windows",
-    "llm_prep_pipeline_v2", "bm25_scoring",
+    "llm_prep_pipeline_v2", "bm25_scoring", "embedding_quantize",
 ]
 
 

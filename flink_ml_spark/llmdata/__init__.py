@@ -4,8 +4,8 @@ from .dedup import (ConnectedComponents, ExactDeduplicator,
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
-                        IVFIndex, IVFIndexModel, RandomHyperplaneLSH,
-                        RandomHyperplaneLSHModel)
+                        EmbeddingQuantizer, IVFIndex, IVFIndexModel,
+                        RandomHyperplaneLSH, RandomHyperplaneLSHModel)
 from .sampling import DomainMixtureSampler, SequencePacker
 from .textanalysis import (Bm25Scorer, Bm25ScorerModel,
                            DocumentFingerprinter, LanguageIdentifier,

@@ -917,6 +917,44 @@ FROM deduped
 LLM_PREP_SQL = _llm_prep_sql()
 
 
+def embedding_quantize(spark, sf_dir):
+    """int8-quantize the embedding corpus; verify codes and per-row max
+    reconstruction error (the quantization contract, end to end)."""
+    from ..llmdata import EmbeddingQuantizer
+    emb = load(spark, sf_dir, "embeddings")
+    out = EmbeddingQuantizer(inputCol="embedding", outputCol="q", bits=8) \
+        ._transform(emb)
+    deq = EmbeddingQuantizer.dequantize("q")
+    err = F.array_max(F.zip_with(
+        deq, F.col("embedding").cast("array<double>"),
+        lambda a, b: F.abs(a - b)))
+    return out.select(
+        "vec_id",
+        q4(F.col("q")["scale"]).alias("scale"),
+        F.aggregate(F.col("q")["codes"], F.lit(0).cast("long"),
+                    lambda a, c: a + c).alias("code_sum"),
+        q4(err).alias("max_err"))
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+q AS (SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+      FROM e),
+c AS (SELECT vec_id, x, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(x, v -> CAST(round(v / scale) AS BIGINT))
+                  ELSE list_transform(x, v -> CAST(0 AS BIGINT)) END AS codes
+      FROM q)
+SELECT vec_id,
+       {SQL_Q4.format('scale')} AS scale,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       {SQL_Q4.format(
+           'list_max(list_transform(list_zip(codes, x), '
+           'p -> abs(p[1] * scale - p[2])))')} AS max_err
+FROM c
+"""
+
+
 _BM25_TERMS = ["spark", "join", "vector", "quantile"]  # quantile: df=0 branch
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -956,6 +994,7 @@ BM25_SQL = _bm25_sql()
 
 QUERIES = {
     "bm25_scoring": (bm25_scoring, BM25_SQL),
+    "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "llm_prep_pipeline": (llm_prep_pipeline, LLM_PREP_SQL),
     "llm_prep_pipeline_v2": (llm_prep_pipeline_v2, LLM_PREP_V2_SQL),
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),

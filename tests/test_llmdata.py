@@ -279,3 +279,25 @@ def test_bm25_scorer(spark, tmp_path):
     loaded = Stage.load(spark, p)
     got2 = {r["doc_id"]: r["s"] for r in loaded.transform(df)[0].collect()}
     assert got2 == got
+
+
+def test_embedding_quantizer(spark):
+    from flink_ml_spark.llmdata import EmbeddingQuantizer
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "id long, emb array<double>")
+    out = EmbeddingQuantizer(inputCol="emb", outputCol="q") \
+        ._transform(df)
+    rows = {r["id"]: r["q"] for r in out.collect()}
+    assert rows[1]["scale"] == pytest.approx(1.0 / 127)
+    assert rows[1]["codes"] == [127, -64, 32]  # round(-63.5) away from zero
+    assert rows[2]["scale"] == 0.0 and rows[2]["codes"] == [0, 0, 0]
+    deq = out.select("id", EmbeddingQuantizer.dequantize("q").alias("d"),
+                     F.col("emb")).collect()
+    for r in deq:
+        for a, b in zip(r["d"], r["emb"]):
+            assert abs(a - b) <= rows[r["id"]]["scale"] / 2 + 1e-12
+    # 4-bit path: qmax = 7
+    out4 = EmbeddingQuantizer(inputCol="emb", outputCol="q", bits=4) \
+        ._transform(df).collect()
+    assert {r["id"]: r["q"]["codes"] for r in out4}[1] == [7, -4, 2]
