@@ -6,7 +6,7 @@ from .multimodal import (ImageResizer, MediaFeatureExtractor,
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         EmbeddingQuantizer, IVFIndex, IVFIndexModel,
                         RandomHyperplaneLSH, RandomHyperplaneLSHModel)
-from .sampling import DomainMixtureSampler, SequencePacker
+from .sampling import DocumentChunker, DomainMixtureSampler, SequencePacker
 from .textanalysis import (Bm25Scorer, Bm25ScorerModel,
                            DocumentFingerprinter, LanguageIdentifier,
                            PIIRedactor, RepetitionScorer, TextNormalizer,

@@ -101,3 +101,48 @@ class SequencePacker(Transformer):
 
         return (sharded.groupBy("shard")
                 .applyInPandas(pack, out_schema))
+
+
+class DocumentChunker(Transformer):
+    """Fixed-token-budget document chunking with overlap — the standard
+    splitting step between cleaning and tokenization (training context
+    windows, RAG passages).  Each document yields chunks of up to
+    ``chunkSize`` whitespace tokens starting every ``chunkSize - overlap``
+    tokens; the final partial chunk is kept.  Output explodes to one row
+    per chunk with ``chunk_start`` (token offset) and ``chunkCol`` (the
+    chunk text); empty documents yield no rows.
+
+    Plan: pure codegen'd Column expressions (sequence → slice →
+    array_join) under one explode — zero shuffles, no Python, and the
+    explode multiplies rows only by ceil(doc_len/stride), so the operator
+    is embarrassingly parallel at 100 TB.
+    """
+
+    textCol = StringParam("textCol", "Input text column.", "text")
+    chunkCol = StringParam("chunkCol", "Output chunk-text column.", "chunk")
+    chunkSize = IntParam("chunkSize", "Max tokens per chunk.", 512,
+                         ParamValidators.gt(0))
+    overlap = IntParam("overlap", "Tokens shared between neighbors.", 0,
+                       ParamValidators.gt_eq(0))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        size, over = self.get_("chunkSize"), self.get_("overlap")
+        if over >= size:
+            raise ValueError("overlap must be < chunkSize")
+        stride = size - over
+        toks = F.filter(F.split(F.lower(F.col(self.get_("textCol"))), r"\s"),
+                        lambda t: t != "")
+        n = F.size(toks)
+        starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
+            .otherwise(F.array().cast("array<int>"))
+        chunks = F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("long").alias("chunk_start"),
+                F.array_join(F.slice(toks, s + 1, size), " ")
+                .alias(self.get_("chunkCol"))))
+        return (df.withColumn("__chunk__", F.explode(chunks))
+                .withColumn("chunk_start", F.col("__chunk__.chunk_start"))
+                .withColumn(self.get_("chunkCol"),
+                            F.col(f"__chunk__.{self.get_('chunkCol')}"))
+                .drop("__chunk__"))

@@ -77,7 +77,7 @@ def all_queries():
     # session regardless).
     prio = [
         # round-2 additions (no driver row at all yet)
-        "bm25_scoring", "embedding_quantize",
+        "bm25_scoring", "embedding_quantize", "document_chunking",
         "dup_clusters", "repetition_quality", "pii_redaction",
         "domain_mixture", "sequence_packing", "text_normalize",
         "corpus_stats", "graph_dag", "dataflow_pipeline", "event_windows",

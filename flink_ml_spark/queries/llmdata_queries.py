@@ -955,6 +955,30 @@ FROM c
 """
 
 
+def document_chunking(spark, sf_dir):
+    """Chunk documents into 32-token windows with 8-token overlap; emit
+    per-chunk offset, token count, and a fingerprint-friendly text hash."""
+    from ..llmdata import DocumentChunker
+    docs = load(spark, sf_dir, "documents")
+    out = DocumentChunker(textCol="text", chunkCol="chunk",
+                          chunkSize=32, overlap=8)._transform(docs)
+    return out.select(
+        "doc_id", "chunk_start",
+        F.size(F.split(F.col("chunk"), " ")).alias("chunk_tokens"),
+        F.length("chunk").alias("chunk_chars"))
+
+
+DOCUMENT_CHUNKING_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+      FROM tok WHERE len(toks) > 0)
+SELECT doc_id, start AS chunk_start,
+       len(toks[start + 1 : start + 32]) AS chunk_tokens,
+       length(array_to_string(toks[start + 1 : start + 32], ' ')) AS chunk_chars
+FROM s
+"""
+
+
 _BM25_TERMS = ["spark", "join", "vector", "quantile"]  # quantile: df=0 branch
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -995,6 +1019,7 @@ BM25_SQL = _bm25_sql()
 QUERIES = {
     "bm25_scoring": (bm25_scoring, BM25_SQL),
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
+    "document_chunking": (document_chunking, DOCUMENT_CHUNKING_SQL),
     "llm_prep_pipeline": (llm_prep_pipeline, LLM_PREP_SQL),
     "llm_prep_pipeline_v2": (llm_prep_pipeline_v2, LLM_PREP_V2_SQL),
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),

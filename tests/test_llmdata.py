@@ -301,3 +301,18 @@ def test_embedding_quantizer(spark):
     out4 = EmbeddingQuantizer(inputCol="emb", outputCol="q", bits=4) \
         ._transform(df).collect()
     assert {r["id"]: r["q"]["codes"] for r in out4}[1] == [7, -4, 2]
+
+
+def test_document_chunker(spark):
+    from flink_ml_spark.llmdata import DocumentChunker
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")],
+        "doc_id long, text string")
+    out = DocumentChunker(textCol="text", chunkCol="chunk",
+                          chunkSize=3, overlap=1)._transform(df).collect()
+    got = sorted((r["doc_id"], r["chunk_start"], r["chunk"]) for r in out)
+    # doc 1: starts 0,2,4,6 (stride 2) -> abc, cde, efg, g
+    assert got == [(1, 0, "a b c"), (1, 2, "c d e"), (1, 4, "e f g"),
+                   (1, 6, "g"), (2, 0, "x")]
+    with pytest.raises(ValueError):
+        DocumentChunker(chunkSize=4, overlap=4)._transform(df)
