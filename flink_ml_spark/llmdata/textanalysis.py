@@ -268,6 +268,31 @@ class Bm25ScorerModel(Model, HasInputCol, HasOutputCol):
                     .otherwise(0.0)
         return df.withColumn(self.get_("outputCol"), score)
 
+    def transform_local(self, pdf):
+        """Cluster-free (servable) scoring over a pandas frame."""
+        import math
+        import numpy as np
+        k1, b = self.get_("k1"), self.get_("b")
+        n, avgdl = self.model_data["numDocs"], self.model_data["avgDocLen"]
+        out = pdf.copy()
+        scores = np.zeros(len(pdf))
+        if avgdl > 0:
+            toks = [([t for t in str(s).lower().split() if t])
+                    for s in pdf[self.get_("inputCol")]]
+            dls = np.array([len(t) for t in toks], dtype=float)
+            norm = k1 * (1.0 - b + b * dls / avgdl)
+            for t, dft in zip(self.model_data["terms"],
+                              self.model_data["docFreq"]):
+                idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+                tf = np.array([tk.count(t) for tk in toks], dtype=float)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    contrib = np.where(tf > 0,
+                                       idf * tf * (k1 + 1.0) / (tf + norm),
+                                       0.0)
+                scores += contrib
+        out[self.get_("outputCol")] = scores
+        return out
+
 
 class DocumentFingerprinter(Transformer, HasInputCol, HasOutputCol):
     """Order-sensitive rolling-hash fingerprint of the token stream

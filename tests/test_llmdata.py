@@ -279,6 +279,10 @@ def test_bm25_scorer(spark, tmp_path):
     loaded = Stage.load(spark, p)
     got2 = {r["doc_id"]: r["s"] for r in loaded.transform(df)[0].collect()}
     assert got2 == got
+    # servable path matches the distributed plan
+    local = loaded.transform_local(df.toPandas())
+    for did, s in zip(local["doc_id"], local["s"]):
+        assert s == pytest.approx(got[did])
 
 
 def test_embedding_quantizer(spark):
