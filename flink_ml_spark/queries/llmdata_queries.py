@@ -964,8 +964,8 @@ def document_chunking(spark, sf_dir):
                           chunkSize=32, overlap=8)._transform(docs)
     return out.select(
         "doc_id", "chunk_start",
-        F.size(F.split(F.col("chunk"), " ")).alias("chunk_tokens"),
-        F.length("chunk").alias("chunk_chars"))
+        F.size(F.split(F.col("chunk"), " ")).cast("long").alias("chunk_tokens"),
+        F.length("chunk").cast("long").alias("chunk_chars"))
 
 
 DOCUMENT_CHUNKING_SQL = f"""
