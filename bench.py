@@ -45,7 +45,7 @@ HEADLINE = [
     "sequence_packing", "text_normalize", "corpus_stats", "graph_dag",
     "dataflow_pipeline", "event_windows", "session_windows",
     "llm_prep_pipeline_v2", "bm25_scoring", "embedding_quantize",
-    "document_chunking",
+    "document_chunking", "dup_spans",
 ]
 
 

@@ -431,3 +431,87 @@ class NGramJaccardDeduplicator(AlgoOperator):
                .filter(F.col("jaccard") >= self.get_("threshold"))
                .select("id_a", "id_b", "jaccard"))
         return [out]
+
+
+# multiplier for combining per-token hashes into a window hash (distinct
+# from the 31 used inside the per-token char hash so "ab c" vs "a bc"
+# collide only by chance)
+SPAN_MULT = 100003
+
+
+class DuplicateSpanDetector(AlgoOperator):
+    """Exact duplicate-span detection at token-window granularity — the
+    dedup that document-level exact/minhash passes miss: passages copied
+    between otherwise-distinct documents (boilerplate headers, licenses,
+    quoted blocks).  Suffix-array substring dedup ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al., ACL 2022, finds
+    >=50-token repeated substrings) re-expressed for a shared-nothing
+    cluster: hash every ``spanTokens``-token window (stride 1) with a
+    polynomial rolling hash and surface window hashes present in
+    >= ``minDocFreq`` distinct documents.  A repeated substring of length
+    >= spanTokens always contains a repeated window, so recall at the
+    span granularity is exact (collisions aside, ~n²/P).
+
+    Outputs ``[stats, index]``:
+      stats: id, n_spans (distinct window hashes in the doc), dup_spans
+      (those shared with >= minDocFreq docs), dup_frac (dup/total);
+      index: span_hash, span_df — the hot-span inventory (df >= minDocFreq).
+
+    Plan (100 TB): per-token char hashes fold once (O(chars)), window
+    hashes roll in codegen (O(tokens x spanTokens) long ops, no Python),
+    and within-doc duplicates collapse via array_distinct BEFORE the
+    explode — so only fixed-width (id, hash) pairs ever cross a shuffle,
+    never text.  Three hash-partitioned exchanges: per-hash doc frequency
+    (map-side combined), the hash-keyed semi-join back, the per-doc
+    count.  minDocFreq filters the index before the join back, so the
+    join's right side is only the duplicated-span subset; boilerplate
+    hot keys skew the df aggregation at worst (AQE skew-split handles a
+    hash-cardinality-1 key; the per-doc side is bounded by doc length).
+    """
+
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    textCol = StringParam("textCol", "Text column.", "text")
+    spanTokens = IntParam("spanTokens", "Window length in tokens.", 32,
+                          ParamValidators.gt(0))
+    minDocFreq = IntParam(
+        "minDocFreq", "Distinct-document count at which a span counts as "
+        "duplicated.", 2, ParamValidators.gt_eq(2))
+
+    def _span_hashes(self) -> Column:
+        k = self.get_("spanTokens")
+        toks = F.filter(F.split(F.lower(F.col(self.get_("textCol"))), r"\s"),
+                        lambda t: t != "")
+        th = F.transform(toks, poly_token_hash)
+        m = F.size(th) - k + 1
+        roll = F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.aggregate(
+                F.slice(th, i, F.lit(k)), F.lit(0).cast("long"),
+                lambda a, h: (a * SPAN_MULT + h) % MINHASH_PRIME))
+        return F.array_distinct(
+            F.when(m >= 1, roll).otherwise(F.array().cast("array<long>")))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        idc = self.get_("idCol")
+        base = df.select(F.col(idc).alias("id"),
+                         self._span_hashes().alias("spans"))
+        pairs = base.select("id", F.explode("spans").alias("span_hash"))
+        # pairs is already distinct per (id, hash) via array_distinct
+        index = (pairs.groupBy("span_hash")
+                 .agg(F.count("*").alias("span_df"))
+                 .filter(F.col("span_df") >= self.get_("minDocFreq")))
+        dup = (pairs.join(index.select("span_hash"), "span_hash", "left_semi")
+               .groupBy("id").agg(F.count("*").alias("dup_spans")))
+        stats = (base.select("id", F.size("spans").alias("n_spans"))
+                 .join(dup, "id", "left")
+                 .select(
+                     "id", F.col("n_spans").cast("long").alias("n_spans"),
+                     F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long")
+                     .alias("dup_spans"))
+                 .withColumn(
+                     "dup_frac",
+                     F.when(F.col("n_spans") > 0,
+                            F.col("dup_spans") / F.col("n_spans"))
+                     .otherwise(F.lit(0.0))))
+        return [stats, index]

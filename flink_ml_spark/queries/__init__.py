@@ -77,6 +77,7 @@ def all_queries():
     # session regardless).
     prio = [
         # round-2 additions (no driver row at all yet)
+        "dup_spans",
         "bm25_scoring", "embedding_quantize", "document_chunking",
         "dup_clusters", "repetition_quality", "pii_redaction",
         "domain_mixture", "sequence_packing", "text_normalize",

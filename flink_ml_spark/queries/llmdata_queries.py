@@ -1016,7 +1016,54 @@ FROM tok, stats, dfs
 BM25_SQL = _bm25_sql()
 
 
+_SPAN_K = 16  # window length: catches copied passages in the short testdocs
+
+
+def dup_spans(spark, sf_dir):
+    """Duplicate-span detection: per-doc counts of 16-token windows shared
+    with other documents (suffix-array substring dedup re-expressed as a
+    rolling-hash window groupBy)."""
+    from ..llmdata import DuplicateSpanDetector
+    docs = load(spark, sf_dir, "documents")
+    stats, _index = DuplicateSpanDetector(
+        idCol="doc_id", textCol="text", spanTokens=_SPAN_K,
+        minDocFreq=2).transform(docs)
+    return stats.select(
+        F.col("id").alias("doc_id"), "n_spans", "dup_spans",
+        q4(F.col("dup_frac")).alias("dup_frac"))
+
+
+def _dup_spans_sql() -> str:
+    from ..llmdata.dedup import SPAN_MULT
+    k = _SPAN_K
+    tok_h = f"list_transform({TOKS}, s -> {TOKHASH.format(t='s')})"
+    return f"""
+WITH th AS (SELECT doc_id, {tok_h} AS h FROM documents),
+spans AS (SELECT doc_id,
+  CASE WHEN len(h) >= {k} THEN
+    list_distinct(list_transform(range(1, len(h) - {k} + 2),
+      i -> list_reduce(h[i:i+{k}-1],
+                       (a, b) -> (a * {SPAN_MULT} + b) % {MINHASH_PRIME})))
+  ELSE CAST([] AS BIGINT[]) END AS sp FROM th),
+pairs AS (SELECT doc_id, unnest(sp) AS span_hash FROM spans),
+hot AS (SELECT span_hash FROM pairs GROUP BY span_hash
+        HAVING count(*) >= 2),
+dup AS (SELECT doc_id, count(*) AS dup_spans FROM pairs
+        WHERE span_hash IN (SELECT span_hash FROM hot) GROUP BY doc_id)
+SELECT s.doc_id, CAST(len(sp) AS BIGINT) AS n_spans,
+       CAST(coalesce(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+       {SQL_Q4.format(
+           'CASE WHEN len(sp) > 0 THEN CAST(coalesce(d.dup_spans, 0) '
+           'AS DOUBLE) / len(sp) ELSE 0.0 END')} AS dup_frac
+FROM spans s LEFT JOIN dup d USING (doc_id)
+"""
+
+
+DUP_SPANS_SQL = _dup_spans_sql()
+
+
 QUERIES = {
+    "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "bm25_scoring": (bm25_scoring, BM25_SQL),
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "document_chunking": (document_chunking, DOCUMENT_CHUNKING_SQL),

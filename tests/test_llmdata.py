@@ -320,3 +320,39 @@ def test_document_chunker(spark):
                    (1, 6, "g"), (2, 0, "x")]
     with pytest.raises(ValueError):
         DocumentChunker(chunkSize=4, overlap=4)._transform(df)
+
+
+def test_duplicate_span_detector(spark):
+    from flink_ml_spark.llmdata import DuplicateSpanDetector
+    # k=3 windows; docs 1 and 2 share the "c d e" passage inside otherwise
+    # distinct text; doc 3 is unrelated; doc 4 is too short for any window
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y c d e z"), (3, "p q r s"), (4, "u v")],
+        "doc_id long, text string")
+    det = DuplicateSpanDetector(idCol="doc_id", textCol="text",
+                                spanTokens=3, minDocFreq=2)
+    stats, index = det.transform(df)
+    got = {r["id"]: (r["n_spans"], r["dup_spans"], round(r["dup_frac"], 4))
+           for r in stats.collect()}
+    # doc1 windows: abc bcd cde def; doc2: xyc ycd cde dez -> shared: cde
+    assert got[1] == (4, 1, 0.25)
+    assert got[2] == (4, 1, 0.25)
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+    idx = index.collect()
+    assert len(idx) == 1 and idx[0]["span_df"] == 2
+
+
+def test_duplicate_span_detector_within_doc_repeat_not_counted(spark):
+    from flink_ml_spark.llmdata import DuplicateSpanDetector
+    # the same window repeated INSIDE one doc is repetition, not
+    # cross-document duplication — array_distinct collapses it
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "q r s t u v")],
+        "doc_id long, text string")
+    stats, index = DuplicateSpanDetector(
+        idCol="doc_id", textCol="text", spanTokens=3,
+        minDocFreq=2).transform(df)
+    assert index.count() == 0
+    got = {r["id"]: r["dup_spans"] for r in stats.collect()}
+    assert got == {1: 0, 2: 0}
