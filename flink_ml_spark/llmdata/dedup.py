@@ -439,6 +439,23 @@ class NGramJaccardDeduplicator(AlgoOperator):
 SPAN_MULT = 100003
 
 
+def span_hashes(text: Column, k: int) -> Column:
+    """Distinct rolling hashes of every ``k``-token window (stride 1) of
+    lowercased ``text``; empty when the doc is shorter than ``k`` tokens.
+    Pure codegen: per-token char hashes fold once, window hashes roll in
+    O(tokens x k) long ops — no Python, no shuffle."""
+    toks = F.filter(F.split(F.lower(text), r"\s"), lambda t: t != "")
+    th = F.transform(toks, poly_token_hash)
+    m = F.size(th) - k + 1
+    roll = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.aggregate(
+            F.slice(th, i, F.lit(k)), F.lit(0).cast("long"),
+            lambda a, h: (a * SPAN_MULT + h) % MINHASH_PRIME))
+    return F.array_distinct(
+        F.when(m >= 1, roll).otherwise(F.array().cast("array<long>")))
+
+
 class DuplicateSpanDetector(AlgoOperator):
     """Exact duplicate-span detection at token-window granularity — the
     dedup that document-level exact/minhash passes miss: passages copied
@@ -477,25 +494,13 @@ class DuplicateSpanDetector(AlgoOperator):
         "minDocFreq", "Distinct-document count at which a span counts as "
         "duplicated.", 2, ParamValidators.gt_eq(2))
 
-    def _span_hashes(self) -> Column:
-        k = self.get_("spanTokens")
-        toks = F.filter(F.split(F.lower(F.col(self.get_("textCol"))), r"\s"),
-                        lambda t: t != "")
-        th = F.transform(toks, poly_token_hash)
-        m = F.size(th) - k + 1
-        roll = F.transform(
-            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-            lambda i: F.aggregate(
-                F.slice(th, i, F.lit(k)), F.lit(0).cast("long"),
-                lambda a, h: (a * SPAN_MULT + h) % MINHASH_PRIME))
-        return F.array_distinct(
-            F.when(m >= 1, roll).otherwise(F.array().cast("array<long>")))
-
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
         idc = self.get_("idCol")
-        base = df.select(F.col(idc).alias("id"),
-                         self._span_hashes().alias("spans"))
+        base = df.select(
+            F.col(idc).alias("id"),
+            span_hashes(F.col(self.get_("textCol")),
+                        self.get_("spanTokens")).alias("spans"))
         pairs = base.select("id", F.explode("spans").alias("span_hash"))
         # pairs is already distinct per (id, hash) via array_distinct
         index = (pairs.groupBy("span_hash")
