@@ -54,12 +54,19 @@ _SPLIT_CACHE: dict[str, int] = {}
 
 
 def load_events(spark, sf_dir: str):
-    """events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4
-    rejects — read nanos as long and expose ``ts_ms`` (epoch millis,
-    exact integer division) plus a micros-precision ``ts_t`` timestamp."""
+    """events.parquet has carried either TIMESTAMP(NANOS) (older testdata,
+    read as nanos-long via ``nanosAsLong``) or TIMESTAMP(MICROS) (current,
+    read as TIMESTAMP_NTZ).  Branch on the read dtype and expose ``ts_ms``
+    (epoch millis, naive-as-UTC to match DuckDB's ``epoch_ms``) plus a
+    millis-precision ``ts_t`` timestamp."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (df.withColumn("ts_ms", F.expr("ts div 1000000"))
+    if df.schema["ts"].dataType.simpleString() == "bigint":  # nanos-long
+        ts_ms = F.expr("ts div 1000000")
+    else:  # timestamp / timestamp_ntz at micros precision
+        ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return (df.withColumn("ts_ms", ts_ms)
             .withColumn("ts_t", F.timestamp_millis(F.col("ts_ms"))))
 
 

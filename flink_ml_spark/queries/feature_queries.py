@@ -669,14 +669,17 @@ def graph_dag(spark, sf_dir):
                             [t0])
     model = b.build_estimator([t0], [t1, t2]).fit(df)
     std_df, mm_df = model.transform(df)
-    # (l_orderkey, l_linenumber) alone is not unique in the synthetic data;
-    # the 4-tuple with part/supp keys is
-    k4 = KEY + ["l_partkey", "l_suppkey"]
+    # no key subset is guaranteed unique in the synthetic data (sf0.001 has
+    # a (orderkey,linenumber,partkey,suppkey) collision) — join the two
+    # fan-out branches on keys + the raw feature values, which identify a
+    # row exactly (pure column equality, no arithmetic, so double-equality
+    # is safe)
+    k4 = KEY + ["l_partkey", "l_suppkey"] + NUM4
     a = std_df.select(*k4, *[q4(F.element_at(F.col("std"), i + 1))
                              .alias(f"std{i}") for i in range(4)])
     c = mm_df.select(*k4, *[q4(F.element_at(F.col("mm"), i + 1))
                             .alias(f"mm{i}") for i in range(4)])
-    return a.join(c, k4).drop("l_partkey", "l_suppkey")
+    return a.join(c, k4).drop("l_partkey", "l_suppkey", *NUM4)
 
 
 GRAPH_DAG_SQL = f"""

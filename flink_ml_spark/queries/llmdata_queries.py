@@ -565,15 +565,15 @@ def corpus_stats(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     scored = _TQS(inputCol="text")._transform(docs)
     counted = TokenCounter(inputCol="text")._transform(scored)
-    # sums, not avgs: quality scores are multiples of 0.1 and counts are
-    # ints, so the quantized values sit far from rounding boundaries in
-    # both engines (an avg can land exactly on a q4 half-step and round
-    # differently per FP summation order)
+    # sums, not avgs — and quantize BEFORE summing: per-doc scores are
+    # multiples of 0.1 so q4() yields exact integers, and an integer sum
+    # is FP-order-independent (a quantize-after-sum can land on a q4
+    # half-step and round differently per engine summation order)
     return (counted.groupBy("source", "lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens_ws").alias("total_tokens"),
-                 q4(F.sum("quality_score")).alias("sum_quality"),
-                 F.sum(F.length("text")).alias("total_chars")))
+                 F.sum(q4(F.col("quality_score"))).alias("sum_quality"),
+                 F.sum(F.length("text").cast("long")).alias("total_chars")))
 
 
 def _corpus_stats_sql() -> str:
@@ -583,9 +583,10 @@ WITH per_doc AS (
   SELECT source, lang, len({TOKS}) AS n_tok, length(text) AS n_ch,
          {ex['score']} AS score
   FROM documents)
-SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
-       {SQL_Q4.format('sum(score)')} AS sum_quality,
-       sum(n_ch) AS total_chars
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum({SQL_Q4.format('score')}) AS BIGINT) AS sum_quality,
+       CAST(sum(n_ch) AS BIGINT) AS total_chars
 FROM per_doc GROUP BY source, lang
 """
 
