@@ -4,7 +4,8 @@ with the capabilities of Apache Flink ML (reference: apache/flink-ml @
 iteration, Structured Streaming for online stages.  See SURVEY.md."""
 
 from .api import AlgoOperator, Estimator, Model, Stage, Transformer
-from .graph import Graph, GraphBuilder, GraphModel, TableId
+from .graph import (Graph, GraphAlgoOperator, GraphBuilder, GraphModel,
+                    TableId)
 from .param import Param, ParamValidators, WithParams
 from .pipeline import Pipeline, PipelineModel
 

@@ -60,6 +60,28 @@ class Stage(WithParams):
         stage._load_model_data(spark, path)
         return stage
 
+    @classmethod
+    def load_local(cls, path: str) -> "Stage":
+        """Servable load: rebuild a saved stage with NO SparkSession —
+        metadata JSON plus pandas/pyarrow for parquet model data, mirroring
+        the reference's engine-free ``PipelineModelServable.load``
+        (flink-ml-servable-core/.../builder/PipelineModelServable.java:40-62).
+        The result serves ``transform_local`` (pandas in → pandas out);
+        ``transform`` still needs a Spark-loaded stage."""
+        with open(os.path.join(path, "metadata")) as f:
+            meta = json.load(f)
+        module, _, name = meta["className"].rpartition(".")
+        klass = getattr(importlib.import_module(module), name)
+        # composite stages (PipelineModel) override load_local to restore
+        # their children — defer to it instead of the generic path
+        if klass.load_local.__func__ is not cls.load_local.__func__:
+            return klass.load_local(path)
+        stage = klass()
+        stage.load_params_json(meta["paramMap"])
+        stage._load_extra_metadata(meta.get("extra") or {})
+        stage._load_model_data_local(path)
+        return stage
+
     # hooks for Models / stages with fitted state
     def _extra_metadata(self) -> dict[str, Any]:
         return {}
@@ -71,6 +93,10 @@ class Stage(WithParams):
         pass
 
     def _load_model_data(self, spark: SparkSession, path: str) -> None:
+        pass
+
+    def _load_model_data_local(self, path: str) -> None:
+        """Engine-free counterpart of _load_model_data (pandas/pyarrow)."""
         pass
 
 

@@ -78,7 +78,8 @@ class KnnModel(Model, HasFeaturesCol, HasPredictionCol):
         order follows the model-data partition order, so tie-breaking by
         train index is stable across fit/save/load."""
         if self._mat is None:
-            pdf = self.model_df.toPandas()
+            pdf = (self.model_df if isinstance(self.model_df, pd.DataFrame)
+                   else self.model_df.toPandas())
             if len(pdf):
                 tx = np.concatenate([
                     np.asarray(x, dtype=float).reshape(int(n), int(d))
@@ -110,6 +111,13 @@ class KnnModel(Model, HasFeaturesCol, HasPredictionCol):
         p = os.path.join(path, "data")
         if os.path.exists(p):
             self.model_df = spark.read.parquet(p)
+            self._mat = None
+
+    def _load_model_data_local(self, path: str) -> None:
+        p = os.path.join(path, "data")
+        if os.path.exists(p):
+            import pyarrow.parquet as pq
+            self.model_df = pq.read_table(p).to_pandas()
             self._mat = None
 
     def _transform(self, df: DataFrame) -> DataFrame:

@@ -119,6 +119,19 @@ class MinMaxScalerModel(_ScalerModelBase):
         shifted = F.zip_with(scaled, _lit_arr(base + const), lambda x, b: x + b)
         return df.withColumn(self.get_("outputCol"), shifted)
 
+    def transform_local(self, pdf):
+        e_min = np.array(self.model_data["eMin"])
+        e_max = np.array(self.model_data["eMax"])
+        t_min, t_max = self.get_("min"), self.get_("max")
+        span = e_max - e_min
+        scale = np.where(span != 0, (t_max - t_min) / np.where(span == 0, 1.0, span), 0.0)
+        const = np.where(span != 0, 0.0, 0.5 * (t_max + t_min))
+        base = np.where(span != 0, t_min, 0.0)
+        x = np.stack(pdf[self.get_("inputCol")].to_numpy())
+        out = pdf.copy()
+        out[self.get_("outputCol")] = list((x - e_min) * scale + base + const)
+        return out
+
 
 class MaxAbsScaler(Estimator, HasInputCol, HasOutputCol):
     def fit(self, *inputs: DataFrame) -> "MaxAbsScalerModel":
@@ -166,10 +179,16 @@ class RobustScalerModel(_ScalerModelBase):
     withCentering = BoolParam("withCentering", "Center with median.", False)
     withScaling = BoolParam("withScaling", "Scale by quantile range.", True)
 
-    def _transform(self, df: DataFrame) -> DataFrame:
+    def _components(self):
         med = np.array(self.model_data["median"])
         rng = np.array(self.model_data["range"])
         scale = (np.where(rng != 0, 1.0 / np.where(rng == 0, 1.0, rng), 1.0)
                  if self.get_("withScaling") else np.ones_like(rng))
         offset = med if self.get_("withCentering") else None
-        return self._affine_transform(df, scale, offset)
+        return scale, offset
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return self._affine_transform(df, *self._components())
+
+    def transform_local(self, pdf):
+        return self._local_affine(pdf, *self._components())

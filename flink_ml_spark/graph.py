@@ -32,6 +32,8 @@ class GraphNode:
     inputs: list[TableId]
     outputs: list[TableId]
     estimator_inputs: list[TableId] | None = None  # fit inputs if different
+    input_model_data: list[TableId] | None = None   # setModelData() tables
+    output_model_data: list[TableId] | None = None  # getModelData() tables
 
 
 class GraphBuilder:
@@ -62,9 +64,59 @@ class GraphBuilder:
                                     estimator_inputs=list(inputs)))
         return outs
 
+    def _node_of(self, stage: Stage) -> GraphNode:
+        for n in self.nodes:
+            if n.stage is stage:
+                return n
+        raise ValueError("the stage has not been added to the graph")
+
+    def set_model_data(self, stage: Stage, *inputs: TableId) -> None:
+        """Wire ``inputs`` into ``setModelData()`` of the given stage's
+        (fitted) model before its transform() runs — reference
+        GraphBuilder.java:161-175 (setModelDataOnEstimator) and :185-205
+        (setModelDataOnModel)."""
+        node = self._node_of(stage)
+        if node.input_model_data is not None:
+            raise ValueError("the model data of this stage has already been set")
+        node.input_model_data = list(inputs)
+
+    def get_model_data(self, stage: Stage, n_tables: int = 1) -> list[TableId]:
+        """TableIds bound to ``getModelData()`` of the given stage's
+        (fitted) model — reference GraphBuilder.java:216-239
+        (getModelDataFromEstimator) and :241-269 (getModelDataFromModel).
+        Downstream nodes can consume them like any other table."""
+        node = self._node_of(stage)
+        if node.output_model_data is not None:
+            raise ValueError("the model data of this stage has already been fetched")
+        node.output_model_data = self.new_table_ids(n_tables)
+        return node.output_model_data
+
     def build_estimator(self, inputs: list[TableId],
                         outputs: list[TableId]) -> "Graph":
         return Graph(self.nodes, inputs, outputs)
+
+    def build_algo_operator(self, inputs: list[TableId],
+                            outputs: list[TableId]) -> "GraphAlgoOperator":
+        """Wrap the nodes as an AlgoOperator (GraphBuilder.java:359):
+        estimator nodes fit AND transform inside each call."""
+        return GraphAlgoOperator(self.nodes, inputs, outputs)
+
+
+def _run_model_stage(stage: Stage, node: GraphNode,
+                     env: dict) -> list[DataFrame]:
+    """Transform one node's (fitted) stage honoring model-data edges:
+    setModelData before transform, getModelData bound after (reference
+    GraphModel.java:50 execution contract)."""
+    if node.input_model_data:
+        stage.set_model_data(*[env[t] for t in node.input_model_data])
+    outs = stage.transform(*[env[t] for t in node.inputs])
+    for tid, df in zip(node.outputs, outs):
+        env[tid] = df
+    if node.output_model_data:
+        spark = next(iter(env.values())).sparkSession
+        for tid, df in zip(node.output_model_data, stage.get_model_data(spark)):
+            env[tid] = df
+    return outs
 
 
 class Graph(Estimator):
@@ -78,17 +130,16 @@ class Graph(Estimator):
         env: dict[TableId, DataFrame] = dict(zip(self.input_ids, tables))
         fitted_nodes: list[GraphNode] = []
         for node in _topo_order(self.nodes, set(env)):
-            ins = [env[t] for t in node.inputs]
             if isinstance(node.stage, Estimator):
                 fit_ins = [env[t] for t in (node.estimator_inputs or node.inputs)]
-                model = node.stage.fit(*fit_ins)
-                outs = model.transform(*ins)
-                fitted_nodes.append(GraphNode(model, node.inputs, node.outputs))
+                stage = node.stage.fit(*fit_ins)
             else:
-                outs = node.stage.transform(*ins)
-                fitted_nodes.append(node)
-            for tid, df in zip(node.outputs, outs):
-                env[tid] = df
+                stage = node.stage
+            _run_model_stage(stage, node, env)
+            fitted_nodes.append(GraphNode(
+                stage, node.inputs, node.outputs,
+                input_model_data=node.input_model_data,
+                output_model_data=node.output_model_data))
         return GraphModel(fitted_nodes, self.input_ids, self.output_ids)
 
     def save(self, path: str) -> None:
@@ -109,10 +160,7 @@ class GraphModel(Model):
     def transform(self, *tables: DataFrame) -> list[DataFrame]:
         env: dict[TableId, DataFrame] = dict(zip(self.input_ids, tables))
         for node in _topo_order(self.nodes, set(env)):
-            ins = [env[t] for t in node.inputs]
-            outs = node.stage.transform(*ins)  # type: ignore[union-attr]
-            for tid, df in zip(node.outputs, outs):
-                env[tid] = df
+            _run_model_stage(node.stage, node, env)
         return [env[t] for t in self.output_ids]
 
     def _transform(self, df: DataFrame) -> DataFrame:
@@ -123,6 +171,36 @@ class GraphModel(Model):
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "GraphModel":
+        return cls(*_load_graph(spark, path))
+
+
+class GraphAlgoOperator(AlgoOperator):
+    """The graph wrapped as an AlgoOperator (GraphBuilder.java:359,
+    buildAlgoOperator): every transform() fits estimator nodes inline on
+    their estimator inputs, then runs the fitted models."""
+
+    def __init__(self, nodes=None, inputs=None, outputs=None, **kwargs):
+        super().__init__(**kwargs)
+        self.nodes = list(nodes or [])
+        self.input_ids = list(inputs or [])
+        self.output_ids = list(outputs or [])
+
+    def transform(self, *tables: DataFrame) -> list[DataFrame]:
+        env: dict[TableId, DataFrame] = dict(zip(self.input_ids, tables))
+        for node in _topo_order(self.nodes, set(env)):
+            if isinstance(node.stage, Estimator):
+                fit_ins = [env[t] for t in (node.estimator_inputs or node.inputs)]
+                stage = node.stage.fit(*fit_ins)
+            else:
+                stage = node.stage
+            _run_model_stage(stage, node, env)
+        return [env[t] for t in self.output_ids]
+
+    def save(self, path: str) -> None:
+        _save_graph(self, self.nodes, self.input_ids, self.output_ids, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "GraphAlgoOperator":
         return cls(*_load_graph(spark, path))
 
 
@@ -142,6 +220,10 @@ def _save_graph(owner: Stage, nodes, inputs, outputs, path: str) -> None:
                     "outputs": [t.id for t in n.outputs],
                     "estimatorInputs": ([t.id for t in n.estimator_inputs]
                                         if n.estimator_inputs else None),
+                    "inputModelData": ([t.id for t in n.input_model_data]
+                                       if n.input_model_data else None),
+                    "outputModelData": ([t.id for t in n.output_model_data]
+                                        if n.output_model_data else None),
                 }
                 for n in nodes
             ],
@@ -165,7 +247,11 @@ def _load_graph(spark: SparkSession, path: str):
             [TableId(t) for t in nd["inputs"]],
             [TableId(t) for t in nd["outputs"]],
             [TableId(t) for t in nd["estimatorInputs"]]
-            if nd.get("estimatorInputs") else None))
+            if nd.get("estimatorInputs") else None,
+            input_model_data=[TableId(t) for t in nd["inputModelData"]]
+            if nd.get("inputModelData") else None,
+            output_model_data=[TableId(t) for t in nd["outputModelData"]]
+            if nd.get("outputModelData") else None))
     inputs = [TableId(t) for t in g["inputs"]]
     outputs = [TableId(t) for t in g["outputs"]]
     return nodes, inputs, outputs
@@ -180,10 +266,11 @@ def _topo_order(nodes: list[GraphNode], ready: set) -> list[GraphNode]:
     while pending:
         progressed = False
         for node in list(pending):
-            needs = set(node.inputs) | set(node.estimator_inputs or [])
+            needs = (set(node.inputs) | set(node.estimator_inputs or [])
+                     | set(node.input_model_data or []))
             if needs <= ready:
                 ordered.append(node)
-                ready |= set(node.outputs)
+                ready |= set(node.outputs) | set(node.output_model_data or [])
                 pending.remove(node)
                 progressed = True
         if not progressed:

@@ -123,17 +123,21 @@ def token_indices_udf(space: int):
 
 class ExactDeduplicator(Transformer, HasInputCol):
     """Exact dedup: keep one row per distinct value of ``inputCol``
-    (winner = smallest ``idCol``).  Plan: groupBy(content) + min(id) +
-    semi-join — a single hash-shuffle on the content column; at scale,
-    hash the content first (``F.sha2``) so the shuffle key is fixed-width.
-    """
+    (winner = smallest ``idCol``).  Plan: groupBy over a fixed-width
+    content digest (sha2-256, collision-free in practice) + min(id) +
+    semi-join — ONE hash-shuffle whose key is 32 bytes regardless of
+    document length, so shuffle volume at 100 TB is rows × 32B, never the
+    corpus itself."""
 
     idCol = StringParam("idCol", "Unique id column.", "id")
 
     def _transform(self, df: DataFrame) -> DataFrame:
         content, idc = self.get_("inputCol"), self.get_("idCol")
-        keep = (df.groupBy(content).agg(F.min(idc).alias(idc)))
-        return df.join(keep, [content, idc], "left_semi")
+        key = F.sha2(F.col(content).cast("string"), 256)
+        with_key = df.withColumn("__exact_key__", key)
+        keep = with_key.groupBy("__exact_key__").agg(F.min(idc).alias(idc))
+        return (with_key.join(keep, ["__exact_key__", idc], "left_semi")
+                .drop("__exact_key__"))
 
 
 class MinHashSignature(Transformer, HasInputCol, HasOutputCol):
@@ -203,6 +207,15 @@ class MinHashLSHDeduplicator(AlgoOperator):
     threshold = FloatParam("threshold", "Jaccard similarity threshold.", 0.7,
                            ParamValidators.in_range(0, 1))
     seed = IntParam("seed", "Hash family seed.", 42)
+    maxBandDocFreq = IntParam(
+        "maxBandDocFreq",
+        "Drop LSH buckets whose document frequency exceeds this cap before "
+        "the self-join (None = exact).  A df-D bucket alone contributes D² "
+        "candidate rows, so one degenerate bucket (e.g. every empty or "
+        "boilerplate doc sharing a band signature) turns the join "
+        "quadratic; capped docs keep their other bands, so near-dup pairs "
+        "still surface through any non-degenerate band they share — the "
+        "same trade as NGramJaccardDeduplicator.maxShingleDocFreq.", None)
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
@@ -222,6 +235,12 @@ class MinHashLSHDeduplicator(AlgoOperator):
             F.posexplode(F.array(*[
                 F.array_join(F.slice("sig", b * band + 1, band), "_")
                 for b in range(n_bands)])).alias("band", "bsig"))
+        cap = self.get_("maxBandDocFreq")
+        if cap is not None:
+            keep = (bands.groupBy("band", "bsig")
+                    .agg(F.count("*").alias("__df__"))
+                    .filter(F.col("__df__") <= cap).select("band", "bsig"))
+            bands = bands.join(keep, ["band", "bsig"], "left_semi")
         left = bands.select(F.col("id").alias("id_a"), "band", "bsig")
         right = bands.select(F.col("id").alias("id_b"), "band", "bsig")
         pairs = (left.join(right, ["band", "bsig"])

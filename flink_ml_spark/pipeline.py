@@ -78,6 +78,17 @@ class PipelineModel(Model):
     def load(cls, spark: SparkSession, path: str) -> "PipelineModel":
         return cls(_load_stages(spark, path))
 
+    @classmethod
+    def load_local(cls, path: str) -> "PipelineModel":
+        """Engine-free load (PipelineModelServable.java:40-62): restore
+        every child via Stage.load_local; serves transform_local only."""
+        with open(os.path.join(path, "metadata")) as f:
+            meta = json.load(f)
+        return cls([
+            Stage.load_local(os.path.join(path, "stages", f"{i:04d}"))
+            for i in range(meta["numStages"])
+        ])
+
 
 def _save_stages(owner: Stage, stages: Sequence[Stage], path: str) -> None:
     os.makedirs(path, exist_ok=True)

@@ -77,37 +77,32 @@ def all_queries():
     for mod in (feature_queries, text_queries, ml_queries, llmdata_queries,
                 streaming_queries):
         out.update(mod.QUERIES)
-    # Round-1's driver correctness run covered exactly the first 50 registry
-    # entries; order the queries WITHOUT a driver-green row yet first so a
-    # capped run verifies them this round (previously-green queries carry
-    # r01 evidence; local tools/check_oracle.py covers the full set every
-    # session regardless).
+    # The driver's correctness run caps at 50 queries per round; order the
+    # ones needing fresh evidence first (local tools/check_oracle.py covers
+    # the full set every session regardless).
     prio = [
-        # round-2 additions (no driver row at all yet)
-        "dup_spans",
-        "bm25_scoring", "embedding_quantize", "document_chunking",
-        "dup_clusters", "repetition_quality", "pii_redaction",
-        "domain_mixture", "sequence_packing", "text_normalize",
-        "corpus_stats", "graph_dag", "dataflow_pipeline", "event_windows",
-        "session_windows", "llm_prep_pipeline_v2",
-        # round-1 queries the driver's capped run never reached
-        "hashingtf_logreg", "media_pipeline", "media_codec_pipeline",
-        "minhash_signature",
-        "minhash_dedup", "ngram_jaccard_dedup", "simhash_dedup",
-        "embedding_dedup", "embedding_dedup_lsh", "ann_bruteforce",
-        "language_id", "text_quality", "token_count", "fingerprint",
-        "online_standard_scaler", "online_kmeans", "online_scaler_delayed",
-        "online_logistic_regression",
-        # r01 rows stale: output or physical plan changed this round
-        # (agglomerative gained its fixture oracle + cluster_rep output;
-        # anova dof = n-1; binary_evaluator Lorenz/PR + range partition;
-        # SGD batch slices; swing un-broadcast; minhash empty-set
-        # signature + ids-only band join; knn distributed packing;
-        # feature_hasher poly cap; string_indexer freqDesc pushdown)
-        "agglomerative", "anova_test", "binary_evaluator",
-        "logistic_regression", "linear_svc", "linear_regression",
-        "swing", "minhash_lsh_join", "minhash_lsh_nn", "knn",
-        "feature_hasher", "string_indexer",
+        # round-2 failures fixed this round (load_events dtype branch,
+        # corpus_stats BIGINT casts) — must lead so r03 records them green
+        "event_windows", "session_windows", "online_standard_scaler",
+        "online_scaler_delayed", "online_kmeans",
+        "online_logistic_regression", "corpus_stats",
+        # plans/outputs changed this round: graph_dag join key; IDF.fit
+        # single-pass (tfidf/count_vectorizer); evaluator restructure;
+        # ExactDeduplicator sha2 key (exact_dedup + both llm_prep
+        # pipelines); MinHashLSHDeduplicator cap param
+        "graph_dag", "tfidf", "count_vectorizer", "binary_evaluator",
+        "exact_dedup", "llm_prep_pipeline", "llm_prep_pipeline_v2",
+        "minhash_dedup",
+        # rest of the queries whose latest driver evidence is round 1
+        # (the r02 cap pushed them out)
+        "vector_indexer", "univariate_feature_selector", "random_splitter",
+        "bucketizer", "standard_scaler", "minmax_scaler", "maxabs_scaler",
+        "robust_scaler", "normalizer", "elementwise_product", "interaction",
+        "vector_slicer", "vector_assembler", "imputer", "imputer_median",
+        "kbins_quantile", "one_hot_encoder", "kbins_uniform",
+        "variance_threshold", "sql_transformer", "tokenizer",
+        "regex_tokenizer", "ngram", "stop_words_remover", "hashing_tf",
+        "naive_bayes", "kmeans", "chisq_test", "fvalue_test", "ann_ivf",
     ]
     ordered = {k: out[k] for k in prio if k in out}
     ordered.update(out)

@@ -51,6 +51,25 @@ def test_minhash_dedup_band_join_carries_ids_only(spark):
     assert "first(sh_a" not in plan and "first(sh_b" not in plan
 
 
+def test_minhash_dedup_hot_bucket_cap(spark):
+    # 10k identical docs share every band signature: uncapped, the band
+    # self-join would build 10k²/2 = 50M candidate pairs; the cap drops the
+    # degenerate buckets so the join stays linear and completes fast, while
+    # a genuine near-dup pair outside the hot cluster still surfaces
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(10_000)]
+    pair = [(20_000, "unique alpha beta gamma delta epsilon zeta eta"),
+            (20_001, "unique alpha beta gamma delta epsilon zeta theta")]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    d = MinHashLSHDeduplicator(idCol="doc_id", textCol="text",
+                               shingleSize=2, numHashes=16, bandSize=2) \
+        .set_(threshold=0.5, maxBandDocFreq=50)
+    got = {(r["id_a"], r["id_b"]) for r in d.transform(df)[0].collect()}
+    assert (20_000, 20_001) in got
+    # every boilerplate bucket exceeded the cap → no pair inside the clone
+    # cluster (the documented recall trade for hot buckets)
+    assert not any(a < 10_000 and b < 10_000 for a, b in got)
+
+
 def test_ngram_jaccard_hot_shingle_cap(spark):
     from flink_ml_spark.llmdata import NGramJaccardDeduplicator
 
