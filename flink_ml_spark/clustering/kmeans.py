@@ -72,6 +72,15 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
             centers = self._init_centers(prepared, k, None)
         dim = centers.shape[1]
         wide = k * dim >= 256
+        if prepared is not None:
+            # size the per-round assignment jobs to the data (~16 MB of
+            # cache per task, capped at core count — resolves to `par` at
+            # production scale): Lloyd rounds are scheduling-bound on
+            # small caches.  coalesce is narrow — tasks read the cached
+            # blocks in place, and unpersist below targets `cached`.
+            target = max(1, min(par, int(n * (dim + 1) * 8 // (16 << 20)) + 1))
+            if prepared.rdd.getNumPartitions() > 2 * target:
+                prepared = prepared.coalesce(target)
         sum_cols = [F.sum(F.col("__f__")[i]).alias(f"s{i}") for i in range(dim)]
         from ..common.optimizer import _NoAQE
         _aqe = _NoAQE(df.sparkSession) if not local else None
@@ -108,7 +117,7 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
             if _aqe:
                 _aqe.__exit__()
             if prepared is not None:
-                prepared.unpersist()
+                cached.unpersist()
         model = KMeansModel()
         model.set_(featuresCol=fcol, predictionCol=self.get_("predictionCol"),
                    distanceMeasure=measure)

@@ -191,6 +191,15 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
     prepared = base.withColumn(
         "__batch__", F.pmod(F.monotonically_increasing_id(),
                             F.lit(num_batches)).cast("double"))
+    # size the per-round jobs to the data, not the core count: each round
+    # is a dim+2-sum aggregate whose compute is trivial next to task
+    # scheduling, so target ~16 MB of cache per task (capped at the core
+    # count for big inputs — at 100 TB this resolves to `par`).  coalesce
+    # is narrow: tasks read the already-cached blocks, no shuffle, and the
+    # row→batch mapping above is untouched.
+    target = max(1, min(par, int(n * (dim + 3) * 8 // (16 << 20)) + 1))
+    if prepared.rdd.getNumPartitions() > 2 * target:
+        prepared = prepared.coalesce(target)
 
     w = np.zeros(dim) if init_w is None else np.asarray(init_w, dtype=float).copy()
     losses: list[float] = []

@@ -229,6 +229,11 @@ class MinHashLSHDeduplicator(AlgoOperator):
         sig = MinHashSignature(inputCol="sh", outputCol="sig",
                                numHashes=n_hashes, seed=self.get_("seed")) \
             .transform(base)[0]
+        # materialize (id, sig) once — numHashes longs/row — so the band
+        # self-join doesn't run shingling + the signature UDF twice (no
+        # CSE across a self-join); the shingle arrays themselves stay
+        # lazy, they are only re-joined by id after the pair dedup
+        sig = sig.select("id", "sig").localCheckpoint(eager=True)
         # band signature = the band's hash slice rendered as one string key
         bands = sig.select(
             "id",
@@ -384,6 +389,10 @@ class SimHashDeduplicator(AlgoOperator):
         idc = self.get_("idCol")
         fp = df.select(F.col(idc).alias("id"),
                        self.fingerprint(F.col(self.get_("textCol"))).alias("fp"))
+        # materialize the (id, fp) relation once — 16 bytes/row — so the
+        # self-join below doesn't run the fingerprint UDF over the corpus
+        # twice (no CSE across a self-join)
+        fp = fp.localCheckpoint(eager=True)
         # 4 quarters of bits/4: hamming ≤ 3 ⇒ some quarter identical
         w = self.get_("bits") // 4
         mask = (1 << w) - 1
@@ -539,3 +548,51 @@ class DuplicateSpanDetector(AlgoOperator):
                             F.col("dup_spans") / F.col("n_spans"))
                      .otherwise(F.lit(0.0))))
         return [stats, index]
+
+
+class Decontaminator(AlgoOperator):
+    """Benchmark decontamination: split a training corpus into (clean,
+    contaminated) by word-n-gram overlap with an evaluation/benchmark
+    corpus — the GPT-3/PaLM-style decontamination step every large-scale
+    training-data pipeline runs before training.
+
+    ``transform(train, benchmark)`` -> ``[clean, contaminated]`` where a
+    training document is contaminated iff it shares at least one
+    ``shingleSize``-gram with any benchmark document.
+
+    Plan: benchmark text → distinct n-gram digests (sha2-256, fixed
+    width); training docs explode to the same digests; a semi-join marks
+    contaminated ids; full doc rows then split by id.  Shuffle volume is
+    ids + 32-byte digests — never document text — and the (typically
+    tiny) benchmark gram relation reaches the join pre-aggregated, so AQE
+    broadcasts it.  ``shingleSize`` defaults to 8, the GPT-3
+    decontamination n-gram length.
+    """
+
+    idCol = StringParam("idCol", "Unique id column (train side).", "id")
+    textCol = StringParam("textCol", "Text column (train side).", "text")
+    benchmarkTextCol = StringParam(
+        "benchmarkTextCol", "Text column on the benchmark table "
+        "(None = same as textCol).", None)
+    shingleSize = IntParam("shingleSize", "Words per overlap n-gram.", 8,
+                           ParamValidators.gt(0))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        train, bench = inputs
+        idc, n = self.get_("idCol"), self.get_("shingleSize")
+        bcol = self.get_("benchmarkTextCol") or self.get_("textCol")
+        digest = lambda c: F.sha2(c, 256)  # noqa: E731 — fixed-width key
+        bench_grams = (bench.select(
+            F.explode(shingles(F.col(bcol), n)).alias("g"))
+            .select(digest(F.col("g")).alias("gd")).distinct())
+        train_grams = train.select(
+            F.col(idc).alias("__id__"),
+            F.explode(shingles(F.col(self.get_("textCol")), n)).alias("g"))
+        hit_ids = (train_grams.select("__id__", digest(F.col("g")).alias("gd"))
+                   .join(bench_grams, "gd", "left_semi")
+                   .select("__id__").distinct())
+        clean = train.join(hit_ids.withColumnRenamed("__id__", idc),
+                           idc, "left_anti")
+        contaminated = train.join(hit_ids.withColumnRenamed("__id__", idc),
+                                  idc, "left_semi")
+        return [clean, contaminated]
