@@ -46,6 +46,8 @@ HEADLINE = [
     "dataflow_pipeline", "event_windows", "session_windows",
     "llm_prep_pipeline_v2", "bm25_scoring", "embedding_quantize",
     "document_chunking", "dup_spans",
+    # round 3: benchmark decontamination
+    "decontamination",
 ]
 
 

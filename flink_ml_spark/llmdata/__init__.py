@@ -1,7 +1,7 @@
-from .dedup import (ConnectedComponents, DuplicateSpanDetector,
-                    ExactDeduplicator, MinHashLSHDeduplicator,
-                    MinHashSignature, NGramJaccardDeduplicator,
-                    SimHashDeduplicator)
+from .dedup import (ConnectedComponents, Decontaminator,
+                    DuplicateSpanDetector, ExactDeduplicator,
+                    MinHashLSHDeduplicator, MinHashSignature,
+                    NGramJaccardDeduplicator, SimHashDeduplicator)
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,

@@ -92,7 +92,7 @@ def all_queries():
         # pipelines); MinHashLSHDeduplicator cap param
         "graph_dag", "tfidf", "count_vectorizer", "binary_evaluator",
         "exact_dedup", "llm_prep_pipeline", "llm_prep_pipeline_v2",
-        "minhash_dedup",
+        "minhash_dedup", "decontamination",
         # rest of the queries whose latest driver evidence is round 1
         # (the r02 cap pushed them out)
         "vector_indexer", "univariate_feature_selector", "random_splitter",

@@ -34,6 +34,36 @@ def _shingle_sql(n: int) -> str:
             f"ELSE [array_to_string({TOKS}, ' ')] END)")
 
 
+# --- benchmark decontamination ----------------------------------------------
+# stand-in eval set: every 97th document; a training doc is contaminated
+# iff it shares any 5-gram with the eval set
+
+def decontamination(spark, sf_dir):
+    from ..llmdata import Decontaminator
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    clean, contam = Decontaminator(idCol="doc_id", textCol="text",
+                                   shingleSize=5).transform(train, bench)
+    return (clean.select("doc_id", F.lit(0).alias("contaminated"))
+            .unionAll(contam.select("doc_id", F.lit(1).alias("contaminated"))))
+
+
+DECONTAMINATION_SQL = f"""
+WITH bg AS (
+  SELECT DISTINCT unnest({_shingle_sql(5)}) AS g
+  FROM documents WHERE doc_id % 97 = 0),
+tg AS (
+  SELECT doc_id, unnest({_shingle_sql(5)}) AS g
+  FROM documents WHERE doc_id % 97 <> 0),
+hit AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g))
+SELECT d.doc_id,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hit h ON d.doc_id = h.doc_id
+"""
+
+
 # --- exact dedup ------------------------------------------------------------
 
 def exact_dedup(spark, sf_dir):
@@ -1071,6 +1101,7 @@ QUERIES = {
     "llm_prep_pipeline": (llm_prep_pipeline, LLM_PREP_SQL),
     "llm_prep_pipeline_v2": (llm_prep_pipeline_v2, LLM_PREP_V2_SQL),
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
+    "decontamination": (decontamination, DECONTAMINATION_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "media_pipeline": (media_pipeline, MEDIA_PIPELINE_SQL),
     "media_codec_pipeline": (media_codec_pipeline, MEDIA_CODEC_SQL),

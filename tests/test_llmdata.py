@@ -375,3 +375,28 @@ def test_duplicate_span_detector_within_doc_repeat_not_counted(spark):
     assert index.count() == 0
     got = {r["id"]: r["dup_spans"] for r in stats.collect()}
     assert got == {1: 0, 2: 0}
+
+
+def test_decontaminator(spark):
+    from flink_ml_spark.llmdata import Decontaminator
+
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "a completely different sentence about nothing"),
+         (2, "contains the exact benchmark question verbatim here today"),
+         (3, "short text")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "what is the exact benchmark question verbatim"),
+         (101, "the quick brown fox jumps over unrelated words")],
+        "qid long, text string")
+    d = Decontaminator(idCol="doc_id", textCol="text", shingleSize=5)
+    clean, contam = d.transform(train, bench)
+    got_clean = {r["doc_id"] for r in clean.collect()}
+    got_dirty = {r["doc_id"] for r in contam.collect()}
+    # doc 0 shares the 5-gram "the quick brown fox jumps"; doc 2 shares
+    # "the exact benchmark question verbatim"; 1 and 3 are clean
+    assert got_dirty == {0, 2}
+    assert got_clean == {1, 3}
+    # clean + contaminated partition the input
+    assert got_clean | got_dirty == {0, 1, 2, 3}
