@@ -19,8 +19,10 @@ class Tokenizer(Transformer, HasInputCol, HasOutputCol):
     """Lowercase then split on single whitespace; drops empty tokens."""
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        toks = F.split(F.lower(F.col(self.get_("inputCol"))), r"\s")
-        toks = F.filter(toks, lambda t: t != "")
+        # array_remove == filter(t != "") but stays inside whole-stage
+        # codegen (HOF lambdas also compile ~8x slower)
+        toks = F.array_remove(
+            F.split(F.lower(F.col(self.get_("inputCol"))), r"\s"), "")
         return df.withColumn(self.get_("outputCol"), toks)
 
     def transform_local(self, pdf):

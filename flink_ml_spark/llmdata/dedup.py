@@ -89,7 +89,7 @@ def flat_tokens(tokens) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def shingles(text: Column, n: int) -> Column:
     """Word n-gram shingle set of lowercased text (zip_with over shifted
     slices — the per-position slice+join form is ~8× slower, see NGram)."""
-    toks = F.filter(F.split(F.lower(text), r"\s"), lambda t: t != "")
+    toks = F.array_remove(F.split(F.lower(text), r"\s"), "")
     m = F.size(toks) - n + 1
     acc = F.slice(toks, 1, m)
     for j in range(1, n):
@@ -472,7 +472,7 @@ def span_hashes(text: Column, k: int) -> Column:
     lowercased ``text``; empty when the doc is shorter than ``k`` tokens.
     Pure codegen: per-token char hashes fold once, window hashes roll in
     O(tokens x k) long ops — no Python, no shuffle."""
-    toks = F.filter(F.split(F.lower(text), r"\s"), lambda t: t != "")
+    toks = F.array_remove(F.split(F.lower(text), r"\s"), "")
     th = F.transform(toks, poly_token_hash)
     m = F.size(th) - k + 1
     roll = F.transform(

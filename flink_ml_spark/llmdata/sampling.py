@@ -130,8 +130,8 @@ class DocumentChunker(Transformer):
         if over >= size:
             raise ValueError("overlap must be < chunkSize")
         stride = size - over
-        toks = F.filter(F.split(F.lower(F.col(self.get_("textCol"))), r"\s"),
-                        lambda t: t != "")
+        toks = F.array_remove(
+            F.split(F.lower(F.col(self.get_("textCol"))), r"\s"), "")
         n = F.size(toks)
         starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
             .otherwise(F.array().cast("array<int>"))

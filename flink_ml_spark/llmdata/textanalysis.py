@@ -24,7 +24,7 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def _tokens(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), r"\s"), lambda t: t != "")
+    return F.array_remove(F.split(F.lower(text), r"\s"), "")
 
 
 class LanguageIdentifier(Transformer, HasInputCol, HasOutputCol):
