@@ -73,6 +73,20 @@ class _LinearModelBase(Model, HasFeaturesCol, HasPredictionCol, HasRawPrediction
                 F.lit(0.0), lambda acc, x: acc + x)
         return dot_lit(F.col(fcol).cast("array<double>"), w)
 
+    def _margin_local(self, pdf):
+        """w·x for pandas rows: dense lists/arrays or sparse struct dicts
+        (as produced by Arrow toPandas)."""
+        w = np.array(self.model_data["coefficient"])
+        col = pdf[self.get_("featuresCol")]
+        if len(col) and isinstance(col.iloc[0], dict):
+            return np.array([
+                sum(float(v) * w[int(i)]
+                    for i, v in zip(r["indices"], r["values"]))
+                for r in col])
+        if not len(col):
+            return np.zeros(0)
+        return np.stack([np.asarray(x, dtype=float) for x in col]) @ w
+
 
 class LogisticRegressionModel(_LinearModelBase):
     def _transform(self, df: DataFrame) -> DataFrame:
@@ -84,10 +98,9 @@ class LogisticRegressionModel(_LinearModelBase):
                             F.when(prob1 >= 0.5, 1.0).otherwise(0.0)))
 
     def transform_local(self, pdf):
-        """Servable path (LogisticRegressionModelServable.java:44-112)."""
-        w = np.array(self.model_data["coefficient"])
-        x = np.stack(pdf[self.get_("featuresCol")].to_numpy())
-        p1 = 1.0 / (1.0 + np.exp(-(x @ w)))
+        """Servable path (LogisticRegressionModelServable.java:44-112);
+        accepts dense rows or sparse struct dicts via _margin_local."""
+        p1 = 1.0 / (1.0 + np.exp(-self._margin_local(pdf)))
         out = pdf.copy()
         out[self.get_("rawPredictionCol")] = [np.array([1 - p, p]) for p in p1]
         out[self.get_("predictionCol")] = (p1 >= 0.5).astype(float)
@@ -117,6 +130,13 @@ class LinearSVCModel(_LinearModelBase):
                 .withColumn(self.get_("predictionCol"),
                             F.when(m >= 0.0, 1.0).otherwise(0.0)))
 
+    def transform_local(self, pdf):
+        m = self._margin_local(pdf)
+        out = pdf.copy()
+        out[self.get_("rawPredictionCol")] = m
+        out[self.get_("predictionCol")] = (m >= 0.0).astype(float)
+        return out
+
 
 class LinearSVC(_LinearEstimatorBase):
     _loss = HingeLoss
@@ -126,6 +146,11 @@ class LinearSVC(_LinearEstimatorBase):
 class LinearRegressionModel(_LinearModelBase):
     def _transform(self, df: DataFrame) -> DataFrame:
         return df.withColumn(self.get_("predictionCol"), self._margin(df))
+
+    def transform_local(self, pdf):
+        out = pdf.copy()
+        out[self.get_("predictionCol")] = self._margin_local(pdf)
+        return out
 
 
 class LinearRegression(_LinearEstimatorBase):

@@ -111,3 +111,20 @@ class NaiveBayesModel(Model, HasFeaturesCol, HasPredictionCol):
 
         return df.withColumn(self.get_("predictionCol"),
                              predict(F.col(self.get_("featuresCol"))))
+
+    def transform_local(self, pdf):
+        labels, log_prior, log_cond, log_default = self._log_probs()
+        preds = []
+        for x in pdf[self.get_("featuresCol")]:
+            best, best_s = None, None
+            for y in labels:
+                sc = log_prior[y]
+                for fi, v in enumerate(x):
+                    sc += log_cond[y].get(fi, {}).get(
+                        float(v), log_default[y].get(fi, -1e300))
+                if best_s is None or sc > best_s:
+                    best, best_s = y, sc
+            preds.append(float(best))
+        out = pdf.copy()
+        out[self.get_("predictionCol")] = preds
+        return out

@@ -33,3 +33,21 @@ class Binarizer(Transformer, HasInputCols, HasOutputCols):
                 expr = (F.when(F.col(ic) > F.lit(t), 1.0).otherwise(0.0))
             df = df.withColumn(oc, expr)
         return df
+
+    def transform_local(self, pdf):
+        import numpy as np
+
+        def _bin(x, t):
+            a = np.asarray(x, dtype=float)
+            # Spark orders NaN above every value, so NaN > t holds
+            return np.where(np.isnan(a) | (a > t), 1.0, 0.0)
+
+        out = pdf.copy()
+        for ic, oc, t in zip(self.get_("inputCols"), self.get_("outputCols"),
+                             self.get_("thresholds")):
+            col = pdf[ic]
+            if len(col) and hasattr(col.iloc[0], "__len__"):
+                out[oc] = [list(_bin(x, t)) for x in col]
+            else:
+                out[oc] = _bin(col.to_numpy(), t)
+        return out

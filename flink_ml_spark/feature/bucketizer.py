@@ -55,3 +55,28 @@ class Bucketizer(Transformer, HasInputCols, HasOutputCols, HasHandleInvalid):
                 ).otherwise(raw)
             df = df.withColumn(oc, expr)
         return df
+
+    def transform_local(self, pdf):
+        import numpy as np
+        mode = self.get_("handleInvalid")
+        out = pdf.copy()
+        keep_mask = np.ones(len(pdf), dtype=bool)
+        for ic, oc, splits in zip(self.get_("inputCols"),
+                                  self.get_("outputCols"),
+                                  self.get_("splitsArray")):
+            x = out[ic].to_numpy(dtype=float)
+            n = len(splits) - 1
+            raw = np.searchsorted(splits, x, side="right") - 1.0
+            raw = np.where(x == splits[-1], n - 1.0, raw)  # last bucket closed
+            invalid = np.isnan(x) | (raw < 0) | (raw >= n)
+            if mode == "keep":
+                res = np.where(invalid, float(n), raw)
+            elif mode == "skip":
+                keep_mask &= ~invalid
+                res = raw
+            else:
+                if invalid.any():
+                    raise ValueError(f"Bucketizer: invalid value in column {ic}")
+                res = raw
+            out[oc] = res
+        return out[keep_mask].reset_index(drop=True) if mode == "skip" else out

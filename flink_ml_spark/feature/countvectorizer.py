@@ -124,6 +124,30 @@ class CountVectorizerModel(Model, HasInputCol, HasOutputCol):
         return df.withColumn(self.get_("outputCol"),
                              to_sparse(F.col(self.get_("inputCol"))))
 
+    def transform_local(self, pdf):
+        """Sparse struct rows as dicts — the same shape Arrow toPandas
+        yields for the distributed output."""
+        vocabulary = list(self.model_data["vocabulary"])
+        index = {t: i for i, t in enumerate(vocabulary)}
+        size = len(vocabulary)
+        min_tf = float(self.get_("minTF"))
+        binary = self.get_("binary")
+        rows = []
+        for toks in pdf[self.get_("inputCol")]:
+            counts: dict[int, float] = {}
+            for t in toks or []:
+                i = index.get(t)
+                if i is not None:
+                    counts[i] = counts.get(i, 0.0) + 1.0
+            thr = min_tf if min_tf >= 1.0 else min_tf * len(toks or [])
+            items = sorted((i, c) for i, c in counts.items() if c >= thr)
+            rows.append({"size": size,
+                         "indices": [i for i, _ in items],
+                         "values": [1.0 if binary else c for _, c in items]})
+        out = pdf.copy()
+        out[self.get_("outputCol")] = rows
+        return out
+
 
 class IDF(Estimator, HasInputCol, HasOutputCol):
     minDocFreq = IntParam("minDocFreq", "Min doc frequency to keep a term's idf.", 0,
@@ -190,3 +214,19 @@ class IDFModel(Model, HasInputCol, HasOutputCol):
         else:
             out = F.zip_with(F.col(col), idf_arr, lambda v, w: v * w)
         return df.withColumn(self.get_("outputCol"), out)
+
+    def transform_local(self, pdf):
+        idf = np.asarray(self.model_data["idf"], dtype=float)
+        col = pdf[self.get_("inputCol")]
+        rows = []
+        for v in col:
+            if isinstance(v, dict):
+                rows.append({"size": v["size"],
+                             "indices": list(v["indices"]),
+                             "values": [float(x) * idf[int(i)]
+                                        for i, x in zip(v["indices"], v["values"])]})
+            else:
+                rows.append(list(np.asarray(v, dtype=float) * idf[:len(v)]))
+        out = pdf.copy()
+        out[self.get_("outputCol")] = rows
+        return out

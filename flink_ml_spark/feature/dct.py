@@ -43,3 +43,16 @@ class DCT(Transformer, HasInputCol, HasOutputCol):
             return pd.Series(list(y))
 
         return df.withColumn(self.get_("outputCol"), dct_udf(F.col(self.get_("inputCol"))))
+
+    def transform_local(self, pdf):
+        out = pdf.copy()
+        col = pdf[self.get_("inputCol")]
+        if len(col):
+            x = np.stack([np.asarray(v, dtype=float) for v in col])
+            m = dct2_matrix(x.shape[1])
+            if self.get_("inverse"):
+                m = m.T
+            out[self.get_("outputCol")] = list(x @ m.T)
+        else:
+            out[self.get_("outputCol")] = []
+        return out

@@ -30,6 +30,15 @@ class ElementwiseProduct(Transformer, HasInputCol, HasOutputCol):
             self.get_("outputCol"),
             F.zip_with(F.col(self.get_("inputCol")), scaling, lambda x, s: x * s))
 
+    def transform_local(self, pdf):
+        import numpy as np
+        v = np.asarray(self.get_("scalingVec"), dtype=float)
+        out = pdf.copy()
+        out[self.get_("outputCol")] = [
+            list(np.asarray(x, dtype=float) * v)
+            for x in pdf[self.get_("inputCol")]]
+        return out
+
 
 class Normalizer(Transformer, HasInputCol, HasOutputCol):
     p = FloatParam("p", "The p of p-norm.", 2.0, ParamValidators.gt_eq(1.0))
@@ -40,6 +49,19 @@ class Normalizer(Transformer, HasInputCol, HasOutputCol):
         return df.withColumn(
             self.get_("outputCol"),
             F.transform(col, lambda x: x / norm))
+
+    def transform_local(self, pdf):
+        import numpy as np
+        p = self.get_("p")
+        out_rows = []
+        for x in pdf[self.get_("inputCol")]:
+            a = np.asarray(x, dtype=float)
+            norm = (np.abs(a).max() if np.isinf(p)
+                    else float((np.abs(a) ** p).sum()) ** (1.0 / p))
+            out_rows.append(list(a / norm))
+        out = pdf.copy()
+        out[self.get_("outputCol")] = out_rows
+        return out
 
 
 class VectorSlicer(Transformer, HasInputCol, HasOutputCol):
@@ -53,6 +75,13 @@ class VectorSlicer(Transformer, HasInputCol, HasOutputCol):
         col = F.col(self.get_("inputCol"))
         out = F.array(*[F.element_at(col, int(i) + 1) for i in idx])
         return df.withColumn(self.get_("outputCol"), out)
+
+    def transform_local(self, pdf):
+        idx = [int(i) for i in self.get_("indices")]
+        out = pdf.copy()
+        out[self.get_("outputCol")] = [
+            [x[i] for i in idx] for x in pdf[self.get_("inputCol")]]
+        return out
 
 
 class Interaction(Transformer, HasInputCols, HasOutputCol):
@@ -76,6 +105,22 @@ class Interaction(Transformer, HasInputCols, HasOutputCol):
             acc = F.flatten(F.transform(acc, _cross(nxt)))
         return df.withColumn(self.get_("outputCol"), acc)
 
+    def transform_local(self, pdf):
+        import numpy as np
+        cols = self.get_("inputCols")
+        out_rows = []
+        for _, row in pdf.iterrows():
+            acc = None
+            for c in cols:
+                v = row[c]
+                a = (np.asarray(v, dtype=float) if hasattr(v, "__len__")
+                     else np.asarray([v], dtype=float))
+                acc = a if acc is None else np.outer(acc, a).ravel()
+            out_rows.append(list(acc))
+        out = pdf.copy()
+        out[self.get_("outputCol")] = out_rows
+        return out
+
 
 class NGram(Transformer, HasInputCol, HasOutputCol):
     n = IntParam("n", "Number of elements per n-gram (>=1).", 2, ParamValidators.gt(0))
@@ -95,3 +140,12 @@ class NGram(Transformer, HasInputCol, HasOutputCol):
         grams = F.when(F.size(toks) >= n, acc).otherwise(
             F.array().cast("array<string>"))
         return df.withColumn(self.get_("outputCol"), grams)
+
+    def transform_local(self, pdf):
+        n = self.get_("n")
+        out = pdf.copy()
+        out[self.get_("outputCol")] = [
+            [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+            if len(t) >= n else []
+            for t in pdf[self.get_("inputCol")]]
+        return out

@@ -118,6 +118,26 @@ class HashingTF(Transformer, HasInputCol, HasOutputCol, HasNumFeatures):
         return df.withColumn(self.get_("outputCol"),
                              to_sparse(F.col(self.get_("inputCol"))))
 
+    def transform_local(self, pdf):
+        from ..common.hashing import poly_hash31, spark_murmur3_32
+        n = self.get_("numFeatures")
+        algo = self.get_("hashAlgorithm")
+        binary = self.get_("binary")
+        hash_fn = poly_hash31 if algo == "poly" else spark_murmur3_32
+        rows = []
+        for toks in pdf[self.get_("inputCol")]:
+            counts: dict[int, float] = {}
+            for t in toks or []:
+                b = hash_fn(t) % n
+                counts[b] = counts.get(b, 0.0) + 1.0
+            items = sorted(counts.items())
+            rows.append({"size": n,
+                         "indices": [i for i, _ in items],
+                         "values": [1.0 if binary else c for _, c in items]})
+        out = pdf.copy()
+        out[self.get_("outputCol")] = rows
+        return out
+
 
 class FeatureHasher(Transformer, HasInputCols, HasOutputCol, HasCategoricalCols,
                     HasNumFeatures):

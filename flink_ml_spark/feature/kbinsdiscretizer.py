@@ -99,3 +99,23 @@ class KBinsDiscretizerModel(Model, HasInputCol, HasOutputCol):
                        .otherwise(raw))
             dims.append(clamped)
         return df.withColumn(self.get_("outputCol"), F.array(*dims))
+
+    def transform_local(self, pdf):
+        import numpy as np
+        edges = self.model_data["binEdges"]
+        col = pdf[self.get_("inputCol")]
+        x = (np.stack([np.asarray(v, dtype=float) for v in col])
+             if len(col) else np.zeros((0, len(edges))))
+        res = np.zeros_like(x)
+        for d, e in enumerate(edges):
+            e2 = sorted(set(e))
+            if len(e2) < 2:
+                res[:, d] = 0.0
+                continue
+            v = x[:, d]
+            raw = np.searchsorted(e2, v, side="right") - 1.0
+            raw = np.clip(raw, 0, len(e2) - 2)
+            res[:, d] = raw
+        out = pdf.copy()
+        out[self.get_("outputCol")] = list(res)
+        return out

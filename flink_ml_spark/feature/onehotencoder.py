@@ -58,3 +58,35 @@ class OneHotEncoderModel(Model, HasInputCols, HasOutputCols, HasHandleInvalid):
                 F.when(active, F.array(F.lit(1.0))).otherwise(F.array().cast("array<double>")).alias("values"))
             df = df.withColumn(oc, out)
         return df
+
+    def transform_local(self, pdf):
+        drop_last = self.get_("dropLast")
+        mode = self.get_("handleInvalid")
+        out = pdf.copy()
+        keep = [True] * len(pdf)
+        for c, oc, arity in zip(self.get_("inputCols"), self.get_("outputCols"),
+                                self.model_data["arities"]):
+            n_cats = arity + (1 if mode == "keep" else 0)
+            size = n_cats - 1 if drop_last else n_cats
+            rows = []
+            for j, v in enumerate(pdf[c]):
+                idx = int(v) if v is not None else None
+                valid = idx is not None and 0 <= idx < arity
+                if not valid:
+                    if mode == "keep":
+                        idx = arity
+                    elif mode == "skip":
+                        keep[j] = False
+                        rows.append(None)
+                        continue
+                    else:
+                        raise ValueError(f"OneHotEncoder: invalid index in {c}")
+                if idx < size:
+                    rows.append({"size": size, "indices": [idx], "values": [1.0]})
+                else:
+                    rows.append({"size": size, "indices": [], "values": []})
+            out[oc] = rows
+        if mode == "skip":
+            import numpy as np
+            out = out[np.array(keep, dtype=bool)].reset_index(drop=True)
+        return out

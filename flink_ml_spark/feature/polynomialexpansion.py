@@ -60,3 +60,15 @@ class PolynomialExpansion(Transformer, HasInputCol, HasOutputCol):
 
         return df.withColumn(self.get_("outputCol"),
                              expand_udf(F.col(self.get_("inputCol"))))
+
+    def transform_local(self, pdf):
+        out = pdf.copy()
+        col = pdf[self.get_("inputCol")]
+        if len(col):
+            x = np.stack([np.asarray(v, dtype=float) for v in col])
+            exps = expansion_exponents(x.shape[1], self.get_("degree"))
+            out[self.get_("outputCol")] = list(
+                np.prod(x[:, None, :] ** exps[None, :, :], axis=2))
+        else:
+            out[self.get_("outputCol")] = []
+        return out

@@ -42,6 +42,13 @@ class VarianceThresholdSelectorModel(Model, HasInputCol, HasOutputCol):
                         for i in self.model_data["indices"]])
         return df.withColumn(self.get_("outputCol"), out)
 
+    def transform_local(self, pdf):
+        idx = [int(i) for i in self.model_data["indices"]]
+        out = pdf.copy()
+        out[self.get_("outputCol")] = [
+            [x[i] for i in idx] for x in pdf[self.get_("inputCol")]]
+        return out
+
 
 class VectorIndexer(Estimator, HasInputCol, HasOutputCol, HasHandleInvalid):
     maxCategories = IntParam("maxCategories", "Max distincts for a dim to be categorical.", 20,

@@ -92,3 +92,16 @@ class StopWordsRemover(Transformer, HasInputCols, HasOutputCols):
                 out = F.filter(toks, lambda t: ~F.array_contains(stop, F.lower(t)))
             df = df.withColumn(oc, out)
         return df
+
+    def transform_local(self, pdf):
+        words = self.get_("stopWords")
+        if words is None:
+            words = load_default_stop_words("english")
+        cs = self.get_("caseSensitive")
+        stop = set(words if cs else [w.lower() for w in words])
+        out = pdf.copy()
+        for ic, oc in zip(self.get_("inputCols"), self.get_("outputCols")):
+            out[oc] = [[t for t in toks
+                        if (t if cs else t.lower()) not in stop]
+                       for toks in pdf[ic]]
+        return out

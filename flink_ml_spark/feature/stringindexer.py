@@ -102,3 +102,11 @@ class IndexToStringModel(Model, HasInputCols, HasOutputCols):
             arr = F.array(*[F.lit(v) for v in vocab])
             df = df.withColumn(oc, F.element_at(arr, F.col(c).cast("int") + 1))
         return df
+
+    def transform_local(self, pdf):
+        out = pdf.copy()
+        for c, oc, vocab in zip(self.get_("inputCols"), self.get_("outputCols"),
+                                self.model_data["stringArrays"]):
+            out[oc] = [vocab[int(i)] if 0 <= int(i) < len(vocab) else None
+                       for i in pdf[c]]
+        return out

@@ -54,3 +54,18 @@ class RegexTokenizer(Transformer, HasInputCol, HasOutputCol):
         min_len = self.get_("minTokenLength")
         toks = F.filter(toks, lambda t: F.length(t) >= F.lit(min_len))
         return df.withColumn(self.get_("outputCol"), toks)
+
+    def transform_local(self, pdf):
+        import re
+        pat = re.compile(self.get_("pattern"))
+        gaps = self.get_("gaps")
+        min_len = self.get_("minTokenLength")
+        lower = self.get_("toLowercase")
+        rows = []
+        for text in pdf[self.get_("inputCol")]:
+            t = text.lower() if lower else text
+            toks = pat.split(t) if gaps else pat.findall(t)
+            rows.append([x for x in toks if len(x) >= min_len])
+        out = pdf.copy()
+        out[self.get_("outputCol")] = rows
+        return out

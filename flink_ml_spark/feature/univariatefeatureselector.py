@@ -84,3 +84,10 @@ class UnivariateFeatureSelectorModel(Model, HasFeaturesCol, HasOutputCol):
         out = F.array(*[F.element_at(col, int(i) + 1)
                         for i in self.model_data["indices"]])
         return df.withColumn(self.get_("outputCol"), out)
+
+    def transform_local(self, pdf):
+        idx = [int(i) for i in self.model_data["indices"]]
+        out = pdf.copy()
+        out[self.get_("outputCol")] = [
+            [x[i] for i in idx] for x in pdf[self.get_("featuresCol")]]
+        return out

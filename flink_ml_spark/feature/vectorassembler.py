@@ -56,3 +56,36 @@ class VectorAssembler(Transformer, HasInputCols, HasOutputCol, HasHandleInvalid)
                 .cast("array<double>")
             ).otherwise(out)
         return df.withColumn(self.get_("outputCol"), out)
+
+    def transform_local(self, pdf):
+        import math
+
+        import numpy as np
+        in_cols = self.get_("inputCols")
+        sizes = self.get_("inputSizes") or [None] * len(in_cols)
+        mode = self.get_("handleInvalid")
+        rows, keep = [], []
+        for _, r in pdf.iterrows():
+            vec, bad = [], False
+            for c, size in zip(in_cols, sizes):
+                v = r[c]
+                if hasattr(v, "__len__"):
+                    if v is None or (size and len(v) != size):
+                        bad = True
+                        vec.extend([float("nan")] * int(size or 1))
+                    else:
+                        vec.extend(float(x) for x in v)
+                else:
+                    fv = float(v) if v is not None else float("nan")
+                    if v is None or math.isnan(fv):
+                        bad = True
+                    vec.append(fv)
+            if bad and mode == "error":
+                raise ValueError("VectorAssembler: invalid input")
+            rows.append(vec)
+            keep.append(not bad)
+        out = pdf.copy()
+        out[self.get_("outputCol")] = rows
+        if mode == "skip":
+            out = out[np.array(keep, dtype=bool)].reset_index(drop=True)
+        return out

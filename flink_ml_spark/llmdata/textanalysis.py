@@ -43,6 +43,20 @@ class LanguageIdentifier(Transformer, HasInputCol, HasOutputCol):
         out = F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
         return df.withColumn(self.get_("outputCol"), out)
 
+    def transform_local(self, pdf):
+        rows = []
+        for text in pdf[self.get_("inputCol")]:
+            toks = (text or "").lower().split()
+            best_lang, best_hits = "und", 0
+            for lang in sorted(LANG_MARKERS):
+                hits = sum(1 for t in toks if t in LANG_MARKERS[lang])
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            rows.append(best_lang)
+        out = pdf.copy()
+        out[self.get_("outputCol")] = rows
+        return out
+
 
 class TextQualityScorer(Transformer, HasInputCol):
     """Heuristic quality signals (Gopher/C4-style rules, public
@@ -78,6 +92,32 @@ class TextQualityScorer(Transformer, HasInputCol):
                 .withColumn("q_digit_ratio", digit_ratio)
                 .withColumn("quality_score", score))
 
+    def transform_local(self, pdf):
+        stop = set(LANG_MARKERS["en"])
+        cols = {"q_mean_word_len": [], "q_stopword_ratio": [],
+                "q_punct_ratio": [], "q_digit_ratio": [], "quality_score": []}
+        for text in pdf[self.get_("inputCol")]:
+            t = text or ""
+            toks = t.lower().split()
+            n_tok, n_chars = len(toks), len(t)
+            mean_wl = (sum(len(x) for x in toks) / n_tok) if n_tok else 0.0
+            stop_ratio = (sum(1 for x in toks if x in stop) / n_tok) if n_tok else 0.0
+            punct_ratio = (sum(1 for c in t if c in ".,;:!?") / n_chars) if n_chars else 0.0
+            digit_ratio = (sum(1 for c in t if c.isdigit()) / n_chars) if n_chars else 0.0
+            score = ((0.4 if 3 <= mean_wl <= 10 else 0.0)
+                     + (0.3 if stop_ratio >= 0.05 else 0.0)
+                     + (0.2 if digit_ratio <= 0.2 else 0.0)
+                     + (0.1 if n_tok >= 10 else 0.0))
+            cols["q_mean_word_len"].append(mean_wl)
+            cols["q_stopword_ratio"].append(stop_ratio)
+            cols["q_punct_ratio"].append(punct_ratio)
+            cols["q_digit_ratio"].append(digit_ratio)
+            cols["quality_score"].append(score)
+        out = pdf.copy()
+        for k, v in cols.items():
+            out[k] = v
+        return out
+
 
 class TokenCounter(Transformer, HasInputCol):
     """Token accounting: whitespace tokens plus a BPE-ish subword estimate
@@ -91,6 +131,15 @@ class TokenCounter(Transformer, HasInputCol):
             F.lower(text), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0)
         return (df.withColumn("n_tokens_ws", ws)
                 .withColumn("n_tokens_bpe", F.size(pieces)))
+
+    def transform_local(self, pdf):
+        import re
+        bpe = re.compile(r"[a-z]+|[0-9]|[^a-z0-9\s]")
+        out = pdf.copy()
+        texts = [t or "" for t in pdf[self.get_("inputCol")]]
+        out["n_tokens_ws"] = [len(t.lower().split()) for t in texts]
+        out["n_tokens_bpe"] = [len(bpe.findall(t.lower())) for t in texts]
+        return out
 
 
 class TextNormalizer(Transformer, HasInputCol, HasOutputCol):
@@ -109,6 +158,17 @@ class TextNormalizer(Transformer, HasInputCol, HasOutputCol):
         if self.get_("lowercase"):
             out = F.lower(out)
         return df.withColumn(self.get_("outputCol"), out)
+
+    def transform_local(self, pdf):
+        import re
+        rows = []
+        for text in pdf[self.get_("inputCol")]:
+            t = re.sub(r"[\x00-\x1F\x7F]", " ", text or "")
+            t = re.sub(r"\s+", " ", t).strip()
+            rows.append(t.lower() if self.get_("lowercase") else t)
+        out = pdf.copy()
+        out[self.get_("outputCol")] = rows
+        return out
 
 
 class RepetitionScorer(Transformer, HasInputCol):
@@ -196,6 +256,17 @@ class PIIRedactor(Transformer, HasInputCol, HasOutputCol):
         for kind, c in counts.items():
             df = df.withColumn(f"pii_{kind}_count", c)
         return df.withColumn(self.get_("outputCol"), out)
+
+    def transform_local(self, pdf):
+        import re
+        out = pdf.copy()
+        texts = [t or "" for t in pdf[self.get_("inputCol")]]
+        for kind, pat, token in PII_PATTERNS:
+            rx = re.compile(pat)
+            out[f"pii_{kind}_count"] = [len(rx.findall(t)) for t in texts]
+            texts = [rx.sub(token, t) for t in texts]
+        out[self.get_("outputCol")] = texts
+        return out
 
 
 class Bm25Scorer(Estimator, HasInputCol, HasOutputCol):
@@ -305,3 +376,17 @@ class DocumentFingerprinter(Transformer, HasInputCol, HasOutputCol):
         fp = F.aggregate(hs, F.lit(0).cast("long"),
                          lambda acc, h: (acc * 1000003 + h) % MINHASH_PRIME)
         return df.withColumn(self.get_("outputCol"), fp)
+
+    def transform_local(self, pdf):
+        from .dedup import np_poly_hash
+        rows = []
+        for text in pdf[self.get_("inputCol")]:
+            toks = (text or "").lower().split()
+            fp = 0
+            if toks:
+                for h in np_poly_hash(toks):
+                    fp = (fp * 1000003 + int(h)) % MINHASH_PRIME
+            rows.append(fp)
+        out = pdf.copy()
+        out[self.get_("outputCol")] = rows
+        return out

@@ -1,0 +1,291 @@
+"""transform_local parity: every feature/classification stage that can
+appear in a served pipeline must produce the same outputs pandas-locally
+as its distributed transform (reference servable contract,
+flink-ml-servable-lib — PipelineModelServable serves WITHOUT an engine,
+so each stage needs a row-local path)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import Row
+
+
+def _norm(v):
+    if isinstance(v, Row):
+        v = v.asDict()
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in sorted(v.items())}
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return [_norm(x) for x in v]
+    if isinstance(v, (float, np.floating)):
+        return round(float(v), 9)
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    return v
+
+
+def assert_parity(stage, sdf, pdf, out_cols):
+    spark_rows = [r.asDict(recursive=True) for r in stage.transform(sdf)[0].collect()]
+    local = stage.transform_local(pdf)
+    assert len(spark_rows) == len(local)
+    for oc in out_cols:
+        got = [_norm(v) for v in local[oc]]
+        want = [_norm(r[oc]) for r in spark_rows]
+        assert got == want, f"column {oc}: {got[:3]} vs {want[:3]}"
+
+
+NUM_ROWS = [([1.0, -2.0, 3.0],), ([0.5, 0.0, -4.0],), ([2.0, 2.0, 2.0],)]
+TOK_ROWS = [(["the", "quick", "brown", "fox"],), (["one", "two"],), ([],)]
+
+
+@pytest.fixture()
+def vec_df(spark):
+    return spark.createDataFrame(NUM_ROWS, "v array<double>"), \
+        pd.DataFrame({"v": [list(r[0]) for r in NUM_ROWS]})
+
+
+@pytest.fixture()
+def tok_df(spark):
+    return spark.createDataFrame(TOK_ROWS, "tokens array<string>"), \
+        pd.DataFrame({"tokens": [list(r[0]) for r in TOK_ROWS]})
+
+
+def test_elementwise_product_local(spark, vec_df):
+    from flink_ml_spark.feature import ElementwiseProduct
+    sdf, pdf = vec_df
+    t = ElementwiseProduct(inputCol="v", outputCol="o", scalingVec=[2.0, 0.5, -1.0])
+    assert_parity(t, sdf, pdf, ["o"])
+
+
+def test_normalizer_local(spark, vec_df):
+    from flink_ml_spark.feature import Normalizer
+    sdf, pdf = vec_df
+    for p in (1.0, 2.0, 3.0):
+        assert_parity(Normalizer(inputCol="v", outputCol="o", p=p), sdf, pdf, ["o"])
+
+
+def test_vector_slicer_local(spark, vec_df):
+    from flink_ml_spark.feature import VectorSlicer
+    sdf, pdf = vec_df
+    assert_parity(VectorSlicer(inputCol="v", outputCol="o", indices=[2, 0]),
+                  sdf, pdf, ["o"])
+
+
+def test_interaction_local(spark):
+    from flink_ml_spark.feature import Interaction
+    rows = [(2.0, [1.0, 3.0]), (0.5, [4.0, -1.0])]
+    sdf = spark.createDataFrame(rows, "a double, b array<double>")
+    pdf = pd.DataFrame({"a": [r[0] for r in rows], "b": [list(r[1]) for r in rows]})
+    assert_parity(Interaction(inputCols=["a", "b"], outputCol="o"), sdf, pdf, ["o"])
+
+
+def test_ngram_local(spark, tok_df):
+    from flink_ml_spark.feature import NGram
+    sdf, pdf = tok_df
+    assert_parity(NGram(inputCol="tokens", outputCol="o", n=2), sdf, pdf, ["o"])
+
+
+def test_binarizer_local(spark, vec_df):
+    from flink_ml_spark.feature import Binarizer
+    sdf, pdf = vec_df
+    assert_parity(Binarizer(inputCols=["v"], outputCols=["o"], thresholds=[0.5]),
+                  sdf, pdf, ["o"])
+
+
+def test_bucketizer_local(spark):
+    from flink_ml_spark.feature import Bucketizer
+    rows = [(0.1,), (2.5,), (10.0,), (-3.0,)]
+    sdf = spark.createDataFrame(rows, "x double")
+    pdf = pd.DataFrame({"x": [r[0] for r in rows]})
+    b = Bucketizer(inputCols=["x"], outputCols=["o"],
+                   splitsArray=[[0.0, 1.0, 5.0, 10.0]], handleInvalid="keep")
+    assert_parity(b, sdf, pdf, ["o"])
+
+
+def test_dct_local(spark, vec_df):
+    from flink_ml_spark.feature import DCT
+    sdf, pdf = vec_df
+    assert_parity(DCT(inputCol="v", outputCol="o"), sdf, pdf, ["o"])
+    assert_parity(DCT(inputCol="v", outputCol="o", inverse=True), sdf, pdf, ["o"])
+
+
+def test_polynomial_expansion_local(spark):
+    from flink_ml_spark.feature import PolynomialExpansion
+    rows = [([1.0, 2.0],), ([0.5, -1.0],)]
+    sdf = spark.createDataFrame(rows, "v array<double>")
+    pdf = pd.DataFrame({"v": [list(r[0]) for r in rows]})
+    assert_parity(PolynomialExpansion(inputCol="v", outputCol="o", degree=3),
+                  sdf, pdf, ["o"])
+
+
+def test_vector_assembler_local(spark):
+    from flink_ml_spark.feature import VectorAssembler
+    rows = [(1.0, [2.0, 3.0]), (4.0, [5.0, 6.0])]
+    sdf = spark.createDataFrame(rows, "a double, b array<double>")
+    pdf = pd.DataFrame({"a": [r[0] for r in rows], "b": [list(r[1]) for r in rows]})
+    assert_parity(VectorAssembler(inputCols=["a", "b"], outputCol="o",
+                                  inputSizes=[1, 2]), sdf, pdf, ["o"])
+
+
+def test_selectors_local(spark, vec_df):
+    from flink_ml_spark.feature import (UnivariateFeatureSelectorModel,
+                                        VarianceThresholdSelectorModel)
+    sdf, pdf = vec_df
+    m = VarianceThresholdSelectorModel()
+    m.set_(inputCol="v", outputCol="o")
+    m.model_data = {"indices": [0, 2]}
+    assert_parity(m, sdf, pdf, ["o"])
+    u = UnivariateFeatureSelectorModel()
+    u.set_(featuresCol="v", outputCol="o")
+    u.model_data = {"indices": [1]}
+    assert_parity(u, sdf, pdf, ["o"])
+
+
+def test_kbins_local(spark, vec_df):
+    from flink_ml_spark.feature import KBinsDiscretizer
+    sdf, pdf = vec_df
+    m = KBinsDiscretizer(inputCol="v", outputCol="o", numBins=2,
+                         strategy="uniform").fit(sdf)
+    assert_parity(m, sdf, pdf, ["o"])
+
+
+def test_one_hot_local(spark):
+    from flink_ml_spark.feature import OneHotEncoder
+    rows = [(0.0,), (1.0,), (2.0,)]
+    sdf = spark.createDataFrame(rows, "c double")
+    pdf = pd.DataFrame({"c": [r[0] for r in rows]})
+    m = OneHotEncoder(inputCols=["c"], outputCols=["o"]).fit(sdf)
+    assert_parity(m, sdf, pdf, ["o"])
+
+
+def test_index_to_string_local(spark):
+    from flink_ml_spark.feature import IndexToStringModel
+    rows = [(0.0,), (2.0,), (1.0,)]
+    sdf = spark.createDataFrame(rows, "i double")
+    pdf = pd.DataFrame({"i": [r[0] for r in rows]})
+    m = IndexToStringModel(inputCols=["i"], outputCols=["o"]) \
+        .set_model_data_arrays([["a", "b", "c"]])
+    assert_parity(m, sdf, pdf, ["o"])
+
+
+def test_stop_words_remover_local(spark, tok_df):
+    from flink_ml_spark.feature import StopWordsRemover
+    sdf, pdf = tok_df
+    assert_parity(StopWordsRemover(inputCols=["tokens"], outputCols=["o"]),
+                  sdf, pdf, ["o"])
+
+
+def test_regex_tokenizer_local(spark):
+    from flink_ml_spark.feature import RegexTokenizer
+    rows = [("Hello World  again",), ("One-two THREE",)]
+    sdf = spark.createDataFrame(rows, "text string")
+    pdf = pd.DataFrame({"text": [r[0] for r in rows]})
+    assert_parity(RegexTokenizer(inputCol="text", outputCol="o"), sdf, pdf, ["o"])
+    assert_parity(RegexTokenizer(inputCol="text", outputCol="o", gaps=False,
+                                 pattern=r"[a-z]+"), sdf, pdf, ["o"])
+
+
+def test_count_vectorizer_idf_local(spark, tok_df):
+    from flink_ml_spark.feature import IDF, CountVectorizer
+    sdf, pdf = tok_df
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf").fit(sdf)
+    assert_parity(cv, sdf, pdf, ["tf"])
+    with_tf = cv.transform(sdf)[0]
+    idf = IDF(inputCol="tf", outputCol="o").fit(with_tf)
+    pdf_tf = cv.transform_local(pdf)
+    spark_rows = [r.asDict(recursive=True)
+                  for r in idf.transform(with_tf)[0].collect()]
+    local = idf.transform_local(pdf_tf)
+    assert [_norm(v) for v in local["o"]] == [_norm(r["o"]) for r in spark_rows]
+
+
+def test_hashing_tf_local(spark, tok_df):
+    from flink_ml_spark.feature import HashingTF
+    sdf, pdf = tok_df
+    for algo in ("poly", "native"):
+        assert_parity(HashingTF(inputCol="tokens", outputCol="o",
+                                numFeatures=16, hashAlgorithm=algo),
+                      sdf, pdf, ["o"])
+
+
+def test_linear_models_local(spark):
+    from flink_ml_spark.classification import LinearSVC, LogisticRegression
+    from flink_ml_spark.regression import LinearRegression
+    rows = [([1.0, 0.0], 1.0), ([0.0, 1.0], 0.0), ([1.0, 1.0], 1.0),
+            ([0.1, 0.9], 0.0)]
+    sdf = spark.createDataFrame(rows, "features array<double>, label double")
+    pdf = pd.DataFrame({"features": [list(r[0]) for r in rows]})
+    for est in (LinearSVC(maxIter=5), LinearRegression(maxIter=5),
+                LogisticRegression(maxIter=5)):
+        m = est.set_(featuresCol="features", labelCol="label").fit(sdf)
+        out_cols = [m.get_("predictionCol")]
+        assert_parity(m, sdf, pdf, out_cols)
+
+
+def test_naive_bayes_local(spark):
+    from flink_ml_spark.classification import NaiveBayes
+    rows = [([0.0, 1.0], 0.0), ([0.0, 2.0], 0.0), ([1.0, 1.0], 1.0),
+            ([1.0, 2.0], 1.0)]
+    sdf = spark.createDataFrame(rows, "features array<double>, label double")
+    pdf = pd.DataFrame({"features": [list(r[0]) for r in rows]})
+    m = NaiveBayes(featuresCol="features", labelCol="label").fit(sdf)
+    assert_parity(m, sdf, pdf, ["prediction"])
+
+
+def test_full_text_pipeline_served_locally(spark, tmp_path):
+    """End-to-end: tokenizer → stopwords → hashing → LR pipeline fit on
+    Spark, saved, loaded WITHOUT Spark, served on pandas."""
+    from flink_ml_spark import Pipeline
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.classification import LogisticRegression
+    from flink_ml_spark.feature import (HashingTF, StopWordsRemover,
+                                        Tokenizer)
+
+    rows = [("the good movie", 1.0), ("a bad film", 0.0),
+            ("good acting great plot", 1.0), ("terrible bad boring", 0.0)]
+    sdf = spark.createDataFrame(rows, "text string, label double")
+    pipe = Pipeline([
+        Tokenizer(inputCol="text", outputCol="toks"),
+        StopWordsRemover(inputCols=["toks"], outputCols=["kept"]),
+        HashingTF(inputCol="kept", outputCol="features", numFeatures=32),
+        LogisticRegression(featuresCol="features", labelCol="label",
+                           maxIter=10),
+    ])
+    pm = pipe.fit(sdf)
+    path = str(tmp_path / "served")
+    pm.save(path)
+    served = Stage.load_local(path)
+    pdf = pd.DataFrame({"text": ["good great movie", "bad boring film"]})
+    out = served.transform_local(pdf)
+    assert list(out["prediction"]) == [1.0, 0.0]
+
+
+def test_text_analysis_local_parity(spark):
+    """Row-local corpus-prep stages serve identically pandas-side."""
+    from flink_ml_spark.llmdata import (DocumentFingerprinter,
+                                        LanguageIdentifier, PIIRedactor,
+                                        TextNormalizer, TextQualityScorer,
+                                        TokenCounter)
+    rows = [("The quick brown fox is a good and fast animal today",),
+            ("der und die das ist von nicht",),
+            ("mail a@b.co or 1.2.3.4 now  \x07 MIXED case 123",),
+            ("",)]
+    sdf = spark.createDataFrame(rows, "text string")
+    pdf = pd.DataFrame({"text": [r[0] for r in rows]})
+    assert_parity(LanguageIdentifier(inputCol="text", outputCol="lang"),
+                  sdf, pdf, ["lang"])
+    assert_parity(TextQualityScorer(inputCol="text"), sdf, pdf,
+                  ["q_mean_word_len", "q_stopword_ratio", "q_punct_ratio",
+                   "q_digit_ratio", "quality_score"])
+    assert_parity(TokenCounter(inputCol="text"), sdf, pdf,
+                  ["n_tokens_ws", "n_tokens_bpe"])
+    assert_parity(TextNormalizer(inputCol="text", outputCol="norm"),
+                  sdf, pdf, ["norm"])
+    assert_parity(PIIRedactor(inputCol="text", outputCol="red"), sdf, pdf,
+                  ["red", "pii_email_count", "pii_ipv4_count",
+                   "pii_phone_count"])
+    assert_parity(DocumentFingerprinter(inputCol="text", outputCol="fp"),
+                  sdf, pdf, ["fp"])
