@@ -166,12 +166,34 @@ class GraphModel(Model):
     def _transform(self, df: DataFrame) -> DataFrame:
         return self.transform(df)[0]
 
+    def transform_local(self, *pdfs):
+        """Serve the DAG pandas-locally (single-input stages only; graphs
+        with model-data edges need the engine path).  Returns one pandas
+        frame per graph output — or the frame itself for the common
+        1-output case."""
+        env = dict(zip(self.input_ids, pdfs))
+        for node in _topo_order(self.nodes, set(env)):
+            if node.input_model_data or node.output_model_data:
+                raise NotImplementedError(
+                    "GraphModel.transform_local does not support model-data edges")
+            if len(node.inputs) != 1:
+                raise NotImplementedError(
+                    "GraphModel.transform_local supports single-input stages only")
+            env[node.outputs[0]] = node.stage.transform_local(env[node.inputs[0]])
+        outs = [env[t] for t in self.output_ids]
+        return outs[0] if len(outs) == 1 else outs
+
     def save(self, path: str) -> None:
         _save_graph(self, self.nodes, self.input_ids, self.output_ids, path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "GraphModel":
         return cls(*_load_graph(spark, path))
+
+    @classmethod
+    def load_local(cls, path: str) -> "GraphModel":
+        """Engine-free load of a saved GraphModel (serves transform_local)."""
+        return cls(*_load_graph(None, path, local=True))
 
 
 class GraphAlgoOperator(AlgoOperator):
@@ -235,13 +257,14 @@ def _save_graph(owner: Stage, nodes, inputs, outputs, path: str) -> None:
         n.stage.save(os.path.join(path, "stages", f"{i:04d}"))
 
 
-def _load_graph(spark: SparkSession, path: str):
+def _load_graph(spark: SparkSession | None, path: str, local: bool = False):
     with open(os.path.join(path, "metadata")) as f:
         meta = json.load(f)
     g = meta["graph"]
     nodes = []
     for i, nd in enumerate(g["nodes"]):
-        stage = Stage.load(spark, os.path.join(path, "stages", f"{i:04d}"))
+        sub = os.path.join(path, "stages", f"{i:04d}")
+        stage = Stage.load_local(sub) if local else Stage.load(spark, sub)
         nodes.append(GraphNode(
             stage,
             [TableId(t) for t in nd["inputs"]],

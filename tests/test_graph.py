@@ -208,3 +208,25 @@ def test_knn_load_local_parquet_model_data(spark, tmp_path):
     out = served.transform_local(
         pd.DataFrame({"features": [[0.05, 0.05], [5.05, 5.05]]}))
     assert list(out["prediction"]) == [0.0, 1.0]
+
+
+def test_graph_model_served_locally(spark, dense_df, tmp_path):
+    """A fitted GraphModel saved by Spark serves pandas-locally through
+    the DAG (fan-out scalers), engine-free."""
+    import pandas as pd
+
+    from flink_ml_spark.graph import GraphModel
+
+    b = GraphBuilder()
+    src = b.new_table_id()
+    (t1,) = b.add_estimator(
+        StandardScaler(inputCol="features", outputCol="std", withMean=True), [src])
+    (t2,) = b.add_estimator(MinMaxScaler(inputCol="std", outputCol="mm"), [t1])
+    gm = b.build_estimator([src], [t2]).fit(dense_df)
+    p = str(tmp_path / "gm_local")
+    gm.save(p)
+    served = GraphModel.load_local(p)
+    pdf = pd.DataFrame({"features": [[1.0, 10.0], [4.0, 40.0]]})
+    out = served.transform_local(pdf)
+    assert list(out["mm"].iloc[0]) == pytest.approx([0.0, 0.0])
+    assert list(out["mm"].iloc[1]) == pytest.approx([1.0, 1.0])
