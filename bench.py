@@ -154,7 +154,13 @@ def main() -> None:
         # persisted relations a query left behind and nudge the JVM heap,
         # so one query's residue can't inflate the next one's wall time
         # (measured 11.9s -> 71.7s on logistic_regression after the
-        # pandas-cogroup pipelines without this)
+        # pandas-cogroup pipelines without this).  Release the Python-side
+        # result reference FIRST: localCheckpoint blocks (dedup signature
+        # relations) are not catalog-cached, so they free only when the
+        # ContextCleaner sees the RDD unreachable.
+        df = None
+        import gc
+        gc.collect()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 

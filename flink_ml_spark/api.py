@@ -76,6 +76,13 @@ class Stage(WithParams):
         # their children — defer to it instead of the generic path
         if klass.load_local.__func__ is not cls.load_local.__func__:
             return klass.load_local(path)
+        # a stage with a custom load() but no load_local() stores structure
+        # the generic path cannot restore (Pipeline/Graph wiring) — fail
+        # loudly instead of returning a hollow stage
+        if klass.load.__func__ is not Stage.load.__func__:
+            raise NotImplementedError(
+                f"{klass.__name__} is not servable without an engine "
+                "(no load_local override)")
         stage = klass()
         stage.load_params_json(meta["paramMap"])
         stage._load_extra_metadata(meta.get("extra") or {})

@@ -178,7 +178,10 @@ class IDF(Estimator, HasInputCol, HasOutputCol):
                             .otherwise(F.lit(-2).cast("long"))),
                 lambda p: p != -2)
             sz = F.size(c).cast("long")
-        aug = F.concat(pos_arr, F.array(F.lit(-1).cast("long")))
+        # NULL vectors still count as documents (df.count() semantics):
+        # coalesce to an empty position list so the sentinel survives
+        aug = F.concat(F.coalesce(pos_arr, F.array().cast("array<long>")),
+                       F.array(F.lit(-1).cast("long")))
         rows = (df.select(F.explode(aug).alias("pos"), sz.alias("sz"))
                 .groupBy("pos")
                 .agg(F.count("*").alias("cnt"), F.max("sz").alias("mx"))

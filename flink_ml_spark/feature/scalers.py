@@ -44,10 +44,13 @@ class _ScalerModelBase(Model, HasInputCol, HasOutputCol):
         return df.withColumn(self.get_("outputCol"), expr)
 
     def _local_affine(self, pdf, scale, offset):
-        import pandas as pd
-        x = np.stack(pdf[self.get_("inputCol")].to_numpy())
-        y = (x - offset) * scale if offset is not None else x * scale
         out = pdf.copy()
+        col = pdf[self.get_("inputCol")]
+        if not len(col):  # empty serving batch
+            out[self.get_("outputCol")] = []
+            return out
+        x = np.stack([np.asarray(v, dtype=float) for v in col])
+        y = (x - offset) * scale if offset is not None else x * scale
         out[self.get_("outputCol")] = list(y)
         return out
 
@@ -104,32 +107,35 @@ class MinMaxScalerModel(_ScalerModelBase):
     minV = FloatParam("min", "Target range lower bound.", 0.0)
     maxV = FloatParam("max", "Target range upper bound.", 1.0)
 
-    def _transform(self, df: DataFrame) -> DataFrame:
+    def _minmax_components(self):
+        """(e_min, scale, shift): out = (x - e_min)*scale + shift.
+        Emax==Emin → constant 0.5*(tmax+tmin) (MinMaxScaler.java:67)."""
         e_min = np.array(self.model_data["eMin"])
         e_max = np.array(self.model_data["eMax"])
         t_min, t_max = self.get_("min"), self.get_("max")
         span = e_max - e_min
-        col = F.col(self.get_("inputCol"))
-        # Emax==Emin → constant 0.5*(tmax+tmin) (MinMaxScaler.java:67 semantics)
         scale = np.where(span != 0, (t_max - t_min) / np.where(span == 0, 1.0, span), 0.0)
         const = np.where(span != 0, 0.0, 0.5 * (t_max + t_min))
         base = np.where(span != 0, t_min, 0.0)
+        return e_min, scale, base + const
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        e_min, scale, shift = self._minmax_components()
+        col = F.col(self.get_("inputCol"))
         paired = F.zip_with(col, _lit_arr(e_min), lambda x, m: x - m)
         scaled = F.zip_with(paired, _lit_arr(scale), lambda x, s: x * s)
-        shifted = F.zip_with(scaled, _lit_arr(base + const), lambda x, b: x + b)
+        shifted = F.zip_with(scaled, _lit_arr(shift), lambda x, b: x + b)
         return df.withColumn(self.get_("outputCol"), shifted)
 
     def transform_local(self, pdf):
-        e_min = np.array(self.model_data["eMin"])
-        e_max = np.array(self.model_data["eMax"])
-        t_min, t_max = self.get_("min"), self.get_("max")
-        span = e_max - e_min
-        scale = np.where(span != 0, (t_max - t_min) / np.where(span == 0, 1.0, span), 0.0)
-        const = np.where(span != 0, 0.0, 0.5 * (t_max + t_min))
-        base = np.where(span != 0, t_min, 0.0)
-        x = np.stack(pdf[self.get_("inputCol")].to_numpy())
+        e_min, scale, shift = self._minmax_components()
         out = pdf.copy()
-        out[self.get_("outputCol")] = list((x - e_min) * scale + base + const)
+        col = pdf[self.get_("inputCol")]
+        if not len(col):
+            out[self.get_("outputCol")] = []
+            return out
+        x = np.stack([np.asarray(v, dtype=float) for v in col])
+        out[self.get_("outputCol")] = list((x - e_min) * scale + shift)
         return out
 
 

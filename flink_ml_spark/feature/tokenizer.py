@@ -26,9 +26,12 @@ class Tokenizer(Transformer, HasInputCol, HasOutputCol):
         return df.withColumn(self.get_("outputCol"), toks)
 
     def transform_local(self, pdf):
+        import re
+        ws = re.compile("[ \t\n\x0b\f\r]")  # Java \s (ASCII-only)
         out = pdf.copy()
-        out[self.get_("outputCol")] = (
-            pdf[self.get_("inputCol")].str.lower().str.split())
+        out[self.get_("outputCol")] = [
+            [t for t in ws.split((x or "").lower()) if t]
+            for x in pdf[self.get_("inputCol")]]
         return out
 
 

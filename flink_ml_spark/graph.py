@@ -176,9 +176,10 @@ class GraphModel(Model):
             if node.input_model_data or node.output_model_data:
                 raise NotImplementedError(
                     "GraphModel.transform_local does not support model-data edges")
-            if len(node.inputs) != 1:
+            if len(node.inputs) != 1 or len(node.outputs) != 1:
                 raise NotImplementedError(
-                    "GraphModel.transform_local supports single-input stages only")
+                    "GraphModel.transform_local supports single-input, "
+                    "single-output stages only")
             env[node.outputs[0]] = node.stage.transform_local(env[node.inputs[0]])
         outs = [env[t] for t in self.output_ids]
         return outs[0] if len(outs) == 1 else outs

@@ -591,8 +591,10 @@ class Decontaminator(AlgoOperator):
         hit_ids = (train_grams.select("__id__", digest(F.col("g")).alias("gd"))
                    .join(bench_grams, "gd", "left_semi")
                    .select("__id__").distinct())
-        clean = train.join(hit_ids.withColumnRenamed("__id__", idc),
-                           idc, "left_anti")
-        contaminated = train.join(hit_ids.withColumnRenamed("__id__", idc),
-                                  idc, "left_semi")
+        # materialize the (tiny) contaminated-id relation once: consuming
+        # BOTH outputs would otherwise run the dominant gram explode +
+        # digest + join twice (no CSE across the two output plans)
+        hit_ids = hit_ids.localCheckpoint(eager=True)             .withColumnRenamed("__id__", idc)
+        clean = train.join(hit_ids, idc, "left_anti")
+        contaminated = train.join(hit_ids, idc, "left_semi")
         return [clean, contaminated]

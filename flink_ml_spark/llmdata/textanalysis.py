@@ -27,6 +27,16 @@ def _tokens(text: Column) -> Column:
     return F.array_remove(F.split(F.lower(text), r"\s"), "")
 
 
+# Java's \s is ASCII-only [ \t\n\x0B\f\r]; Python str.split()/re \s are
+# Unicode-aware, which would silently diverge from the cluster path on
+# e.g. non-breaking spaces — served outputs must match the engine exactly
+_JAVA_WS = __import__("re").compile("[ \t\n\x0b\f\r]")
+
+
+def _local_tokens(text: str | None) -> list[str]:
+    return [t for t in _JAVA_WS.split((text or "").lower()) if t]
+
+
 class LanguageIdentifier(Transformer, HasInputCol, HasOutputCol):
     """Stopword-marker vote: language with the most marker-token hits;
     ties and zero hits → 'und' (undetermined).  Tie-break: language code
@@ -46,7 +56,7 @@ class LanguageIdentifier(Transformer, HasInputCol, HasOutputCol):
     def transform_local(self, pdf):
         rows = []
         for text in pdf[self.get_("inputCol")]:
-            toks = (text or "").lower().split()
+            toks = _local_tokens(text)
             best_lang, best_hits = "und", 0
             for lang in sorted(LANG_MARKERS):
                 hits = sum(1 for t in toks if t in LANG_MARKERS[lang])
@@ -98,7 +108,7 @@ class TextQualityScorer(Transformer, HasInputCol):
                 "q_punct_ratio": [], "q_digit_ratio": [], "quality_score": []}
         for text in pdf[self.get_("inputCol")]:
             t = text or ""
-            toks = t.lower().split()
+            toks = _local_tokens(t)
             n_tok, n_chars = len(toks), len(t)
             mean_wl = (sum(len(x) for x in toks) / n_tok) if n_tok else 0.0
             stop_ratio = (sum(1 for x in toks if x in stop) / n_tok) if n_tok else 0.0
@@ -137,7 +147,7 @@ class TokenCounter(Transformer, HasInputCol):
         bpe = re.compile(r"[a-z]+|[0-9]|[^a-z0-9\s]")
         out = pdf.copy()
         texts = [t or "" for t in pdf[self.get_("inputCol")]]
-        out["n_tokens_ws"] = [len(t.lower().split()) for t in texts]
+        out["n_tokens_ws"] = [len(_local_tokens(t)) for t in texts]
         out["n_tokens_bpe"] = [len(bpe.findall(t.lower())) for t in texts]
         return out
 
@@ -381,7 +391,7 @@ class DocumentFingerprinter(Transformer, HasInputCol, HasOutputCol):
         from .dedup import np_poly_hash
         rows = []
         for text in pdf[self.get_("inputCol")]:
-            toks = (text or "").lower().split()
+            toks = _local_tokens(text)
             fp = 0
             if toks:
                 for h in np_poly_hash(toks):
