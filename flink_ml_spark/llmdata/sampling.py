@@ -53,6 +53,17 @@ class DomainMixtureSampler(Transformer):
         u = _unit_hash(self.get_("idCol"), self.get_("salt"))
         return df.filter(u < rate)
 
+    def transform_local(self, pdf):
+        rates: dict[str, float] = self.get_("rates")
+        default = float(self.get_("defaultRate"))
+        salt = self.get_("salt")
+        keep = []
+        for _, r in pdf.iterrows():
+            u = (((int(r[self.get_("idCol")]) % HASH_MOD) * 2654435761 + salt)
+                 % HASH_MOD) / float(HASH_MOD)
+            keep.append(u < rates.get(r[self.get_("domainCol")], default))
+        return pdf[keep].reset_index(drop=True)
+
 
 class SequencePacker(Transformer):
     """Greedy token-budget packing: assign documents to fixed-budget
@@ -146,3 +157,23 @@ class DocumentChunker(Transformer):
                 .withColumn(self.get_("chunkCol"),
                             F.col(f"__chunk__.{self.get_('chunkCol')}"))
                 .drop("__chunk__"))
+
+    def transform_local(self, pdf):
+        import re
+
+        import pandas as pd
+        size, over = self.get_("chunkSize"), self.get_("overlap")
+        if over >= size:
+            raise ValueError("overlap must be < chunkSize")
+        stride = size - over
+        ws = re.compile("[ \t\n\x0b\f\r]")  # Java \s (ASCII-only)
+        out_rows = []
+        for _, r in pdf.iterrows():
+            toks = [t for t in ws.split((r[self.get_("textCol")] or "").lower()) if t]
+            for start in range(0, len(toks), stride):
+                d = r.to_dict()
+                d["chunk_start"] = start
+                d[self.get_("chunkCol")] = " ".join(toks[start:start + size])
+                out_rows.append(d)
+        return pd.DataFrame(out_rows, columns=list(pdf.columns)
+                            + ["chunk_start", self.get_("chunkCol")])

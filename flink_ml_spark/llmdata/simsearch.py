@@ -252,6 +252,20 @@ class EmbeddingQuantizer(Transformer, HasInputCol, HasOutputCol):
             F.struct(F.coalesce(scale, F.lit(0.0)).alias("scale"),
                      codes.alias("codes")))
 
+    def transform_local(self, pdf):
+        import numpy as np
+        qmax = float(2 ** (self.get_("bits") - 1) - 1)
+        rows = []
+        for v in pdf[self.get_("inputCol")]:
+            a = np.asarray(v, dtype=float)
+            scale = float(np.abs(a).max()) / qmax if len(a) else 0.0
+            codes = (np.round(a / scale).astype(np.int8) if scale > 0
+                     else np.zeros(len(a), dtype=np.int8))
+            rows.append({"scale": scale, "codes": [int(c) for c in codes]})
+        out = pdf.copy()
+        out[self.get_("outputCol")] = rows
+        return out
+
     @staticmethod
     def dequantize(quantized) -> Column:
         q = F.col(quantized) if isinstance(quantized, str) else quantized

@@ -289,3 +289,35 @@ def test_text_analysis_local_parity(spark):
                    "pii_phone_count"])
     assert_parity(DocumentFingerprinter(inputCol="text", outputCol="fp"),
                   sdf, pdf, ["fp"])
+
+
+def test_sampling_quantizer_local_parity(spark):
+    from flink_ml_spark.llmdata import (DocumentChunker, DomainMixtureSampler,
+                                        EmbeddingQuantizer)
+    rows = [(1, "src0", "one two three four five six seven"),
+            (2, "src1", "alpha beta gamma"),
+            (3, "web", ""), (4, "web", "solo")]
+    sdf = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                        "source": [r[1] for r in rows],
+                        "text": [r[2] for r in rows]})
+    mix = DomainMixtureSampler(idCol="doc_id", domainCol="source",
+                               rates={"src0": 0.9}, defaultRate=0.5)
+    spark_ids = [r["doc_id"] for r in mix.transform(sdf)[0].collect()]
+    local_ids = list(mix.transform_local(pdf)["doc_id"])
+    assert sorted(spark_ids) == sorted(local_ids)
+
+    ch = DocumentChunker(textCol="text", chunkCol="chunk", chunkSize=3,
+                         overlap=1)
+    sp = sorted((r["doc_id"], r["chunk_start"], r["chunk"])
+                for r in ch.transform(sdf)[0].collect())
+    lo = sorted(zip(*(ch.transform_local(pdf)[c]
+                      for c in ("doc_id", "chunk_start", "chunk"))))
+    assert sp == lo
+
+    erows = [(1, [0.5, -1.0, 2.0]), (2, [0.0, 0.0, 0.0])]
+    esdf = spark.createDataFrame(erows, "id long, emb array<double>")
+    epdf = pd.DataFrame({"id": [r[0] for r in erows],
+                         "emb": [list(r[1]) for r in erows]})
+    q = EmbeddingQuantizer(inputCol="emb", outputCol="o")
+    assert_parity(q, esdf, epdf, ["o"])
