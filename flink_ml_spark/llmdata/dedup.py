@@ -182,6 +182,24 @@ class MinHashSignature(Transformer, HasInputCol, HasOutputCol):
         return df.withColumn(self.get_("outputCol"),
                              signature(F.col(self.get_("inputCol"))))
 
+    def transform_local(self, pdf):
+        import pandas as pd
+        fam = _hash_family(self.get_("numHashes"), self.get_("seed"))
+        A = np.array([a for a, _ in fam], dtype=np.int64)[None, :]
+        B = np.array([b for _, b in fam], dtype=np.int64)[None, :]
+        empty_sig = list(((0 * A + B) % MINHASH_PRIME)[0])
+        rows = []
+        for toks in pdf[self.get_("inputCol")]:
+            if toks is None or not len(toks):
+                rows.append(list(empty_sig))
+                continue
+            hs = np_poly_hash(list(toks))
+            M = (hs[:, None] * A + B) % MINHASH_PRIME
+            rows.append([int(x) for x in M.min(axis=0)])
+        out = pdf.copy()
+        out[self.get_("outputCol")] = rows
+        return out
+
 
 class MinHashLSHDeduplicator(AlgoOperator):
     """Near-dup detection: shingle → minhash → band → bucket-join.

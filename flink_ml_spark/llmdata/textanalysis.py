@@ -238,6 +238,36 @@ class RepetitionScorer(Transformer, HasInputCol):
                 .withColumn("rep_top_word_frac", top_word_frac)
                 .withColumn("rep_top_bigram_frac", top_bi_frac))
 
+    def transform_local(self, pdf):
+        from collections import Counter
+        cols = {"rep_dup_line_frac": [], "rep_dup_line_char_frac": [],
+                "rep_top_word_frac": [], "rep_top_bigram_frac": []}
+        for text in pdf[self.get_("inputCol")]:
+            t = text or ""
+            # Java trim() strips chars <= U+0020 only (not Unicode ws)
+            _jtrim = "".join(chr(c) for c in range(0x21))
+            lines = [l for l in t.split("\n") if l.strip(_jtrim) != ""]
+            n_lines = len(lines)
+            lc = Counter(lines)
+            dup_line_frac = ((n_lines - len(lc)) / n_lines) if n_lines else 0.0
+            line_chars = sum(len(l) for l in lines)
+            dup_chars = sum(len(d) * c for d, c in lc.items() if c > 1)
+            dup_char_frac = (dup_chars / line_chars) if line_chars else 0.0
+            toks = _local_tokens(t)
+            n_tok = len(toks)
+            top_word_frac = (max(Counter(toks).values()) / n_tok) if n_tok else 0.0
+            bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            m = len(bigrams)
+            top_bi_frac = (max(Counter(bigrams).values()) / m) if m else 0.0
+            cols["rep_dup_line_frac"].append(dup_line_frac)
+            cols["rep_dup_line_char_frac"].append(dup_char_frac)
+            cols["rep_top_word_frac"].append(top_word_frac)
+            cols["rep_top_bigram_frac"].append(top_bi_frac)
+        out = pdf.copy()
+        for k, v in cols.items():
+            out[k] = v
+        return out
+
 
 # redaction patterns: ordered, RE2-safe (work identically under Java regex
 # and RE2-style engines — no lookaround, no backreferences)

@@ -176,3 +176,17 @@ def test_vector_indexer(spark):
     got = {r["id"]: r["o"] for r in model.transform(df)[0].collect()}
     # dim0 categorical {0,1,2} → reindex; dim1 has 4 distinct > 3 → passthrough
     assert got[1] == [0.0, 10.5] and got[4] == [2.0, 40.5]
+
+
+def test_idf_counts_null_vector_docs(spark):
+    """IDF's single-pass fit must count rows with NULL tf vectors in
+    n_docs (df.count() semantics): idf = ln((n_docs+1)/(dfreq+1))."""
+    import math
+
+    from flink_ml_spark.feature import IDF
+    rows = [([1.0, 0.0],), ([1.0, 2.0],), (None,), (None,)]
+    df = spark.createDataFrame(rows, "tf array<double>")
+    m = IDF(inputCol="tf", outputCol="o").fit(df)
+    assert m.model_data["numDocs"] == 4
+    # term 0 appears in 2 docs of 4
+    assert m.model_data["idf"][0] == pytest.approx(math.log(5 / 3))

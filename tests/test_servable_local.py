@@ -321,3 +321,19 @@ def test_sampling_quantizer_local_parity(spark):
                          "emb": [list(r[1]) for r in erows]})
     q = EmbeddingQuantizer(inputCol="emb", outputCol="o")
     assert_parity(q, esdf, epdf, ["o"])
+
+
+def test_repetition_minhash_local_parity(spark):
+    from flink_ml_spark.llmdata import MinHashSignature, RepetitionScorer
+    rows = [("a b a b a\nx\nx\ny",), ("unique words only here",), ("",)]
+    sdf = spark.createDataFrame(rows, "text string")
+    pdf = pd.DataFrame({"text": [r[0] for r in rows]})
+    assert_parity(RepetitionScorer(inputCol="text"), sdf, pdf,
+                  ["rep_dup_line_frac", "rep_dup_line_char_frac",
+                   "rep_top_word_frac", "rep_top_bigram_frac"])
+
+    trows = [(["a", "b", "c"],), (["a"],), ([],)]
+    tsdf = spark.createDataFrame(trows, "toks array<string>")
+    tpdf = pd.DataFrame({"toks": [list(r[0]) for r in trows]})
+    assert_parity(MinHashSignature(inputCol="toks", outputCol="sig",
+                                   numHashes=8), tsdf, tpdf, ["sig"])
