@@ -129,6 +129,28 @@ class MediaFeatureExtractor(Transformer):
 
         return df.mapInPandas(extract, out_schema)
 
+    def transform_local(self, pdf):
+        pcol, ocol = self.get_("payloadCol"), self.get_("outputCol")
+        dim = self.get_("featureDim")
+        use_real = self.get_("kernel") == "auto"
+
+        def feat_of(p) -> np.ndarray:
+            if p is None:
+                return np.zeros(dim)
+            if use_real:
+                from .codecs import decode_bmp, decode_wav
+                img = decode_bmp(p)
+                if img is not None:
+                    return _image_stats_features(img, dim)
+                wav = decode_wav(p)
+                if wav is not None:
+                    return _audio_stats_features(*wav, dim)
+            return _fake_decode(p, dim)
+
+        out = pdf.copy()
+        out[ocol] = [list(map(float, feat_of(p))) for p in pdf[pcol]]
+        return out
+
 
 class ImageResizer(Transformer):
     """Byte-in/byte-out image resize.
@@ -169,6 +191,23 @@ class ImageResizer(Transformer):
         return (df.withColumn("width", F.lit(w).cast("int"))
                 .withColumn("height", F.lit(h).cast("int")))
 
+    def transform_local(self, pdf):
+        w, h = self.get_("targetWidth"), self.get_("targetHeight")
+        out = pdf.copy()
+        if self.get_("mode") == "decode":
+            from .codecs import decode_bmp, encode_bmp, resize_nearest
+            pcol = self.get_("payloadCol")
+            payloads = []
+            for p in pdf[pcol]:
+                img = decode_bmp(p)
+                payloads.append(encode_bmp(resize_nearest(img, w, h))
+                                if img is not None else None)
+            out[pcol] = payloads
+        if "width" in out.columns or self.get_("mode") != "decode":
+            out["width"] = np.int32(w)
+            out["height"] = np.int32(h)
+        return out
+
 
 class VideoFrameSampler(Transformer):
     """Frame sampling plan: emits (media_id, frame_idx, ts_ms) rows for
@@ -187,3 +226,14 @@ class VideoFrameSampler(Transformer):
                             (F.col("frame_idx") * F.col("duration_ms") / n)
                             .cast("int"))
                 .select("media_id", "frame_idx", "ts_ms"))
+
+    def transform_local(self, pdf):
+        n = self.get_("numFrames")
+        rows = []
+        for _, r in pdf.iterrows():
+            if r["media_type"] != "video":
+                continue
+            for i in range(n):
+                rows.append({"media_id": r["media_id"], "frame_idx": i,
+                             "ts_ms": int(i * r["duration_ms"] / n)})
+        return pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms"])

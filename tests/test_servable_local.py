@@ -337,3 +337,29 @@ def test_repetition_minhash_local_parity(spark):
     tpdf = pd.DataFrame({"toks": [list(r[0]) for r in trows]})
     assert_parity(MinHashSignature(inputCol="toks", outputCol="sig",
                                    numHashes=8), tsdf, tpdf, ["sig"])
+
+
+def test_media_stages_local_parity(spark):
+    from flink_ml_spark.llmdata import (MediaFeatureExtractor,
+                                        VideoFrameSampler)
+    from flink_ml_spark.llmdata.codecs import encode_bmp, encode_wav
+    img = encode_bmp(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    wav = encode_wav(8000, (np.linspace(-1, 1, 64) * 32767).astype(np.int16))
+    rows = [(1, "image", img, 0.0), (2, "audio", wav, 0.0),
+            (3, "video", b"\x00fake", 4000.0)]
+    sdf = spark.createDataFrame(rows,
+                                "media_id long, media_type string, "
+                                "payload binary, duration_ms double")
+    pdf = pd.DataFrame({"media_id": [r[0] for r in rows],
+                        "media_type": [r[1] for r in rows],
+                        "payload": [r[2] for r in rows],
+                        "duration_ms": [r[3] for r in rows]})
+    for kernel in ("hash", "auto"):
+        fe = MediaFeatureExtractor(payloadCol="payload", outputCol="f",
+                                   featureDim=8, kernel=kernel)
+        assert_parity(fe, sdf, pdf, ["f"])
+    vs = VideoFrameSampler(numFrames=4)
+    sp = sorted(tuple(r) for r in vs.transform(sdf)[0].collect())
+    lo = sorted(zip(*(vs.transform_local(pdf)[c]
+                      for c in ("media_id", "frame_idx", "ts_ms"))))
+    assert sp == lo
