@@ -173,42 +173,32 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
         F.col(label_col).cast("double").alias("__y__"),
         w_col.alias("__w__"))
     par = sc.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    n = base.count()  # ONE scan: gate + num_batches + cache materialization
+    # gate on a PRUNED source count first (no featurization executes):
+    # the local path then needs exactly ONE pass through the feature
+    # pipeline (toPandas), with no persist/count plans to compile — the
+    # old persist-then-gate shape cost ~2 extra codegen compiles per fit
+    n = df.count()
     if dim is None:
         if init_w is not None:
             dim = len(init_w)
         elif n == 0:
             dim = 0
-        else:  # one cached row — no job through the source pipeline
+        else:  # single-partition probe
             dim = len(base.select("__f__").first()[0])
     num_batches = (1 if global_batch_size >= n
                    else max(1, int(np.ceil(n / global_batch_size))))
-    # batch ids derive from the CACHED layout, so they are stable across
-    # every round's job
-    prepared = base.withColumn(
-        "__batch__", F.pmod(F.monotonically_increasing_id(),
-                            F.lit(num_batches)).cast("double"))
-    # size the per-round jobs to the data, not the core count: each round
-    # is a dim+2-sum aggregate whose compute is trivial next to task
-    # scheduling, so target ~16 MB of cache per task (capped at the core
-    # count for big inputs — at 100 TB this resolves to `par`).  coalesce
-    # is narrow: tasks read the already-cached blocks, no shuffle, and the
-    # row→batch mapping above is untouched.
-    target = max(1, min(par, int(n * (dim + 3) * 8 // (16 << 20)) + 1))
-    if prepared.rdd.getNumPartitions() > 2 * target:
-        prepared = prepared.coalesce(target)
+    local = n * (dim + 3) <= LOCAL_SOLVE_MAX_VALUES
 
     w = np.zeros(dim) if init_w is None else np.asarray(init_w, dtype=float).copy()
     losses: list[float] = []
     prev_loss = None
+    base_live = False
 
-    local = n * (dim + 3) <= LOCAL_SOLVE_MAX_VALUES
     if local:
+        prepared = base.withColumn(
+            "__batch__", F.pmod(F.monotonically_increasing_id(),
+                                F.lit(num_batches)).cast("double"))
         pdf = prepared.toPandas()
-        base.unpersist()
         if not len(pdf):
             return w, losses
         X = np.stack(pdf["__f__"].to_numpy())
@@ -216,11 +206,29 @@ def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None
         wgt = pdf["__w__"].to_numpy(dtype=float)
         bcol = pdf["__batch__"].to_numpy(dtype=float)
     else:
+        if base.rdd.getNumPartitions() < par:
+            base = base.repartition(par)
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base.count()  # materialize the cache
+        base_live = True
+        # batch ids derive from the CACHED layout, so they are stable
+        # across every round's job
+        prepared = base.withColumn(
+            "__batch__", F.pmod(F.monotonically_increasing_id(),
+                                F.lit(num_batches)).cast("double"))
+        # size the per-round jobs to the data, not the core count: each
+        # round is a dim+2-sum aggregate whose compute is trivial next to
+        # task scheduling, so target ~16 MB of cache per task (capped at
+        # the core count for big inputs — at 100 TB this resolves to
+        # `par`).  coalesce is narrow: tasks read the already-cached
+        # blocks, no shuffle, and the row→batch mapping is untouched.
+        target = max(1, min(par, int(n * (dim + 3) * 8 // (16 << 20)) + 1))
+        if prepared.rdd.getNumPartitions() > 2 * target:
+            prepared = prepared.coalesce(target)
         _aqe = _NoAQE(df.sparkSession)
         _aqe.__enter__()
     slices: dict[int, DataFrame] = {}
     revisits = num_batches > 1 and max_iter > num_batches
-    base_live = True
 
     def get_batch(bid: int) -> DataFrame:
         if num_batches == 1:
