@@ -53,21 +53,27 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         #   64 KB method limit): per-round Arrow partials — one numpy gemm
         #   per partition, k*(dim+1) doubles out.
         par = sc.defaultParallelism
-        if data.rdd.getNumPartitions() < par:
-            data = data.repartition(par)
-        cached = data.persist(StorageLevel.MEMORY_AND_DISK)
-        n = cached.count()  # ONE scan: gate + cache materialization
+        # gate on a PRUNED source count first (no featurization executes);
+        # the local path then collects in ONE pass with no persist plans
+        # to compile (same restructure as sgd())
+        n = df.count()
         first = df.select(fcol).first()
         dim = len(first[0]) if first is not None else 0
         from ..common.optimizer import LOCAL_SOLVE_MAX_VALUES
         local = n * dim <= LOCAL_SOLVE_MAX_VALUES
         X_all = None
+        cached = None
         if local:
-            X_all = np.stack(cached.toPandas()["__f__"].to_numpy())
-            cached.unpersist()
-            centers = self._init_centers(cached, k, X_all)
+            pdf = data.toPandas()
+            X_all = (np.stack(pdf["__f__"].to_numpy()) if len(pdf)
+                     else np.zeros((0, dim)))
+            centers = self._init_centers(data, k, X_all)
             prepared = None
         else:
+            if data.rdd.getNumPartitions() < par:
+                data = data.repartition(par)
+            cached = data.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.count()  # materialize the cache
             prepared = cached
             centers = self._init_centers(prepared, k, None)
         dim = centers.shape[1]
