@@ -6,7 +6,8 @@ from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         EmbeddingQuantizer, IVFIndex, IVFIndexModel,
-                        RandomHyperplaneLSH, RandomHyperplaneLSHModel)
+                        RandomHyperplaneLSH, RandomHyperplaneLSHModel,
+                        SemanticDeduplicator)
 from .sampling import DocumentChunker, DomainMixtureSampler, SequencePacker
 from .textanalysis import (Bm25Scorer, Bm25ScorerModel,
                            DocumentFingerprinter, LanguageIdentifier,

@@ -128,8 +128,19 @@ class IVFIndexModel(Model):
         return df.withColumn(self.get_("cellCol"), cid)
 
     def search(self, queries: DataFrame, corpus_indexed: DataFrame,
-               query_id: str, corpus_id: str, k: int) -> DataFrame:
-        """ANN search: probe nprobe nearest cells per query, rank within."""
+               query_id: str, corpus_id: str, k: int,
+               codes_col: str | None = None, rerank: int = 0) -> DataFrame:
+        """ANN search: probe nprobe nearest cells per query, rank within.
+
+        ``codes_col`` switches to the IVF-PQ-style scale path: the corpus
+        side of the probe join carries only ``EmbeddingQuantizer`` int8
+        codes (¼ the bytes of float32, ⅛ of double — at 100 TB the probe
+        shuffle drops proportionally) and candidates are ranked on the
+        lazily-dequantized codes.  ``rerank > 0`` additionally re-scores
+        the top-``rerank`` quantized candidates per query against the
+        TRUE vectors (joined back by id, so full-precision floats never
+        ride the wide candidate join) — the classic coarse-rank /
+        exact-rerank ANN shape."""
         from ..common.distance import distance_np
         centers = np.array(self.model_data["centroids"])
         vc, cc = self.get_("vecCol"), self.get_("cellCol")
@@ -147,12 +158,39 @@ class IVFIndexModel(Model):
         probes = F.slice(F.array_sort(pairs), 1, nprobe)
         q = queries.select(F.col(query_id), v.alias("qv"),
                            F.explode(F.transform(probes, lambda p: p["i"])).alias(cc))
-        c = corpus_indexed.select(F.col(corpus_id), F.col(cc),
-                                  F.col(vc).cast("array<double>").alias("cv"))
-        joined = c.join(F.broadcast(q), cc)
-        cos = V.dot("qv", "cv") / (V.p_norm("qv", 2.0) * V.p_norm("cv", 2.0))
         from ..common.dataflow import top_k_per_key
-        return (top_k_per_key(joined.withColumn("cosine", cos), [query_id],
+        if codes_col is None:
+            c = corpus_indexed.select(F.col(corpus_id), F.col(cc),
+                                      F.col(vc).cast("array<double>").alias("cv"))
+            joined = c.join(F.broadcast(q), cc)
+            cos = V.dot("qv", "cv") / (V.p_norm("qv", 2.0) * V.p_norm("cv", 2.0))
+            return (top_k_per_key(joined.withColumn("cosine", cos), [query_id],
+                                  [F.desc("cosine"), F.asc(corpus_id)], k,
+                                  salt_cols=[corpus_id], rank_col="rank")
+                    .select(query_id, corpus_id, "cosine", "rank"))
+        # quantized probe: candidates ranked on dequantized int8 codes
+        c = corpus_indexed.select(F.col(corpus_id), F.col(cc),
+                                  F.col(codes_col).alias("__q__"))
+        dv = EmbeddingQuantizer.dequantize(F.col("__q__"))
+        cos_q = V.dot("qv", dv) / (V.p_norm("qv", 2.0) * V.p_norm(dv, 2.0))
+        scored = c.join(F.broadcast(q), cc).withColumn("cosine_q", cos_q)
+        if rerank <= 0:
+            return (top_k_per_key(scored, [query_id],
+                                  [F.desc("cosine_q"), F.asc(corpus_id)], k,
+                                  salt_cols=[corpus_id], rank_col="rank")
+                    .select(query_id, corpus_id, "cosine_q", "rank"))
+        cands = top_k_per_key(scored, [query_id],
+                              [F.desc("cosine_q"), F.asc(corpus_id)], rerank,
+                              salt_cols=[corpus_id], rank_col="__crank__") \
+            .select(query_id, corpus_id)
+        # exact rerank: true vectors join the SMALL candidate set by id
+        exact = (cands
+                 .join(queries.select(F.col(query_id), v.alias("qv")), query_id)
+                 .join(corpus_indexed.select(
+                     F.col(corpus_id),
+                     F.col(vc).cast("array<double>").alias("cv")), corpus_id))
+        cos = V.dot("qv", "cv") / (V.p_norm("qv", 2.0) * V.p_norm("cv", 2.0))
+        return (top_k_per_key(exact.withColumn("cosine", cos), [query_id],
                               [F.desc("cosine"), F.asc(corpus_id)], k,
                               salt_cols=[corpus_id], rank_col="rank")
                 .select(query_id, corpus_id, "cosine", "rank"))
@@ -220,6 +258,52 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
                  .join(v.select(F.col("id").alias("id_b"),
                                 F.col("v").alias("vb")), "id_b"))
         return [self._cosine_pairs(pairs)]
+
+
+class SemanticDeduplicator(AlgoOperator, HasSeed, HasDistanceMeasure):
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540 — public): KMeans the embedding space into
+    ``numClusters`` cells (via :class:`IVFIndex`'s deterministic coarse
+    quantizer), then emit near-duplicate pairs (cosine ≥ ``threshold``)
+    WITHIN each cell only.  The cluster pass turns O(n²) all-pairs into
+    Σ|cell|² with the candidate self-join keyed on the learned cell id —
+    ids-only through the join, vectors re-joined by id afterward, the
+    same scale discipline as the hyperplane-LSH path but with
+    data-adaptive buckets (hyperplanes cut space uniformly; KMeans cells
+    follow the corpus density, so boilerplate-dense regions land in
+    dedicated cells instead of flooding one random bucket)."""
+
+    idCol = StringParam("idCol", "Id column.", "id")
+    vecCol = StringParam("vecCol", "Embedding column.", "embedding")
+    threshold = FloatParam("threshold", "Cosine threshold.", 0.95)
+    numClusters = IntParam("numClusters", "KMeans cells.", 8,
+                           ParamValidators.gt(1))
+    maxIter = IntParam("maxIter", "KMeans iterations.", 3,
+                       ParamValidators.gt(0))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        idc = self.get_("idCol")
+        v = df.select(F.col(idc).alias("id"),
+                      F.col(self.get_("vecCol")).cast("array<double>").alias("v"))
+        idx = IVFIndex(vecCol="v", cellCol="cell",
+                       nlist=self.get_("numClusters"),
+                       maxIter=self.get_("maxIter"),
+                       distanceMeasure=self.get_("distanceMeasure"),
+                       seed=self.get_("seed")).fit(v)
+        cells = idx.transform(v)[0].select("id", "cell")
+        a = cells.select(F.col("id").alias("id_a"), "cell")
+        b = cells.select(F.col("id").alias("id_b"), "cell")
+        cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+        pairs = (cand
+                 .join(v.select(F.col("id").alias("id_a"),
+                                F.col("v").alias("va")), "id_a")
+                 .join(v.select(F.col("id").alias("id_b"),
+                                F.col("v").alias("vb")), "id_b"))
+        cos = V.dot("va", "vb") / (V.p_norm("va", 2.0) * V.p_norm("vb", 2.0))
+        return [pairs.withColumn("cosine", cos)
+                .filter(F.col("cosine") >= self.get_("threshold"))
+                .select("id_a", "id_b", "cell", "cosine")]
 
 
 class EmbeddingQuantizer(Transformer, HasInputCol, HasOutputCol):

@@ -693,14 +693,15 @@ def ann_ivf(spark, sf_dir):
                       "rank")
 
 
-def _ann_ivf_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
-                 nprobe: int = 2, k: int = 5) -> str:
-    """DuckDB replay of the IVF pipeline: the coarse quantizer's
-    deterministic KMeans (first_distinct init = lexicographically smallest
-    distinct vectors, per-iteration argmin assignment with lowest-cid
-    ties, mean update keeping empty cells), then probe the nprobe nearest
-    cells per query and rank candidates by cosine (ties -> lowest
-    corpus_id) — mirroring IVFIndexModel.search."""
+def _ivf_cells_parts(nlist: int = 8, iters: int = 3,
+                     dim: int = 64) -> tuple[list[str], str]:
+    """Shared DuckDB replay of IVFIndex's coarse quantizer: deterministic
+    KMeans (first_distinct init = lexicographically smallest distinct
+    vectors, per-iteration argmin assignment with lowest-cid ties, mean
+    update keeping empty cells), ending with a ``cells`` CTE =
+    (corpus_id, v, cell) assigned against the FITTED model.  Returns the
+    CTE parts plus the squared-distance expression (aliases ``p``/``c``)
+    callers reuse for probe CTEs."""
     d2 = (f"list_aggregate(list_transform(range(1, {dim + 1}), "
           f"i -> (p.v[i] - c.m[i]) * (p.v[i] - c.m[i])), 'sum')")
     parts = [
@@ -722,19 +723,24 @@ def _ann_ivf_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
             f"SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos "
             f"FROM a{it}) GROUP BY cid, pos) GROUP BY cid) s "
             f"ON s.cid = c.cid)")
-    dot = (f"list_aggregate(list_transform(range(1, {dim + 1}), "
-           f"i -> q.v[i] * t.v[i]), 'sum')")
-    nrm = ("sqrt(list_aggregate(list_transform(range(1, {d}), "
-           "i -> {x}.v[i] * {x}.v[i]), 'sum'))")
     parts.append(
-        f"cells AS MATERIALIZED (SELECT vec_id AS corpus_id, v, cid AS cell "
-        f"FROM a{iters} a WHERE TRUE)")
-    # corpus cells come from assignment against the FITTED model c{iters}
-    parts[-1] = (
         f"cells AS MATERIALIZED (SELECT vec_id AS corpus_id, p.v, cid AS "
         f"cell FROM (SELECT p.vec_id, p.v, c.cid, row_number() OVER ("
         f"PARTITION BY p.vec_id ORDER BY {d2}, c.cid) AS rn "
         f"FROM pts p CROSS JOIN c{iters} c) p WHERE rn = 1)")
+    return parts, d2
+
+
+def _ann_ivf_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
+                 nprobe: int = 2, k: int = 5) -> str:
+    """DuckDB replay of the IVF pipeline (see _ivf_cells_parts), then
+    probe the nprobe nearest cells per query and rank candidates by
+    cosine (ties -> lowest corpus_id) — mirroring IVFIndexModel.search."""
+    parts, d2 = _ivf_cells_parts(nlist, iters, dim)
+    nrm = ("sqrt(list_aggregate(list_transform(range(1, {d}), "
+           "i -> {x}.v[i] * {x}.v[i]), 'sum'))")
+    dot = (f"list_aggregate(list_transform(range(1, {dim + 1}), "
+           f"i -> q.v[i] * t.v[i]), 'sum')")
     parts.append(
         f"probes AS MATERIALIZED (SELECT vec_id AS query_id, p.v, cid AS "
         f"cell FROM (SELECT p.vec_id, p.v, c.cid, row_number() OVER ("
@@ -754,6 +760,109 @@ def _ann_ivf_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
 
 
 ANN_IVF_SQL = _ann_ivf_sql()
+
+ANN_PQ_RERANK = 20
+
+
+def ann_ivf_pq(spark, sf_dir):
+    """IVF + int8-quantized probe + exact rerank — the 100 TB ANN shape:
+    the wide probe join shuffles only ``EmbeddingQuantizer`` codes (¼ of
+    float32 bytes), full-precision vectors touch only the rerank-sized
+    candidate set."""
+    from ..llmdata import EmbeddingQuantizer, IVFIndex
+    emb = load(spark, sf_dir, "embeddings")
+    idx = IVFIndex(vecCol="embedding", nlist=8, maxIter=3).fit(emb)
+    corpus = idx.transform(emb.select(F.col("vec_id").alias("corpus_id"),
+                                      "embedding"))[0]
+    corpus = EmbeddingQuantizer(inputCol="embedding", outputCol="qcodes",
+                                bits=8)._transform(corpus) \
+        .select("corpus_id", "cell", "embedding", "qcodes")
+    queries = emb.filter(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = idx.search(queries, corpus, "query_id", "corpus_id", k=ANN_K,
+                     codes_col="qcodes", rerank=ANN_PQ_RERANK)
+    return out.select("query_id", "corpus_id",
+                      q4(F.col("cosine")).alias("cosine"), "rank")
+
+
+def _ann_ivf_pq_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
+                    nprobe: int = 2, k: int = 5,
+                    rerank: int = ANN_PQ_RERANK, qmax: int = 127) -> str:
+    """IVF cells as in _ann_ivf_sql, then: symmetric int8 quantization of
+    the corpus (scale = max|x|/qmax, codes = round(x/scale)), coarse rank
+    on dequantized codes within probed cells, exact-cosine rerank of the
+    top-``rerank`` candidates — mirroring IVFIndexModel.search(codes_col,
+    rerank)."""
+    parts, d2 = _ivf_cells_parts(nlist, iters, dim)
+    cos = ("list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
+           " * sqrt(list_inner_product({b}, {b})))")
+    parts.append(
+        f"qc AS MATERIALIZED (SELECT corpus_id, cell, "
+        f"list_transform(codes, c -> c * scale) AS dv FROM ("
+        f"SELECT corpus_id, cell, CASE WHEN scale > 0 THEN "
+        f"list_transform(v, x -> CAST(ROUND(x / scale) AS TINYINT)) "
+        f"ELSE list_transform(v, x -> CAST(0 AS TINYINT)) END AS codes, "
+        f"scale FROM (SELECT corpus_id, cell, v, "
+        f"list_max(list_transform(v, x -> abs(x))) / {qmax} AS scale "
+        f"FROM cells)))")
+    parts.append(
+        f"probes AS MATERIALIZED (SELECT vec_id AS query_id, p.v, cid AS "
+        f"cell FROM (SELECT p.vec_id, p.v, c.cid, row_number() OVER ("
+        f"PARTITION BY p.vec_id ORDER BY {d2}, c.cid) AS rn "
+        f"FROM pts p CROSS JOIN c{iters} c WHERE p.vec_id % 100 = 0) p "
+        f"WHERE rn <= {nprobe})")
+    parts.append(
+        "coarse AS (SELECT query_id, corpus_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY "
+        + cos.format(a="q.v", b="t.dv") + " DESC, corpus_id) AS crank "
+        "FROM probes q JOIN qc t ON q.cell = t.cell)")
+    parts.append(
+        f"exact AS (SELECT c.query_id, c.corpus_id, "
+        + cos.format(a="q.v", b="t.v") + f" AS cosine "
+        f"FROM (SELECT query_id, corpus_id FROM coarse WHERE crank <= "
+        f"{rerank}) c JOIN pts q ON c.query_id = q.vec_id "
+        f"JOIN pts t ON c.corpus_id = t.vec_id)")
+    return (", ".join(parts)
+            + f" SELECT query_id, corpus_id, "
+              f"CAST(ROUND(cosine * 10000) AS BIGINT) AS cosine, rank FROM ("
+              f"SELECT query_id, corpus_id, cosine, row_number() OVER ("
+              f"PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS "
+              f"rank FROM exact) WHERE rank <= {k}")
+
+
+ANN_IVF_PQ_SQL = _ann_ivf_pq_sql()
+
+SEMANTIC_DEDUP_THRESHOLD = 0.3
+
+
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup-style near-dup pairs within learned KMeans cells."""
+    from ..llmdata import SemanticDeduplicator
+    emb = load(spark, sf_dir, "embeddings")
+    d = SemanticDeduplicator(idCol="vec_id", vecCol="embedding",
+                             threshold=SEMANTIC_DEDUP_THRESHOLD,
+                             numClusters=8, maxIter=3)
+    out = d.transform(emb)[0]
+    return out.select("id_a", "id_b", F.col("cell").cast("long").alias("cell"),
+                      q4(F.col("cosine")).alias("cosine"))
+
+
+def _semantic_dedup_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
+                        threshold: float = SEMANTIC_DEDUP_THRESHOLD) -> str:
+    parts, _ = _ivf_cells_parts(nlist, iters, dim)
+    parts.append(
+        "pairs AS (SELECT a.corpus_id AS id_a, b.corpus_id AS id_b, "
+        "a.cell AS cell, list_inner_product(a.v, b.v) / ("
+        "sqrt(list_inner_product(a.v, a.v)) * "
+        "sqrt(list_inner_product(b.v, b.v))) AS c "
+        "FROM cells a JOIN cells b "
+        "ON a.cell = b.cell AND a.corpus_id < b.corpus_id)")
+    return (", ".join(parts)
+            + f" SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, "
+              f"{SQL_Q4.format('c')} AS cosine FROM pairs WHERE c >= {threshold}")
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
 # --- Multimodal plumbing (stub decode; deterministic sha256 features) -------
@@ -1103,6 +1212,8 @@ QUERIES = {
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
     "decontamination": (decontamination, DECONTAMINATION_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
+    "ann_ivf_pq": (ann_ivf_pq, ANN_IVF_PQ_SQL),
+    "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
     "media_pipeline": (media_pipeline, MEDIA_PIPELINE_SQL),
     "media_codec_pipeline": (media_codec_pipeline, MEDIA_CODEC_SQL),
     "minhash_signature": (minhash_signature, MINHASH_SQL),

@@ -67,6 +67,7 @@ REFERENCE_STAGES = {
     "EmbeddingCosineDeduplicator": "llmdata",
     "BruteForceKNNJoin": "llmdata", "IVFIndex": "llmdata",
     "IVFIndexModel": "llmdata", "RandomHyperplaneLSH": "llmdata",
+    "SemanticDeduplicator": "llmdata",
     "LanguageIdentifier": "llmdata", "TextQualityScorer": "llmdata",
     "TokenCounter": "llmdata", "DocumentFingerprinter": "llmdata",
     "MediaFeatureExtractor": "llmdata", "ImageResizer": "llmdata",

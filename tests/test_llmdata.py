@@ -400,3 +400,61 @@ def test_decontaminator(spark):
     assert got_clean == {1, 3}
     # clean + contaminated partition the input
     assert got_clean | got_dirty == {0, 1, 2, 3}
+
+
+def test_semantic_dedup_pairs_subset_of_exact(spark):
+    df = _emb_df(spark)
+    from flink_ml_spark.llmdata import SemanticDeduplicator
+    sem = SemanticDeduplicator(idCol="id", vecCol="embedding", seed=3,
+                               threshold=0.999, numClusters=4, maxIter=2)
+    got = {(r["id_a"], r["id_b"]) for r in sem.transform(df)[0].collect()}
+    exact = EmbeddingCosineDeduplicator(idCol="id", vecCol="embedding") \
+        .set_(threshold=0.999, exact=1)
+    want = {(r["id_a"], r["id_b"]) for r in exact.transform(df)[0].collect()}
+    # within-cell pairs are a subset of all-pairs; the perturbation-level
+    # near-dups are cosine≈1 so both halves land in the same KMeans cell
+    assert got <= want
+    assert len(got) >= 0.9 * len(want) > 0
+
+
+def test_ivf_quantized_rerank_matches_bruteforce(spark):
+    df = _emb_df(spark, n=40, dim=8, seed=5)
+    from flink_ml_spark.llmdata import (BruteForceKNNJoin, EmbeddingQuantizer,
+                                        IVFIndex)
+    idx = IVFIndex(vecCol="embedding", nlist=4, maxIter=2).fit(df)
+    idx.set_(nprobe=4)  # probe every cell -> candidate set = whole corpus
+    corpus = idx.transform(df.select(F.col("id").alias("corpus_id"),
+                                     "embedding"))[0]
+    corpus = EmbeddingQuantizer(inputCol="embedding", outputCol="qc") \
+        ._transform(corpus)
+    queries = df.filter(F.col("id") % 10 == 0) \
+        .select(F.col("id").alias("query_id"), "embedding")
+    got = idx.search(queries, corpus, "query_id", "corpus_id", k=3,
+                     codes_col="qc", rerank=40).collect()
+    bf = BruteForceKNNJoin(queryIdCol="query_id", corpusIdCol="corpus_id",
+                           vecCol="embedding", k=3) \
+        .transform(queries, df.select(F.col("id").alias("corpus_id"),
+                                      "embedding"))[0].collect()
+    # full-probe + full-rerank degenerates to exact search: same neighbors,
+    # same exact cosines (rerank scores on TRUE vectors, not codes)
+    key = lambda rows: {(r["query_id"], r["rank"]): (r["corpus_id"],
+                                                     round(r["cosine"], 9))
+                        for r in rows}
+    assert key(got) == key(bf)
+
+
+def test_ivf_quantized_probe_join_carries_codes_only(spark):
+    df = _emb_df(spark, n=40, dim=8, seed=6)
+    from flink_ml_spark.llmdata import EmbeddingQuantizer, IVFIndex
+    idx = IVFIndex(vecCol="embedding", nlist=4, maxIter=2).fit(df)
+    corpus = EmbeddingQuantizer(inputCol="embedding", outputCol="qc") \
+        ._transform(idx.transform(df.select(F.col("id").alias("corpus_id"),
+                                            "embedding"))[0])
+    queries = df.limit(4).select(F.col("id").alias("query_id"), "embedding")
+    out = idx.search(queries, corpus, "query_id", "corpus_id", k=3,
+                     codes_col="qc", rerank=10)
+    # the wide coarse join must not materialize the corpus float vectors --
+    # only int8 codes ride it; floats enter only via the id-keyed rerank join
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "cosine_q" in plan
+    assert out.count() > 0
