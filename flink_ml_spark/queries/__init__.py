@@ -93,8 +93,9 @@ def all_queries():
         "graph_dag", "tfidf", "count_vectorizer", "binary_evaluator",
         "exact_dedup", "llm_prep_pipeline", "llm_prep_pipeline_v2",
         "minhash_dedup", "decontamination",
-        # new in round 3: IVF+PQ rerank search, SemDeDup-style dedup
-        "ann_ivf_pq", "semantic_dedup",
+        # new in round 3: IVF+PQ rerank search, SemDeDup-style dedup,
+        # applyInPandasWithState sessionization
+        "ann_ivf_pq", "semantic_dedup", "stateful_sessions",
         # rest of the queries whose latest driver evidence is round 1
         # (the r02 cap pushed them out)
         "vector_indexer", "univariate_feature_selector", "random_splitter",

@@ -312,9 +312,70 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def stateful_sessions(spark, sf_dir):
+    """TRUE Structured-Streaming sessionization: the events table replayed
+    through readStream in two micro-batches into
+    ``StatefulSessionizer`` (applyInPandasWithState, per-key GroupState,
+    event-time timeout).  Batch 2 appends one far-future sentinel event
+    per user, so every real session closes via the gap logic and emits
+    deterministically; sentinel sessions stay open in state and are
+    never emitted.  Output = closed sessions, identical semantics (and
+    oracle) to the batch ``session_windows`` query."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import StatefulSessionizer
+    events = load_events(spark, sf_dir)
+    data = events.select("user_id", "ts_ms", "value", "ts_t")
+    sentinel_base = data.agg(F.max("ts_ms")).first()[0] + 100 * 600_000
+    sentinels = (data.select("user_id").distinct()
+                 .select("user_id", F.lit(sentinel_base).alias("ts_ms"),
+                         F.lit(0.0).alias("value"))
+                 .withColumn("ts_t", F.timestamp_millis(F.col("ts_ms"))))
+    tmp = tempfile.mkdtemp(prefix="stateful_sessions_")
+    view = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
+    q = None
+    try:
+        os.mkdir(os.path.join(tmp, "in"))
+        # two files -> two micro-batches (maxFilesPerTrigger=1); mtimes
+        # force the replay order data-then-sentinel
+        data.coalesce(1).write.parquet(os.path.join(tmp, "b0"))
+        sentinels.coalesce(1).write.parquet(os.path.join(tmp, "b1"))
+        for i, d in enumerate(("b0", "b1")):
+            src = [f for f in os.listdir(os.path.join(tmp, d))
+                   if f.endswith(".parquet")][0]
+            dst = os.path.join(tmp, "in", f"batch{i}.parquet")
+            shutil.copy(os.path.join(tmp, d, src), dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (spark.readStream.schema(data.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(tmp, "in")))
+        sessions = StatefulSessionizer(key_col="user_id", ts_col="ts_ms",
+                                       value_col="value", gap_ms=600_000,
+                                       watermark_col="ts_t").apply(stream)
+        q = (sessions.writeStream.format("memory").queryName(view)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        # the memory sink holds the rows in-session; safe to drop tmp
+        return (spark.table(view)
+                .filter(F.col("s_start") < sentinel_base)
+                .select("user_id", "s_start", "n_events",
+                        q4(F.col("sum_value")).alias("sum_value")))
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STATEFUL_SESSIONS_SQL = SESSION_WINDOWS_SQL
+
+
 QUERIES = {
     "event_windows": (event_windows, EVENT_WINDOWS_SQL),
     "session_windows": (session_windows, SESSION_WINDOWS_SQL),
+    "stateful_sessions": (stateful_sessions, STATEFUL_SESSIONS_SQL),
     "online_standard_scaler": (online_standard_scaler, ONLINE_SCALER_SQL),
     "online_kmeans": (online_kmeans, ONLINE_KMEANS_SQL),
     "online_scaler_delayed": (online_scaler_delayed, ONLINE_SCALER_DELAYED_SQL),

@@ -1,6 +1,8 @@
 from .online import (OnlineKMeans, OnlineLogisticRegression,
                      OnlineStandardScaler, OnlineStandardScalerModel)
+from .stateful import StatefulSessionizer
 from .windows import Windows
 
 __all__ = ["OnlineStandardScaler", "OnlineStandardScalerModel",
-           "OnlineKMeans", "OnlineLogisticRegression", "Windows"]
+           "OnlineKMeans", "OnlineLogisticRegression",
+           "StatefulSessionizer", "Windows"]

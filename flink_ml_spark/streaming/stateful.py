@@ -1,0 +1,118 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's session windows (flink-ml-core/.../common/window/
+EventTimeSessionWindows.java) fold inside its DataStream runtime; the
+batch mapping in this repo is ``F.session_window`` (streaming/windows.py).
+This module adds the genuinely-streaming shape: a per-key GroupState
+session aggregator with an event-time timeout, the standard Structured
+Streaming sessionization pattern (Spark docs, ``applyInPandasWithState``).
+
+At scale this is the right physical plan for unbounded sessionization:
+state is one fixed-width tuple per LIVE key (not per event), partitioned
+by the grouping key across executors, and the watermark bounds both state
+retention and late-data wait — 100 TB/day of events needs state only
+proportional to concurrently-active keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+
+
+class StatefulSessionizer:
+    """Per-key event-time session aggregation with gap-close semantics
+    matching ``F.session_window`` (a new session starts when an event
+    arrives ``>= gap_ms`` after the previous one; window end is
+    last-event + gap exclusive).
+
+    Sessions closed by an observed gap (within or across micro-batches)
+    emit immediately in ``append`` mode; the trailing open session per
+    key is held in ``GroupState`` with an event-time timeout at
+    (last_event + gap_ms), so it emits once the watermark passes the gap
+    with no further events.  Emitted rows: (key, s_start, s_end,
+    n_events, sum_value) with millisecond-epoch bounds.
+    """
+
+    def __init__(self, key_col: str = "user_id", ts_col: str = "ts_ms",
+                 value_col: str = "value", gap_ms: int = 600_000,
+                 watermark_col: str = "ts_t",
+                 watermark_delay: str = "1 minute"):
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.gap_ms = int(gap_ms)
+        self.watermark_col = watermark_col
+        self.watermark_delay = watermark_delay
+
+    def output_schema(self) -> StructType:
+        return StructType([
+            StructField(self.key_col, LongType()),
+            StructField("s_start", LongType()),
+            StructField("s_end", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ])
+
+    @staticmethod
+    def state_schema() -> StructType:
+        return StructType([
+            StructField("s", LongType()), StructField("e", LongType()),
+            StructField("n", LongType()), StructField("tot", DoubleType()),
+        ])
+
+    def _make_fn(self):
+        # closure factory — capture the params as locals, never via
+        # default args (see verify-skill gotcha on lambda capture)
+        key_col, ts_col, value_col = self.key_col, self.ts_col, self.value_col
+        gap_ms = self.gap_ms
+        cols = [key_col, "s_start", "s_end", "n_events", "sum_value"]
+
+        def fn(key, pdfs, state):
+            import numpy as np
+            import pandas as pd
+            (k,) = key
+            if state.hasTimedOut:
+                s, e, n, tot = state.get
+                state.remove()
+                yield pd.DataFrame([[k, s, e, n, tot]], columns=cols)
+                return
+            parts = [p for p in pdfs if len(p)]
+            out: list[list] = []
+            if state.exists:
+                s, e, n, tot = state.get
+            else:
+                s = e = None
+                n, tot = 0, 0.0
+            if parts:
+                df = pd.concat(parts, ignore_index=True)
+                ts = df[ts_col].to_numpy(dtype="int64")
+                vals = df[value_col].to_numpy(dtype="float64")
+                order = np.argsort(ts, kind="stable")
+                for t, v in zip(ts[order], vals[order]):
+                    t = int(t)
+                    if s is None:
+                        s, e, n, tot = t, t, 1, float(v)
+                    elif t - e >= gap_ms:
+                        out.append([k, s, e, n, tot])
+                        s, e, n, tot = t, t, 1, float(v)
+                    else:
+                        e, n, tot = t, n + 1, tot + float(v)
+            if s is not None:
+                state.update((int(s), int(e), int(n), float(tot)))
+                state.setTimeoutTimestamp(int(e) + gap_ms)
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+        return fn
+
+    def apply(self, stream_df: DataFrame) -> DataFrame:
+        """streaming events -> streaming closed-session rows (append)."""
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        return (stream_df
+                .withWatermark(self.watermark_col, self.watermark_delay)
+                .groupBy(self.key_col)
+                .applyInPandasWithState(
+                    self._make_fn(), self.output_schema(),
+                    self.state_schema(), "append",
+                    GroupStateTimeout.EventTimeTimeout))

@@ -190,3 +190,47 @@ def test_online_scaler_true_stream(spark, tmp_path):
     assert len(scaler._versions) >= 1
     final = scaler._versions[-1]
     assert final["mean"] == pytest.approx([2.5, 25.0])
+
+
+def test_stateful_sessionizer_gap_and_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap closes emit
+    immediately; a key silent past (last_event + gap) relative to the
+    watermark emits via the event-time TIMEOUT path (no sentinel data)."""
+    import pandas as pd
+    import time
+    from flink_ml_spark.streaming import StatefulSessionizer
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    gap = 600_000
+    # batch 0: user 2's session ends at 2_000; user 1 has an in-batch gap
+    # (1_000 → 10_000_000) closing its first session immediately, and its
+    # late event drives the watermark to ~10_000_000 - delay
+    pd.DataFrame({"user_id": [2, 2, 1, 1],
+                  "ts_ms": [1_000, 2_000, 1_000, 10_000_000],
+                  "value": [1.0, 2.0, 5.0, 7.0]}) \
+        .to_parquet(src / "a.parquet")
+    time.sleep(1.1)
+    # batch 1: data only for user 1 — user 2's timeout (2_000 + gap) is far
+    # below the batch-0 watermark, so its open session MUST emit by timeout
+    pd.DataFrame({"user_id": [1], "ts_ms": [20_000_000], "value": [9.0]}) \
+        .to_parquet(src / "b.parquet")
+    stream = (spark.readStream
+              .schema("user_id long, ts_ms long, value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src))
+              .withColumn("ts_t", F.timestamp_millis(F.col("ts_ms"))))
+    s = StatefulSessionizer(key_col="user_id", ts_col="ts_ms",
+                            value_col="value", gap_ms=gap,
+                            watermark_col="ts_t", watermark_delay="1 minute")
+    q = (s.apply(stream).writeStream.format("memory")
+         .queryName("sess_test").outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.s_start, r.s_end, r.n_events, r.sum_value)
+           for r in spark.table("sess_test").collect()}
+    assert (1, 1_000, 1_000, 1, 5.0) in got          # gap-closed in batch 0
+    assert (2, 1_000, 2_000, 2, 3.0) in got          # TIMEOUT-closed in batch 1
+    assert (1, 10_000_000, 10_000_000, 1, 7.0) in got  # gap-closed in batch 1
+    # user 1's trailing session (20_000_000) is still open: not emitted
+    assert len(got) == 3
