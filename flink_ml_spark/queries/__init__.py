@@ -86,26 +86,32 @@ def all_queries():
         "event_windows", "session_windows", "online_standard_scaler",
         "online_scaler_delayed", "online_kmeans",
         "online_logistic_regression", "corpus_stats",
-        # plans/outputs changed this round: graph_dag join key; IDF.fit
-        # single-pass (tfidf/count_vectorizer); evaluator restructure;
-        # ExactDeduplicator sha2 key (exact_dedup + both llm_prep
-        # pipelines); MinHashLSHDeduplicator cap param
-        "graph_dag", "tfidf", "count_vectorizer", "binary_evaluator",
-        "exact_dedup", "llm_prep_pipeline", "llm_prep_pipeline_v2",
-        "minhash_dedup", "decontamination",
         # new in round 3: IVF+PQ rerank search, SemDeDup-style dedup,
         # applyInPandasWithState sessionization
         "ann_ivf_pq", "semantic_dedup", "stateful_sessions",
-        # rest of the queries whose latest driver evidence is round 1
-        # (the r02 cap pushed them out)
+        # distributed plans changed this round, so r02/r01 evidence is
+        # stale for them: graph_dag join key; IDF.fit single-pass
+        # (tfidf/count_vectorizer); evaluator restructure; sgd/KMeans
+        # pruned-count gating + data-sized iteration jobs (all linear
+        # learners, kmeans); dedup localCheckpoint + sha2 key + hot-bucket
+        # cap (whole dedup family); tokenizer array_remove
+        "graph_dag", "tfidf", "count_vectorizer", "binary_evaluator",
+        "exact_dedup", "llm_prep_pipeline", "llm_prep_pipeline_v2",
+        "minhash_dedup", "decontamination", "simhash_dedup",
+        "ngram_jaccard_dedup", "dup_clusters", "dup_spans",
+        "minhash_signature", "logistic_regression", "linear_svc",
+        "linear_regression", "hashingtf_logreg", "kmeans", "knn",
+        "tokenizer", "regex_tokenizer", "stop_words_remover", "hashing_tf",
+        "feature_hasher", "string_indexer", "naive_bayes",
+        # queries whose latest driver evidence is round 1 (unchanged code;
+        # the r02 cap pushed them out) — fill the remaining cap slots
         "vector_indexer", "univariate_feature_selector", "random_splitter",
         "bucketizer", "standard_scaler", "minmax_scaler", "maxabs_scaler",
         "robust_scaler", "normalizer", "elementwise_product", "interaction",
         "vector_slicer", "vector_assembler", "imputer", "imputer_median",
         "kbins_quantile", "one_hot_encoder", "kbins_uniform",
-        "variance_threshold", "sql_transformer", "tokenizer",
-        "regex_tokenizer", "ngram", "stop_words_remover", "hashing_tf",
-        "naive_bayes", "kmeans", "chisq_test", "fvalue_test", "ann_ivf",
+        "variance_threshold", "sql_transformer", "ngram",
+        "chisq_test", "fvalue_test", "ann_ivf",
     ]
     ordered = {k: out[k] for k in prio if k in out}
     ordered.update(out)
