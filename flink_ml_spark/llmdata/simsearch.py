@@ -280,6 +280,15 @@ class SemanticDeduplicator(AlgoOperator, HasSeed, HasDistanceMeasure):
                            ParamValidators.gt(1))
     maxIter = IntParam("maxIter", "KMeans iterations.", 3,
                        ParamValidators.gt(0))
+    maxCellSize = IntParam(
+        "maxCellSize", "Cells with more members than this are EXCLUDED "
+        "from pair generation (None = no cap).  The safety valve against "
+        "a degenerate cell (e.g. a boilerplate/zero-embedding spike) "
+        "turning the within-cell self-join quadratic — same shape as "
+        "maxShingleDocFreq / maxBandDocFreq on the text-dedup paths.  "
+        "Exact duplicates should be collapsed by ExactDeduplicator "
+        "UPSTREAM: identical vectors are inherently all-pairs and no "
+        "bucketing scheme can sub-divide them.", None)
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
@@ -292,6 +301,11 @@ class SemanticDeduplicator(AlgoOperator, HasSeed, HasDistanceMeasure):
                        distanceMeasure=self.get_("distanceMeasure"),
                        seed=self.get_("seed")).fit(v)
         cells = idx.transform(v)[0].select("id", "cell")
+        cap = self.get_("maxCellSize")
+        if cap:
+            sizes = cells.groupBy("cell").agg(F.count("*").alias("__n__"))
+            keep = sizes.filter(F.col("__n__") <= cap).select("cell")
+            cells = cells.join(F.broadcast(keep), "cell")
         a = cells.select(F.col("id").alias("id_a"), "cell")
         b = cells.select(F.col("id").alias("id_b"), "cell")
         cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))

@@ -458,3 +458,20 @@ def test_ivf_quantized_probe_join_carries_codes_only(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "cosine_q" in plan
     assert out.count() > 0
+
+
+def test_semantic_dedup_max_cell_size_cap(spark):
+    from flink_ml_spark.llmdata import SemanticDeduplicator
+    # a degenerate spike: 500 identical vectors (one KMeans cell, 125k
+    # would-be pairs) plus a handful of distinct near-dup pairs elsewhere
+    rows = [(i, [0.0, 0.0, 0.0, 1.0]) for i in range(500)]
+    rows += [(1000, [0.0, 30.0, 0.0, 0.0]), (1001, [0.0, 30.003, 0.0, 0.0]),
+             (1002, [0.0, 31.0, 0.0, 0.0]), (1003, [0.0, 31.001, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    d = SemanticDeduplicator(idCol="id", vecCol="embedding", threshold=0.999,
+                             numClusters=2, maxIter=2, maxCellSize=100)
+    got = {(r["id_a"], r["id_b"]) for r in d.transform(df)[0].collect()}
+    # the spike cell (>100 members) is excluded; the real near-dup pairs
+    # in small cells survive
+    assert (1000, 1001) in got and (1002, 1003) in got
+    assert not any(a < 500 and b < 500 for a, b in got)
