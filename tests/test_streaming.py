@@ -234,3 +234,67 @@ def test_stateful_sessionizer_gap_and_timeout(spark, tmp_path):
     assert (1, 10_000_000, 10_000_000, 1, 7.0) in got  # gap-closed in batch 1
     # user 1's trailing session (20_000_000) is still open: not emitted
     assert len(got) == 3
+
+
+def test_stateful_sessionizer_fn_matches_islands_replay():
+    """Drive the session fold function directly (stub GroupState) over
+    randomized multi-batch event streams and compare the emitted + open
+    sessions against a straight gap-islands replay of the same events."""
+    import numpy as np
+    import pandas as pd
+    from flink_ml_spark.streaming import StatefulSessionizer
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+        def remove(self):
+            self._v = None
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    gap = 100
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        # batches of increasing timestamps (event-time order across
+        # batches, arbitrary order within — matches the operator contract)
+        ts = np.cumsum(rng.randint(1, 300, size=rng.randint(1, 40)))
+        splits = sorted(rng.choice(len(ts), size=rng.randint(0, 3),
+                                   replace=False)) if len(ts) > 1 else []
+        batches = np.split(ts, splits)
+        s = StatefulSessionizer(key_col="k", ts_col="t", value_col="v",
+                                gap_ms=gap)
+        fn = s._make_fn()
+        state = FakeState()
+        emitted = []
+        for b in batches:
+            if not len(b):
+                continue
+            perm = rng.permutation(len(b))
+            pdf = pd.DataFrame({"k": 1, "t": b[perm],
+                                "v": b[perm].astype(float)})
+            for out in fn((1,), iter([pdf]), state):
+                emitted.extend(out.itertuples(index=False))
+        # islands replay
+        want = []
+        cur = [ts[0]]
+        for t in ts[1:]:
+            if t - cur[-1] >= gap:
+                want.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        got = [(e.s_start, e.s_end, e.n_events, e.sum_value) for e in emitted]
+        want_closed = [(int(c[0]), int(c[-1]), len(c), float(sum(c)))
+                       for c in want]
+        assert got == want_closed, f"trial {trial}: {got} != {want_closed}"
+        # the trailing open session is exactly what's left in state
+        assert state.get == (int(cur[0]), int(cur[-1]), len(cur),
+                             float(sum(cur)))
