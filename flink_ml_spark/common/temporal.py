@@ -1,0 +1,142 @@
+"""Temporal join primitives — as-of (point-in-time) join and bucketed
+range join.
+
+Spark has no native as-of or interval join (the naive formulations are a
+broadcast-only hack or an O(|L|x|R|) BroadcastNestedLoopJoin); the
+reference engine family solves point-in-time lookups with keyed state
+(as this repo's ``streaming/online.py`` model-version as-of join does for
+the bounded-version case).  These are the general, scale-first batch
+formulations:
+
+- ``asof_join``: union-tag both sides, one shuffle on the join key, one
+  partitioned sort, then a ``last(<struct>, ignorenulls)`` running carry
+  picks each left row's most recent (or next, for ``direction='forward'``)
+  right row.  Shuffle volume is |L|+|R| rows keyed on the join key — the
+  same as a plain sort-merge join of the two tables, with no broadcast
+  requirement on either side, so it survives two 100 TB inputs.  The
+  carried value is a single struct of the matched right row, so right
+  columns that are legitimately NULL are carried faithfully (a per-column
+  ``last(ignorenulls)`` would skip them to an older row).
+- ``range_join``: intervals explode to the fixed-width time buckets they
+  cover, points carry exactly one bucket, and the pair matches through an
+  equi-join on (keys..., bucket) plus a residual containment filter.
+  Catalyst plans a shuffled hash/sort-merge join instead of a BNLJ;
+  duplicate volume is sum(span)/bucket_width rows, so pick
+  ``bucket_width`` near the typical interval span.  Each (point,
+  interval) pair is produced at most once because a point owns exactly
+  one bucket — no post-join dedup.
+
+Both are deterministic row functions of their inputs (given unique
+(keys, time) on the right for as-of ties), which is what lets the
+driver's DuckDB oracle (``ASOF JOIN`` / inequality join) verify them
+value-for-value.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
+              left_time: str, right_time: str | None = None,
+              right_cols: Sequence[str] | None = None,
+              direction: str = "backward",
+              tolerance: int | None = None,
+              suffix: str = "_right") -> DataFrame:
+    """For each left row, attach the single right row with the largest
+    ``right_time`` <= ``left_time`` (``direction='backward'``, inclusive)
+    or smallest ``right_time`` >= ``left_time`` (``'forward'``) within the
+    same ``on`` key — pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics, left-outer: unmatched left rows keep NULL right columns.
+
+    ``tolerance`` (same units as the time columns) drops matches farther
+    than that from the left time.  Right columns arrive under their own
+    names, ``suffix``-renamed on collision with a left column; the matched
+    right time is always emitted as ``right_time + suffix``.
+
+    NULL join keys never match (SQL semantics): rows with a NULL key are
+    kept (left) / ignored (right).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_time = right_time or left_time
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c != right_time and c not in keys]
+    sgn = 1 if direction == "backward" else -1
+
+    payload = F.struct(
+        F.col(right_time).cast("long").alias("__t"),
+        *[F.col(c).alias(c) for c in right_cols])
+    r = right.where(F.col(right_time).isNotNull()).select(
+        *[F.col(k) for k in keys],
+        (F.col(right_time).cast("long") * sgn).alias("__ord"),
+        F.lit(0).alias("__side"),
+        payload.alias("__p"))
+    payload_type = r.schema["__p"].dataType
+
+    l = (left
+         .withColumn("__ord", F.col(left_time).cast("long") * sgn)
+         .withColumn("__side", F.lit(1))
+         .withColumn("__p", F.lit(None).cast(payload_type)))
+    # right rows contribute NULL for every left-only column
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # NULL keys never match: drop right rows with a NULL key, so the
+    # NULL-key window partition holds only left rows and their carry
+    # stays NULL (left rows themselves are always kept).
+    for k in keys:
+        u = u.where(F.col(k).isNotNull() | (F.col("__side") == 1))
+    w = (Window.partitionBy(*keys)
+         .orderBy("__ord", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = F.last("__p", ignorenulls=True).over(w)
+
+    out = (u.withColumn("__m", matched)
+           .where(F.col("__side") == 1))
+    if tolerance is not None:
+        dist = (F.col(left_time).cast("long") - F.col("__m")["__t"]) * sgn
+        out = out.withColumn(
+            "__m", F.when(dist <= F.lit(int(tolerance)), F.col("__m")))
+    left_names = set(left.columns)
+    proj = [F.col(c) for c in left.columns]
+    proj.append(F.col("__m")["__t"].alias(right_time + suffix))
+    for c in right_cols:
+        name = c + suffix if c in left_names else c
+        proj.append(F.col("__m")[c].alias(name))
+    return out.select(*proj)
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_time: str,
+               start_col: str, end_col: str, on: Sequence[str] = (),
+               bucket_width: int = 3600_000,
+               include_end: bool = True) -> DataFrame:
+    """Inner-join each point row to every interval row whose
+    ``[start_col, end_col]`` (closed, or half-open with
+    ``include_end=False``) contains ``point_time``, matching on the
+    optional equality keys ``on`` — without a nested-loop join.
+
+    Column names must be disjoint between the two inputs apart from the
+    ``on`` keys (pre-select/alias otherwise).  Degenerate intervals
+    (end < start) match nothing.  An interval spanning B buckets is
+    duplicated B times in the shuffle — size ``bucket_width`` near the
+    typical span, and cap pathological spans upstream.
+    """
+    keys = list(on)
+    pt = points.withColumn(
+        "__b", F.floor(F.col(point_time).cast("long") / F.lit(bucket_width)))
+    iv = intervals.withColumn(
+        "__bs", F.sequence(
+            F.floor(F.col(start_col).cast("long") / F.lit(bucket_width)),
+            F.floor(F.col(end_col).cast("long") / F.lit(bucket_width))))
+    iv = (iv.where(F.col(end_col).cast("long")
+                   >= F.col(start_col).cast("long"))
+          .withColumn("__b", F.explode("__bs")).drop("__bs"))
+    upper = (F.col(point_time) <= F.col(end_col) if include_end
+             else F.col(point_time) < F.col(end_col))
+    joined = pt.join(iv, keys + ["__b"], "inner") \
+        .where((F.col(point_time) >= F.col(start_col)) & upper)
+    return joined.drop("__b")

@@ -372,6 +372,74 @@ def stateful_sessions(spark, sf_dir):
 STATEFUL_SESSIONS_SQL = SESSION_WINDOWS_SQL
 
 
+def asof_join_events(spark, sf_dir):
+    """Point-in-time enrichment — every purchase annotated with the
+    user's most recent prior (inclusive) view: ``common.temporal.
+    asof_join``, the union-tag + single-shuffle formulation.  Oracle is
+    DuckDB's native ASOF JOIN."""
+    from ..common.temporal import asof_join
+    events = load_events(spark, sf_dir)
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts_ms"))
+    views = (events.where(F.col("event_type") == "view")
+             .select("user_id", F.col("ts_ms").alias("view_ms"),
+                     F.col("value").alias("view_value")))
+    out = asof_join(purchases, views, on="user_id", left_time="ts_ms",
+                    right_time="view_ms", direction="backward")
+    return out.select("event_id", "user_id", "ts_ms",
+                      F.col("view_ms_right").alias("last_view_ms"),
+                      q4(F.col("view_value")).alias("view_value_q4"))
+
+
+ASOF_JOIN_SQL = f"""
+WITH p AS (SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+           FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS view_ms, value
+           FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts_ms,
+       v.view_ms AS last_view_ms,
+       {SQL_Q4.format('v.value')} AS view_value_q4
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts_ms >= v.view_ms
+"""
+
+
+def range_join_events(spark, sf_dir):
+    """Interval containment without a nested-loop join — clicks landing
+    inside the 6 hours after each purchase by the same user, via
+    ``common.temporal.range_join`` (bucketized equi-join + residual
+    filter), aggregated per purchase."""
+    from ..common.temporal import range_join
+    events = load_events(spark, sf_dir)
+    clicks = (events.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts_ms").alias("click_ms"),
+                      F.col("value").alias("click_value")))
+    windows = (events.where(F.col("event_type") == "purchase")
+               .select(F.col("event_id").alias("purchase_id"),
+                       F.col("user_id").alias("user_id"),
+                       F.col("ts_ms").alias("w_start"),
+                       (F.col("ts_ms") + F.lit(21_600_000)).alias("w_end")))
+    pairs = range_join(clicks, windows, "click_ms", "w_start", "w_end",
+                       on=["user_id"], bucket_width=21_600_000)
+    return (pairs.groupBy("purchase_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 q4(F.sum("click_value")).alias("click_value_q4")))
+
+
+RANGE_JOIN_SQL = f"""
+WITH c AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS click_ms, value
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id AS purchase_id, user_id,
+                  CAST(epoch_ms(ts) AS BIGINT) AS w_start
+           FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, count(*) AS n_clicks,
+       {SQL_Q4.format('sum(c.value)')} AS click_value_q4
+FROM c JOIN p ON c.user_id = p.user_id
+              AND c.click_ms BETWEEN p.w_start AND p.w_start + 21600000
+GROUP BY p.purchase_id
+"""
+
+
 QUERIES = {
     "event_windows": (event_windows, EVENT_WINDOWS_SQL),
     "session_windows": (session_windows, SESSION_WINDOWS_SQL),
@@ -380,4 +448,6 @@ QUERIES = {
     "online_kmeans": (online_kmeans, ONLINE_KMEANS_SQL),
     "online_scaler_delayed": (online_scaler_delayed, ONLINE_SCALER_DELAYED_SQL),
     "online_logistic_regression": (online_logistic_regression, ONLINE_FTRL_SQL),
+    "asof_join": (asof_join_events, ASOF_JOIN_SQL),
+    "range_join": (range_join_events, RANGE_JOIN_SQL),
 }
