@@ -44,7 +44,8 @@ HEADLINE = [
     "variance_threshold", "univariate_feature_selector",
     "naive_bayes", "chisq_test", "anova_test", "fvalue_test",
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",
-    "stateful_sessions", "asof_join", "range_join",
+    "stateful_sessions", "asof_join", "range_join", "sliding_windows",
+    "streaming_dedup",
     "language_id", "text_quality", "token_count", "fingerprint",
     "text_normalize", "corpus_stats", "repetition_quality", "pii_redaction",
     "domain_mixture", "sequence_packing", "document_chunking",

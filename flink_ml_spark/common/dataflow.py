@@ -123,6 +123,11 @@ def window_all_and_process(df: DataFrame, windows, time_col: str | None,
         win = F.window(F.col(time_col), f"{w.size} milliseconds")
         return (df.groupBy(win.alias("w")).agg(*aggs)
                 .withColumn("window_start", F.col("w")["start"]).drop("w"))
+    if w.kind == "sliding":
+        win = F.window(F.col(time_col), f"{w.size} milliseconds",
+                       f"{w.slide} milliseconds")
+        return (df.groupBy(win.alias("w")).agg(*aggs)
+                .withColumn("window_start", F.col("w")["start"]).drop("w"))
     if w.kind == "session":
         win = F.session_window(F.col(time_col), f"{w.size} milliseconds")
         return (df.groupBy(win.alias("w")).agg(*aggs)

@@ -89,7 +89,7 @@ def all_queries():
         # new in round 3: IVF+PQ rerank search, SemDeDup-style dedup,
         # applyInPandasWithState sessionization
         "ann_ivf_pq", "semantic_dedup", "stateful_sessions",
-        "asof_join", "range_join",
+        "asof_join", "range_join", "sliding_windows", "streaming_dedup",
         # distributed plans changed this round, so r02/r01 evidence is
         # stale for them: graph_dag join key; IDF.fit single-pass
         # (tfidf/count_vectorizer); evaluator restructure; sgd/KMeans

@@ -372,6 +372,92 @@ def stateful_sessions(spark, sf_dir):
 STATEFUL_SESSIONS_SQL = SESSION_WINDOWS_SQL
 
 
+def sliding_windows(spark, sf_dir):
+    """Sliding (hopping) event-time windows — 6 h windows hopping every
+    2 h, so each event lands in 3 overlapping windows; Windows.
+    event_time_sliding through window_all_and_process → native
+    ``F.window(size, slide)``."""
+    from ..common.dataflow import window_all_and_process
+    from ..streaming.windows import Windows
+    events = load_events(spark, sf_dir)
+    out = window_all_and_process(
+        events.select(F.col("ts_t").alias("ts"), "value"),
+        Windows.event_time_sliding(21_600_000, 7_200_000), "ts",
+        F.count("*").alias("n"), q4(F.sum("value")).alias("sum_value"))
+    return out.select(F.unix_millis("window_start").alias("w_start"),
+                      "n", "sum_value")
+
+
+SLIDING_WINDOWS_SQL = f"""
+WITH base AS (SELECT epoch_ms(ts) AS ts_ms, value FROM events)
+SELECT g AS w_start, count(*) AS n, {SQL_Q4.format('sum(value)')} AS sum_value
+FROM base,
+     unnest(generate_series((ts_ms // 7200000) * 7200000 - 14400000,
+                            (ts_ms // 7200000) * 7200000,
+                            7200000)) AS t(g)
+GROUP BY 1
+"""
+
+
+def streaming_dedup(spark, sf_dir):
+    """TRUE streaming exact dedup: the documents table replayed through
+    readStream in two micro-batches into ``StreamingExactDeduplicator``
+    (withWatermark + dropDuplicatesWithinWatermark, 32-byte digest
+    state), cross-batch duplicates dropped by executor-partitioned
+    state.  Deterministic output = the distinct content digests."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from . import load
+    from ..streaming import StreamingExactDeduplicator
+    docs = load(spark, sf_dir, "documents")
+    base = 1_700_000_000_000
+    data = docs.select(
+        "doc_id", "text",
+        F.timestamp_millis(F.lit(base) + F.col("doc_id")).alias("ts_t"))
+    tmp = tempfile.mkdtemp(prefix="streaming_dedup_")
+    view = f"streaming_dedup_{uuid.uuid4().hex[:8]}"
+    q = None
+    try:
+        os.mkdir(os.path.join(tmp, "in"))
+        # batch 1 = the corpus; batch 2 = 20% of it re-sent under fresh
+        # doc_ids/timestamps — real cross-batch duplicates the state must
+        # drop (the corpus's own texts are unique at these SFs)
+        dupes = (data.where(F.col("doc_id") % 5 == 0)
+                 .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+                 .withColumn("ts_t", F.timestamp_millis(
+                     F.lit(base + 60_000) + F.col("doc_id") % 10_000_000)))
+        halves = [data, dupes]
+        for i, h in enumerate(halves):
+            h.coalesce(1).write.parquet(os.path.join(tmp, f"b{i}"))
+            src = [f for f in os.listdir(os.path.join(tmp, f"b{i}"))
+                   if f.endswith(".parquet")][0]
+            dst = os.path.join(tmp, "in", f"batch{i}.parquet")
+            shutil.copy(os.path.join(tmp, f"b{i}", src), dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (spark.readStream.schema(data.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(tmp, "in")))
+        dd = StreamingExactDeduplicator(["text"], watermark_col="ts_t",
+                                        watermark_delay="10 minutes")
+        out = dd.apply(stream).select("content_sha")
+        q = (out.writeStream.format("memory").queryName(view)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return spark.table(view).distinct()
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT sha256(text) AS content_sha FROM documents
+"""
+
+
 def asof_join_events(spark, sf_dir):
     """Point-in-time enrichment — every purchase annotated with the
     user's most recent prior (inclusive) view: ``common.temporal.
@@ -450,4 +536,6 @@ QUERIES = {
     "online_logistic_regression": (online_logistic_regression, ONLINE_FTRL_SQL),
     "asof_join": (asof_join_events, ASOF_JOIN_SQL),
     "range_join": (range_join_events, RANGE_JOIN_SQL),
+    "sliding_windows": (sliding_windows, SLIDING_WINDOWS_SQL),
+    "streaming_dedup": (streaming_dedup, STREAMING_DEDUP_SQL),
 }

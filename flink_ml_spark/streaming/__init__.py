@@ -1,3 +1,4 @@
+from .dedup import StreamingExactDeduplicator
 from .online import (OnlineKMeans, OnlineLogisticRegression,
                      OnlineStandardScaler, OnlineStandardScalerModel)
 from .stateful import StatefulSessionizer
@@ -5,4 +6,4 @@ from .windows import Windows
 
 __all__ = ["OnlineStandardScaler", "OnlineStandardScalerModel",
            "OnlineKMeans", "OnlineLogisticRegression",
-           "StatefulSessionizer", "Windows"]
+           "StatefulSessionizer", "StreamingExactDeduplicator", "Windows"]

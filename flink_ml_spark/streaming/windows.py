@@ -19,8 +19,9 @@ from dataclasses import dataclass
 
 @dataclass(frozen=True)
 class Windows:
-    kind: str = "global"      # global | count | event_time | session
+    kind: str = "global"      # global | count | event_time | session | sliding
     size: int | None = None   # count, window millis, or session gap millis
+    slide: int | None = None  # sliding only: hop millis (slide <= size)
 
     @staticmethod
     def global_windows() -> "Windows":
@@ -41,6 +42,17 @@ class Windows:
         return Windows("session", gap_millis)
 
     @staticmethod
+    def event_time_sliding(size_millis: int, slide_millis: int) -> "Windows":
+        """Sliding (hopping) event-time windows — beyond the reference's
+        window set (its online estimators only consume tumbling/session
+        windows), but table stakes for rate/trend features at scale;
+        maps to Spark's native ``F.window(size, slide)``, where each row
+        lands in size/slide overlapping windows."""
+        if slide_millis <= 0 or slide_millis > size_millis:
+            raise ValueError("require 0 < slide <= size")
+        return Windows("sliding", size_millis, slide_millis)
+
+    @staticmethod
     def processing_time_tumbling(millis: int) -> "Windows":
         """ProcessingTimeTumblingWindows: in the micro-batch harness each
         foreachBatch invocation IS a processing-time window, so this maps
@@ -49,8 +61,11 @@ class Windows:
         return Windows("global", millis)
 
     def to_json(self) -> dict:
-        return {"kind": self.kind, "size": self.size}
+        d = {"kind": self.kind, "size": self.size}
+        if self.slide is not None:
+            d["slide"] = self.slide
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "Windows":
-        return Windows(d["kind"], d.get("size"))
+        return Windows(d["kind"], d.get("size"), d.get("slide"))

@@ -126,3 +126,27 @@ def test_with_contiguous_id_gap_free(spark):
     # no unpartitioned Window in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_window_all_sliding(spark):
+    from flink_ml_spark.common.dataflow import window_all_and_process
+    from flink_ml_spark.streaming.windows import Windows
+    import pyspark.sql.functions as F
+    rows = [(t * 1000, 1.0) for t in [0, 5, 12, 19, 31]]
+    df = spark.createDataFrame(rows, "ms long, v double") \
+        .select(F.timestamp_millis("ms").alias("ts"), "v")
+    out = window_all_and_process(df, Windows.event_time_sliding(20_000, 10_000),
+                                 "ts", F.count("*").alias("n"))
+    got = {int(r["window_start"].timestamp()) * 1000: r["n"]
+           for r in out.collect()}
+    # each event lands in exactly 2 hopping windows
+    assert got == {-10_000: 2, 0: 4, 10_000: 2, 20_000: 1, 30_000: 1}
+
+
+def test_windows_sliding_json_roundtrip():
+    from flink_ml_spark.streaming.windows import Windows
+    w = Windows.event_time_sliding(60_000, 15_000)
+    assert Windows.from_json(w.to_json()) == w
+    import pytest
+    with pytest.raises(ValueError):
+        Windows.event_time_sliding(10, 20)

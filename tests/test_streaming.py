@@ -298,3 +298,47 @@ def test_stateful_sessionizer_fn_matches_islands_replay():
         # the trailing open session is exactly what's left in state
         assert state.get == (int(cur[0]), int(cur[-1]), len(cur),
                              float(sum(cur)))
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    import os
+    import pyspark.sql.functions as F
+    from flink_ml_spark.streaming import StreamingExactDeduplicator
+
+    base = 1_700_000_000_000
+    b0 = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(20)], "doc_id long, text string") \
+        .select("doc_id", "text",
+                F.timestamp_millis(F.lit(base) + F.col("doc_id")).alias("ts_t"))
+    # batch 2: 5 duplicates of batch-1 texts + 3 new
+    b1 = spark.createDataFrame(
+        [(100 + i, f"text-{i}") for i in range(5)]
+        + [(200 + i, f"new-{i}") for i in range(3)],
+        "doc_id long, text string") \
+        .select("doc_id", "text",
+                F.timestamp_millis(F.lit(base + 1000) + F.col("doc_id")).alias("ts_t"))
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i, b in enumerate((b0, b1)):
+        d = tmp_path / f"b{i}"
+        b.coalesce(1).write.parquet(str(d))
+        src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = indir / f"batch{i}.parquet"
+        (d / src).rename(dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+    dd = StreamingExactDeduplicator(["text"], watermark_col="ts_t",
+                                    watermark_delay="10 minutes")
+    # batch path: plain dropDuplicates on digest
+    assert dd.apply(b0.union(b1)).count() == 23
+
+    stream = (spark.readStream.schema(b0.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(indir)))
+    q = (dd.apply(stream).select("doc_id", "content_sha")
+         .writeStream.format("memory").queryName("sdedup_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("sdedup_test").collect()
+    assert len(got) == 23                        # 20 + 3 new, 5 dups dropped
+    kept_ids = {r["doc_id"] for r in got}
+    assert all(i not in kept_ids for i in range(100, 105))
