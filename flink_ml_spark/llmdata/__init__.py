@@ -10,8 +10,8 @@ from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         SemanticDeduplicator)
 from .sampling import DocumentChunker, DomainMixtureSampler, SequencePacker
 from .textanalysis import (Bm25Scorer, Bm25ScorerModel,
-                           DocumentFingerprinter, LanguageIdentifier,
-                           PIIRedactor, RepetitionScorer, TextNormalizer,
-                           TextQualityScorer, TokenCounter)
+                           DocumentFingerprinter, GopherQualityFilter,
+                           LanguageIdentifier, PIIRedactor, RepetitionScorer,
+                           TextNormalizer, TextQualityScorer, TokenCounter)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -152,6 +152,131 @@ class TokenCounter(Transformer, HasInputCol):
         return out
 
 
+# the Gopher rule thresholds and required-stopword set are from the
+# published paper (Rae et al. 2021, "Scaling Language Models", App. A1.1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+class GopherQualityFilter(Transformer, HasInputCol):
+    """Gopher/C4-style document-level heuristic filter (public
+    literature: Rae et al. 2021 App. A1.1; Raffel et al. 2020 §2.2) as
+    pure Column expressions — zero-shuffle, whole-stage-codegen row
+    filtering, the first gate of every at-scale corpus pipeline.
+
+    Emits one boolean per rule plus the conjunction ``keep``:
+    word count in [minWords, maxWords]; mean word length in
+    [minMeanWordLen, maxMeanWordLen]; '#'/ellipsis symbol-to-word ratio
+    <= maxSymbolWordRatio; <= maxBulletLineRatio of lines starting with
+    a bullet; <= maxEllipsisLineRatio of lines ending with an ellipsis;
+    >= minAlphaWordRatio of words containing a letter; and at least
+    minRequiredStopwords distinct members of the required-stopword set
+    present."""
+
+    minWords = IntParam("minWords", "Minimum word count.", 50)
+    maxWords = IntParam("maxWords", "Maximum word count.", 100_000)
+    minMeanWordLen = FloatParam("minMeanWordLen", "Min mean word length.", 3.0)
+    maxMeanWordLen = FloatParam("maxMeanWordLen", "Max mean word length.", 10.0)
+    maxSymbolWordRatio = FloatParam(
+        "maxSymbolWordRatio", "Max '#'/'...' symbols per word.", 0.1)
+    maxBulletLineRatio = FloatParam(
+        "maxBulletLineRatio", "Max fraction of bullet-led lines.", 0.9)
+    maxEllipsisLineRatio = FloatParam(
+        "maxEllipsisLineRatio", "Max fraction of ellipsis-ended lines.", 0.3)
+    minAlphaWordRatio = FloatParam(
+        "minAlphaWordRatio", "Min fraction of words with a letter.", 0.8)
+    minRequiredStopwords = IntParam(
+        "minRequiredStopwords", "Min distinct required stopwords present.", 2)
+    requiredStopwords = StringArrayParam(
+        "requiredStopwords", "Required-stopword set.", GOPHER_STOPWORDS)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        # NULL text behaves as the empty document (local-path parity)
+        text = F.coalesce(F.col(self.get_("inputCol")), F.lit(""))
+        toks = _tokens(text)
+        n = F.size(toks)
+        nd = n.cast("double")
+        mean_wl = F.when(
+            n > 0, F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+            .cast("double") / nd).otherwise(0.0)
+        hashes = F.length(text) - F.length(F.replace(text, F.lit("#")))
+        ell = ((F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3
+               + (F.length(text) - F.length(F.replace(text, F.lit("…")))))
+        sym_ratio = F.when(n > 0, (hashes + ell).cast("double") / nd) \
+            .otherwise(0.0)
+        lines = F.split(text, "\n")
+        n_lines = F.size(lines).cast("double")
+        bullet = F.size(F.filter(
+            lines, lambda l: F.ltrim(l).rlike("^[-*•]")))
+        ell_end = F.size(F.filter(
+            lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        alpha_ratio = F.when(n > 0, alpha.cast("double") / nd).otherwise(0.0)
+        stop_hits = sum(
+            F.array_contains(toks, w).cast("int")
+            for w in self.get_("requiredStopwords"))
+        g = self.get_
+        rules = {
+            "r_word_count": (n >= g("minWords")) & (n <= g("maxWords")),
+            "r_mean_word_len": (mean_wl >= g("minMeanWordLen"))
+                               & (mean_wl <= g("maxMeanWordLen")),
+            "r_symbol_ratio": sym_ratio <= g("maxSymbolWordRatio"),
+            "r_bullet_lines": bullet / n_lines <= g("maxBulletLineRatio"),
+            "r_ellipsis_lines": ell_end / n_lines <= g("maxEllipsisLineRatio"),
+            "r_alpha_words": alpha_ratio >= g("minAlphaWordRatio"),
+            "r_stopwords": stop_hits >= g("minRequiredStopwords"),
+        }
+        out = df.withColumn("n_words", n)
+        keep = F.lit(True)
+        for name, cond in rules.items():
+            out = out.withColumn(name, cond)
+            keep = keep & cond
+        return out.withColumn("keep", keep)
+
+    def transform_local(self, pdf):
+        import re
+        g = self.get_
+        out = pdf.copy()
+        cols: dict[str, list] = {k: [] for k in
+                                 ["n_words", "r_word_count", "r_mean_word_len",
+                                  "r_symbol_ratio", "r_bullet_lines",
+                                  "r_ellipsis_lines", "r_alpha_words",
+                                  "r_stopwords", "keep"]}
+        req = list(g("requiredStopwords"))
+        for text in pdf[self.get_("inputCol")]:
+            t = text or ""
+            toks = _local_tokens(t)
+            n = len(toks)
+            mean_wl = (sum(len(x) for x in toks) / n) if n else 0.0
+            sym = t.count("#") + t.count("...") + t.count("…")
+            lines = t.split("\n")
+            nl = len(lines)
+            bullet = sum(1 for l in lines
+                         if re.match(r"^[-*•]", l.lstrip()))
+            ell_end = sum(1 for l in lines
+                          if re.search(r"(\.\.\.|…)$", l.rstrip()))
+            alpha = sum(1 for x in toks if re.search("[a-z]", x))
+            stop_hits = sum(1 for w in req if w in toks)
+            r = {
+                "r_word_count": g("minWords") <= n <= g("maxWords"),
+                "r_mean_word_len": g("minMeanWordLen") <= mean_wl
+                                   <= g("maxMeanWordLen"),
+                "r_symbol_ratio": (sym / n if n else 0.0)
+                                  <= g("maxSymbolWordRatio"),
+                "r_bullet_lines": bullet / nl <= g("maxBulletLineRatio"),
+                "r_ellipsis_lines": ell_end / nl <= g("maxEllipsisLineRatio"),
+                "r_alpha_words": (alpha / n if n else 0.0)
+                                 >= g("minAlphaWordRatio"),
+                "r_stopwords": stop_hits >= g("minRequiredStopwords"),
+            }
+            cols["n_words"].append(n)
+            for k, v in r.items():
+                cols[k].append(bool(v))
+            cols["keep"].append(all(r.values()))
+        for k, v in cols.items():
+            out[k] = v
+        return out
+
+
 class TextNormalizer(Transformer, HasInputCol, HasOutputCol):
     """Canonical text cleanup before hashing/dedup: strip control
     characters, collapse whitespace runs to single spaces, trim, and

@@ -454,6 +454,56 @@ FROM documents
 TEXT_QUALITY_SQL = _quality_sql()
 
 
+def gopher_filter(spark, sf_dir):
+    """Gopher-rule document filter (Rae et al. 2021 App. A1.1) at its
+    published thresholds — pure-expression zero-shuffle row gate."""
+    from ..llmdata import GopherQualityFilter
+    docs = load(spark, sf_dir, "documents")
+    out = GopherQualityFilter(inputCol="text").transform(docs)[0]
+    flags = ["r_word_count", "r_mean_word_len", "r_symbol_ratio",
+             "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+             "r_stopwords", "keep"]
+    return out.select("doc_id", "n_words",
+                      *[F.col(c).cast("int").alias(c) for c in flags])
+
+
+def _gopher_sql() -> str:
+    from ..llmdata.textanalysis import GOPHER_STOPWORDS
+    n = f"len({TOKS})"
+    mean_wl = (f"CASE WHEN {n} > 0 THEN CAST(list_sum(list_transform("
+               f"{TOKS}, t -> length(t))) AS DOUBLE) / {n} ELSE 0.0 END")
+    sym = ("(length(text) - length(replace(text, '#', ''))"
+           " + (length(text) - length(replace(text, '...', ''))) / 3"
+           " + (length(text) - length(replace(text, '…', ''))))")
+    sym_ratio = f"CASE WHEN {n} > 0 THEN {sym} * 1.0 / {n} ELSE 0.0 END"
+    lines = "string_split(text, chr(10))"
+    bullet = (f"len(list_filter({lines}, l -> "
+              f"regexp_matches(ltrim(l), '^[-*•]')))")
+    ell_end = (f"len(list_filter({lines}, l -> "
+               f"regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))")
+    alpha = f"len(list_filter({TOKS}, t -> regexp_matches(t, '[a-z]')))"
+    alpha_ratio = f"CASE WHEN {n} > 0 THEN {alpha} * 1.0 / {n} ELSE 0.0 END"
+    stop_hits = " + ".join(
+        f"CASE WHEN list_contains({TOKS}, '{w}') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS)
+    rules = {
+        "r_word_count": f"{n} >= 50 AND {n} <= 100000",
+        "r_mean_word_len": f"({mean_wl}) >= 3.0 AND ({mean_wl}) <= 10.0",
+        "r_symbol_ratio": f"({sym_ratio}) <= 0.1",
+        "r_bullet_lines": f"{bullet} * 1.0 / len({lines}) <= 0.9",
+        "r_ellipsis_lines": f"{ell_end} * 1.0 / len({lines}) <= 0.3",
+        "r_alpha_words": f"({alpha_ratio}) >= 0.8",
+        "r_stopwords": f"({stop_hits}) >= 2",
+    }
+    cols = ", ".join(f"CAST(({c}) AS INT) AS {k}" for k, c in rules.items())
+    keep = " AND ".join(f"({c})" for c in rules.values())
+    return (f"SELECT doc_id, CAST({n} AS INT) AS n_words, {cols}, "
+            f"CAST(({keep}) AS INT) AS keep FROM documents")
+
+
+GOPHER_FILTER_SQL = _gopher_sql()
+
+
 def token_count(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     t = TokenCounter(inputCol="text")
@@ -1232,6 +1282,7 @@ QUERIES = {
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "language_id": (language_id, LANGUAGE_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "gopher_filter": (gopher_filter, GOPHER_FILTER_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
 }

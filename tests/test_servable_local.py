@@ -363,3 +363,31 @@ def test_media_stages_local_parity(spark):
     lo = sorted(zip(*(vs.transform_local(pdf)[c]
                       for c in ("media_id", "frame_idx", "ts_ms"))))
     assert sp == lo
+
+
+def test_gopher_filter_local(spark):
+    from flink_ml_spark.llmdata import GopherQualityFilter
+    texts = [
+        "the cat and the dog have fun with a ball " * 8,   # keeps
+        "short",                                           # word count fails
+        "- one\n- two\n- three\n- four",                   # bullets fail
+        "to be continued...\nand more...\nof that...",     # ellipsis lines
+        "the be 1 2 3 4 5 6 7 8 9 10 11 12 13",            # alpha ratio fails
+        "#### #### the be #### of " * 10,                  # symbol ratio
+        None,
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    pdf = pd.DataFrame({"text": texts})
+    stage = GopherQualityFilter(inputCol="text", minWords=8)
+    assert_parity(stage, sdf, pdf,
+                  ["n_words", "r_word_count", "r_mean_word_len",
+                   "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
+                   "r_alpha_words", "r_stopwords", "keep"])
+    rows = {i: r for i, r in enumerate(stage.transform(sdf)[0].collect())}
+    assert rows[0]["keep"] is True
+    assert rows[1]["r_word_count"] is False
+    assert rows[2]["r_bullet_lines"] is False
+    assert rows[3]["r_ellipsis_lines"] is False
+    assert rows[4]["r_alpha_words"] is False
+    assert rows[5]["r_symbol_ratio"] is False
+    assert rows[6]["keep"] is False
