@@ -49,7 +49,8 @@ HEADLINE = [
     "language_id", "text_quality", "gopher_filter", "token_count",
     "fingerprint",
     "text_normalize", "corpus_stats", "repetition_quality", "pii_redaction",
-    "domain_mixture", "sequence_packing", "document_chunking",
+    "domain_mixture", "temperature_mixture", "sequence_packing",
+    "document_chunking",
     # tokenize/vocab + Arrow-UDF-heavy pipelines
     "tokenizer", "ngram", "stop_words_remover", "count_vectorizer", "tfidf",
     "hashing_tf", "feature_hasher", "exact_dedup", "simhash_dedup",

@@ -8,7 +8,9 @@ from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         EmbeddingQuantizer, IVFIndex, IVFIndexModel,
                         RandomHyperplaneLSH, RandomHyperplaneLSHModel,
                         SemanticDeduplicator)
-from .sampling import DocumentChunker, DomainMixtureSampler, SequencePacker
+from .sampling import (DocumentChunker, DomainMixtureSampler, SequencePacker,
+                       TemperatureMixtureSampler,
+                       TemperatureMixtureSamplerModel)
 from .textanalysis import (Bm25Scorer, Bm25ScorerModel,
                            DocumentFingerprinter, GopherQualityFilter,
                            LanguageIdentifier, PIIRedactor, RepetitionScorer,

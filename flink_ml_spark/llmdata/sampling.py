@@ -10,7 +10,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..api import Transformer
+from ..api import Estimator, Model, Transformer
 from ..param import IntParam, FloatParam, Param, ParamValidators, StringParam
 
 # the same deterministic 31-bit multiplicative hash the corpus-prep
@@ -62,6 +62,67 @@ class DomainMixtureSampler(Transformer):
             u = (((int(r[self.get_("idCol")]) % HASH_MOD) * 2654435761 + salt)
                  % HASH_MOD) / float(HASH_MOD)
             keep.append(u < rates.get(r[self.get_("domainCol")], default))
+        return pdf[keep].reset_index(drop=True)
+
+
+class TemperatureMixtureSampler(Estimator):
+    """Temperature-based domain balancing (the multilingual-LM sampling
+    rule, public literature: Xue et al. 2021 mT5 §3.1 / Conneau et al.
+    2020 XLM-R §3): target domain probability ∝ (n_d/N)^alpha with
+    alpha < 1 flattening the mixture toward small domains.  Expressed
+    downsample-only — per-row keep-rate (n_d/n_min)^(alpha-1), so the
+    smallest domain keeps everything and larger domains shed rows — and
+    decided by the same deterministic per-id hash as
+    ``DomainMixtureSampler`` (reproducible, engine-portable, no RNG).
+
+    fit = ONE domain-count aggregation (domains are few → model-sized
+    collect); the fitted model filters with a literal CASE over domains —
+    a narrow zero-shuffle scan at any corpus size.
+    """
+
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    domainCol = StringParam("domainCol", "Domain/source column.", "source")
+    alpha = FloatParam("alpha", "Temperature exponent in (0, 1].", 0.5,
+                       ParamValidators.in_range(0, 1, False, True))
+    salt = IntParam("salt", "Hash salt.", 7)
+
+    def fit(self, *inputs: DataFrame) -> "TemperatureMixtureSamplerModel":
+        (df,) = inputs
+        counts = {r[0]: r[1] for r in
+                  df.groupBy(self.get_("domainCol")).count().collect()}
+        n_min = min(counts.values())
+        a = float(self.get_("alpha"))
+        rates = {d: float((n / n_min) ** (a - 1.0))
+                 for d, n in counts.items()}
+        model = TemperatureMixtureSamplerModel()
+        model.set_(idCol=self.get_("idCol"), domainCol=self.get_("domainCol"),
+                   salt=self.get_("salt"))
+        model.model_data = {"rates": rates}
+        return model
+
+
+class TemperatureMixtureSamplerModel(Model):
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    domainCol = StringParam("domainCol", "Domain/source column.", "source")
+    salt = IntParam("salt", "Hash salt.", 7)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        rates: dict[str, float] = self.model_data["rates"]
+        rate = F.lit(0.0)  # unseen domains drop (not in the fitted mixture)
+        for dom, r in sorted(rates.items()):
+            rate = F.when(F.col(self.get_("domainCol")) == dom,
+                          F.lit(float(r))).otherwise(rate)
+        u = _unit_hash(self.get_("idCol"), self.get_("salt"))
+        return df.filter(u < rate)
+
+    def transform_local(self, pdf):
+        rates: dict[str, float] = self.model_data["rates"]
+        salt = self.get_("salt")
+        keep = []
+        for _, r in pdf.iterrows():
+            u = (((int(r[self.get_("idCol")]) % HASH_MOD) * 2654435761 + salt)
+                 % HASH_MOD) / float(HASH_MOD)
+            keep.append(u < rates.get(r[self.get_("domainCol")], 0.0))
         return pdf[keep].reset_index(drop=True)
 
 

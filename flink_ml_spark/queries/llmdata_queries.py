@@ -695,6 +695,38 @@ WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
 """
 
 
+def temperature_mixture(spark, sf_dir):
+    """mT5-style alpha-temperature domain balancing: fit = one domain
+    count, transform = hash-deterministic narrow filter with rates
+    (n_d/n_min)^(alpha-1).  The testdata's sources are uniform (every
+    rate would be 1), so the query derives a 70/20/10-skewed domain from
+    doc_id to make the temperature rule bite."""
+    from ..llmdata import TemperatureMixtureSampler
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "domain", F.when(F.col("doc_id") % 10 < 7, "web")
+                   .when(F.col("doc_id") % 10 < 9, "books")
+                   .otherwise("code"))
+    m = TemperatureMixtureSampler(idCol="doc_id", domainCol="domain",
+                                  alpha=0.5).fit(docs)
+    return m.transform(docs)[0].select("doc_id", "domain")
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 < 7 THEN 'web'
+                       WHEN doc_id % 10 < 9 THEN 'books'
+                       ELSE 'code' END AS domain
+           FROM documents),
+cnt AS (SELECT domain, count(*) AS n FROM d GROUP BY domain),
+r AS (SELECT domain, pow(n * 1.0 / (SELECT min(n) FROM cnt), -0.5) AS rate
+      FROM cnt)
+SELECT d.doc_id, d.domain
+FROM d JOIN r USING (domain)
+WHERE CAST(((d.doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
+      / 2147483648.0 < r.rate
+"""
+
+
 # --- token-budget sequence packing ------------------------------------------
 
 PACK_BUDGET, PACK_SHARDS = 256, 4
@@ -1283,6 +1315,7 @@ QUERIES = {
     "language_id": (language_id, LANGUAGE_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "gopher_filter": (gopher_filter, GOPHER_FILTER_SQL),
+    "temperature_mixture": (temperature_mixture, TEMPERATURE_MIXTURE_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
 }

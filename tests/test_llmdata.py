@@ -475,3 +475,33 @@ def test_semantic_dedup_max_cell_size_cap(spark):
     # in small cells survive
     assert (1000, 1001) in got and (1002, 1003) in got
     assert not any(a < 500 and b < 500 for a, b in got)
+
+
+def test_temperature_mixture_sampler(spark):
+    import pandas as pd
+    from flink_ml_spark.llmdata import TemperatureMixtureSampler
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "small"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    m = TemperatureMixtureSampler(idCol="doc_id", domainCol="source",
+                                  alpha=0.5).fit(df)
+    rates = m.model_data["rates"]
+    # smallest domain keeps everything; rates follow (n/n_min)^(alpha-1)
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - (900 / 10) ** -0.5) < 1e-12
+    assert abs(rates["mid"] - (90 / 10) ** -0.5) < 1e-12
+    out = m.transform(df)[0]
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(__import__("pyspark.sql.functions",
+                                                fromlist=["count"])
+                                     .count("*").alias("n")).collect()}
+    assert per["small"] == 10          # nothing dropped
+    assert per["big"] < 900 and per["mid"] < 90
+    # deterministic + local-path parity
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                        "source": [r[1] for r in rows]})
+    local_ids = set(m.transform_local(pdf)["doc_id"])
+    assert local_ids == {r["doc_id"] for r in out.collect()}
+    # unseen domain at transform time drops
+    extra = spark.createDataFrame([(5000, "new")], "doc_id long, source string")
+    assert m.transform(extra)[0].count() == 0
