@@ -14,6 +14,7 @@ from .sampling import (DocumentChunker, DomainMixtureSampler, SequencePacker,
 from .textanalysis import (Bm25Scorer, Bm25ScorerModel,
                            DocumentFingerprinter, GopherQualityFilter,
                            LanguageIdentifier, PIIRedactor, RepetitionScorer,
-                           TextNormalizer, TextQualityScorer, TokenCounter)
+                           TextNormalizer, TextQualityScorer, TokenCounter,
+                           UnigramLMScorer, UnigramLMScorerModel)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

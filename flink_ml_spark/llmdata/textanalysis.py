@@ -152,6 +152,83 @@ class TokenCounter(Transformer, HasInputCol):
         return out
 
 
+class UnigramLMScorer(Estimator, HasInputCol, HasOutputCol):
+    """CCNet-style language-model quality scoring (public literature:
+    Wenzek et al. 2020 §4.3 — perplexity under a corpus LM ranks
+    documents head/middle/tail), self-contained with a unigram model:
+    fit counts tokens over the corpus and keeps the top ``vocabSize`` by
+    (count desc, token asc — deterministic boundary), transform scores
+    each document by its mean add-one-smoothed log-probability
+    ln((c+1)/(T+V+1)), OOV = ln(1/(T+V+1)).
+
+    fit = one explode + count aggregation with the top-k pushed into
+    TakeOrderedAndProject; the fitted vocab is model-sized and rides to
+    executors inside the Arrow-vectorized scoring UDF — scoring is
+    zero-shuffle at any corpus size.
+    """
+
+    vocabSize = IntParam("vocabSize", "Max vocabulary size.", 50_000,
+                         ParamValidators.gt(0))
+
+    def fit(self, *inputs: DataFrame) -> "UnigramLMScorerModel":
+        (df,) = inputs
+        toks = df.select(F.explode(_tokens(F.col(self.get_("inputCol"))))
+                         .alias("t"))
+        cnt = toks.groupBy("t").count()
+        total, distinct = cnt.agg(
+            F.sum("count"), F.count("*")).first()
+        rows = (cnt.orderBy(F.col("count").desc(), F.col("t"))
+                .limit(self.get_("vocabSize")).collect())
+        model = UnigramLMScorerModel()
+        model.set_(inputCol=self.get_("inputCol"),
+                   outputCol=self.get_("outputCol"))
+        model.model_data = {
+            "counts": {r["t"]: int(r["count"]) for r in rows},
+            "total": int(total or 0),
+            "vocab": int(min(distinct or 0, self.get_("vocabSize"))),
+        }
+        return model
+
+
+class UnigramLMScorerModel(Model, HasInputCol, HasOutputCol):
+    def _log_probs(self):
+        import math
+        d = self.model_data
+        denom = math.log(d["total"] + d["vocab"] + 1)
+        lp = {t: math.log(c + 1) - denom for t, c in d["counts"].items()}
+        return lp, -denom  # (in-vocab log-probs, OOV log-prob)
+
+    def _score_series(self, texts):
+        lp, oov = self._log_probs()
+        out = []
+        for t in texts:
+            toks = _local_tokens(t)
+            out.append(sum(lp.get(x, oov) for x in toks) / len(toks)
+                       if toks else 0.0)
+        return out
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        score_series = self._score_series
+
+        def score(texts):
+            return pd.Series(score_series(texts))
+
+        # set hints dynamically: `from __future__ import annotations`
+        # stringifies static ones, which pandas_udf can't resolve here
+        score.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        score = pandas_udf(score, "double")
+        return df.withColumn(self.get_("outputCol"),
+                             score(F.col(self.get_("inputCol"))))
+
+    def transform_local(self, pdf):
+        out = pdf.copy()
+        out[self.get_("outputCol")] = self._score_series(
+            pdf[self.get_("inputCol")])
+        return out
+
+
 # the Gopher rule thresholds and required-stopword set are from the
 # published paper (Rae et al. 2021, "Scaling Language Models", App. A1.1)
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

@@ -504,6 +504,35 @@ def _gopher_sql() -> str:
 GOPHER_FILTER_SQL = _gopher_sql()
 
 
+def unigram_lm_score(spark, sf_dir):
+    """CCNet-style corpus-LM quality ranking with a self-contained
+    unigram model: fit = one token-count aggregation (top-k vocab),
+    score = zero-shuffle Arrow UDF carrying the model-sized vocab."""
+    from ..llmdata import UnigramLMScorer
+    docs = load(spark, sf_dir, "documents")
+    m = UnigramLMScorer(inputCol="text", outputCol="lm_score",
+                        vocabSize=50_000).fit(docs)
+    out = m.transform(docs)[0]
+    return out.select("doc_id", q4(F.col("lm_score")).alias("lm_score_q4"))
+
+
+UNIGRAM_LM_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS t FROM documents),
+cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+konst AS (SELECT sum(c) AS total, count(*) AS v FROM cnt),
+vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 50000),
+scored AS (
+  SELECT tk.doc_id,
+         avg(ln(COALESCE(vb.c + 1, 1) * 1.0
+                / (k.total + least(k.v, 50000) + 1))) AS lm_score
+  FROM toks tk LEFT JOIN vocab vb USING (t), konst k
+  GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       {SQL_Q4.format('COALESCE(s.lm_score, 0.0)')} AS lm_score_q4
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def token_count(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     t = TokenCounter(inputCol="text")
@@ -1316,6 +1345,7 @@ QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "gopher_filter": (gopher_filter, GOPHER_FILTER_SQL),
     "temperature_mixture": (temperature_mixture, TEMPERATURE_MIXTURE_SQL),
+    "unigram_lm_score": (unigram_lm_score, UNIGRAM_LM_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
 }

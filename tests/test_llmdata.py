@@ -505,3 +505,36 @@ def test_temperature_mixture_sampler(spark):
     # unseen domain at transform time drops
     extra = spark.createDataFrame([(5000, "new")], "doc_id long, source string")
     assert m.transform(extra)[0].count() == 0
+
+
+def test_unigram_lm_scorer(spark):
+    import math
+    import pandas as pd
+    from flink_ml_spark.llmdata import UnigramLMScorer
+    rows = [(0, "a a a b b c"), (1, "a b"), (2, "zzz qqq"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = UnigramLMScorer(inputCol="text", outputCol="s", vocabSize=2).fit(df)
+    # corpus counts: a=4, b=3, c=1, zzz=1, qqq=1 -> top-2 vocab {a, b};
+    # total=10 tokens, vocab=2 (capped), denom = 10+2+1
+    assert m.model_data == {"counts": {"a": 4, "b": 3}, "total": 10,
+                            "vocab": 2}
+    denom = math.log(13)
+    lp = {"a": math.log(5) - denom, "b": math.log(4) - denom}
+    oov = -denom
+    got = {r["doc_id"]: r["s"] for r in m.transform(df)[0].collect()}
+    exp0 = (3 * lp["a"] + 2 * lp["b"] + oov) / 6
+    assert abs(got[0] - exp0) < 1e-12
+    assert abs(got[1] - (lp["a"] + lp["b"]) / 2) < 1e-12
+    assert abs(got[2] - oov) < 1e-12          # all OOV
+    assert got[3] == 0.0                      # empty/NULL doc
+    # in-vocab docs rank above OOV docs (the CCNet head/tail property)
+    assert got[1] > got[2]
+    # servable parity
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                        "text": [r[1] for r in rows]})
+    local = m.transform_local(pdf)["s"]
+    assert all(abs(local[i] - got[i]) < 1e-12 for i in range(4))
+    # deterministic vocab boundary: ties broken by token asc
+    df2 = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    m2 = UnigramLMScorer(inputCol="text", vocabSize=1).fit(df2)
+    assert list(m2.model_data["counts"]) == ["x"]
