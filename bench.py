@@ -58,7 +58,7 @@ HEADLINE = [
     "embedding_dedup_lsh", "embedding_quantize", "bm25_scoring",
     "ann_ivf_pq", "semantic_dedup",
     "dup_spans", "decontamination", "llm_prep_pipeline",
-    "llm_prep_pipeline_v2",
+    "llm_prep_pipeline_v2", "llm_prep_pipeline_v3",
 ]
 
 # the round-1 headline set, for like-for-like round-over-round subtotals

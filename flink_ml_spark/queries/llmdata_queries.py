@@ -467,7 +467,7 @@ def gopher_filter(spark, sf_dir):
                       *[F.col(c).cast("int").alias(c) for c in flags])
 
 
-def _gopher_sql() -> str:
+def _gopher_rules(min_words: int = 50, min_stop: int = 2) -> dict[str, str]:
     from ..llmdata.textanalysis import GOPHER_STOPWORDS
     n = f"len({TOKS})"
     mean_wl = (f"CASE WHEN {n} > 0 THEN CAST(list_sum(list_transform("
@@ -487,18 +487,30 @@ def _gopher_sql() -> str:
         f"CASE WHEN list_contains({TOKS}, '{w}') THEN 1 ELSE 0 END"
         for w in GOPHER_STOPWORDS)
     rules = {
-        "r_word_count": f"{n} >= 50 AND {n} <= 100000",
+        "r_word_count": f"{n} >= {min_words} AND {n} <= 100000",
         "r_mean_word_len": f"({mean_wl}) >= 3.0 AND ({mean_wl}) <= 10.0",
         "r_symbol_ratio": f"({sym_ratio}) <= 0.1",
         "r_bullet_lines": f"{bullet} * 1.0 / len({lines}) <= 0.9",
         "r_ellipsis_lines": f"{ell_end} * 1.0 / len({lines}) <= 0.3",
         "r_alpha_words": f"({alpha_ratio}) >= 0.8",
-        "r_stopwords": f"({stop_hits}) >= 2",
+        "r_stopwords": f"({stop_hits}) >= {min_stop}",
     }
+    return rules
+
+
+def _gopher_sql(min_words: int = 50) -> str:
+    rules = _gopher_rules(min_words)
+    n = f"len({TOKS})"
     cols = ", ".join(f"CAST(({c}) AS INT) AS {k}" for k, c in rules.items())
     keep = " AND ".join(f"({c})" for c in rules.values())
     return (f"SELECT doc_id, CAST({n} AS INT) AS n_words, {cols}, "
             f"CAST(({keep}) AS INT) AS keep FROM documents")
+
+
+def _gopher_keep_sql(min_words: int, min_stop: int = 2) -> str:
+    """Just the keep conjunction (WHERE clause for composed pipelines)."""
+    return " AND ".join(
+        f"({c})" for c in _gopher_rules(min_words, min_stop).values())
 
 
 GOPHER_FILTER_SQL = _gopher_sql()
@@ -721,6 +733,63 @@ SELECT doc_id, source FROM documents
 WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
       / 2147483648.0
       < CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5 ELSE 0.75 END
+"""
+
+
+def llm_prep_pipeline_v3(spark, sf_dir):
+    """Round-3 corpus-prep flagship composing the new gates in at-scale
+    order — cheapest first: Gopher rule filter (zero-shuffle) →
+    UnigramLMScorer corpus-LM quality score (one fit agg + zero-shuffle
+    scoring) → TemperatureMixtureSampler alpha-balancing over a skewed
+    derived domain (one count agg + narrow filter) → token accounting.
+    Everything before the two small fit aggregations is a pure row gate,
+    which is exactly how a 100 TB pipeline keeps its expensive stages
+    (dedup, embedding) fed with the minimum surviving rows."""
+    from ..llmdata import (GopherQualityFilter, TemperatureMixtureSampler,
+                           UnigramLMScorer)
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "domain", F.when(F.col("doc_id") % 10 < 7, "web")
+                   .when(F.col("doc_id") % 10 < 9, "books")
+                   .otherwise("code"))
+    g = (GopherQualityFilter(inputCol="text", minWords=30,
+                             minRequiredStopwords=1)
+         .transform(docs)[0].where(F.col("keep"))
+         .select("doc_id", "domain", "text"))
+    lm = UnigramLMScorer(inputCol="text", outputCol="lm_score",
+                         vocabSize=50_000).fit(g)
+    mix = TemperatureMixtureSampler(idCol="doc_id", domainCol="domain",
+                                    alpha=0.5).fit(g)
+    kept = mix.transform(lm.transform(g)[0])[0]
+    counted = TokenCounter(inputCol="text")._transform(kept)
+    return counted.select("doc_id", "domain", "n_tokens_ws",
+                          q4(F.col("lm_score")).alias("lm_score_q4"))
+
+
+LLM_PREP_V3_SQL = f"""
+WITH d AS (SELECT doc_id, text,
+                  CASE WHEN doc_id % 10 < 7 THEN 'web'
+                       WHEN doc_id % 10 < 9 THEN 'books'
+                       ELSE 'code' END AS domain
+           FROM documents),
+g AS (SELECT * FROM d WHERE {_gopher_keep_sql(30, 1)}),
+toks AS (SELECT doc_id, unnest({TOKS}) AS t FROM g),
+cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+konst AS (SELECT sum(c) AS total, count(*) AS v FROM cnt),
+vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 50000),
+scored AS (
+  SELECT tk.doc_id,
+         avg(ln(COALESCE(vb.c + 1, 1) * 1.0
+                / (k.total + least(k.v, 50000) + 1))) AS lm_score
+  FROM toks tk LEFT JOIN vocab vb USING (t), konst k
+  GROUP BY tk.doc_id),
+cntd AS (SELECT domain, count(*) AS n FROM g GROUP BY domain),
+r AS (SELECT domain, pow(n * 1.0 / (SELECT min(n) FROM cntd), -0.5) AS rate
+      FROM cntd)
+SELECT g.doc_id, g.domain, CAST(len({TOKS}) AS INT) AS n_tokens_ws,
+       {SQL_Q4.format('COALESCE(s.lm_score, 0.0)')} AS lm_score_q4
+FROM g JOIN r USING (domain) LEFT JOIN scored s ON s.doc_id = g.doc_id
+WHERE CAST(((g.doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
+      / 2147483648.0 < r.rate
 """
 
 
@@ -1346,6 +1415,7 @@ QUERIES = {
     "gopher_filter": (gopher_filter, GOPHER_FILTER_SQL),
     "temperature_mixture": (temperature_mixture, TEMPERATURE_MIXTURE_SQL),
     "unigram_lm_score": (unigram_lm_score, UNIGRAM_LM_SQL),
+    "llm_prep_pipeline_v3": (llm_prep_pipeline_v3, LLM_PREP_V3_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
 }
