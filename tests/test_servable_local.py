@@ -391,3 +391,34 @@ def test_gopher_filter_local(spark):
     assert rows[4]["r_alpha_words"] is False
     assert rows[5]["r_symbol_ratio"] is False
     assert rows[6]["keep"] is False
+
+
+def test_new_corpus_stages_save_load_local(spark, tmp_path):
+    """Round-3 fitted stages persist and serve engine-free: save ->
+    Stage.load_local -> transform_local matches the distributed path."""
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.llmdata import (TemperatureMixtureSampler,
+                                        UnigramLMScorer)
+    rows = [(i, ("the data " * (i % 4 + 1)).strip(),
+             "big" if i % 10 < 8 else "small") for i in range(50)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                        "text": [r[1] for r in rows],
+                        "source": [r[2] for r in rows]})
+
+    lm = UnigramLMScorer(inputCol="text", outputCol="s", vocabSize=10).fit(sdf)
+    p1 = str(tmp_path / "lm")
+    lm.save(p1)
+    lm2 = Stage.load_local(p1)
+    want = [r["s"] for r in lm.transform(sdf)[0].collect()]
+    got = list(lm2.transform_local(pdf)["s"])
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, want))
+
+    mix = TemperatureMixtureSampler(idCol="doc_id", domainCol="source",
+                                    alpha=0.5).fit(sdf)
+    p2 = str(tmp_path / "mix")
+    mix.save(p2)
+    mix2 = Stage.load_local(p2)
+    assert mix2.model_data["rates"] == mix.model_data["rates"]
+    assert (set(mix2.transform_local(pdf)["doc_id"])
+            == {r["doc_id"] for r in mix.transform(sdf)[0].collect()})
