@@ -44,7 +44,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
               right_cols: Sequence[str] | None = None,
               direction: str = "backward",
               tolerance: int | None = None,
-              suffix: str = "_right") -> DataFrame:
+              suffix: str = "_right",
+              skew_bucket_width: int | None = None) -> DataFrame:
     """For each left row, attach the single right row with the largest
     ``right_time`` <= ``left_time`` (``direction='backward'``, inclusive)
     or smallest ``right_time`` >= ``left_time`` (``'forward'``) within the
@@ -58,6 +59,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
 
     NULL join keys never match (SQL semantics): rows with a NULL key are
     kept (left) / ignored (right).
+
+    ``skew_bucket_width`` switches to the two-phase hot-key formulation:
+    rows shuffle on (key, floor(time/width)) so one pathological key
+    spreads over its time range instead of a single partition's sort;
+    cross-bucket lookback goes through per-(key, bucket) right-row tails
+    (one tiny keyed window over #buckets rows) joined back per bucket.
+    Identical semantics, ~2x shuffle volume — use it when a key can hold
+    a meaningful fraction of a partition's worth of rows.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -90,13 +99,36 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
     # stays NULL (left rows themselves are always kept).
     for k in keys:
         u = u.where(F.col(k).isNotNull() | (F.col("__side") == 1))
-    w = (Window.partitionBy(*keys)
-         .orderBy("__ord", "__side")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = F.last("__p", ignorenulls=True).over(w)
 
-    out = (u.withColumn("__m", matched)
-           .where(F.col("__side") == 1))
+    if skew_bucket_width is None:
+        w = (Window.partitionBy(*keys)
+             .orderBy("__ord", "__side")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = (u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+               .where(F.col("__side") == 1))
+    else:
+        # two-phase: in-bucket carry + cross-bucket tail lookback.
+        # __ord already encodes direction (negated for forward), so
+        # bucketing __ord keeps "earlier in scan order" = smaller bucket.
+        u = u.withColumn(
+            "__b", F.floor(F.col("__ord") / F.lit(int(skew_bucket_width))))
+        w_in = (Window.partitionBy(*keys, "__b")
+                .orderBy("__ord", "__side")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        u = u.withColumn("__in", F.last("__p", ignorenulls=True).over(w_in))
+        tails = (u.where(F.col("__side") == 0)
+                 .groupBy(*keys, "__b")
+                 .agg(F.max_by("__p", F.col("__ord")).alias("__tail")))
+        spine = (u.select(*keys, "__b").distinct()
+                 .join(tails, keys + ["__b"], "left"))
+        w_sp = (Window.partitionBy(*keys).orderBy("__b")
+                .rowsBetween(Window.unboundedPreceding, -1))
+        spine = spine.withColumn(
+            "__prev", F.last("__tail", ignorenulls=True).over(w_sp)) \
+            .select(*keys, "__b", "__prev")
+        out = (u.where(F.col("__side") == 1)
+               .join(spine, keys + ["__b"], "left")
+               .withColumn("__m", F.coalesce("__in", "__prev")))
     if tolerance is not None:
         dist = (F.col(left_time).cast("long") - F.col("__m")["__t"]) * sgn
         out = out.withColumn(

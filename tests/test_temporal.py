@@ -129,3 +129,20 @@ def test_range_join_no_keys(spark):
                  range_join(pts, iv, "pt", "s", "e",
                             bucket_width=7).collect())
     assert got == [(5, 0), (25, 0), (95, 90)]
+
+
+@pytest.mark.parametrize("direction,width,tol", [("backward", 50, None),
+                                                 ("forward", 37, None),
+                                                 ("backward", 100, 25)])
+def test_asof_skew_path_matches_default(spark, direction, width, tol):
+    left, right = _rand_frames(7, n_left=200, n_right=150, n_keys=4)
+    # hot key: one key owns half of both sides
+    left.loc[left.index[:100], "k"] = 0
+    right.loc[right.index[:75], "k"] = 0
+    args = dict(on="k", left_time="t", right_time="rt",
+                direction=direction, tolerance=tol)
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    base = asof_join(sl, sr, **args).toPandas()
+    skew = asof_join(sl, sr, skew_bucket_width=width, **args).toPandas()
+    pd.testing.assert_frame_equal(_canon(base), _canon(skew),
+                                  check_dtype=False, atol=1e-12)
