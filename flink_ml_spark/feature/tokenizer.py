@@ -66,7 +66,9 @@ class RegexTokenizer(Transformer, HasInputCol, HasOutputCol):
         lower = self.get_("toLowercase")
         rows = []
         for text in pdf[self.get_("inputCol")]:
-            t = text.lower() if lower else text
+            t = (text or "")
+            if lower:
+                t = t.lower()
             toks = pat.split(t) if gaps else pat.findall(t)
             rows.append([x for x in toks if len(x) >= min_len])
         out = pdf.copy()

@@ -69,15 +69,21 @@ class VectorAssembler(Transformer, HasInputCols, HasOutputCol, HasHandleInvalid)
             vec, bad = [], False
             for c, size in zip(in_cols, sizes):
                 v = r[c]
-                if hasattr(v, "__len__"):
-                    if v is None or (size and len(v) != size):
+                if v is None:
+                    # a NULL array column must fill its declared width,
+                    # not a single NaN (None has no __len__, so it would
+                    # otherwise fall to the scalar branch)
+                    bad = True
+                    vec.extend([float("nan")] * int(size or 1))
+                elif hasattr(v, "__len__"):
+                    if size and len(v) != size:
                         bad = True
-                        vec.extend([float("nan")] * int(size or 1))
+                        vec.extend([float("nan")] * int(size))
                     else:
                         vec.extend(float(x) for x in v)
                 else:
-                    fv = float(v) if v is not None else float("nan")
-                    if v is None or math.isnan(fv):
+                    fv = float(v)
+                    if math.isnan(fv):
                         bad = True
                     vec.append(fv)
             if bad and mode == "error":

@@ -26,6 +26,18 @@ def _unit_hash(idc, salt: int):
         / float(HASH_MOD)
 
 
+def _java_mod(a: int, m: int) -> int:
+    """Sign-of-dividend % (Spark/Java semantics; Python % takes the
+    divisor's sign, which diverges for negative ids)."""
+    r = abs(a) % m
+    return r if a >= 0 else -r
+
+
+def _unit_hash_local(id_val, salt: int) -> float:
+    return _java_mod(_java_mod(int(id_val), HASH_MOD) * 2654435761 + salt,
+                     HASH_MOD) / float(HASH_MOD)
+
+
 class DomainMixtureSampler(Transformer):
     """Per-domain weighted downsampling: keep a row of domain ``d`` with
     probability ``rates[d]`` (``defaultRate`` for unlisted domains), decided
@@ -59,8 +71,7 @@ class DomainMixtureSampler(Transformer):
         salt = self.get_("salt")
         keep = []
         for _, r in pdf.iterrows():
-            u = (((int(r[self.get_("idCol")]) % HASH_MOD) * 2654435761 + salt)
-                 % HASH_MOD) / float(HASH_MOD)
+            u = _unit_hash_local(r[self.get_("idCol")], salt)
             keep.append(u < rates.get(r[self.get_("domainCol")], default))
         return pdf[keep].reset_index(drop=True)
 
@@ -120,8 +131,7 @@ class TemperatureMixtureSamplerModel(Model):
         salt = self.get_("salt")
         keep = []
         for _, r in pdf.iterrows():
-            u = (((int(r[self.get_("idCol")]) % HASH_MOD) * 2654435761 + salt)
-                 % HASH_MOD) / float(HASH_MOD)
+            u = _unit_hash_local(r[self.get_("idCol")], salt)
             keep.append(u < rates.get(r[self.get_("domainCol")], 0.0))
         return pdf[keep].reset_index(drop=True)
 

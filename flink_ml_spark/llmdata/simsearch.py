@@ -357,7 +357,11 @@ class EmbeddingQuantizer(Transformer, HasInputCol, HasOutputCol):
         for v in pdf[self.get_("inputCol")]:
             a = np.asarray(v, dtype=float)
             scale = float(np.abs(a).max()) / qmax if len(a) else 0.0
-            codes = (np.round(a / scale).astype(np.int8) if scale > 0
+            # F.round is HALF_UP (away from zero); np.round is
+            # half-to-even and would flip codes landing exactly on k+0.5
+            q = a / scale if scale > 0 else None
+            codes = ((np.sign(q) * np.floor(np.abs(q) + 0.5))
+                     .astype(np.int8) if scale > 0
                      else np.zeros(len(a), dtype=np.int8))
             rows.append({"scale": scale, "codes": [int(c) for c in codes]})
         out = pdf.copy()

@@ -113,7 +113,9 @@ class TextQualityScorer(Transformer, HasInputCol):
             mean_wl = (sum(len(x) for x in toks) / n_tok) if n_tok else 0.0
             stop_ratio = (sum(1 for x in toks if x in stop) / n_tok) if n_tok else 0.0
             punct_ratio = (sum(1 for c in t if c in ".,;:!?") / n_chars) if n_chars else 0.0
-            digit_ratio = (sum(1 for c in t if c.isdigit()) / n_chars) if n_chars else 0.0
+            # '[0-9]' on the cluster is ASCII-only; isdigit() would also
+            # count Unicode digits and diverge the served ratio
+            digit_ratio = (sum(1 for c in t if "0" <= c <= "9") / n_chars) if n_chars else 0.0
             score = ((0.4 if 3 <= mean_wl <= 10 else 0.0)
                      + (0.3 if stop_ratio >= 0.05 else 0.0)
                      + (0.2 if digit_ratio <= 0.2 else 0.0)
@@ -144,7 +146,9 @@ class TokenCounter(Transformer, HasInputCol):
 
     def transform_local(self, pdf):
         import re
-        bpe = re.compile(r"[a-z]+|[0-9]|[^a-z0-9\s]")
+        # Java \s is ASCII-only; Python's would additionally swallow
+        # U+00A0 etc., diverging n_tokens_bpe from the cluster path
+        bpe = re.compile("[a-z]+|[0-9]|[^a-z0-9 \t\n\x0b\f\r]")
         out = pdf.copy()
         texts = [t or "" for t in pdf[self.get_("inputCol")]]
         out["n_tokens_ws"] = [len(_local_tokens(t)) for t in texts]
@@ -174,11 +178,18 @@ class UnigramLMScorer(Estimator, HasInputCol, HasOutputCol):
         (df,) = inputs
         toks = df.select(F.explode(_tokens(F.col(self.get_("inputCol"))))
                          .alias("t"))
-        cnt = toks.groupBy("t").count()
-        total, distinct = cnt.agg(
-            F.sum("count"), F.count("*")).first()
-        rows = (cnt.orderBy(F.col("count").desc(), F.col("t"))
-                .limit(self.get_("vocabSize")).collect())
+        # persist the aggregated counts so the totals probe and the top-k
+        # vocab collect don't each re-run the corpus tokenize+explode
+        # (the IDF.fit lesson: two actions over an uncached UDF/explode
+        # input double the dominant fit cost)
+        cnt = toks.groupBy("t").count().persist()
+        try:
+            total, distinct = cnt.agg(
+                F.sum("count"), F.count("*")).first()
+            rows = (cnt.orderBy(F.col("count").desc(), F.col("t"))
+                    .limit(self.get_("vocabSize")).collect())
+        finally:
+            cnt.unpersist()
         model = UnigramLMScorerModel()
         model.set_(inputCol=self.get_("inputCol"),
                    outputCol=self.get_("outputCol"))
@@ -327,10 +338,12 @@ class GopherQualityFilter(Transformer, HasInputCol):
             sym = t.count("#") + t.count("...") + t.count("…")
             lines = t.split("\n")
             nl = len(lines)
+            # F.ltrim/F.rtrim strip 0x20 only — match exactly (bare
+            # lstrip()/rstrip() would also eat tabs/Unicode whitespace)
             bullet = sum(1 for l in lines
-                         if re.match(r"^[-*•]", l.lstrip()))
+                         if re.match(r"^[-*•]", l.lstrip(" ")))
             ell_end = sum(1 for l in lines
-                          if re.search(r"(\.\.\.|…)$", l.rstrip()))
+                          if re.search(r"(\.\.\.|…)$", l.rstrip(" ")))
             alpha = sum(1 for x in toks if re.search("[a-z]", x))
             stop_hits = sum(1 for w in req if w in toks)
             r = {

@@ -673,7 +673,9 @@ def graph_dag(spark, sf_dir):
     # a (orderkey,linenumber,partkey,suppkey) collision) — join the two
     # fan-out branches on keys + the raw feature values, which identify a
     # row exactly (pure column equality, no arithmetic, so double-equality
-    # is safe)
+    # is safe).  Verified: no FULL 8-column duplicate exists at any SF
+    # (a duplicate would multiply through this self-join while the
+    # single-pass oracle stays 1:1; re-check if the testdata changes)
     k4 = KEY + ["l_partkey", "l_suppkey"] + NUM4
     a = std_df.select(*k4, *[q4(F.element_at(F.col("std"), i + 1))
                              .alias(f"std{i}") for i in range(4)])

@@ -97,7 +97,11 @@ class StatefulSessionizer:
                         out.append([k, s, e, n, tot])
                         s, e, n, tot = t, t, 1, float(v)
                     else:
-                        e, n, tot = t, n + 1, tot + float(v)
+                        # a late (within-watermark) event from a later
+                        # micro-batch may precede the stored span — merge
+                        # conservatively, never regress the session end
+                        s, e = min(s, t), max(e, t)
+                        n, tot = n + 1, tot + float(v)
             if s is not None:
                 state.update((int(s), int(e), int(n), float(tot)))
                 state.setTimeoutTimestamp(int(e) + gap_ms)

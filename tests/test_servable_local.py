@@ -422,3 +422,60 @@ def test_new_corpus_stages_save_load_local(spark, tmp_path):
     assert mix2.model_data["rates"] == mix.model_data["rates"]
     assert (set(mix2.transform_local(pdf)["doc_id"])
             == {r["doc_id"] for r in mix.transform(sdf)[0].collect()})
+
+
+def test_local_parity_fixes_regressions(spark):
+    """Served-vs-cluster parity on the edge cases: ASCII-only regex
+    classes, 0x20-only trim, HALF_UP rounding, NULL inputs, negative
+    sampling ids."""
+    import numpy as np
+    from flink_ml_spark.feature import RegexTokenizer, VectorAssembler
+    from flink_ml_spark.llmdata import (DomainMixtureSampler,
+                                        EmbeddingQuantizer,
+                                        GopherQualityFilter,
+                                        TextQualityScorer, TokenCounter)
+
+    # TokenCounter / TextQualityScorer: NBSP + unicode digits
+    rows = [("a b ٣ 2",), ("plain text here",)]
+    sdf = spark.createDataFrame(rows, "text string")
+    pdf = pd.DataFrame({"text": [r[0] for r in rows]})
+    assert_parity(TokenCounter(inputCol="text"), sdf, pdf,
+                  ["n_tokens_ws", "n_tokens_bpe"])
+    assert_parity(TextQualityScorer(inputCol="text"), sdf, pdf,
+                  ["q_digit_ratio", "quality_score"])
+
+    # GopherQualityFilter: tab-led bullet lines are NOT bullets (ltrim
+    # strips 0x20 only on the cluster)
+    g_rows = [("\t- tab bullet\n- real bullet",), (" - spaced bullet",)]
+    g_sdf = spark.createDataFrame(g_rows, "text string")
+    g_pdf = pd.DataFrame({"text": [r[0] for r in g_rows]})
+    assert_parity(GopherQualityFilter(inputCol="text"), g_sdf, g_pdf,
+                  ["r_bullet_lines", "r_ellipsis_lines"])
+
+    # RegexTokenizer: NULL text must not crash locally
+    rt = RegexTokenizer(inputCol="text", outputCol="toks")
+    out = rt.transform_local(pd.DataFrame({"text": [None, "a b"]}))
+    assert list(out["toks"]) == [[], ["a", "b"]]
+
+    # VectorAssembler keep-mode: NULL array fills declared width
+    va = VectorAssembler(inputCols=["v"], outputCol="f",
+                         inputSizes=[3], handleInvalid="keep")
+    out = va.transform_local(pd.DataFrame({"v": [None, [1.0, 2.0, 3.0]]}))
+    assert len(out["f"][0]) == 3 and all(np.isnan(out["f"][0]))
+
+    # EmbeddingQuantizer: exact k+0.5 quantization rounds away from zero
+    q_rows = [([62.5, -62.5, 127.0],)]
+    q_sdf = spark.createDataFrame(q_rows, "v array<double>")
+    q_pdf = pd.DataFrame({"v": [list(r[0]) for r in q_rows]})
+    stage = EmbeddingQuantizer(inputCol="v", outputCol="q")
+    assert_parity(stage, q_sdf, q_pdf, ["q"])
+    assert stage.transform_local(q_pdf)["q"][0]["codes"] == [63, -63, 127]
+
+    # negative ids: cluster keeps them always (negative hash), local must too
+    n_rows = [(-5, "a"), (7, "a")]
+    n_sdf = spark.createDataFrame(n_rows, "id long, source string")
+    n_pdf = pd.DataFrame({"id": [r[0] for r in n_rows],
+                          "source": [r[1] for r in n_rows]})
+    samp = DomainMixtureSampler(idCol="id", rates={"a": 0.5})
+    assert (set(samp.transform_local(n_pdf)["id"])
+            == {r["id"] for r in samp.transform(n_sdf)[0].collect()})

@@ -342,3 +342,44 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     assert len(got) == 23                        # 20 + 3 new, 5 dups dropped
     kept_ids = {r["doc_id"] for r in got}
     assert all(i not in kept_ids for i in range(100, 105))
+
+
+def test_stateful_sessionizer_late_event_does_not_regress_session():
+    """A within-watermark late event arriving in a LATER micro-batch must
+    merge into the stored session (extend start, never regress end)."""
+    import pandas as pd
+    from flink_ml_spark.streaming import StatefulSessionizer
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+        def remove(self):
+            self._v = None
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    gap = 600_000
+    s = StatefulSessionizer(key_col="k", ts_col="t", value_col="v",
+                            gap_ms=gap)
+    fn = s._make_fn()
+    state = FakeState()
+    b1 = pd.DataFrame({"k": 1, "t": [1_000_000], "v": [1.0]})
+    list(fn((1,), iter([b1]), state))
+    # 30s-late event from the next batch
+    b2 = pd.DataFrame({"k": 1, "t": [970_000], "v": [2.0]})
+    list(fn((1,), iter([b2]), state))
+    assert state.get == (970_000, 1_000_000, 2, 3.0)   # s extended, e kept
+    assert state.timeout == 1_000_000 + gap            # not regressed
+    # an event 575s after the TRUE end must continue the session, not split
+    b3 = pd.DataFrame({"k": 1, "t": [1_575_000], "v": [3.0]})
+    emitted = [df for df in fn((1,), iter([b3]), state)]
+    assert emitted == []                               # no spurious close
+    assert state.get == (970_000, 1_575_000, 3, 6.0)
