@@ -1,7 +1,8 @@
 from .dedup import (ConnectedComponents, Decontaminator,
                     DuplicateSpanDetector, ExactDeduplicator,
-                    MinHashLSHDeduplicator, MinHashSignature,
-                    NGramJaccardDeduplicator, SimHashDeduplicator)
+                    LineDeduplicator, MinHashLSHDeduplicator,
+                    MinHashSignature, NGramJaccardDeduplicator,
+                    SimHashDeduplicator)
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,

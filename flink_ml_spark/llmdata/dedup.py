@@ -18,7 +18,7 @@ can be salted or capped upstream.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..api import AlgoOperator, Transformer
 from ..param import (HasInputCol, HasOutputCol, IntParam, FloatParam,
@@ -138,6 +138,56 @@ class ExactDeduplicator(Transformer, HasInputCol):
         keep = with_key.groupBy("__exact_key__").agg(F.min(idc).alias(idc))
         return (with_key.join(keep, ["__exact_key__", idc], "left_semi")
                 .drop("__exact_key__"))
+
+
+class LineDeduplicator(Transformer, HasInputCol, HasOutputCol):
+    """C4-style corpus-wide exact LINE dedup (public literature: Raffel
+    et al. 2020 §2.2 — "we discarded all but one of any three-sentence
+    span occurring more than once", here at line granularity): a line is
+    kept only at its first global occurrence (smallest ``(idCol, line
+    position)``), every later copy is dropped, and documents are
+    reassembled from their surviving lines in order.
+
+    Plan: posexplode lines → rank occurrences per 32-byte line digest
+    (one fixed-width-key shuffle; the window state per digest is the
+    occurrence list, bounded by ``maxLineDocFreq`` ranking cutoff being
+    unnecessary since rank=1 keeps exactly one) → re-aggregate surviving
+    lines per document ordered by position (second shuffle, keyed on the
+    id).  Shuffle volume is the corpus once plus digests — the minimum
+    for an operator that must rewrite document text.  ``minLineChars``
+    exempts short/boilerplate-free lines (blank lines, separators) from
+    deduplication so formatting survives.
+    """
+
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    minLineChars = IntParam(
+        "minLineChars", "Lines shorter than this are always kept.", 10)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        content, idc = self.get_("inputCol"), self.get_("idCol")
+        min_chars = int(self.get_("minLineChars"))
+        out_col = self.get_("outputCol") or (content + "_deduped")
+        lines = df.select(
+            idc,
+            F.posexplode(F.split(F.col(content), "\n")).alias("__pos", "__ln"))
+        # short lines dedup within their own digest space never (rank
+        # exemption), real lines rank globally by first occurrence
+        w = Window.partitionBy(F.sha2(F.col("__ln"), 256)) \
+            .orderBy(F.col(idc), F.col("__pos"))
+        survivors = (lines
+                     .withColumn("__rn", F.row_number().over(w))
+                     .where((F.length("__ln") < min_chars)
+                            | (F.col("__rn") == 1))
+                     .drop("__rn"))
+        agg = (survivors.groupBy(idc)
+               .agg(F.concat_ws(
+                   "\n", F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("__pos"), F.col("__ln")))),
+                       lambda s: s["__ln"])).alias(out_col)))
+        # documents whose every line was deduplicated away survive as ""
+        return (df.join(agg, idc, "left")
+                .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(""))))
 
 
 class MinHashSignature(Transformer, HasInputCol, HasOutputCol):

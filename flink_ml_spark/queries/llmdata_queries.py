@@ -793,6 +793,46 @@ WHERE CAST(((g.doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
 """
 
 
+_BOILER1 = "subscribe to our newsletter"
+_BOILER2 = "all rights reserved worldwide"
+
+
+def line_dedup(spark, sf_dir):
+    """C4-style corpus-wide exact line dedup: the testdata's documents
+    are single-line, so the query appends two boilerplate lines to every
+    document — LineDeduplicator keeps them only at their first global
+    occurrence and strips them everywhere else."""
+    from ..llmdata import LineDeduplicator
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.lit(_BOILER1), F.lit(_BOILER2))
+        .alias("t"))
+    out = LineDeduplicator(inputCol="t", idCol="doc_id", outputCol="clean",
+                           minLineChars=10)._transform(docs)
+    return out.select("doc_id", F.sha2(F.col("clean"), 256).alias("clean_sha"))
+
+
+LINE_DEDUP_SQL = f"""
+WITH d AS (SELECT doc_id,
+                  concat(text, chr(10), '{_BOILER1}', chr(10), '{_BOILER2}')
+                  AS t
+           FROM documents),
+arrs AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM d),
+l AS (SELECT doc_id, gs.i AS pos, arr[gs.i + 1] AS ln
+      FROM arrs, unnest(generate_series(0, len(arr) - 1)) AS gs(i)),
+kept AS (SELECT doc_id, pos, ln
+         FROM (SELECT doc_id, pos, ln,
+                      row_number() OVER (PARTITION BY ln
+                                         ORDER BY doc_id, pos) AS rn
+               FROM l)
+         WHERE length(ln) < 10 OR rn = 1),
+agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, sha256(COALESCE(a.clean, '')) AS clean_sha
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def temperature_mixture(spark, sf_dir):
     """mT5-style alpha-temperature domain balancing: fit = one domain
     count, transform = hash-deterministic narrow filter with rates
@@ -1416,6 +1456,7 @@ QUERIES = {
     "temperature_mixture": (temperature_mixture, TEMPERATURE_MIXTURE_SQL),
     "unigram_lm_score": (unigram_lm_score, UNIGRAM_LM_SQL),
     "llm_prep_pipeline_v3": (llm_prep_pipeline_v3, LLM_PREP_V3_SQL),
+    "line_dedup": (line_dedup, LINE_DEDUP_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
 }

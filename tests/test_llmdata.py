@@ -538,3 +538,23 @@ def test_unigram_lm_scorer(spark):
     df2 = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
     m2 = UnigramLMScorer(inputCol="text", vocabSize=1).fit(df2)
     assert list(m2.model_data["counts"]) == ["x"]
+
+
+def test_line_deduplicator(spark):
+    from flink_ml_spark.llmdata import LineDeduplicator
+    docs = [
+        (0, "unique first line zero\nshared boilerplate line\nok"),
+        (1, "unique first line one\nshared boilerplate line\nok"),
+        (2, "shared boilerplate line"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean"] for r in
+           LineDeduplicator(inputCol="text", idCol="doc_id",
+                            outputCol="clean", minLineChars=5)
+           ._transform(df).collect()}
+    # boilerplate survives only at its first global occurrence (doc 0);
+    # short lines ("ok") are exempt and survive everywhere
+    assert out[0] == "unique first line zero\nshared boilerplate line\nok"
+    assert out[1] == "unique first line one\nok"
+    assert out[2] == ""                      # fully deduplicated away
+    assert len(out) == 3                     # every document row kept
