@@ -54,7 +54,7 @@ HEADLINE = [
     # tokenize/vocab + Arrow-UDF-heavy pipelines
     "tokenizer", "ngram", "stop_words_remover", "count_vectorizer", "tfidf",
     "hashing_tf", "feature_hasher", "exact_dedup", "line_dedup",
-    "simhash_dedup",
+    "ngram_profile", "simhash_dedup",
     "minhash_signature", "minhash_dedup", "ann_bruteforce",
     "embedding_dedup_lsh", "embedding_quantize", "bm25_scoring",
     "ann_ivf_pq", "semantic_dedup",

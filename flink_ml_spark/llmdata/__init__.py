@@ -14,7 +14,8 @@ from .sampling import (DocumentChunker, DomainMixtureSampler, SequencePacker,
                        TemperatureMixtureSamplerModel)
 from .textanalysis import (Bm25Scorer, Bm25ScorerModel,
                            DocumentFingerprinter, GopherQualityFilter,
-                           LanguageIdentifier, PIIRedactor, RepetitionScorer,
+                           LanguageIdentifier, NGramProfiler, PIIRedactor,
+                           RepetitionScorer,
                            TextNormalizer, TextQualityScorer, TokenCounter,
                            UnigramLMScorer, UnigramLMScorerModel)
 

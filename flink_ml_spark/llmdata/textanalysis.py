@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..api import Estimator, Model, Transformer
+from ..api import AlgoOperator, Estimator, Model, Transformer
 from ..param import (BoolParam, FloatParam, HasInputCol, HasOutputCol,
                      IntParam, ParamValidators, StringArrayParam, StringParam)
 from .dedup import MINHASH_PRIME, poly_token_hash
@@ -154,6 +154,32 @@ class TokenCounter(Transformer, HasInputCol):
         out["n_tokens_ws"] = [len(_local_tokens(t)) for t in texts]
         out["n_tokens_bpe"] = [len(bpe.findall(t.lower())) for t in texts]
         return out
+
+
+class NGramProfiler(AlgoOperator, HasInputCol):
+    """Corpus-level n-gram heavy hitters: document frequency of every
+    word n-gram (distinct within a document), top ``k`` — how you FIND
+    the boilerplate that LineDeduplicator / dedup caps then remove.
+
+    Plan: shingle explode → groupBy count with map-side combine → the
+    top-k pushed into TakeOrderedAndProject (ties broken by n-gram text
+    ascending, so the cut is deterministic).  Only (n-gram, count) pairs
+    cross the shuffle; the result is k rows regardless of corpus size.
+    """
+
+    n = IntParam("n", "Words per n-gram.", 5, ParamValidators.gt(0))
+    k = IntParam("k", "Heavy hitters to keep.", 50, ParamValidators.gt(0))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        from .dedup import shingles
+        grams = df.select(F.explode(
+            shingles(F.col(self.get_("inputCol")), self.get_("n")))
+            .alias("ngram"))
+        out = (grams.groupBy("ngram").agg(F.count("*").alias("doc_freq"))
+               .orderBy(F.col("doc_freq").desc(), F.col("ngram"))
+               .limit(self.get_("k")))
+        return [out]
 
 
 class UnigramLMScorer(Estimator, HasInputCol, HasOutputCol):

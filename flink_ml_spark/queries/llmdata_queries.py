@@ -793,6 +793,33 @@ WHERE CAST(((g.doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
 """
 
 
+def ngram_profile(spark, sf_dir):
+    """Corpus heavy hitters: top-50 word 5-grams by document frequency —
+    the boilerplate-discovery profiler (explode → count → top-k pushed
+    into TakeOrderedAndProject; output is k rows at any corpus size)."""
+    from ..llmdata import NGramProfiler
+    docs = load(spark, sf_dir, "documents")
+    (out,) = NGramProfiler(inputCol="text", n=5, k=50).transform(docs)
+    return out
+
+
+NGRAM_PROFILE_SQL = f"""
+WITH arrs AS (SELECT doc_id, {TOKS} AS arr FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(arr) >= 5
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(arr) - 4),
+                     i -> array_to_string(arr[i:i+4], ' ')))
+              ELSE [array_to_string(arr, ' ')] END AS gs
+  FROM arrs),
+x AS (SELECT unnest(gs) AS ngram FROM grams)
+SELECT ngram, count(*) AS doc_freq
+FROM x GROUP BY ngram
+ORDER BY doc_freq DESC, ngram LIMIT 50
+"""
+
+
 _BOILER1 = "subscribe to our newsletter"
 _BOILER2 = "all rights reserved worldwide"
 
@@ -1457,6 +1484,7 @@ QUERIES = {
     "unigram_lm_score": (unigram_lm_score, UNIGRAM_LM_SQL),
     "llm_prep_pipeline_v3": (llm_prep_pipeline_v3, LLM_PREP_V3_SQL),
     "line_dedup": (line_dedup, LINE_DEDUP_SQL),
+    "ngram_profile": (ngram_profile, NGRAM_PROFILE_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
 }

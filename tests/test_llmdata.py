@@ -558,3 +558,13 @@ def test_line_deduplicator(spark):
     assert out[1] == "unique first line one\nok"
     assert out[2] == ""                      # fully deduplicated away
     assert len(out) == 3                     # every document row kept
+
+
+def test_ngram_profiler(spark):
+    from flink_ml_spark.llmdata import NGramProfiler
+    docs = [(0, "a b c d"), (1, "a b c x"), (2, "a b c d"), (3, "q")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    (out,) = NGramProfiler(inputCol="text", n=2, k=3).transform(df)
+    rows = [(r["ngram"], r["doc_freq"]) for r in out.collect()]
+    # doc-frequency (distinct per doc), deterministic tie-break by text
+    assert rows == [("a b", 3), ("b c", 3), ("c d", 2)]
