@@ -56,7 +56,7 @@ HEADLINE = [
     "hashing_tf", "feature_hasher", "exact_dedup", "line_dedup",
     "ngram_profile", "simhash_dedup",
     "minhash_signature", "minhash_dedup", "ann_bruteforce",
-    "embedding_dedup_lsh", "embedding_quantize", "bm25_scoring",
+    "embedding_dedup_lsh", "embedding_quantize", "pca_whiten", "bm25_scoring",
     "ann_ivf_pq", "semantic_dedup",
     "dup_spans", "decontamination", "llm_prep_pipeline",
     "llm_prep_pipeline_v2", "llm_prep_pipeline_v3",

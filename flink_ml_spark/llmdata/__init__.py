@@ -7,6 +7,7 @@ from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         EmbeddingQuantizer, IVFIndex, IVFIndexModel,
+                        PCAWhitener, PCAWhitenerModel,
                         RandomHyperplaneLSH, RandomHyperplaneLSHModel,
                         SemanticDeduplicator)
 from .sampling import (DocumentChunker, DomainMixtureSampler, SequencePacker,

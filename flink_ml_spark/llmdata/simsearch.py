@@ -320,6 +320,91 @@ class SemanticDeduplicator(AlgoOperator, HasSeed, HasDistanceMeasure):
                 .select("id_a", "id_b", "cell", "cosine")]
 
 
+class PCAWhitener(Estimator, HasInputCol, HasOutputCol):
+    """PCA whitening for embedding columns (public technique: Jégou &
+    Chum 2012 — whitening before quantization/ANN evens the variance the
+    coarse quantizer sees and improves PQ recall).
+
+    fit = ONE pass: per-partition Arrow partials (n, Σx, ΣxxT — dim and
+    dim² doubles per partition, the optimizer-stack allReduce shape)
+    combine on the driver into the covariance, then an eigh on the
+    dim×dim matrix (driver-local, model-sized).  The model carries mean
+    and the whitening matrix W = V·diag(1/√(λ+eps)); transform is one
+    numpy matmul per Arrow batch — zero shuffle either phase.
+    """
+
+    eps = FloatParam("eps", "Eigenvalue regularizer.", 1e-12)
+
+    def fit(self, *inputs: DataFrame) -> "PCAWhitenerModel":
+        (df,) = inputs
+        col = self.get_("inputCol")
+        src = df.select(F.col(col).cast("array<double>").alias("x"))
+
+        def partials(it):
+            import pandas as pd
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["x"].to_numpy())
+                yield pd.DataFrame({
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                })
+
+        rows = src.mapInPandas(
+            partials, "n long, s array<double>, ss array<double>").collect()
+        n = sum(r["n"] for r in rows)
+        if n < 2:
+            raise ValueError("PCAWhitener needs at least 2 rows")
+        s = np.sum([r["s"] for r in rows], axis=0)
+        d = int(np.sqrt(len(rows[0]["ss"])))
+        ss = np.sum([r["ss"] for r in rows], axis=0).reshape(d, d)
+        mean = s / n
+        cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+        eig, vec = np.linalg.eigh(cov)
+        w = vec @ np.diag(1.0 / np.sqrt(np.maximum(eig, 0)
+                                        + self.get_("eps")))
+        model = PCAWhitenerModel()
+        model.set_(inputCol=col, outputCol=self.get_("outputCol"))
+        model.model_data = {"mean": mean.tolist(),
+                            "w": w.ravel().tolist(), "dim": d}
+        return model
+
+
+class PCAWhitenerModel(Model, HasInputCol, HasOutputCol):
+    def _apply_np(self, X):
+        d = self.model_data["dim"]
+        mean = np.asarray(self.model_data["mean"])
+        w = np.asarray(self.model_data["w"]).reshape(d, d)
+        return (X - mean) @ w
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        apply_np = self._apply_np
+
+        def whiten(vs):
+            if not len(vs):
+                return pd.Series([], dtype=object)
+            out = apply_np(np.stack(vs.to_numpy()))
+            return pd.Series(list(map(list, out)))
+
+        whiten.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+        whiten = pandas_udf(whiten, "array<double>")
+        src = F.col(self.get_("inputCol")).cast("array<double>")
+        return df.withColumn(self.get_("outputCol") or "whitened",
+                             whiten(src))
+
+    def transform_local(self, pdf):
+        out = pdf.copy()
+        X = np.stack([np.asarray(v, dtype=float)
+                      for v in pdf[self.get_("inputCol")]])
+        out[self.get_("outputCol") or "whitened"] = list(
+            map(list, self._apply_np(X)))
+        return out
+
+
 class EmbeddingQuantizer(Transformer, HasInputCol, HasOutputCol):
     """Symmetric per-row int8 (2..8 bit) quantization of an embedding
     column — the standard 4x memory/IO reduction for ANN corpora at scale

@@ -91,7 +91,7 @@ def all_queries():
         "ann_ivf_pq", "semantic_dedup", "stateful_sessions",
         "asof_join", "range_join", "sliding_windows", "streaming_dedup",
         "gopher_filter", "temperature_mixture", "unigram_lm_score",
-        "llm_prep_pipeline_v3", "line_dedup", "ngram_profile",
+        "llm_prep_pipeline_v3", "line_dedup", "ngram_profile", "pca_whiten",
         # distributed plans changed this round, so r02/r01 evidence is
         # stale for them: graph_dag join key; IDF.fit single-pass
         # (tfidf/count_vectorizer); evaluator restructure; sgd/KMeans

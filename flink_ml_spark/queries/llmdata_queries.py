@@ -793,6 +793,49 @@ WHERE CAST(((g.doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
 """
 
 
+def pca_whiten(spark, sf_dir):
+    """PCA whitening of the embeddings table, verified by its defining
+    property: the whitened sample covariance is the identity.  The query
+    re-measures the covariance of the transformed vectors distributedly
+    (the same one-pass partials shape as the fit) and emits it q4-
+    quantized — the oracle is a literal 64x64 identity."""
+    import numpy as np
+    from ..llmdata import PCAWhitener
+    emb = load(spark, sf_dir, "embeddings")
+    m = PCAWhitener(inputCol="embedding", outputCol="wx").fit(emb)
+    out = m.transform(emb)[0].select("wx")
+
+    def partials(it):
+        import pandas as pd
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["wx"].to_numpy())
+            yield pd.DataFrame({"n": [len(X)],
+                                "s": [X.sum(axis=0).tolist()],
+                                "ss": [(X.T @ X).ravel().tolist()]})
+
+    rows = out.mapInPandas(
+        partials, "n long, s array<double>, ss array<double>").collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    d = int(np.sqrt(len(rows[0]["ss"])))
+    ss = np.sum([r["ss"] for r in rows], axis=0).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    data = [(i, j, int(round(cov[i, j] * 10000)))
+            for i in range(d) for j in range(d)]
+    return spark.createDataFrame(data, "i long, j long, cov_q4 long")
+
+
+PCA_WHITEN_SQL = """
+SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+       CAST(CASE WHEN i.i = j.j THEN 10000 ELSE 0 END AS BIGINT) AS cov_q4
+FROM unnest(generate_series(0, 63)) AS i(i),
+     unnest(generate_series(0, 63)) AS j(j)
+"""
+
+
 def ngram_profile(spark, sf_dir):
     """Corpus heavy hitters: top-50 word 5-grams by document frequency —
     the boilerplate-discovery profiler (explode → count → top-k pushed
@@ -1485,6 +1528,7 @@ QUERIES = {
     "llm_prep_pipeline_v3": (llm_prep_pipeline_v3, LLM_PREP_V3_SQL),
     "line_dedup": (line_dedup, LINE_DEDUP_SQL),
     "ngram_profile": (ngram_profile, NGRAM_PROFILE_SQL),
+    "pca_whiten": (pca_whiten, PCA_WHITEN_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
 }

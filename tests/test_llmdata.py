@@ -568,3 +568,26 @@ def test_ngram_profiler(spark):
     rows = [(r["ngram"], r["doc_freq"]) for r in out.collect()]
     # doc-frequency (distinct per doc), deterministic tie-break by text
     assert rows == [("a b", 3), ("b c", 3), ("c d", 2)]
+
+
+def test_pca_whitener(spark):
+    import numpy as np
+    import pandas as pd
+    from flink_ml_spark.llmdata import PCAWhitener
+    rng = np.random.default_rng(5)
+    # anisotropic correlated data
+    A = rng.normal(size=(4, 4))
+    X = rng.normal(size=(300, 4)) @ A
+    df = spark.createDataFrame([(i, x.tolist()) for i, x in enumerate(X)],
+                               "id long, v array<double>")
+    m = PCAWhitener(inputCol="v", outputCol="w").fit(df)
+    W = np.stack([r["w"] for r in m.transform(df)[0].collect()])
+    cov = np.cov(W, rowvar=False)
+    assert np.allclose(cov, np.eye(4), atol=1e-8)
+    # transform_local parity, matched per id
+    pdf = pd.DataFrame({"id": range(300), "v": list(map(list, X))})
+    local = {i: np.asarray(w) for i, w in
+             zip(m.transform_local(pdf)["id"], m.transform_local(pdf)["w"])}
+    dist = {r["id"]: np.asarray(r["w"]) for r in
+            m.transform(df)[0].select("id", "w").collect()}
+    assert all(np.allclose(local[i], dist[i], atol=1e-9) for i in dist)
