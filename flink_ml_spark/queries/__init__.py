@@ -86,8 +86,11 @@ def all_queries():
         "event_windows", "session_windows", "online_standard_scaler",
         "online_scaler_delayed", "online_kmeans",
         "online_logistic_regression", "corpus_stats",
-        # new in round 3: IVF+PQ rerank search, SemDeDup-style dedup,
-        # applyInPandasWithState sessionization
+        # new in round 3 (no prior driver evidence): IVF+PQ rerank,
+        # SemDeDup-style dedup, stateful sessionization, temporal joins,
+        # sliding windows, streaming dedup, corpus gates (Gopher /
+        # temperature / unigram-LM), composed v3 pipeline, line dedup,
+        # n-gram profiler, PCA whitening
         "ann_ivf_pq", "semantic_dedup", "stateful_sessions",
         "asof_join", "range_join", "sliding_windows", "streaming_dedup",
         "gopher_filter", "temperature_mixture", "unigram_lm_score",

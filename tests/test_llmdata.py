@@ -591,3 +591,51 @@ def test_pca_whitener(spark):
     dist = {r["id"]: np.asarray(r["w"]) for r in
             m.transform(df)[0].select("id", "w").collect()}
     assert all(np.allclose(local[i], dist[i], atol=1e-9) for i in dist)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """ANN quality gate: IVF probe search must RECALL most of the true
+    top-k, and exact rerank must recover quantization losses — semantic
+    usefulness, not just determinism."""
+    import numpy as np
+    from flink_ml_spark.llmdata import (BruteForceKNNJoin,
+                                        EmbeddingQuantizer, IVFIndex)
+    rng = np.random.default_rng(3)
+    # 8 well-separated gaussian clusters in 16-d
+    centers = rng.normal(scale=8.0, size=(8, 16))
+    X = np.concatenate([c + rng.normal(size=(150, 16)) for c in centers])
+    corpus = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "corpus_id long, embedding array<double>").cache()
+    qvecs = X[::97][:12]
+    queries = spark.createDataFrame(
+        [(i, (x + rng.normal(scale=0.1, size=16)).tolist())
+         for i, x in enumerate(qvecs)],
+        "query_id long, embedding array<double>").cache()
+
+    k = 10
+    bf = BruteForceKNNJoin(k=k).transform(queries, corpus)[0]
+    truth = {}
+    for r in bf.collect():
+        truth.setdefault(r["query_id"], set()).add(r["corpus_id"])
+
+    model = IVFIndex(nlist=8, maxIter=5, vecCol="embedding").fit(corpus)
+    model.set(type(model).nprobe, 2)
+    indexed = model.transform(corpus)[0].cache()
+    got = {}
+    for r in model.search(queries, indexed, "query_id", "corpus_id",
+                          k=k).collect():
+        got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    recall = np.mean([len(truth[q] & got.get(q, set())) / k for q in truth])
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+    # PQ path + exact rerank: quantized candidates, true-vector rescore
+    quant = EmbeddingQuantizer(inputCol="embedding", outputCol="q")
+    indexed_q = quant._transform(indexed).cache()
+    got_pq = {}
+    for r in model.search(queries, indexed_q, "query_id", "corpus_id",
+                          k=k, codes_col="q", rerank=3 * k).collect():
+        got_pq.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    recall_pq = np.mean([len(truth[q] & got_pq.get(q, set())) / k
+                         for q in truth])
+    assert recall_pq >= 0.9, f"IVF-PQ rerank recall {recall_pq}"
