@@ -337,6 +337,12 @@ def stateful_sessions(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="stateful_sessions_")
     view = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
     q = None
+    # state-store partition count = the streaming shuffle partitions;
+    # there are only ~150 session keys, and every extra partition is a
+    # per-micro-batch checkpoint dir + provider instance (measured 2x
+    # wall at 32).  In production you size this to keyed-state volume.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         os.mkdir(os.path.join(tmp, "in"))
         # two files -> two micro-batches (maxFilesPerTrigger=1); mtimes
@@ -364,6 +370,7 @@ def stateful_sessions(spark, sf_dir):
                 .select("user_id", "s_start", "n_events",
                         q4(F.col("sum_value")).alias("sum_value")))
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if q is not None and q.isActive:
             q.stop()
         shutil.rmtree(tmp, ignore_errors=True)
@@ -420,6 +427,9 @@ def streaming_dedup(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="streaming_dedup_")
     view = f"streaming_dedup_{uuid.uuid4().hex[:8]}"
     q = None
+    # size dedup-state partitions to the key volume (see stateful_sessions)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         os.mkdir(os.path.join(tmp, "in"))
         # batch 1 = the corpus; batch 2 = 20% of it re-sent under fresh
@@ -448,6 +458,7 @@ def streaming_dedup(spark, sf_dir):
         q.awaitTermination(300)
         return spark.table(view).distinct()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if q is not None and q.isActive:
             q.stop()
         shutil.rmtree(tmp, ignore_errors=True)
