@@ -18,7 +18,7 @@ can be salted or capped upstream.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..api import AlgoOperator, Transformer
 from ..param import (HasInputCol, HasOutputCol, IntParam, FloatParam,
@@ -148,15 +148,17 @@ class LineDeduplicator(Transformer, HasInputCol, HasOutputCol):
     position)``), every later copy is dropped, and documents are
     reassembled from their surviving lines in order.
 
-    Plan: posexplode lines → rank occurrences per 32-byte line digest
-    (one fixed-width-key shuffle; the window state per digest is the
-    occurrence list, bounded by ``maxLineDocFreq`` ranking cutoff being
-    unnecessary since rank=1 keeps exactly one) → re-aggregate surviving
-    lines per document ordered by position (second shuffle, keyed on the
-    id).  Shuffle volume is the corpus once plus digests — the minimum
-    for an operator that must rewrite document text.  ``minLineChars``
-    exempts short/boilerplate-free lines (blank lines, separators) from
-    deduplication so formatting survives.
+    Plan: posexplode lines → the first occurrence per 32-byte line
+    digest via ``groupBy(digest).min(struct(id, pos))`` — an AGGREGATE,
+    not a window, so a hot line duplicated across millions of documents
+    partial-combines map-side instead of sorting every copy in one
+    window partition — then a semi-join keeps the winners and documents
+    re-aggregate their surviving lines by position (one shuffle keyed on
+    the id).  Shuffle volume is the corpus once plus digests — the
+    minimum for an operator that must rewrite document text.
+    ``minLineChars`` exempts short lines (blank lines, separators) from
+    deduplication so formatting survives; they bypass the digest shuffle
+    entirely.
     """
 
     idCol = StringParam("idCol", "Unique id column.", "id")
@@ -166,19 +168,22 @@ class LineDeduplicator(Transformer, HasInputCol, HasOutputCol):
     def _transform(self, df: DataFrame) -> DataFrame:
         content, idc = self.get_("inputCol"), self.get_("idCol")
         min_chars = int(self.get_("minLineChars"))
-        out_col = self.get_("outputCol") or (content + "_deduped")
+        out_col = self.get_("outputCol")
         lines = df.select(
             idc,
             F.posexplode(F.split(F.col(content), "\n")).alias("__pos", "__ln"))
-        # short lines dedup within their own digest space never (rank
-        # exemption), real lines rank globally by first occurrence
-        w = Window.partitionBy(F.sha2(F.col("__ln"), 256)) \
-            .orderBy(F.col(idc), F.col("__pos"))
-        survivors = (lines
-                     .withColumn("__rn", F.row_number().over(w))
-                     .where((F.length("__ln") < min_chars)
-                            | (F.col("__rn") == 1))
-                     .drop("__rn"))
+        short = lines.where(F.length("__ln") < min_chars)
+        longl = (lines.where(F.length("__ln") >= min_chars)
+                 .withColumn("__d", F.sha2(F.col("__ln"), 256)))
+        winners = (longl.groupBy("__d")
+                   .agg(F.min(F.struct(F.col(idc).alias("i"),
+                                       F.col("__pos").alias("p")))
+                        .alias("w"))
+                   .select("__d", F.col("w.i").alias(idc),
+                           F.col("w.p").alias("__pos")))
+        survivors = (longl.join(winners, ["__d", idc, "__pos"], "left_semi")
+                     .drop("__d")
+                     .unionByName(short))
         agg = (survivors.groupBy(idc)
                .agg(F.concat_ws(
                    "\n", F.transform(

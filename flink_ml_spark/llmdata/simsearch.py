@@ -320,6 +320,38 @@ class SemanticDeduplicator(AlgoOperator, HasSeed, HasDistanceMeasure):
                 .select("id_a", "id_b", "cell", "cosine")]
 
 
+def covariance_partials(df: DataFrame, col: str):
+    """One-pass distributed (n, mean, covariance) of an array<double>
+    column: per-partition Arrow partials (n, Σx, ΣxxT — dim and dim²
+    doubles per partition) combined on the driver.  Shared by
+    PCAWhitener.fit and the identity-covariance verification query."""
+
+    def partials(it):
+        import pandas as pd
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[col].to_numpy())
+            yield pd.DataFrame({
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "ss": [(X.T @ X).ravel().tolist()],
+            })
+
+    rows = df.select(F.col(col).cast("array<double>").alias(col)) \
+        .mapInPandas(partials, "n long, s array<double>, ss array<double>") \
+        .collect()
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("covariance needs at least 2 rows")
+    s = np.sum([r["s"] for r in rows], axis=0)
+    d = int(np.sqrt(len(rows[0]["ss"])))
+    ss = np.sum([r["ss"] for r in rows], axis=0).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    return n, mean, cov
+
+
 class PCAWhitener(Estimator, HasInputCol, HasOutputCol):
     """PCA whitening for embedding columns (public technique: Jégou &
     Chum 2012 — whitening before quantization/ANN evens the variance the
@@ -329,46 +361,31 @@ class PCAWhitener(Estimator, HasInputCol, HasOutputCol):
     dim² doubles per partition, the optimizer-stack allReduce shape)
     combine on the driver into the covariance, then an eigh on the
     dim×dim matrix (driver-local, model-sized).  The model carries mean
-    and the whitening matrix W = V·diag(1/√(λ+eps)); transform is one
-    numpy matmul per Arrow batch — zero shuffle either phase.
+    and the whitening matrix W = V·diag(1/√λ); transform is one numpy
+    matmul per Arrow batch — zero shuffle either phase.
+
+    Rank deficiency (n ≤ dim, or constant dimensions): eigenvalues below
+    ``eps`` × the largest are treated as null directions and their
+    components are DROPPED (output coordinate = 0) rather than amplified
+    by 1/√(≈0) into million-fold noise; the identity-covariance property
+    then holds on the surviving components only.
     """
 
-    eps = FloatParam("eps", "Eigenvalue regularizer.", 1e-12)
+    eps = FloatParam("eps", "Relative eigenvalue floor.", 1e-9)
 
     def fit(self, *inputs: DataFrame) -> "PCAWhitenerModel":
         (df,) = inputs
         col = self.get_("inputCol")
-        src = df.select(F.col(col).cast("array<double>").alias("x"))
-
-        def partials(it):
-            import pandas as pd
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                X = np.stack(pdf["x"].to_numpy())
-                yield pd.DataFrame({
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "ss": [(X.T @ X).ravel().tolist()],
-                })
-
-        rows = src.mapInPandas(
-            partials, "n long, s array<double>, ss array<double>").collect()
-        n = sum(r["n"] for r in rows)
-        if n < 2:
-            raise ValueError("PCAWhitener needs at least 2 rows")
-        s = np.sum([r["s"] for r in rows], axis=0)
-        d = int(np.sqrt(len(rows[0]["ss"])))
-        ss = np.sum([r["ss"] for r in rows], axis=0).reshape(d, d)
-        mean = s / n
-        cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+        n, mean, cov = covariance_partials(df, col)
         eig, vec = np.linalg.eigh(cov)
-        w = vec @ np.diag(1.0 / np.sqrt(np.maximum(eig, 0)
-                                        + self.get_("eps")))
+        floor = max(float(eig.max()), 0.0) * self.get_("eps")
+        inv_sqrt = np.where(eig > floor, 1.0 / np.sqrt(np.maximum(eig, 1e-300)),
+                            0.0)
+        w = vec @ np.diag(inv_sqrt)
         model = PCAWhitenerModel()
         model.set_(inputCol=col, outputCol=self.get_("outputCol"))
         model.model_data = {"mean": mean.tolist(),
-                            "w": w.ravel().tolist(), "dim": d}
+                            "w": w.ravel().tolist(), "dim": len(mean)}
         return model
 
 
@@ -393,15 +410,13 @@ class PCAWhitenerModel(Model, HasInputCol, HasOutputCol):
         whiten.__annotations__ = {"vs": pd.Series, "return": pd.Series}
         whiten = pandas_udf(whiten, "array<double>")
         src = F.col(self.get_("inputCol")).cast("array<double>")
-        return df.withColumn(self.get_("outputCol") or "whitened",
-                             whiten(src))
+        return df.withColumn(self.get_("outputCol"), whiten(src))
 
     def transform_local(self, pdf):
         out = pdf.copy()
         X = np.stack([np.asarray(v, dtype=float)
                       for v in pdf[self.get_("inputCol")]])
-        out[self.get_("outputCol") or "whitened"] = list(
-            map(list, self._apply_np(X)))
+        out[self.get_("outputCol")] = list(map(list, self._apply_np(X)))
         return out
 
 

@@ -799,30 +799,13 @@ def pca_whiten(spark, sf_dir):
     re-measures the covariance of the transformed vectors distributedly
     (the same one-pass partials shape as the fit) and emits it q4-
     quantized — the oracle is a literal 64x64 identity."""
-    import numpy as np
     from ..llmdata import PCAWhitener
+    from ..llmdata.simsearch import covariance_partials
     emb = load(spark, sf_dir, "embeddings")
     m = PCAWhitener(inputCol="embedding", outputCol="wx").fit(emb)
     out = m.transform(emb)[0].select("wx")
-
-    def partials(it):
-        import pandas as pd
-        for pdf in it:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["wx"].to_numpy())
-            yield pd.DataFrame({"n": [len(X)],
-                                "s": [X.sum(axis=0).tolist()],
-                                "ss": [(X.T @ X).ravel().tolist()]})
-
-    rows = out.mapInPandas(
-        partials, "n long, s array<double>, ss array<double>").collect()
-    n = sum(r["n"] for r in rows)
-    s = np.sum([r["s"] for r in rows], axis=0)
-    d = int(np.sqrt(len(rows[0]["ss"])))
-    ss = np.sum([r["ss"] for r in rows], axis=0).reshape(d, d)
-    mean = s / n
-    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    _, _, cov = covariance_partials(out, "wx")
+    d = cov.shape[0]
     data = [(i, j, int(round(cov[i, j] * 10000)))
             for i in range(d) for j in range(d)]
     return spark.createDataFrame(data, "i long, j long, cov_q4 long")

@@ -639,3 +639,19 @@ def test_ivf_recall_vs_bruteforce(spark):
     recall_pq = np.mean([len(truth[q] & got_pq.get(q, set())) / k
                          for q in truth])
     assert recall_pq >= 0.9, f"IVF-PQ rerank recall {recall_pq}"
+
+
+def test_pca_whitener_rank_deficient_drops_null_directions(spark):
+    import numpy as np
+    from flink_ml_spark.llmdata import PCAWhitener
+    rng = np.random.default_rng(9)
+    # 10 rows of 16-d: at most 9 non-null directions
+    X = rng.normal(size=(10, 16))
+    df = spark.createDataFrame([(i, x.tolist()) for i, x in enumerate(X)],
+                               "id long, v array<double>")
+    m = PCAWhitener(inputCol="v", outputCol="w").fit(df)
+    W = np.stack([r["w"] for r in m.transform(df)[0].collect()])
+    # no million-fold noise amplification; null directions output ~0
+    assert np.isfinite(W).all() and np.abs(W).max() < 100
+    var = W.var(axis=0)
+    assert (var < 1e-12).sum() >= 16 - 9       # dropped components are 0

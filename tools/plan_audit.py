@@ -38,18 +38,20 @@ def audit(name, df):
         flags.append("bnlj-by-contract" if name in BNLJ_BY_CONTRACT
                      else "BNLJ")
     # a SinglePartition exchange feeding a Sort/Window over row data is
-    # the classic driver-scale bottleneck; final tiny aggs are fine
+    # the classic driver-scale bottleneck; final tiny aggs are fine.
+    # The CONSUMER prints ABOVE the exchange in Spark's top-down plan
+    # string, so scan the preceding context, not the child subtree.
     for m in re.finditer(r"Exchange SinglePartition", plan):
-        ctx = plan[m.start():m.start() + 400]
+        ctx = plan[max(0, m.start() - 400):m.start()]
         if "Sort " in ctx or "Window " in ctx or "RunningWindowFunction" in ctx:
-            flags.append("1-part-wide")
+            flags.append("1PARTWIDE")
             break
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     n_cols = [len(s.split(",")) for s in scans if s]
     return {
         "flags": flags,
-        "red": [f for f in flags if f == f.upper()],
+        "red": [f for f in flags if f in ("BNLJ", "1PARTWIDE")],
         "exchanges": plan.count("Exchange"),
         "sorts": plan.count("Sort "),
         "scan_cols": n_cols,
