@@ -55,7 +55,8 @@ HEADLINE = [
     "tokenizer", "ngram", "stop_words_remover", "count_vectorizer", "tfidf",
     "hashing_tf", "feature_hasher", "exact_dedup", "line_dedup",
     "ngram_profile", "simhash_dedup",
-    "minhash_signature", "minhash_dedup", "ann_bruteforce",
+    "minhash_signature", "minhash_dedup", "incremental_dedup",
+    "ann_bruteforce",
     "embedding_dedup_lsh", "embedding_quantize", "pca_whiten", "bm25_scoring",
     "ann_ivf_pq", "semantic_dedup",
     "dup_spans", "decontamination", "llm_prep_pipeline",

@@ -1,8 +1,8 @@
 from .dedup import (ConnectedComponents, Decontaminator,
                     DuplicateSpanDetector, ExactDeduplicator,
-                    LineDeduplicator, MinHashLSHDeduplicator,
-                    MinHashSignature, NGramJaccardDeduplicator,
-                    SimHashDeduplicator)
+                    IncrementalMinHashDeduplicator, LineDeduplicator,
+                    MinHashLSHDeduplicator, MinHashSignature,
+                    NGramJaccardDeduplicator, SimHashDeduplicator)
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,

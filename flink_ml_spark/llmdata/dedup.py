@@ -671,3 +671,116 @@ class Decontaminator(AlgoOperator):
         clean = train.join(hit_ids, idc, "left_anti")
         contaminated = train.join(hit_ids, idc, "left_semi")
         return [clean, contaminated]
+
+
+def band_keys(sig_df: DataFrame, n_hashes: int, band: int) -> DataFrame:
+    """(id, sig) -> (id, band, bsig): one row per LSH band, the band's
+    signature slice rendered as a single string join key."""
+    n_bands = n_hashes // band
+    return sig_df.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.array_join(F.slice("sig", b * band + 1, band), "_")
+            for b in range(n_bands)])).alias("band", "bsig"))
+
+
+class IncrementalMinHashDeduplicator(AlgoOperator):
+    """Near-dup detection of a NEW document batch against a persisted
+    signature store — the incremental form of MinHashLSHDeduplicator for
+    growing corpora: the historical corpus is represented only by its
+    (id, minhash signature) relation (numHashes longs per document), so a
+    daily increment never re-reads, re-shingles, or re-hashes history.
+
+    ``transform(new_df, store_df)`` -> ``[matches, updated_store]``:
+
+    - ``matches`` = (id, match_id, est_jaccard): new documents sharing at
+      least one LSH band with a stored signature, scored by the standard
+      MinHash estimate of Jaccard (fraction of equal signature positions)
+      and kept at ``est_jaccard >= threshold``.  The store keeps no text,
+      so the exact-shingle rescoring of the batch operator is impossible
+      by construction; the estimator's standard error is
+      sqrt(J(1-J)/numHashes) — size numHashes accordingly.
+    - ``updated_store`` = store ∪ signatures of the non-matched new
+      documents, the input for the next increment.  Store rows pass
+      through byte-identical; on a match the stored id wins.
+
+    The new batch is assumed internally deduplicated first (compose
+    MinHashLSHDeduplicator over the batch — it is tiny relative to the
+    store, which is the point of the incremental path).
+
+    Scale (100 TB store): both band relations carry (id, short string)
+    only and equi-join on (band, bsig), so work is proportional to
+    matching buckets, never |store| × |batch|; the store itself is
+    numHashes longs/doc — ~0.1% of corpus bytes at numHashes=16 — and can
+    live bucketed on its band keys so only the batch side shuffles.
+    ``maxBandDocFreq`` caps degenerate buckets by combined (store+batch)
+    document frequency, as in the batch operator.
+    """
+
+    idCol = StringParam("idCol", "Unique id column (both inputs).", "id")
+    textCol = StringParam("textCol", "Text column on the new batch.", "text")
+    sigCol = StringParam("sigCol", "Signature column on the store.", "sig")
+    shingleSize = IntParam("shingleSize", "Words per shingle.", 3, ParamValidators.gt(0))
+    numHashes = IntParam("numHashes", "Total minhash functions (must match "
+                         "the store's signatures).", 32, ParamValidators.gt(0))
+    bandSize = IntParam("bandSize", "Hashes per LSH band.", 4, ParamValidators.gt(0))
+    threshold = FloatParam("threshold", "Estimated-Jaccard threshold.", 0.7,
+                           ParamValidators.in_range(0, 1))
+    seed = IntParam("seed", "Hash family seed (must match the store's).", 42)
+    maxBandDocFreq = IntParam(
+        "maxBandDocFreq", "Drop LSH buckets whose combined store+batch "
+        "document frequency exceeds this cap (None = exact).", None)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        new_df, store_df = inputs
+        idc = self.get_("idCol")
+        n_hashes, band = self.get_("numHashes"), self.get_("bandSize")
+
+        base = new_df.select(
+            F.col(idc).alias("id"),
+            shingles(F.col(self.get_("textCol")), self.get_("shingleSize")).alias("sh"))
+        sig = MinHashSignature(inputCol="sh", outputCol="sig",
+                               numHashes=n_hashes, seed=self.get_("seed")) \
+            .transform(base)[0]
+        # the batch signatures feed two branches (band join + estimator
+        # rejoin) — materialize the numHashes-longs-per-row relation once
+        sig = sig.select("id", "sig").localCheckpoint(eager=True)
+        store = store_df.select(F.col(idc).alias("id"),
+                                F.col(self.get_("sigCol")).alias("sig"))
+
+        new_bands = band_keys(sig, n_hashes, band)
+        store_bands = band_keys(store, n_hashes, band)
+        cap = self.get_("maxBandDocFreq")
+        if cap is not None:
+            both = (new_bands.select("band", "bsig")
+                    .unionByName(store_bands.select("band", "bsig")))
+            keep = (both.groupBy("band", "bsig")
+                    .agg(F.count("*").alias("__df__"))
+                    .filter(F.col("__df__") <= cap).select("band", "bsig"))
+            new_bands = new_bands.join(keep, ["band", "bsig"], "left_semi")
+            store_bands = store_bands.join(keep, ["band", "bsig"], "left_semi")
+        pairs = (new_bands
+                 .join(store_bands.withColumnRenamed("id", "match_id"),
+                       ["band", "bsig"])
+                 .select("id", "match_id").dropDuplicates(["id", "match_id"]))
+        # signatures rejoin by id AFTER the pair dedup, once per candidate
+        scored = (pairs
+                  .join(sig.withColumnRenamed("sig", "sig_a"), "id")
+                  .join(store.select(F.col("id").alias("match_id"),
+                                     F.col("sig").alias("sig_b")), "match_id"))
+        n_eq = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+            F.lit(0), lambda acc, x: acc + x)
+        matches = (scored
+                   .withColumn("est_jaccard",
+                               n_eq.cast("double") / F.lit(float(n_hashes)))
+                   .filter(F.col("est_jaccard") >= self.get_("threshold"))
+                   .select("id", "match_id", "est_jaccard"))
+        # updated store stays lazy: a consumer reading only `matches` (the
+        # common path) must not pay the candidate join twice, and `sig` —
+        # the expensive part — is already checkpointed above
+        survivors = sig.join(matches.select("id").distinct(), "id", "left_anti")
+        updated = (store.unionByName(survivors)
+                   .withColumnRenamed("id", idc)
+                   .withColumnRenamed("sig", self.get_("sigCol")))
+        return [matches, updated]

@@ -10,10 +10,10 @@ from pyspark.sql import functions as F
 
 from ..llmdata import (BruteForceKNNJoin, ConnectedComponents,
                        DocumentFingerprinter, EmbeddingCosineDeduplicator,
-                       ExactDeduplicator, LanguageIdentifier,
-                       MinHashLSHDeduplicator, MinHashSignature,
-                       NGramJaccardDeduplicator, SimHashDeduplicator,
-                       TextQualityScorer, TokenCounter)
+                       ExactDeduplicator, IncrementalMinHashDeduplicator,
+                       LanguageIdentifier, MinHashLSHDeduplicator,
+                       MinHashSignature, NGramJaccardDeduplicator,
+                       SimHashDeduplicator, TextQualityScorer, TokenCounter)
 from ..llmdata.dedup import MINHASH_PRIME, _hash_family, shingles
 from ..llmdata.textanalysis import LANG_MARKERS
 from . import SQL_Q4, load, q4
@@ -149,6 +149,68 @@ SELECT id_a, id_b, {SQL_Q4.format('j')} AS jaccard FROM scored WHERE j >= 0.4
 
 
 MINHASH_DEDUP_SQL = _minhash_dedup_sql()
+
+# --- incremental dedup vs a persisted signature store -----------------------
+# store = signatures of docs with doc_id % 5 != 0 (the "historical corpus"),
+# new batch = doc_id % 5 == 0; matches are scored by the MinHash estimator
+# (fraction of equal signature positions) since the store keeps no text
+
+
+def incremental_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    store = (MinHashSignature(inputCol="sh", outputCol="sig",
+                              numHashes=N_HASHES, seed=SEED)
+             .transform(old.select("doc_id",
+                                   shingles(F.col("text"), 3).alias("sh")))[0]
+             .select("doc_id", "sig"))
+    d = IncrementalMinHashDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=3, numHashes=N_HASHES,
+        bandSize=4, threshold=0.5, seed=SEED)
+    matches, _updated = d.transform(new, store)
+    return matches.select("id", "match_id",
+                          q4(F.col("est_jaccard")).alias("est_jaccard"))
+
+
+def _incremental_dedup_sql() -> str:
+    fam = _hash_family(N_HASHES, SEED)
+    sh = _shingle_sql(3)
+    hashes = f"list_transform(sh, s -> {TOKHASH.format(t='s')})"
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_PRIME}))"
+        for a, b in fam)
+    n_bands = N_HASHES // 4
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '_') AS bsig "
+            f"FROM {src}" for b in range(n_bands))
+    n_eq = " + ".join(
+        f"CASE WHEN na.sig[{i}] = ob.sig[{i}] THEN 1 ELSE 0 END"
+        for i in range(1, N_HASHES + 1))
+    return f"""
+WITH base AS (SELECT doc_id, {sh} AS sh FROM documents),
+hashed AS (SELECT doc_id, {hashes} AS hs FROM base),
+sigs AS (SELECT doc_id, [{sig_items}] AS sig FROM hashed),
+newb AS (SELECT * FROM sigs WHERE doc_id % 5 = 0),
+oldb AS (SELECT * FROM sigs WHERE doc_id % 5 <> 0),
+nbands AS ({band_rows('newb')}),
+obands AS ({band_rows('oldb')}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id, b.doc_id AS match_id
+  FROM nbands a JOIN obands b ON a.band = b.band AND a.bsig = b.bsig),
+scored AS (
+  SELECT p.id, p.match_id, ({n_eq}) / {float(N_HASHES)} AS ej
+  FROM pairs p
+  JOIN newb na ON p.id = na.doc_id
+  JOIN oldb ob ON p.match_id = ob.doc_id)
+SELECT id, match_id, {SQL_Q4.format('ej')} AS est_jaccard
+FROM scored WHERE ej >= 0.5
+"""
+
+
+INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql()
 
 # --- duplicate-cluster labels (connected components over pairs) -------------
 
@@ -1491,6 +1553,7 @@ QUERIES = {
     "media_codec_pipeline": (media_codec_pipeline, MEDIA_CODEC_SQL),
     "minhash_signature": (minhash_signature, MINHASH_SQL),
     "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
+    "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "dup_clusters": (dup_clusters, DUP_CLUSTERS_SQL),
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, NGRAM_JACCARD_SQL),
     "simhash_dedup": (simhash_dedup, SIMHASH_SQL),

@@ -70,6 +70,68 @@ def test_minhash_dedup_hot_bucket_cap(spark):
     assert not any(a < 10_000 and b < 10_000 for a, b in got)
 
 
+def test_incremental_dedup_vs_signature_store(spark):
+    from flink_ml_spark.llmdata import (IncrementalMinHashDeduplicator,
+                                        MinHashSignature)
+    from flink_ml_spark.llmdata.dedup import shingles
+
+    old_rows = [(0, "the quick brown fox jumps over the lazy dog again"),
+                (1, "completely different text with nothing shared at all"),
+                (2, "some other historical document body entirely unrelated")]
+    new_rows = [(10, "the quick brown fox jumps over the lazy dog again"),
+                (11, "fresh new document that matches nothing in history")]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    store = (MinHashSignature(inputCol="sh", outputCol="sig",
+                              numHashes=16, seed=42)
+             .transform(old.select("doc_id",
+                                   shingles(F.col("text"), 2).alias("sh")))[0]
+             .select("doc_id", "sig"))
+    d = IncrementalMinHashDeduplicator(idCol="doc_id", textCol="text",
+                                       shingleSize=2, numHashes=16,
+                                       bandSize=2, threshold=0.9, seed=42)
+    matches, updated = d.transform(new, store)
+    got = [(r["id"], r["match_id"], r["est_jaccard"]) for r in matches.collect()]
+    # doc 10 is an exact dup of stored doc 0 → every signature position equal
+    assert got == [(10, 0, 1.0)]
+    # updated store = 3 historical rows + the one surviving new doc (11),
+    # historical signatures passing through byte-identical
+    up = {r["doc_id"]: list(r["sig"]) for r in updated.collect()}
+    assert set(up) == {0, 1, 2, 11}
+    orig = {r["doc_id"]: list(r["sig"]) for r in store.collect()}
+    assert all(up[k] == orig[k] for k in orig)
+
+
+def test_incremental_dedup_hot_bucket_cap(spark):
+    from flink_ml_spark.llmdata import (IncrementalMinHashDeduplicator,
+                                        MinHashSignature)
+    from flink_ml_spark.llmdata.dedup import shingles
+
+    # 5k identical boilerplate docs in the store; an uncapped band join
+    # would fan each boilerplate new doc out to all 5k stored clones
+    old_rows = [(i, "lorem ipsum dolor sit amet consectetur")
+                for i in range(5_000)]
+    old_rows.append((9_000, "unique alpha beta gamma delta epsilon zeta eta"))
+    new_rows = [(10_000, "lorem ipsum dolor sit amet consectetur"),
+                (10_001, "unique alpha beta gamma delta epsilon zeta theta")]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    store = (MinHashSignature(inputCol="sh", outputCol="sig",
+                              numHashes=16, seed=42)
+             .transform(old.select("doc_id",
+                                   shingles(F.col("text"), 2).alias("sh")))[0]
+             .select("doc_id", "sig"))
+    d = IncrementalMinHashDeduplicator(idCol="doc_id", textCol="text",
+                                       shingleSize=2, numHashes=16,
+                                       bandSize=2, threshold=0.5, seed=42) \
+        .set_(maxBandDocFreq=50)
+    matches, _ = d.transform(new, store)
+    got = {(r["id"], r["match_id"]) for r in matches.collect()}
+    # the genuine near-dup outside the hot cluster surfaces; the
+    # boilerplate clone's buckets were all over the cap (recall trade)
+    assert got == {(10_001, 9_000)}
+
+
 def test_ngram_jaccard_hot_shingle_cap(spark):
     from flink_ml_spark.llmdata import NGramJaccardDeduplicator
 
