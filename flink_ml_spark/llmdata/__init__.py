@@ -13,7 +13,8 @@ from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
 from .sampling import (DocumentChunker, DomainMixtureSampler, SequencePacker,
                        TemperatureMixtureSampler,
                        TemperatureMixtureSamplerModel)
-from .textanalysis import (Bm25Scorer, Bm25ScorerModel,
+from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
+                           Bm25Scorer, Bm25ScorerModel,
                            DocumentFingerprinter, GopherQualityFilter,
                            LanguageIdentifier, NGramProfiler, PIIRedactor,
                            RepetitionScorer,

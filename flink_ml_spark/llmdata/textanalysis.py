@@ -266,6 +266,140 @@ class UnigramLMScorerModel(Model, HasInputCol, HasOutputCol):
         return out
 
 
+class BigramLMScorer(Estimator, HasInputCol, HasOutputCol):
+    """Interpolated bigram corpus-LM quality scoring — the CCNet recipe
+    (Wenzek et al. 2020 §4.3) one order up from UnigramLMScorer, with
+    Jelinek-Mercer interpolation (public literature: Jelinek & Mercer
+    1980): for positions i>0,
+    ``p(t_i|t_{i-1}) = lam * c(t_{i-1},t_i)/c(t_{i-1},·) + (1-lam) *
+    p_uni(t_i)``, where p_uni is the add-one-smoothed unigram of
+    UnigramLMScorer and the bigram term is 0 for pairs outside the
+    stored top ``bigramSize``; the first token scores by p_uni alone.
+    Document score = mean ln p over its tokens (0.0 for empty docs).
+
+    fit = ONE tokenize pass: unigram and bigram occurrences explode into
+    a single typed key relation and aggregate in one shuffle; the top-k
+    selections (count desc, key asc — deterministic boundaries) and the
+    bigram-context totals read the persisted counts.  The fitted tables
+    are model-sized and ride to executors inside the Arrow scoring UDF —
+    scoring is zero-shuffle at any corpus size.
+    """
+
+    vocabSize = IntParam("vocabSize", "Max unigram vocabulary.", 50_000,
+                         ParamValidators.gt(0))
+    bigramSize = IntParam("bigramSize", "Max stored bigrams.", 200_000,
+                          ParamValidators.gt(0))
+    interpolation = FloatParam(
+        "interpolation", "Weight of the bigram term (1-weight goes to the "
+        "unigram backoff; 1.0 would zero out unseen bigrams).", 0.7,
+        ParamValidators.in_range(0, 1))
+
+    def fit(self, *inputs: DataFrame) -> "BigramLMScorerModel":
+        (df,) = inputs
+        struct_t = "array<struct<typ:int,a:string,b:string>>"
+        toks = df.select(_tokens(F.col(self.get_("inputCol"))).alias("ts"))
+        uni = F.transform("ts", lambda t: F.struct(
+            F.lit(0).alias("typ"), t.alias("a"), F.lit("").alias("b")))
+        big = F.when(F.size("ts") >= 2, F.zip_with(
+            F.slice("ts", 1, F.size("ts") - 1),
+            F.slice("ts", 2, F.size("ts") - 1),
+            lambda a, b: F.struct(F.lit(1).alias("typ"), a.alias("a"),
+                                  b.alias("b")))
+        ).otherwise(F.lit(None).cast(struct_t))
+        keyed = (toks.select(F.explode(
+            F.concat(uni.cast(struct_t), F.coalesce(big, F.array().cast(struct_t))))
+            .alias("k")).select("k.typ", "k.a", "k.b"))
+        cnt = keyed.groupBy("typ", "a", "b").count().persist()
+        try:
+            u = cnt.filter(F.col("typ") == 0)
+            total, distinct = u.agg(F.sum("count"), F.count("*")).first()
+            vocab_rows = (u.orderBy(F.col("count").desc(), F.col("a"))
+                          .limit(self.get_("vocabSize"))
+                          .select("a", "count").collect())
+            bg = cnt.filter(F.col("typ") == 1)
+            ctx = bg.groupBy("a").agg(F.sum("count").alias("ctx"))
+            bg_rows = (bg.orderBy(F.col("count").desc(), F.col("a"),
+                                  F.col("b"))
+                       .limit(self.get_("bigramSize"))
+                       .join(ctx, "a")
+                       .select("a", "b", "count", "ctx").collect())
+        finally:
+            cnt.unpersist()
+        model = BigramLMScorerModel()
+        model.set_(inputCol=self.get_("inputCol"),
+                   outputCol=self.get_("outputCol"),
+                   interpolation=self.get_("interpolation"))
+        model.model_data = {
+            "counts": {r["a"]: int(r["count"]) for r in vocab_rows},
+            "total": int(total or 0),
+            "vocab": int(min(distinct or 0, self.get_("vocabSize"))),
+            "bg_a": [r["a"] for r in bg_rows],
+            "bg_b": [r["b"] for r in bg_rows],
+            "bg_c": [int(r["count"]) for r in bg_rows],
+            "bg_ctx": [int(r["ctx"]) for r in bg_rows],
+        }
+        return model
+
+
+class BigramLMScorerModel(Model, HasInputCol, HasOutputCol):
+    interpolation = FloatParam(
+        "interpolation", "Weight of the bigram term.", 0.7,
+        ParamValidators.in_range(0, 1))
+
+    def _tables(self):
+        d = self.model_data
+        denom = d["total"] + d["vocab"] + 1
+        uni = {t: (c + 1) / denom for t, c in d["counts"].items()}
+        bg = {(a, b): c / x for a, b, c, x in
+              zip(d["bg_a"], d["bg_b"], d["bg_c"], d["bg_ctx"])}
+        return uni, 1.0 / denom, bg
+
+    def _make_scorer(self):
+        """Resolve params/model DRIVER-side into a pure closure: param
+        lookups are keyed by Param object identity, which does not
+        survive pickling to Python workers."""
+        import math
+        lam = self.get_("interpolation")
+        uni, oov, bg = self._tables()
+
+        def score_list(texts):
+            out = []
+            for t in texts:
+                toks = _local_tokens(t)
+                if not toks:
+                    out.append(0.0)
+                    continue
+                s = math.log(uni.get(toks[0], oov))
+                for prev, cur in zip(toks, toks[1:]):
+                    s += math.log(lam * bg.get((prev, cur), 0.0)
+                                  + (1 - lam) * uni.get(cur, oov))
+                out.append(s / len(toks))
+            return out
+        return score_list
+
+    def _score_series(self, texts):
+        return self._make_scorer()(texts)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        score_list = self._make_scorer()
+
+        def score(texts):
+            return pd.Series(score_list(texts))
+
+        score.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        score = pandas_udf(score, "double")
+        return df.withColumn(self.get_("outputCol"),
+                             score(F.col(self.get_("inputCol"))))
+
+    def transform_local(self, pdf):
+        out = pdf.copy()
+        out[self.get_("outputCol")] = self._score_series(
+            pdf[self.get_("inputCol")])
+        return out
+
+
 # the Gopher rule thresholds and required-stopword set are from the
 # published paper (Rae et al. 2021, "Scaling Language Models", App. A1.1)
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

@@ -607,6 +607,65 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def bigram_lm_score(spark, sf_dir):
+    """Interpolated bigram corpus-LM ranking (Jelinek-Mercer backoff to
+    the add-one unigram): fit = one typed-key count shuffle, score =
+    zero-shuffle Arrow UDF carrying the model-sized tables."""
+    from ..llmdata import BigramLMScorer
+    docs = load(spark, sf_dir, "documents")
+    m = BigramLMScorer(inputCol="text", outputCol="lm2",
+                       vocabSize=50_000, bigramSize=200_000,
+                       interpolation=0.7).fit(docs)
+    out = m.transform(docs)[0]
+    return out.select("doc_id", q4(F.col("lm2")).alias("bigram_lm_q4"))
+
+
+def _bigram_lm_sql(v: int = 50_000, bsz: int = 200_000,
+                   lam: float = 0.7) -> str:
+    pu = ("(COALESCE({vb}.c + 1, 1) * 1.0 / (k.total + least(k.v, %d) + 1))"
+          % v)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS t FROM documents),
+cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+konst AS (SELECT sum(c) AS total, count(*) AS v FROM cnt),
+vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT {v}),
+docl AS (SELECT doc_id, {TOKS} AS l FROM documents),
+bg_pairs AS (
+  SELECT doc_id, p.a AS a, p.b AS b FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(l)),
+                          i -> struct_pack(a := l[i], b := l[i+1]))) AS p
+    FROM docl WHERE len(l) >= 2)),
+bcnt AS (SELECT a, b, count(*) AS c FROM bg_pairs GROUP BY a, b),
+ctx AS (SELECT a, sum(c) AS ctx FROM bcnt GROUP BY a),
+btop AS (SELECT a, b, c FROM bcnt ORDER BY c DESC, a, b LIMIT {bsz}),
+bmodel AS (SELECT bt.a, bt.b, bt.c, ctx.ctx FROM btop bt JOIN ctx USING (a)),
+fscore AS (
+  SELECT f.doc_id, ln({pu.format(vb='vb')}) AS s
+  FROM (SELECT doc_id, l[1] AS t FROM docl WHERE len(l) >= 1) f
+  LEFT JOIN vocab vb USING (t), konst k),
+bscore AS (
+  SELECT bp.doc_id,
+         sum(ln({lam} * COALESCE(bm.c * 1.0 / bm.ctx, 0.0)
+                + {1 - lam} * {pu.format(vb='vb')})) AS s
+  FROM bg_pairs bp
+  LEFT JOIN bmodel bm ON bp.a = bm.a AND bp.b = bm.b
+  LEFT JOIN vocab vb ON bp.b = vb.t, konst k
+  GROUP BY bp.doc_id),
+scored AS (
+  SELECT d.doc_id,
+         CASE WHEN len(d.l) > 0
+              THEN (COALESCE(f.s, 0) + COALESCE(b.s, 0)) / len(d.l)
+              ELSE 0.0 END AS sc
+  FROM docl d
+  LEFT JOIN fscore f USING (doc_id)
+  LEFT JOIN bscore b USING (doc_id))
+SELECT doc_id, {SQL_Q4.format('sc')} AS bigram_lm_q4 FROM scored
+"""
+
+
+BIGRAM_LM_SQL = _bigram_lm_sql()
+
+
 def token_count(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     t = TokenCounter(inputCol="text")
@@ -1571,6 +1630,7 @@ QUERIES = {
     "gopher_filter": (gopher_filter, GOPHER_FILTER_SQL),
     "temperature_mixture": (temperature_mixture, TEMPERATURE_MIXTURE_SQL),
     "unigram_lm_score": (unigram_lm_score, UNIGRAM_LM_SQL),
+    "bigram_lm_score": (bigram_lm_score, BIGRAM_LM_SQL),
     "llm_prep_pipeline_v3": (llm_prep_pipeline_v3, LLM_PREP_V3_SQL),
     "line_dedup": (line_dedup, LINE_DEDUP_SQL),
     "ngram_profile": (ngram_profile, NGRAM_PROFILE_SQL),

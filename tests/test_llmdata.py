@@ -602,6 +602,50 @@ def test_unigram_lm_scorer(spark):
     assert list(m2.model_data["counts"]) == ["x"]
 
 
+def test_bigram_lm_scorer(spark):
+    import math
+    import pandas as pd
+    from flink_ml_spark.llmdata import BigramLMScorer, BigramLMScorerModel
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "zzz"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = BigramLMScorer(inputCol="text", outputCol="s", vocabSize=10,
+                       bigramSize=10, interpolation=0.5).fit(df)
+    # unigrams: a=3, b=3, c=1, zzz=1 (total=8, vocab=4, denom=13);
+    # bigrams: (a,b)=3, (b,a)=1, (b,c)=1 → ctx a=3, b=2
+    d = m.model_data
+    assert d["counts"] == {"a": 3, "b": 3, "c": 1, "zzz": 1}
+    assert d["total"] == 8 and d["vocab"] == 4
+    bg = dict(zip(zip(d["bg_a"], d["bg_b"]), zip(d["bg_c"], d["bg_ctx"])))
+    assert bg == {("a", "b"): (3, 3), ("b", "a"): (1, 2), ("b", "c"): (1, 2)}
+    pu = {"a": 4 / 13, "b": 4 / 13, "c": 2 / 13}
+    oov = 1 / 13
+    got = {r["doc_id"]: r["s"] for r in m.transform(df)[0].collect()}
+    # doc 0 "a b a b": ln pu(a) + ln(.5*1 + .5*pu(b)) + ln(.5*.5 + .5*pu(a))
+    #                 + ln(.5*1 + .5*pu(b)), all / 4
+    exp0 = (math.log(pu["a"]) + 2 * math.log(0.5 + 0.5 * pu["b"])
+            + math.log(0.25 + 0.5 * pu["a"])) / 4
+    assert abs(got[0] - exp0) < 1e-12
+    exp1 = (math.log(pu["a"]) + math.log(0.5 + 0.5 * pu["b"])
+            + math.log(0.25 + 0.5 * pu["c"])) / 3
+    assert abs(got[1] - exp1) < 1e-12
+    assert abs(got[2] - math.log(pu.get("zzz", 2 / 13))) < 1e-12
+    assert got[3] == 0.0
+    # repetitive in-distribution text outranks rare text (the CCNet
+    # head/tail ranking this scorer exists for)
+    assert got[0] > got[1] > got[2]
+    # servable parity + save/load round trip
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                        "text": [r[1] for r in rows]})
+    local = m.transform_local(pdf)["s"]
+    assert all(abs(local[i] - got[i]) < 1e-12 for i in range(4))
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        m.save(tmp)
+        m2 = BigramLMScorerModel.load_local(tmp)
+        local2 = m2.transform_local(pdf)["s"]
+        assert all(abs(local2[i] - got[i]) < 1e-12 for i in range(4))
+
+
 def test_line_deduplicator(spark):
     from flink_ml_spark.llmdata import LineDeduplicator
     docs = [
