@@ -10,8 +10,8 @@ from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         PCAWhitener, PCAWhitenerModel,
                         RandomHyperplaneLSH, RandomHyperplaneLSHModel,
                         SemanticDeduplicator)
-from .sampling import (DocumentChunker, DomainMixtureSampler, SequencePacker,
-                       TemperatureMixtureSampler,
+from .sampling import (CorpusShuffler, DocumentChunker, DomainMixtureSampler,
+                       SequencePacker, TemperatureMixtureSampler,
                        TemperatureMixtureSamplerModel)
 from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
                            Bm25Scorer, Bm25ScorerModel,

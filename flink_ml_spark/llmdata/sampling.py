@@ -136,6 +136,56 @@ class TemperatureMixtureSamplerModel(Model):
         return pdf[keep].reset_index(drop=True)
 
 
+class CorpusShuffler(Transformer):
+    """Deterministic epoch-keyed training-order shuffle: a training run
+    wants the corpus in a reproducible pseudo-random order decoupled from
+    ingest/crawl order, re-drawn per epoch.  Adds ``order_key`` — the
+    corpus-prep pipelines' 31-bit multiplicative id hash, salted by
+    ``epoch`` — and ``shard`` = order_key % numShards, the
+    (shard, within-shard order) layout a sharded training-data writer
+    consumes.
+
+    Plan: two codegen'd integer expressions, zero shuffles.  The physical
+    reorder belongs to the consumer's write: ``shuffled(df)`` returns the
+    arrangement (repartition on shard + sortWithinPartitions on
+    order_key) — ONE hash shuffle plus a local sort at any scale, never a
+    global total-order sort; readers stream shards in filename order and
+    get the same permutation every run.
+    """
+
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    numShards = IntParam("numShards", "Output shards.", 1024,
+                         ParamValidators.gt(0))
+    epoch = IntParam("epoch", "Epoch number (varies the permutation).", 0)
+    salt = IntParam("salt", "Hash salt.", 13)
+
+    def _order_key(self):
+        idc = self.get_("idCol")
+        # the epoch must mix NON-affinely: any affine-in-id epoch term
+        # (salted add, changed multiplier) shifts every key by the same
+        # constant mod M, which only ROTATES the sorted order — epochs
+        # would replay near-identical training order.  XOR with an
+        # epoch-derived mask is a bijection that genuinely re-permutes.
+        mask = (self.get_("epoch") * 2654435761) % HASH_MOD
+        base = (((F.col(idc) % HASH_MOD) + HASH_MOD) % HASH_MOD
+                * 2654435761 + F.lit(self.get_("salt"))) % HASH_MOD
+        return base.bitwiseXOR(F.lit(mask))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        key = self._order_key()
+        return (df.withColumn("order_key", key)
+                .withColumn("shard",
+                            (F.col("order_key") % self.get_("numShards"))
+                            .cast("int")))
+
+    def shuffled(self, df: DataFrame) -> DataFrame:
+        """The physically shuffled arrangement: rows co-located by shard
+        and ordered by order_key within it."""
+        out = self._transform(df)
+        return (out.repartition(self.get_("numShards"), "shard")
+                .sortWithinPartitions("order_key"))
+
+
 class SequencePacker(Transformer):
     """Greedy token-budget packing: assign documents to fixed-budget
     training sequences.  Documents are sharded by ``id % numShards``;

@@ -857,6 +857,27 @@ WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
 """
 
 
+def corpus_shuffle(spark, sf_dir):
+    """Epoch-keyed deterministic training-order shuffle: reproducible
+    pseudo-random (shard, order_key) layout, zero shuffles in the
+    labeling; the one-shuffle physical reorder is the consumer's write."""
+    from ..llmdata import CorpusShuffler
+    docs = load(spark, sf_dir, "documents")
+    s = CorpusShuffler(idCol="doc_id", numShards=8, epoch=1, salt=13)
+    return s.transform(docs)[0].select("doc_id", "shard", "order_key")
+
+
+CORPUS_SHUFFLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         xor((((doc_id % 2147483648) + 2147483648) % 2147483648
+              * 2654435761 + 13) % 2147483648,
+             506952113) AS order_key
+  FROM documents)
+SELECT doc_id, CAST(order_key % 8 AS INT) AS shard, order_key FROM keyed
+"""
+
+
 def llm_prep_pipeline_v3(spark, sf_dir):
     """Round-3 corpus-prep flagship composing the new gates in at-scale
     order — cheapest first: Gopher rule filter (zero-shuffle) →
@@ -1624,6 +1645,7 @@ QUERIES = {
     "corpus_stats": (corpus_stats, CORPUS_STATS_SQL),
     "pii_redaction": (pii_redaction, PII_SQL),
     "domain_mixture": (domain_mixture, DOMAIN_MIXTURE_SQL),
+    "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "language_id": (language_id, LANGUAGE_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

@@ -602,6 +602,37 @@ def test_unigram_lm_scorer(spark):
     assert list(m2.model_data["counts"]) == ["x"]
 
 
+def test_corpus_shuffler(spark):
+    from flink_ml_spark.llmdata import CorpusShuffler
+    df = spark.range(2_000).withColumnRenamed("id", "doc_id")
+    s1 = CorpusShuffler(idCol="doc_id", numShards=8, epoch=0)
+    a = s1.transform(df)[0].collect()
+    b = s1.transform(df)[0].collect()
+    key_a = {r["doc_id"]: (r["shard"], r["order_key"]) for r in a}
+    key_b = {r["doc_id"]: (r["shard"], r["order_key"]) for r in b}
+    assert key_a == key_b  # reproducible across runs
+    # a different epoch draws a different permutation
+    s2 = CorpusShuffler(idCol="doc_id", numShards=8, epoch=1)
+    key_c = {r["doc_id"]: r["order_key"] for r in s2.transform(df)[0].collect()}
+    order_e0 = sorted(key_a, key=lambda d: key_a[d][1])
+    order_e1 = sorted(key_c, key=lambda d: key_c[d])
+    assert order_e0 != order_e1
+    # shards are roughly balanced (multiplicative hash, sequential ids)
+    from collections import Counter
+    shards = Counter(v[0] for v in key_a.values())
+    assert len(shards) == 8 and max(shards.values()) < 2 * min(shards.values())
+    # the physical arrangement is ONE exchange + a local sort (no global sort)
+    arranged = s1.shuffled(df)
+    plan = arranged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
+    # within a partition rows really are in order_key order
+    part_rows = arranged.select("shard", "order_key").rdd.glom().collect()
+    for part in part_rows:
+        keys = [r["order_key"] for r in part]
+        assert keys == sorted(keys)
+
+
 def test_bigram_lm_scorer(spark):
     import math
     import pandas as pd
