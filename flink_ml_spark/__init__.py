@@ -4,6 +4,7 @@ with the capabilities of Apache Flink ML (reference: apache/flink-ml @
 iteration, Structured Streaming for online stages.  See SURVEY.md."""
 
 from .api import AlgoOperator, Estimator, Model, Stage, Transformer
+from .io import BucketedTableSink, read_table, write_bucketed
 from .graph import (Graph, GraphAlgoOperator, GraphBuilder, GraphModel,
                     TableId)
 from .param import Param, ParamValidators, WithParams
