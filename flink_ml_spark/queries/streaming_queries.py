@@ -469,6 +469,72 @@ SELECT DISTINCT sha256(text) AS content_sha FROM documents
 """
 
 
+def streaming_incremental_dedup(spark, sf_dir):
+    """Streaming NEAR-dup dedup: documents replayed through readStream in
+    two micro-batches (historical corpus, then the daily increment) into
+    ``StreamingIncrementalDeduplicator`` — each batch band-joins against
+    the accumulated signature store (executor-held localCheckpoint state)
+    and folds its survivors in via foreachBatch.  Batch 1 seeds an empty
+    store, so the matches are exactly the batch-2-vs-batch-1 pairs of the
+    batch ``incremental_dedup`` query — the oracle is shared."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from . import load
+    from ..streaming import StreamingIncrementalDeduplicator
+    from .llmdata_queries import N_HASHES, SEED
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="streaming_incr_")
+    q = None
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        os.mkdir(os.path.join(tmp, "in"))
+        halves = [docs.where(F.col("doc_id") % 5 != 0).select("doc_id", "text"),
+                  docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")]
+        for i, h in enumerate(halves):
+            h.coalesce(1).write.parquet(os.path.join(tmp, f"b{i}"))
+            src = [f for f in os.listdir(os.path.join(tmp, f"b{i}"))
+                   if f.endswith(".parquet")][0]
+            dst = os.path.join(tmp, "in", f"batch{i}.parquet")
+            shutil.copy(os.path.join(tmp, f"b{i}", src), dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        schema = halves[0].schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(tmp, "in")))
+        dd = StreamingIncrementalDeduplicator(
+            id_col="doc_id", text_col="text", shingle_size=3,
+            num_hashes=N_HASHES, band_size=4, threshold=0.5, seed=SEED)
+        rows: list[tuple] = []
+        q = (stream.writeStream
+             .foreachBatch(dd.foreach_batch(
+                 lambda m, _bid: rows.extend(
+                     (r["id"], r["match_id"], r["est_jaccard"])
+                     for r in m.collect())))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        q.awaitTermination(300)
+        out = spark.createDataFrame(
+            rows, "id long, match_id long, est_jaccard double")
+        return out.select("id", "match_id",
+                          q4(F.col("est_jaccard")).alias("est_jaccard"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if q is not None and q.isActive:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _streaming_incremental_sql() -> str:
+    from .llmdata_queries import INCREMENTAL_DEDUP_SQL
+    return INCREMENTAL_DEDUP_SQL
+
+
 def asof_join_events(spark, sf_dir):
     """Point-in-time enrichment — every purchase annotated with the
     user's most recent prior (inclusive) view: ``common.temporal.
@@ -549,4 +615,6 @@ QUERIES = {
     "range_join": (range_join_events, RANGE_JOIN_SQL),
     "sliding_windows": (sliding_windows, SLIDING_WINDOWS_SQL),
     "streaming_dedup": (streaming_dedup, STREAMING_DEDUP_SQL),
+    "streaming_incremental_dedup": (streaming_incremental_dedup,
+                                    _streaming_incremental_sql()),
 }

@@ -1,4 +1,5 @@
-from .dedup import StreamingExactDeduplicator
+from .dedup import (StreamingExactDeduplicator,
+                    StreamingIncrementalDeduplicator)
 from .online import (OnlineKMeans, OnlineLogisticRegression,
                      OnlineStandardScaler, OnlineStandardScalerModel)
 from .stateful import StatefulSessionizer
@@ -6,4 +7,5 @@ from .windows import Windows
 
 __all__ = ["OnlineStandardScaler", "OnlineStandardScalerModel",
            "OnlineKMeans", "OnlineLogisticRegression",
-           "StatefulSessionizer", "StreamingExactDeduplicator", "Windows"]
+           "StatefulSessionizer", "StreamingExactDeduplicator",
+           "StreamingIncrementalDeduplicator", "Windows"]

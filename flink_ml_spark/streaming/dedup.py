@@ -51,3 +51,54 @@ class StreamingExactDeduplicator:
             return out.dropDuplicates([self.digest_col])
         return (out.withWatermark(self.watermark_col, self.watermark_delay)
                 .dropDuplicatesWithinWatermark([self.digest_col]))
+
+
+class StreamingIncrementalDeduplicator:
+    """Streaming NEAR-dup dedup: every micro-batch runs
+    ``llmdata.IncrementalMinHashDeduplicator`` against a signature store
+    that accumulates across batches — exact streaming dedup's
+    dropDuplicatesWithinWatermark can't do similarity, and re-shingling
+    history per batch can't scale, so the store IS the streaming state:
+    (id, numHashes longs) per surviving document, held as an
+    executor-distributed localCheckpoint (never driver memory), swapped
+    atomically per batch from ``foreachBatch``.
+
+    ``process_batch(batch_df)`` returns the batch's matches
+    (id, match_id, est_jaccard) and folds the non-matched signatures into
+    the store; the first batch matches against an empty store, so its
+    documents all seed the state.  Store growth is the corpus's unique-
+    document rate; production retention (drop signatures older than the
+    dedup horizon) composes by filtering ``store`` between batches.
+    """
+
+    def __init__(self, id_col: str, text_col: str, shingle_size: int = 3,
+                 num_hashes: int = 32, band_size: int = 4,
+                 threshold: float = 0.7, seed: int = 42,
+                 max_band_doc_freq: int | None = None):
+        from ..llmdata.dedup import IncrementalMinHashDeduplicator
+        self.id_col = id_col
+        self._op = IncrementalMinHashDeduplicator(
+            idCol=id_col, textCol=text_col, shingleSize=shingle_size,
+            numHashes=num_hashes, bandSize=band_size, threshold=threshold,
+            seed=seed).set_(maxBandDocFreq=max_band_doc_freq)
+        self.store: DataFrame | None = None
+
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        if self.store is None:
+            self.store = (batch_df.select(F.col(self.id_col)).limit(0)
+                          .withColumn("sig",
+                                      F.lit(None).cast("array<long>")))
+        matches, updated = self._op.transform(batch_df, self.store)
+        # materialize matches BEFORE swapping the store: the updated-store
+        # plan references this batch's signatures, and both must be pinned
+        # while the previous checkpoint is released
+        matches = matches.localCheckpoint(eager=True)
+        self.store = updated.localCheckpoint(eager=True)
+        return matches
+
+    def foreach_batch(self, collect_fn):
+        """A ``foreachBatch`` function: runs the batch through the store
+        and hands (matches_df, batch_id) to ``collect_fn``."""
+        def fb(batch_df: DataFrame, batch_id: int) -> None:
+            collect_fn(self.process_batch(batch_df), batch_id)
+        return fb

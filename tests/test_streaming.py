@@ -383,3 +383,35 @@ def test_stateful_sessionizer_late_event_does_not_regress_session():
     emitted = [df for df in fn((1,), iter([b3]), state)]
     assert emitted == []                               # no spurious close
     assert state.get == (970_000, 1_575_000, 3, 6.0)
+
+
+def test_streaming_incremental_dedup_three_batches(spark):
+    from flink_ml_spark.streaming import StreamingIncrementalDeduplicator
+
+    dd = StreamingIncrementalDeduplicator(
+        id_col="doc_id", text_col="text", shingle_size=2, num_hashes=16,
+        band_size=2, threshold=0.9, seed=42)
+    b1 = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "completely unrelated historical document body")],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),   # dup of 0
+         (11, "fresh second batch text matching nothing else")],
+        "doc_id long, text string")
+    b3 = spark.createDataFrame(
+        [(20, "fresh second batch text matching nothing else"),  # dup of 11
+         (21, "the quick brown fox jumps over the lazy dog")],   # dup of 0
+        "doc_id long, text string")
+    # batch 1 seeds the empty store: no matches, both docs become state
+    m1 = dd.process_batch(b1).collect()
+    assert m1 == []
+    assert {r["doc_id"] for r in dd.store.collect()} == {0, 1}
+    # batch 2 matches the store, survivor folds in
+    m2 = {(r["id"], r["match_id"]) for r in dd.process_batch(b2).collect()}
+    assert m2 == {(10, 0)}
+    assert {r["doc_id"] for r in dd.store.collect()} == {0, 1, 11}
+    # batch 3 matches across BOTH earlier batches; nothing survives
+    m3 = {(r["id"], r["match_id"]) for r in dd.process_batch(b3).collect()}
+    assert m3 == {(20, 11), (21, 0)}
+    assert {r["doc_id"] for r in dd.store.collect()} == {0, 1, 11}
