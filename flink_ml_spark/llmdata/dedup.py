@@ -256,6 +256,19 @@ class MinHashSignature(Transformer, HasInputCol, HasOutputCol):
         return out
 
 
+def band_keys(sig_df: DataFrame, n_hashes: int, band: int) -> DataFrame:
+    """(id, sig) -> (id, band, bsig): one row per LSH band, the band's
+    signature slice rendered as a single string join key.  Shared by the
+    batch self-join and the incremental store join so the bucketing can
+    never drift between them."""
+    n_bands = n_hashes // band
+    return sig_df.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.array_join(F.slice("sig", b * band + 1, band), "_")
+            for b in range(n_bands)])).alias("band", "bsig"))
+
+
 class MinHashLSHDeduplicator(AlgoOperator):
     """Near-dup detection: shingle → minhash → band → bucket-join.
 
@@ -294,7 +307,6 @@ class MinHashLSHDeduplicator(AlgoOperator):
         (df,) = inputs
         idc = self.get_("idCol")
         n_hashes, band = self.get_("numHashes"), self.get_("bandSize")
-        n_bands = n_hashes // band
 
         base = df.select(
             F.col(idc).alias("id"),
@@ -307,12 +319,7 @@ class MinHashLSHDeduplicator(AlgoOperator):
         # CSE across a self-join); the shingle arrays themselves stay
         # lazy, they are only re-joined by id after the pair dedup
         sig = sig.select("id", "sig").localCheckpoint(eager=True)
-        # band signature = the band's hash slice rendered as one string key
-        bands = sig.select(
-            "id",
-            F.posexplode(F.array(*[
-                F.array_join(F.slice("sig", b * band + 1, band), "_")
-                for b in range(n_bands)])).alias("band", "bsig"))
+        bands = band_keys(sig, n_hashes, band)
         cap = self.get_("maxBandDocFreq")
         if cap is not None:
             keep = (bands.groupBy("band", "bsig")
@@ -673,17 +680,6 @@ class Decontaminator(AlgoOperator):
         return [clean, contaminated]
 
 
-def band_keys(sig_df: DataFrame, n_hashes: int, band: int) -> DataFrame:
-    """(id, sig) -> (id, band, bsig): one row per LSH band, the band's
-    signature slice rendered as a single string join key."""
-    n_bands = n_hashes // band
-    return sig_df.select(
-        "id",
-        F.posexplode(F.array(*[
-            F.array_join(F.slice("sig", b * band + 1, band), "_")
-            for b in range(n_bands)])).alias("band", "bsig"))
-
-
 class IncrementalMinHashDeduplicator(AlgoOperator):
     """Near-dup detection of a NEW document batch against a persisted
     signature store — the incremental form of MinHashLSHDeduplicator for
@@ -731,8 +727,12 @@ class IncrementalMinHashDeduplicator(AlgoOperator):
         "maxBandDocFreq", "Drop LSH buckets whose combined store+batch "
         "document frequency exceeds this cap (None = exact).", None)
 
-    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
-        new_df, store_df = inputs
+    def _plan(self, new_df: DataFrame, store_df: DataFrame
+              ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(matches, batch signatures, normalized store) — exposed so the
+        streaming wrapper can materialize ``matches`` once and derive the
+        store update from the checkpointed result instead of re-running
+        the candidate join."""
         idc = self.get_("idCol")
         n_hashes, band = self.get_("numHashes"), self.get_("bandSize")
 
@@ -745,8 +745,16 @@ class IncrementalMinHashDeduplicator(AlgoOperator):
         # the batch signatures feed two branches (band join + estimator
         # rejoin) — materialize the numHashes-longs-per-row relation once
         sig = sig.select("id", "sig").localCheckpoint(eager=True)
+        # a wrong-length stored signature would otherwise fail SILENTLY
+        # (null-padded zip_with -> null estimate -> filtered out, dups
+        # folded into the store undetected) — fail loudly per row instead;
+        # the check lives INSIDE the sig expression so pruning can't drop it
+        sc = F.col(self.get_("sigCol"))
+        sig_checked = F.when(F.size(sc) == n_hashes, sc).otherwise(
+            F.raise_error(F.lit(
+                f"store signature length != numHashes={n_hashes}")))
         store = store_df.select(F.col(idc).alias("id"),
-                                F.col(self.get_("sigCol")).alias("sig"))
+                                sig_checked.alias("sig"))
 
         new_bands = band_keys(sig, n_hashes, band)
         store_bands = band_keys(store, n_hashes, band)
@@ -762,6 +770,9 @@ class IncrementalMinHashDeduplicator(AlgoOperator):
         pairs = (new_bands
                  .join(store_bands.withColumnRenamed("id", "match_id"),
                        ["band", "bsig"])
+                 # ids share one space; a replayed batch whose signatures
+                 # already committed to the store must not self-match
+                 .filter(F.col("id") != F.col("match_id"))
                  .select("id", "match_id").dropDuplicates(["id", "match_id"]))
         # signatures rejoin by id AFTER the pair dedup, once per candidate
         scored = (pairs
@@ -776,11 +787,25 @@ class IncrementalMinHashDeduplicator(AlgoOperator):
                                n_eq.cast("double") / F.lit(float(n_hashes)))
                    .filter(F.col("est_jaccard") >= self.get_("threshold"))
                    .select("id", "match_id", "est_jaccard"))
+        return matches, sig, store
+
+    def updated_store(self, matches: DataFrame, sig: DataFrame,
+                      store: DataFrame) -> DataFrame:
+        """store ∪ non-matched batch signatures, from ``_plan``'s pieces
+        (pass a materialized ``matches`` to avoid re-running its join).
+        The anti-join against existing store ids makes a replayed batch
+        idempotent: already-committed signatures are not re-unioned."""
+        idc = self.get_("idCol")
+        survivors = (sig.join(matches.select("id").distinct(), "id", "left_anti")
+                     .join(store.select("id"), "id", "left_anti"))
+        return (store.unionByName(survivors)
+                .withColumnRenamed("id", idc)
+                .withColumnRenamed("sig", self.get_("sigCol")))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        new_df, store_df = inputs
+        matches, sig, store = self._plan(new_df, store_df)
         # updated store stays lazy: a consumer reading only `matches` (the
         # common path) must not pay the candidate join twice, and `sig` —
         # the expensive part — is already checkpointed above
-        survivors = sig.join(matches.select("id").distinct(), "id", "left_anti")
-        updated = (store.unionByName(survivors)
-                   .withColumnRenamed("id", idc)
-                   .withColumnRenamed("sig", self.get_("sigCol")))
-        return [matches, updated]
+        return [matches, self.updated_store(matches, sig, store)]

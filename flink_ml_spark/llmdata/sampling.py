@@ -179,11 +179,16 @@ class CorpusShuffler(Transformer):
                             .cast("int")))
 
     def shuffled(self, df: DataFrame) -> DataFrame:
-        """The physically shuffled arrangement: rows co-located by shard
-        and ordered by order_key within it."""
+        """The physically shuffled arrangement: rows co-located by shard,
+        shards contiguous within a task, ordered by order_key inside each
+        shard.  Hash partitioning maps several shard VALUES into one task
+        partition (and leaves some empty), so the sort leads with shard —
+        a writer cutting one file per shard should `partitionBy("shard")`
+        on write (or read contiguous shard runs), not assume task ==
+        shard."""
         out = self._transform(df)
         return (out.repartition(self.get_("numShards"), "shard")
-                .sortWithinPartitions("order_key"))
+                .sortWithinPartitions("shard", "order_key"))
 
 
 class SequencePacker(Transformer):

@@ -291,8 +291,8 @@ class BigramLMScorer(Estimator, HasInputCol, HasOutputCol):
                           ParamValidators.gt(0))
     interpolation = FloatParam(
         "interpolation", "Weight of the bigram term (1-weight goes to the "
-        "unigram backoff; 1.0 would zero out unseen bigrams).", 0.7,
-        ParamValidators.in_range(0, 1))
+        "unigram backoff; strictly < 1, else unseen bigrams hit ln 0).",
+        0.7, ParamValidators.in_range(0, 1, upper_inclusive=False))
 
     def fit(self, *inputs: DataFrame) -> "BigramLMScorerModel":
         (df,) = inputs
@@ -344,7 +344,7 @@ class BigramLMScorer(Estimator, HasInputCol, HasOutputCol):
 class BigramLMScorerModel(Model, HasInputCol, HasOutputCol):
     interpolation = FloatParam(
         "interpolation", "Weight of the bigram term.", 0.7,
-        ParamValidators.in_range(0, 1))
+        ParamValidators.in_range(0, 1, upper_inclusive=False))
 
     def _tables(self):
         d = self.model_data

@@ -480,7 +480,6 @@ def streaming_incremental_dedup(spark, sf_dir):
     import os
     import shutil
     import tempfile
-    import uuid
 
     from . import load
     from ..streaming import StreamingIncrementalDeduplicator

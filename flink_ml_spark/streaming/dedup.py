@@ -88,11 +88,14 @@ class StreamingIncrementalDeduplicator:
             self.store = (batch_df.select(F.col(self.id_col)).limit(0)
                           .withColumn("sig",
                                       F.lit(None).cast("array<long>")))
-        matches, updated = self._op.transform(batch_df, self.store)
-        # materialize matches BEFORE swapping the store: the updated-store
-        # plan references this batch's signatures, and both must be pinned
-        # while the previous checkpoint is released
+        matches, sig, store = self._op._plan(batch_df, self.store)
+        # materialize matches FIRST, then derive the store update from the
+        # checkpointed result — the candidate band join runs once per
+        # batch, not once per output; foreachBatch replays (at-least-once
+        # delivery) are idempotent because updated_store anti-joins both
+        # the matches and the already-committed store ids
         matches = matches.localCheckpoint(eager=True)
+        updated = self._op.updated_store(matches, sig, store)
         self.store = updated.localCheckpoint(eager=True)
         return matches
 

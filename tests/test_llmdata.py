@@ -626,10 +626,12 @@ def test_corpus_shuffler(spark):
     plan = arranged._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan.lower()
-    # within a partition rows really are in order_key order
+    # within a partition shards are contiguous and each shard's rows are
+    # in order_key order (several shard values can hash-collide into one
+    # task partition — the writer contract is partitionBy(shard))
     part_rows = arranged.select("shard", "order_key").rdd.glom().collect()
     for part in part_rows:
-        keys = [r["order_key"] for r in part]
+        keys = [(r["shard"], r["order_key"]) for r in part]
         assert keys == sorted(keys)
 
 

@@ -415,3 +415,23 @@ def test_streaming_incremental_dedup_three_batches(spark):
     m3 = {(r["id"], r["match_id"]) for r in dd.process_batch(b3).collect()}
     assert m3 == {(20, 11), (21, 0)}
     assert {r["doc_id"] for r in dd.store.collect()} == {0, 1, 11}
+
+
+def test_streaming_incremental_dedup_replay_idempotent(spark):
+    # foreachBatch is at-least-once: re-delivering a batch whose store
+    # update already committed must not self-match or duplicate state
+    from flink_ml_spark.streaming import StreamingIncrementalDeduplicator
+
+    dd = StreamingIncrementalDeduplicator(
+        id_col="doc_id", text_col="text", shingle_size=2, num_hashes=16,
+        band_size=2, threshold=0.9, seed=42)
+    b1 = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "completely unrelated historical document body")],
+        "doc_id long, text string")
+    assert dd.process_batch(b1).collect() == []
+    # replay the same batch: no self-matches, store unchanged
+    replay = dd.process_batch(b1).collect()
+    assert replay == []
+    store = [(r["doc_id"], tuple(r["sig"])) for r in dd.store.collect()]
+    assert sorted(s[0] for s in store) == [0, 1]
