@@ -55,7 +55,8 @@ HEADLINE = [
     "document_chunking",
     # tokenize/vocab + Arrow-UDF-heavy pipelines
     "tokenizer", "ngram", "stop_words_remover", "count_vectorizer", "tfidf",
-    "hashing_tf", "feature_hasher", "exact_dedup", "line_dedup",
+    "hashing_tf", "feature_hasher", "bpe_tokenize", "exact_dedup",
+    "line_dedup",
     "ngram_profile", "simhash_dedup",
     "minhash_signature", "minhash_dedup", "incremental_dedup",
     "ann_bruteforce",

@@ -3,6 +3,7 @@ from .dedup import (ConnectedComponents, Decontaminator,
                     IncrementalMinHashDeduplicator, LineDeduplicator,
                     MinHashLSHDeduplicator, MinHashSignature,
                     NGramJaccardDeduplicator, SimHashDeduplicator)
+from .bpe import BpeTokenizerModel, BpeTokenizerTrainer
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,

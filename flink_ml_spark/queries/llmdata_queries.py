@@ -857,6 +857,21 @@ WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
 """
 
 
+def bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer training + encoding (Sennrich et al. 2016): fit =
+    ONE distributed word-count aggregation (the only corpus-sized work)
+    + driver-side merge learning on the capped frequency table, encode =
+    zero-shuffle Arrow UDF carrying the merge ranks.  Rows-only: greedy
+    iterative merge learning is not SQL-expressible."""
+    from ..llmdata import BpeTokenizerTrainer
+    docs = load(spark, sf_dir, "documents")
+    m = BpeTokenizerTrainer(inputCol="text", outputCol="toks",
+                            numMerges=200, minWordFreq=2).fit(docs)
+    out = m.transform(docs)[0]
+    return out.select("doc_id", F.size("toks").alias("n_subwords"),
+                      F.slice("toks", 1, 8).alias("head_toks"))
+
+
 def corpus_shuffle(spark, sf_dir):
     """Epoch-keyed deterministic training-order shuffle: reproducible
     pseudo-random (shard, order_key) layout, zero shuffles in the
@@ -1646,6 +1661,7 @@ QUERIES = {
     "pii_redaction": (pii_redaction, PII_SQL),
     "domain_mixture": (domain_mixture, DOMAIN_MIXTURE_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
+    "bpe_tokenize": (bpe_tokenize, None),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "language_id": (language_id, LANGUAGE_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

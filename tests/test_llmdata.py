@@ -794,3 +794,44 @@ def test_pca_whitener_rank_deficient_drops_null_directions(spark):
     assert np.isfinite(W).all() and np.abs(W).max() < 100
     var = W.var(axis=0)
     assert (var < 1e-12).sum() >= 16 - 9       # dropped components are 0
+
+
+def test_bpe_trainer_classic_fixture(spark):
+    import pandas as pd
+    from flink_ml_spark.llmdata import BpeTokenizerModel, BpeTokenizerTrainer
+    # the Sennrich et al. 2016 worked example as a corpus: word counts
+    # low=5 lower=2 newest=6 widest=3
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                      + ["widest"] * 3)
+    df = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    m = BpeTokenizerTrainer(inputCol="text", outputCol="toks",
+                            numMerges=4).fit(df)
+    # hand-derived with (count desc, pair asc) determinism:
+    # (e,s)=9 ties (s,t</w>)=9 -> e s first; then es t</w>=9; l o=7;
+    # then (e,w)=6 ties (n,e)=6 and (w,est</w>)=6 -> lex smallest e w
+    assert m.model_data["merges"] == [["e", "s"], ["es", "t</w>"],
+                                      ["l", "o"], ["e", "w"]]
+    test = spark.createDataFrame([(1, "lowest low newest unknown")],
+                                 "doc_id long, text string")
+    got = m.transform(test)[0].select("toks").first()["toks"]
+    assert got[:3] == ["lo", "w", "est</w>"]      # "lowest"
+    assert got[3:5] == ["lo", "w</w>"]            # "low"
+    assert got[5:8] == ["n", "ew", "est</w>"]     # "newest"
+    # servable parity + save/load round trip
+    pdf = pd.DataFrame({"text": ["lowest low newest unknown"]})
+    assert list(m.transform_local(pdf)["toks"][0]) == list(got)
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        m.save(tmp)
+        m2 = BpeTokenizerModel.load_local(tmp)
+        assert list(m2.transform_local(pdf)["toks"][0]) == list(got)
+
+
+def test_bpe_trainer_hapax_stop(spark):
+    from flink_ml_spark.llmdata import BpeTokenizerTrainer
+    # every word unique: no pair reaches count 2 beyond within-word
+    # repeats, so merging stops instead of memorizing the corpus
+    df = spark.createDataFrame([(0, "qx zv mw")], "doc_id long, text string")
+    m = BpeTokenizerTrainer(inputCol="text", outputCol="toks",
+                            numMerges=100).fit(df)
+    assert m.model_data["merges"] == []
