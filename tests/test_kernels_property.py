@@ -81,3 +81,49 @@ def test_order_statistic_interpolation_matches_numpy(values, probs):
         got = srt[lo] + (h - lo) * (srt[hi] - srt[lo])
         want = np.percentile(arr, p * 100, method="linear")
         assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
+
+
+word = st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF),
+               min_size=1, max_size=12)
+
+
+@given(st.lists(st.tuples(word, st.integers(1, 50)), min_size=1, max_size=30),
+       st.integers(0, 60))
+@settings(max_examples=60, deadline=None)
+def test_bpe_encode_roundtrips_every_word(word_counts, n_merges):
+    """Concatenating a word's BPE subwords and stripping the end-of-word
+    marker reconstructs the word exactly, for ANY learned merge table —
+    the lossless-segmentation invariant of BPE."""
+    from flink_ml_spark.llmdata.bpe import _encode_word, _learn_merges
+    eow = "</w>"
+    # dedupe words (the trainer sees a count table keyed by word)
+    wc = list({w: c for w, c in word_counts}.items())
+    merges = _learn_merges(wc, n_merges, eow)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    for w, _ in wc:
+        toks = _encode_word(w, ranks, eow)
+        joined = "".join(toks)
+        assert joined.endswith(eow)
+        assert joined[: -len(eow)] == w
+        # every non-final symbol is marker-free (the marker only ends words)
+        assert all(eow not in t for t in toks[:-1])
+
+
+@given(st.lists(st.integers(min_value=-2**40, max_value=2**40), min_size=1,
+                max_size=300, unique=True),
+       st.integers(0, 5))
+@settings(max_examples=40, deadline=None)
+def test_corpus_shuffler_key_is_injective_per_epoch(ids, epoch):
+    """The epoch-masked multiplicative hash is a bijection mod 2^31: ids
+    within one modulus class never collide, so the training order is a
+    true permutation (collisions would make order nondeterministic)."""
+    HASH_MOD = 2147483648
+    mask = (epoch * 2654435761) % HASH_MOD
+    keys = {}
+    for i in ids:
+        base = ((i % HASH_MOD + HASH_MOD) % HASH_MOD * 2654435761 + 13) \
+            % HASH_MOD
+        k = base ^ mask
+        prev = keys.get(k)
+        assert prev is None or (prev % HASH_MOD) == (i % HASH_MOD)
+        keys[k] = i
