@@ -72,6 +72,19 @@ REFERENCE_STAGES = {
     "TokenCounter": "llmdata", "DocumentFingerprinter": "llmdata",
     "MediaFeatureExtractor": "llmdata", "ImageResizer": "llmdata",
     "VideoFrameSampler": "llmdata",
+    "IncrementalMinHashDeduplicator": "llmdata",
+    "BigramLMScorer": "llmdata", "BigramLMScorerModel": "llmdata",
+    "UnigramLMScorer": "llmdata", "UnigramLMScorerModel": "llmdata",
+    "BpeTokenizerTrainer": "llmdata", "BpeTokenizerModel": "llmdata",
+    "CorpusShuffler": "llmdata", "GopherQualityFilter": "llmdata",
+    "TemperatureMixtureSampler": "llmdata", "LineDeduplicator": "llmdata",
+    "NGramProfiler": "llmdata", "PCAWhitener": "llmdata",
+    "Decontaminator": "llmdata", "DuplicateSpanDetector": "llmdata",
+    "ConnectedComponents": "llmdata", "EmbeddingQuantizer": "llmdata",
+    "DomainMixtureSampler": "llmdata", "SequencePacker": "llmdata",
+    "DocumentChunker": "llmdata", "Bm25Scorer": "llmdata",
+    "RepetitionScorer": "llmdata", "PIIRedactor": "llmdata",
+    "TextNormalizer": "llmdata",
 }
 
 
