@@ -229,7 +229,7 @@ def _dup_clusters_sql() -> str:
     pairs_sql = _minhash_dedup_sql().strip().rstrip()
     return f"""
 WITH RECURSIVE pairrel AS ({pairs_sql}),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairrel
   UNION
   SELECT id_b, id_a FROM pairrel),
@@ -1091,7 +1091,7 @@ def sequence_packing(spark, sf_dir):
 
 
 SEQUENCE_PACKING_SQL = f"""
-WITH RECURSIVE items AS (
+WITH RECURSIVE items AS MATERIALIZED (
   SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
          CAST(len({TOKS}) AS INT) AS n_tok,
          row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
@@ -1418,7 +1418,7 @@ WITH RECURSIVE norm AS (
                                    '\\s+', ' ', 'g'))) AS n
   FROM documents),
 kept AS (SELECT doc_id, source, n FROM norm WHERE ({score_n}) >= 0.5),
-red AS (SELECT doc_id, source, {src} AS clean FROM kept),
+red AS MATERIALIZED (SELECT doc_id, source, {src} AS clean FROM kept),
 deduped AS (
   SELECT doc_id, source, clean FROM red
   WHERE doc_id IN (SELECT min(doc_id) FROM red GROUP BY clean)),
@@ -1427,7 +1427,7 @@ mixed AS (
   WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
         / 2147483648.0
         < CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5 ELSE 0.75 END),
-items AS (
+items AS MATERIALIZED (
   SELECT doc_id, source, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
          CAST(len(list_filter(string_split(lower(clean), ' '), t -> t <> '')) AS INT) AS n_tok,
          row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
