@@ -479,3 +479,34 @@ def test_local_parity_fixes_regressions(spark):
     samp = DomainMixtureSampler(idCol="id", rates={"a": 0.5})
     assert (set(samp.transform_local(n_pdf)["id"])
             == {r["id"] for r in samp.transform(n_sdf)[0].collect()})
+
+
+def test_round3b_stages_save_load_local(spark, tmp_path):
+    """This round's fitted stages serve engine-free: BigramLMScorer and
+    BpeTokenizerModel round-trip through Stage.load_local with outputs
+    matching the distributed transform."""
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.llmdata import BigramLMScorer, BpeTokenizerTrainer
+    rows = [(i, ("low lower newest widest data " * (i % 3 + 1)).strip())
+            for i in range(40)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                        "text": [r[1] for r in rows]})
+
+    lm = BigramLMScorer(inputCol="text", outputCol="s", vocabSize=20,
+                        bigramSize=50, interpolation=0.6).fit(sdf)
+    p1 = str(tmp_path / "lm2")
+    lm.save(p1)
+    lm2 = Stage.load_local(p1)
+    want = [r["s"] for r in lm.transform(sdf)[0].collect()]
+    got = list(lm2.transform_local(pdf)["s"])
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, want))
+
+    bpe = BpeTokenizerTrainer(inputCol="text", outputCol="toks",
+                              numMerges=30).fit(sdf)
+    p2 = str(tmp_path / "bpe")
+    bpe.save(p2)
+    bpe2 = Stage.load_local(p2)
+    want_t = [list(r["toks"]) for r in bpe.transform(sdf)[0].collect()]
+    got_t = [list(t) for t in bpe2.transform_local(pdf)["toks"]]
+    assert got_t == want_t
