@@ -64,6 +64,7 @@ HEADLINE = [
     "ann_ivf_pq", "semantic_dedup",
     "dup_spans", "decontamination", "llm_prep_pipeline",
     "llm_prep_pipeline_v2", "llm_prep_pipeline_v3",
+    "llm_prep_pipeline_v4",
 ]
 
 # the round-1 headline set, for like-for-like round-over-round subtotals

@@ -173,7 +173,7 @@ def incremental_dedup(spark, sf_dir):
                           q4(F.col("est_jaccard")).alias("est_jaccard"))
 
 
-def _incremental_dedup_sql() -> str:
+def _incremental_dedup_sql(src: str = "documents") -> str:
     fam = _hash_family(N_HASHES, SEED)
     sh = _shingle_sql(3)
     hashes = f"list_transform(sh, s -> {TOKHASH.format(t='s')})"
@@ -190,7 +190,7 @@ def _incremental_dedup_sql() -> str:
         f"CASE WHEN na.sig[{i}] = ob.sig[{i}] THEN 1 ELSE 0 END"
         for i in range(1, N_HASHES + 1))
     return f"""
-WITH base AS (SELECT doc_id, {sh} AS sh FROM documents),
+WITH base AS (SELECT doc_id, {sh} AS sh FROM {src}),
 hashed AS (SELECT doc_id, {hashes} AS hs FROM base),
 sigs AS (SELECT doc_id, [{sig_items}] AS sig FROM hashed),
 newb AS (SELECT * FROM sigs WHERE doc_id % 5 = 0),
@@ -621,15 +621,16 @@ def bigram_lm_score(spark, sf_dir):
 
 
 def _bigram_lm_sql(v: int = 50_000, bsz: int = 200_000,
-                   lam: float = 0.7) -> str:
+                   lam: float = 0.7, src: str = "documents",
+                   raw: bool = False) -> str:
     pu = ("(COALESCE({vb}.c + 1, 1) * 1.0 / (k.total + least(k.v, %d) + 1))"
           % v)
     return f"""
-WITH toks AS (SELECT doc_id, unnest({TOKS}) AS t FROM documents),
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS t FROM {src}),
 cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
 konst AS (SELECT sum(c) AS total, count(*) AS v FROM cnt),
 vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT {v}),
-docl AS (SELECT doc_id, {TOKS} AS l FROM documents),
+docl AS (SELECT doc_id, {TOKS} AS l FROM {src}),
 bg_pairs AS (
   SELECT doc_id, p.a AS a, p.b AS b FROM (
     SELECT doc_id, unnest(list_transform(range(1, len(l)),
@@ -659,7 +660,7 @@ scored AS (
   FROM docl d
   LEFT JOIN fscore f USING (doc_id)
   LEFT JOIN bscore b USING (doc_id))
-SELECT doc_id, {SQL_Q4.format('sc')} AS bigram_lm_q4 FROM scored
+SELECT doc_id, {"sc" if raw else SQL_Q4.format('sc') + " AS bigram_lm_q4"} FROM scored
 """
 
 
@@ -948,6 +949,74 @@ FROM g JOIN r USING (domain) LEFT JOIN scored s ON s.doc_id = g.doc_id
 WHERE CAST(((g.doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
       / 2147483648.0 < r.rate
 """
+
+
+def llm_prep_pipeline_v4(spark, sf_dir):
+    """This round's corpus-prep flagship: the incremental-corpus shape.
+    Cheapest-first gates (Gopher rules, zero-shuffle) → interpolated
+    bigram-LM quality cutoff (one typed-key count shuffle + zero-shuffle
+    scoring) → the daily increment (doc_id%5==0) near-dup-deduped against
+    the historical signature store WITHOUT re-reading history → the clean
+    increment labeled with the epoch-1 training-order shuffle.  This is
+    the steady-state 100 TB pipeline: per increment, history costs only
+    its signature relation and every stage before the band join is a row
+    gate."""
+    from ..llmdata import (BigramLMScorer, CorpusShuffler,
+                           GopherQualityFilter,
+                           IncrementalMinHashDeduplicator)
+    docs = load(spark, sf_dir, "documents")
+    g = (GopherQualityFilter(inputCol="text", minWords=30,
+                             minRequiredStopwords=1)
+         .transform(docs)[0].where(F.col("keep"))
+         .select("doc_id", "text"))
+    lm = BigramLMScorer(inputCol="text", outputCol="lm2",
+                        vocabSize=50_000, bigramSize=200_000,
+                        interpolation=0.7).fit(g)
+    scored = lm.transform(g)[0].filter(F.col("lm2") >= -3.6)
+    new = scored.filter(F.col("doc_id") % 5 == 0)
+    old = scored.filter(F.col("doc_id") % 5 != 0)
+    store = (MinHashSignature(inputCol="sh", outputCol="sig",
+                              numHashes=N_HASHES, seed=SEED)
+             .transform(old.select("doc_id",
+                                   shingles(F.col("text"), 3).alias("sh")))[0]
+             .select("doc_id", "sig"))
+    d = IncrementalMinHashDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=3, numHashes=N_HASHES,
+        bandSize=4, threshold=0.5, seed=SEED)
+    matches, _ = d.transform(new, store)
+    clean = new.join(matches.select(F.col("id").alias("doc_id")).distinct(),
+                     "doc_id", "left_anti")
+    out = CorpusShuffler(idCol="doc_id", numShards=8, epoch=1, salt=13) \
+        .transform(clean)[0]
+    return out.select("doc_id", "shard", "order_key",
+                      q4(F.col("lm2")).alias("lm2_q4"))
+
+
+def _llm_prep_v4_sql() -> str:
+    bl = _bigram_lm_sql(src="kept", raw=True).strip()
+    inc = _incremental_dedup_sql(src="scored2").strip()
+    return f"""
+WITH kept AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE {_gopher_keep_sql(30, 1)}),
+bl AS MATERIALIZED ({bl}),
+scored2 AS MATERIALIZED (
+  SELECT k.doc_id, k.text, b.sc FROM kept k JOIN bl b USING (doc_id)
+  WHERE b.sc >= -3.6),
+matched AS (SELECT DISTINCT id FROM ({inc})),
+shuffled AS (
+  SELECT doc_id, sc,
+         xor((((doc_id % 2147483648) + 2147483648) % 2147483648
+              * 2654435761 + 13) % 2147483648,
+             506952113) AS order_key
+  FROM scored2
+  WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT id FROM matched))
+SELECT doc_id, CAST(order_key % 8 AS INT) AS shard, order_key,
+       {SQL_Q4.format('sc')} AS lm2_q4
+FROM shuffled
+"""
+
+
+LLM_PREP_V4_SQL = _llm_prep_v4_sql()
 
 
 def pca_whiten(spark, sf_dir):
@@ -1670,6 +1739,7 @@ QUERIES = {
     "unigram_lm_score": (unigram_lm_score, UNIGRAM_LM_SQL),
     "bigram_lm_score": (bigram_lm_score, BIGRAM_LM_SQL),
     "llm_prep_pipeline_v3": (llm_prep_pipeline_v3, LLM_PREP_V3_SQL),
+    "llm_prep_pipeline_v4": (llm_prep_pipeline_v4, LLM_PREP_V4_SQL),
     "line_dedup": (line_dedup, LINE_DEDUP_SQL),
     "ngram_profile": (ngram_profile, NGRAM_PROFILE_SQL),
     "pca_whiten": (pca_whiten, PCA_WHITEN_SQL),
