@@ -59,6 +59,7 @@ HEADLINE = [
     "line_dedup",
     "ngram_profile", "simhash_dedup",
     "minhash_signature", "minhash_dedup", "incremental_dedup",
+    "dup_keep_best",
     "ann_bruteforce",
     "embedding_dedup_lsh", "embedding_quantize", "pca_whiten", "bm25_scoring",
     "ann_ivf_pq", "semantic_dedup",

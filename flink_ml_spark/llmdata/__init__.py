@@ -1,4 +1,5 @@
 from .dedup import (ConnectedComponents, Decontaminator,
+                    DuplicateResolver,
                     DuplicateSpanDetector, ExactDeduplicator,
                     IncrementalMinHashDeduplicator, LineDeduplicator,
                     MinHashLSHDeduplicator, MinHashSignature,

@@ -809,3 +809,57 @@ class IncrementalMinHashDeduplicator(AlgoOperator):
         # common path) must not pay the candidate join twice, and `sig` —
         # the expensive part — is already checkpointed above
         return [matches, self.updated_store(matches, sig, store)]
+
+
+class DuplicateResolver(AlgoOperator):
+    """Duplicate RESOLUTION policy: given the corpus and a near-dup pair
+    relation, decide which copy of each duplicate cluster survives.
+    Detection (the deduplicators) and resolution are separate decisions —
+    production pipelines keep the highest-quality copy, not an arbitrary
+    one, because near-dup clusters mix clean originals with truncated or
+    boilerplate-wrapped variants.
+
+    ``transform(docs, pairs)`` -> ``[kept]``: documents outside any
+    cluster pass through; inside a cluster exactly one row survives —
+    the max of ``scoreCol`` (ties broken by smallest id, so the choice is
+    deterministic), or the smallest id when ``scoreCol`` is None (the
+    classic policy, equal to keeping the component label).
+
+    Plan: ConnectedComponents labels the clusters (O(log d) rounds,
+    ids-only); the per-cluster argmax is one aggregation of
+    ``min(struct(-score, id))`` — model-free, shuffle keyed on the
+    component id; the winner relation (ids only) semi-joins the corpus.
+    """
+
+    idCol = StringParam("idCol", "Unique id column on the corpus.", "id")
+    srcCol = StringParam("srcCol", "Pair source id column.", "id_a")
+    dstCol = StringParam("dstCol", "Pair destination id column.", "id_b")
+    scoreCol = StringParam(
+        "scoreCol", "Quality column to maximize within a cluster "
+        "(None = keep the smallest id).", None)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        docs, pairs = inputs
+        idc = self.get_("idCol")
+        labels = ConnectedComponents(srcCol=self.get_("srcCol"),
+                                     dstCol=self.get_("dstCol")) \
+            .transform(pairs)[0]  # (id, component), clustered ids only
+        score = self.get_("scoreCol")
+        if score is None:
+            winners = labels.filter(F.col("id") == F.col("component")) \
+                .select("id")
+        else:
+            scored = labels.join(
+                docs.select(F.col(idc).alias("id"),
+                            F.col(score).alias("__s__")), "id")
+            # min(struct(-score, id)) = max score, ties -> smallest id
+            winners = (scored.groupBy("component")
+                       .agg(F.min(F.struct((-F.col("__s__")).alias("n"),
+                                           F.col("id").alias("id")))
+                            .alias("w"))
+                       .select(F.col("w.id").alias("id")))
+        clustered = labels.select("id").withColumnRenamed("id", idc)
+        keep_ids = winners.withColumnRenamed("id", idc)
+        outside = docs.join(clustered, idc, "left_anti")
+        kept_in = docs.join(keep_ids, idc, "left_semi")
+        return [outside.unionByName(kept_in)]

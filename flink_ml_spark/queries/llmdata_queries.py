@@ -244,6 +244,55 @@ SELECT id, min(m) AS component FROM reach GROUP BY id
 
 DUP_CLUSTERS_SQL = _dup_clusters_sql()
 
+# --- duplicate RESOLUTION: keep the best copy per cluster -------------------
+
+def dup_keep_best(spark, sf_dir):
+    """Detection vs resolution: the same near-dup pair relation as
+    dup_clusters, but the surviving copy per cluster is the
+    highest-quality one (longest text, ties to smallest id) instead of
+    the arbitrary min-id — the policy production pipelines actually
+    want.  Unclustered documents pass through."""
+    from ..llmdata import DuplicateResolver
+    docs = load(spark, sf_dir, "documents")
+    d = MinHashLSHDeduplicator(idCol="doc_id", textCol="text", shingleSize=3,
+                               numHashes=16, bandSize=4, threshold=0.4,
+                               seed=SEED)
+    pairs = d.transform(docs)[0]
+    scored = docs.withColumn("qual", F.length("text").cast("int"))
+    r = DuplicateResolver(idCol="doc_id", scoreCol="qual")
+    kept = r.transform(scored, pairs)[0]
+    return kept.select("doc_id", "qual")
+
+
+def _dup_keep_best_sql() -> str:
+    pairs_sql = _minhash_dedup_sql().strip()
+    return f"""
+WITH RECURSIVE pairrel AS MATERIALIZED ({pairs_sql}),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairrel
+  UNION
+  SELECT id_b, id_a FROM pairrel),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, m) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, r.m FROM edges e JOIN reach r ON e.dst = r.id),
+comp AS (SELECT id, min(m) AS component FROM reach GROUP BY id),
+scored AS (
+  SELECT c.id, c.component, length(d.text) AS qual
+  FROM comp c JOIN documents d ON d.doc_id = c.id),
+winners AS (
+  SELECT id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY component
+                             ORDER BY qual DESC, id) = 1)
+SELECT doc_id, CAST(length(text) AS INT) AS qual FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp)
+   OR doc_id IN (SELECT id FROM winners)
+"""
+
+
+DUP_KEEP_BEST_SQL = _dup_keep_best_sql()
+
 # --- n-gram Jaccard all-pairs ----------------------------------------------
 
 def ngram_jaccard_dedup(spark, sf_dir):
@@ -1719,6 +1768,7 @@ QUERIES = {
     "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
     "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "dup_clusters": (dup_clusters, DUP_CLUSTERS_SQL),
+    "dup_keep_best": (dup_keep_best, DUP_KEEP_BEST_SQL),
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, NGRAM_JACCARD_SQL),
     "simhash_dedup": (simhash_dedup, SIMHASH_SQL),
     "embedding_dedup": (embedding_dedup, EMBEDDING_DEDUP_SQL),

@@ -835,3 +835,22 @@ def test_bpe_trainer_hapax_stop(spark):
     m = BpeTokenizerTrainer(inputCol="text", outputCol="toks",
                             numMerges=100).fit(df)
     assert m.model_data["merges"] == []
+
+
+def test_duplicate_resolver_keeps_best_copy(spark):
+    from flink_ml_spark.llmdata import DuplicateResolver
+
+    docs = spark.createDataFrame(
+        [(0, 30), (1, 80), (2, 50),    # cluster {0,1,2}: best = 1
+         (5, 70), (6, 70),             # cluster {5,6}: tie -> smaller id 5
+         (9, 10)],                     # unclustered: passes through
+        "doc_id long, qual int")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
+    r = DuplicateResolver(idCol="doc_id", scoreCol="qual")
+    kept = sorted(r["doc_id"] for r in r.transform(docs, pairs)[0].collect())
+    assert kept == [1, 5, 9]
+    # min-id policy (scoreCol=None): component labels win
+    r2 = DuplicateResolver(idCol="doc_id")
+    kept2 = sorted(r["doc_id"] for r in r2.transform(docs, pairs)[0].collect())
+    assert kept2 == [0, 5, 9]
