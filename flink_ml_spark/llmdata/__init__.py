@@ -1,4 +1,5 @@
-from .dedup import (ConnectedComponents, Decontaminator,
+from .dedup import (ConnectedComponents, ContaminationScorer,
+                    Decontaminator,
                     DuplicateResolver,
                     DuplicateSpanDetector, ExactDeduplicator,
                     IncrementalMinHashDeduplicator, LineDeduplicator,

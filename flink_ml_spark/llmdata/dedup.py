@@ -256,6 +256,62 @@ class MinHashSignature(Transformer, HasInputCol, HasOutputCol):
         return out
 
 
+class ContaminationScorer(AlgoOperator):
+    """Graded benchmark decontamination: instead of Decontaminator's
+    binary any-overlap gate, score every training document by the
+    FRACTION of its distinct word n-grams that appear anywhere in the
+    benchmark corpus — the graded form large-scale pipelines use to set
+    partial-contamination cutoffs (public literature: Chowdhery et al.
+    2022 §8, seeing >70% of 8-grams marks a document contaminated).
+
+    ``transform(train, bench)`` -> ``[(idCol, n_grams, n_matched,
+    overlap)]`` with one row per training document; ``overlap`` =
+    n_matched / n_grams (0.0 for gramless documents).  Thresholding is
+    the caller's policy; ``Decontaminator`` remains the binary split.
+
+    Plan: identical digest machinery to Decontaminator — grams travel as
+    (id, 32-byte sha2), the (tiny, pre-aggregated) benchmark gram
+    relation reaches the join broadcast-ready, and the per-doc counts
+    are one map-side-combining aggregation keyed on the id.
+    """
+
+    idCol = StringParam("idCol", "Unique id column (train side).", "id")
+    textCol = StringParam("textCol", "Text column (train side).", "text")
+    benchmarkTextCol = StringParam(
+        "benchmarkTextCol", "Text column on the benchmark table "
+        "(None = same as textCol).", None)
+    shingleSize = IntParam("shingleSize", "Words per overlap n-gram.", 8,
+                           ParamValidators.gt(0))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        train, bench = inputs
+        idc, n = self.get_("idCol"), self.get_("shingleSize")
+        bcol = self.get_("benchmarkTextCol") or self.get_("textCol")
+        digest = lambda c: F.sha2(c, 256)  # noqa: E731 — fixed-width key
+        bench_grams = (bench.select(
+            F.explode(shingles(F.col(bcol), n)).alias("g"))
+            .select(digest(F.col("g")).alias("gd")).distinct()
+            .withColumn("__hit__", F.lit(1)))
+        tg = (train.select(
+            F.col(idc).alias("__id__"),
+            F.explode(shingles(F.col(self.get_("textCol")), n)).alias("g"))
+            .filter(F.col("g").isNotNull())  # NULL text -> one null gram
+            .select("__id__", digest(F.col("g")).alias("gd")))
+        stats = (tg.join(bench_grams, "gd", "left")
+                 .groupBy("__id__")
+                 .agg(F.count("*").alias("n_grams"),
+                      F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+                      .alias("n_matched")))
+        out = (train.select(idc)
+               .join(stats.withColumnRenamed("__id__", idc), idc, "left"))
+        n_g = F.coalesce(F.col("n_grams"), F.lit(0)).cast("int")
+        n_m = F.coalesce(F.col("n_matched"), F.lit(0)).cast("int")
+        overlap = F.when(n_g > 0, n_m.cast("double") / n_g.cast("double")) \
+            .otherwise(F.lit(0.0))
+        return [out.select(idc, n_g.alias("n_grams"), n_m.alias("n_matched"),
+                           overlap.alias("overlap"))]
+
+
 def band_keys(sig_df: DataFrame, n_hashes: int, band: int) -> DataFrame:
     """(id, sig) -> (id, band, bsig): one row per LSH band, the band's
     signature slice rendered as a single string join key.  Shared by the

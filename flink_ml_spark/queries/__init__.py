@@ -97,7 +97,7 @@ def all_queries():
         "llm_prep_pipeline_v3", "line_dedup", "ngram_profile", "pca_whiten",
         "incremental_dedup", "bigram_lm_score", "corpus_shuffle",
         "streaming_incremental_dedup", "bpe_tokenize",
-        "llm_prep_pipeline_v4", "dup_keep_best",
+        "llm_prep_pipeline_v4", "dup_keep_best", "contamination_score",
         # distributed plans changed this round, so r02/r01 evidence is
         # stale for them: graph_dag join key; IDF.fit single-pass
         # (tfidf/count_vectorizer); evaluator restructure; sgd/KMeans

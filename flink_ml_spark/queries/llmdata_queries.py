@@ -64,6 +64,42 @@ LEFT JOIN hit h ON d.doc_id = h.doc_id
 """
 
 
+def contamination_score(spark, sf_dir):
+    """Graded decontamination: fraction of each training document's
+    distinct 5-grams appearing in the benchmark split — the PaLM-style
+    partial-contamination signal (thresholding left to policy)."""
+    from ..llmdata import ContaminationScorer
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = ContaminationScorer(idCol="doc_id", textCol="text",
+                              shingleSize=5).transform(train, bench)[0]
+    return out.select("doc_id", "n_grams", "n_matched",
+                      q4(F.col("overlap")).alias("overlap_q4"))
+
+
+CONTAMINATION_SCORE_SQL = f"""
+WITH bg AS (
+  SELECT DISTINCT unnest({_shingle_sql(5)}) AS g
+  FROM documents WHERE doc_id % 97 = 0),
+tg AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest({_shingle_sql(5)}) AS g
+    FROM documents WHERE doc_id % 97 <> 0)
+  WHERE g IS NOT NULL),
+stats AS (
+  SELECT tg.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+  FROM tg LEFT JOIN bg USING (g) GROUP BY tg.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS INT) AS n_grams,
+       CAST(COALESCE(s.n_matched, 0) AS INT) AS n_matched,
+       {SQL_Q4.format('COALESCE(s.n_matched * 1.0 / NULLIF(s.n_grams, 0), 0.0)')} AS overlap_q4
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN stats s USING (doc_id)
+"""
+
+
 # --- exact dedup ------------------------------------------------------------
 
 def exact_dedup(spark, sf_dir):
@@ -1759,6 +1795,7 @@ QUERIES = {
     "llm_prep_pipeline_v2": (llm_prep_pipeline_v2, LLM_PREP_V2_SQL),
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
     "decontamination": (decontamination, DECONTAMINATION_SQL),
+    "contamination_score": (contamination_score, CONTAMINATION_SCORE_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "ann_ivf_pq": (ann_ivf_pq, ANN_IVF_PQ_SQL),
     "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),

@@ -80,7 +80,7 @@ REFERENCE_STAGES = {
     "TemperatureMixtureSampler": "llmdata", "LineDeduplicator": "llmdata",
     "NGramProfiler": "llmdata", "PCAWhitener": "llmdata",
     "Decontaminator": "llmdata", "DuplicateSpanDetector": "llmdata",
-    "DuplicateResolver": "llmdata",
+    "DuplicateResolver": "llmdata", "ContaminationScorer": "llmdata",
     "ConnectedComponents": "llmdata", "EmbeddingQuantizer": "llmdata",
     "DomainMixtureSampler": "llmdata", "SequencePacker": "llmdata",
     "DocumentChunker": "llmdata", "Bm25Scorer": "llmdata",

@@ -854,3 +854,22 @@ def test_duplicate_resolver_keeps_best_copy(spark):
     r2 = DuplicateResolver(idCol="doc_id")
     kept2 = sorted(r["doc_id"] for r in r2.transform(docs, pairs)[0].collect())
     assert kept2 == [0, 5, 9]
+
+
+def test_contamination_scorer_fractions(spark):
+    from flink_ml_spark.llmdata import ContaminationScorer
+
+    train = spark.createDataFrame(
+        [(0, "a b c d e f"),       # grams(2): ab bc cd de ef -> 2 matched
+         (1, "x y z w v u"),       # no overlap
+         (2, None)],               # gramless
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a b c q r s t u v")],  # grams include "a b","b c"
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_grams"], r["n_matched"], r["overlap"])
+           for r in ContaminationScorer(idCol="doc_id", shingleSize=2)
+           .transform(train, bench)[0].collect()}
+    assert out[0] == (5, 2, 0.4)
+    assert out[1] == (5, 0, 0.0)
+    assert out[2] == (0, 0, 0.0)
