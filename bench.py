@@ -184,14 +184,19 @@ def main() -> None:
     r01_subset = round(sum(t for q, t in timings.items()
                            if q in R01_SET and t >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
-        "metric": "headline_queries_total_time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "r01_subset_total": r01_subset,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Truncation-proof output (the r03 artifact lost the headline number
+    # when the driver's 2,245-byte tail capture cut the single giant JSON
+    # line mid-dict): emit a totals-only line FIRST, then a compact full
+    # line (2-decimal values, no spaces) small enough to fit whole inside
+    # the tail window.  A first-line parser gets the headline from line 1;
+    # a last-line parser gets the complete compact line 2.
+    totals = {"metric": "headline_queries_total_time", "value": total,
+              "unit": "sec", "sf": sf_val, "r01_subset_total": r01_subset}
+    print(json.dumps(totals, separators=(",", ":")))
+    print(json.dumps({**totals,
+                      "queries": {q: round(t, 2) for q, t in timings.items()}},
+                     separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -168,21 +168,20 @@ class FeatureHasher(Transformer, HasInputCols, HasOutputCol, HasCategoricalCols,
         poly_maps: dict[str, Column] = {}
         cat_cols = [c for c in cols if is_cat[c]]
         if algo == "poly" and cat_cols:
-            # distinct-value map literals are driver state → cap them: a
-            # cheap approx_count_distinct pre-check keeps unbounded-
-            # cardinality columns OFF the driver entirely (they fall back
-            # to the lazy expression hash, same values)
+            # distinct-value map literals are driver state → cap them.
+            # ONE agg job for all categorical columns: collect_set partial-
+            # aggregates map-side (only distincts shuffle), slice() bounds
+            # what crosses to the driver to CAP+1 values, and any column
+            # whose slice came back full (> CAP distincts) is discarded
+            # here — it falls back to the lazy expression hash, same
+            # values.  (Was an approx_count_distinct probe + collect_set
+            # pair = two scans; fused per the r3 perf audit.)
             MAX_MAP_DISTINCTS = 4096
-            acd = df.agg(*[F.approx_count_distinct(F.col(c).cast("string"))
-                           .alias(c) for c in cat_cols]).first()
-            map_cols = [c for c in cat_cols if acd[c] <= MAX_MAP_DISTINCTS]
-            if map_cols:
-                # one scan for the mappable columns' distinct values
-                # (collect_set has map-side partial aggregation — only
-                # distincts shuffle)
-                row = df.agg(*[F.collect_set(F.col(c).cast("string")).alias(c)
-                               for c in map_cols]).first()
-                for c in map_cols:
+            row = df.agg(*[F.slice(F.collect_set(F.col(c).cast("string")),
+                                   1, MAX_MAP_DISTINCTS + 1).alias(c)
+                           for c in cat_cols]).first()
+            for c in cat_cols:
+                if len(row[c]) <= MAX_MAP_DISTINCTS:
                     poly_maps[c] = F.create_map(
                         *[x for v in row[c]
                           for x in (F.lit(v), F.lit(poly_hash31(f"{c}={v}") % n))])

@@ -25,19 +25,28 @@ def _learn_merges(word_counts: list[tuple[str, int]], n_merges: int,
                   eow: str) -> list[tuple[str, str]]:
     """Greedy BPE merge learning over (word, count) rows.  Deterministic:
     the best pair is max by (count, then lexicographically smallest pair)
-    so ties never depend on dict order."""
+    so ties never depend on dict order.
+
+    Pair counts are maintained INCREMENTALLY (the subword-nmt trainer
+    architecture): only the words that contain the merged pair — tracked
+    in an occurrence index — have their pair contributions re-derived, so
+    a merge step costs O(symbols in affected words), not O(total corpus
+    symbols).  Counts after every step equal a from-scratch recount, so
+    the learned merge sequence is identical to the naive loop."""
     seqs: list[tuple[list[str], int]] = []
     for w, c in word_counts:
         if not w:
             continue
         sym = list(w[:-1]) + [w[-1] + eow]
         seqs.append((sym, c))
+    pairs: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, (sym, c) in enumerate(seqs):
+        for p in zip(sym, sym[1:]):
+            pairs[p] = pairs.get(p, 0) + c
+            where.setdefault(p, set()).add(i)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, c in seqs:
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + c
         if not pairs:
             break
         (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -45,13 +54,25 @@ def _learn_merges(word_counts: list[tuple[str, int]], n_merges: int,
             break  # merging hapax pairs only memorizes the corpus
         merges.append((a, b))
         ab = a + b
-        for sym, _c in seqs:
-            i = 0
-            while i < len(sym) - 1:
-                if sym[i] == a and sym[i + 1] == b:
-                    sym[i:i + 2] = [ab]
+        # occurrence sets are maintained lazily (a word that no longer
+        # contains a pair may linger in its set); subtract-current /
+        # re-add-current makes a stale visit a net no-op
+        for i in where.pop((a, b), ()):
+            sym, c = seqs[i]
+            for p in zip(sym, sym[1:]):
+                pairs[p] -= c
+            j = 0
+            while j < len(sym) - 1:
+                if sym[j] == a and sym[j + 1] == b:
+                    sym[j:j + 2] = [ab]
                 else:
-                    i += 1
+                    j += 1
+            for p in zip(sym, sym[1:]):
+                pairs[p] = pairs.get(p, 0) + c
+                where.setdefault(p, set()).add(i)
+        for p in [p for p, c in pairs.items() if c <= 0]:
+            del pairs[p]
+            where.pop(p, None)
     return merges
 
 

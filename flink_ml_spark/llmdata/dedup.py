@@ -481,16 +481,29 @@ class ConnectedComponents(AlgoOperator):
 
 class SimHashDeduplicator(AlgoOperator):
     """SimHash near-dup: ``bits``-wide fingerprint from token hashes; pairs
-    whose hamming distance ≤ ``maxDistance`` (candidate-join on fingerprint
-    quarters — any pair within distance 3 shares ≥1 exact quarter).
-    bits ≤ 63 so the fingerprint fits a signed 64-bit integer."""
+    whose hamming distance ≤ ``maxDistance``.  Candidate generation splits
+    the fingerprint into disjoint bit pieces and joins on (piece index,
+    piece value).  By pigeonhole, recall is EXACT iff the piece count is
+    ≥ maxDistance + 1 — the default (``numPieces=None``) derives exactly
+    that, so small-distance dedup (the production setting) never misses a
+    pair.  Setting ``numPieces`` below maxDistance + 1 is an explicit
+    approximation: only pairs agreeing on some one of the pieces are
+    candidates (recall guaranteed for hamming ≤ numPieces - 1, best-effort
+    beyond) — the standard knob when a large maxDistance would otherwise
+    force bit-width pieces and a near-quadratic candidate join.  bits ≤ 60
+    so the fingerprint fits a signed 64-bit integer."""
 
     idCol = StringParam("idCol", "Unique id column.", "id")
     textCol = StringParam("textCol", "Text column.", "text")
-    bits = IntParam("bits", "Fingerprint width (multiple of 4, <=60).", 48,
+    bits = IntParam("bits", "Fingerprint width (<=60).", 48,
                     ParamValidators.in_range(4, 60))
     maxDistance = IntParam("maxDistance", "Max hamming distance.", 3,
-                           ParamValidators.in_range(0, 63))
+                           ParamValidators.in_range(0, 59))
+    numPieces = IntParam(
+        "numPieces",
+        "Candidate pieces; None derives maxDistance + 1 (exact recall); "
+        "smaller values trade recall beyond numPieces - 1 for a cheaper "
+        "candidate join.", None)
 
     def fingerprint(self, text: Column) -> Column:
         # bit b weight = Σ_tok (bit_b(hash´(tok)) ? 1 : -1); re-hash per
@@ -529,14 +542,24 @@ class SimHashDeduplicator(AlgoOperator):
         # self-join below doesn't run the fingerprint UDF over the corpus
         # twice (no CSE across a self-join)
         fp = fp.localCheckpoint(eager=True)
-        # 4 quarters of bits/4: hamming ≤ 3 ⇒ some quarter identical
-        w = self.get_("bits") // 4
-        mask = (1 << w) - 1
+        # pigeonhole pieces: hamming ≤ pieces-1 ⇒ some one of the disjoint
+        # bit pieces identical (widths differ by at most 1 when pieces ∤
+        # bits); pieces defaults to maxDistance+1 = exact recall
+        bits, d = self.get_("bits"), int(self.get_("maxDistance"))
+        pieces = int(self.get_("numPieces") or d + 1)
+        if pieces > bits:
+            raise ValueError(
+                f"{pieces} candidate pieces (maxDistance={d}) but the "
+                f"fingerprint is only {bits} bits wide")
+        base, rem = divmod(bits, pieces)
+        widths = [base + 1 if q < rem else base for q in range(pieces)]
+        offsets = [sum(widths[:q]) for q in range(pieces)]
         quarters = fp.select(
             "id", "fp",
             F.posexplode(F.array(*[
-                F.shiftrightunsigned(F.col("fp"), q * w).bitwiseAND(F.lit(mask))
-                for q in range(4)])).alias("q", "qv"))
+                F.shiftrightunsigned(F.col("fp"), offsets[q])
+                .bitwiseAND(F.lit((1 << widths[q]) - 1))
+                for q in range(pieces)])).alias("q", "qv"))
         a = quarters.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "q", "qv")
         b = quarters.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "q", "qv")
         pairs = (a.join(b, ["q", "qv"]).filter(F.col("id_a") < F.col("id_b"))
@@ -783,12 +806,30 @@ class IncrementalMinHashDeduplicator(AlgoOperator):
         "maxBandDocFreq", "Drop LSH buckets whose combined store+batch "
         "document frequency exceeds this cap (None = exact).", None)
 
-    def _plan(self, new_df: DataFrame, store_df: DataFrame
+    def store_band_relation(self, store_df: DataFrame) -> DataFrame:
+        """The store's exploded LSH band relation (idCol, band, bsig) —
+        the thing to PERSIST BUCKETED on (band, bsig) between increments
+        (``io.write_bucketed``): a bucketed band table satisfies the
+        candidate join's hash distribution straight from the scan, so at
+        100 TB only the (tiny) batch side shuffles while the corpus-sized
+        store side plans with zero Exchange.  Pass the re-read table to
+        ``transform`` as the third input."""
+        idc = self.get_("idCol")
+        store = store_df.select(F.col(idc).alias("id"),
+                                F.col(self.get_("sigCol")).alias("sig"))
+        return (band_keys(store, self.get_("numHashes"),
+                          self.get_("bandSize"))
+                .withColumnRenamed("id", idc))
+
+    def _plan(self, new_df: DataFrame, store_df: DataFrame,
+              store_bands_df: DataFrame | None = None
               ) -> tuple[DataFrame, DataFrame, DataFrame]:
         """(matches, batch signatures, normalized store) — exposed so the
         streaming wrapper can materialize ``matches`` once and derive the
         store update from the checkpointed result instead of re-running
-        the candidate join."""
+        the candidate join.  ``store_bands_df`` (from
+        ``store_band_relation``, usually persisted bucketed) substitutes
+        for deriving the band relation from the store's signatures."""
         idc = self.get_("idCol")
         n_hashes, band = self.get_("numHashes"), self.get_("bandSize")
 
@@ -813,7 +854,11 @@ class IncrementalMinHashDeduplicator(AlgoOperator):
                                 sig_checked.alias("sig"))
 
         new_bands = band_keys(sig, n_hashes, band)
-        store_bands = band_keys(store, n_hashes, band)
+        if store_bands_df is not None:
+            store_bands = store_bands_df.select(
+                F.col(idc).alias("id"), "band", "bsig")
+        else:
+            store_bands = band_keys(store, n_hashes, band)
         cap = self.get_("maxBandDocFreq")
         if cap is not None:
             both = (new_bands.select("band", "bsig")
@@ -859,8 +904,13 @@ class IncrementalMinHashDeduplicator(AlgoOperator):
                 .withColumnRenamed("sig", self.get_("sigCol")))
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
-        new_df, store_df = inputs
-        matches, sig, store = self._plan(new_df, store_df)
+        """(new_batch, store[, store_bands]) -> [matches, updated_store];
+        the optional third input is a pre-derived band relation from
+        ``store_band_relation`` (persist it bucketed on (band, bsig) so
+        the candidate join's store side scans exchange-free)."""
+        new_df, store_df, *rest = inputs
+        matches, sig, store = self._plan(new_df, store_df,
+                                         rest[0] if rest else None)
         # updated store stays lazy: a consumer reading only `matches` (the
         # common path) must not pay the candidate join twice, and `sig` —
         # the expensive part — is already checkpointed above

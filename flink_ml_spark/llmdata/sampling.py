@@ -21,21 +21,20 @@ HASH_MOD = 2147483648
 
 def _unit_hash(idc, salt: int):
     # reduce the id mod 2^31 BEFORE the multiply: (2^31)·2654435761 < 2^63,
-    # so the product never overflows int64 in any engine
-    return (((F.col(idc) % HASH_MOD) * 2654435761 + F.lit(salt)) % HASH_MOD) \
-        / float(HASH_MOD)
-
-
-def _java_mod(a: int, m: int) -> int:
-    """Sign-of-dividend % (Spark/Java semantics; Python % takes the
-    divisor's sign, which diverges for negative ids)."""
-    r = abs(a) % m
-    return r if a >= 0 else -r
+    # so the product never overflows int64 in any engine.  Both remainders
+    # are normalized to [0, M) — Spark's % keeps the dividend's sign, and
+    # an un-normalized negative unit value would compare < every keep-rate
+    # (negative ids always kept, even at rate 0.0).
+    inner = ((F.col(idc) % HASH_MOD) + HASH_MOD) % HASH_MOD
+    return (((inner * 2654435761 + F.lit(salt)) % HASH_MOD + HASH_MOD)
+            % HASH_MOD) / float(HASH_MOD)
 
 
 def _unit_hash_local(id_val, salt: int) -> float:
-    return _java_mod(_java_mod(int(id_val), HASH_MOD) * 2654435761 + salt,
-                     HASH_MOD) / float(HASH_MOD)
+    # Python's % already returns a value in [0, m) for positive m, matching
+    # the normalized Spark expression above for every int64 id
+    return ((int(id_val) % HASH_MOD) * 2654435761 + salt) % HASH_MOD \
+        / float(HASH_MOD)
 
 
 class DomainMixtureSampler(Transformer):

@@ -81,46 +81,35 @@ def all_queries():
     # ones needing fresh evidence first (local tools/check_oracle.py covers
     # the full set every session regardless).
     prio = [
-        # round-2 failures fixed this round (load_events dtype branch,
-        # corpus_stats BIGINT casts) — must lead so r03 records them green
-        "event_windows", "session_windows", "online_standard_scaler",
-        "online_scaler_delayed", "online_kmeans",
-        "online_logistic_regression", "corpus_stats",
-        # new in round 3 (no prior driver evidence): IVF+PQ rerank,
-        # SemDeDup-style dedup, stateful sessionization, temporal joins,
-        # sliding windows, streaming dedup, corpus gates (Gopher /
-        # temperature / unigram-LM), composed v3 pipeline, line dedup,
-        # n-gram profiler, PCA whitening
-        "ann_ivf_pq", "semantic_dedup", "stateful_sessions",
-        "asof_join", "range_join", "sliding_windows", "streaming_dedup",
-        "gopher_filter", "temperature_mixture", "unigram_lm_score",
-        "llm_prep_pipeline_v3", "line_dedup", "ngram_profile", "pca_whiten",
-        "incremental_dedup", "bigram_lm_score", "corpus_shuffle",
-        "streaming_incremental_dedup", "bpe_tokenize",
-        "llm_prep_pipeline_v4", "dup_keep_best", "contamination_score",
-        # distributed plans changed this round, so r02/r01 evidence is
-        # stale for them: graph_dag join key; IDF.fit single-pass
-        # (tfidf/count_vectorizer); evaluator restructure; sgd/KMeans
-        # pruned-count gating + data-sized iteration jobs (all linear
-        # learners, kmeans); dedup localCheckpoint + sha2 key + hot-bucket
-        # cap (whole dedup family); tokenizer array_remove
-        "graph_dag", "tfidf", "count_vectorizer", "binary_evaluator",
-        "exact_dedup", "llm_prep_pipeline", "llm_prep_pipeline_v2",
-        "minhash_dedup", "decontamination", "simhash_dedup",
-        "ngram_jaccard_dedup", "dup_clusters", "dup_spans",
-        "minhash_signature", "logistic_regression", "linear_svc",
-        "linear_regression", "hashingtf_logreg", "kmeans", "knn",
-        "tokenizer", "regex_tokenizer", "stop_words_remover", "hashing_tf",
-        "feature_hasher", "string_indexer", "naive_bayes",
-        # queries whose latest driver evidence is round 1 (unchanged code;
-        # the r02 cap pushed them out) — fill the remaining cap slots
-        "vector_indexer", "univariate_feature_selector", "random_splitter",
-        "bucketizer", "standard_scaler", "minmax_scaler", "maxabs_scaler",
-        "robust_scaler", "normalizer", "elementwise_product", "interaction",
-        "vector_slicer", "vector_assembler", "imputer", "imputer_median",
-        "kbins_quantile", "one_hot_encoder", "kbins_uniform",
-        "variance_threshold", "sql_transformer", "ngram",
-        "chisq_test", "fvalue_test", "ann_ivf",
+        # the only registry entry with zero driver evidence across r01-r03
+        # (r03 err: array<string> output broke the driver canonicalizer;
+        # fixed this round to emit a scalar string) — must lead
+        "bpe_tokenize",
+        # new in round 4 (no prior driver evidence)
+        "incremental_dedup_bucketed", "minhash_join_skewsafe",
+        # latest driver evidence is round 1 (28 queries; unchanged code —
+        # the r02/r03 caps rotated them out) — refresh before they age out
+        "regex_tokenizer", "stop_words_remover", "hashing_tf",
+        "naive_bayes", "vector_indexer", "univariate_feature_selector",
+        "random_splitter", "bucketizer", "standard_scaler", "minmax_scaler",
+        "maxabs_scaler", "robust_scaler", "normalizer",
+        "elementwise_product", "interaction", "vector_slicer",
+        "vector_assembler", "imputer", "imputer_median", "kbins_quantile",
+        "one_hot_encoder", "kbins_uniform", "variance_threshold",
+        "sql_transformer", "ngram", "chisq_test", "fvalue_test", "ann_ivf",
+        # latest driver evidence is round 2 — feature_hasher first (its
+        # poly-map pre-aggregation was fused this round), then the media /
+        # recommendation / clustering / text-analysis block
+        "feature_hasher", "string_indexer", "binarizer", "dct",
+        "polynomial_expansion", "index_to_string", "dataflow_pipeline",
+        "anova_test", "swing", "minhash_lsh_join", "minhash_lsh_nn",
+        "agglomerative", "bm25_scoring", "embedding_quantize",
+        "document_chunking", "media_pipeline", "media_codec_pipeline",
+        "embedding_dedup", "embedding_dedup_lsh", "ann_bruteforce",
+        "repetition_quality", "text_normalize", "pii_redaction",
+        "domain_mixture", "sequence_packing", "language_id", "text_quality",
+        "token_count", "fingerprint",
+        # everything below has green r03 evidence; registry order follows
     ]
     ordered = {k: out[k] for k in prio if k in out}
     ordered.update(out)

@@ -209,6 +209,34 @@ def incremental_dedup(spark, sf_dir):
                           q4(F.col("est_jaccard")).alias("est_jaccard"))
 
 
+def incremental_dedup_bucketed(spark, sf_dir):
+    """The incremental path's 100 TB layout made mechanical: the store's
+    LSH band relation is PERSISTED BUCKETED on (band, bsig)
+    (io.write_bucketed) and re-read from the catalog, so the candidate
+    join's corpus-sized store side satisfies its hash distribution from
+    the scan — zero Exchange (plan-asserted in tests/test_io.py); only
+    the small new batch shuffles.  Same matches as incremental_dedup
+    (same oracle)."""
+    from ..io import read_table, write_bucketed
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    store = (MinHashSignature(inputCol="sh", outputCol="sig",
+                              numHashes=N_HASHES, seed=SEED)
+             .transform(old.select("doc_id",
+                                   shingles(F.col("text"), 3).alias("sh")))[0]
+             .select("doc_id", "sig"))
+    d = IncrementalMinHashDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=3, numHashes=N_HASHES,
+        bandSize=4, threshold=0.5, seed=SEED)
+    write_bucketed(d.store_band_relation(store), "incr_store_bands_q",
+                   ["band", "bsig"], 8)
+    bands = read_table(spark, "incr_store_bands_q")
+    matches, _updated = d.transform(new, store, bands)
+    return matches.select("id", "match_id",
+                          q4(F.col("est_jaccard")).alias("est_jaccard"))
+
+
 def _incremental_dedup_sql(src: str = "documents") -> str:
     fam = _hash_family(N_HASHES, SEED)
     sh = _shingle_sql(3)
@@ -356,9 +384,13 @@ SELECT id_a, id_b, {SQL_Q4.format('j')} AS jaccard FROM scored WHERE j >= 0.3
 # --- simhash ---------------------------------------------------------------
 
 def simhash_dedup(spark, sf_dir):
+    # numPieces=4 is the explicit approximation knob: exact recall to
+    # hamming 3, best-effort to 16 — deriving 17 pieces from maxDistance
+    # would make 2-3-bit pieces and a near-quadratic candidate join (the
+    # oracle replays the same 4-piece candidate scheme)
     docs = load(spark, sf_dir, "documents")
     d = SimHashDeduplicator(idCol="doc_id", textCol="text",
-                            bits=48).set_(maxDistance=16)
+                            bits=48).set_(maxDistance=16, numPieces=4)
     return d.transform(docs)[0].select("id_a", "id_b", "hamming")
 
 
@@ -955,7 +987,10 @@ def bpe_tokenize(spark, sf_dir):
                             numMerges=200, minWordFreq=2).fit(docs)
     out = m.transform(docs)[0]
     return out.select("doc_id", F.size("toks").alias("n_subwords"),
-                      F.slice("toks", 1, 8).alias("head_toks"))
+                      # scalar column (registry convention: the driver's
+                      # hash canonicalizer cannot sort array cells)
+                      F.concat_ws(" ", F.slice("toks", 1, 8))
+                       .alias("head_toks"))
 
 
 def corpus_shuffle(spark, sf_dir):
@@ -1804,6 +1839,8 @@ QUERIES = {
     "minhash_signature": (minhash_signature, MINHASH_SQL),
     "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
     "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
+    "incremental_dedup_bucketed": (incremental_dedup_bucketed,
+                                   INCREMENTAL_DEDUP_SQL),
     "dup_clusters": (dup_clusters, DUP_CLUSTERS_SQL),
     "dup_keep_best": (dup_keep_best, DUP_KEEP_BEST_SQL),
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, NGRAM_JACCARD_SQL),

@@ -69,6 +69,15 @@ class StreamingIncrementalDeduplicator:
     documents all seed the state.  Store growth is the corpus's unique-
     document rate; production retention (drop signatures older than the
     dedup horizon) composes by filtering ``store`` between batches.
+
+    **Fault tolerance caveat**: the localCheckpoint store is NOT
+    recoverable — executor loss drops its blocks mid-run, and a query
+    restart from ``checkpointLocation`` starts with an EMPTY store, so
+    replayed batches re-emit no matches against pre-restart history.  For
+    production, persist the signature table between batches (e.g.
+    ``io.write_bucketed`` on the id — ~``numHashes``×8 bytes/doc, ~0.1%
+    of corpus bytes) and re-seed on restart with ``seed_store``; within a
+    healthy run the in-memory store stays the hot path.
     """
 
     def __init__(self, id_col: str, text_col: str, shingle_size: int = 3,
@@ -98,6 +107,15 @@ class StreamingIncrementalDeduplicator:
         updated = self._op.updated_store(matches, sig, store)
         self.store = updated.localCheckpoint(eager=True)
         return matches
+
+    def seed_store(self, store_df: DataFrame) -> None:
+        """Restart path: adopt a persisted ``(id, sig)`` signature table
+        (written by the caller between batches) as the store, so a query
+        restarted from its checkpoint matches against pre-restart
+        history instead of an empty store."""
+        if self.store is not None:
+            raise ValueError("seed_store must run before the first batch")
+        self.store = store_df.select(F.col(self.id_col), "sig")
 
     def foreach_batch(self, collect_fn):
         """A ``foreachBatch`` function: runs the batch through the store

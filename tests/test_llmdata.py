@@ -873,3 +873,75 @@ def test_contamination_scorer_fractions(spark):
     assert out[0] == (5, 2, 0.4)
     assert out[1] == (5, 0, 0.0)
     assert out[2] == (0, 0, 0.0)
+
+
+def test_domain_mixture_negative_ids_respect_rate_zero(spark):
+    # the per-id unit hash must normalize Spark's sign-of-dividend % —
+    # un-normalized, a negative id hashes below every rate and is always
+    # kept, even at rate 0.0
+    from flink_ml_spark.llmdata import DomainMixtureSampler
+    df = spark.createDataFrame(
+        [(-1, "a"), (-2147483650, "a"), (7, "a")], "id long, source string")
+    none_kept = DomainMixtureSampler(idCol="id", domainCol="source",
+                                     rates={"a": 0.0}).transform(df)[0]
+    assert none_kept.count() == 0
+    all_kept = DomainMixtureSampler(idCol="id", domainCol="source",
+                                    rates={"a": 1.0}).transform(df)[0]
+    assert all_kept.count() == 3
+    # transform_local agrees with the distributed path row-for-row
+    half = DomainMixtureSampler(idCol="id", domainCol="source",
+                                rates={"a": 0.5})
+    dist = sorted(r["id"] for r in half.transform(df)[0].collect())
+    local = sorted(half.transform_local(df.toPandas())["id"])
+    assert dist == list(local)
+
+
+def test_temperature_mixture_unseen_domain_drops_negative_ids(spark):
+    from flink_ml_spark.llmdata import TemperatureMixtureSampler
+    fit_df = spark.createDataFrame(
+        [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(4)],
+        "doc_id long, source string")
+    m = TemperatureMixtureSampler(idCol="doc_id", domainCol="source",
+                                  alpha=0.5).fit(fit_df)
+    unseen = spark.createDataFrame(
+        [(-5, "never_seen"), (-6, "never_seen")], "doc_id long, source string")
+    assert m.transform(unseen)[0].count() == 0  # unseen domains drop
+
+
+def test_simhash_pieces_exact_recall_and_validation(spark):
+    from flink_ml_spark.llmdata import SimHashDeduplicator
+
+    rows = [(i, t) for i, t in enumerate(
+        ["the quick brown fox jumps over the lazy dog",
+         "the quick brown fox jumps over the lazy cat",
+         "a completely different document about spark physical plans",
+         "a completely different document about spark logical plans",
+         "unrelated text mentioning neither animals nor query engines"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(**kw):
+        d = SimHashDeduplicator(idCol="doc_id", textCol="text", bits=48)
+        d.set_(**kw)
+        return {(r["id_a"], r["id_b"]) for r in d.transform(df)[0].collect()}
+
+    # derived pieces (maxDistance+1) give EXACT recall: every pair within
+    # the distance bound appears, verified against a brute-force hamming
+    # scan of the fingerprints
+    d = SimHashDeduplicator(idCol="doc_id", textCol="text", bits=48)
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", d.fingerprint(F.col("text")).alias("fp")).collect()}
+    for dist in (3, 10, 20):
+        want = {(a, b) for a in fps for b in fps if a < b
+                and bin(fps[a] ^ fps[b]).count("1") <= dist}
+        assert pairs(maxDistance=dist) == want
+    # explicit numPieces below maxDistance+1 may under-recall but never
+    # emits a pair beyond the distance bound
+    approx = pairs(maxDistance=20, numPieces=4)
+    want20 = {(a, b) for a in fps for b in fps if a < b
+              and bin(fps[a] ^ fps[b]).count("1") <= 20}
+    assert approx <= want20
+    # more pieces than fingerprint bits is a hard error, not silent
+    with pytest.raises(Exception):
+        bad = SimHashDeduplicator(idCol="doc_id", textCol="text", bits=8)
+        bad.set_(maxDistance=20)
+        bad.transform(df)[0].collect()

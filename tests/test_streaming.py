@@ -435,3 +435,36 @@ def test_streaming_incremental_dedup_replay_idempotent(spark):
     assert replay == []
     store = [(r["doc_id"], tuple(r["sig"])) for r in dd.store.collect()]
     assert sorted(s[0] for s in store) == [0, 1]
+
+
+def test_streaming_incremental_dedup_seed_store_restart(spark):
+    # restart path: a NEW deduplicator seeded from the persisted signature
+    # table matches against pre-restart history (an unseeded restart would
+    # silently start empty — the documented fault-tolerance caveat)
+    from flink_ml_spark.streaming import StreamingIncrementalDeduplicator
+
+    def make():
+        return StreamingIncrementalDeduplicator(
+            id_col="doc_id", text_col="text", shingle_size=2, num_hashes=16,
+            band_size=2, threshold=0.9, seed=42)
+
+    b1 = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "completely unrelated historical document body")],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog")],  # dup of 0
+        "doc_id long, text string")
+    dd = make()
+    assert dd.process_batch(b1).collect() == []
+    persisted = dd.store.toPandas()  # stand-in for a bucketed table write
+
+    restarted = make()
+    restarted.seed_store(spark.createDataFrame(persisted))
+    m = {(r["id"], r["match_id"])
+         for r in restarted.process_batch(b2).collect()}
+    assert m == {(10, 0)}
+    # seeding after the first batch is a hard error, not silent state loss
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        restarted.seed_store(spark.createDataFrame(persisted))
