@@ -104,3 +104,25 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
     return (b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
             + b"fmt " + struct.pack("<I", 16) + fmt
             + b"data" + struct.pack("<I", len(raw)) + raw)
+
+
+def sniff_format(payload: bytes | None) -> str:
+    """Best-effort container identification from magic bytes (public file
+    signatures), for error messages and routing — NOT a decoder."""
+    if payload is None or len(payload) < 4:
+        return "empty"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3"):
+        return "mp3"
+    return "unknown"

@@ -22,8 +22,9 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, DoubleType,
+                               IntegerType, StringType, StructField,
+                               StructType)
 
 from ..api import Transformer
 from ..param import IntParam, ParamValidators, StringParam
@@ -93,62 +94,79 @@ class MediaFeatureExtractor(Transformer):
     ``kernel="auto"`` decodes BMP images / PCM WAV audio for real (pure
     numpy, codecs.py) and falls back to the deterministic hash stub for
     payloads needing an external codec; ``kernel="hash"`` forces the stub
-    (cross-engine deterministic — the oracle-replayable mode)."""
+    (cross-engine deterministic — the oracle-replayable mode);
+    ``kernel="strict"`` raises on any payload the bundled codecs cannot
+    decode (naming its sniffed format) instead of stubbing.
+
+    The STUB BOUNDARY is typed, never silent: every output row also
+    carries ``decodedCol`` (default ``<outputCol>_decoded``) — true iff a
+    real codec produced the features.  A consumer therefore cannot
+    mistake a hash-stub embedding for a decode: filter on the flag, or
+    run ``kernel="strict"`` to make undecodable payloads a hard error."""
 
     payloadCol = StringParam("payloadCol", "Binary payload column.", "payload")
     outputCol = StringParam("outputCol", "Feature vector column.", "media_features")
+    decodedCol = StringParam("decodedCol", "Boolean flag column: real "
+                             "decode vs hash stub (None = <outputCol>"
+                             "_decoded).", None)
     featureDim = IntParam("featureDim", "Output feature dimension.", 64,
                           ParamValidators.gt(0))
-    kernel = StringParam("kernel", "auto | hash.", "hash",
-                         ParamValidators.in_array(["auto", "hash"]))
+    kernel = StringParam("kernel", "auto | hash | strict.", "hash",
+                         ParamValidators.in_array(["auto", "hash", "strict"]))
+
+    def _decoded_col(self) -> str:
+        return self.get_("decodedCol") or f"{self.get_('outputCol')}_decoded"
+
+    def _make_feat_of(self):
+        dim = self.get_("featureDim")
+        mode = self.get_("kernel")
+
+        def feat_of(p) -> tuple[np.ndarray, bool]:
+            if p is None:
+                return np.zeros(dim), False
+            if mode in ("auto", "strict"):
+                from .codecs import decode_bmp, decode_wav, sniff_format
+                img = decode_bmp(p)
+                if img is not None:
+                    return _image_stats_features(img, dim), True
+                wav = decode_wav(p)
+                if wav is not None:
+                    return _audio_stats_features(*wav, dim), True
+                if mode == "strict":
+                    raise NotImplementedError(
+                        f"no bundled codec decodes this payload (sniffed "
+                        f"format: {sniff_format(p)}); plug an external "
+                        f"decoder into this mapInPandas slot, or use "
+                        f"kernel='auto' and filter on the decoded flag")
+            return _fake_decode(p, dim), False
+
+        return feat_of
 
     def _transform(self, df: DataFrame) -> DataFrame:
         pcol, ocol = self.get_("payloadCol"), self.get_("outputCol")
-        dim = self.get_("featureDim")
-        use_real = self.get_("kernel") == "auto"
-        out_schema = StructType(df.schema.fields
-                                + [StructField(ocol, ArrayType(DoubleType()))])
-
-        def feat_of(p) -> np.ndarray:
-            if p is None:
-                return np.zeros(dim)
-            if use_real:
-                from .codecs import decode_bmp, decode_wav
-                img = decode_bmp(p)
-                if img is not None:
-                    return _image_stats_features(img, dim)
-                wav = decode_wav(p)
-                if wav is not None:
-                    return _audio_stats_features(*wav, dim)
-            return _fake_decode(p, dim)
+        dcol = self._decoded_col()
+        feat_of = self._make_feat_of()
+        out_schema = StructType(
+            df.schema.fields
+            + [StructField(ocol, ArrayType(DoubleType())),
+               StructField(dcol, BooleanType())])
 
         def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                feats = [feat_of(p) for p in pdf[pcol]]
-                yield pdf.assign(**{ocol: [list(map(float, f)) for f in feats]})
+                res = [feat_of(p) for p in pdf[pcol]]
+                yield pdf.assign(
+                    **{ocol: [list(map(float, f)) for f, _ in res],
+                       dcol: [d for _, d in res]})
 
         return df.mapInPandas(extract, out_schema)
 
     def transform_local(self, pdf):
         pcol, ocol = self.get_("payloadCol"), self.get_("outputCol")
-        dim = self.get_("featureDim")
-        use_real = self.get_("kernel") == "auto"
-
-        def feat_of(p) -> np.ndarray:
-            if p is None:
-                return np.zeros(dim)
-            if use_real:
-                from .codecs import decode_bmp, decode_wav
-                img = decode_bmp(p)
-                if img is not None:
-                    return _image_stats_features(img, dim)
-                wav = decode_wav(p)
-                if wav is not None:
-                    return _audio_stats_features(*wav, dim)
-            return _fake_decode(p, dim)
-
+        feat_of = self._make_feat_of()
         out = pdf.copy()
-        out[ocol] = [list(map(float, feat_of(p))) for p in pdf[pcol]]
+        res = [feat_of(p) for p in pdf[pcol]]
+        out[ocol] = [list(map(float, f)) for f, _ in res]
+        out[self._decoded_col()] = [d for _, d in res]
         return out
 
 

@@ -134,3 +134,33 @@ def test_media_feature_extractor_auto_kernel(spark):
     assert all(v == pytest.approx(16000 / 32768, rel=1e-6) for v in got["aud"])
     # undecodable payload falls back to the deterministic hash stub
     assert got["other"] == pytest.approx(list(_fake_decode(b"opaque", 12)))
+
+
+def test_media_extractor_stub_boundary_is_typed(spark):
+    # a consumer must never mistake a hash-stub embedding for a decode:
+    # the decoded flag marks the boundary, and strict mode makes it raise
+    from flink_ml_spark.llmdata.codecs import encode_bmp
+    import numpy as np
+
+    bmp = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64      # compressed: no codec here
+    media = spark.createDataFrame(
+        [("m_bmp", bmp), ("m_png", png), ("m_null", None)],
+        "media_id string, payload binary")
+    ex = MediaFeatureExtractor(featureDim=6).set_(kernel="auto")
+    got = {r["media_id"]: r["media_features_decoded"]
+           for r in ex.transform(media)[0].collect()}
+    assert got == {"m_bmp": True, "m_png": False, "m_null": False}
+    # hash mode: the stub is global, every row flagged undecoded
+    ex_hash = MediaFeatureExtractor(featureDim=6).set_(kernel="hash")
+    assert all(not r["media_features_decoded"]
+               for r in ex_hash.transform(media)[0].collect())
+    # strict mode names the sniffed format in the error
+    ex_strict = MediaFeatureExtractor(featureDim=6).set_(kernel="strict")
+    with pytest.raises(Exception, match="png"):
+        ex_strict.transform(media)[0].collect()
+    # transform_local mirrors the distributed flags
+    import pandas as pd
+    local = ex.transform_local(pd.DataFrame(
+        {"media_id": ["a", "b"], "payload": [bmp, png]}))
+    assert list(local["media_features_decoded"]) == [True, False]
