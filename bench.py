@@ -58,7 +58,8 @@ HEADLINE = [
     "hashing_tf", "feature_hasher", "bpe_tokenize", "exact_dedup",
     "line_dedup",
     "ngram_profile", "simhash_dedup",
-    "minhash_signature", "minhash_dedup", "incremental_dedup",
+    "minhash_signature", "minhash_dedup", "minhash_join_skewsafe",
+    "incremental_dedup", "incremental_dedup_bucketed",
     "dup_keep_best",
     "ann_bruteforce",
     "embedding_dedup_lsh", "embedding_quantize", "pca_whiten", "bm25_scoring",

@@ -351,13 +351,50 @@ class MinHashLSHDeduplicator(AlgoOperator):
     seed = IntParam("seed", "Hash family seed.", 42)
     maxBandDocFreq = IntParam(
         "maxBandDocFreq",
-        "Drop LSH buckets whose document frequency exceeds this cap before "
-        "the self-join (None = exact).  A df-D bucket alone contributes D² "
-        "candidate rows, so one degenerate bucket (e.g. every empty or "
-        "boilerplate doc sharing a band signature) turns the join "
-        "quadratic; capped docs keep their other bands, so near-dup pairs "
-        "still surface through any non-degenerate band they share — the "
-        "same trade as NGramJaccardDeduplicator.maxShingleDocFreq.", None)
+        "LSH buckets whose document frequency exceeds this cap are handled "
+        "by hotBucketStrategy instead of the plain self-join (None = no "
+        "special handling).  A df-D bucket alone contributes D² candidate "
+        "rows, so one degenerate bucket (e.g. every empty or boilerplate "
+        "doc sharing a band signature) turns the join quadratic.", None)
+    hotBucketStrategy = StringParam(
+        "hotBucketStrategy",
+        "'drop': exclude over-cap buckets from the join entirely — capped "
+        "docs keep their other bands, so near-dup pairs still surface "
+        "through any non-degenerate band (the recall trade of "
+        "NGramJaccardDeduplicator.maxShingleDocFreq).  'block': keep them "
+        "but generate their pairs with a blocked self-join — rows split "
+        "into numBlocks hash blocks and the join key extends to the block "
+        "pair, so a df-D bucket spreads its D² work over "
+        "numBlocks(numBlocks+1)/2 join groups instead of ONE task; exact "
+        "recall at ~numBlocks× replication of hot rows only.", "drop",
+        ParamValidators.in_array(["drop", "block"]))
+    numBlocks = IntParam(
+        "numBlocks", "Block count for hotBucketStrategy='block' (size to "
+        "~sqrt(expected hot df / target rows-per-task)).", 16,
+        ParamValidators.gt(0))
+
+    def _blocked_self_pairs(self, hot: DataFrame) -> DataFrame:
+        """All intra-bucket pairs of ``hot`` (id, band, bsig) via the
+        blocked (triangle) self-join: row → hash block blk ∈ [0, S); the
+        unordered block pair (b1 ≤ b2) joins block-b1 rows against
+        block-b2 rows, so every id pair appears in exactly one join group
+        (twice for b1 = b2, folded by the caller's dropDuplicates) and no
+        single task materializes a whole hot bucket."""
+        S = int(self.get_("numBlocks"))
+        hot = hot.withColumn("blk",
+                             F.pmod(F.hash("id"), F.lit(S)).cast("int"))
+        left = hot.select(
+            F.col("id").alias("id_a"), "band", "bsig",
+            F.col("blk").alias("b1"),
+            F.explode(F.sequence(F.col("blk"), F.lit(S - 1))).alias("b2"))
+        right = hot.select(
+            F.col("id").alias("id_b"), "band", "bsig",
+            F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("b1"),
+            F.col("blk").alias("b2"))
+        return (left.join(right, ["band", "bsig", "b1", "b2"])
+                .filter(F.col("id_a") != F.col("id_b"))
+                .select(F.least("id_a", "id_b").alias("id_a"),
+                        F.greatest("id_a", "id_b").alias("id_b")))
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
@@ -377,17 +414,26 @@ class MinHashLSHDeduplicator(AlgoOperator):
         sig = sig.select("id", "sig").localCheckpoint(eager=True)
         bands = band_keys(sig, n_hashes, band)
         cap = self.get_("maxBandDocFreq")
+        hot_pairs = None
         if cap is not None:
-            keep = (bands.groupBy("band", "bsig")
-                    .agg(F.count("*").alias("__df__"))
-                    .filter(F.col("__df__") <= cap).select("band", "bsig"))
-            bands = bands.join(keep, ["band", "bsig"], "left_semi")
+            # the hot-key relation is tiny (over-cap buckets only) and
+            # feeds two branch joins — materialize it once
+            hot_keys = (bands.groupBy("band", "bsig")
+                        .agg(F.count("*").alias("__df__"))
+                        .filter(F.col("__df__") > cap).select("band", "bsig")
+                        .localCheckpoint(eager=True))
+            if self.get_("hotBucketStrategy") == "block":
+                hot_pairs = self._blocked_self_pairs(
+                    bands.join(hot_keys, ["band", "bsig"], "left_semi"))
+            bands = bands.join(hot_keys, ["band", "bsig"], "left_anti")
         left = bands.select(F.col("id").alias("id_a"), "band", "bsig")
         right = bands.select(F.col("id").alias("id_b"), "band", "bsig")
         pairs = (left.join(right, ["band", "bsig"])
                  .filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b")
-                 .dropDuplicates(["id_a", "id_b"]))
+                 .select("id_a", "id_b"))
+        if hot_pairs is not None:
+            pairs = pairs.unionByName(hot_pairs)
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
         # shingles rejoin by id AFTER the dedup — once per surviving pair
         pairs = (pairs
                  .join(base.select(F.col("id").alias("id_a"),

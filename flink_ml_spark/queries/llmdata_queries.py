@@ -154,6 +154,25 @@ def minhash_dedup(spark, sf_dir):
     return out.select("id_a", "id_b", q4(F.col("jaccard")).alias("jaccard"))
 
 
+def minhash_join_skewsafe(spark, sf_dir):
+    """Skew-safe LSH similarity join: over-cap (hot) band buckets are NOT
+    dropped — their pairs come from a blocked self-join whose join key
+    extends to the block pair, so a df-D bucket spreads its D² candidate
+    work over numBlocks(numBlocks+1)/2 join groups instead of serializing
+    onto one task.  Exact recall (same oracle as the uncapped join) at
+    ~numBlocks× replication of hot-bucket rows only — the strategy for
+    corpora where degenerate buckets carry real duplicates rather than
+    droppable boilerplate."""
+    docs = load(spark, sf_dir, "documents")
+    d = MinHashLSHDeduplicator(idCol="doc_id", textCol="text", shingleSize=3,
+                               numHashes=16, bandSize=4, threshold=0.4,
+                               seed=SEED).set_(maxBandDocFreq=8,
+                                               hotBucketStrategy="block",
+                                               numBlocks=4)
+    out = d.transform(docs)[0]
+    return out.select("id_a", "id_b", q4(F.col("jaccard")).alias("jaccard"))
+
+
 def _minhash_dedup_sql() -> str:
     fam = _hash_family(16, SEED)
     sh = _shingle_sql(3)
@@ -1838,6 +1857,7 @@ QUERIES = {
     "media_codec_pipeline": (media_codec_pipeline, MEDIA_CODEC_SQL),
     "minhash_signature": (minhash_signature, MINHASH_SQL),
     "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
+    "minhash_join_skewsafe": (minhash_join_skewsafe, MINHASH_DEDUP_SQL),
     "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "incremental_dedup_bucketed": (incremental_dedup_bucketed,
                                    INCREMENTAL_DEDUP_SQL),

@@ -945,3 +945,32 @@ def test_simhash_pieces_exact_recall_and_validation(spark):
         bad = SimHashDeduplicator(idCol="doc_id", textCol="text", bits=8)
         bad.set_(maxDistance=20)
         bad.transform(df)[0].collect()
+
+
+def test_minhash_hot_bucket_block_strategy_keeps_recall(spark):
+    # 'drop' trades hot-bucket recall for a linear join; 'block' keeps
+    # EXACT recall by spreading each hot bucket's quadratic pair work
+    # over block-pair join groups — verify blocked == uncapped exactly,
+    # including inside the hot cluster that 'drop' loses
+    from flink_ml_spark.llmdata import MinHashLSHDeduplicator
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur")
+              for i in range(40)]
+    pair = [(100, "unique alpha beta gamma delta epsilon zeta eta"),
+            (101, "unique alpha beta gamma delta epsilon zeta theta")]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    def run(**kw):
+        d = MinHashLSHDeduplicator(idCol="doc_id", textCol="text",
+                                   shingleSize=2, numHashes=16, bandSize=2,
+                                   threshold=0.5)
+        d.set_(**kw)
+        return {(r["id_a"], r["id_b"]) for r in d.transform(df)[0].collect()}
+
+    exact = run()
+    blocked = run(maxBandDocFreq=10, hotBucketStrategy="block", numBlocks=3)
+    dropped = run(maxBandDocFreq=10, hotBucketStrategy="drop")
+    assert blocked == exact
+    assert len(exact) == 40 * 39 // 2 + 1          # clone cluster + the pair
+    assert dropped < exact                          # 'drop' really loses them
+    assert (100, 101) in dropped
