@@ -110,15 +110,23 @@ def co_group(left: DataFrame, right: DataFrame, left_key: str, right_key: str,
 
 
 def window_all_and_process(df: DataFrame, windows, time_col: str | None,
-                           *aggs: Column) -> DataFrame:
+                           *aggs: Column, clock: Column | None = None
+                           ) -> DataFrame:
     """Apply a Windows strategy to the whole table
     (DataStreamUtils.windowAllAndProcess:333-385).  GlobalWindows → plain
     agg; tumbling event-time windows → F.window groups; count windows →
-    monotonic-id bucketing (batch analogue of countWindowAll)."""
-    from ..streaming.windows import Windows
+    monotonic-id bucketing (batch analogue of countWindowAll);
+    processing-time windows → arrival stamp (``clock`` overrides the wall
+    clock for deterministic tests) through the event-time machinery."""
+    from ..streaming.windows import Windows, attach_processing_time
     w: Windows = windows
     if w.kind == "global":
         return df.agg(*aggs)
+    if w.is_processing_time:
+        df = attach_processing_time(df, "__proc_t__", clock)
+        inner = Windows("event_time" if w.kind == "proc_time" else "session",
+                        w.size)
+        return window_all_and_process(df, inner, "__proc_t__", *aggs)
     if w.kind == "event_time":
         win = F.window(F.col(time_col), f"{w.size} milliseconds")
         return (df.groupBy(win.alias("w")).agg(*aggs)

@@ -54,11 +54,24 @@ class Windows:
 
     @staticmethod
     def processing_time_tumbling(millis: int) -> "Windows":
-        """ProcessingTimeTumblingWindows: in the micro-batch harness each
-        foreachBatch invocation IS a processing-time window, so this maps
-        to per-batch (global) processing — documented Spark difference
-        (SURVEY §2.10)."""
-        return Windows("global", millis)
+        """ProcessingTimeTumblingWindows → arrival-stamp mapping: rows are
+        stamped with the wall-clock time of processing
+        (:func:`attach_processing_time`; in Structured Streaming
+        ``current_timestamp()`` is the micro-batch's logical time) and the
+        stamp feeds the same ``F.window`` machinery as event time.
+        Residual semantic difference vs the reference: stamp granularity
+        is the micro-batch, not the individual record (SURVEY §2.10)."""
+        return Windows("proc_time", millis)
+
+    @staticmethod
+    def processing_time_session(gap_millis: int) -> "Windows":
+        """ProcessingTimeSessionWindows — arrival-stamp mapping as in
+        :meth:`processing_time_tumbling`, through ``F.session_window``."""
+        return Windows("proc_session", gap_millis)
+
+    @property
+    def is_processing_time(self) -> bool:
+        return self.kind in ("proc_time", "proc_session")
 
     def to_json(self) -> dict:
         d = {"kind": self.kind, "size": self.size}
@@ -69,3 +82,18 @@ class Windows:
     @staticmethod
     def from_json(d: dict) -> "Windows":
         return Windows(d["kind"], d.get("size"), d.get("slide"))
+
+
+def attach_processing_time(df, out_col: str = "__proc_t__", clock=None):
+    """Stamp rows with their processing (arrival) time.  In Structured
+    Streaming ``current_timestamp()`` resolves to the micro-batch's
+    logical timestamp, so the stamp is exactly "when this engine
+    processed the row" at micro-batch granularity; in batch it is the
+    job's wall clock.  ``clock`` injects a deterministic Column for
+    tests (the stamp is wall-clock state, so production outputs are not
+    replay-reproducible — inherent to processing time, as in the
+    reference)."""
+    from pyspark.sql import functions as F
+    return df.withColumn(out_col,
+                         clock if clock is not None
+                         else F.current_timestamp())

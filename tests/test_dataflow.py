@@ -150,3 +150,46 @@ def test_windows_sliding_json_roundtrip():
     import pytest
     with pytest.raises(ValueError):
         Windows.event_time_sliding(10, 20)
+
+
+def test_window_all_processing_time_with_injected_clock(spark):
+    # processing-time windows = arrival stamp through the event-time
+    # machinery; a deterministic injected clock verifies the window math
+    # (wall-clock stamps are inherently non-replayable)
+    from flink_ml_spark.streaming.windows import Windows
+    import pyspark.sql.functions as F
+    rows = [(i, float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    clock = F.timestamp_millis(F.col("i") * 7_000)  # arrivals 7 s apart
+    out = D.window_all_and_process(
+        df, Windows.processing_time_tumbling(10_000), None,
+        F.count("*").alias("n"), clock=clock)
+    got = {int(r["window_start"].timestamp()) * 1000: r["n"]
+           for r in out.collect()}
+    assert got == {0: 2, 10_000: 1, 20_000: 2, 30_000: 1}
+    # session flavor: a >gap silence splits the stream
+    clock2 = F.timestamp_millis(
+        F.when(F.col("i") < 3, F.col("i") * 1_000)
+         .otherwise(F.col("i") * 1_000 + 60_000))
+    out2 = D.window_all_and_process(
+        df, Windows.processing_time_session(5_000), None,
+        F.count("*").alias("n"), clock=clock2)
+    assert sorted(r["n"] for r in out2.collect()) == [3, 3]
+
+
+def test_window_all_processing_time_wall_clock_default(spark):
+    # default clock: every row of one batch job stamps within the job's
+    # wall-clock moment, so a coarse window holds them all
+    from flink_ml_spark.streaming.windows import Windows
+    df = spark.createDataFrame([(i,) for i in range(10)], "i long")
+    out = D.window_all_and_process(
+        df, Windows.processing_time_tumbling(3600_000), None,
+        F.count("*").alias("n")).collect()
+    assert len(out) == 1 and out[0]["n"] == 10
+
+
+def test_windows_processing_time_json_roundtrip():
+    from flink_ml_spark.streaming.windows import Windows
+    w = Windows.processing_time_tumbling(10_000)
+    assert w.is_processing_time
+    assert Windows.from_json(w.to_json()) == w
