@@ -325,6 +325,33 @@ def band_keys(sig_df: DataFrame, n_hashes: int, band: int) -> DataFrame:
             for b in range(n_bands)])).alias("band", "bsig"))
 
 
+def blocked_self_pairs(rel: DataFrame, key_cols: list[str],
+                       num_blocks: int) -> DataFrame:
+    """All intra-bucket id pairs of ``rel`` (id, *key_cols) via the
+    blocked (triangle) self-join: row → hash block blk ∈ [0, S); the
+    unordered block pair (b1 ≤ b2) joins block-b1 rows against block-b2
+    rows, so every id pair appears in exactly one join group (twice for
+    b1 = b2, folded by the caller's dropDuplicates) and no single task
+    materializes a whole hot bucket — a df-D bucket's D² candidate work
+    spreads over S(S+1)/2 join groups at ~S× replication of its rows.
+    Shared by the skew-safe hot-bucket strategies of
+    MinHashLSHDeduplicator and EmbeddingCosineDeduplicator."""
+    S = int(num_blocks)
+    rel = rel.withColumn("blk", F.pmod(F.hash("id"), F.lit(S)).cast("int"))
+    left = rel.select(
+        F.col("id").alias("id_a"), *key_cols,
+        F.col("blk").alias("b1"),
+        F.explode(F.sequence(F.col("blk"), F.lit(S - 1))).alias("b2"))
+    right = rel.select(
+        F.col("id").alias("id_b"), *key_cols,
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("b1"),
+        F.col("blk").alias("b2"))
+    return (left.join(right, [*key_cols, "b1", "b2"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b")))
+
+
 class MinHashLSHDeduplicator(AlgoOperator):
     """Near-dup detection: shingle → minhash → band → bucket-join.
 
@@ -374,27 +401,8 @@ class MinHashLSHDeduplicator(AlgoOperator):
         ParamValidators.gt(0))
 
     def _blocked_self_pairs(self, hot: DataFrame) -> DataFrame:
-        """All intra-bucket pairs of ``hot`` (id, band, bsig) via the
-        blocked (triangle) self-join: row → hash block blk ∈ [0, S); the
-        unordered block pair (b1 ≤ b2) joins block-b1 rows against
-        block-b2 rows, so every id pair appears in exactly one join group
-        (twice for b1 = b2, folded by the caller's dropDuplicates) and no
-        single task materializes a whole hot bucket."""
-        S = int(self.get_("numBlocks"))
-        hot = hot.withColumn("blk",
-                             F.pmod(F.hash("id"), F.lit(S)).cast("int"))
-        left = hot.select(
-            F.col("id").alias("id_a"), "band", "bsig",
-            F.col("blk").alias("b1"),
-            F.explode(F.sequence(F.col("blk"), F.lit(S - 1))).alias("b2"))
-        right = hot.select(
-            F.col("id").alias("id_b"), "band", "bsig",
-            F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("b1"),
-            F.col("blk").alias("b2"))
-        return (left.join(right, ["band", "bsig", "b1", "b2"])
-                .filter(F.col("id_a") != F.col("id_b"))
-                .select(F.least("id_a", "id_b").alias("id_a"),
-                        F.greatest("id_a", "id_b").alias("id_b")))
+        return blocked_self_pairs(hot, ["band", "bsig"],
+                                  int(self.get_("numBlocks")))
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs

@@ -216,6 +216,24 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
                          ParamValidators.gt(0))
     numPlanes = IntParam("numPlanes", "Hyperplanes per table (bucket bits).",
                          10, ParamValidators.gt(0))
+    maxBucketDocFreq = IntParam(
+        "maxBucketDocFreq",
+        "LSH (table, bucket) groups over this document frequency are "
+        "handled by hotBucketStrategy instead of the plain self-join "
+        "(None = no special handling) — a df-D bucket alone contributes "
+        "D² candidate rows (e.g. a mass cluster of near-identical "
+        "embeddings landing in one sign bucket).", None)
+    hotBucketStrategy = StringParam(
+        "hotBucketStrategy",
+        "'drop': exclude over-cap buckets (pairs may still surface "
+        "through another table); 'block': blocked self-join spreads the "
+        "hot bucket's pair generation over block-pair join groups — "
+        "exact candidate recall, ~numBlocks× replication of hot rows "
+        "(same machinery as MinHashLSHDeduplicator).", "drop",
+        ParamValidators.in_array(["drop", "block"]))
+    numBlocks = IntParam("numBlocks",
+                         "Block count for hotBucketStrategy='block'.", 16,
+                         ParamValidators.gt(0))
 
     def _cosine_pairs(self, pairs: DataFrame) -> DataFrame:
         cos = V.dot("va", "vb") / (V.p_norm("va", 2.0) * V.p_norm("vb", 2.0))
@@ -246,12 +264,27 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
             bucket_cols.append(F.col(f"__b{t}__"))
         exploded = sigs.select(
             "id", F.posexplode(F.array(*bucket_cols)).alias("t", "b"))
+        cap = self.get_("maxBucketDocFreq")
+        hot_cand = None
+        if cap is not None:
+            from .dedup import blocked_self_pairs
+            hot_keys = (exploded.groupBy("t", "b")
+                        .agg(F.count("*").alias("__df__"))
+                        .filter(F.col("__df__") > cap).select("t", "b")
+                        .localCheckpoint(eager=True))
+            if self.get_("hotBucketStrategy") == "block":
+                hot_cand = blocked_self_pairs(
+                    exploded.join(hot_keys, ["t", "b"], "left_semi"),
+                    ["t", "b"], int(self.get_("numBlocks")))
+            exploded = exploded.join(hot_keys, ["t", "b"], "left_anti")
         ea = exploded.select(F.col("id").alias("id_a"), "t", "b")
         eb = exploded.select(F.col("id").alias("id_b"), "t", "b")
         cand = (ea.join(eb, ["t", "b"])
                 .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
-                .dropDuplicates(["id_a", "id_b"]))
+                .select("id_a", "id_b"))
+        if hot_cand is not None:
+            cand = cand.unionByName(hot_cand)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
         pairs = (cand
                  .join(v.select(F.col("id").alias("id_a"),
                                 F.col("v").alias("va")), "id_a")

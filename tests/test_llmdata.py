@@ -974,3 +974,30 @@ def test_minhash_hot_bucket_block_strategy_keeps_recall(spark):
     assert len(exact) == 40 * 39 // 2 + 1          # clone cluster + the pair
     assert dropped < exact                          # 'drop' really loses them
     assert (100, 101) in dropped
+
+
+def test_embedding_dedup_hot_bucket_strategies(spark):
+    # a mass cluster of identical embeddings lands in one sign bucket in
+    # EVERY table; 'block' keeps exact candidate recall by spreading the
+    # bucket's pair work, 'drop' trades it away
+    import numpy as np
+    rng = np.random.RandomState(3)
+    clone = [float(x) for x in rng.randn(8)]
+    rows = [(i, clone) for i in range(30)]
+    rows += [(100, [float(x) for x in rng.randn(8)])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    def run(**kw):
+        d = EmbeddingCosineDeduplicator(idCol="id", vecCol="embedding",
+                                        seed=1).set_(threshold=0.999,
+                                                     exact=0, numPlanes=4,
+                                                     numTables=2, **kw)
+        return {(r["id_a"], r["id_b"]) for r in d.transform(df)[0].collect()}
+
+    uncapped = run()
+    blocked = run(maxBucketDocFreq=10, hotBucketStrategy="block",
+                  numBlocks=3)
+    dropped = run(maxBucketDocFreq=10, hotBucketStrategy="drop")
+    assert blocked == uncapped
+    assert len(uncapped) == 30 * 29 // 2       # the clone cluster's pairs
+    assert dropped < uncapped
