@@ -34,6 +34,21 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     ``sort_cols`` within each bucket file (sorted buckets additionally
     skip the sort of later sort-merge joins).  ``path`` stores the data
     outside the warehouse dir (an "external" table)."""
+    if mode == "overwrite" and not path:
+        # an in-memory catalog forgets managed tables between sessions but
+        # their warehouse directories persist; CREATE then fails with
+        # LOCATION_ALREADY_EXISTS.  Clear the ORPHANED location (catalog
+        # has no such table ⇒ nothing registered points at it).  Local-FS
+        # only — with a persistent metastore the catalog entry exists and
+        # overwrite handles it.
+        spark = df.sparkSession
+        if not spark.catalog.tableExists(table):
+            import shutil
+            from urllib.parse import urlparse
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+            if wh.scheme in ("", "file"):
+                shutil.rmtree(f"{wh.path}/{table.split('.')[-1]}",
+                              ignore_errors=True)
     writer = (df.write.format("parquet").mode(mode)
               .bucketBy(num_buckets, *bucket_cols))
     if sort_cols:

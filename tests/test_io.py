@@ -138,3 +138,21 @@ def test_incremental_dedup_bucketed_store_side_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS t_incr_bands")
+
+
+def test_write_bucketed_overwrites_orphaned_location(spark):
+    # an in-memory catalog forgets managed tables between sessions but the
+    # warehouse directory persists — saveAsTable would fail with
+    # LOCATION_ALREADY_EXISTS; write_bucketed clears the orphaned location
+    import os
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    os.makedirs(f"{wh}/t_orphan", exist_ok=True)
+    with open(f"{wh}/t_orphan/leftover", "w") as f:
+        f.write("junk from a previous session")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    try:
+        write_bucketed(df, "t_orphan", ["k"], 4)
+        assert read_table(spark, "t_orphan").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orphan")
