@@ -1001,3 +1001,24 @@ def test_embedding_dedup_hot_bucket_strategies(spark):
     assert blocked == uncapped
     assert len(uncapped) == 30 * 29 // 2       # the clone cluster's pairs
     assert dropped < uncapped
+
+
+def test_blocked_self_pairs_matches_combinations(spark):
+    # direct check of the blocked (triangle) self-join against
+    # itertools.combinations across uneven buckets, including blocks
+    # exceeding bucket sizes and singleton buckets
+    from itertools import combinations
+    import random
+    from flink_ml_spark.llmdata.dedup import blocked_self_pairs
+
+    rng = random.Random(11)
+    rows, want = [], set()
+    for g, size in enumerate([1, 2, 5, 17, 40]):
+        ids = rng.sample(range(g * 1000, g * 1000 + 500), size)
+        rows += [(i, g) for i in ids]
+        want |= {(min(a, b), max(a, b)) for a, b in combinations(ids, 2)}
+    rel = spark.createDataFrame(rows, "id long, grp int")
+    for s in (1, 3, 8, 64):
+        got = {(r["id_a"], r["id_b"]) for r in
+               blocked_self_pairs(rel, ["grp"], s).distinct().collect()}
+        assert got == want, f"numBlocks={s}"
