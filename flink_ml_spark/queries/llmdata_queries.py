@@ -714,6 +714,75 @@ def _gopher_keep_sql(min_words: int, min_stop: int = 2) -> str:
 GOPHER_FILTER_SQL = _gopher_sql()
 
 
+def quality_classifier(spark, sf_dir):
+    """Model-in-the-loop corpus filtering (public literature: CCNet's
+    learned LM filter, Wenzek et al. 2020; the LLaMA quality classifier,
+    Touvron et al. 2023 §2): train a logistic-regression quality model
+    whose LABELS come from the Gopher heuristic gate, then score every
+    document with the calibrated keep-probability — the standard upgrade
+    from a brittle boolean rule set to a smooth, thresholdable ranking.
+    Features are cheap zero-shuffle text statistics (bounded word count,
+    char count, mean word length, bias); fit is the same deterministic
+    full-batch GD as the learner queries (weightRounding snaps both
+    engines' trajectories), so the DuckDB oracle replays the ENTIRE
+    train-then-score loop as a recursive CTE.  At 100 TB: one scan
+    producing 4 doubles/row + dim+1-sized driver aggregates per round,
+    then zero-shuffle scoring."""
+    from ..classification import LogisticRegression
+    from ..llmdata import GopherQualityFilter
+    from ..llmdata.textanalysis import _tokens
+    docs = load(spark, sf_dir, "documents")
+    labeled = GopherQualityFilter(inputCol="text").transform(docs)[0]
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_wl = F.when(n > 0, F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / nd) \
+        .otherwise(0.0)
+    frame = labeled.select(
+        "doc_id",
+        F.array(F.least(nd, F.lit(400.0)) / 200,
+                F.col("n_chars").cast("double") / 1000,
+                mean_wl / 10, F.lit(1.0)).alias("features"),
+        F.col("keep").cast("double").alias("label"))
+    m = LogisticRegression(maxIter=10, learningRate=0.5, tol=0.0,
+                           globalBatchSize=1 << 40, weightRounding=12) \
+        .fit(frame)
+    out = m.transform(frame)[0]
+    return out.select("doc_id",
+                      q4(F.element_at("rawPrediction", 2)).alias("q_score"))
+
+
+def _quality_classifier_sql() -> str:
+    n = f"len({TOKS})"
+    mean_wl = (f"CASE WHEN {n} > 0 THEN CAST(list_sum(list_transform("
+               f"{TOKS}, t -> length(t))) AS DOUBLE) / {n} ELSE 0.0 END")
+    feats = [f"least(CAST({n} AS DOUBLE), 400.0) / 200",
+             "n_chars / 1000.0", f"({mean_wl}) / 10", "1.0"]
+    feat_cols = ", ".join(f"({f}) AS x{i}" for i, f in enumerate(feats))
+    label = f"CASE WHEN {_gopher_keep_sql(50)} THEN 1.0 ELSE 0.0 END"
+    margin = " + ".join(f"w{j} * x{j}" for j in range(4))
+    res = f"1.0/(1.0 + exp(-({margin}))) - y"
+    grads = ", ".join(
+        f"round(w{j} - 0.5 * (SELECT avg(({res}) * x{j}) FROM data), 12)"
+        for j in range(4))
+    prob = SQL_Q4.format(f"1.0/(1.0 + exp(-({margin})))")
+    return f"""
+WITH RECURSIVE data AS (
+  SELECT doc_id, {feat_cols}, {label} AS y FROM documents),
+it(i, w0, w1, w2, w3) AS (
+  SELECT 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         CAST(0 AS DOUBLE)
+  UNION ALL
+  SELECT i + 1, {grads} FROM it WHERE i < 10),
+w AS (SELECT w0, w1, w2, w3 FROM it ORDER BY i DESC LIMIT 1)
+SELECT doc_id, {prob} AS q_score FROM data, w
+"""
+
+
+QUALITY_CLASSIFIER_SQL = _quality_classifier_sql()
+
+
 def unigram_lm_score(spark, sf_dir):
     """CCNet-style corpus-LM quality ranking with a self-contained
     unigram model: fit = one token-count aggregation (top-k vocab),
@@ -1858,6 +1927,7 @@ QUERIES = {
     "minhash_signature": (minhash_signature, MINHASH_SQL),
     "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
     "minhash_join_skewsafe": (minhash_join_skewsafe, MINHASH_DEDUP_SQL),
+    "quality_classifier": (quality_classifier, QUALITY_CLASSIFIER_SQL),
     "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "incremental_dedup_bucketed": (incremental_dedup_bucketed,
                                    INCREMENTAL_DEDUP_SQL),
