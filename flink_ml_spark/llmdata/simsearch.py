@@ -64,7 +64,14 @@ class RandomHyperplaneLSH(Estimator, HasSeed):
     def fit(self, *inputs: DataFrame) -> "RandomHyperplaneLSHModel":
         (df,) = inputs
         vc = self.get_("vecCol")
-        dim = self.get_("dim") or len(df.select(vc).first()[0])
+        dim = self.get_("dim")
+        if dim is None:
+            probe = df.select(vc).filter(F.col(vc).isNotNull()).first()
+            if probe is None:
+                raise ValueError(
+                    "cannot infer the embedding dimension from an empty/"
+                    "all-null corpus; set dim explicitly")
+            dim = len(probe[0])
         rng = np.random.RandomState(self.get_("seed") or 0)
         planes = rng.randn(self.get_("numPlanes"), dim)
         model = RandomHyperplaneLSHModel()
@@ -253,7 +260,17 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
                 a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")))]
         # LSH candidates: one sign-bucket per table, all JVM-side
         seed = self.get_("seed") or 0
-        dim = len(v.select("v").first()[0])
+        probe = v.select("v").filter(F.col("v").isNotNull()).first()
+        if probe is None:
+            # empty (or all-null) corpus — a filter-gated pipeline stage
+            # can legitimately pass zero rows; emit the empty pair
+            # relation with the contract schema instead of crashing on
+            # dimension inference
+            a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+            b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+            return [self._cosine_pairs(
+                a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")))]
+        dim = len(probe[0])
         sigs = v
         bucket_cols = []
         for t in range(self.get_("numTables")):

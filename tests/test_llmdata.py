@@ -1022,3 +1022,56 @@ def test_blocked_self_pairs_matches_combinations(spark):
         got = {(r["id_a"], r["id_b"]) for r in
                blocked_self_pairs(rel, ["grp"], s).distinct().collect()}
         assert got == want, f"numBlocks={s}"
+
+
+def test_transforms_pass_empty_input_through(spark):
+    # a filter-gated 100 TB pipeline stage can legitimately receive zero
+    # rows; every transform-type operator must emit the empty relation
+    # with its contract schema instead of crashing (fit-type estimators
+    # may raise — fitting on nothing is undefined)
+    from flink_ml_spark.llmdata import (DocumentChunker, DomainMixtureSampler,
+                                        DuplicateSpanDetector,
+                                        ExactDeduplicator, GopherQualityFilter,
+                                        LanguageIdentifier, LineDeduplicator,
+                                        MinHashLSHDeduplicator,
+                                        MinHashSignature, NGramJaccardDeduplicator,
+                                        SequencePacker, SimHashDeduplicator,
+                                        TextQualityScorer, TokenCounter)
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_chars long")
+    vecs = spark.createDataFrame([], "id long, embedding array<double>")
+    shingled = spark.createDataFrame([], "doc_id long, sh array<string>")
+    cases = [
+        GopherQualityFilter(inputCol="text").transform(docs)[0],
+        TokenCounter(inputCol="text").transform(docs)[0],
+        TextQualityScorer(inputCol="text").transform(docs)[0],
+        LanguageIdentifier(inputCol="text").transform(docs)[0],
+        DomainMixtureSampler(idCol="doc_id", domainCol="source",
+                             rates={"a": 0.5}).transform(docs)[0],
+        DocumentChunker(textCol="text").transform(docs)[0],
+        SequencePacker(idCol="doc_id", tokenCol="n_chars").transform(docs)[0],
+        ExactDeduplicator(idCol="doc_id", inputCol="text").transform(docs)[0],
+        LineDeduplicator(idCol="doc_id", inputCol="text").transform(docs)[0],
+        MinHashSignature(inputCol="sh", outputCol="sig",
+                         numHashes=8).transform(shingled)[0],
+        MinHashLSHDeduplicator(idCol="doc_id", textCol="text")
+            .transform(docs)[0],
+        MinHashLSHDeduplicator(idCol="doc_id", textCol="text")
+            .set_(maxBandDocFreq=5, hotBucketStrategy="block")
+            .transform(docs)[0],
+        SimHashDeduplicator(idCol="doc_id", textCol="text").transform(docs)[0],
+        NGramJaccardDeduplicator(idCol="doc_id", textCol="text")
+            .transform(docs)[0],
+        DuplicateSpanDetector(idCol="doc_id", textCol="text")
+            .transform(docs)[0],
+        EmbeddingCosineDeduplicator(idCol="id", vecCol="embedding")
+            .transform(vecs)[0],
+        EmbeddingCosineDeduplicator(idCol="id", vecCol="embedding")
+            .set_(exact=0).transform(vecs)[0],
+    ]
+    for out in cases:
+        assert out.count() == 0
+    # fit-type dim inference raises a CLEAR error on an empty corpus
+    from flink_ml_spark.llmdata.simsearch import RandomHyperplaneLSH
+    with pytest.raises(ValueError, match="empty"):
+        RandomHyperplaneLSH(seed=1).set_(vecCol="embedding").fit(vecs)
