@@ -156,3 +156,51 @@ def test_write_bucketed_overwrites_orphaned_location(spark):
         assert read_table(spark, "t_orphan").count() == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orphan")
+
+
+def test_incremental_dedup_daily_loop_with_persisted_store(spark, tmp_path):
+    # the production shape end-to-end: each "day" dedups its batch against
+    # the PERSISTED signature store + bucketed band relation, then writes
+    # both back — history is never re-shingled, state survives sessions
+    # (catalog tables), and cross-day duplicates surface on every later day
+    from flink_ml_spark.llmdata import IncrementalMinHashDeduplicator
+
+    d = IncrementalMinHashDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=2, numHashes=16,
+        bandSize=2, threshold=0.9, seed=42)
+    days = [
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "completely unrelated historical document body")],
+        [(10, "the quick brown fox jumps over the lazy dog"),   # dup of 0
+         (11, "fresh second day text matching nothing else")],
+        [(20, "fresh second day text matching nothing else"),   # dup of 11
+         (21, "the quick brown fox jumps over the lazy dog")],  # dup of 0
+    ]
+    got = []
+    try:
+        for day, rows in enumerate(days):
+            batch = spark.createDataFrame(rows, "doc_id long, text string")
+            if day == 0:
+                store = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+                matches, updated = d.transform(batch, store)
+            else:
+                store = read_table(spark, "t_day_sig")
+                bands = read_table(spark, "t_day_bands")
+                matches, updated = d.transform(batch, store, bands)
+            got.append({(r["id"], r["match_id"]) for r in matches.collect()})
+            # cut lineage before overwriting the tables the plan read from
+            updated = updated.localCheckpoint(eager=True)
+            write_bucketed(updated, "t_day_sig", ["doc_id"], 4,
+                           path=str(tmp_path / f"sig{day}"))
+            write_bucketed(d.store_band_relation(updated), "t_day_bands",
+                           ["band", "bsig"], 4,
+                           path=str(tmp_path / f"bands{day}"))
+        assert got[0] == set()
+        assert got[1] == {(10, 0)}
+        assert got[2] == {(20, 11), (21, 0)}
+        # the store holds exactly the surviving (unique) documents
+        final = {r["doc_id"] for r in read_table(spark, "t_day_sig").collect()}
+        assert final == {0, 1, 11}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_day_sig")
+        spark.sql("DROP TABLE IF EXISTS t_day_bands")
