@@ -714,6 +714,39 @@ def _gopher_keep_sql(min_words: int, min_stop: int = 2) -> str:
 GOPHER_FILTER_SQL = _gopher_sql()
 
 
+def _quality_frame(docs):
+    """(doc_id, features, label) for the learned quality model: labels
+    from the Gopher heuristic gate; features = cheap zero-shuffle text
+    statistics (bounded word count, char count, mean word length, bias),
+    O(1)-scaled.  Shared by quality_classifier and llm_prep_pipeline_v5."""
+    from ..llmdata import GopherQualityFilter
+    from ..llmdata.textanalysis import _tokens
+    # relaxed thresholds (as in llm_prep v3/v4): the defaults gate out
+    # every short synthetic doc, leaving the model a degenerate
+    # single-class fit
+    labeled = GopherQualityFilter(inputCol="text", minWords=30,
+                                  minRequiredStopwords=1).transform(docs)[0]
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_wl = F.when(n > 0, F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / nd) \
+        .otherwise(0.0)
+    return labeled.select(
+        "doc_id",
+        F.array(F.least(nd, F.lit(400.0)) / 200,
+                F.col("n_chars").cast("double") / 1000,
+                mean_wl / 10, F.lit(1.0)).alias("features"),
+        F.col("keep").cast("double").alias("label"))
+
+
+def _fit_quality_model(frame):
+    from ..classification import LogisticRegression
+    return LogisticRegression(maxIter=10, learningRate=0.5, tol=0.0,
+                              globalBatchSize=1 << 40,
+                              weightRounding=12).fit(frame)
+
+
 def quality_classifier(spark, sf_dir):
     """Model-in-the-loop corpus filtering (public literature: CCNet's
     learned LM filter, Wenzek et al. 2020; the LLaMA quality classifier,
@@ -721,63 +754,48 @@ def quality_classifier(spark, sf_dir):
     whose LABELS come from the Gopher heuristic gate, then score every
     document with the calibrated keep-probability — the standard upgrade
     from a brittle boolean rule set to a smooth, thresholdable ranking.
-    Features are cheap zero-shuffle text statistics (bounded word count,
-    char count, mean word length, bias); fit is the same deterministic
-    full-batch GD as the learner queries (weightRounding snaps both
-    engines' trajectories), so the DuckDB oracle replays the ENTIRE
-    train-then-score loop as a recursive CTE.  At 100 TB: one scan
-    producing 4 doubles/row + dim+1-sized driver aggregates per round,
-    then zero-shuffle scoring."""
-    from ..classification import LogisticRegression
-    from ..llmdata import GopherQualityFilter
-    from ..llmdata.textanalysis import _tokens
+    Fit is the same deterministic full-batch GD as the learner queries
+    (weightRounding snaps both engines' trajectories), so the DuckDB
+    oracle replays the ENTIRE train-then-score loop as a recursive CTE.
+    At 100 TB: one scan producing 4 doubles/row + dim+1-sized driver
+    aggregates per round, then zero-shuffle scoring."""
     docs = load(spark, sf_dir, "documents")
-    labeled = GopherQualityFilter(inputCol="text").transform(docs)[0]
-    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
-    n = F.size(toks)
-    nd = n.cast("double")
-    mean_wl = F.when(n > 0, F.aggregate(
-        toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / nd) \
-        .otherwise(0.0)
-    frame = labeled.select(
-        "doc_id",
-        F.array(F.least(nd, F.lit(400.0)) / 200,
-                F.col("n_chars").cast("double") / 1000,
-                mean_wl / 10, F.lit(1.0)).alias("features"),
-        F.col("keep").cast("double").alias("label"))
-    m = LogisticRegression(maxIter=10, learningRate=0.5, tol=0.0,
-                           globalBatchSize=1 << 40, weightRounding=12) \
-        .fit(frame)
-    out = m.transform(frame)[0]
+    frame = _quality_frame(docs)
+    out = _fit_quality_model(frame).transform(frame)[0]
     return out.select("doc_id",
                       q4(F.element_at("rawPrediction", 2)).alias("q_score"))
 
 
-def _quality_classifier_sql() -> str:
+def _quality_gd_ctes() -> tuple[str, str]:
+    """(CTE body, prob expression) of the recursive-GD quality-model
+    replay — composable into larger WITH RECURSIVE oracles."""
     n = f"len({TOKS})"
     mean_wl = (f"CASE WHEN {n} > 0 THEN CAST(list_sum(list_transform("
                f"{TOKS}, t -> length(t))) AS DOUBLE) / {n} ELSE 0.0 END")
     feats = [f"least(CAST({n} AS DOUBLE), 400.0) / 200",
              "n_chars / 1000.0", f"({mean_wl}) / 10", "1.0"]
     feat_cols = ", ".join(f"({f}) AS x{i}" for i, f in enumerate(feats))
-    label = f"CASE WHEN {_gopher_keep_sql(50)} THEN 1.0 ELSE 0.0 END"
+    label = f"CASE WHEN {_gopher_keep_sql(30, 1)} THEN 1.0 ELSE 0.0 END"
     margin = " + ".join(f"w{j} * x{j}" for j in range(4))
     res = f"1.0/(1.0 + exp(-({margin}))) - y"
     grads = ", ".join(
         f"round(w{j} - 0.5 * (SELECT avg(({res}) * x{j}) FROM data), 12)"
         for j in range(4))
-    prob = SQL_Q4.format(f"1.0/(1.0 + exp(-({margin})))")
-    return f"""
-WITH RECURSIVE data AS (
+    ctes = f"""data AS (
   SELECT doc_id, {feat_cols}, {label} AS y FROM documents),
 it(i, w0, w1, w2, w3) AS (
   SELECT 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
          CAST(0 AS DOUBLE)
   UNION ALL
   SELECT i + 1, {grads} FROM it WHERE i < 10),
-w AS (SELECT w0, w1, w2, w3 FROM it ORDER BY i DESC LIMIT 1)
-SELECT doc_id, {prob} AS q_score FROM data, w
-"""
+w AS (SELECT w0, w1, w2, w3 FROM it ORDER BY i DESC LIMIT 1)"""
+    return ctes, f"1.0/(1.0 + exp(-({margin})))"
+
+
+def _quality_classifier_sql() -> str:
+    ctes, prob = _quality_gd_ctes()
+    return (f"WITH RECURSIVE {ctes}\n"
+            f"SELECT doc_id, {SQL_Q4.format(prob)} AS q_score FROM data, w")
 
 
 QUALITY_CLASSIFIER_SQL = _quality_classifier_sql()
@@ -1157,6 +1175,94 @@ FROM g JOIN r USING (domain) LEFT JOIN scored s ON s.doc_id = g.doc_id
 WHERE CAST(((g.doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
       / 2147483648.0 < r.rate
 """
+
+
+def llm_prep_pipeline_v5(spark, sf_dir):
+    """Round-4 corpus-prep flagship: the LEARNED-GATE recipe.  A
+    logistic-regression quality model is trained on the Gopher
+    heuristic's labels (quality_classifier — the CCNet/LLaMA trick) and
+    its calibrated keep-probability replaces the rule set as the gate;
+    survivors flow through SKEW-SAFE MinHash near-dedup (hot buckets
+    blocked, exact recall — dedup keeps the min-id copy per detected
+    pair) → temperature mixture balancing over sources (fit on the
+    deduped survivors) → token accounting.  The whole train-gate-dedup-
+    balance loop is replayed by one recursive-CTE oracle.  At 100 TB:
+    the model fit is dim+1 doubles/round to the driver, the gate is a
+    zero-shuffle scan, and only gated survivors reach the band join."""
+    from ..llmdata import (MinHashLSHDeduplicator, TemperatureMixtureSampler)
+    docs = load(spark, sf_dir, "documents")
+    frame = _quality_frame(docs)
+    probs = _fit_quality_model(frame).transform(frame)[0]
+    # relative cut (CCNet buckets by corpus-relative perplexity, not an
+    # absolute number): keep the top half by learned quality, compared on
+    # 4-decimal-quantized scores so the cut is engine-exact
+    scored = probs.select(
+        "doc_id", q4(F.element_at("rawPrediction", 2)).alias("q"))
+    med = scored.agg(F.expr("percentile(q, 0.5)").alias("m"))
+    keep_ids = scored.join(med).filter(F.col("q") > F.col("m")) \
+        .select("doc_id")
+    gated = docs.join(keep_ids, "doc_id", "left_semi") \
+        .select("doc_id", "source", "text")
+    pairs = MinHashLSHDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=3, numHashes=N_HASHES,
+        bandSize=4, threshold=0.4, seed=SEED) \
+        .set_(maxBandDocFreq=8, hotBucketStrategy="block", numBlocks=4) \
+        .transform(gated)[0]
+    uniq = gated.join(pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+                      "doc_id", "left_anti")
+    mix = TemperatureMixtureSampler(idCol="doc_id", domainCol="source",
+                                    alpha=0.5).fit(uniq)
+    kept = mix.transform(uniq)[0]
+    counted = TokenCounter(inputCol="text")._transform(kept)
+    return counted.select("doc_id", "source", "n_tokens_ws")
+
+
+def _llm_prep_v5_sql() -> str:
+    ctes, prob = _quality_gd_ctes()
+    fam = _hash_family(N_HASHES, SEED)
+    sh = _shingle_sql(3)
+    hashes = f"list_transform(sh, s -> {TOKHASH.format(t='s')})"
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_PRIME}))"
+        for a, b in fam)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, "
+        f"array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '_') AS bsig "
+        f"FROM msigs" for b in range(N_HASHES // 4))
+    inter = "len(list_intersect(sh_a, sh_b))"
+    return f"""
+WITH RECURSIVE {ctes},
+qscored AS MATERIALIZED (
+  SELECT doc_id, {SQL_Q4.format(prob)} AS q FROM data, w),
+med AS (SELECT quantile_cont(q, 0.5) AS m FROM qscored),
+keepids AS MATERIALIZED (SELECT doc_id FROM qscored, med WHERE q > m),
+g AS MATERIALIZED (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM keepids)),
+mbase AS (SELECT doc_id, {sh} AS sh FROM g),
+mh AS (SELECT doc_id, sh, {hashes} AS hs FROM mbase),
+msigs AS MATERIALIZED (SELECT doc_id, sh, [{sig_items}] AS sig FROM mh),
+mbands AS ({band_rows}),
+dup_b AS MATERIALIZED (
+  SELECT DISTINCT b.doc_id AS id_b
+  FROM mbands a JOIN mbands b ON a.band = b.band AND a.bsig = b.bsig
+  WHERE a.doc_id < b.doc_id
+    AND CAST({inter.replace('sh_a', 'a.sh').replace('sh_b', 'b.sh')} AS DOUBLE)
+        / (len(a.sh) + len(b.sh)
+           - {inter.replace('sh_a', 'a.sh').replace('sh_b', 'b.sh')}) >= 0.4),
+uniq AS MATERIALIZED (
+  SELECT * FROM g WHERE doc_id NOT IN (SELECT id_b FROM dup_b)),
+cntd AS (SELECT source, count(*) AS n FROM uniq GROUP BY source),
+r AS (SELECT source, pow(n * 1.0 / (SELECT min(n) FROM cntd), -0.5) AS rate
+      FROM cntd)
+SELECT u.doc_id, u.source, CAST(len({TOKS}) AS INT) AS n_tokens_ws
+FROM uniq u JOIN r USING (source)
+WHERE CAST(((u.doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
+      / 2147483648.0 < r.rate
+"""
+
+
+LLM_PREP_V5_SQL = _llm_prep_v5_sql()
 
 
 def llm_prep_pipeline_v4(spark, sf_dir):
@@ -1928,6 +2034,7 @@ QUERIES = {
     "minhash_dedup": (minhash_dedup, MINHASH_DEDUP_SQL),
     "minhash_join_skewsafe": (minhash_join_skewsafe, MINHASH_DEDUP_SQL),
     "quality_classifier": (quality_classifier, QUALITY_CLASSIFIER_SQL),
+    "llm_prep_pipeline_v5": (llm_prep_pipeline_v5, LLM_PREP_V5_SQL),
     "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "incremental_dedup_bucketed": (incremental_dedup_bucketed,
                                    INCREMENTAL_DEDUP_SQL),
