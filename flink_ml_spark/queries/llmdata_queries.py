@@ -1198,8 +1198,10 @@ def llm_prep_pipeline_v5(spark, sf_dir):
     # 4-decimal-quantized scores so the cut is engine-exact
     scored = probs.select(
         "doc_id", q4(F.element_at("rawPrediction", 2)).alias("q"))
-    med = scored.agg(F.expr("percentile(q, 0.5)").alias("m"))
-    keep_ids = scored.join(med).filter(F.col("q") > F.col("m")) \
+    # the cut is ONE number (model-sized) — collect it rather than
+    # cross-joining a 1-row aggregate (which plans a BNLJ)
+    med = scored.agg(F.expr("percentile(q, 0.5)")).first()[0]
+    keep_ids = scored.filter(F.col("q") > F.lit(float(med))) \
         .select("doc_id")
     gated = docs.join(keep_ids, "doc_id", "left_semi") \
         .select("doc_id", "source", "text")
