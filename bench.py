@@ -111,6 +111,10 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # stage-progress bars write \r-terminated fragments to stdout that
+        # can splice into the same physical line as a JSON print, corrupting
+        # a line-oriented parser's view of the artifact
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -195,6 +199,8 @@ def main() -> None:
     # a last-line parser gets the complete compact line 2.
     totals = {"metric": "headline_queries_total_time", "value": total,
               "unit": "sec", "sf": sf_val, "r01_subset_total": r01_subset}
+    sys.stdout.flush()
+    print()  # a fresh physical line even if \r-progress junk preceded us
     print(json.dumps(totals, separators=(",", ":")))
     print(json.dumps({**totals,
                       "queries": {q: round(t, 2) for q, t in timings.items()}},
