@@ -192,19 +192,30 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Truncation-proof output (the r03 artifact lost the headline number
-    # when the driver's 2,245-byte tail capture cut the single giant JSON
-    # line mid-dict): emit a totals-only line FIRST, then a compact full
-    # line (2-decimal values, no spaces) small enough to fit whole inside
-    # the tail window.  A first-line parser gets the headline from line 1;
-    # a last-line parser gets the complete compact line 2.
+    # when the driver's ~2,245-byte tail capture cut the single giant JSON
+    # line mid-dict).  Emit the totals line FIRST and AGAIN LAST so a
+    # head-reading or tail-reading parser both land on a complete totals
+    # line; the per-query detail line sits between them, 1-decimal values,
+    # hard-capped at 2,000 bytes (slowest entries kept, count of dropped
+    # entries recorded — no silent truncation).
     totals = {"metric": "headline_queries_total_time", "value": total,
               "unit": "sec", "sf": sf_val, "r01_subset_total": r01_subset}
+    detail = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    while True:
+        line = json.dumps(
+            {**totals,
+             "queries": {q: round(t, 1) for q, t in detail.items()},
+             **({"omitted": len(timings) - len(detail)}
+                if len(detail) < len(timings) else {})},
+            separators=(",", ":"))
+        if len(line) <= 2000 or not detail:
+            break
+        detail.pop(next(reversed(detail)))  # drop the fastest entry
     sys.stdout.flush()
     print()  # a fresh physical line even if \r-progress junk preceded us
     print(json.dumps(totals, separators=(",", ":")))
-    print(json.dumps({**totals,
-                      "queries": {q: round(t, 2) for q, t in timings.items()}},
-                     separators=(",", ":")))
+    print(line)
+    print(json.dumps(totals, separators=(",", ":")))
 
 
 if __name__ == "__main__":
