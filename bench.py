@@ -50,7 +50,8 @@ HEADLINE = [
     "bigram_lm_score", "quality_classifier",
     "token_count", "fingerprint",
     "text_normalize", "corpus_stats", "repetition_quality", "pii_redaction",
-    "domain_mixture", "temperature_mixture", "corpus_shuffle",
+    "domain_mixture", "temperature_mixture", "stratified_budget",
+    "corpus_shuffle",
     "sequence_packing",
     "document_chunking",
     # tokenize/vocab + Arrow-UDF-heavy pipelines

@@ -14,7 +14,8 @@ from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         RandomHyperplaneLSH, RandomHyperplaneLSHModel,
                         SemanticDeduplicator)
 from .sampling import (CorpusShuffler, DocumentChunker, DomainMixtureSampler,
-                       SequencePacker, TemperatureMixtureSampler,
+                       SequencePacker, StratifiedBudgetSampler,
+                       TemperatureMixtureSampler,
                        TemperatureMixtureSamplerModel)
 from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
                            Bm25Scorer, Bm25ScorerModel,

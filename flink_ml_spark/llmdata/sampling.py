@@ -302,3 +302,68 @@ class DocumentChunker(Transformer):
                 out_rows.append(d)
         return pd.DataFrame(out_rows, columns=list(pdf.columns)
                             + ["chunk_start", self.get_("chunkCol")])
+
+
+class StratifiedBudgetSampler(Transformer):
+    """Exact per-domain row budgets: keep exactly ``min(budget_d, n_d)``
+    rows from each domain (``budgets[d]``, ``defaultBudget`` for unlisted
+    domains), chosen in deterministic per-id hash order — the exact-count
+    counterpart to the rate-based samplers above, for pipelines that fix
+    a hard document (or, upstream-weighted, token) budget per source
+    rather than a keep probability.  The hash order makes the selection a
+    reproducible uniform sample of the domain with no RNG state, and ids
+    break ties so the result is engine-exact.
+
+    Plan: ``top_k_per_key`` — the two-stage salted rank — so a hot domain
+    (at 100 TB one crawl source can be most of the corpus) never funnels
+    through a single task: stage 1 ranks within (domain, salt) and keeps
+    the per-salt budget, stage 2 ranks the surviving ≤ salts × budget
+    rows.  Two bounded shuffles of (id, domain, hash) triples; text never
+    shuffles (callers semi-join the kept ids back).
+    """
+
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    domainCol = StringParam("domainCol", "Domain/source column.", "source")
+    budgets = Param("budgets", "domain -> max rows kept.", {})
+    defaultBudget = IntParam("defaultBudget",
+                             "Budget for unlisted domains.", 1000,
+                             ParamValidators.gt_eq(0))
+    salt = IntParam("salt", "Hash salt.", 7)
+    saltBuckets = IntParam("saltBuckets", "Hot-domain fan-out.", 32,
+                           ParamValidators.gt(0))
+
+    def _budget_expr(self):
+        budgets: dict[str, int] = self.get_("budgets")
+        b = F.lit(int(self.get_("defaultBudget")))
+        for dom, k in sorted(budgets.items()):
+            b = F.when(F.col(self.get_("domainCol")) == dom,
+                       F.lit(int(k))).otherwise(b)
+        return b
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from ..common.dataflow import top_k_per_key
+        budgets: dict[str, int] = self.get_("budgets")
+        k_max = max([int(self.get_("defaultBudget"))]
+                    + [int(v) for v in budgets.values()])
+        idc = self.get_("idCol")
+        u = _unit_hash(idc, self.get_("salt"))
+        ranked = top_k_per_key(
+            df.withColumn("__u__", u), [self.get_("domainCol")],
+            [F.col("__u__").asc(), F.col(idc).asc()], k_max,
+            salt_cols=[idc], salt_buckets=int(self.get_("saltBuckets")),
+            rank_col="__rank__")
+        return (ranked.filter(F.col("__rank__") <= self._budget_expr())
+                .drop("__u__", "__rank__"))
+
+    def transform_local(self, pdf):
+        budgets: dict[str, int] = self.get_("budgets")
+        default, salt = int(self.get_("defaultBudget")), self.get_("salt")
+        idc, dcol = self.get_("idCol"), self.get_("domainCol")
+        pdf = pdf.copy()
+        pdf["__u__"] = [_unit_hash_local(v, salt) for v in pdf[idc]]
+        pdf = pdf.sort_values(["__u__", idc], kind="mergesort")
+        pdf["__rank__"] = pdf.groupby(dcol).cumcount() + 1
+        lim = pdf[dcol].map(lambda d: budgets.get(d, default))
+        return (pdf[pdf["__rank__"] <= lim]
+                .drop(columns=["__u__", "__rank__"])
+                .sort_index().reset_index(drop=True))

@@ -1073,6 +1073,30 @@ def domain_mixture(spark, sf_dir):
     return s.transform(docs)[0].select("doc_id", "source")
 
 
+def stratified_budget(spark, sf_dir):
+    """Exact per-domain document budgets (hard caps, not keep-rates):
+    deterministic hash-order top-k per source via the two-stage salted
+    rank, so one hot domain never funnels through a single task."""
+    from ..llmdata import StratifiedBudgetSampler
+    docs = load(spark, sf_dir, "documents")
+    s = StratifiedBudgetSampler(idCol="doc_id", domainCol="source",
+                                budgets={"src0": 10, "src1": 15},
+                                defaultBudget=12, saltBuckets=8)
+    return s.transform(docs)[0].select("doc_id", "source")
+
+
+STRATIFIED_BUDGET_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % 2147483648) * 2654435761 + 7) % 2147483648,
+                    doc_id) AS rnk
+  FROM documents)
+WHERE rnk <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 15 ELSE 12 END
+"""
+
+
 DOMAIN_MIXTURE_SQL = """
 SELECT doc_id, source FROM documents
 WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
@@ -2052,6 +2076,7 @@ QUERIES = {
     "corpus_stats": (corpus_stats, CORPUS_STATS_SQL),
     "pii_redaction": (pii_redaction, PII_SQL),
     "domain_mixture": (domain_mixture, DOMAIN_MIXTURE_SQL),
+    "stratified_budget": (stratified_budget, STRATIFIED_BUDGET_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "bpe_tokenize": (bpe_tokenize, None),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),

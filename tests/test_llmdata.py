@@ -1075,3 +1075,35 @@ def test_transforms_pass_empty_input_through(spark):
     from flink_ml_spark.llmdata.simsearch import RandomHyperplaneLSH
     with pytest.raises(ValueError, match="empty"):
         RandomHyperplaneLSH(seed=1).set_(vecCol="embedding").fit(vecs)
+
+
+def test_stratified_budget_sampler(spark):
+    import pandas as pd
+    from flink_ml_spark.llmdata import StratifiedBudgetSampler
+    rows = [(i, "big" if i % 4 != 3 else "small") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    s = StratifiedBudgetSampler(idCol="doc_id", domainCol="source",
+                                budgets={"big": 40}, defaultBudget=25,
+                                saltBuckets=8)
+    out = s.transform(df)[0]
+    per = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert per == {"big": 40, "small": 25}  # exact caps
+    # deterministic: same ids both runs
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in s.transform(df)[0].collect()}
+    assert ids1 == ids2
+    # salting is invisible: 1 bucket == 8 buckets
+    s1 = StratifiedBudgetSampler(idCol="doc_id", domainCol="source",
+                                 budgets={"big": 40}, defaultBudget=25,
+                                 saltBuckets=1)
+    assert ids1 == {r["doc_id"] for r in s1.transform(df)[0].collect()}
+    # local parity (and original column set / row order preserved)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source"])
+    loc = s.transform_local(pdf)
+    assert set(loc.columns) == {"doc_id", "source"}
+    assert set(loc["doc_id"]) == ids1
+    # a domain smaller than its budget keeps everything
+    tiny = spark.createDataFrame([(1000 + i, "rare") for i in range(5)],
+                                 "doc_id long, source string")
+    kept = s.transform(df.union(tiny))[0]
+    assert kept.filter("source = 'rare'").count() == 5
