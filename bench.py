@@ -46,7 +46,8 @@ HEADLINE = [
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",
     "stateful_sessions", "asof_join", "range_join", "sliding_windows",
     "streaming_dedup", "streaming_incremental_dedup",
-    "language_id", "text_quality", "gopher_filter", "unigram_lm_score",
+    "language_id", "text_quality", "char_entropy", "gopher_filter",
+    "unigram_lm_score",
     "bigram_lm_score", "quality_classifier",
     "token_count", "fingerprint",
     "text_normalize", "corpus_stats", "repetition_quality", "pii_redaction",

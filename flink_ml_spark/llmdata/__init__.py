@@ -18,7 +18,7 @@ from .sampling import (CorpusShuffler, DocumentChunker, DomainMixtureSampler,
                        TemperatureMixtureSampler,
                        TemperatureMixtureSamplerModel)
 from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
-                           Bm25Scorer, Bm25ScorerModel,
+                           Bm25Scorer, Bm25ScorerModel, CharEntropyScorer,
                            DocumentFingerprinter, GopherQualityFilter,
                            LanguageIdentifier, NGramProfiler, PIIRedactor,
                            RepetitionScorer,

@@ -131,6 +131,60 @@ class TextQualityScorer(Transformer, HasInputCol):
         return out
 
 
+class CharEntropyScorer(Transformer, HasInputCol):
+    """Character-distribution quality signals: per-document Shannon
+    entropy (bits) of the character frequency distribution plus the
+    distinct-character ratio.  Low entropy flags repeated-character /
+    boilerplate junk; implausibly high entropy (near log2 of the charset
+    size) flags random/binary garbage — both standard cheap gates in a
+    corpus-cleaning pipeline ahead of the expensive model-based scorers.
+    Adds ``char_entropy`` and ``distinct_char_ratio``.
+
+    Plan: pure codegen'd Column expressions — split to chars, per-distinct
+    counts via higher-order functions, entropy as one ``aggregate`` fold.
+    Zero shuffles, no Python; per-row cost is O(len × distinct_chars)
+    with distinct_chars bounded by the charset (~100 for text), so the
+    operator is embarrassingly parallel at any corpus size."""
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.get_("inputCol"))
+        # split('', '') yields [''] — drop it so empty text scores (0, 0)
+        chars = F.array_remove(F.split(text, ""), "")
+        n = F.size(chars)
+        counts = F.transform(
+            F.array_distinct(chars),
+            lambda c: F.size(F.filter(chars, lambda x: x == c)))
+        ent = F.aggregate(
+            counts, F.lit(0.0),
+            lambda acc, cnt: acc - (cnt.cast("double") / n)
+            * F.log2(cnt.cast("double") / n))
+        return (df.withColumn("char_entropy",
+                              F.when(n > 0, ent).otherwise(0.0))
+                .withColumn("distinct_char_ratio",
+                            F.when(n > 0, F.size(F.array_distinct(chars))
+                                   .cast("double") / n).otherwise(0.0)))
+
+    def transform_local(self, pdf):
+        import math
+        from collections import Counter
+        ents, ratios = [], []
+        for text in pdf[self.get_("inputCol")]:
+            t = text or ""
+            if not t:
+                ents.append(0.0)
+                ratios.append(0.0)
+                continue
+            n = len(t)
+            counts = Counter(t)
+            ents.append(-sum((c / n) * math.log2(c / n)
+                             for c in counts.values()))
+            ratios.append(len(counts) / n)
+        out = pdf.copy()
+        out["char_entropy"] = ents
+        out["distinct_char_ratio"] = ratios
+        return out
+
+
 class TokenCounter(Transformer, HasInputCol):
     """Token accounting: whitespace tokens plus a BPE-ish subword estimate
     (regex word-pieces: runs of letters, digits, or single punctuation —

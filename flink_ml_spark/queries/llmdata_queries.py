@@ -652,6 +652,34 @@ FROM documents
 TEXT_QUALITY_SQL = _quality_sql()
 
 
+def char_entropy(spark, sf_dir):
+    """Character-distribution gate: per-doc Shannon entropy + distinct-
+    char ratio, zero-shuffle codegen'd expressions."""
+    from ..llmdata import CharEntropyScorer
+    docs = load(spark, sf_dir, "documents")
+    out = CharEntropyScorer(inputCol="text")._transform(docs)
+    return out.select("doc_id", q4(F.col("char_entropy")).alias("ent_q4"),
+                      q4(F.col("distinct_char_ratio")).alias("dcr_q4"))
+
+
+CHAR_ENTROPY_SQL = """
+WITH c AS (SELECT doc_id,
+                  list_filter(string_split(text, ''), x -> x <> '') AS ch
+           FROM documents),
+e AS (SELECT doc_id, len(ch) AS n,
+             list_transform(list_distinct(ch),
+                            d -> len(list_filter(ch, x -> x = d))) AS cnts
+      FROM c)
+SELECT doc_id,
+       CAST(ROUND((CASE WHEN n > 0 THEN -list_aggregate(
+              list_transform(cnts, k -> (k * 1.0 / n) * log2(k * 1.0 / n)),
+              'sum') ELSE 0.0 END) * 10000) AS BIGINT) AS ent_q4,
+       CAST(ROUND((CASE WHEN n > 0 THEN len(cnts) * 1.0 / n
+                   ELSE 0.0 END) * 10000) AS BIGINT) AS dcr_q4
+FROM e
+"""
+
+
 def gopher_filter(spark, sf_dir):
     """Gopher-rule document filter (Rae et al. 2021 App. A1.1) at its
     published thresholds — pure-expression zero-shuffle row gate."""
@@ -2082,6 +2110,7 @@ QUERIES = {
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "language_id": (language_id, LANGUAGE_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "char_entropy": (char_entropy, CHAR_ENTROPY_SQL),
     "gopher_filter": (gopher_filter, GOPHER_FILTER_SQL),
     "temperature_mixture": (temperature_mixture, TEMPERATURE_MIXTURE_SQL),
     "unigram_lm_score": (unigram_lm_score, UNIGRAM_LM_SQL),

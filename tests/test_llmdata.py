@@ -1107,3 +1107,28 @@ def test_stratified_budget_sampler(spark):
                                  "doc_id long, source string")
     kept = s.transform(df.union(tiny))[0]
     assert kept.filter("source = 'rare'").count() == 5
+
+
+def test_char_entropy_scorer(spark):
+    import math
+    import pandas as pd
+    from flink_ml_spark.llmdata import CharEntropyScorer
+    df = spark.createDataFrame(
+        [(0, "aabb"), (1, "aaaa"), (2, ""), (3, "abcd")],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           CharEntropyScorer(inputCol="text")._transform(df).collect()}
+    assert abs(out[0]["char_entropy"] - 1.0) < 1e-12       # 2 chars, 50/50
+    assert out[1]["char_entropy"] == 0.0                    # single symbol
+    assert out[2]["char_entropy"] == 0.0                    # empty
+    assert abs(out[3]["char_entropy"] - 2.0) < 1e-12        # 4 uniform chars
+    assert abs(out[0]["distinct_char_ratio"] - 0.5) < 1e-12
+    assert out[3]["distinct_char_ratio"] == 1.0
+    # local parity
+    pdf = pd.DataFrame({"id": [0, 1, 2, 3],
+                        "text": ["aabb", "aaaa", "", "abcd"]})
+    loc = CharEntropyScorer(inputCol="text").transform_local(pdf)
+    for i in range(4):
+        assert abs(loc["char_entropy"][i] - out[i]["char_entropy"]) < 1e-12
+        assert abs(loc["distinct_char_ratio"][i]
+                   - out[i]["distinct_char_ratio"]) < 1e-12
