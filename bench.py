@@ -66,7 +66,7 @@ HEADLINE = [
     "ann_bruteforce",
     "embedding_dedup_lsh", "embedding_quantize", "pca_whiten", "bm25_scoring",
     "ann_ivf_pq", "semantic_dedup",
-    "dup_spans", "decontamination", "contamination_score",
+    "dup_spans", "dup_span_removal", "decontamination", "contamination_score",
     "llm_prep_pipeline",
     "llm_prep_pipeline_v2", "llm_prep_pipeline_v3",
     "llm_prep_pipeline_v4",

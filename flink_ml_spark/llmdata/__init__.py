@@ -1,7 +1,8 @@
 from .dedup import (ConnectedComponents, ContaminationScorer,
                     Decontaminator,
                     DuplicateResolver,
-                    DuplicateSpanDetector, ExactDeduplicator,
+                    DuplicateSpanDetector, DuplicateSpanRemover,
+                    ExactDeduplicator,
                     IncrementalMinHashDeduplicator, LineDeduplicator,
                     MinHashLSHDeduplicator, MinHashSignature,
                     NGramJaccardDeduplicator, SimHashDeduplicator)

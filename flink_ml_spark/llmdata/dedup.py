@@ -763,6 +763,95 @@ class DuplicateSpanDetector(AlgoOperator):
         return [stats, index]
 
 
+class DuplicateSpanRemover(AlgoOperator):
+    """Duplicate-span REMOVAL — the surgical counterpart to
+    ``DuplicateSpanDetector``: instead of scoring documents, cut the
+    duplicated passages out of the text while keeping exactly one
+    canonical copy corpus-wide (Lee et al., ACL 2022 remove repeated
+    substrings outright; keeping the first occurrence is the common
+    production variant so no content is lost entirely).
+
+    Semantics: every ``spanTokens``-token window (stride 1, lowercased
+    rolling hash) present in >= ``minDocFreq`` distinct documents is a
+    duplicated span; its OWNER is the minimum id among those documents.
+    In every non-owner document, all tokens covered by any occurrence of
+    the span are removed; the owner's copy (and all unique text) is kept
+    verbatim.  Output columns: ``outputCol`` (cleaned text, original
+    case, single-space joined) and ``n_tokens_removed``.
+
+    Plan (100 TB): window hashes roll in codegen with their 1-based
+    positions; only fixed-width (id, pos, hash) triples cross a shuffle,
+    never text.  The hash-keyed index aggregation is map-side combined;
+    the postings->index join carries only duplicated hashes (index is
+    pre-filtered), with AQE skew-split handling boilerplate hot hashes;
+    covered positions collapse to one int array per doc before the final
+    id-keyed join back.  Token filtering is one codegen'd
+    exists-per-token scan, O(tokens x covered_spans) per row.
+    """
+
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    textCol = StringParam("textCol", "Text column.", "text")
+    outputCol = StringParam("outputCol", "Cleaned-text column.",
+                            "clean_text")
+    spanTokens = IntParam("spanTokens", "Window length in tokens.", 32,
+                          ParamValidators.gt(0))
+    minDocFreq = IntParam(
+        "minDocFreq", "Distinct-document count at which a span counts as "
+        "duplicated.", 2, ParamValidators.gt_eq(2))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        idc = self.get_("idCol")
+        k = int(self.get_("spanTokens"))
+
+        def pos_spans(text: Column) -> Column:
+            # original-case tokens define positions; hashes fold over the
+            # lowercased token so detection matches span_hashes()
+            toks = F.array_remove(F.split(text, r"\s"), "")
+            th = F.transform(toks, lambda t: poly_token_hash(F.lower(t)))
+            m = F.size(th) - k + 1
+            roll = F.transform(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.aggregate(
+                        F.slice(th, i, F.lit(k)), F.lit(0).cast("long"),
+                        lambda a, h: (a * SPAN_MULT + h) % MINHASH_PRIME)
+                    .alias("h")))
+            return F.when(m >= 1, roll) \
+                .otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+
+        text = F.col(self.get_("textCol"))
+        pairs = (df.select(F.col(idc).alias("id"),
+                           F.explode(pos_spans(text)).alias("s"))
+                 .select("id", F.col("s.pos").alias("pos"),
+                         F.col("s.h").alias("h")))
+        index = (pairs.groupBy("h")
+                 .agg(F.count_distinct("id").alias("span_df"),
+                      F.min("id").alias("owner"))
+                 .filter(F.col("span_df") >= self.get_("minDocFreq")))
+        covered = (pairs.join(index.select("h", "owner"), "h")
+                   .filter(F.col("id") != F.col("owner"))
+                   .groupBy("id")
+                   .agg(F.collect_set("pos").alias("__starts__")))
+        toks = F.array_remove(F.split(text, r"\s"), "")
+        keep = F.filter(
+            toks, lambda t, i: ~F.exists(
+                F.col("__starts__"),
+                lambda s: (s <= i + 1) & (i + 1 < s + k)))
+        clean = F.when(F.col("__starts__").isNull(), toks).otherwise(keep)
+        out = (df.join(covered.withColumnRenamed("id", "__rid__"),
+                       F.col(idc) == F.col("__rid__"), "left")
+               .withColumn("__clean__", clean)
+               .withColumn("n_tokens_removed",
+                           (F.size(toks) - F.size(F.col("__clean__")))
+                           .cast("long"))
+               .withColumn(self.get_("outputCol"),
+                           F.array_join(F.col("__clean__"), " "))
+               .drop("__rid__", "__starts__", "__clean__"))
+        return [out]
+
+
 class Decontaminator(AlgoOperator):
     """Benchmark decontamination: split a training corpus into (clean,
     contaminated) by word-n-gram overlap with an evaluation/benchmark

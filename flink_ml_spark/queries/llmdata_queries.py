@@ -2069,8 +2069,61 @@ FROM spans s LEFT JOIN dup d USING (doc_id)
 DUP_SPANS_SQL = _dup_spans_sql()
 
 
+def dup_span_removal(spark, sf_dir):
+    """Duplicate-span REMOVAL: cut passages shared across documents out
+    of the text, keeping the min-id owner's copy verbatim (first-
+    occurrence variant of Lee et al. 2022 substring dedup)."""
+    from ..llmdata import DuplicateSpanRemover
+    docs = load(spark, sf_dir, "documents")
+    out = DuplicateSpanRemover(idCol="doc_id", textCol="text",
+                               spanTokens=_SPAN_K, minDocFreq=2,
+                               outputCol="clean_text").transform(docs)[0]
+    return out.select("doc_id", "n_tokens_removed",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
+def _dup_span_removal_sql() -> str:
+    from ..llmdata.dedup import SPAN_MULT
+    k = _SPAN_K
+    return f"""
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), t -> t <> '') AS ot
+           FROM documents),
+th AS (SELECT doc_id, ot,
+              list_transform(ot, s -> {TOKHASH.format(t='lower(s)')}) AS h
+       FROM d),
+ph AS (SELECT doc_id, unnest(range(1, len(h) - {k} + 2)) AS pos, h
+       FROM th WHERE len(h) >= {k}),
+sp AS (SELECT doc_id, pos,
+              list_reduce(h[pos:pos+{k}-1],
+                          (a, b) -> (a * {SPAN_MULT} + b) % {MINHASH_PRIME})
+              AS sh
+       FROM ph),
+idx AS (SELECT sh, min(doc_id) AS owner FROM sp GROUP BY sh
+        HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT doc_id, list(DISTINCT pos) AS starts
+        FROM sp JOIN idx USING (sh) WHERE doc_id <> owner
+        GROUP BY doc_id),
+kept AS (SELECT d.doc_id,
+                CASE WHEN c.starts IS NULL THEN ot
+                     ELSE list_filter(ot, (t, i) ->
+                       len(list_filter(c.starts,
+                                       s -> s <= i AND i < s + {k})) = 0)
+                END AS kt, ot
+         FROM d LEFT JOIN cov c USING (doc_id))
+SELECT doc_id, CAST(len(ot) - len(kt) AS BIGINT) AS n_tokens_removed,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark
+       md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5
+FROM kept
+"""
+
+
+DUP_SPAN_REMOVAL_SQL = _dup_span_removal_sql()
+
+
 QUERIES = {
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
+    "dup_span_removal": (dup_span_removal, DUP_SPAN_REMOVAL_SQL),
     "bm25_scoring": (bm25_scoring, BM25_SQL),
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "document_chunking": (document_chunking, DOCUMENT_CHUNKING_SQL),

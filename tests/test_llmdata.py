@@ -1132,3 +1132,37 @@ def test_char_entropy_scorer(spark):
         assert abs(loc["char_entropy"][i] - out[i]["char_entropy"]) < 1e-12
         assert abs(loc["distinct_char_ratio"][i]
                    - out[i]["distinct_char_ratio"]) < 1e-12
+
+
+def test_duplicate_span_remover(spark):
+    from flink_ml_spark.llmdata import DuplicateSpanRemover
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"  # one 8-token duplicated span
+    rows = [
+        (0, f"alpha one two {boiler} tail0"),
+        (1, f"beta {boiler} tail1 tail2"),
+        (2, "gamma unique text entirely"),
+        (3, boiler),                       # exactly the span, nothing else
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DuplicateSpanRemover(
+        idCol="doc_id", textCol="text", spanTokens=8, minDocFreq=2,
+        outputCol="clean").transform(df)[0].collect()}
+    # owner (min id containing the span) keeps it verbatim, original case
+    assert out[0]["clean"] == f"alpha one two {boiler} tail0"
+    assert out[0]["n_tokens_removed"] == 0
+    # non-owners lose exactly the covered tokens
+    assert out[1]["clean"] == "beta tail1 tail2"
+    assert out[1]["n_tokens_removed"] == 8
+    assert out[3]["clean"] == ""
+    assert out[3]["n_tokens_removed"] == 8
+    # untouched doc
+    assert out[2]["clean"] == "gamma unique text entirely"
+    # overlapping occurrences within one non-owner doc: all covered
+    df2 = spark.createDataFrame(
+        [(0, f"{boiler} x"), (5, f"pre {boiler} mid w1 w2 w3 w4 w5 w6 w7 w8 end")],
+        "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in DuplicateSpanRemover(
+        idCol="doc_id", textCol="text", spanTokens=8, minDocFreq=2,
+        outputCol="clean").transform(df2)[0].collect()}
+    assert out2[5]["clean"] == "pre mid end"
+    assert out2[5]["n_tokens_removed"] == 16
