@@ -65,7 +65,7 @@ HEADLINE = [
     "dup_keep_best",
     "ann_bruteforce",
     "embedding_dedup_lsh", "embedding_quantize", "pca_whiten", "bm25_scoring",
-    "ann_ivf_pq", "semantic_dedup",
+    "ann_ivf_pq", "semantic_dedup", "ann_recall",
     "dup_spans", "dup_span_removal", "decontamination", "contamination_score",
     "llm_prep_pipeline",
     "llm_prep_pipeline_v2", "llm_prep_pipeline_v3",

@@ -1628,6 +1628,78 @@ def _ann_ivf_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
 
 ANN_IVF_SQL = _ann_ivf_sql()
 
+
+def ann_recall(spark, sf_dir):
+    """ANN quality measurement as a first-class query: recall@k of the
+    IVF probe against brute-force cosine ground truth, per query.  The
+    two rankings it compares are themselves oracle-verified (ann_ivf,
+    ann_bruteforce), so hits/recall are engine-exact."""
+    from ..llmdata import BruteForceKNNJoin, IVFIndex
+    emb = load(spark, sf_dir, "embeddings")
+    idx = IVFIndex(vecCol="embedding", nlist=8, maxIter=3).fit(emb)
+    corpus = idx.transform(emb.select(F.col("vec_id").alias("corpus_id"),
+                                      "embedding"))[0]
+    queries = emb.filter(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    ivf = idx.search(queries, corpus, "query_id", "corpus_id", k=ANN_K) \
+        .select("query_id", "corpus_id")
+    bf = BruteForceKNNJoin(queryIdCol="query_id", corpusIdCol="corpus_id",
+                           vecCol="embedding", k=ANN_K) \
+        .transform(queries, emb.select(F.col("vec_id").alias("corpus_id"),
+                                       "embedding"))[0] \
+        .select("query_id", "corpus_id")
+    hits = (ivf.join(bf, ["query_id", "corpus_id"])
+            .groupBy("query_id").agg(F.count("*").alias("hits")))
+    return (queries.select("query_id").join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+                    q4(F.coalesce("hits", F.lit(0)) / float(ANN_K))
+                    .alias("recall")))
+
+
+def _ann_recall_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
+                    nprobe: int = 2, k: int = ANN_K) -> str:
+    """IVF top-k (as _ann_ivf_sql) ∩ brute-force top-k → per-query
+    recall@k."""
+    parts, d2 = _ivf_cells_parts(nlist, iters, dim)
+    nrm = ("sqrt(list_aggregate(list_transform(range(1, {d}), "
+           "i -> {x}.v[i] * {x}.v[i]), 'sum'))")
+    dot = (f"list_aggregate(list_transform(range(1, {dim + 1}), "
+           f"i -> q.v[i] * t.v[i]), 'sum')")
+    cos = (dot + " / (" + nrm.format(d=dim + 1, x="q") + " * "
+           + nrm.format(d=dim + 1, x="t") + ")")
+    parts.append(
+        f"probes AS MATERIALIZED (SELECT vec_id AS query_id, p.v, cid AS "
+        f"cell FROM (SELECT p.vec_id, p.v, c.cid, row_number() OVER ("
+        f"PARTITION BY p.vec_id ORDER BY {d2}, c.cid) AS rn "
+        f"FROM pts p CROSS JOIN c{iters} c WHERE p.vec_id % 100 = 0) p "
+        f"WHERE rn <= {nprobe})")
+    parts.append(
+        f"ivfk AS (SELECT query_id, corpus_id FROM (SELECT q.query_id, "
+        f"t.corpus_id, row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        f"{cos} DESC, t.corpus_id) AS rank FROM probes q JOIN cells t "
+        f"ON q.cell = t.cell) WHERE rank <= {k})")
+    parts.append(
+        f"bfk AS (SELECT query_id, corpus_id FROM (SELECT q.query_id, "
+        f"t.corpus_id, row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        f"{cos} DESC, t.corpus_id) AS rank FROM "
+        f"(SELECT vec_id AS query_id, v FROM pts WHERE vec_id % 100 = 0) q "
+        f"CROSS JOIN (SELECT corpus_id, v FROM cells) t) WHERE rank <= {k})")
+    parts.append(
+        "hits AS (SELECT i.query_id, count(*) AS h FROM ivfk i JOIN bfk b "
+        "ON i.query_id = b.query_id AND i.corpus_id = b.corpus_id "
+        "GROUP BY i.query_id)")
+    return (", ".join(parts)
+            + f" SELECT q.vec_id AS query_id, "
+              f"CAST(coalesce(h.h, 0) AS BIGINT) AS hits, "
+              f"CAST(ROUND(coalesce(h.h, 0) * 10000.0 / {k}) AS BIGINT) "
+              f"AS recall "
+              f"FROM (SELECT vec_id FROM pts WHERE vec_id % 100 = 0) q "
+              f"LEFT JOIN hits h ON h.query_id = q.vec_id")
+
+
+ANN_RECALL_SQL = _ann_recall_sql()
+
 ANN_PQ_RERANK = 20
 
 
@@ -2133,6 +2205,7 @@ QUERIES = {
     "decontamination": (decontamination, DECONTAMINATION_SQL),
     "contamination_score": (contamination_score, CONTAMINATION_SCORE_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
+    "ann_recall": (ann_recall, ANN_RECALL_SQL),
     "ann_ivf_pq": (ann_ivf_pq, ANN_IVF_PQ_SQL),
     "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
     "media_pipeline": (media_pipeline, MEDIA_PIPELINE_SQL),

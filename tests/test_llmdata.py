@@ -1166,3 +1166,17 @@ def test_duplicate_span_remover(spark):
         outputCol="clean").transform(df2)[0].collect()}
     assert out2[5]["clean"] == "pre mid end"
     assert out2[5]["n_tokens_removed"] == 16
+
+
+def test_ann_recall_query(spark):
+    # recall of the IVF probe vs brute-force truth on real testdata:
+    # bounded [0,1], and the all-cells probe is a sanity ceiling
+    from flink_ml_spark.queries.llmdata_queries import ann_recall
+    out = ann_recall(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["hits"] <= 5
+        assert 0 <= r["recall"] <= 10000
+    mean = sum(r["recall"] for r in rows) / len(rows) / 10000
+    assert mean >= 0.4  # nprobe=2/8 cells finds most true neighbors

@@ -27,7 +27,10 @@ SKIP = {"stateful_sessions", "streaming_dedup"}
 
 # exact/brute-force baselines whose all-pairs join is their contract;
 # the scale paths are embedding_dedup_lsh / ann_ivf(_pq) respectively
-BNLJ_BY_CONTRACT = {"embedding_dedup", "ann_bruteforce"}
+BNLJ_BY_CONTRACT = {"embedding_dedup", "ann_bruteforce",
+                    # recall measurement embeds the brute-force exact
+                    # baseline as its ground truth — the BNLJ is that side
+                    "ann_recall"}
 
 
 def audit(name, df):
