@@ -159,19 +159,27 @@ class LineDeduplicator(Transformer, HasInputCol, HasOutputCol):
     ``minLineChars`` exempts short lines (blank lines, separators) from
     deduplication so formatting survives; they bypass the digest shuffle
     entirely.
+
+    ``separator`` generalizes the dedup granularity: "\\n" (default) =
+    lines, "\\n\\n" = paragraphs — the same first-global-occurrence rule
+    at whatever unit the corpus is segmented into.
     """
 
     idCol = StringParam("idCol", "Unique id column.", "id")
     minLineChars = IntParam(
         "minLineChars", "Lines shorter than this are always kept.", 10)
+    separator = StringParam(
+        "separator", "Segment separator (regex for the split, literal "
+        "for the rejoin): \\n = lines, \\n\\n = paragraphs.", "\n")
 
     def _transform(self, df: DataFrame) -> DataFrame:
         content, idc = self.get_("inputCol"), self.get_("idCol")
         min_chars = int(self.get_("minLineChars"))
+        sep = self.get_("separator")
         out_col = self.get_("outputCol")
         lines = df.select(
             idc,
-            F.posexplode(F.split(F.col(content), "\n")).alias("__pos", "__ln"))
+            F.posexplode(F.split(F.col(content), sep)).alias("__pos", "__ln"))
         short = lines.where(F.length("__ln") < min_chars)
         longl = (lines.where(F.length("__ln") >= min_chars)
                  .withColumn("__d", F.sha2(F.col("__ln"), 256)))
@@ -186,7 +194,7 @@ class LineDeduplicator(Transformer, HasInputCol, HasOutputCol):
                      .unionByName(short))
         agg = (survivors.groupBy(idc)
                .agg(F.concat_ws(
-                   "\n", F.transform(
+                   sep, F.transform(
                        F.array_sort(F.collect_list(
                            F.struct(F.col("__pos"), F.col("__ln")))),
                        lambda s: s["__ln"])).alias(out_col)))

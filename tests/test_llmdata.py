@@ -1180,3 +1180,31 @@ def test_ann_recall_query(spark):
         assert 0 <= r["recall"] <= 10000
     mean = sum(r["recall"] for r in rows) / len(rows) / 10000
     assert mean >= 0.4  # nprobe=2/8 cells finds most true neighbors
+
+
+def test_line_dedup_paragraph_separator(spark):
+    from flink_ml_spark.llmdata import LineDeduplicator
+    para = "this paragraph is boilerplate repeated across documents"
+    rows = [
+        (0, f"unique opening paragraph zero\n\n{para}"),
+        (1, f"{para}\n\nunique closing paragraph one"),
+        (2, "only original content\n\nnothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean"] for r in LineDeduplicator(
+        inputCol="text", idCol="doc_id", outputCol="clean",
+        minLineChars=10, separator="\n\n")._transform(df).collect()}
+    # first global occurrence (doc 0) keeps the paragraph; doc 1 loses it
+    assert out[0] == f"unique opening paragraph zero\n\n{para}"
+    assert out[1] == "unique closing paragraph one"
+    assert out[2] == "only original content\n\nnothing shared here at all"
+    # inner single newlines are NOT paragraph boundaries
+    df2 = spark.createDataFrame(
+        [(0, "a single\nparagraph with inner newline"),
+         (1, "a single\nparagraph with inner newline")],
+        "doc_id long, text string")
+    out2 = {r["doc_id"]: r["clean"] for r in LineDeduplicator(
+        inputCol="text", idCol="doc_id", outputCol="clean",
+        minLineChars=10, separator="\n\n")._transform(df2).collect()}
+    assert out2[0] == "a single\nparagraph with inner newline"
+    assert out2[1] == ""
