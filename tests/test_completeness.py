@@ -86,6 +86,8 @@ REFERENCE_STAGES = {
     "DocumentChunker": "llmdata", "Bm25Scorer": "llmdata",
     "RepetitionScorer": "llmdata", "PIIRedactor": "llmdata",
     "TextNormalizer": "llmdata",
+    "StratifiedBudgetSampler": "llmdata", "CharEntropyScorer": "llmdata",
+    "DuplicateSpanRemover": "llmdata",
 }
 
 
