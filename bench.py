@@ -71,6 +71,7 @@ HEADLINE = [
     "llm_prep_pipeline_v2", "llm_prep_pipeline_v3",
     "llm_prep_pipeline_v4",
     "llm_prep_pipeline_v5",
+    "llm_prep_pipeline_v6",
 ]
 
 # the round-1 headline set, for like-for-like round-over-round subtotals

@@ -830,10 +830,15 @@ class DuplicateSpanRemover(AlgoOperator):
                 .otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
 
         text = F.col(self.get_("textCol"))
+        # materialize the fixed-width postings ONCE: they feed two jobs
+        # (the df/owner index and the covered-position join), and the
+        # rolling-hash fold is interpreted HOF work worth not repeating —
+        # same signature-checkpoint pattern as the MinHash deduplicators
         pairs = (df.select(F.col(idc).alias("id"),
                            F.explode(pos_spans(text)).alias("s"))
                  .select("id", F.col("s.pos").alias("pos"),
-                         F.col("s.h").alias("h")))
+                         F.col("s.h").alias("h"))
+                 .localCheckpoint(eager=True))
         index = (pairs.groupBy("h")
                  .agg(F.count_distinct("id").alias("span_df"),
                       F.min("id").alias("owner"))

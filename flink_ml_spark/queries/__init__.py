@@ -88,7 +88,7 @@ def all_queries():
         # new in round 4 (no prior driver evidence)
         "incremental_dedup_bucketed", "minhash_join_skewsafe",
         "quality_classifier", "llm_prep_pipeline_v5", "stratified_budget",
-        "char_entropy", "dup_span_removal", "ann_recall",
+        "char_entropy", "dup_span_removal", "ann_recall", "llm_prep_pipeline_v6",
         # latest driver evidence is round 1 (28 queries; unchanged code —
         # the r02/r03 caps rotated them out) — refresh before they age out
         "regex_tokenizer", "stop_words_remover", "hashing_tf",

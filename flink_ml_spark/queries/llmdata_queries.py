@@ -20,6 +20,8 @@ from . import SQL_Q4, load, q4
 
 # shared SQL fragments -------------------------------------------------------
 
+_SPAN_K = 16  # window length: catches copied passages in the short testdocs
+
 TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 TOKHASH = ("list_reduce(list_transform(range(1, length({t}) + 1), "
            "i -> CAST(ascii(substr({t}, CAST(i AS INT), 1)) AS BIGINT)), "
@@ -1319,6 +1321,107 @@ WHERE CAST(((u.doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
 LLM_PREP_V5_SQL = _llm_prep_v5_sql()
 
 
+def llm_prep_pipeline_v6(spark, sf_dir):
+    """Round-4 composed recipe — the SURGICAL corpus-prep variant: cheap
+    char-entropy gate (drops gibberish/boilerplate-char docs, zero
+    shuffle) → duplicate-span REMOVAL (cut cross-doc boilerplate
+    passages, min-id owner keeps one copy — content-level dedup instead
+    of document-level drops) → min-length floor on the cleaned text →
+    exact per-domain document budgets (deterministic hash-order top-k).
+    At 100 TB: the gate and floor are narrow scans, span removal shuffles
+    fixed-width (id, pos, hash) triples only, and the budget rank is the
+    two-stage salted top-k — no stage carries text except the one id-keyed
+    join that rewrites it."""
+    from ..llmdata import (CharEntropyScorer, DuplicateSpanRemover,
+                           StratifiedBudgetSampler, TokenCounter)
+    docs = load(spark, sf_dir, "documents")
+    ent = CharEntropyScorer(inputCol="text")._transform(docs)
+    # engine-exact threshold on the 4-decimal-quantized entropy; the
+    # gated corpus materializes ONCE (the staged-pipeline shape — each
+    # stage's output is what a production run would persist) so the
+    # remover's three DAG branches don't re-run the entropy scan
+    gated = ent.filter(q4(F.col("char_entropy")) >= 40000) \
+        .select("doc_id", "source", "text").localCheckpoint(eager=True)
+    # materialize the cleaned text as a plain string column: the keep/
+    # exists rewrite is a large expression tree, and substituting it into
+    # TokenCounter's tokenizers would re-evaluate (and re-codegen) it per
+    # downstream use
+    cleaned = DuplicateSpanRemover(
+        idCol="doc_id", textCol="text", spanTokens=_SPAN_K, minDocFreq=2,
+        outputCol="clean").transform(gated)[0] \
+        .select("doc_id", "source", "clean").localCheckpoint(eager=True)
+    counted = TokenCounter(inputCol="clean")._transform(cleaned)
+    kept = counted.filter(F.col("n_tokens_ws") >= 20) \
+        .select("doc_id", "source", "clean", "n_tokens_ws")
+    # rank budgets on the narrow (id, domain) pair; text rejoins by id
+    ids = StratifiedBudgetSampler(
+        idCol="doc_id", domainCol="source", budgets={"src0": 5, "src1": 8},
+        defaultBudget=10, saltBuckets=8) \
+        .transform(kept.select("doc_id", "source"))[0]
+    final = kept.join(ids.select("doc_id"), "doc_id", "left_semi")
+    return final.select("doc_id", "source",
+                        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+                        F.md5("clean").alias("clean_md5"))
+
+
+def _llm_prep_v6_sql() -> str:
+    from ..llmdata.dedup import SPAN_MULT
+    k = _SPAN_K
+    ent = ("-list_aggregate(list_transform(cnts, "
+           "q -> (q * 1.0 / n) * log2(q * 1.0 / n)), 'sum')")
+    return f"""
+WITH ch AS (SELECT doc_id,
+                   list_filter(string_split(text, ''), x -> x <> '') AS cl
+            FROM documents),
+e AS (SELECT doc_id, len(cl) AS n,
+             list_transform(list_distinct(cl),
+                            d -> len(list_filter(cl, x -> x = d))) AS cnts
+      FROM ch),
+g AS MATERIALIZED (
+  SELECT d.doc_id, d.source, d.text FROM documents d JOIN e USING (doc_id)
+  WHERE e.n > 0 AND {SQL_Q4.format(ent)} >= 40000),
+d2 AS (SELECT doc_id, source,
+              list_filter(string_split(text, ' '), t -> t <> '') AS ot
+       FROM g),
+th AS (SELECT doc_id, source, ot,
+              list_transform(ot, s -> {TOKHASH.format(t='lower(s)')}) AS h
+       FROM d2),
+ph AS (SELECT doc_id, unnest(range(1, len(h) - {k} + 2)) AS pos, h
+       FROM th WHERE len(h) >= {k}),
+sp AS (SELECT doc_id, pos,
+              list_reduce(h[pos:pos+{k}-1],
+                          (a, b) -> (a * {SPAN_MULT} + b) % {MINHASH_PRIME})
+              AS sh
+       FROM ph),
+idx AS (SELECT sh, min(doc_id) AS owner FROM sp GROUP BY sh
+        HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT doc_id, list(DISTINCT pos) AS starts
+        FROM sp JOIN idx USING (sh) WHERE doc_id <> owner
+        GROUP BY doc_id),
+kt AS (SELECT t.doc_id, t.source,
+              CASE WHEN c.starts IS NULL THEN ot
+                   ELSE list_filter(ot, (t, i) ->
+                     len(list_filter(c.starts,
+                                     s -> s <= i AND i < s + {k})) = 0)
+              END AS kt
+       FROM th t LEFT JOIN cov c USING (doc_id)),
+fin AS (SELECT doc_id, source, len(kt) AS n_tokens_ws,
+               md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5
+        FROM kt WHERE len(kt) >= 20),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY source
+             ORDER BY ((doc_id % 2147483648) * 2654435761 + 7) % 2147483648,
+                      doc_id) AS rnk
+           FROM fin)
+SELECT doc_id, source, CAST(n_tokens_ws AS BIGINT) AS n_tokens_ws, clean_md5
+FROM ranked
+WHERE rnk <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 8 ELSE 10 END
+"""
+
+
+LLM_PREP_V6_SQL = _llm_prep_v6_sql()
+
+
 def llm_prep_pipeline_v4(spark, sf_dir):
     """This round's corpus-prep flagship: the incremental-corpus shape.
     Cheapest-first gates (Gopher rules, zero-shuffle) → interpolated
@@ -2095,7 +2198,6 @@ FROM tok, stats, dfs
 BM25_SQL = _bm25_sql()
 
 
-_SPAN_K = 16  # window length: catches copied passages in the short testdocs
 
 
 def dup_spans(spark, sf_dir):
@@ -2215,6 +2317,7 @@ QUERIES = {
     "minhash_join_skewsafe": (minhash_join_skewsafe, MINHASH_DEDUP_SQL),
     "quality_classifier": (quality_classifier, QUALITY_CLASSIFIER_SQL),
     "llm_prep_pipeline_v5": (llm_prep_pipeline_v5, LLM_PREP_V5_SQL),
+    "llm_prep_pipeline_v6": (llm_prep_pipeline_v6, LLM_PREP_V6_SQL),
     "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "incremental_dedup_bucketed": (incremental_dedup_bucketed,
                                    INCREMENTAL_DEDUP_SQL),
