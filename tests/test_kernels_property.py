@@ -127,3 +127,49 @@ def test_corpus_shuffler_key_is_injective_per_epoch(ids, epoch):
         prev = keys.get(k)
         assert prev is None or (prev % HASH_MOD) == (i % HASH_MOD)
         keys[k] = i
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+               min_size=0, max_size=200))
+@settings(max_examples=200)
+def test_char_entropy_local_bounds_and_invariance(text):
+    import math
+
+    import pandas as pd
+    from flink_ml_spark.llmdata import CharEntropyScorer
+    s = CharEntropyScorer(inputCol="t")
+    out = s.transform_local(pd.DataFrame({"t": [text]}))
+    ent = out["char_entropy"][0]
+    ratio = out["distinct_char_ratio"][0]
+    distinct = len(set(text))
+    # entropy bounded by log2(alphabet actually used); ratio in [0, 1]
+    assert -1e-9 <= ent <= (math.log2(distinct) + 1e-9 if distinct > 1 else 1e-9)
+    assert 0.0 <= ratio <= 1.0
+    # permutation invariance: reversing the text changes nothing
+    rev = s.transform_local(pd.DataFrame({"t": [text[::-1]]}))
+    assert abs(rev["char_entropy"][0] - ent) < 1e-9
+    # doubling the text preserves the distribution, hence the entropy
+    dbl = s.transform_local(pd.DataFrame({"t": [text + text]}))
+    assert abs(dbl["char_entropy"][0] - ent) < 1e-9
+
+
+@given(st.lists(st.tuples(st.integers(-2**40, 2**40), st.sampled_from("abcd")),
+                min_size=0, max_size=80, unique_by=lambda t: t[0]),
+       st.integers(0, 6), st.integers(0, 6))
+@settings(max_examples=100, deadline=None)
+def test_stratified_budget_local_exact_counts(rows, b_a, b_def):
+    import pandas as pd
+    from flink_ml_spark.llmdata import StratifiedBudgetSampler
+    pdf = pd.DataFrame(rows, columns=["id", "dom"])
+    s = StratifiedBudgetSampler(idCol="id", domainCol="dom",
+                                budgets={"a": b_a}, defaultBudget=b_def)
+    out = s.transform_local(pdf)
+    # exact per-domain counts: min(budget_d, n_d)
+    for dom, grp in pdf.groupby("dom"):
+        budget = b_a if dom == "a" else b_def
+        assert (out["dom"] == dom).sum() == min(budget, len(grp))
+    # output is a subset of the input rows (ids preserved)
+    assert set(out["id"]).issubset(set(pdf["id"]) if len(pdf) else set())
+    # deterministic
+    out2 = s.transform_local(pdf)
+    assert list(out["id"]) == list(out2["id"])

@@ -1208,3 +1208,18 @@ def test_line_dedup_paragraph_separator(spark):
         minLineChars=10, separator="\n\n")._transform(df2).collect()}
     assert out2[0] == "a single\nparagraph with inner newline"
     assert out2[1] == ""
+
+
+def test_duplicate_span_remover_idempotent(spark):
+    # after one pass only the owner retains each duplicated span, so a
+    # second pass finds doc-freq 1 everywhere and is a no-op
+    from flink_ml_spark.llmdata import DuplicateSpanRemover
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [(i, f"doc{i} head {boiler} doc{i} tail") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = DuplicateSpanRemover(idCol="doc_id", textCol="text", spanTokens=8,
+                             minDocFreq=2, outputCol="clean")
+    once = r.transform(df)[0].select(
+        "doc_id", F.col("clean").alias("text"))
+    twice = r.transform(once)[0]
+    assert twice.filter("n_tokens_removed > 0").count() == 0
