@@ -510,3 +510,36 @@ def test_round3b_stages_save_load_local(spark, tmp_path):
     want_t = [list(r["toks"]) for r in bpe.transform(sdf)[0].collect()]
     got_t = [list(t) for t in bpe2.transform_local(pdf)["toks"]]
     assert got_t == want_t
+
+
+def test_round4_stages_save_load_local(spark, tmp_path):
+    """Round-4 stages serve engine-free: CharEntropyScorer and
+    StratifiedBudgetSampler round-trip through Stage.load_local with
+    outputs matching the distributed transform."""
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.llmdata import CharEntropyScorer, StratifiedBudgetSampler
+    rows = [(i, "src%d" % (i % 3), "some text with entropy %d aa bb" % i)
+            for i in range(30)]
+    sdf = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+
+    ce = CharEntropyScorer(inputCol="text")
+    p1 = str(tmp_path / "ce")
+    ce.save(p1)
+    ce2 = Stage.load_local(p1)
+    want = {r["doc_id"]: r["char_entropy"]
+            for r in ce._transform(sdf).collect()}
+    got = dict(zip(ce2.transform_local(pdf)["doc_id"],
+                   ce2.transform_local(pdf)["char_entropy"]))
+    assert all(abs(got[i] - want[i]) < 1e-9 for i in want)
+
+    sb = StratifiedBudgetSampler(idCol="doc_id", domainCol="source",
+                                 budgets={"src0": 3}, defaultBudget=5)
+    p2 = str(tmp_path / "sb")
+    sb.save(p2)
+    sb2 = Stage.load_local(p2)
+    want_ids = {r["doc_id"] for r in sb.transform(sdf)[0].collect()}
+    got_ids = set(sb2.transform_local(pdf)["doc_id"])
+    assert got_ids == want_ids
+    # params (incl. the dict budget) survived the round-trip
+    assert sb2.get_("budgets") == {"src0": 3}
