@@ -203,7 +203,10 @@ def main() -> None:
     # entries recorded — no silent truncation).
     totals = {"metric": "headline_queries_total_time", "value": total,
               "unit": "sec", "sf": sf_val, "r01_subset_total": r01_subset}
-    detail = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    # failure sentinels (-1.0) sort FIRST so truncation can never silently
+    # drop a failed query; real timings follow slowest-first
+    detail = dict(sorted(timings.items(),
+                         key=lambda kv: (kv[1] >= 0, -kv[1])))
     while True:
         line = json.dumps(
             {**totals,

@@ -169,17 +169,22 @@ class LineDeduplicator(Transformer, HasInputCol, HasOutputCol):
     minLineChars = IntParam(
         "minLineChars", "Lines shorter than this are always kept.", 10)
     separator = StringParam(
-        "separator", "Segment separator (regex for the split, literal "
-        "for the rejoin): \\n = lines, \\n\\n = paragraphs.", "\n")
+        "separator", "LITERAL segment separator: \\n = lines, \\n\\n = "
+        "paragraphs.  Quoted for the split so regex metacharacters are "
+        "safe and the split/rejoin round-trips.", "\n")
 
     def _transform(self, df: DataFrame) -> DataFrame:
         content, idc = self.get_("inputCol"), self.get_("idCol")
         min_chars = int(self.get_("minLineChars"))
         sep = self.get_("separator")
         out_col = self.get_("outputCol")
+        # \Q...\E quotes the separator for the Java regex engine, so a
+        # metachar-bearing separator (e.g. '|') splits literally instead
+        # of corrupting every document
         lines = df.select(
             idc,
-            F.posexplode(F.split(F.col(content), sep)).alias("__pos", "__ln"))
+            F.posexplode(F.split(F.col(content), "\\Q" + sep + "\\E"))
+            .alias("__pos", "__ln"))
         short = lines.where(F.length("__ln") < min_chars)
         longl = (lines.where(F.length("__ln") >= min_chars)
                  .withColumn("__d", F.sha2(F.col("__ln"), 256)))
@@ -688,21 +693,33 @@ class NGramJaccardDeduplicator(AlgoOperator):
 SPAN_MULT = 100003
 
 
-def span_hashes(text: Column, k: int) -> Column:
-    """Distinct rolling hashes of every ``k``-token window (stride 1) of
-    lowercased ``text``; empty when the doc is shorter than ``k`` tokens.
-    Pure codegen: per-token char hashes fold once, window hashes roll in
-    O(tokens x k) long ops — no Python, no shuffle."""
-    toks = F.array_remove(F.split(F.lower(text), r"\s"), "")
-    th = F.transform(toks, poly_token_hash)
+def pos_span_structs(text: Column, k: int) -> Column:
+    """(pos, h) structs for every ``k``-token window (stride 1): 1-based
+    token position plus the rolling hash of the window, folded over the
+    LOWERCASED tokens (original-case tokens define the positions, so
+    removers can cut case-preserving text).  Empty when the doc is
+    shorter than ``k`` tokens.  The single shared fold — detector and
+    remover hashes are bit-identical by construction."""
+    toks = F.array_remove(F.split(text, r"\s"), "")
+    th = F.transform(toks, lambda t: poly_token_hash(F.lower(t)))
     m = F.size(th) - k + 1
     roll = F.transform(
         F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-        lambda i: F.aggregate(
-            F.slice(th, i, F.lit(k)), F.lit(0).cast("long"),
-            lambda a, h: (a * SPAN_MULT + h) % MINHASH_PRIME))
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.aggregate(
+                F.slice(th, i, F.lit(k)), F.lit(0).cast("long"),
+                lambda a, h: (a * SPAN_MULT + h) % MINHASH_PRIME)
+            .alias("h")))
+    return F.when(m >= 1, roll) \
+        .otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+
+
+def span_hashes(text: Column, k: int) -> Column:
+    """Distinct window hashes (no positions) — the detector's view of
+    ``pos_span_structs``."""
     return F.array_distinct(
-        F.when(m >= 1, roll).otherwise(F.array().cast("array<long>")))
+        F.transform(pos_span_structs(text, k), lambda s: s["h"]))
 
 
 class DuplicateSpanDetector(AlgoOperator):
@@ -812,30 +829,13 @@ class DuplicateSpanRemover(AlgoOperator):
         idc = self.get_("idCol")
         k = int(self.get_("spanTokens"))
 
-        def pos_spans(text: Column) -> Column:
-            # original-case tokens define positions; hashes fold over the
-            # lowercased token so detection matches span_hashes()
-            toks = F.array_remove(F.split(text, r"\s"), "")
-            th = F.transform(toks, lambda t: poly_token_hash(F.lower(t)))
-            m = F.size(th) - k + 1
-            roll = F.transform(
-                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-                lambda i: F.struct(
-                    i.cast("int").alias("pos"),
-                    F.aggregate(
-                        F.slice(th, i, F.lit(k)), F.lit(0).cast("long"),
-                        lambda a, h: (a * SPAN_MULT + h) % MINHASH_PRIME)
-                    .alias("h")))
-            return F.when(m >= 1, roll) \
-                .otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
-
         text = F.col(self.get_("textCol"))
         # materialize the fixed-width postings ONCE: they feed two jobs
         # (the df/owner index and the covered-position join), and the
         # rolling-hash fold is interpreted HOF work worth not repeating —
         # same signature-checkpoint pattern as the MinHash deduplicators
         pairs = (df.select(F.col(idc).alias("id"),
-                           F.explode(pos_spans(text)).alias("s"))
+                           F.explode(pos_span_structs(text, k)).alias("s"))
                  .select("id", F.col("s.pos").alias("pos"),
                          F.col("s.h").alias("h"))
                  .localCheckpoint(eager=True))

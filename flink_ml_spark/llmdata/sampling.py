@@ -362,8 +362,11 @@ class StratifiedBudgetSampler(Transformer):
         pdf = pdf.copy()
         pdf["__u__"] = [_unit_hash_local(v, salt) for v in pdf[idc]]
         pdf = pdf.sort_values(["__u__", idc], kind="mergesort")
-        pdf["__rank__"] = pdf.groupby(dcol).cumcount() + 1
-        lim = pdf[dcol].map(lambda d: budgets.get(d, default))
+        # dropna=False: Spark's Window.partitionBy treats a null domain as
+        # its own partition (kept up to defaultBudget) — match it
+        pdf["__rank__"] = pdf.groupby(dcol, dropna=False).cumcount() + 1
+        lim = pdf[dcol].map(lambda d: budgets.get(d, default),
+                            na_action=None).fillna(default)
         return (pdf[pdf["__rank__"] <= lim]
                 .drop(columns=["__u__", "__rank__"])
                 .sort_index().reset_index(drop=True))

@@ -22,6 +22,41 @@ from . import SQL_Q4, load, q4
 
 _SPAN_K = 16  # window length: catches copied passages in the short testdocs
 
+
+def _span_removal_ctes(k: int, rel: str, extra: str = "") -> str:
+    """The shared DuckDB replay of DuplicateSpanRemover over relation
+    ``rel`` (must expose doc_id, text[, extra]): CTE chain ending in
+    ``kept(doc_id{extra}, ot, kt)`` where ``kt`` is the surviving token
+    list.  Used by dup_span_removal and llm_prep_pipeline_v6 so a fix to
+    the replay lands in both oracles."""
+    from ..llmdata.dedup import SPAN_MULT
+    return f"""d AS (SELECT doc_id{extra},
+                  list_filter(string_split(text, ' '), t -> t <> '') AS ot
+           FROM {rel}),
+th AS (SELECT doc_id{extra}, ot,
+              list_transform(ot, s -> {TOKHASH.format(t='lower(s)')}) AS h
+       FROM d),
+ph AS (SELECT doc_id, unnest(range(1, len(h) - {k} + 2)) AS pos, h
+       FROM th WHERE len(h) >= {k}),
+sp AS (SELECT doc_id, pos,
+              list_reduce(h[pos:pos+{k}-1],
+                          (a, b) -> (a * {SPAN_MULT} + b) % {MINHASH_PRIME})
+              AS sh
+       FROM ph),
+idx AS (SELECT sh, min(doc_id) AS owner FROM sp GROUP BY sh
+        HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT doc_id, list(DISTINCT pos) AS starts
+        FROM sp JOIN idx USING (sh) WHERE doc_id <> owner
+        GROUP BY doc_id),
+kept AS (SELECT doc_id{extra}, ot,
+                CASE WHEN c.starts IS NULL THEN ot
+                     ELSE list_filter(ot, (t, i) ->
+                       len(list_filter(c.starts,
+                                       s -> s <= i AND i < s + {k})) = 0)
+                END AS kt
+         FROM th LEFT JOIN cov c USING (doc_id))"""
+
+
 TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 TOKHASH = ("list_reduce(list_transform(range(1, length({t}) + 1), "
            "i -> CAST(ascii(substr({t}, CAST(i AS INT), 1)) AS BIGINT)), "
@@ -1365,8 +1400,6 @@ def llm_prep_pipeline_v6(spark, sf_dir):
 
 
 def _llm_prep_v6_sql() -> str:
-    from ..llmdata.dedup import SPAN_MULT
-    k = _SPAN_K
     ent = ("-list_aggregate(list_transform(cnts, "
            "q -> (q * 1.0 / n) * log2(q * 1.0 / n)), 'sum')")
     return f"""
@@ -1380,34 +1413,10 @@ e AS (SELECT doc_id, len(cl) AS n,
 g AS MATERIALIZED (
   SELECT d.doc_id, d.source, d.text FROM documents d JOIN e USING (doc_id)
   WHERE e.n > 0 AND {SQL_Q4.format(ent)} >= 40000),
-d2 AS (SELECT doc_id, source,
-              list_filter(string_split(text, ' '), t -> t <> '') AS ot
-       FROM g),
-th AS (SELECT doc_id, source, ot,
-              list_transform(ot, s -> {TOKHASH.format(t='lower(s)')}) AS h
-       FROM d2),
-ph AS (SELECT doc_id, unnest(range(1, len(h) - {k} + 2)) AS pos, h
-       FROM th WHERE len(h) >= {k}),
-sp AS (SELECT doc_id, pos,
-              list_reduce(h[pos:pos+{k}-1],
-                          (a, b) -> (a * {SPAN_MULT} + b) % {MINHASH_PRIME})
-              AS sh
-       FROM ph),
-idx AS (SELECT sh, min(doc_id) AS owner FROM sp GROUP BY sh
-        HAVING count(DISTINCT doc_id) >= 2),
-cov AS (SELECT doc_id, list(DISTINCT pos) AS starts
-        FROM sp JOIN idx USING (sh) WHERE doc_id <> owner
-        GROUP BY doc_id),
-kt AS (SELECT t.doc_id, t.source,
-              CASE WHEN c.starts IS NULL THEN ot
-                   ELSE list_filter(ot, (t, i) ->
-                     len(list_filter(c.starts,
-                                     s -> s <= i AND i < s + {k})) = 0)
-              END AS kt
-       FROM th t LEFT JOIN cov c USING (doc_id)),
+{_span_removal_ctes(_SPAN_K, 'g', ', source')},
 fin AS (SELECT doc_id, source, len(kt) AS n_tokens_ws,
                md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5
-        FROM kt WHERE len(kt) >= 20),
+        FROM kept WHERE len(kt) >= 20),
 ranked AS (SELECT *, row_number() OVER (
              PARTITION BY source
              ORDER BY ((doc_id % 2147483648) * 2654435761 + 7) % 2147483648,
@@ -2257,34 +2266,8 @@ def dup_span_removal(spark, sf_dir):
 
 
 def _dup_span_removal_sql() -> str:
-    from ..llmdata.dedup import SPAN_MULT
-    k = _SPAN_K
     return f"""
-WITH d AS (SELECT doc_id,
-                  list_filter(string_split(text, ' '), t -> t <> '') AS ot
-           FROM documents),
-th AS (SELECT doc_id, ot,
-              list_transform(ot, s -> {TOKHASH.format(t='lower(s)')}) AS h
-       FROM d),
-ph AS (SELECT doc_id, unnest(range(1, len(h) - {k} + 2)) AS pos, h
-       FROM th WHERE len(h) >= {k}),
-sp AS (SELECT doc_id, pos,
-              list_reduce(h[pos:pos+{k}-1],
-                          (a, b) -> (a * {SPAN_MULT} + b) % {MINHASH_PRIME})
-              AS sh
-       FROM ph),
-idx AS (SELECT sh, min(doc_id) AS owner FROM sp GROUP BY sh
-        HAVING count(DISTINCT doc_id) >= 2),
-cov AS (SELECT doc_id, list(DISTINCT pos) AS starts
-        FROM sp JOIN idx USING (sh) WHERE doc_id <> owner
-        GROUP BY doc_id),
-kept AS (SELECT d.doc_id,
-                CASE WHEN c.starts IS NULL THEN ot
-                     ELSE list_filter(ot, (t, i) ->
-                       len(list_filter(c.starts,
-                                       s -> s <= i AND i < s + {k})) = 0)
-                END AS kt, ot
-         FROM d LEFT JOIN cov c USING (doc_id))
+WITH {_span_removal_ctes(_SPAN_K, 'documents')}
 SELECT doc_id, CAST(len(ot) - len(kt) AS BIGINT) AS n_tokens_removed,
        -- array_to_string([]) is NULL in DuckDB but '' in Spark
        md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5

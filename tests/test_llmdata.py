@@ -1223,3 +1223,32 @@ def test_duplicate_span_remover_idempotent(spark):
         "doc_id", F.col("clean").alias("text"))
     twice = r.transform(once)[0]
     assert twice.filter("n_tokens_removed > 0").count() == 0
+
+
+def test_line_dedup_metachar_separator(spark):
+    # a regex-metachar separator splits literally (quoted), not as regex
+    from flink_ml_spark.llmdata import LineDeduplicator
+    rows = [(0, "first shared section body|unique zero part here"),
+            (1, "first shared section body|unique one part here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean"] for r in LineDeduplicator(
+        inputCol="text", idCol="doc_id", outputCol="clean",
+        minLineChars=5, separator="|")._transform(df).collect()}
+    assert out[0] == "first shared section body|unique zero part here"
+    assert out[1] == "unique one part here"
+
+
+def test_stratified_budget_local_null_domain_parity(spark):
+    # null domains form their own stratum at defaultBudget on BOTH paths
+    import pandas as pd
+    from flink_ml_spark.llmdata import StratifiedBudgetSampler
+    rows = [(i, None if i % 2 == 0 else "a") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    s = StratifiedBudgetSampler(idCol="doc_id", domainCol="source",
+                                budgets={"a": 4}, defaultBudget=3)
+    dist = {r["doc_id"] for r in s.transform(df)[0].collect()}
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source"])
+    loc = set(s.transform_local(pdf)["doc_id"])
+    assert dist == loc
+    assert sum(1 for i in dist if i % 2 == 0) == 3   # null stratum
+    assert sum(1 for i in dist if i % 2 == 1) == 4   # domain 'a'
