@@ -23,6 +23,11 @@ from ..param import (BoolParam, HasCategoricalCols, HasInputCol, HasInputCols,
 
 POLY_MOD = 2147483647  # 2^31-1, keeps the fold in int64 range
 
+# poly-map pre-aggregation cap: categorical columns with more distinct
+# values than this never reach the driver (they fall back to the lazy
+# expression hash, identical outputs); module-level so tests can shrink it
+MAX_MAP_DISTINCTS = 4096
+
 
 def _poly_hash(col: Column) -> Column:
     """h = fold(h*31 + ascii(char)) mod (2^31-1), left-to-right.
@@ -169,22 +174,36 @@ class FeatureHasher(Transformer, HasInputCols, HasOutputCol, HasCategoricalCols,
         cat_cols = [c for c in cols if is_cat[c]]
         if algo == "poly" and cat_cols:
             # distinct-value map literals are driver state → cap them.
-            # ONE agg job for all categorical columns: collect_set partial-
-            # aggregates map-side (only distincts shuffle), slice() bounds
-            # what crosses to the driver to CAP+1 values, and any column
-            # whose slice came back full (> CAP distincts) is discarded
-            # here — it falls back to the lazy expression hash, same
-            # values.  (Was an approx_count_distinct probe + collect_set
-            # pair = two scans; fused per the r3 perf audit.)
-            MAX_MAP_DISTINCTS = 4096
-            row = df.agg(*[F.slice(F.collect_set(F.col(c).cast("string")),
-                                   1, MAX_MAP_DISTINCTS + 1).alias(c)
-                           for c in cat_cols]).first()
-            for c in cat_cols:
-                if len(row[c]) <= MAX_MAP_DISTINCTS:
+            # ONE corpus scan for all categorical columns (the r3 perf
+            # audit's ask), but through a spillable distinct instead of a
+            # global collect_set: a collect_set buffer accumulates the
+            # full distinct set in ONE final-agg task before any slice()
+            # can bound it, so a high-cardinality column (unique-per-row
+            # id declared categorical) would OOM the executor.  Here the
+            # (col, value) distinct is a hash aggregation (partial
+            # map-side dedup, spills under pressure), checkpointed once;
+            # the per-column count and the ≤CAP collect are then tiny
+            # jobs over that relation — over-cap columns never reach the
+            # driver and fall back to the lazy expression hash, same
+            # values.
+            pairs = df.select(F.explode(F.array(*[
+                F.struct(F.lit(c).alias("c"),
+                         F.col(c).cast("string").alias("v"))
+                for c in cat_cols])).alias("p")).select("p.c", "p.v")
+            dist = (pairs.filter(F.col("v").isNotNull()).distinct()
+                    .localCheckpoint(eager=True))
+            ok_cols = [r["c"] for r in dist.groupBy("c").count()
+                       .filter(F.col("count") <= MAX_MAP_DISTINCTS)
+                       .collect()]
+            if ok_cols:
+                vals: dict[str, list[str]] = {c: [] for c in ok_cols}
+                for r in dist.filter(F.col("c").isin(ok_cols)).collect():
+                    vals[r["c"]].append(r["v"])
+                for c in ok_cols:
                     poly_maps[c] = F.create_map(
-                        *[x for v in row[c]
-                          for x in (F.lit(v), F.lit(poly_hash31(f"{c}={v}") % n))])
+                        *[x for v in vals[c]
+                          for x in (F.lit(v),
+                                    F.lit(poly_hash31(f"{c}={v}") % n))])
 
         def bucket_value(c: str) -> tuple[Column, Column]:
             if is_cat[c]:

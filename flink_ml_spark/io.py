@@ -40,15 +40,24 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
         # LOCATION_ALREADY_EXISTS.  Clear the ORPHANED location (catalog
         # has no such table ⇒ nothing registered points at it).  Local-FS
         # only — with a persistent metastore the catalog entry exists and
-        # overwrite handles it.
+        # overwrite handles it.  Single-writer assumption: two live
+        # sessions sharing one warehouse dir each have their OWN
+        # in-memory catalog, so "orphaned" cannot be distinguished from
+        # "another session's live table"; don't share a warehouse dir
+        # across concurrent in-memory-catalog sessions.
         spark = df.sparkSession
         if not spark.catalog.tableExists(table):
             import shutil
             from urllib.parse import urlparse
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
             if wh.scheme in ("", "file"):
-                shutil.rmtree(f"{wh.path}/{table.split('.')[-1]}",
-                              ignore_errors=True)
+                # mirror the catalog's managed-table layout: names are
+                # lowercased, and a db-qualified name lives under
+                # <warehouse>/<db>.db/<table>
+                parts = table.lower().split(".")
+                rel = (f"{parts[-2]}.db/{parts[-1]}" if len(parts) > 1
+                       else parts[-1])
+                shutil.rmtree(f"{wh.path}/{rel}", ignore_errors=True)
     writer = (df.write.format("parquet").mode(mode)
               .bucketBy(num_buckets, *bucket_cols))
     if sort_cols:

@@ -570,7 +570,10 @@ class SimHashDeduplicator(AlgoOperator):
         "numPieces",
         "Candidate pieces; None derives maxDistance + 1 (exact recall); "
         "smaller values trade recall beyond numPieces - 1 for a cheaper "
-        "candidate join.", None)
+        "candidate join.", None,
+        # None = derive; an explicit value must be positive (0 or a
+        # negative would silently produce zero candidate rows)
+        lambda v: v is None or v > 0)
 
     def fingerprint(self, text: Column) -> Column:
         # bit b weight = Σ_tok (bit_b(hash´(tok)) ? 1 : -1); re-hash per
@@ -613,7 +616,8 @@ class SimHashDeduplicator(AlgoOperator):
         # bit pieces identical (widths differ by at most 1 when pieces ∤
         # bits); pieces defaults to maxDistance+1 = exact recall
         bits, d = self.get_("bits"), int(self.get_("maxDistance"))
-        pieces = int(self.get_("numPieces") or d + 1)
+        np_ = self.get_("numPieces")
+        pieces = int(np_) if np_ is not None else d + 1
         if pieces > bits:
             raise ValueError(
                 f"{pieces} candidate pieces (maxDistance={d}) but the "
@@ -962,20 +966,32 @@ class IncrementalMinHashDeduplicator(AlgoOperator):
         "maxBandDocFreq", "Drop LSH buckets whose combined store+batch "
         "document frequency exceeds this cap (None = exact).", None)
 
+    def _band_scheme(self) -> str:
+        """Fingerprint of every parameter the band keys depend on; stored
+        as a constant column so a persisted relation can be validated
+        against the consuming deduplicator's configuration."""
+        return (f"sh{self.get_('shingleSize')}"
+                f"mh{self.get_('numHashes')}b{self.get_('bandSize')}"
+                f"s{self.get_('seed')}")
+
     def store_band_relation(self, store_df: DataFrame) -> DataFrame:
-        """The store's exploded LSH band relation (idCol, band, bsig) —
-        the thing to PERSIST BUCKETED on (band, bsig) between increments
-        (``io.write_bucketed``): a bucketed band table satisfies the
-        candidate join's hash distribution straight from the scan, so at
-        100 TB only the (tiny) batch side shuffles while the corpus-sized
-        store side plans with zero Exchange.  Pass the re-read table to
-        ``transform`` as the third input."""
+        """The store's exploded LSH band relation (idCol, band, bsig,
+        scheme) — the thing to PERSIST BUCKETED on (band, bsig) between
+        increments (``io.write_bucketed``): a bucketed band table
+        satisfies the candidate join's hash distribution straight from
+        the scan, so at 100 TB only the (tiny) batch side shuffles while
+        the corpus-sized store side plans with zero Exchange.  Pass the
+        re-read table to ``transform`` as the third input.  ``scheme``
+        records the (shingle, hash, band, seed) configuration; the
+        consumer raises loudly on a mismatched table instead of silently
+        missing every duplicate."""
         idc = self.get_("idCol")
         store = store_df.select(F.col(idc).alias("id"),
                                 F.col(self.get_("sigCol")).alias("sig"))
         return (band_keys(store, self.get_("numHashes"),
                           self.get_("bandSize"))
-                .withColumnRenamed("id", idc))
+                .withColumnRenamed("id", idc)
+                .withColumn("scheme", F.lit(self._band_scheme())))
 
     def _plan(self, new_df: DataFrame, store_df: DataFrame,
               store_bands_df: DataFrame | None = None
@@ -1011,6 +1027,21 @@ class IncrementalMinHashDeduplicator(AlgoOperator):
 
         new_bands = band_keys(sig, n_hashes, band)
         if store_bands_df is not None:
+            if "scheme" in store_bands_df.columns:
+                # a persisted band table from a different (shingle, hash,
+                # band, seed) configuration would silently miss every
+                # duplicate.  The check must NOT wrap the bsig column
+                # (any projection over the bucketed scan's key forfeits
+                # its hash distribution and re-introduces the store-side
+                # Exchange), so validate the constant column driver-side
+                # with a one-row read instead
+                want = self._band_scheme()
+                got = store_bands_df.select("scheme").first()
+                if got is not None and got[0] != want:
+                    raise ValueError(
+                        f"store band relation was built with scheme "
+                        f"{got[0]!r} but this deduplicator is configured "
+                        f"as {want!r}")
             store_bands = store_bands_df.select(
                 F.col(idc).alias("id"), "band", "bsig")
         else:

@@ -265,9 +265,14 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
             # empty (or all-null) corpus — a filter-gated pipeline stage
             # can legitimately pass zero rows; emit the empty pair
             # relation with the contract schema instead of crashing on
-            # dimension inference
-            a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-            b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+            # dimension inference.  Restrict to the non-null rows FIRST:
+            # with N all-null rows the unrestricted cross join would plan
+            # N^2 pair rows just to null-filter them (a runaway job at
+            # scale); the non-null relation is provably empty here, so
+            # the cross join is empty x empty
+            nn = v.filter(F.col("v").isNotNull())
+            a = nn.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+            b = nn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
             return [self._cosine_pairs(
                 a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")))]
         dim = len(probe[0])

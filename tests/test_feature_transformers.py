@@ -152,3 +152,24 @@ def test_polynomial_expansion(spark):
     out = PolynomialExpansion(inputCol="v", outputCol="o", degree=2) \
         .transform(df)[0].collect()[0]["o"]
     assert sorted(out) == sorted([2.0, 4.0, 3.0, 9.0, 6.0])
+
+
+def test_feature_hasher_high_cardinality_fallback(spark, monkeypatch):
+    # a categorical column with more distincts than the poly-map cap must
+    # fall back to the expression hash with IDENTICAL outputs (and never
+    # materialize its full distinct set driver-side)
+    import flink_ml_spark.feature.hashingtf as H
+    df = spark.createDataFrame(
+        [(i, f"u{i}", "c%d" % (i % 3)) for i in range(300)],
+        "id long, uid string, cat string")
+
+    def run():
+        h = H.FeatureHasher(inputCols=["uid", "cat"], outputCol="f",
+                            numFeatures=64).set_(hashAlgorithm="poly")
+        return {r["id"]: (r["f"]["indices"], r["f"]["values"])
+                for r in h._transform(df).select("id", "f").collect()}
+
+    full = run()                      # cap 4096: both columns poly-mapped
+    monkeypatch.setattr(H, "MAX_MAP_DISTINCTS", 8)
+    capped = run()                    # uid (300 distincts) trips the cap
+    assert capped == full

@@ -204,3 +204,33 @@ def test_incremental_dedup_daily_loop_with_persisted_store(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_day_sig")
         spark.sql("DROP TABLE IF EXISTS t_day_bands")
+
+
+def test_band_store_scheme_mismatch_raises(spark):
+    # a persisted band relation from a different hash configuration must
+    # fail loudly, not silently miss every duplicate
+    import pytest
+    from flink_ml_spark.llmdata import IncrementalMinHashDeduplicator
+    from flink_ml_spark.llmdata.dedup import MinHashSignature, shingles
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} a{i} b{i}") for i in range(20)],
+        "doc_id long, text string")
+    store = (MinHashSignature(inputCol="sh", outputCol="sig",
+                              numHashes=16, seed=42)
+             .transform(docs.select("doc_id",
+                                    shingles(F.col("text"), 3).alias("sh")))[0]
+             .select("doc_id", "sig"))
+    writer = IncrementalMinHashDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=3, numHashes=16,
+        bandSize=4, seed=42)
+    bands = writer.store_band_relation(store)
+    assert bands.select("scheme").first()[0] == "sh3mh16b4s42"
+    reader = IncrementalMinHashDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=3, numHashes=16,
+        bandSize=4, seed=7)  # different seed
+    with pytest.raises(ValueError, match="scheme"):
+        reader.transform(docs.limit(2), store, bands)
+    # matching config accepts the table (and a legacy scheme-less table
+    # still works)
+    writer.transform(docs.limit(2), store, bands)
+    writer.transform(docs.limit(2), store, bands.drop("scheme"))
