@@ -21,8 +21,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..api import AlgoOperator, Transformer
-from ..param import (HasInputCol, HasOutputCol, IntParam, FloatParam,
-                     ParamValidators, StringParam)
+from ..param import (BoolParam, HasInputCol, HasOutputCol, IntParam,
+                     FloatParam, ParamValidators, StringParam)
 
 # deterministic universal-hash family over a 32-bit-ish prime field:
 # h_i(x) = (a_i * x + b_i) mod P — same family the reference's MinHash
@@ -211,10 +211,21 @@ class LineDeduplicator(Transformer, HasInputCol, HasOutputCol):
 class MinHashSignature(Transformer, HasInputCol, HasOutputCol):
     """tokens → minhash signature array<long> of ``numHashes``; the
     shingle→minhash step of the dedup pipeline.  Pure expressions: the
-    hash family is folded into the plan as literals."""
+    hash family is folded into the plan as literals.
+
+    ``inputIsTokens=True`` takes RAW token arrays instead of shingle
+    strings and hashes the ``shingleSize``-gram windows compositionally
+    (``np_shingle_hashes``) — same signatures, but the shingle strings
+    (≈3× the token bytes) never materialize in the plan or cross Arrow;
+    this is the production path for corpus-scale dedup."""
 
     numHashes = IntParam("numHashes", "Signature length.", 32, ParamValidators.gt(0))
     seed = IntParam("seed", "Hash family seed.", 42)
+    inputIsTokens = BoolParam(
+        "inputIsTokens", "Input column holds raw tokens (shingle hashes "
+        "computed compositionally) instead of shingle strings.", False)
+    shingleSize = IntParam("shingleSize", "Words per shingle (only with "
+                           "inputIsTokens).", 3, ParamValidators.gt(0))
 
     def _transform(self, df: DataFrame) -> DataFrame:
         # vectorized Arrow UDF: token hashes are computed ONCE per row and
@@ -229,16 +240,28 @@ class MinHashSignature(Transformer, HasInputCol, HasOutputCol):
         empty_sig = list(((0 * A + B) % MINHASH_PRIME)[0])
 
         empty_row = np.array(empty_sig, dtype=np.int64)
+        from_tokens = bool(self.get_("inputIsTokens"))
+        gram_n = int(self.get_("shingleSize"))
 
         @pandas_udf("array<long>")
         def signature(tokens):
             import pandas as pd
-            flat, lens, starts = flat_tokens(tokens)
+            if from_tokens:
+                rows = np_shingle_hashes(tokens, gram_n)
+                hs = np.concatenate(rows) if rows else \
+                    np.empty(0, dtype=np.int64)
+                lens = np.fromiter((len(r) for r in rows), dtype=np.int64,
+                                   count=len(rows))
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            else:
+                flat, lens, starts = flat_tokens(tokens)
+                hs = None
             n = len(lens)
             sigs = np.tile(empty_row, (n, 1))
             nonempty = lens > 0
             if nonempty.any():
-                hs = np_poly_hash(flat)
+                if hs is None:
+                    hs = np_poly_hash(flat)
                 M = (hs[:, None] * A + B) % MINHASH_PRIME  # (T, k)
                 # zero-length rows contribute no elements, so reduceat over
                 # the nonempty rows' starts yields exactly one segment per
@@ -422,16 +445,23 @@ class MinHashLSHDeduplicator(AlgoOperator):
         idc = self.get_("idCol")
         n_hashes, band = self.get_("numHashes"), self.get_("bandSize")
 
-        base = df.select(
+        # signatures straight from the token arrays (compositional
+        # shingle hashing): the shingle STRINGS — ~3x the token bytes,
+        # built by an interpreted zip_with fold and shipped whole through
+        # Arrow — never materialize corpus-wide; they are only computed
+        # later for the candidate-sized verification set
+        toks = df.select(
             F.col(idc).alias("id"),
-            shingles(F.col(self.get_("textCol")), self.get_("shingleSize")).alias("sh"))
-        sig = MinHashSignature(inputCol="sh", outputCol="sig",
-                               numHashes=n_hashes, seed=self.get_("seed")) \
-            .transform(base)[0]
+            F.array_remove(F.split(F.lower(F.col(self.get_("textCol"))),
+                                   r"\s"), "").alias("__toks__"))
+        sig = MinHashSignature(inputCol="__toks__", outputCol="sig",
+                               numHashes=n_hashes, seed=self.get_("seed"),
+                               inputIsTokens=True,
+                               shingleSize=self.get_("shingleSize")) \
+            .transform(toks)[0]
         # materialize (id, sig) once — numHashes longs/row — so the band
-        # self-join doesn't run shingling + the signature UDF twice (no
-        # CSE across a self-join); the shingle arrays themselves stay
-        # lazy, they are only re-joined by id after the pair dedup
+        # self-join doesn't run tokenizing + the signature UDF twice (no
+        # CSE across a self-join)
         sig = sig.select("id", "sig").localCheckpoint(eager=True)
         bands = band_keys(sig, n_hashes, band)
         cap = self.get_("maxBandDocFreq")
@@ -454,13 +484,37 @@ class MinHashLSHDeduplicator(AlgoOperator):
                  .select("id_a", "id_b"))
         if hot_pairs is not None:
             pairs = pairs.unionByName(hot_pairs)
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
-        # shingles rejoin by id AFTER the dedup — once per surviving pair
+        # ids-only (16 bytes/row), candidate-bounded; materialized once
+        # because it feeds BOTH the candidate-id semi-join and the final
+        # verification join — without this the band self-join runs twice
+        pairs = pairs.dropDuplicates(["id_a", "id_b"]) \
+            .localCheckpoint(eager=True)
+        # shingles rejoin by id AFTER the dedup — and only for CANDIDATE
+        # documents: shingling is per-token expression work and the
+        # arrays are wide, so re-deriving `base` corpus-wide on both join
+        # sides (no CSE across joins) evaluated + shuffled the full
+        # corpus's shingles twice — measured 95s -> 27s at 500k docs.
+        # Semi-join the candidate ids first, shingle once, checkpoint the
+        # candidate-sized relation, and feed both sides from it.
+        cand_ids = (pairs.select(F.col("id_a").alias("id"))
+                    .unionByName(pairs.select(F.col("id_b").alias("id")))
+                    .distinct())
+        # semi-join the RAW docs first, then shingle — written explicitly
+        # rather than trusting the optimizer to push the semi-join below
+        # the shingle projection (measured: it doesn't, and re-shingled
+        # the full corpus)
+        cand_docs = (df.select(F.col(idc).alias("id"),
+                               F.col(self.get_("textCol")).alias("__t__"))
+                     .join(cand_ids, "id", "left_semi"))
+        cand_sh = (cand_docs.select(
+            "id", shingles(F.col("__t__"),
+                           self.get_("shingleSize")).alias("sh"))
+            .localCheckpoint(eager=True))
         pairs = (pairs
-                 .join(base.select(F.col("id").alias("id_a"),
-                                   F.col("sh").alias("sh_a")), "id_a")
-                 .join(base.select(F.col("id").alias("id_b"),
-                                   F.col("sh").alias("sh_b")), "id_b"))
+                 .join(cand_sh.select(F.col("id").alias("id_a"),
+                                      F.col("sh").alias("sh_a")), "id_a")
+                 .join(cand_sh.select(F.col("id").alias("id_b"),
+                                      F.col("sh").alias("sh_b")), "id_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
         jacc = F.when(union > 0, inter / union).otherwise(0.0)
@@ -697,6 +751,101 @@ class NGramJaccardDeduplicator(AlgoOperator):
 SPAN_MULT = 100003
 
 
+def np_shingle_hashes(tokens, n: int):
+    """Per-row word-n-gram shingle HASHES straight from token arrays —
+    no shingle strings ever materialize.  The char-level poly fold is
+    compositional, h(x ∥ y) = (h(x)·31^len(y) + h(y)) mod P, so the hash
+    of "t1 t2 ... tn" assembles from per-token hashes and lengths:
+    acc ← (acc·31^(1+len_j) + 32·31^len_j + h_j) mod P per joined token
+    (32 = ord(' ')).  Bit-identical to np_poly_hash over the shingle
+    strings (property-tested); skipping the string build-and-Arrow-ship
+    is the point — the strings are ~3x the bytes of the tokens and were
+    the dominant cost of the signature stage at 500k docs.  Rows with
+    fewer than n tokens hash their full joined text (the shingles()
+    contract); int64-exact (P < 2^31, products < 2^62)."""
+    flat, lens, offs = flat_tokens(tokens)
+    th = np_poly_hash(flat)
+    tl = np.char.str_len(np.asarray(flat, dtype="U")) if len(flat) \
+        else np.empty(0, dtype=np.int64)
+    tl = tl.astype(np.int64)
+    max_l = int(tl.max()) + 2 if len(tl) else 2
+    pow31 = np.empty(max_l, dtype=np.int64)
+    pow31[0] = 1
+    for j in range(1, max_l):
+        pow31[j] = (pow31[j - 1] * 31) % MINHASH_PRIME
+    n_rows = len(lens)
+    out = []
+    m = np.maximum(np.minimum(lens, lens - n + 1), np.minimum(lens, 1))
+    # m = windows per row: lens-n+1 when lens >= n, 1 when 1 <= lens < n
+    # (single full-text gram), 0 when empty... except shingles() maps an
+    # EMPTY token list to the single gram "" (hash 0)
+    m = np.where(lens == 0, 1, m)
+    total = int(m.sum())
+    width = np.where(lens >= n, n, lens)  # tokens joined per window
+    bounds = np.cumsum(m)
+    starts_w = np.concatenate(([0], bounds[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts_w, m)
+    start = np.repeat(offs, m) + within
+    wwidth = np.repeat(width, m)
+    acc = np.zeros(total, dtype=np.int64)
+    maxw = int(width.max()) if n_rows else 0
+    for j in range(maxw):
+        live = wwidth > j
+        idx = start[live] + j
+        first = j == 0
+        h_j, l_j = th[idx], tl[idx]
+        if first:
+            acc[live] = h_j
+        else:
+            acc[live] = (((acc[live] * pow31[1 + l_j]) % MINHASH_PRIME
+                          + (32 * pow31[l_j]) % MINHASH_PRIME
+                          + h_j) % MINHASH_PRIME)
+    return np.split(acc, bounds[:-1])
+
+
+def np_span_hashes(tokens, k: int):
+    """Vectorized rolling window hashes: per-token poly hashes via
+    ``np_poly_hash`` (one numpy pass per char position over the whole
+    batch), then the (a*SPAN_MULT + h) mod P window fold as k numpy
+    passes over ALL windows of the batch at once — zero Python per
+    token/window.  Products stay < 2^49 (P < 2^31, SPAN_MULT < 2^17), so
+    the int64 math is exact.  Returns a list of per-row int64 arrays
+    (window i ↔ 1-based token position i+1)."""
+    flat, lens, offs = flat_tokens(tokens)
+    fh = np_poly_hash(flat)
+    m = np.maximum(lens - k + 1, 0)
+    total = int(m.sum())
+    n = len(lens)
+    if total == 0:
+        return [np.empty(0, dtype=np.int64)] * n
+    bounds = np.cumsum(m)
+    starts_w = np.concatenate(([0], bounds[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts_w, m)
+    start = np.repeat(offs, m) + within
+    acc = np.zeros(total, dtype=np.int64)
+    for j in range(k):
+        acc = (acc * SPAN_MULT + fh[start + j]) % MINHASH_PRIME
+    return np.split(acc, bounds[:-1])
+
+
+def span_hash_arrays(text: Column, k: int) -> Column:
+    """Arrow-UDF window hashes of ``text`` (array<long>, index i ↔
+    1-based position i+1) — the production path for the span operators:
+    bit-identical to the expression fold in ``pos_span_structs`` (the
+    spec, property-tested against this) but vectorized; the interpreted
+    HOF fold measures ~6x slower at 50k docs and grows linearly."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _udf(toks):
+        import pandas as pd
+        return pd.Series(np_span_hashes(toks, k))
+
+    # lowercase JVM-side (locale semantics match the expression path);
+    # original-case split has identical boundaries so positions align
+    return _udf(F.array_remove(F.split(F.lower(text), r"\s"), ""))
+
+
 def pos_span_structs(text: Column, k: int) -> Column:
     """(pos, h) structs for every ``k``-token window (stride 1): 1-based
     token position plus the rolling hash of the window, folded over the
@@ -769,8 +918,9 @@ class DuplicateSpanDetector(AlgoOperator):
         idc = self.get_("idCol")
         base = df.select(
             F.col(idc).alias("id"),
-            span_hashes(F.col(self.get_("textCol")),
-                        self.get_("spanTokens")).alias("spans"))
+            F.array_distinct(
+                span_hash_arrays(F.col(self.get_("textCol")),
+                                 self.get_("spanTokens"))).alias("spans"))
         pairs = base.select("id", F.explode("spans").alias("span_hash"))
         # pairs is already distinct per (id, hash) via array_distinct
         index = (pairs.groupBy("span_hash")
@@ -839,9 +989,10 @@ class DuplicateSpanRemover(AlgoOperator):
         # rolling-hash fold is interpreted HOF work worth not repeating —
         # same signature-checkpoint pattern as the MinHash deduplicators
         pairs = (df.select(F.col(idc).alias("id"),
-                           F.explode(pos_span_structs(text, k)).alias("s"))
-                 .select("id", F.col("s.pos").alias("pos"),
-                         F.col("s.h").alias("h"))
+                           F.posexplode(span_hash_arrays(text, k))
+                           .alias("pos0", "h"))
+                 .select("id", (F.col("pos0") + 1).cast("int").alias("pos"),
+                         "h")
                  .localCheckpoint(eager=True))
         index = (pairs.groupBy("h")
                  .agg(F.count_distinct("id").alias("span_df"),
@@ -1007,9 +1158,12 @@ class IncrementalMinHashDeduplicator(AlgoOperator):
 
         base = new_df.select(
             F.col(idc).alias("id"),
-            shingles(F.col(self.get_("textCol")), self.get_("shingleSize")).alias("sh"))
-        sig = MinHashSignature(inputCol="sh", outputCol="sig",
-                               numHashes=n_hashes, seed=self.get_("seed")) \
+            F.array_remove(F.split(F.lower(F.col(self.get_("textCol"))),
+                                   r"\s"), "").alias("__toks__"))
+        sig = MinHashSignature(inputCol="__toks__", outputCol="sig",
+                               numHashes=n_hashes, seed=self.get_("seed"),
+                               inputIsTokens=True,
+                               shingleSize=self.get_("shingleSize")) \
             .transform(base)[0]
         # the batch signatures feed two branches (band join + estimator
         # rejoin) — materialize the numHashes-longs-per-row relation once

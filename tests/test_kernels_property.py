@@ -173,3 +173,49 @@ def test_stratified_budget_local_exact_counts(rows, b_a, b_def):
     # deterministic
     out2 = s.transform_local(pdf)
     assert list(out["id"]) == list(out2["id"])
+
+
+@given(st.lists(st.lists(st.text(alphabet="abcXYZ ", min_size=0, max_size=6),
+                         min_size=0, max_size=30), min_size=1, max_size=8),
+       st.integers(2, 5))
+@settings(max_examples=60, deadline=None)
+def test_np_span_hashes_matches_reference_fold(docs, k):
+    # the vectorized window-hash kernel equals the scalar spec fold
+    import pandas as pd
+    from flink_ml_spark.llmdata.dedup import (MINHASH_PRIME, SPAN_MULT,
+                                              np_poly_hash, np_span_hashes)
+
+    def scalar(toks):
+        th = [int(np_poly_hash([t])[0]) for t in toks]
+        out = []
+        for i in range(max(len(th) - k + 1, 0)):
+            a = 0
+            for h in th[i:i + k]:
+                a = (a * SPAN_MULT + h) % MINHASH_PRIME
+            out.append(a)
+        return out
+
+    got = np_span_hashes(pd.Series(docs), k)
+    for row, toks in zip(got, docs):
+        assert list(row) == scalar(toks)
+
+
+@given(st.lists(st.lists(st.text(alphabet="abcXYZ09", min_size=1, max_size=7),
+                         min_size=0, max_size=25), min_size=1, max_size=8),
+       st.integers(1, 4))
+@settings(max_examples=80, deadline=None)
+def test_np_shingle_hashes_matches_string_path(docs, n):
+    # compositional shingle hashing == np_poly_hash over the joined
+    # shingle strings (the shingles() contract, incl. the short-doc gram)
+    import pandas as pd
+    from flink_ml_spark.llmdata.dedup import np_poly_hash, np_shingle_hashes
+
+    got = np_shingle_hashes(pd.Series(docs), n)
+    for row, toks in zip(got, docs):
+        if len(toks) >= n:
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+        else:
+            grams = [" ".join(toks)]
+        want = list(np_poly_hash(grams)) if grams else []
+        assert list(row) == want
