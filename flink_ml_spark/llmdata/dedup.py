@@ -628,15 +628,24 @@ class SimHashDeduplicator(AlgoOperator):
         # None = derive; an explicit value must be positive (0 or a
         # negative would silently produce zero candidate rows)
         lambda v: v is None or v > 0)
+    seed = IntParam("seed", "Per-bit hash-family seed.", 7)
 
     def fingerprint(self, text: Column) -> Column:
-        # bit b weight = Σ_tok (bit_b(hash´(tok)) ? 1 : -1); re-hash per
-        # bit with odd multiplier to decorrelate bits beyond the 31 low
-        # bits.  One vectorized (tokens × bits) pass per row in an Arrow
-        # UDF — the expression form recomputed the token-hash fold per bit.
+        # bit b weight = Σ_tok (bit_b(tok) ? 1 : -1) with bit_b(tok) =
+        # parity((a_b·h(tok) + b_b) mod P) — one random affine hash PER
+        # BIT from the same family MinHash uses.  A small odd multiplier
+        # (the first design, (h·(2b+1) mod P) mod 2) barely wraps for
+        # short tokens, so parity(h·odd) == parity(h) and every bit
+        # collapses to bit 0 (measured popcount σ ≈ 13 vs 3.5 for
+        # independent bits; fingerprints degenerated to {0, 2^bits−1} and
+        # the candidate join went quadratic).  a_b ~ U[1, P) wraps the
+        # product thousands of times, decorrelating bits pairwise.  One
+        # vectorized (tokens × bits) pass per row in an Arrow UDF.
         from pyspark.sql.functions import pandas_udf
         bits = self.get_("bits")
-        mult = np.array([2 * b + 1 for b in range(bits)], dtype=np.int64)[None, :]
+        ab = _hash_family(bits, int(self.get_("seed")))
+        A = np.array([a for a, _ in ab], dtype=np.int64)[None, :]
+        B = np.array([b for _, b in ab], dtype=np.int64)[None, :]
         weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
 
         @pandas_udf("long")
@@ -649,7 +658,7 @@ class SimHashDeduplicator(AlgoOperator):
             nonempty = lens > 0
             if nonempty.any():
                 hs = np_poly_hash(flat)
-                pm = ((hs[:, None] * mult) % MINHASH_PRIME) % 2  # (T, bits)
+                pm = ((hs[:, None] * A + B) % MINHASH_PRIME) % 2  # (T, bits)
                 contrib = (2 * pm - 1).astype(np.int64)
                 bsum = np.add.reduceat(contrib, starts[nonempty], axis=0)
                 fp[nonempty] = (bsum > 0).astype(np.int64) @ weights

@@ -457,11 +457,15 @@ def _simhash_sql() -> str:
     tok_h = f"list_transform({TOKS}, s -> {TOKHASH.format(t='s')})"
     w = SIMHASH_BITS // 4
     mask = (1 << w) - 1
+    # per-bit random affine hash (a_b·h + b_b) mod P — must match
+    # SimHashDeduplicator.fingerprint's family (seed 7, the param default);
+    # a·h ≤ P² ≈ 4.2e18 stays inside DuckDB's signed BIGINT
+    ab = _hash_family(SIMHASH_BITS, 7)
     bit_terms = " + ".join(
         f"(CASE WHEN list_aggregate(list_transform(hs, h -> CASE WHEN "
-        f"((h * {2 * b + 1}) % {MINHASH_PRIME}) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+        f"((h * {a} + {bb}) % {MINHASH_PRIME}) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
         f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
-        for b in range(SIMHASH_BITS))
+        for b, (a, bb) in enumerate(ab))
     quarters = " UNION ALL ".join(
         f"SELECT doc_id, fp, {q} AS q, (fp >> {q * w}) & {mask} AS qv FROM fp"
         for q in range(4))
