@@ -219,3 +219,37 @@ def test_np_shingle_hashes_matches_string_path(docs, n):
             grams = [" ".join(toks)]
         want = list(np_poly_hash(grams)) if grams else []
         assert list(row) == want
+
+
+def test_simhash_fingerprint_bits_decorrelated(spark):
+    # Regression guard for the degeneracy class that broke the first
+    # fingerprint design: with a small odd per-bit multiplier the product
+    # (h * mult) barely wraps mod P for SHORT tokens, so every bit equals
+    # parity(h) and fingerprints collapse to {0, 2^bits - 1} (measured
+    # popcount sigma ~13, two distinct fingerprints, quadratic candidate
+    # joins).  Short structured tokens are exactly this corpus; the fixed
+    # per-bit affine family must keep the bits near-independent.
+    import numpy as np
+    from pyspark.sql import functions as F
+    from flink_ml_spark.llmdata import SimHashDeduplicator
+
+    n, bits = 400, 48
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda i: F.concat(F.lit("w"),
+                               F.pmod(F.hash(F.col("id"), i), F.lit(3000))
+                               .cast("string")))).alias("text"))
+    d = SimHashDeduplicator(idCol="doc_id", textCol="text", bits=bits)
+    fps = np.array([r["fp"] for r in docs.select(
+        d.fingerprint(F.col("text")).alias("fp")).collect()], dtype=np.int64)
+
+    assert len(np.unique(fps)) > 0.95 * n  # broken design: exactly 2
+    pc = np.array([bin(x).count("1") for x in fps])
+    # independent bits: sigma = sqrt(48 * 0.25) = 3.46; broken: ~13
+    assert pc.std() < 6.0
+    # every bit position carries signal (broken: all bits identical, so
+    # each bit's set-fraction is bit 0's -- typically ~0 or ~1)
+    frac = np.array([((fps >> b) & 1).mean() for b in range(bits)])
+    assert ((frac > 0.15) & (frac < 0.85)).all()
