@@ -32,6 +32,56 @@ def dot(a, b) -> Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+# Above this, a single unrolled dot/norm would bloat the generated method
+# toward janino's 64 KB limit; below it, unrolling beats the interpreted
+# HOF fold by an order of magnitude in wide-join hot paths.
+UNROLL_DIM_CAP = 128
+
+
+def dot_fixed(a, b, dim: int | None) -> Column:
+    """``dot`` for a KNOWN dimension: unrolled left-to-right term sum that
+    stays inside whole-stage codegen.  The HOF form runs its lambda
+    INTERPRETED per element — on a candidate join emitting 10⁸ rows that
+    is billions of lambda evals and dominates the whole operator (IVF
+    probe at 500k rows measured ~8× slower than this).  Summation order
+    matches the HOF fold (acc + x, left to right), so results are
+    bit-identical and oracle hashes don't move; unknown/large dims fall
+    back to the HOF."""
+    if dim is None or dim > UNROLL_DIM_CAP or dim <= 0:
+        return dot(a, b)
+    a, b = _c(a), _c(b)
+    terms = [a[j] * b[j] for j in range(dim)]
+    out = F.lit(0.0) + terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def dot_lit_fixed(a, w) -> Column:
+    """Unrolled dot of an array column with a LITERAL numpy vector, same
+    contract as ``dot_fixed`` (codegen, HOF-order summation, fallback
+    above the cap)."""
+    a = _c(a)
+    if len(w) > UNROLL_DIM_CAP or len(w) == 0:
+        return dot(a, F.array(*[F.lit(float(x)) for x in w]))
+    out = F.lit(0.0) + a[0] * float(w[0])
+    for j in range(1, len(w)):
+        out = out + a[j] * float(w[j])
+    return out
+
+
+def sq_norm_fixed(a, dim: int | None) -> Column:
+    """Sum of squares with the same unroll/fallback contract as
+    ``dot_fixed`` (sqrt it for the 2-norm)."""
+    if dim is None or dim > UNROLL_DIM_CAP or dim <= 0:
+        return F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    a = _c(a)
+    out = F.lit(0.0) + a[0] * a[0]
+    for j in range(1, dim):
+        out = out + a[j] * a[j]
+    return out
+
+
 def hadamard(a, b) -> Column:
     """Element-wise product (BLAS.hDot, BLAS.java:120-151)."""
     return F.zip_with(_c(a), _c(b), lambda x, y: x * y)

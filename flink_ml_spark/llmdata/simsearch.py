@@ -34,10 +34,23 @@ class BruteForceKNNJoin(AlgoOperator, HasSeed):
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         queries, corpus = inputs
         qid, cid, vc = self.get_("queryIdCol"), self.get_("corpusIdCol"), self.get_("vecCol")
-        q = queries.select(F.col(qid), F.col(vc).cast("array<double>").alias("qv"))
-        c = corpus.select(F.col(cid), F.col(vc).cast("array<double>").alias("cv"))
+        # norms once per side BEFORE the cross join, unrolled codegen dot
+        # per candidate (bit-identical summation order to the HOF fold) —
+        # the cross join emits |q|×|c| rows, so per-candidate interpreted
+        # lambdas dominate everything else in this operator
+        probe = corpus.select(F.col(vc)).filter(F.col(vc).isNotNull()).first()
+        dim = len(probe[0]) if probe is not None else None
+        qv = F.col(vc).cast("array<double>")
+        # two-step select: unrolled terms must index a materialized column
+        # ATTRIBUTE — indexing the cast expression inlines the whole array
+        # cast per term, overflowing janino's method limit (codegen then
+        # silently falls back to interpreted, worse than the HOF)
+        q = queries.select(F.col(qid), qv.alias("qv")).select(
+            qid, "qv", F.sqrt(V.sq_norm_fixed(F.col("qv"), dim)).alias("__qn__"))
+        c = corpus.select(F.col(cid), qv.alias("cv")).select(
+            cid, "cv", F.sqrt(V.sq_norm_fixed(F.col("cv"), dim)).alias("__cn__"))
         joined = c.crossJoin(F.broadcast(q))
-        cos = V.dot("qv", "cv") / (V.p_norm("qv", 2.0) * V.p_norm("cv", 2.0))
+        cos = V.dot_fixed("qv", "cv", dim) / (F.col("__qn__") * F.col("__cn__"))
         scored = joined.withColumn("cosine", cos)
         # two-stage salted top-k: the per-query candidate set is the whole
         # corpus here, so a single-window rank would drag it through one
@@ -80,18 +93,57 @@ class RandomHyperplaneLSH(Estimator, HasSeed):
         return model
 
 
+def hyperplane_buckets_udf(plane_sets: list[np.ndarray]):
+    """Arrow-vectorized sign-bucket computation for one or more hyperplane
+    tables: ONE (batch × dim) @ (dim × Σplanes) gemm per Arrow batch,
+    returning ``array<long>`` of per-table bucket ids.
+
+    Why not expressions: a per-plane HOF dot runs numPlanes × dim
+    interpreted lambda evals per row, and the unrolled codegen form puts
+    numPlanes × dim terms into ONE expression, which overflows janino's
+    64 KB method limit at production dims (observed at 12 planes × 64
+    dims) and silently falls back to interpreted — the FeatureHasher
+    precedent: when both expression forms lose, one vectorized Arrow
+    crossing wins.  Null or wrong-length vectors keep the expression
+    semantics (every sign test fails → bucket 0)."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.vstack(plane_sets).astype(np.float64)          # (Σp, dim)
+    dim = P.shape[1]
+    sizes = [len(s) for s in plane_sets]
+    offs = np.cumsum([0] + sizes)
+    weights = [(1 << np.arange(n, dtype=np.int64)) for n in sizes]
+
+    @pandas_udf("array<long>")
+    def buckets(vs):
+        import pandas as pd
+        n = len(vs)
+        M = np.zeros((n, dim), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i, x in enumerate(vs):
+            if x is not None and len(x) == dim:
+                M[i] = x
+                ok[i] = True
+        signs = (M @ P.T) >= 0                            # (n, Σp)
+        signs[~ok] = False
+        per_table = np.column_stack([
+            signs[:, offs[t]:offs[t + 1]].astype(np.int64) @ weights[t]
+            for t in range(len(sizes))])                  # (n, T)
+        return pd.Series(list(per_table))
+
+    return buckets
+
+
 class RandomHyperplaneLSHModel(Model):
     vecCol = StringParam("vecCol", "Embedding column.", "embedding")
     outputCol = StringParam("outputCol", "Bucket column.", "bucket")
 
     def _transform(self, df: DataFrame) -> DataFrame:
         planes = np.array(self.model_data["planes"])
+        udf = hyperplane_buckets_udf([planes])
         v = F.col(self.get_("vecCol")).cast("array<double>")
-        bucket = F.lit(0).cast("long")
-        for i, p in enumerate(planes):
-            proj = V.dot(v, F.array(*[F.lit(float(x)) for x in p]))
-            bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(0)
-        return df.withColumn(self.get_("outputCol"), bucket)
+        return df.withColumn(self.get_("outputCol"),
+                             udf(v).getItem(0))
 
 
 class IVFIndex(Estimator, HasSeed, HasDistanceMeasure):
@@ -129,10 +181,39 @@ class IVFIndexModel(Model):
     def _transform(self, df: DataFrame) -> DataFrame:
         from ..common.distance import closest_centroid_expr
         centers = np.array(self.model_data["centroids"])
-        cid = closest_centroid_expr(
-            F.col(self.get_("vecCol")).cast("array<double>"), centers,
-            self.model_data["distanceMeasure"])
-        return df.withColumn(self.get_("cellCol"), cid)
+        measure = self.model_data["distanceMeasure"]
+        v = F.col(self.get_("vecCol")).cast("array<double>")
+        k, dim = centers.shape
+        if k * dim < 256:
+            # narrow: unrolled literal distances stay in codegen
+            cid = closest_centroid_expr(v, centers, measure)
+            return df.withColumn(self.get_("cellCol"), cid)
+        # wide: the expression form degrades to k interpreted HOF folds
+        # per row (k × dim lambda evals — measured dominating the IVF
+        # probe at 500k × 32 cells); assign via one numpy gemm per Arrow
+        # batch instead — the same regime split KMeans' Lloyd rounds use.
+        # Ties: np.argmin picks the lowest cell id, matching the
+        # expression's array_position-of-min semantics.
+        from pyspark.sql.functions import pandas_udf
+        from ..common.distance import distance_np
+
+        @pandas_udf("int")
+        def assign(vs):
+            import pandas as pd
+            n = len(vs)
+            M = np.zeros((n, dim), dtype=np.float64)
+            ok = np.zeros(n, dtype=bool)
+            for i, x in enumerate(vs):
+                if x is not None and len(x) == dim:
+                    M[i] = x
+                    ok[i] = True
+            out = np.full(n, None, dtype=object)
+            if ok.any():
+                d = distance_np(M[ok], centers, measure)
+                out[ok] = d.argmin(axis=1).astype(np.int32)
+            return pd.Series(out)
+
+        return df.withColumn(self.get_("cellCol"), assign(v))
 
     def search(self, queries: DataFrame, corpus_indexed: DataFrame,
                query_id: str, corpus_id: str, k: int,
@@ -157,29 +238,46 @@ class IVFIndexModel(Model):
         measure = self.model_data["distanceMeasure"]
         from ..common.distance import distance_expr
         v = F.col(vc).cast("array<double>")
+        dim = centers.shape[1] if centers.ndim == 2 else None
         dists = F.array(*[distance_expr(v, c, measure) for c in centers])
         # cells = indices of the nprobe smallest distances
         idx_seq = F.sequence(F.lit(0), F.lit(len(centers) - 1))
         pairs = F.transform(idx_seq, lambda i: F.struct(
             F.element_at(dists, i + 1).alias("d"), i.alias("i")))
         probes = F.slice(F.array_sort(pairs), 1, nprobe)
-        q = queries.select(F.col(query_id), v.alias("qv"),
-                           F.explode(F.transform(probes, lambda p: p["i"])).alias(cc))
+        # norms are computed ONCE per query/corpus ROW before the probe
+        # join (the join emits |cell| × nprobe candidate rows — recomputing
+        # a norm per candidate costs |candidates| × dim interpreted lambda
+        # evals), and the candidate cosine is the unrolled codegen dot;
+        # summation order matches the HOF fold so values are bit-identical
+        q = queries.select(
+            F.col(query_id), v.alias("qv"),
+            F.explode(F.transform(probes, lambda p: p["i"])).alias(cc)
+        ).select(query_id, "qv", cc,
+                 F.sqrt(V.sq_norm_fixed(F.col("qv"), dim)).alias("__qn__"))
         from ..common.dataflow import top_k_per_key
         if codes_col is None:
-            c = corpus_indexed.select(F.col(corpus_id), F.col(cc),
-                                      F.col(vc).cast("array<double>").alias("cv"))
+            cv = F.col(vc).cast("array<double>")
+            c = corpus_indexed.select(
+                F.col(corpus_id), F.col(cc), cv.alias("cv")).select(
+                corpus_id, cc, "cv",
+                F.sqrt(V.sq_norm_fixed(F.col("cv"), dim)).alias("__cn__"))
             joined = c.join(F.broadcast(q), cc)
-            cos = V.dot("qv", "cv") / (V.p_norm("qv", 2.0) * V.p_norm("cv", 2.0))
+            cos = V.dot_fixed("qv", "cv", dim) / (F.col("__qn__") * F.col("__cn__"))
             return (top_k_per_key(joined.withColumn("cosine", cos), [query_id],
                                   [F.desc("cosine"), F.asc(corpus_id)], k,
                                   salt_cols=[corpus_id], rank_col="rank")
                     .select(query_id, corpus_id, "cosine", "rank"))
-        # quantized probe: candidates ranked on dequantized int8 codes
-        c = corpus_indexed.select(F.col(corpus_id), F.col(cc),
-                                  F.col(codes_col).alias("__q__"))
-        dv = EmbeddingQuantizer.dequantize(F.col("__q__"))
-        cos_q = V.dot("qv", dv) / (V.p_norm("qv", 2.0) * V.p_norm(dv, 2.0))
+        # quantized probe: candidates ranked on dequantized int8 codes;
+        # dequantize runs once per CORPUS row (not per candidate), and the
+        # candidate-side cosine is the unrolled dot over the materialized
+        # dequantized array
+        dv = EmbeddingQuantizer.dequantize(F.col(codes_col))
+        c = corpus_indexed.select(
+            F.col(corpus_id), F.col(cc), dv.alias("__dv__")).select(
+            corpus_id, cc, "__dv__",
+            F.sqrt(V.sq_norm_fixed(F.col("__dv__"), dim)).alias("__dn__"))
+        cos_q = V.dot_fixed("qv", "__dv__", dim) / (F.col("__qn__") * F.col("__dn__"))
         scored = c.join(F.broadcast(q), cc).withColumn("cosine_q", cos_q)
         if rerank <= 0:
             return (top_k_per_key(scored, [query_id],
@@ -192,11 +290,18 @@ class IVFIndexModel(Model):
             .select(query_id, corpus_id)
         # exact rerank: true vectors join the SMALL candidate set by id
         exact = (cands
-                 .join(queries.select(F.col(query_id), v.alias("qv")), query_id)
+                 .join(queries.select(
+                     F.col(query_id), v.alias("qv")).select(
+                     query_id, "qv",
+                     F.sqrt(V.sq_norm_fixed(F.col("qv"), dim))
+                     .alias("__qn2__")), query_id)
                  .join(corpus_indexed.select(
                      F.col(corpus_id),
-                     F.col(vc).cast("array<double>").alias("cv")), corpus_id))
-        cos = V.dot("qv", "cv") / (V.p_norm("qv", 2.0) * V.p_norm("cv", 2.0))
+                     F.col(vc).cast("array<double>").alias("cv")).select(
+                     corpus_id, "cv",
+                     F.sqrt(V.sq_norm_fixed(F.col("cv"), dim))
+                     .alias("__cn2__")), corpus_id))
+        cos = V.dot_fixed("qv", "cv", dim) / (F.col("__qn2__") * F.col("__cn2__"))
         return (top_k_per_key(exact.withColumn("cosine", cos), [query_id],
                               [F.desc("cosine"), F.asc(corpus_id)], k,
                               salt_cols=[corpus_id], rank_col="rank")
@@ -242,11 +347,22 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
                          "Block count for hotBucketStrategy='block'.", 16,
                          ParamValidators.gt(0))
 
-    def _cosine_pairs(self, pairs: DataFrame) -> DataFrame:
-        cos = V.dot("va", "vb") / (V.p_norm("va", 2.0) * V.p_norm("vb", 2.0))
+    def _cosine_pairs(self, pairs: DataFrame, dim: int | None = None) -> DataFrame:
+        # the pair relation carries per-side norms computed ONCE per id
+        # (attached by _with_norm before the pair join) — recomputing a
+        # norm per PAIR costs |pairs| × dim interpreted lambda evals; the
+        # pair-side dot is the unrolled codegen form.  Summation order
+        # matches the HOF fold, so cosine values are bit-identical to the
+        # previous per-pair computation and oracle hashes don't move.
+        cos = V.dot_fixed("va", "vb", dim) / (F.col("__na__") * F.col("__nb__"))
         return (pairs.withColumn("cosine", cos)
                 .filter(F.col("cosine") >= self.get_("threshold"))
                 .select("id_a", "id_b", "cosine"))
+
+    @staticmethod
+    def _with_norm(v: DataFrame, dim: int | None) -> DataFrame:
+        return v.select("id", "v",
+                        F.sqrt(V.sq_norm_fixed(F.col("v"), dim)).alias("__n__"))
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
@@ -254,10 +370,15 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
         v = df.select(F.col(idc).alias("id"),
                       F.col(self.get_("vecCol")).cast("array<double>").alias("v"))
         if self.get_("exact"):
-            a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-            b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+            probe = v.select("v").filter(F.col("v").isNotNull()).first()
+            dim = len(probe[0]) if probe is not None else None
+            vn = self._with_norm(v, dim)
+            a = vn.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                          F.col("__n__").alias("__na__"))
+            b = vn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                          F.col("__n__").alias("__nb__"))
             return [self._cosine_pairs(
-                a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")))]
+                a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")), dim)]
         # LSH candidates: one sign-bucket per table, all JVM-side
         seed = self.get_("seed") or 0
         probe = v.select("v").filter(F.col("v").isNotNull()).first()
@@ -270,22 +391,25 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
             # N^2 pair rows just to null-filter them (a runaway job at
             # scale); the non-null relation is provably empty here, so
             # the cross join is empty x empty
-            nn = v.filter(F.col("v").isNotNull())
-            a = nn.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-            b = nn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+            nn = self._with_norm(v.filter(F.col("v").isNotNull()), None)
+            a = nn.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                          F.col("__n__").alias("__na__"))
+            b = nn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                          F.col("__n__").alias("__nb__"))
             return [self._cosine_pairs(
                 a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")))]
         dim = len(probe[0])
-        sigs = v
-        bucket_cols = []
+        # all tables' buckets in ONE Arrow crossing: the corpus vector
+        # ships to the Python worker once, not once per table
+        plane_sets = []
         for t in range(self.get_("numTables")):
             m = RandomHyperplaneLSH(seed=seed + t, dim=dim,
                                     numPlanes=self.get_("numPlanes")) \
-                .set_(vecCol="v", outputCol=f"__b{t}__").fit(v)
-            sigs = m._transform(sigs)
-            bucket_cols.append(F.col(f"__b{t}__"))
-        exploded = sigs.select(
-            "id", F.posexplode(F.array(*bucket_cols)).alias("t", "b"))
+                .set_(vecCol="v").fit(v)
+            plane_sets.append(np.array(m.model_data["planes"]))
+        udf = hyperplane_buckets_udf(plane_sets)
+        exploded = v.select(
+            "id", F.posexplode(udf(F.col("v"))).alias("t", "b"))
         cap = self.get_("maxBucketDocFreq")
         hot_cand = None
         if cap is not None:
@@ -307,12 +431,15 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
         if hot_cand is not None:
             cand = cand.unionByName(hot_cand)
         cand = cand.dropDuplicates(["id_a", "id_b"])
+        vn = self._with_norm(v, dim)
         pairs = (cand
-                 .join(v.select(F.col("id").alias("id_a"),
-                                F.col("v").alias("va")), "id_a")
-                 .join(v.select(F.col("id").alias("id_b"),
-                                F.col("v").alias("vb")), "id_b"))
-        return [self._cosine_pairs(pairs)]
+                 .join(vn.select(F.col("id").alias("id_a"),
+                                 F.col("v").alias("va"),
+                                 F.col("__n__").alias("__na__")), "id_a")
+                 .join(vn.select(F.col("id").alias("id_b"),
+                                 F.col("v").alias("vb"),
+                                 F.col("__n__").alias("__nb__")), "id_b"))
+        return [self._cosine_pairs(pairs, dim)]
 
 
 class SemanticDeduplicator(AlgoOperator, HasSeed, HasDistanceMeasure):
@@ -364,12 +491,19 @@ class SemanticDeduplicator(AlgoOperator, HasSeed, HasDistanceMeasure):
         a = cells.select(F.col("id").alias("id_a"), "cell")
         b = cells.select(F.col("id").alias("id_b"), "cell")
         cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+        # norms once per id, unrolled codegen dot per pair (HOF-order
+        # summation — bit-identical values); dim from the fitted centroids
+        dim = len(idx.model_data["centroids"][0])
+        vn = v.select("id", "v",
+                      F.sqrt(V.sq_norm_fixed(F.col("v"), dim)).alias("__n__"))
         pairs = (cand
-                 .join(v.select(F.col("id").alias("id_a"),
-                                F.col("v").alias("va")), "id_a")
-                 .join(v.select(F.col("id").alias("id_b"),
-                                F.col("v").alias("vb")), "id_b"))
-        cos = V.dot("va", "vb") / (V.p_norm("va", 2.0) * V.p_norm("vb", 2.0))
+                 .join(vn.select(F.col("id").alias("id_a"),
+                                 F.col("v").alias("va"),
+                                 F.col("__n__").alias("__na__")), "id_a")
+                 .join(vn.select(F.col("id").alias("id_b"),
+                                 F.col("v").alias("vb"),
+                                 F.col("__n__").alias("__nb__")), "id_b"))
+        cos = V.dot_fixed("va", "vb", dim) / (F.col("__na__") * F.col("__nb__"))
         return [pairs.withColumn("cosine", cos)
                 .filter(F.col("cosine") >= self.get_("threshold"))
                 .select("id_a", "id_b", "cell", "cosine")]
