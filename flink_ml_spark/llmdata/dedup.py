@@ -628,6 +628,25 @@ class SimHashDeduplicator(AlgoOperator):
         # None = derive; an explicit value must be positive (0 or a
         # negative would silently produce zero candidate rows)
         lambda v: v is None or v > 0)
+    maxPieceDocFreq = IntParam(
+        "maxPieceDocFreq",
+        "(piece, value) buckets over this document frequency are handled "
+        "by hotPieceStrategy instead of the plain self-join (None = no "
+        "special handling) — a df-D bucket alone contributes D² candidate "
+        "rows; with fixed piece width (≤ bits/pieces ≤ 15 bits → ≤ 32768 "
+        "bucket values) mean bucket df grows LINEARLY with corpus size, "
+        "so at scale the cap is what keeps the candidate join linear.",
+        None)
+    hotPieceStrategy = StringParam(
+        "hotPieceStrategy",
+        "'drop': exclude over-cap buckets (pairs may still surface "
+        "through another piece); 'block': blocked self-join spreads the "
+        "hot bucket's pair generation over block-pair join groups — "
+        "exact recall, ~numBlocks× replication of hot rows.", "drop",
+        ParamValidators.in_array(["drop", "block"]))
+    numBlocks = IntParam("numBlocks",
+                         "Block count for hotPieceStrategy='block'.", 16,
+                         ParamValidators.gt(0))
     seed = IntParam("seed", "Per-bit hash-family seed.", 7)
 
     def fingerprint(self, text: Column) -> Column:
@@ -694,14 +713,41 @@ class SimHashDeduplicator(AlgoOperator):
                 F.shiftrightunsigned(F.col("fp"), offsets[q])
                 .bitwiseAND(F.lit((1 << widths[q]) - 1))
                 for q in range(pieces)])).alias("q", "qv"))
+        ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        cap = self.get_("maxPieceDocFreq")
+        hot_cand = None
+        if cap is not None:
+            hot_keys = (quarters.groupBy("q", "qv")
+                        .agg(F.count("*").alias("__df__"))
+                        .filter(F.col("__df__") > int(cap)).select("q", "qv")
+                        .localCheckpoint(eager=True))
+            if self.get_("hotPieceStrategy") == "block":
+                # ids-only blocked pairs; fingerprints join back by id
+                # (16-byte rows against the checkpointed fp relation)
+                hc = blocked_self_pairs(
+                    quarters.join(hot_keys, ["q", "qv"], "left_semi"),
+                    ["q", "qv"], int(self.get_("numBlocks")))
+                hot_cand = (hc
+                            .join(fp.select(F.col("id").alias("id_a"),
+                                            F.col("fp").alias("fp_a")), "id_a")
+                            .join(fp.select(F.col("id").alias("id_b"),
+                                            F.col("fp").alias("fp_b")), "id_b")
+                            .filter(ham <= self.get_("maxDistance"))
+                            .select("id_a", "id_b", ham.alias("hamming")))
+            quarters = quarters.join(hot_keys, ["q", "qv"], "left_anti")
         a = quarters.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "q", "qv")
         b = quarters.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "q", "qv")
-        pairs = (a.join(b, ["q", "qv"]).filter(F.col("id_a") < F.col("id_b"))
-                 .dropDuplicates(["id_a", "id_b"]))
-        ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-        return [pairs.withColumn("hamming", ham)
-                .filter(F.col("hamming") <= self.get_("maxDistance"))
-                .select("id_a", "id_b", "hamming")]
+        # the hamming gate runs INSIDE the candidate join (codegen xor +
+        # popcount on columns the join already carries), so the pair-dedup
+        # exchange shuffles match-count rows, not candidate-count rows —
+        # at 500k docs with 12-bit pieces that is ~50k rows vs ~240M
+        pairs = (a.join(b, ["q", "qv"])
+                 .filter((F.col("id_a") < F.col("id_b"))
+                         & (ham <= self.get_("maxDistance")))
+                 .select("id_a", "id_b", ham.alias("hamming")))
+        if hot_cand is not None:
+            pairs = pairs.unionByName(hot_cand)
+        return [pairs.dropDuplicates(["id_a", "id_b"])]
 
 
 class NGramJaccardDeduplicator(AlgoOperator):

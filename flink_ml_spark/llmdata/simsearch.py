@@ -153,7 +153,14 @@ class IVFIndex(Estimator, HasSeed, HasDistanceMeasure):
 
     vecCol = StringParam("vecCol", "Embedding column.", "embedding")
     cellCol = StringParam("cellCol", "Cell id column.", "cell")
-    nlist = IntParam("nlist", "Number of IVF cells.", 16, ParamValidators.gt(1))
+    nlist = IntParam(
+        "nlist",
+        "Number of IVF cells.  Probe cost is ~queries·nprobe·(n/nlist) "
+        "and fit cost ~n·nlist, so the classic balance is nlist ≈ √n — "
+        "a FIXED nlist makes per-cell scan size grow linearly with the "
+        "corpus.  None derives √n clamped to [16, 4096] at the cost of "
+        "one count() job.", 16,
+        lambda v: v is None or v > 1)
     maxIter = IntParam("maxIter", "KMeans iterations.", 5, ParamValidators.gt(0))
 
     def fit(self, *inputs: DataFrame) -> "IVFIndexModel":
@@ -161,8 +168,11 @@ class IVFIndex(Estimator, HasSeed, HasDistanceMeasure):
         (df,) = inputs
         vc = self.get_("vecCol")
         data = df.select(F.col(vc).cast("array<double>").alias("__v__"))
+        nlist = self.get_("nlist")
+        if nlist is None:
+            nlist = max(16, min(4096, int(data.count() ** 0.5)))
         km = KMeans(featuresCol="__v__", predictionCol="__c__",
-                    k=self.get_("nlist"), maxIter=self.get_("maxIter"),
+                    k=nlist, maxIter=self.get_("maxIter"),
                     initMode="first_distinct",
                     distanceMeasure=self.get_("distanceMeasure")).fit(data)
         model = IVFIndexModel()
@@ -326,8 +336,15 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
                               "0 = hyperplane-LSH bucketed candidates.", 1)
     numTables = IntParam("numTables", "LSH tables (recall).", 4,
                          ParamValidators.gt(0))
-    numPlanes = IntParam("numPlanes", "Hyperplanes per table (bucket bits).",
-                         10, ParamValidators.gt(0))
+    numPlanes = IntParam(
+        "numPlanes",
+        "Hyperplanes per table (bucket bits).  With FIXED planes the "
+        "expected candidate count is ~n²·tables/2^planes — quadratic in "
+        "corpus size — so planes must grow with log2(n).  None derives "
+        "ceil(log2(n / 32)) clamped to [6, 24] (expected bucket size "
+        "~32, constant per-bucket pair work at any scale) at the cost "
+        "of one count() job.", 10,
+        lambda v: v is None or v > 0)
     maxBucketDocFreq = IntParam(
         "maxBucketDocFreq",
         "LSH (table, bucket) groups over this document frequency are "
@@ -399,12 +416,17 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
             return [self._cosine_pairs(
                 a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")))]
         dim = len(probe[0])
+        planes = self.get_("numPlanes")
+        if planes is None:
+            import math
+            n = v.count()
+            planes = max(6, min(24, math.ceil(math.log2(max(n, 2) / 32))))
         # all tables' buckets in ONE Arrow crossing: the corpus vector
         # ships to the Python worker once, not once per table
         plane_sets = []
         for t in range(self.get_("numTables")):
             m = RandomHyperplaneLSH(seed=seed + t, dim=dim,
-                                    numPlanes=self.get_("numPlanes")) \
+                                    numPlanes=planes) \
                 .set_(vecCol="v").fit(v)
             plane_sets.append(np.array(m.model_data["planes"]))
         udf = hyperplane_buckets_udf(plane_sets)

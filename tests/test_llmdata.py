@@ -947,6 +947,61 @@ def test_simhash_pieces_exact_recall_and_validation(spark):
         bad.transform(df)[0].collect()
 
 
+def test_simhash_hot_piece_strategies(spark):
+    # a mass cluster of identical docs puts every piece of its (single)
+    # fingerprint over the df cap; 'block' keeps exact recall by
+    # spreading the hot bucket's pair work, 'drop' trades the cluster
+    # away while pairs outside it still surface through their own
+    # (cold) piece buckets
+    from flink_ml_spark.llmdata import SimHashDeduplicator
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing")
+              for i in range(40)]
+    pair = [(100, "unique alpha beta gamma delta epsilon zeta eta"),
+            (101, "unique alpha beta gamma delta epsilon zeta theta")]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    def run(**kw):
+        d = SimHashDeduplicator(idCol="doc_id", textCol="text", bits=48,
+                                maxDistance=8)
+        d.set_(**kw)
+        return {(r["id_a"], r["id_b"]) for r in d.transform(df)[0].collect()}
+
+    uncapped = run()
+    blocked = run(maxPieceDocFreq=10, hotPieceStrategy="block", numBlocks=3)
+    dropped = run(maxPieceDocFreq=10, hotPieceStrategy="drop")
+    assert blocked == uncapped
+    assert {(a, b) for a in range(40) for b in range(40) if a < b} <= uncapped
+    assert dropped < uncapped
+    assert (100, 101) in dropped            # cold-bucket pair survives 'drop'
+
+
+def test_embedding_auto_planes_and_auto_nlist(spark):
+    # numPlanes=None / nlist=None derive log2(n/32) planes and sqrt(n)
+    # cells from the corpus count — clones must still pair up, and the
+    # IVF probe must still return k hits per query
+    import numpy as np
+    from flink_ml_spark.llmdata import IVFIndex
+    rng = np.random.RandomState(5)
+    base = rng.randn(50, 8)
+    rows = [(i, [float(x) for x in base[i % 50]]) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    d = EmbeddingCosineDeduplicator(idCol="id", vecCol="embedding", seed=1) \
+        .set_(threshold=0.999, exact=0, numPlanes=None, numTables=4)
+    got = {(r["id_a"], r["id_b"]) for r in d.transform(df)[0].collect()}
+    assert {(i, i + 50) for i in range(50)} <= got   # every clone pair found
+
+    idx = IVFIndex(vecCol="embedding", nlist=None, maxIter=2).fit(df)
+    corpus = idx.transform(
+        df.select(F.col("id").alias("corpus_id"), "embedding"))[0]
+    queries = df.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), "embedding")
+    hits = idx.search(queries, corpus, "query_id", "corpus_id", k=3)
+    counts = {r["query_id"]: r["n"] for r in hits.groupBy("query_id")
+              .agg(F.count("*").alias("n")).collect()}
+    assert counts == {i: 3 for i in range(5)}
+
+
 def test_minhash_hot_bucket_block_strategy_keeps_recall(spark):
     # 'drop' trades hot-bucket recall for a linear join; 'block' keeps
     # EXACT recall by spreading each hot bucket's quadratic pair work
