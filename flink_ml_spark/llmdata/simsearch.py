@@ -249,12 +249,48 @@ class IVFIndexModel(Model):
         from ..common.distance import distance_expr
         v = F.col(vc).cast("array<double>")
         dim = centers.shape[1] if centers.ndim == 2 else None
-        dists = F.array(*[distance_expr(v, c, measure) for c in centers])
-        # cells = indices of the nprobe smallest distances
-        idx_seq = F.sequence(F.lit(0), F.lit(len(centers) - 1))
-        pairs = F.transform(idx_seq, lambda i: F.struct(
-            F.element_at(dists, i + 1).alias("d"), i.alias("i")))
-        probes = F.slice(F.array_sort(pairs), 1, nprobe)
+        if len(centers) * (dim or 0) < 256:
+            # narrow: literal-distance expressions stay in codegen
+            dists = F.array(*[distance_expr(v, c, measure) for c in centers])
+            # cells = indices of the nprobe smallest distances
+            idx_seq = F.sequence(F.lit(0), F.lit(len(centers) - 1))
+            pairs = F.transform(idx_seq, lambda i: F.struct(
+                F.element_at(dists, i + 1).alias("d"), i.alias("i")))
+            probes = F.slice(F.array_sort(pairs), 1, nprobe)
+            probe_cells = F.transform(probes, lambda p: p["i"])
+        else:
+            # wide (the √n-cells production regime): the literal form is
+            # k × dim interpreted evals per row PLUS an O(k·dim)-node
+            # expression tree the analyzer must chew — at 707 cells the
+            # plan work alone dominated the whole probe (measured: the
+            # 500k IVF probe went 210s → 586s when auto-nlist raised the
+            # cell count, all of it here).  Rank cells with the same
+            # numpy-gemm regime _transform uses; stable argsort ties →
+            # lowest cell id, matching array_sort over (d, i) structs.
+            from pyspark.sql.functions import pandas_udf
+            from ..common.distance import distance_np
+            ctr, meas, npb, d_ = centers, measure, nprobe, dim
+
+            @pandas_udf("array<int>")
+            def probe_cells_udf(vs):
+                import pandas as pd
+                n = len(vs)
+                M = np.zeros((n, d_), dtype=np.float64)
+                ok = np.zeros(n, dtype=bool)
+                for i, x in enumerate(vs):
+                    if x is not None and len(x) == d_:
+                        M[i] = x
+                        ok[i] = True
+                out = np.full(n, None, dtype=object)
+                if ok.any():
+                    dm = distance_np(M[ok], ctr, meas)
+                    top = np.argsort(dm, axis=1, kind="stable")[:, :npb]
+                    top = top.astype(np.int32)
+                    for r, row in zip(np.nonzero(ok)[0], top):
+                        out[r] = row
+                return pd.Series(out)
+
+            probe_cells = probe_cells_udf(v)
         # norms are computed ONCE per query/corpus ROW before the probe
         # join (the join emits |cell| × nprobe candidate rows — recomputing
         # a norm per candidate costs |candidates| × dim interpreted lambda
@@ -262,7 +298,7 @@ class IVFIndexModel(Model):
         # summation order matches the HOF fold so values are bit-identical
         q = queries.select(
             F.col(query_id), v.alias("qv"),
-            F.explode(F.transform(probes, lambda p: p["i"])).alias(cc)
+            F.explode(probe_cells).alias(cc)
         ).select(query_id, "qv", cc,
                  F.sqrt(V.sq_norm_fixed(F.col("qv"), dim)).alias("__qn__"))
         from ..common.dataflow import top_k_per_key

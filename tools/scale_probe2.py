@@ -124,6 +124,11 @@ def main() -> None:
         timed("simhash_dedup", lambda: SimHashDeduplicator(
             idCol="doc_id", textCol="text", bits=48, maxDistance=3)
             .transform(docs)[0])
+        timed("simhash_capped", lambda: SimHashDeduplicator(
+            idCol="doc_id", textCol="text", bits=48, maxDistance=3)
+            .set_(maxPieceDocFreq=256, hotPieceStrategy="block",
+                  numBlocks=16)
+            .transform(docs)[0])
         timed("ngram_jaccard", lambda: NGramJaccardDeduplicator(
             idCol="doc_id", textCol="text", shingleSize=3, threshold=0.5,
             maxShingleDocFreq=64).transform(docs)[0])
@@ -148,12 +153,12 @@ def main() -> None:
 
         timed("embedding_dedup_lsh", lambda: EmbeddingCosineDeduplicator(
             idCol="doc_id", vecCol="embedding", threshold=0.95, exact=0,
-            numTables=4, numPlanes=12, seed=7)
+            numTables=4, numPlanes=None, seed=7)
             .set_(maxBucketDocFreq=128, hotBucketStrategy="block",
                   numBlocks=16).transform(emb)[0])
 
         def ivf():
-            idx = IVFIndex(vecCol="embedding", nlist=32, maxIter=3,
+            idx = IVFIndex(vecCol="embedding", nlist=None, maxIter=3,
                            seed=7).fit(emb)
             corpus = idx.transform(
                 emb.select(F.col("doc_id").alias("corpus_id"),
