@@ -10,6 +10,8 @@ duplicate embeddings) at increasing sizes; a near-linear slope across
 the decades is the measurable "would this hold at 1000x" answer.
 
 Usage: python tools/scale_probe2.py [sizes ...]  (default 5000 50000 500000)
+Set SCALE_PROBE2_ONLY=name1,name2 to run a subset of the entries (the
+5M-doc decade run skips the candidate-count-bound uncapped variants).
 """
 
 from __future__ import annotations
@@ -106,7 +108,13 @@ def main() -> None:
         emb = make_embeddings(spark, n).repartition(32) \
             .localCheckpoint(eager=True)
 
+        import os
+        only = os.environ.get("SCALE_PROBE2_ONLY")
+        only = set(only.split(",")) if only else None
+
         def timed(name, fn):
+            if only is not None and name not in only:
+                return
             t0 = time.time()
             out = fn()
             cnt = out.count()
