@@ -399,6 +399,19 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
     numBlocks = IntParam("numBlocks",
                          "Block count for hotBucketStrategy='block'.", 16,
                          ParamValidators.gt(0))
+    signaturePrefilter = IntParam(
+        "signaturePrefilter",
+        "1 = gate candidate pairs on hyperplane sign-bit hamming INSIDE "
+        "the bucket join, before the pair dedup and the full-vector "
+        "verification join.  The per-table bucket values are already "
+        "Goemans-Williamson sign bits (P[plane splits a pair] = θ/π), so "
+        "packing ⌊63/planes⌋ tables' buckets into one long gives a B-bit "
+        "signature whose pair hamming is Binomial(B, θ/π); the gate "
+        "keeps pairs within mean + 3.5σ of the threshold's angle — "
+        "random candidates (hamming ≈ B/2) die in codegen on 16 bytes "
+        "instead of reaching the 2×dim×8-byte vector join (measured: the "
+        "ONLY superlinear disk term at 5M docs).  Slightly lowers recall "
+        "near the threshold (≲1e-3 at 3.5σ); 0 (default) = off.", 0)
 
     def _cosine_pairs(self, pairs: DataFrame, dim: int | None = None) -> DataFrame:
         # the pair relation carries per-side norms computed ONCE per id
@@ -466,8 +479,33 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
                 .set_(vecCol="v").fit(v)
             plane_sets.append(np.array(m.model_data["planes"]))
         udf = hyperplane_buckets_udf(plane_sets)
-        exploded = v.select(
-            "id", F.posexplode(udf(F.col("v"))).alias("t", "b"))
+        vb = v.select("id", udf(F.col("v")).alias("__bk__"))
+        pf_cols, ham_gate = [], None
+        if self.get_("signaturePrefilter"):
+            import math
+            n_pack = max(1, min(int(self.get_("numTables")), 63 // planes))
+            sig = F.element_at("__bk__", 1)
+            for t in range(1, n_pack):
+                sig = sig.bitwiseOR(
+                    F.shiftleft(F.element_at("__bk__", t + 1), t * planes))
+            vb = vb.withColumn("__sig__", sig)
+            pf_cols = ["__sig__"]
+            bits_used = n_pack * planes
+            theta = math.acos(min(1.0, max(-1.0,
+                                           self.get_("threshold")))) / math.pi
+            mean, sd = bits_used * theta, math.sqrt(
+                bits_used * theta * (1.0 - theta))
+            ham_cap = min(bits_used, math.ceil(mean + 3.5 * sd))
+            ham_gate = F.bit_count(
+                F.col("__sa__").bitwiseXOR(F.col("__sb__"))) <= ham_cap
+        # fixed-width (id, sig, t, b) checkpoint: the exploded relation
+        # feeds the hot-key agg, the semi/anti splits AND both sides of
+        # the self-join — without it the Arrow bucket UDF re-runs over
+        # the full corpus once per consumer (the MinHash double-UDF
+        # hazard; see PLANS.md)
+        exploded = vb.select(
+            "id", *pf_cols, F.posexplode("__bk__").alias("t", "b")) \
+            .localCheckpoint(eager=False)
         cap = self.get_("maxBucketDocFreq")
         hot_cand = None
         if cap is not None:
@@ -481,10 +519,19 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasSeed):
                     exploded.join(hot_keys, ["t", "b"], "left_semi"),
                     ["t", "b"], int(self.get_("numBlocks")))
             exploded = exploded.join(hot_keys, ["t", "b"], "left_anti")
-        ea = exploded.select(F.col("id").alias("id_a"), "t", "b")
-        eb = exploded.select(F.col("id").alias("id_b"), "t", "b")
+        ea = exploded.select(
+            F.col("id").alias("id_a"), "t", "b",
+            *[F.col(c).alias("__sa__") for c in pf_cols])
+        eb = exploded.select(
+            F.col("id").alias("id_b"), "t", "b",
+            *[F.col(c).alias("__sb__") for c in pf_cols])
+        cand_filter = F.col("id_a") < F.col("id_b")
+        if ham_gate is not None:
+            # the sign-bit gate runs INSIDE the candidate join — random
+            # collisions never reach the dedup exchange or the vector join
+            cand_filter = cand_filter & ham_gate
         cand = (ea.join(eb, ["t", "b"])
-                .filter(F.col("id_a") < F.col("id_b"))
+                .filter(cand_filter)
                 .select("id_a", "id_b"))
         if hot_cand is not None:
             cand = cand.unionByName(hot_cand)

@@ -34,6 +34,35 @@ def test_embedding_dedup_lsh_finds_near_dups(spark):
     assert len(got) >= 0.8 * len(want) > 0
 
 
+def test_embedding_dedup_signature_prefilter(spark):
+    # the sign-bit hamming gate kills random candidates before the
+    # vector join but keeps essentially every true near-dup: tiny
+    # perturbations flip almost no hyperplane signs, so prefiltered
+    # output ≈ unfiltered output on a near-dup corpus
+    df = _emb_df(spark, n=80)
+
+    def run(**kw):
+        d = EmbeddingCosineDeduplicator(idCol="id", vecCol="embedding",
+                                        seed=1).set_(
+            threshold=0.999, exact=0, numPlanes=6, numTables=6, **kw)
+        return {(r["id_a"], r["id_b"]) for r in d.transform(df)[0].collect()}
+
+    plain = run()
+    gated = run(signaturePrefilter=1)
+    assert gated <= plain
+    assert len(gated) >= 0.9 * len(plain) > 0
+    # clone clusters have IDENTICAL signatures (hamming 0) — the gate
+    # must never drop an exact-duplicate pair
+    clones = spark.createDataFrame(
+        [(i, [1.0, 2.0, -1.0, 0.5] * 4) for i in range(12)],
+        "id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in EmbeddingCosineDeduplicator(
+        idCol="id", vecCol="embedding", seed=1).set_(
+        threshold=0.999, exact=0, numPlanes=6, numTables=2,
+        signaturePrefilter=1).transform(clones)[0].collect()}
+    assert got == {(a, b) for a in range(12) for b in range(12) if a < b}
+
+
 def test_minhash_dedup_band_join_carries_ids_only(spark):
     rows = [(0, "the quick brown fox jumps over the lazy dog again"),
             (1, "the quick brown fox jumps over the lazy dog again today"),
