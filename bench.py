@@ -58,7 +58,7 @@ HEADLINE = [
     # tokenize/vocab + Arrow-UDF-heavy pipelines
     "tokenizer", "ngram", "stop_words_remover", "count_vectorizer", "tfidf",
     "hashing_tf", "feature_hasher", "bpe_tokenize", "exact_dedup",
-    "line_dedup",
+    "snapshot_diff", "line_dedup",
     "ngram_profile", "simhash_dedup",
     "minhash_signature", "minhash_dedup", "minhash_join_skewsafe",
     "incremental_dedup", "incremental_dedup_bucketed",

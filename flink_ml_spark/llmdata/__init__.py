@@ -5,7 +5,8 @@ from .dedup import (ConnectedComponents, ContaminationScorer,
                     ExactDeduplicator,
                     IncrementalMinHashDeduplicator, LineDeduplicator,
                     MinHashLSHDeduplicator, MinHashSignature,
-                    NGramJaccardDeduplicator, SimHashDeduplicator)
+                    NGramJaccardDeduplicator, SimHashDeduplicator,
+                    SnapshotDiff)
 from .bpe import BpeTokenizerModel, BpeTokenizerTrainer
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)

@@ -1365,3 +1365,57 @@ class DuplicateResolver(AlgoOperator):
         outside = docs.join(clustered, idc, "left_anti")
         kept_in = docs.join(keep_ids, idc, "left_semi")
         return [outside.unionByName(kept_in)]
+
+
+class SnapshotDiff(AlgoOperator):
+    """Corpus snapshot diff: classify every document id across two corpus
+    versions as ``added`` / ``removed`` / ``changed`` / ``unchanged`` by
+    comparing fixed-width content digests — the change-detection step in
+    front of an incremental pipeline run.  Only ``added`` + ``changed``
+    ids need re-processing (feed them to IncrementalMinHashDeduplicator /
+    the quality gates); ``removed`` ids are retired from downstream
+    stores.  This is what turns a daily 100 TB crawl refresh into an
+    O(delta) job instead of an O(corpus) one.
+
+    ``transform(old, new)`` -> ``[diff]`` with columns (idCol, status).
+    ``includeUnchanged=0`` (default) drops unchanged rows so the output
+    is change-proportional.  Ids are assumed unique within each snapshot
+    (the corpus contract everywhere else in this package).
+
+    Plan: each side reduces to (id, sha2-256(content)) at scan time —
+    column pruning means only idCol+contentCol are read — so the single
+    full-outer id join shuffles rows x 40 B regardless of document size.
+    With both snapshots' digest relations persisted bucketed on id
+    (io.write_bucketed), the join plans with zero Exchange; the digest
+    relation is also exactly what IncrementalMinHashDeduplicator's store
+    update wants to keep between runs.
+    """
+
+    idCol = StringParam("idCol", "Unique id column (both sides).", "id")
+    contentCol = StringParam("contentCol", "Content column to compare "
+                             "(digested; never shuffled raw).", "text")
+    includeUnchanged = IntParam(
+        "includeUnchanged", "1 = keep unchanged rows in the output; 0 "
+        "(default) = emit only added/removed/changed.", 0,
+        ParamValidators.in_array([0, 1]))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        old, new = inputs
+        idc, c = self.get_("idCol"), self.get_("contentCol")
+        # \x00 sentinel keeps NULL content distinct from the string 'None'
+        dig = lambda df: df.select(  # noqa: E731
+            F.col(idc).alias("__id__"),
+            F.sha2(F.coalesce(F.col(c).cast("string"), F.lit("\x00")), 256)
+            .alias("__d__"))
+        o = dig(old).withColumnRenamed("__d__", "__d_old__")
+        n = dig(new).withColumnRenamed("__d__", "__d_new__")
+        joined = o.join(n, "__id__", "full_outer")
+        status = (F.when(F.col("__d_old__").isNull(), "added")
+                  .when(F.col("__d_new__").isNull(), "removed")
+                  .when(F.col("__d_old__") == F.col("__d_new__"), "unchanged")
+                  .otherwise("changed"))
+        out = joined.select(F.col("__id__").alias(idc),
+                            status.alias("status"))
+        if not self.get_("includeUnchanged"):
+            out = out.filter(F.col("status") != "unchanged")
+        return [out]

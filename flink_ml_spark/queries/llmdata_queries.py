@@ -150,6 +150,40 @@ SELECT doc_id FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
 """
 
+# --- corpus snapshot diff ---------------------------------------------------
+# simulated refresh: yesterday = docs minus the %7 block, with the %5
+# block truncated to 40 chars (edits); today = docs minus the %11==3
+# block (deletions).  Diff classifies added / removed / changed; docs
+# whose text is already <= 40 chars land unchanged — the comparison is
+# on content, not on which block the id fell in.
+
+def snapshot_diff(spark, sf_dir):
+    from ..llmdata import SnapshotDiff
+    docs = load(spark, sf_dir, "documents")
+    old = (docs.where(F.col("doc_id") % 7 != 0)
+           .withColumn("text", F.when(F.col("doc_id") % 5 == 0,
+                                      F.substring("text", 1, 40))
+                       .otherwise(F.col("text"))))
+    new = docs.where(F.col("doc_id") % 11 != 3)
+    out = SnapshotDiff(idCol="doc_id", contentCol="text").transform(old, new)[0]
+    return out.select("doc_id", "status")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 40) ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0),
+new AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR o.text IS DISTINCT FROM n.text
+"""
+
 # --- minhash signature ------------------------------------------------------
 
 N_HASHES, SEED = 16, 42
@@ -2291,6 +2325,7 @@ QUERIES = {
     "llm_prep_pipeline": (llm_prep_pipeline, LLM_PREP_SQL),
     "llm_prep_pipeline_v2": (llm_prep_pipeline_v2, LLM_PREP_V2_SQL),
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
+    "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
     "decontamination": (decontamination, DECONTAMINATION_SQL),
     "contamination_score": (contamination_score, CONTAMINATION_SCORE_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),

@@ -63,7 +63,7 @@ REFERENCE_STAGES = {
     # north-star extensions (BASELINE.json)
     "ExactDeduplicator": "llmdata", "MinHashSignature": "llmdata",
     "MinHashLSHDeduplicator": "llmdata", "SimHashDeduplicator": "llmdata",
-    "NGramJaccardDeduplicator": "llmdata",
+    "NGramJaccardDeduplicator": "llmdata", "SnapshotDiff": "llmdata",
     "EmbeddingCosineDeduplicator": "llmdata",
     "BruteForceKNNJoin": "llmdata", "IVFIndex": "llmdata",
     "IVFIndexModel": "llmdata", "RandomHyperplaneLSH": "llmdata",

@@ -1336,3 +1336,29 @@ def test_stratified_budget_local_null_domain_parity(spark):
     assert dist == loc
     assert sum(1 for i in dist if i % 2 == 0) == 3   # null stratum
     assert sum(1 for i in dist if i % 2 == 1) == 4   # domain 'a'
+
+
+def test_snapshot_diff_statuses(spark):
+    from flink_ml_spark.llmdata import SnapshotDiff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "old version"), (3, "to be removed"),
+         (4, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "new version"), (5, "brand new"),
+         (4, None)],
+        "doc_id long, text string")
+    d = SnapshotDiff(idCol="doc_id", contentCol="text")
+    got = {r["doc_id"]: r["status"] for r in d.transform(old, new)[0].collect()}
+    # default drops unchanged: 1 (same text) and 4 (null == null) are out
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+    full = {r["doc_id"]: r["status"]
+            for r in d.set_(includeUnchanged=1).transform(old, new)[0].collect()}
+    assert full == {1: "unchanged", 2: "changed", 3: "removed",
+                    4: "unchanged", 5: "added"}
+    # null content is distinct from the literal string "None"
+    old2 = spark.createDataFrame([(7, None)], "doc_id long, text string")
+    new2 = spark.createDataFrame([(7, "None")], "doc_id long, text string")
+    assert d.set_(includeUnchanged=0).transform(old2, new2)[0] \
+        .collect()[0]["status"] == "changed"
