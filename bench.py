@@ -59,7 +59,7 @@ HEADLINE = [
     "tokenizer", "ngram", "stop_words_remover", "count_vectorizer", "tfidf",
     "hashing_tf", "feature_hasher", "bpe_tokenize", "exact_dedup",
     "snapshot_diff", "line_dedup",
-    "ngram_profile", "simhash_dedup",
+    "ngram_profile", "simhash_dedup", "dedup_recall",
     "minhash_signature", "minhash_dedup", "minhash_join_skewsafe",
     "incremental_dedup", "incremental_dedup_bucketed",
     "dup_keep_best",

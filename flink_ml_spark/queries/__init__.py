@@ -86,7 +86,8 @@ def all_queries():
         # fixed this round to emit a scalar string) — must lead
         "bpe_tokenize",
         # new in round 4 (no prior driver evidence)
-        "snapshot_diff", "incremental_dedup_bucketed", "minhash_join_skewsafe",
+        "snapshot_diff", "dedup_recall",
+        "incremental_dedup_bucketed", "minhash_join_skewsafe",
         "quality_classifier", "llm_prep_pipeline_v5", "stratified_budget",
         "char_entropy", "dup_span_removal", "ann_recall", "llm_prep_pipeline_v6",
         # latest driver evidence is round 1 (28 queries; unchanged code —

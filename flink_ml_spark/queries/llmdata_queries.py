@@ -457,7 +457,8 @@ def ngram_jaccard_dedup(spark, sf_dir):
     return out.select("id_a", "id_b", q4(F.col("jaccard")).alias("jaccard"))
 
 
-NGRAM_JACCARD_SQL = f"""
+def _ngram_jaccard_sql(threshold: float) -> str:
+    return f"""
 WITH sh AS (SELECT doc_id, {_shingle_sql(3)} AS s FROM documents),
 post AS (SELECT doc_id, unnest(s) AS g FROM sh),
 sizes AS (SELECT doc_id, len(s) AS n FROM sh),
@@ -468,8 +469,69 @@ shared AS (
 scored AS (
   SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS j
   FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
-SELECT id_a, id_b, {SQL_Q4.format('j')} AS jaccard FROM scored WHERE j >= 0.3
+SELECT id_a, id_b, {SQL_Q4.format('j')} AS jaccard FROM scored WHERE j >= {threshold}
 """
+
+
+NGRAM_JACCARD_SQL = _ngram_jaccard_sql(0.3)
+
+def dedup_recall(spark, sf_dir):
+    """Dedup quality measurement as a first-class query (the ann_recall
+    analogue for the near-dup family): pair precision/recall of the
+    MinHash-LSH similarity join against exact n-gram-Jaccard ground
+    truth at the same threshold.  Truth comes from the postings-join
+    deduplicator (exact, distributed, no BNLJ), so the measurement
+    itself runs at corpus scale; both pair relations are independently
+    oracle-verified (minhash_dedup, ngram_jaccard_dedup).  Expected
+    shape: precision 1.0 (candidates are exact-Jaccard-filtered),
+    recall = the probability a >=threshold pair agrees on at least one
+    of the 4 bands — the banding S-curve made measurable."""
+    from ..llmdata import MinHashLSHDeduplicator, NGramJaccardDeduplicator
+    docs = load(spark, sf_dir, "documents")
+    truth = (NGramJaccardDeduplicator(idCol="doc_id", textCol="text",
+                                      shingleSize=3).set_(threshold=0.4)
+             .transform(docs)[0].select("id_a", "id_b"))
+    found = (MinHashLSHDeduplicator(idCol="doc_id", textCol="text",
+                                    shingleSize=3, numHashes=16, bandSize=4,
+                                    threshold=0.4, seed=SEED)
+             .transform(docs)[0].select("id_a", "id_b"))
+    hit = truth.join(found, ["id_a", "id_b"])
+    # one tagged union + conditional-sum agg: a single row with zero
+    # joins between the three counts (no 1x1 BNLJ in the plan)
+    u = (truth.withColumn("k", F.lit("t"))
+         .unionAll(found.withColumn("k", F.lit("f")))
+         .unionAll(hit.withColumn("k", F.lit("h"))))
+    cnt = lambda tag: F.sum(F.when(F.col("k") == tag, 1)  # noqa: E731
+                            .otherwise(0)).cast("long")
+    agg = u.agg(cnt("t").alias("n_truth"), cnt("f").alias("n_found"),
+                cnt("h").alias("n_hit"))
+    return agg.select(
+        "n_truth", "n_found", "n_hit",
+        q4(F.col("n_hit") / F.nullif(F.col("n_found"), F.lit(0)))
+        .alias("precision_q4"),
+        q4(F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)))
+        .alias("recall_q4"))
+
+
+def _dedup_recall_sql() -> str:
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({_ngram_jaccard_sql(0.4)})),
+found AS (SELECT id_a, id_b FROM ({_minhash_dedup_sql()})),
+hit AS (SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM found),
+c AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM found) AS n_found,
+             (SELECT count(*) FROM hit) AS n_hit)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       {SQL_Q4.format('n_hit * 1.0 / NULLIF(n_found, 0)')} AS precision_q4,
+       {SQL_Q4.format('n_hit * 1.0 / NULLIF(n_truth, 0)')} AS recall_q4
+FROM c
+"""
+
+
+DEDUP_RECALL_SQL = _dedup_recall_sql()
+
 
 # --- simhash ---------------------------------------------------------------
 
@@ -2346,6 +2408,7 @@ QUERIES = {
     "dup_clusters": (dup_clusters, DUP_CLUSTERS_SQL),
     "dup_keep_best": (dup_keep_best, DUP_KEEP_BEST_SQL),
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, NGRAM_JACCARD_SQL),
+    "dedup_recall": (dedup_recall, DEDUP_RECALL_SQL),
     "simhash_dedup": (simhash_dedup, SIMHASH_SQL),
     "embedding_dedup": (embedding_dedup, EMBEDDING_DEDUP_SQL),
     "embedding_dedup_lsh": (embedding_dedup_lsh, EMBEDDING_DEDUP_LSH_SQL),

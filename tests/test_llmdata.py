@@ -1362,3 +1362,44 @@ def test_snapshot_diff_statuses(spark):
     new2 = spark.createDataFrame([(7, "None")], "doc_id long, text string")
     assert d.set_(includeUnchanged=0).transform(old2, new2)[0] \
         .collect()[0]["status"] == "changed"
+
+
+def test_dedup_recall_metric(spark):
+    # on real testdata: found pairs are exact-Jaccard-filtered, so the
+    # LSH join can only MISS truth pairs, never add to them — precision
+    # is identically 1.0 and recall = banding hit rate
+    from flink_ml_spark.queries.llmdata_queries import dedup_recall
+
+    row = dedup_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_truth"] > 0
+    assert row["n_hit"] == row["n_found"] <= row["n_truth"]
+    assert row["precision_q4"] == 10000
+    assert 0 < row["recall_q4"] <= 10000
+
+
+def test_minhash_banding_misses_borderline_pairs(spark):
+    # the S-curve is real: at j just over threshold, P[any band agrees]
+    # = 1-(1-j^4)^4 is small, so across many borderline pairs the LSH
+    # join finds strictly fewer pairs than exact truth — the gap
+    # dedup_recall exists to measure
+    from flink_ml_spark.llmdata import (MinHashLSHDeduplicator,
+                                        NGramJaccardDeduplicator)
+
+    rows = []
+    for i in range(40):
+        base = [f"tok{i}_{j}" for j in range(40)]
+        # 42 shingles (3-gram over 44 tokens) vs share ~26/58 distinct
+        a = " ".join(base + [f"taila{i}_{j}" for j in range(4)])
+        b = " ".join(base[:28] + [f"tailb{i}_{j}" for j in range(16)])
+        rows += [(2 * i, a), (2 * i + 1, b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    th = 0.30
+    truth = NGramJaccardDeduplicator(idCol="doc_id", textCol="text",
+                                     shingleSize=3).set_(threshold=th) \
+        .transform(docs)[0]
+    found = MinHashLSHDeduplicator(idCol="doc_id", textCol="text",
+                                   shingleSize=3, numHashes=16, bandSize=4,
+                                   threshold=th, seed=42).transform(docs)[0]
+    n_truth, n_found = truth.count(), found.count()
+    assert n_truth == 40          # every constructed pair is over threshold
+    assert 0 < n_found < n_truth  # banding misses some borderline pairs
