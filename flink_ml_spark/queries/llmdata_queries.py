@@ -485,7 +485,11 @@ def dedup_recall(spark, sf_dir):
     oracle-verified (minhash_dedup, ngram_jaccard_dedup).  Expected
     shape: precision 1.0 (candidates are exact-Jaccard-filtered),
     recall = the probability a >=threshold pair agrees on at least one
-    of the 4 bands — the banding S-curve made measurable."""
+    of the 4 bands — the banding S-curve made measurable.  At 100 TB
+    the truth side (exact postings join) is the cost: run the metric on
+    a deterministic hash-sample of the corpus (id % K == 0) — recall is
+    a per-pair probability, so a sample estimates it unbiasedly without
+    the full O(shared-shingle pairs) join."""
     from ..llmdata import MinHashLSHDeduplicator, NGramJaccardDeduplicator
     docs = load(spark, sf_dir, "documents")
     truth = (NGramJaccardDeduplicator(idCol="doc_id", textCol="text",
