@@ -159,11 +159,12 @@ def main() -> None:
             return m.transform(docs)[0].select("doc_id", "lp")
         timed("bigram_lm_fit_score", bigram)
 
+        pf = int(os.environ.get("SCALE_PROBE2_LSH_PREFILTER", "0"))
         timed("embedding_dedup_lsh", lambda: EmbeddingCosineDeduplicator(
             idCol="doc_id", vecCol="embedding", threshold=0.95, exact=0,
             numTables=4, numPlanes=None, seed=7)
             .set_(maxBucketDocFreq=128, hotBucketStrategy="block",
-                  numBlocks=16).transform(emb)[0])
+                  numBlocks=16, signaturePrefilter=pf).transform(emb)[0])
 
         def ivf():
             idx = IVFIndex(vecCol="embedding", nlist=None, maxIter=3,
