@@ -16,6 +16,7 @@ from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         RandomHyperplaneLSH, RandomHyperplaneLSHModel,
                         SemanticDeduplicator)
 from .sampling import (CorpusShuffler, DocumentChunker, DomainMixtureSampler,
+                       ImportanceResampler, ImportanceResamplerModel,
                        SequencePacker, StratifiedBudgetSampler,
                        TemperatureMixtureSampler,
                        TemperatureMixtureSamplerModel)
@@ -25,6 +26,7 @@ from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
                            LanguageIdentifier, NGramProfiler, PIIRedactor,
                            RepetitionScorer,
                            TextNormalizer, TextQualityScorer, TokenCounter,
+                           TokenDriftProfiler,
                            UnigramLMScorer, UnigramLMScorerModel)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -304,6 +304,147 @@ class DocumentChunker(Transformer):
                             + ["chunk_start", self.get_("chunkCol")])
 
 
+class ImportanceResampler(Estimator):
+    """DSIR-style data selection via importance resampling (public
+    literature: Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023).  ``fit(raw, target)`` estimates
+    bag-of-hashed-unigram distributions over ``numBuckets`` poly-hash
+    buckets — p for the small curated TARGET corpus, q for the big RAW
+    corpus — with add-``smoothing`` smoothing; the fitted model scores
+    each raw document with its log importance weight
+    ``logw(x) = Σ_tokens [ln p(bucket) − ln q(bucket)]`` and adds the
+    paper's Gumbel perturbation ``key = logw + g_id`` where
+    ``g_id = −ln(−ln(u_id))`` comes from the deterministic per-id unit
+    hash — so "keep the top-k keys" IS Gumbel-top-k sampling without
+    replacement from the importance-weighted distribution, reproducible
+    across runs and engines with no RNG state.
+
+    100 TB plan: fit = two token-count aggregations whose grouping key is
+    a bucket int, so at most ``numBuckets`` rows reach the driver — the
+    model is fixed-size by construction regardless of corpus bytes.
+    Scoring is zero-shuffle: the bucket log-ratio array rides to
+    executors inside ONE Arrow-vectorized pass (poly-hash → gather →
+    per-doc bincount segment sum); the Gumbel key is a codegen'd Column
+    expression.  Selection composes downstream: a global top-k is
+    TakeOrdered, per-domain exact budgets reuse the salted two-stage rank
+    (StratifiedBudgetSampler).
+    """
+
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    inputCol = StringParam("inputCol", "Text column.", "text")
+    outputCol = StringParam("outputCol", "Log importance weight column.",
+                            "dsir_logw")
+    keyCol = StringParam("keyCol", "Gumbel-perturbed selection key column.",
+                         "dsir_key")
+    numBuckets = IntParam("numBuckets", "Hashed-feature buckets.", 4096,
+                          ParamValidators.gt(0))
+    smoothing = FloatParam("smoothing", "Add-a smoothing per bucket.", 1.0,
+                           ParamValidators.gt(0))
+    salt = IntParam("salt", "Gumbel hash salt.", 7)
+
+    def fit(self, *inputs: DataFrame) -> "ImportanceResamplerModel":
+        raw, target = inputs
+        b = int(self.get_("numBuckets"))
+        a = float(self.get_("smoothing"))
+        import math
+
+        def bucket_counts(df: DataFrame) -> tuple[list[int], int]:
+            from .dedup import poly_token_hash
+            toks = F.explode(F.array_remove(
+                F.split(F.lower(F.col(self.get_("inputCol"))), r"\s"), ""))
+            bkt = poly_token_hash(F.col("t")) % b
+            rows = (df.select(toks.alias("t"))
+                    .select(bkt.alias("b"))
+                    .groupBy("b").count().collect())
+            counts = [0] * b
+            for r in rows:
+                counts[int(r["b"])] = int(r["count"])
+            return counts, sum(counts)
+
+        q_cnt, q_tot = bucket_counts(raw)
+        p_cnt, p_tot = bucket_counts(target)
+        lr = [math.log((p_cnt[i] + a) / (p_tot + a * b))
+              - math.log((q_cnt[i] + a) / (q_tot + a * b))
+              for i in range(b)]
+        model = ImportanceResamplerModel()
+        model.set_(idCol=self.get_("idCol"), inputCol=self.get_("inputCol"),
+                   outputCol=self.get_("outputCol"), keyCol=self.get_("keyCol"),
+                   numBuckets=b, salt=self.get_("salt"))
+        model.model_data = {"logratio": lr}
+        return model
+
+
+class ImportanceResamplerModel(Model):
+    idCol = StringParam("idCol", "Unique id column.", "id")
+    inputCol = StringParam("inputCol", "Text column.", "text")
+    outputCol = StringParam("outputCol", "Log importance weight column.",
+                            "dsir_logw")
+    keyCol = StringParam("keyCol", "Gumbel-perturbed selection key column.",
+                         "dsir_key")
+    numBuckets = IntParam("numBuckets", "Hashed-feature buckets.", 4096,
+                          ParamValidators.gt(0))
+    salt = IntParam("salt", "Gumbel hash salt.", 7)
+
+    def _logw_fn(self):
+        """Score closure over plain values (param resolution must happen
+        driver-side: the pickled model's identity-keyed param map doesn't
+        survive the trip into an executor UDF)."""
+        import numpy as np
+        from .dedup import flat_tokens, np_poly_hash
+        lr = np.asarray(self.model_data["logratio"], dtype=np.float64)
+        b = int(self.get_("numBuckets"))
+
+        def logw(texts):
+            tok_lists = [(t or "").lower().split() for t in texts]
+            flat, lens, _ = flat_tokens(tok_lists)
+            if len(flat) == 0:
+                return np.zeros(len(tok_lists))
+            vals = lr[np_poly_hash(flat) % b]
+            doc_idx = np.repeat(np.arange(len(tok_lists)), lens)
+            return np.bincount(doc_idx, weights=vals,
+                               minlength=len(tok_lists))
+
+        return logw
+
+    def _gumbel_key(self) -> Column:
+        # u ∈ (0, 1): the integer hash h ∈ [0, M) shifted by +0.5 before
+        # the divide so neither log is ever of 0/1 exactly
+        idc, salt = self.get_("idCol"), self.get_("salt")
+        inner = ((F.col(idc) % HASH_MOD) + HASH_MOD) % HASH_MOD
+        h = ((inner * 2654435761 + F.lit(salt)) % HASH_MOD
+             + HASH_MOD) % HASH_MOD
+        u = (h + F.lit(0.5)) / float(HASH_MOD)
+        return F.col(self.get_("outputCol")) - F.log(-F.log(u))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+        logw_fn = self._logw_fn()
+
+        def score(texts):
+            return pd.Series(logw_fn(texts))
+
+        score.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        score = pandas_udf(score, "double")
+        return (df.withColumn(self.get_("outputCol"),
+                              score(F.col(self.get_("inputCol"))))
+                .withColumn(self.get_("keyCol"), self._gumbel_key()))
+
+    def transform_local(self, pdf):
+        import math
+        out = pdf.copy()
+        out[self.get_("outputCol")] = self._logw_fn()(
+            pdf[self.get_("inputCol")])
+        salt = self.get_("salt")
+        keys = []
+        for idv, lw in zip(pdf[self.get_("idCol")],
+                           out[self.get_("outputCol")]):
+            h = ((int(idv) % HASH_MOD) * 2654435761 + salt) % HASH_MOD
+            u = (h + 0.5) / float(HASH_MOD)
+            keys.append(float(lw) - math.log(-math.log(u)))
+        out[self.get_("keyCol")] = keys
+        return out
+
+
 class StratifiedBudgetSampler(Transformer):
     """Exact per-domain row budgets: keep exactly ``min(budget_d, n_d)``
     rows from each domain (``budgets[d]``, ``defaultBudget`` for unlisted

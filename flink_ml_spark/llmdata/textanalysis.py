@@ -251,6 +251,71 @@ class NGramProfiler(AlgoOperator, HasInputCol):
         return [out]
 
 
+class TokenDriftProfiler(AlgoOperator, HasInputCol):
+    """Corpus token-distribution drift between two snapshots — the
+    monitoring counterpart to SnapshotDiff: where SnapshotDiff reports
+    WHICH documents changed, this reports WHAT the change did to the
+    token distribution the model trains on.  ``transform(old, new)``
+    estimates add-``smoothing`` smoothed unigram distributions over the
+    union vocabulary and emits the top ``k`` tokens by their Jeffreys
+    (symmetrized-KL) divergence contribution
+    ``j_term = (p_new−p_old)·ln(p_new/p_old)`` — symmetric because the
+    one-sided KL(new‖old) term ``p_new·ln(p_new/p_old)`` underweights
+    VANISHED tokens (tiny p_new shrinks the term), and a drift monitor
+    must surface disappearance as loudly as flooding.  ``log_ratio =
+    ln(p_new/p_old)`` carries the direction (positive = flooding,
+    negative = vanishing); ordering is deterministic (j desc, token
+    asc).
+
+    Plan: ONE token-count shuffle — both snapshots explode into a
+    side-tagged union and a single groupBy(token) computes both counts
+    with map-side partial aggregation; the three scalars (totals + union
+    vocab size) come from one agg over the persisted counts, and the
+    top-k pushes into TakeOrderedAndProject.  k rows leave the cluster
+    regardless of corpus size.
+    """
+
+    k = IntParam("k", "Drift tokens to keep.", 50, ParamValidators.gt(0))
+    smoothing = FloatParam("smoothing", "Add-a smoothing per token.", 0.5,
+                           ParamValidators.gt(0))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        old, new = inputs
+        a = float(self.get_("smoothing"))
+        col = self.get_("inputCol")
+
+        def toks(df: DataFrame, tag: int) -> DataFrame:
+            return df.select(F.explode(_tokens(F.col(col))).alias("token"),
+                             F.lit(tag).alias("side"))
+
+        cnt = (toks(old, 0).unionAll(toks(new, 1))
+               .groupBy("token")
+               .agg(F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+                    .alias("n_old"),
+                    F.sum("side").alias("n_new"))
+               .persist())
+        try:
+            t_old, t_new, vocab = cnt.agg(
+                F.sum("n_old"), F.sum("n_new"), F.count("*")).first()
+            t_old, t_new, vocab = int(t_old or 0), int(t_new or 0), int(vocab or 0)
+            p_old = (F.col("n_old") + a) / float(t_old + a * vocab)
+            p_new = (F.col("n_new") + a) / float(t_new + a * vocab)
+            out = (cnt.withColumn("p_old", p_old)
+                   .withColumn("p_new", p_new)
+                   .withColumn("log_ratio",
+                               F.log(F.col("p_new") / F.col("p_old")))
+                   .withColumn("j_term",
+                               (F.col("p_new") - F.col("p_old"))
+                               * F.col("log_ratio"))
+                   .orderBy(F.col("j_term").desc(), "token")
+                   .limit(self.get_("k")))
+            rows = out.collect()
+        finally:
+            cnt.unpersist()
+        spark = old.sparkSession
+        return [spark.createDataFrame(rows, schema=out.schema)]
+
+
 class UnigramLMScorer(Estimator, HasInputCol, HasOutputCol):
     """CCNet-style language-model quality scoring (public literature:
     Wenzek et al. 2020 §4.3 — perplexity under a corpus LM ranks

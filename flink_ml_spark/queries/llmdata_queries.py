@@ -1274,6 +1274,109 @@ WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS DOUBLE)
 """
 
 
+def token_drift(spark, sf_dir):
+    """Token-distribution drift between two corpus snapshots (overlapping
+    id-hash slices of documents): top-50 tokens by Jeffreys
+    (symmetrized-KL) contribution (p_new−p_old)·ln(p_new/p_old) under
+    add-0.5 smoothing over the union vocabulary — symmetric so vanished
+    tokens surface as loudly as flooding ones.  ONE token-count shuffle
+    (side-tagged union, single groupBy), top-k in
+    TakeOrderedAndProject."""
+    from ..llmdata import TokenDriftProfiler
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 != 1)
+    out = TokenDriftProfiler(inputCol="text", k=50, smoothing=0.5) \
+        .transform(old, new)[0]
+    # j terms live at the 1e-4 scale: quantize 8 decimals (q4 of 1e4*x)
+    return out.select("token", "n_old", "n_new",
+                      q4(F.col("j_term") * 10000).alias("j_q8"),
+                      q4(F.col("log_ratio")).alias("log_ratio"))
+
+
+TOKEN_DRIFT_SQL = f"""
+WITH old AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+new AS (SELECT text FROM documents WHERE doc_id % 3 <> 1),
+cnt AS (SELECT token, CAST(SUM(1 - side) AS BIGINT) AS n_old,
+               CAST(SUM(side) AS BIGINT) AS n_new FROM (
+          SELECT unnest({TOKS}) AS token, 0 AS side FROM old
+          UNION ALL
+          SELECT unnest({TOKS}) AS token, 1 AS side FROM new)
+        GROUP BY token),
+tot AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new, COUNT(*) AS v
+        FROM cnt),
+jf AS (SELECT token, n_old, n_new,
+              ln(((n_new + 0.5) / (t_new + 0.5 * v)) /
+                 ((n_old + 0.5) / (t_old + 0.5 * v))) AS log_ratio,
+              (((n_new + 0.5) / (t_new + 0.5 * v)) -
+               ((n_old + 0.5) / (t_old + 0.5 * v))) *
+              ln(((n_new + 0.5) / (t_new + 0.5 * v)) /
+                 ((n_old + 0.5) / (t_old + 0.5 * v))) AS j_term
+       FROM cnt, tot)
+SELECT token, n_old, n_new, {SQL_Q4.format('j_term * 10000')} AS j_q8,
+       {SQL_Q4.format('log_ratio')} AS log_ratio
+FROM jf ORDER BY j_term DESC, token LIMIT 50
+"""
+
+
+def dsir_select(spark, sf_dir):
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023): fit hashed-unigram target vs raw distributions (two
+    bucket-count aggs — the model is numBuckets floats regardless of
+    corpus size), score each raw doc with its log importance weight in
+    one zero-shuffle Arrow pass, Gumbel-perturb with the deterministic
+    per-id hash, and keep the top-50 keys — Gumbel-top-k sampling
+    without replacement from the importance distribution, replayed
+    exactly by the oracle."""
+    from ..llmdata import ImportanceResampler
+    docs = load(spark, sf_dir, "documents")
+    tgt = (F.col("lang") == "en") & F.col("source").isin(
+        "src0", "src1", "src2")
+    est = ImportanceResampler(idCol="doc_id", inputCol="text",
+                              numBuckets=512, smoothing=1.0, salt=7)
+    model = est.fit(docs.filter(~tgt), docs.filter(tgt))
+    out = model.transform(docs.filter(~tgt))[0]
+    return (out.orderBy(F.col("dsir_key").desc(), "doc_id").limit(50)
+            .select("doc_id", q4(F.col("dsir_logw")).alias("logw"),
+                    q4(F.col("dsir_key")).alias("skey")))
+
+
+def _dsir_sql() -> str:
+    b = 512
+    tgt = "lang = 'en' AND source IN ('src0', 'src1', 'src2')"
+    gum = ("ln(-ln(((((doc_id % 2147483648) + 2147483648) % 2147483648 "
+           "* 2654435761 + 7) % 2147483648 + 0.5) / 2147483648.0))")
+    return f"""
+WITH tgt AS (SELECT * FROM documents WHERE {tgt}),
+raw AS (SELECT * FROM documents WHERE NOT ({tgt})),
+rb AS (SELECT doc_id, {TOKHASH.format(t='t')} % {b} AS b
+       FROM (SELECT doc_id, unnest({TOKS}) AS t FROM raw)),
+tb AS (SELECT {TOKHASH.format(t='t')} % {b} AS b
+       FROM (SELECT unnest({TOKS}) AS t FROM tgt)),
+qc AS (SELECT b, COUNT(*) AS c FROM rb GROUP BY b),
+pc AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY b),
+tot AS (SELECT (SELECT COUNT(*) FROM rb) AS qn,
+               (SELECT COUNT(*) FROM tb) AS pn),
+lrt AS (SELECT g.range AS b,
+               ln((COALESCE(pc.c, 0) + 1.0) / (tot.pn + {b}.0))
+             - ln((COALESCE(qc.c, 0) + 1.0) / (tot.qn + {b}.0)) AS lr
+        FROM range({b}) g
+        LEFT JOIN pc ON pc.b = g.range
+        LEFT JOIN qc ON qc.b = g.range, tot),
+lw AS (SELECT r.doc_id, COALESCE(SUM(l.lr), 0.0) AS logw
+       FROM raw r LEFT JOIN rb ON rb.doc_id = r.doc_id
+       LEFT JOIN lrt l ON l.b = rb.b
+       GROUP BY r.doc_id),
+keyed AS (SELECT doc_id, logw, logw - {gum} AS skey FROM lw)
+SELECT doc_id, {SQL_Q4.format('logw')} AS logw,
+       {SQL_Q4.format('skey')} AS skey
+FROM keyed ORDER BY skey DESC, doc_id LIMIT 50
+"""
+
+
+DSIR_SELECT_SQL = _dsir_sql()
+
+
 def bpe_tokenize(spark, sf_dir):
     """BPE tokenizer training + encoding (Sennrich et al. 2016): fit =
     ONE distributed word-count aggregation (the only corpus-sized work)
@@ -2423,6 +2526,8 @@ QUERIES = {
     "pii_redaction": (pii_redaction, PII_SQL),
     "domain_mixture": (domain_mixture, DOMAIN_MIXTURE_SQL),
     "stratified_budget": (stratified_budget, STRATIFIED_BUDGET_SQL),
+    "dsir_select": (dsir_select, DSIR_SELECT_SQL),
+    "token_drift": (token_drift, TOKEN_DRIFT_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "bpe_tokenize": (bpe_tokenize, None),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),

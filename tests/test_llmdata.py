@@ -1403,3 +1403,91 @@ def test_minhash_banding_misses_borderline_pairs(spark):
     n_truth, n_found = truth.count(), found.count()
     assert n_truth == 40          # every constructed pair is over threshold
     assert 0 < n_found < n_truth  # banding misses some borderline pairs
+
+
+def test_importance_resampler(spark, tmp_path):
+    import math
+    import pandas as pd
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.llmdata import ImportanceResampler
+    tgt = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string")
+    raw_rows = ([(i, "alpha beta gamma delta") for i in range(10)]
+                + [(50 + i, "spam spam buy now") for i in range(10)]
+                + [(90, ""), (91, None)])
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    m = ImportanceResampler(idCol="doc_id", inputCol="text",
+                            numBuckets=64).fit(raw, tgt)
+    out = m.transform(raw)[0].collect()
+    lw = {r["doc_id"]: r["dsir_logw"] for r in out}
+    # target-like raw docs outweigh off-target docs; empty/null score 0
+    assert min(lw[i] for i in range(10)) > max(lw[50 + i] for i in range(10))
+    assert lw[90] == 0.0 and lw[91] == 0.0
+    # the Gumbel key replays the deterministic per-id hash exactly
+    key = {r["doc_id"]: r["dsir_key"] for r in out}
+    h = ((90 % 2147483648) * 2654435761 + 7) % 2147483648
+    g = -math.log(-math.log((h + 0.5) / 2147483648.0))
+    assert abs(key[90] - (lw[90] + g)) < 1e-12
+    # local-path parity and save/load roundtrip
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in raw_rows],
+                        "text": [r[1] for r in raw_rows]})
+    loc = m.transform_local(pdf)
+    for i, k in zip(loc["doc_id"], loc["dsir_key"]):
+        assert abs(key[i] - k) < 1e-9
+    p = str(tmp_path / "dsir")
+    m.save(p)
+    loc2 = Stage.load(spark, p).transform_local(pdf)
+    assert list(loc2["dsir_key"]) == list(loc["dsir_key"])
+
+
+def test_importance_resampler_weights_sum_property(spark):
+    """logw decomposes per token: a doc's weight equals the sum of its
+    tokens' bucket log-ratios (checked against a hand computation)."""
+    import math
+    from flink_ml_spark.llmdata import ImportanceResampler
+    from flink_ml_spark.llmdata.dedup import np_poly_hash
+    tgt = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    raw = spark.createDataFrame([(1, "x x z")], "doc_id long, text string")
+    b, a = 32, 1.0
+    m = ImportanceResampler(idCol="doc_id", inputCol="text",
+                            numBuckets=b, smoothing=a).fit(raw, tgt)
+    lr = m.model_data["logratio"]
+    import numpy as np
+    bx, by, bz = (int(v) for v in np_poly_hash(
+        np.array(["x", "y", "z"], dtype=object)) % b)
+    # raw counts: x->2, z->1 (tot 3); target: x->1, y->1 (tot 2)
+    def expect(tc, qc):
+        return (math.log((tc + a) / (2 + a * b))
+                - math.log((qc + a) / (3 + a * b)))
+    assert abs(lr[bx] - expect(1, 2)) < 1e-12
+    assert abs(lr[bz] - expect(0, 1)) < 1e-12
+    got = m.transform(raw)[0].collect()[0]["dsir_logw"]
+    assert abs(got - (2 * lr[bx] + lr[bz])) < 1e-12
+
+
+def test_token_drift_profiler(spark):
+    from flink_ml_spark.llmdata import TokenDriftProfiler
+    old = spark.createDataFrame(
+        [(i, "steady words forever") for i in range(20)]
+        + [(100 + i, "vanished content") for i in range(10)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, "steady words forever") for i in range(20)]
+        + [(200 + i, "clickbait flood clickbait") for i in range(10)],
+        "doc_id long, text string")
+    out = TokenDriftProfiler(inputCol="text", k=10).transform(old, new)[0]
+    rows = {r["token"]: r for r in out.collect()}
+    # flooding token: absent from old, positive direction
+    assert rows["clickbait"]["n_old"] == 0
+    assert rows["clickbait"]["n_new"] == 20
+    assert rows["clickbait"]["log_ratio"] > 0
+    # vanished token: negative direction, but a LOUD Jeffreys term —
+    # the reason the ranking is symmetrized rather than one-sided KL
+    assert rows["vanished"]["log_ratio"] < 0
+    assert rows["vanished"]["j_term"] > rows["steady"]["j_term"]
+    # the flood dominates the drift ranking
+    top = max(rows.values(), key=lambda r: r["j_term"])
+    assert top["token"] == "clickbait"
+    # j_term is a divergence contribution: non-negative everywhere
+    assert all(r["j_term"] >= 0 for r in rows.values())
