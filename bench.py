@@ -52,12 +52,14 @@ HEADLINE = [
     "token_count", "fingerprint",
     "text_normalize", "corpus_stats", "repetition_quality", "pii_redaction",
     "domain_mixture", "temperature_mixture", "stratified_budget",
+    "token_drift",
     "corpus_shuffle",
     "sequence_packing",
     "document_chunking",
     # tokenize/vocab + Arrow-UDF-heavy pipelines
     "tokenizer", "ngram", "stop_words_remover", "count_vectorizer", "tfidf",
-    "hashing_tf", "feature_hasher", "bpe_tokenize", "exact_dedup",
+    "hashing_tf", "feature_hasher", "bpe_tokenize", "dsir_select",
+    "exact_dedup",
     "snapshot_diff", "line_dedup",
     "ngram_profile", "simhash_dedup", "dedup_recall",
     "minhash_signature", "minhash_dedup", "minhash_join_skewsafe",
@@ -65,13 +67,14 @@ HEADLINE = [
     "dup_keep_best",
     "ann_bruteforce",
     "embedding_dedup_lsh", "embedding_quantize", "pca_whiten", "bm25_scoring",
-    "ann_ivf_pq", "semantic_dedup", "ann_recall",
+    "ann_ivf_pq", "semantic_dedup", "ann_recall", "embedding_drift",
     "dup_spans", "dup_span_removal", "decontamination", "contamination_score",
     "llm_prep_pipeline",
     "llm_prep_pipeline_v2", "llm_prep_pipeline_v3",
     "llm_prep_pipeline_v4",
     "llm_prep_pipeline_v5",
     "llm_prep_pipeline_v6",
+    "llm_prep_pipeline_v7",
 ]
 
 # the round-1 headline set, for like-for-like round-over-round subtotals

@@ -11,6 +11,7 @@ from .bpe import BpeTokenizerModel, BpeTokenizerTrainer
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
+                        EmbeddingDriftProfiler,
                         EmbeddingQuantizer, IVFIndex, IVFIndexModel,
                         PCAWhitener, PCAWhitenerModel,
                         RandomHyperplaneLSH, RandomHyperplaneLSHModel,

@@ -614,6 +614,77 @@ class SemanticDeduplicator(AlgoOperator, HasSeed, HasDistanceMeasure):
                 .select("id_a", "id_b", "cell", "cosine")]
 
 
+class EmbeddingDriftProfiler(AlgoOperator, HasInputCol):
+    """Embedding-space drift between two corpus snapshots — the vector
+    counterpart of TokenDriftProfiler: per ``byCol`` group (label,
+    domain, language...), compare the OLD vs NEW group centroid.
+    ``transform(old, new)`` emits one row per group present on both
+    sides: counts, cosine similarity of the two centroids (1.0 = the
+    region of embedding space the group occupies hasn't moved), and the
+    mean-L2-norm ratio new/old (magnitude drift — e.g. an upstream
+    encoder change that rescales vectors shows up here even when the
+    direction is unchanged).
+
+    100 TB plan: per side ONE zero-shuffle ``mapInPandas`` partial pass
+    (per partition × group: n, Σx, Σ‖x‖ — dim+2 doubles, the allReduce
+    shape shared with PCAWhitener/covariance_partials); partials combine
+    on the driver into groups × dim centroids, model-sized since group
+    cardinality is small by construction.  No embedding ever shuffles.
+    Null group keys are excluded (a null label is not a cohort).
+    """
+
+    byCol = StringParam("byCol", "Grouping column.", "label")
+
+    def _side_partials(self, df: DataFrame) -> dict:
+        import pandas as pd
+        col, by = self.get_("inputCol"), self.get_("byCol")
+
+        def partials(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                out = []
+                for g, sub in pdf.groupby(by):
+                    X = np.stack(sub[col].to_numpy())
+                    out.append((g, len(X), X.sum(axis=0).tolist(),
+                                float(np.linalg.norm(X, axis=1).sum())))
+                yield pd.DataFrame(out, columns=[by, "n", "s", "nrm"])
+
+        by_t = df.schema[by].dataType.simpleString()
+        rows = (df.filter(F.col(by).isNotNull())
+                .select(by, F.col(col).cast("array<double>").alias(col))
+                .mapInPandas(partials,
+                             f"{by} {by_t}, n long, s array<double>, "
+                             "nrm double")
+                .collect())
+        agg: dict = {}
+        for r in rows:
+            n, s, nrm = agg.setdefault(r[by], [0, None, 0.0])
+            sv = np.asarray(r["s"])
+            agg[r[by]] = [n + r["n"], sv if s is None else s + sv,
+                          nrm + r["nrm"]]
+        return agg
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        old, new = inputs
+        o, n = self._side_partials(old), self._side_partials(new)
+        rows = []
+        for g in sorted(set(o) & set(n), key=lambda x: (x is None, x)):
+            n_o, s_o, nrm_o = o[g]
+            n_n, s_n, nrm_n = n[g]
+            c_o, c_n = s_o / n_o, s_n / n_n
+            den = float(np.linalg.norm(c_o) * np.linalg.norm(c_n))
+            cos = float(c_o @ c_n) / den if den > 0 else 0.0
+            mean_nrm_o = nrm_o / n_o
+            ratio = (nrm_n / n_n) / mean_nrm_o if mean_nrm_o > 0 else 0.0
+            rows.append((g, n_o, n_n, cos, ratio))
+        by = self.get_("byCol")
+        by_t = old.schema[by].dataType.simpleString()
+        return [old.sparkSession.createDataFrame(
+            rows, f"{by} {by_t}, n_old long, n_new long, "
+                  "centroid_cos double, norm_ratio double")]
+
+
 def covariance_partials(df: DataFrame, col: str):
     """One-pass distributed (n, mean, covariance) of an array<double>
     column: per-partition Arrow partials (n, Σx, ΣxxT — dim and dim²

@@ -604,6 +604,53 @@ pairs AS (
 SELECT id_a, id_b, {SQL_Q4.format('c')} AS cosine FROM pairs WHERE c >= 0.3
 """
 
+def embedding_drift(spark, sf_dir):
+    """Embedding-space drift between two snapshot slices: per label,
+    cosine of OLD vs NEW centroid + mean-norm ratio.  One zero-shuffle
+    Arrow partial pass per side (n, Σx, Σ‖x‖ per partition×group);
+    no embedding shuffles."""
+    from ..llmdata import EmbeddingDriftProfiler
+    emb = load(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 != 1)
+    out = EmbeddingDriftProfiler(inputCol="embedding", byCol="label") \
+        .transform(old, new)[0]
+    return out.select("label", "n_old", "n_new",
+                      q4(F.col("centroid_cos")).alias("centroid_cos"),
+                      q4(F.col("norm_ratio")).alias("norm_ratio"))
+
+
+EMBEDDING_DRIFT_SQL = f"""
+WITH old AS (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings
+             WHERE vec_id % 3 <> 0 AND label IS NOT NULL),
+new AS (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        WHERE vec_id % 3 <> 1 AND label IS NOT NULL),
+og AS (SELECT label, COUNT(*) AS n,
+              AVG(sqrt(list_inner_product(v, v))) AS mnrm FROM old
+       GROUP BY label),
+ng AS (SELECT label, COUNT(*) AS n,
+              AVG(sqrt(list_inner_product(v, v))) AS mnrm FROM new
+       GROUP BY label),
+oc AS (SELECT label, i, SUM(x) AS s FROM
+         (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x
+          FROM old) GROUP BY label, i),
+nc AS (SELECT label, i, SUM(x) AS s FROM
+         (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x
+          FROM new) GROUP BY label, i),
+dots AS (SELECT o.label,
+                SUM((o.s / og.n) * (n.s / ng.n)) AS dot,
+                SUM(pow(o.s / og.n, 2)) AS a2,
+                SUM(pow(n.s / ng.n, 2)) AS b2
+         FROM oc o JOIN nc n USING (label, i)
+         JOIN og ON og.label = o.label JOIN ng ON ng.label = o.label
+         GROUP BY o.label)
+SELECT d.label, og.n AS n_old, ng.n AS n_new,
+       {SQL_Q4.format('d.dot / (sqrt(d.a2) * sqrt(d.b2))')} AS centroid_cos,
+       {SQL_Q4.format('ng.mnrm / og.mnrm')} AS norm_ratio
+FROM dots d JOIN og ON og.label = d.label JOIN ng ON ng.label = d.label
+"""
+
+
 # --- real-codec media pipeline ---------------------------------------------
 # Synthesizes solid-color 8x8 BMPs from doc_id, then runs the REAL decode →
 # nearest-resize → re-encode → decode → color-layout features path
@@ -1341,13 +1388,15 @@ def dsir_select(spark, sf_dir):
                     q4(F.col("dsir_key")).alias("skey")))
 
 
-def _dsir_sql() -> str:
-    b = 512
+def _dsir_ctes(b: int = 512) -> str:
+    """Shared DuckDB replay of ImportanceResampler (fit + score + Gumbel
+    key) over documents: CTE chain ending in ``keyed(doc_id, logw,
+    skey)`` for the raw (non-target) side.  Used by dsir_select and
+    llm_prep_pipeline_v7 so a fix to the replay lands in both oracles."""
     tgt = "lang = 'en' AND source IN ('src0', 'src1', 'src2')"
     gum = ("ln(-ln(((((doc_id % 2147483648) + 2147483648) % 2147483648 "
            "* 2654435761 + 7) % 2147483648 + 0.5) / 2147483648.0))")
-    return f"""
-WITH tgt AS (SELECT * FROM documents WHERE {tgt}),
+    return f"""tgt AS (SELECT * FROM documents WHERE {tgt}),
 raw AS (SELECT * FROM documents WHERE NOT ({tgt})),
 rb AS (SELECT doc_id, {TOKHASH.format(t='t')} % {b} AS b
        FROM (SELECT doc_id, unnest({TOKS}) AS t FROM raw)),
@@ -1367,14 +1416,59 @@ lw AS (SELECT r.doc_id, COALESCE(SUM(l.lr), 0.0) AS logw
        FROM raw r LEFT JOIN rb ON rb.doc_id = r.doc_id
        LEFT JOIN lrt l ON l.b = rb.b
        GROUP BY r.doc_id),
-keyed AS (SELECT doc_id, logw, logw - {gum} AS skey FROM lw)
+keyed AS (SELECT doc_id, logw, logw - {gum} AS skey FROM lw)"""
+
+
+DSIR_SELECT_SQL = f"""
+WITH {_dsir_ctes()}
 SELECT doc_id, {SQL_Q4.format('logw')} AS logw,
        {SQL_Q4.format('skey')} AS skey
 FROM keyed ORDER BY skey DESC, doc_id LIMIT 50
 """
 
 
-DSIR_SELECT_SQL = _dsir_sql()
+def llm_prep_pipeline_v7(spark, sf_dir):
+    """The DATA-SELECTION recipe (Xie et al. 2023 DSIR): instead of
+    gating on intrinsic quality rules (v1/v3) or a learned quality model
+    (v5), select raw documents BY RESEMBLANCE TO A TRUSTED TARGET corpus
+    — fit hashed-unigram importance weights on (raw, target), take the
+    top-150 Gumbel keys (importance resampling without replacement),
+    exact-dedup the selection (min-id winner), and report the per-source
+    doc/token budget the selection implies.  At 100 TB: the DSIR model
+    is numBuckets floats, scoring is a zero-shuffle Arrow pass, top-k is
+    TakeOrdered, and dedup shuffles 32-byte digests — no stage carries
+    corpus text."""
+    from ..llmdata import ExactDeduplicator, ImportanceResampler
+    docs = load(spark, sf_dir, "documents")
+    tgt = (F.col("lang") == "en") & F.col("source").isin(
+        "src0", "src1", "src2")
+    raw = docs.filter(~tgt)
+    model = ImportanceResampler(idCol="doc_id", inputCol="text",
+                                numBuckets=512, smoothing=1.0, salt=7) \
+        .fit(raw, docs.filter(tgt))
+    sel = (model.transform(raw)[0]
+           .orderBy(F.col("dsir_key").desc(), "doc_id").limit(150)
+           .select("doc_id", "source", "text"))
+    uniq = ExactDeduplicator(inputCol="text").set_(idCol="doc_id") \
+        .transform(sel)[0]
+    counted = TokenCounter(inputCol="text")._transform(uniq)
+    return (counted.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens_ws").alias("n_tokens")))
+
+
+LLM_PREP_V7_SQL = f"""
+WITH {_dsir_ctes()},
+sel AS (SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN (SELECT doc_id FROM keyed
+                               ORDER BY skey DESC, doc_id LIMIT 150) s
+        USING (doc_id)),
+uniq AS (SELECT * FROM sel
+         WHERE doc_id IN (SELECT min(doc_id) FROM sel GROUP BY text))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len({TOKS})) AS BIGINT) AS n_tokens
+FROM uniq GROUP BY source
+"""
 
 
 def bpe_tokenize(spark, sf_dir):
@@ -2528,6 +2622,8 @@ QUERIES = {
     "stratified_budget": (stratified_budget, STRATIFIED_BUDGET_SQL),
     "dsir_select": (dsir_select, DSIR_SELECT_SQL),
     "token_drift": (token_drift, TOKEN_DRIFT_SQL),
+    "llm_prep_pipeline_v7": (llm_prep_pipeline_v7, LLM_PREP_V7_SQL),
+    "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "bpe_tokenize": (bpe_tokenize, None),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),

@@ -1491,3 +1491,37 @@ def test_token_drift_profiler(spark):
     assert top["token"] == "clickbait"
     # j_term is a divergence contribution: non-negative everywhere
     assert all(r["j_term"] >= 0 for r in rows.values())
+
+
+def test_embedding_drift_profiler(spark):
+    import math
+    from flink_ml_spark.llmdata import EmbeddingDriftProfiler
+    # label 0: identical distribution both sides -> cos 1, ratio 1
+    # label 1: new side rotated 90 degrees -> cos 0; norms doubled -> 2
+    # label 2: only in old -> excluded from the output
+    old = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 0, [1.0, 0.0]),
+         (2, 1, [2.0, 0.0]), (3, 1, [2.0, 0.0]),
+         (4, 2, [1.0, 1.0])],
+        "vec_id long, label int, embedding array<double>")
+    new = spark.createDataFrame(
+        [(10, 0, [1.0, 0.0]), (11, 0, [1.0, 0.0]),
+         (12, 1, [0.0, 4.0]), (13, 1, [0.0, 4.0])],
+        "vec_id long, label int, embedding array<double>")
+    out = EmbeddingDriftProfiler(inputCol="embedding", byCol="label") \
+        .transform(old, new)[0]
+    rows = {r["label"]: r for r in out.collect()}
+    assert set(rows) == {0, 1}
+    assert abs(rows[0]["centroid_cos"] - 1.0) < 1e-12
+    assert abs(rows[0]["norm_ratio"] - 1.0) < 1e-12
+    assert rows[0]["n_old"] == 2 and rows[0]["n_new"] == 2
+    assert abs(rows[1]["centroid_cos"]) < 1e-12
+    assert abs(rows[1]["norm_ratio"] - 2.0) < 1e-12
+    # combine across partitions: repartitioned input gives the same answer
+    out2 = EmbeddingDriftProfiler(inputCol="embedding", byCol="label") \
+        .transform(old.repartition(4), new.repartition(4))[0]
+    rows2 = {r["label"]: r for r in out2.collect()}
+    assert rows2.keys() == rows.keys()
+    for k in rows:
+        assert abs(rows2[k]["centroid_cos"] - rows[k]["centroid_cos"]) < 1e-12
+        assert abs(rows2[k]["norm_ratio"] - rows[k]["norm_ratio"]) < 1e-12
