@@ -602,6 +602,114 @@ GROUP BY p.purchase_id
 """
 
 
+def streaming_drift(spark, sf_dir):
+    """Per-micro-batch corpus-drift gate: a reference token histogram is
+    fitted on the full documents table, then three micro-batches replay
+    through readStream → foreachBatch(StreamingDriftMonitor) — batches
+    0/1 are id-hash slices of the same corpus (low JS divergence), batch
+    2 is the third slice FLOODED with an off-vocabulary token (the JS
+    spike an encoding bug or boilerplate regression would produce).
+    Output = (batch_id, n_tokens, js) — the monitoring signal itself."""
+    import os
+    import shutil
+    import tempfile
+
+    from . import load
+    from ..streaming import StreamingDriftMonitor
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="streaming_drift_")
+    q = None
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        monitor = StreamingDriftMonitor(input_col="text",
+                                        vocab_size=50_000, smoothing=0.5)
+        monitor.fit_reference(docs)
+        os.mkdir(os.path.join(tmp, "in"))
+        flooded = F.concat_ws(" ", F.col("text"), F.lit("zzdrift"),
+                              F.lit("zzdrift"), F.lit("zzdrift"))
+        batches = [
+            docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text"),
+            docs.where(F.col("doc_id") % 3 == 1).select("doc_id", "text"),
+            docs.where(F.col("doc_id") % 3 == 2)
+                .select("doc_id", flooded.alias("text")),
+        ]
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.parquet(os.path.join(tmp, f"b{i}"))
+            src = [f for f in os.listdir(os.path.join(tmp, f"b{i}"))
+                   if f.endswith(".parquet")][0]
+            dst = os.path.join(tmp, "in", f"batch{i}.parquet")
+            shutil.copy(os.path.join(tmp, f"b{i}", src), dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (spark.readStream.schema(batches[0].schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(tmp, "in")))
+        rows: list[tuple] = []
+        q = (stream.writeStream
+             .foreachBatch(monitor.foreach_batch(
+                 lambda res, bid: rows.append(
+                     (bid, res["n_tokens"], res["js"]))))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        q.awaitTermination(300)
+        out = spark.createDataFrame(rows,
+                                    "batch_id long, n_tokens long, js double")
+        return out.select("batch_id", "n_tokens",
+                          q4(F.col("js") * 10000).alias("js_q8"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if q is not None and q.isActive:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _streaming_drift_sql() -> str:
+    from .llmdata_queries import TOKS
+    toks = TOKS
+    return f"""
+WITH refc AS (SELECT t, COUNT(*) AS c
+              FROM (SELECT unnest({toks}) AS t FROM documents) GROUP BY t),
+-- vocab_size 50000 >> corpus vocabulary, so every reference token is
+-- in-vocab and the reference OOV bucket carries zero count
+refm AS (SELECT t, c FROM refc UNION ALL SELECT NULL, 0),
+batches AS (
+  SELECT 0 AS b, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL SELECT 1, text FROM documents WHERE doc_id % 3 = 1
+  UNION ALL SELECT 2, concat(text, ' zzdrift zzdrift zzdrift')
+  FROM documents WHERE doc_id % 3 = 2),
+bt AS (SELECT b, unnest({toks}) AS t FROM batches),
+bfold AS (SELECT b,
+                 CASE WHEN t IN (SELECT t FROM refc) THEN t END AS t2,
+                 COUNT(*) AS n
+          FROM bt GROUP BY b, t2),
+grid AS (SELECT bb.b, s.t, s.c, COALESCE(bf.n, 0) AS n
+         FROM (SELECT DISTINCT b FROM batches) bb
+         CROSS JOIN refm s
+         LEFT JOIN bfold bf
+           ON bf.b = bb.b AND bf.t2 IS NOT DISTINCT FROM s.t),
+consts AS (SELECT (SELECT SUM(c) FROM refc) AS tref,
+                  (SELECT COUNT(*) FROM refm) AS v1),
+js AS (SELECT b, SUM(n) AS n_tokens,
+              SUM(0.5 * ((c + 0.5) / (tref + 0.5 * v1)) *
+                  ln(((c + 0.5) / (tref + 0.5 * v1)) /
+                     (0.5 * (((c + 0.5) / (tref + 0.5 * v1)) +
+                             ((n + 0.5) / (tb + 0.5 * v1)))))
+                + 0.5 * ((n + 0.5) / (tb + 0.5 * v1)) *
+                  ln(((n + 0.5) / (tb + 0.5 * v1)) /
+                     (0.5 * (((c + 0.5) / (tref + 0.5 * v1)) +
+                             ((n + 0.5) / (tb + 0.5 * v1)))))) AS js
+       FROM (SELECT g.*, tot.tb FROM grid g
+             JOIN (SELECT b, SUM(n) AS tb FROM grid GROUP BY b) tot
+             USING (b)), consts
+       GROUP BY b)
+SELECT CAST(b AS BIGINT) AS batch_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       {SQL_Q4.format('js * 10000')} AS js_q8
+FROM js
+"""
+
+
 QUERIES = {
     "event_windows": (event_windows, EVENT_WINDOWS_SQL),
     "session_windows": (session_windows, SESSION_WINDOWS_SQL),
@@ -616,4 +724,5 @@ QUERIES = {
     "streaming_dedup": (streaming_dedup, STREAMING_DEDUP_SQL),
     "streaming_incremental_dedup": (streaming_incremental_dedup,
                                     _streaming_incremental_sql()),
+    "streaming_drift": (streaming_drift, _streaming_drift_sql()),
 }

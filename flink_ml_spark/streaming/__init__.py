@@ -1,5 +1,6 @@
 from .dedup import (StreamingExactDeduplicator,
                     StreamingIncrementalDeduplicator)
+from .drift import StreamingDriftMonitor
 from .online import (OnlineKMeans, OnlineLogisticRegression,
                      OnlineStandardScaler, OnlineStandardScalerModel)
 from .stateful import StatefulSessionizer
@@ -7,5 +8,6 @@ from .windows import Windows
 
 __all__ = ["OnlineStandardScaler", "OnlineStandardScalerModel",
            "OnlineKMeans", "OnlineLogisticRegression",
-           "StatefulSessionizer", "StreamingExactDeduplicator",
+           "StatefulSessionizer", "StreamingDriftMonitor",
+           "StreamingExactDeduplicator",
            "StreamingIncrementalDeduplicator", "Windows"]

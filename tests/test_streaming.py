@@ -468,3 +468,35 @@ def test_streaming_incremental_dedup_seed_store_restart(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         restarted.seed_store(spark.createDataFrame(persisted))
+
+
+def test_streaming_drift_monitor(spark):
+    import math
+    from flink_ml_spark.streaming import StreamingDriftMonitor
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(50)],
+        "doc_id long, text string")
+    mon = StreamingDriftMonitor(input_col="text", vocab_size=100,
+                                smoothing=0.5).fit_reference(ref)
+    # a batch drawn from the reference distribution: near-zero divergence
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string")
+    r_same = mon.process_batch(same)
+    assert r_same["n_tokens"] == 40
+    assert 0.0 <= r_same["js"] < 0.01
+    # an all-OOV batch: large but FINITE divergence, bounded by ln 2
+    oov = spark.createDataFrame(
+        [(i, "zz yy xx ww") for i in range(10)],
+        "doc_id long, text string")
+    r_oov = mon.process_batch(oov)
+    assert r_same["js"] < r_oov["js"] <= math.log(2) + 1e-12
+    # stateless per-batch measurement: same batch -> same number
+    assert mon.process_batch(same)["js"] == r_same["js"]
+    # vocab cap: only top-k tokens are in-vocab, the rest fold to OOV
+    skew = spark.createDataFrame(
+        [(0, "alpha alpha alpha beta")], "doc_id long, text string")
+    capped = StreamingDriftMonitor(input_col="text", vocab_size=1,
+                                   smoothing=0.5).fit_reference(skew)
+    assert set(capped.ref) == {"alpha", capped.OOV}
+    assert capped.ref["alpha"] == 3 and capped.ref[capped.OOV] == 1
