@@ -58,7 +58,7 @@ HEADLINE = [
     "document_chunking",
     # tokenize/vocab + Arrow-UDF-heavy pipelines
     "tokenizer", "ngram", "stop_words_remover", "count_vectorizer", "tfidf",
-    "hashing_tf", "feature_hasher", "bpe_tokenize", "dsir_select",
+    "hashing_tf", "feature_hasher", "bpe_tokenize", "dsir_select", "dsir_bigram",
     "exact_dedup",
     "snapshot_diff", "line_dedup",
     "ngram_profile", "simhash_dedup", "dedup_recall",

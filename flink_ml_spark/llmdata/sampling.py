@@ -304,6 +304,55 @@ class DocumentChunker(Transformer):
                             + ["chunk_start", self.get_("chunkCol")])
 
 
+def _bucket_bincount(texts, b: int, ngram_max: int):
+    """Hashed n-gram bucket counts of a text series: one vectorized
+    bincount over per-token poly hashes (n=1) plus, for n=2..ngram_max,
+    over compositional window hashes (``np_shingle_hashes`` — windows of
+    rows with ≥ n tokens only; the short-row full-text fallback gram is
+    dropped because a feature extractor must not conflate a 1-token doc
+    with its own bigram)."""
+    import numpy as np
+    from .dedup import flat_tokens, np_poly_hash, np_shingle_hashes
+    tok_lists = [(t or "").lower().split() for t in texts]
+    cnt = np.zeros(b, dtype=np.int64)
+    flat, lens, _ = flat_tokens(tok_lists)
+    if len(flat):
+        cnt += np.bincount(np_poly_hash(flat) % b, minlength=b)
+    for n in range(2, ngram_max + 1):
+        rows = np_shingle_hashes(tok_lists, n)
+        grams = [h for h, ln in zip(rows, lens) if ln >= n]
+        if grams:
+            allh = np.concatenate(grams)
+            if len(allh):
+                cnt += np.bincount(allh % b, minlength=b)
+    return cnt
+
+
+def _bucket_logw(texts, lr, b: int, ngram_max: int):
+    """Per-doc Σ log-ratio over the same hashed n-gram features as
+    ``_bucket_bincount`` (kept in lockstep: fit and score must see the
+    identical feature multiset)."""
+    import numpy as np
+    from .dedup import flat_tokens, np_poly_hash, np_shingle_hashes
+    tok_lists = [(t or "").lower().split() for t in texts]
+    out = np.zeros(len(tok_lists))
+    flat, lens, _ = flat_tokens(tok_lists)
+    if len(flat):
+        vals = lr[np_poly_hash(flat) % b]
+        doc_idx = np.repeat(np.arange(len(tok_lists)), lens)
+        out += np.bincount(doc_idx, weights=vals, minlength=len(tok_lists))
+    for n in range(2, ngram_max + 1):
+        rows = np_shingle_hashes(tok_lists, n)
+        m = np.where(lens >= n, lens - n + 1, 0)
+        if not m.sum():
+            continue
+        grams = np.concatenate([h for h, ln in zip(rows, lens) if ln >= n])
+        vals = lr[grams % b]
+        doc_idx = np.repeat(np.arange(len(tok_lists)), m)
+        out += np.bincount(doc_idx, weights=vals, minlength=len(tok_lists))
+    return out
+
+
 class ImportanceResampler(Estimator):
     """DSIR-style data selection via importance resampling (public
     literature: Xie et al. 2023, "Data Selection for Language Models via
@@ -319,15 +368,23 @@ class ImportanceResampler(Estimator):
     replacement from the importance-weighted distribution, reproducible
     across runs and engines with no RNG state.
 
-    100 TB plan: fit = two token-count aggregations whose grouping key is
-    a bucket int, so at most ``numBuckets`` rows reach the driver — the
-    model is fixed-size by construction regardless of corpus bytes.
-    Scoring is zero-shuffle: the bucket log-ratio array rides to
-    executors inside ONE Arrow-vectorized pass (poly-hash → gather →
-    per-doc bincount segment sum); the Gumbel key is a codegen'd Column
-    expression.  Selection composes downstream: a global top-k is
-    TakeOrdered, per-domain exact budgets reuse the salted two-stage rank
-    (StratifiedBudgetSampler).
+    Features are hashed word n-grams for n = 1..``ngramMax`` (the paper
+    uses unigrams + bigrams → ngramMax=2): every token occurrence, plus
+    every n-gram window of documents with ≥ n tokens, poly-hashed into
+    the bucket space.  An empty document has no features and scores 0.
+
+    100 TB plan: fit = ONE Arrow partial-bincount pass per corpus —
+    each partition emits its nonzero (bucket, count) pairs (≤ numBuckets
+    rows per partition; n-gram hashes assemble from per-token hashes via
+    the compositional fold, no n-gram string ever materializes) and one
+    narrow groupBy(bucket) combines them, so at most ``numBuckets`` rows
+    reach the driver and the model is fixed-size by construction
+    regardless of corpus bytes.  Scoring is zero-shuffle: the bucket
+    log-ratio array rides to executors inside ONE Arrow-vectorized pass
+    (poly-hash → gather → per-doc bincount segment sum); the Gumbel key
+    is a codegen'd Column expression.  Selection composes downstream: a
+    global top-k is TakeOrdered, per-domain exact budgets reuse the
+    salted two-stage rank (StratifiedBudgetSampler).
     """
 
     idCol = StringParam("idCol", "Unique id column.", "id")
@@ -338,6 +395,8 @@ class ImportanceResampler(Estimator):
                          "dsir_key")
     numBuckets = IntParam("numBuckets", "Hashed-feature buckets.", 4096,
                           ParamValidators.gt(0))
+    ngramMax = IntParam("ngramMax", "Hash word n-grams for n=1..this.", 1,
+                        ParamValidators.gt(0))
     smoothing = FloatParam("smoothing", "Add-a smoothing per bucket.", 1.0,
                            ParamValidators.gt(0))
     salt = IntParam("salt", "Gumbel hash salt.", 7)
@@ -346,19 +405,27 @@ class ImportanceResampler(Estimator):
         raw, target = inputs
         b = int(self.get_("numBuckets"))
         a = float(self.get_("smoothing"))
+        col = self.get_("inputCol")
+        ngram_max = int(self.get_("ngramMax"))
         import math
+        import numpy as np
 
         def bucket_counts(df: DataFrame) -> tuple[list[int], int]:
-            from .dedup import poly_token_hash
-            toks = F.explode(F.array_remove(
-                F.split(F.lower(F.col(self.get_("inputCol"))), r"\s"), ""))
-            bkt = poly_token_hash(F.col("t")) % b
-            rows = (df.select(toks.alias("t"))
-                    .select(bkt.alias("b"))
-                    .groupBy("b").count().collect())
+            def partials(it):
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    cnt = _bucket_bincount(pdf[col], b, ngram_max)
+                    nz = np.nonzero(cnt)[0]
+                    if len(nz):
+                        yield pd.DataFrame({"b": nz.astype("int32"),
+                                            "c": cnt[nz]})
+
+            rows = (df.select(col).mapInPandas(partials, "b int, c long")
+                    .groupBy("b").agg(F.sum("c").alias("c")).collect())
             counts = [0] * b
             for r in rows:
-                counts[int(r["b"])] = int(r["count"])
+                counts[int(r["b"])] = int(r["c"])
             return counts, sum(counts)
 
         q_cnt, q_tot = bucket_counts(raw)
@@ -369,7 +436,7 @@ class ImportanceResampler(Estimator):
         model = ImportanceResamplerModel()
         model.set_(idCol=self.get_("idCol"), inputCol=self.get_("inputCol"),
                    outputCol=self.get_("outputCol"), keyCol=self.get_("keyCol"),
-                   numBuckets=b, salt=self.get_("salt"))
+                   numBuckets=b, ngramMax=ngram_max, salt=self.get_("salt"))
         model.model_data = {"logratio": lr}
         return model
 
@@ -383,6 +450,8 @@ class ImportanceResamplerModel(Model):
                          "dsir_key")
     numBuckets = IntParam("numBuckets", "Hashed-feature buckets.", 4096,
                           ParamValidators.gt(0))
+    ngramMax = IntParam("ngramMax", "Hash word n-grams for n=1..this.", 1,
+                        ParamValidators.gt(0))
     salt = IntParam("salt", "Gumbel hash salt.", 7)
 
     def _logw_fn(self):
@@ -390,19 +459,12 @@ class ImportanceResamplerModel(Model):
         driver-side: the pickled model's identity-keyed param map doesn't
         survive the trip into an executor UDF)."""
         import numpy as np
-        from .dedup import flat_tokens, np_poly_hash
         lr = np.asarray(self.model_data["logratio"], dtype=np.float64)
         b = int(self.get_("numBuckets"))
+        ngram_max = int(self.get_("ngramMax"))
 
         def logw(texts):
-            tok_lists = [(t or "").lower().split() for t in texts]
-            flat, lens, _ = flat_tokens(tok_lists)
-            if len(flat) == 0:
-                return np.zeros(len(tok_lists))
-            vals = lr[np_poly_hash(flat) % b]
-            doc_idx = np.repeat(np.arange(len(tok_lists)), lens)
-            return np.bincount(doc_idx, weights=vals,
-                               minlength=len(tok_lists))
+            return _bucket_logw(texts, lr, b, ngram_max)
 
         return logw
 

@@ -86,7 +86,7 @@ def all_queries():
         # fixed this round to emit a scalar string) — must lead
         "bpe_tokenize",
         # new in round 4 (no prior driver evidence)
-        "dsir_select", "token_drift", "llm_prep_pipeline_v7",
+        "dsir_select", "dsir_bigram", "token_drift", "llm_prep_pipeline_v7",
         "embedding_drift", "streaming_drift",
         "snapshot_diff", "dedup_recall",
         "incremental_dedup_bucketed", "minhash_join_skewsafe",

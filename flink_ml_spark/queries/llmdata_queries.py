@@ -1388,20 +1388,36 @@ def dsir_select(spark, sf_dir):
                     q4(F.col("dsir_key")).alias("skey")))
 
 
-def _dsir_ctes(b: int = 512) -> str:
+def _dsir_ctes(b: int = 512, ngram_max: int = 1) -> str:
     """Shared DuckDB replay of ImportanceResampler (fit + score + Gumbel
     key) over documents: CTE chain ending in ``keyed(doc_id, logw,
-    skey)`` for the raw (non-target) side.  Used by dsir_select and
-    llm_prep_pipeline_v7 so a fix to the replay lands in both oracles."""
+    skey)`` for the raw (non-target) side.  Used by dsir_select /
+    dsir_bigram / llm_prep_pipeline_v7 so a fix to the replay lands in
+    every oracle.  Features for n ≥ 2 are NON-distinct n-gram windows of
+    docs with ≥ n tokens (matching _bucket_bincount's contract)."""
     tgt = "lang = 'en' AND source IN ('src0', 'src1', 'src2')"
     gum = ("ln(-ln(((((doc_id % 2147483648) + 2147483648) % 2147483648 "
            "* 2654435761 + 7) % 2147483648 + 0.5) / 2147483648.0))")
+
+    def grams(n: int) -> str:
+        if n == 1:
+            return f"unnest({TOKS})"
+        return (f"unnest(CASE WHEN len({TOKS}) >= {n} THEN "
+                f"list_transform(range(1, len({TOKS}) - {n} + 2), "
+                f"i -> array_to_string(({TOKS})[i:i+{n}-1], ' ')) "
+                "ELSE [] END)")
+
+    def feats(rel: str, with_id: bool) -> str:
+        idc = "doc_id, " if with_id else ""
+        return " UNION ALL ".join(
+            f"SELECT {idc}{TOKHASH.format(t='t')} % {b} AS b "
+            f"FROM (SELECT {idc}{grams(n)} AS t FROM {rel})"
+            for n in range(1, ngram_max + 1))
+
     return f"""tgt AS (SELECT * FROM documents WHERE {tgt}),
 raw AS (SELECT * FROM documents WHERE NOT ({tgt})),
-rb AS (SELECT doc_id, {TOKHASH.format(t='t')} % {b} AS b
-       FROM (SELECT doc_id, unnest({TOKS}) AS t FROM raw)),
-tb AS (SELECT {TOKHASH.format(t='t')} % {b} AS b
-       FROM (SELECT unnest({TOKS}) AS t FROM tgt)),
+rb AS ({feats('raw', True)}),
+tb AS ({feats('tgt', False)}),
 qc AS (SELECT b, COUNT(*) AS c FROM rb GROUP BY b),
 pc AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY b),
 tot AS (SELECT (SELECT COUNT(*) FROM rb) AS qn,
@@ -1421,6 +1437,34 @@ keyed AS (SELECT doc_id, logw, logw - {gum} AS skey FROM lw)"""
 
 DSIR_SELECT_SQL = f"""
 WITH {_dsir_ctes()}
+SELECT doc_id, {SQL_Q4.format('logw')} AS logw,
+       {SQL_Q4.format('skey')} AS skey
+FROM keyed ORDER BY skey DESC, doc_id LIMIT 50
+"""
+
+
+def dsir_bigram(spark, sf_dir):
+    """DSIR with the paper's full feature set — hashed unigrams AND
+    bigrams (Xie et al. 2023 §3 uses hashed n-gram bags).  Bigram hashes
+    assemble from per-token hashes via the compositional poly fold
+    (np_shingle_hashes) — no bigram string ever materializes; fit stays
+    ONE Arrow partial-bincount pass per corpus."""
+    from ..llmdata import ImportanceResampler
+    docs = load(spark, sf_dir, "documents")
+    tgt = (F.col("lang") == "en") & F.col("source").isin(
+        "src0", "src1", "src2")
+    est = ImportanceResampler(idCol="doc_id", inputCol="text",
+                              numBuckets=512, ngramMax=2,
+                              smoothing=1.0, salt=7)
+    model = est.fit(docs.filter(~tgt), docs.filter(tgt))
+    out = model.transform(docs.filter(~tgt))[0]
+    return (out.orderBy(F.col("dsir_key").desc(), "doc_id").limit(50)
+            .select("doc_id", q4(F.col("dsir_logw")).alias("logw"),
+                    q4(F.col("dsir_key")).alias("skey")))
+
+
+DSIR_BIGRAM_SQL = f"""
+WITH {_dsir_ctes(ngram_max=2)}
 SELECT doc_id, {SQL_Q4.format('logw')} AS logw,
        {SQL_Q4.format('skey')} AS skey
 FROM keyed ORDER BY skey DESC, doc_id LIMIT 50
@@ -2621,6 +2665,7 @@ QUERIES = {
     "domain_mixture": (domain_mixture, DOMAIN_MIXTURE_SQL),
     "stratified_budget": (stratified_budget, STRATIFIED_BUDGET_SQL),
     "dsir_select": (dsir_select, DSIR_SELECT_SQL),
+    "dsir_bigram": (dsir_bigram, DSIR_BIGRAM_SQL),
     "token_drift": (token_drift, TOKEN_DRIFT_SQL),
     "llm_prep_pipeline_v7": (llm_prep_pipeline_v7, LLM_PREP_V7_SQL),
     "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),

@@ -1525,3 +1525,35 @@ def test_embedding_drift_profiler(spark):
     for k in rows:
         assert abs(rows2[k]["centroid_cos"] - rows[k]["centroid_cos"]) < 1e-12
         assert abs(rows2[k]["norm_ratio"] - rows[k]["norm_ratio"]) < 1e-12
+
+
+def test_importance_resampler_bigram_features(spark):
+    """ngramMax=2 adds bigram window log-ratios on top of the unigram
+    sum; a 1-token doc gains nothing (no window), an empty doc stays 0."""
+    import math
+    import numpy as np
+    from flink_ml_spark.llmdata import ImportanceResampler
+    from flink_ml_spark.llmdata.dedup import np_poly_hash, np_shingle_hashes
+    tgt = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "x y z"), (2, "x"), (3, None)], "doc_id long, text string")
+    b = 64
+    m1 = ImportanceResampler(idCol="doc_id", inputCol="text",
+                             numBuckets=b, ngramMax=1).fit(raw, tgt)
+    m2 = ImportanceResampler(idCol="doc_id", inputCol="text",
+                             numBuckets=b, ngramMax=2).fit(raw, tgt)
+    lw1 = {r["doc_id"]: r["dsir_logw"]
+           for r in m1.transform(raw)[0].collect()}
+    lw2 = {r["doc_id"]: r["dsir_logw"]
+           for r in m2.transform(raw)[0].collect()}
+    lr2 = m2.model_data["logratio"]
+    # hand-compute doc 1's bigram contribution: windows "x y", "y z"
+    g = np_shingle_hashes([["x", "y", "z"]], 2)[0] % b
+    uni = np_poly_hash(np.array(["x", "y", "z"], dtype=object)) % b
+    expect1 = sum(lr2[int(h)] for h in list(uni) + list(g))
+    assert abs(lw2[1] - expect1) < 1e-12
+    # 1-token and empty docs: no bigram windows; doc 3 scores exactly 0
+    assert lw2[3] == 0.0 and lw1[3] == 0.0
+    # bigram model differs from unigram model on multi-token docs (the
+    # bucket distributions include window mass, shifting every ratio)
+    assert lw2[1] != lw1[1]
