@@ -253,3 +253,31 @@ def test_simhash_fingerprint_bits_decorrelated(spark):
     # each bit's set-fraction is bit 0's -- typically ~0 or ~1)
     frac = np.array([((fps >> b) & 1).mean() for b in range(bits)])
     assert ((frac > 0.15) & (frac < 0.85)).all()
+
+
+@given(st.lists(st.one_of(st.none(),
+                          st.lists(token, max_size=6).map(" ".join)),
+                min_size=1, max_size=12),
+       st.integers(1, 3))
+@settings(max_examples=80, deadline=None)
+def test_dsir_bincount_and_logw_agree(texts, ngram_max):
+    """The DSIR fit kernel (_bucket_bincount) and score kernel
+    (_bucket_logw) must see the identical feature multiset: scoring with
+    lr = one-hot(bucket j) must return, per doc, exactly doc j-count —
+    and summed over docs, the corpus bincount."""
+    import numpy as np
+    from flink_ml_spark.llmdata.sampling import (_bucket_bincount,
+                                                 _bucket_logw)
+    b = 32
+    total = _bucket_bincount(texts, b, ngram_max)
+    per_doc = [_bucket_bincount([t], b, ngram_max) for t in texts]
+    assert (total == np.sum(per_doc, axis=0)).all()
+    for j in np.nonzero(total)[0]:
+        lr = np.zeros(b)
+        lr[j] = 1.0
+        scores = _bucket_logw(texts, lr, b, ngram_max)
+        assert (scores == np.array([c[j] for c in per_doc])).all()
+    # empty/None docs carry no features at any ngram setting
+    for t, c in zip(texts, per_doc):
+        if not (t or "").split():
+            assert c.sum() == 0
