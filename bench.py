@@ -51,6 +51,7 @@ HEADLINE = [
     "bigram_lm_score", "quality_classifier",
     "token_count", "fingerprint",
     "text_normalize", "corpus_stats", "repetition_quality", "pii_redaction",
+    "pii_ccnum",
     "domain_mixture", "temperature_mixture", "stratified_budget",
     "token_drift",
     "corpus_shuffle",

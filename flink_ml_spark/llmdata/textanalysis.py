@@ -786,6 +786,42 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("phone", r"\+?\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
 ]
 
+# card-number candidates: 13-19 digits with optional single space/dash
+# separators.  RE2-safe (no lookaround); candidates are then VALIDATED
+# with the Luhn checksum, so a random digit run only false-positives at
+# the checksum's 10% rate and phone-shaped runs never pre-empt real
+# cards (the redactor applies ccnum before phone).
+CC_CANDIDATE = r"(?:\d[ -]?){12,18}\d"
+
+
+def _luhn_valid(cand: Column) -> Column:
+    """Luhn checksum over a candidate's digits, as pure Column
+    expressions: double every second digit from the RIGHT (0-based
+    index i in the L-digit string doubles when (L-1-i) % 2 == 1),
+    subtract 9 from two-digit doubles, valid iff the sum % 10 == 0 and
+    13 ≤ L ≤ 19."""
+    digits = F.regexp_replace(cand, "[^0-9]", "")
+    ds = F.array_remove(F.split(digits, ""), "")
+    n = F.size(ds)
+    terms = F.transform(
+        ds, lambda d, i: F.when(
+            (n - 1 - i) % 2 == 1,
+            F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+             .otherwise(d.cast("int") * 2)
+        ).otherwise(d.cast("int")))
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return (total % 10 == 0) & n.between(13, 19)
+
+
+def _luhn_valid_local(cand: str) -> bool:
+    ds = [int(c) for c in cand if c.isdigit()]
+    if not 13 <= len(ds) <= 19:
+        return False
+    total = sum(d * 2 - 9 if i % 2 == 1 and d * 2 > 9 else
+                d * 2 if i % 2 == 1 else d
+                for i, d in enumerate(reversed(ds)))
+    return total % 10 == 0
+
 
 class PIIRedactor(Transformer, HasInputCol, HasOutputCol):
     """Regex PII redaction: emails, IPv4 addresses, phone-shaped digit
@@ -793,7 +829,18 @@ class PIIRedactor(Transformer, HasInputCol, HasOutputCol):
     patterns never re-match inside an earlier replacement.  Adds
     ``pii_<kind>_count`` columns plus the redacted ``outputCol``.  Pure
     codegen'd Column expressions (regexp_count / regexp_replace) — no
-    shuffle, no Python."""
+    shuffle, no Python.
+
+    ``detectCardNumbers=True`` adds Luhn-VALIDATED card-number redaction
+    (``<CCNUM>``, ``pii_ccnum_count``) between email and ipv4/phone —
+    before phone because the phone pattern would otherwise eat segments
+    of a spaced card number.  Candidates come from one
+    ``regexp_extract_all``; only checksum-valid ones redact (a literal
+    fold of ``replace`` over the distinct valid candidates), so
+    arbitrary digit runs survive.  Still expression-only."""
+
+    detectCardNumbers = BoolParam(
+        "detectCardNumbers", "Redact Luhn-valid card numbers.", False)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         text = F.col(self.get_("inputCol"))
@@ -802,6 +849,13 @@ class PIIRedactor(Transformer, HasInputCol, HasOutputCol):
         for kind, pat, token in PII_PATTERNS:
             counts[kind] = F.regexp_count(out, F.lit(pat))
             out = F.regexp_replace(out, pat, token)
+            if kind == "email" and self.get_("detectCardNumbers"):
+                cands = F.regexp_extract_all(out, F.lit(CC_CANDIDATE), 0)
+                valid = F.filter(cands, _luhn_valid)
+                counts["ccnum"] = F.size(valid)
+                out = F.aggregate(
+                    F.array_distinct(valid), out,
+                    lambda acc, c: F.replace(acc, c, F.lit("<CCNUM>")))
         for kind, c in counts.items():
             df = df.withColumn(f"pii_{kind}_count", c)
         return df.withColumn(self.get_("outputCol"), out)
@@ -810,10 +864,21 @@ class PIIRedactor(Transformer, HasInputCol, HasOutputCol):
         import re
         out = pdf.copy()
         texts = [t or "" for t in pdf[self.get_("inputCol")]]
+        cc_rx = re.compile(CC_CANDIDATE)
         for kind, pat, token in PII_PATTERNS:
             rx = re.compile(pat)
             out[f"pii_{kind}_count"] = [len(rx.findall(t)) for t in texts]
             texts = [rx.sub(token, t) for t in texts]
+            if kind == "email" and self.get_("detectCardNumbers"):
+                ccc = []
+                for j, t in enumerate(texts):
+                    valid = [c for c in cc_rx.findall(t)
+                             if _luhn_valid_local(c)]
+                    ccc.append(len(valid))
+                    for c in dict.fromkeys(valid):
+                        t = t.replace(c, "<CCNUM>")
+                    texts[j] = t
+                out["pii_ccnum_count"] = ccc
         out[self.get_("outputCol")] = texts
         return out
 

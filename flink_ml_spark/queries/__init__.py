@@ -87,7 +87,7 @@ def all_queries():
         "bpe_tokenize",
         # new in round 4 (no prior driver evidence)
         "dsir_select", "dsir_bigram", "token_drift", "llm_prep_pipeline_v7",
-        "embedding_drift", "streaming_drift",
+        "embedding_drift", "streaming_drift", "pii_ccnum",
         "snapshot_diff", "dedup_recall",
         "incremental_dedup_bucketed", "minhash_join_skewsafe",
         "quality_classifier", "llm_prep_pipeline_v5", "stratified_budget",

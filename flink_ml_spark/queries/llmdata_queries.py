@@ -1213,6 +1213,79 @@ FROM r3
 PII_SQL = _pii_sql()
 
 
+def pii_ccnum(spark, sf_dir):
+    """Luhn-VALIDATED card-number redaction (detectCardNumbers=True):
+    checksum-valid 13-19-digit candidates redact to <CCNUM>, a
+    Luhn-invalid lookalike survives verbatim, and cards redact BEFORE
+    the phone pattern can eat their segments.  Expression-only (one
+    regexp_extract_all + a literal replace fold); the oracle replays the
+    checksum digit-by-digit in SQL."""
+    from ..llmdata import PIIRedactor
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.withColumn("pii_text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(" card 4111 1111 1111 1111 thanks"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit(" ref 4111111111111112 kept")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit(" amex 378282246310005 ok")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" call +555 867 5309 or 4012-8888-8888-1881"))
+        .otherwise(F.lit(""))))
+    out = PIIRedactor(inputCol="pii_text", outputCol="redacted") \
+        .set_(detectCardNumbers=True).transform(injected)[0]
+    return out.select("doc_id", "pii_ccnum_count", "pii_phone_count",
+                      F.md5("redacted").alias("red_md5"))
+
+
+def _pii_ccnum_sql() -> str:
+    from ..llmdata.textanalysis import CC_CANDIDATE, PII_PATTERNS
+    (em_pat, em_tok), (ip_pat, ip_tok), (ph_pat, ph_tok) = \
+        [(p, t) for _, p, t in PII_PATTERNS]
+    e = lambda s: s.replace("'", "''")
+    d = "regexp_replace(c, '[^0-9]', '', 'g')"
+    digit = f"CAST(substr({d}, CAST(i AS INT), 1) AS INT)"
+    luhn = (f"length({d}) BETWEEN 13 AND 19 AND "
+            f"list_sum(list_transform(range(1, length({d}) + 1), "
+            f"i -> CASE WHEN (length({d}) - i) % 2 = 1 THEN "
+            f"CASE WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9 "
+            f"ELSE {digit} * 2 END ELSE {digit} END)) % 10 = 0")
+    return f"""
+WITH inj AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 4 = 0 THEN ' card 4111 1111 1111 1111 thanks' ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN ' ref 4111111111111112 kept' ELSE '' END
+    || CASE WHEN doc_id % 9 = 0 THEN ' amex 378282246310005 ok' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call +555 867 5309 or 4012-8888-8888-1881' ELSE '' END AS t
+  FROM documents),
+r1 AS (SELECT doc_id, regexp_replace(t, '{e(em_pat)}', '{em_tok}', 'g') AS t
+       FROM inj),
+cc AS (SELECT doc_id, t,
+              list_filter(regexp_extract_all(t, '{e(CC_CANDIDATE)}'),
+                          c -> {luhn}) AS valid
+       FROM r1),
+r2 AS (SELECT doc_id, len(valid) AS n_cc,
+              list_reduce(list_prepend(t, list_distinct(valid)),
+                          (acc, c) -> replace(acc, c, '<CCNUM>')) AS t
+       FROM cc),
+r3 AS (SELECT doc_id, n_cc,
+              regexp_replace(t, '{e(ip_pat)}', '{ip_tok}', 'g') AS t
+       FROM r2),
+r4 AS (SELECT doc_id, n_cc,
+              len(regexp_extract_all(t, '{e(ph_pat)}')) AS n_phone,
+              regexp_replace(t, '{e(ph_pat)}', '{ph_tok}', 'g') AS t
+       FROM r3)
+SELECT doc_id, n_cc AS pii_ccnum_count, n_phone AS pii_phone_count,
+       md5(t) AS red_md5
+FROM r4
+"""
+
+
+PII_CCNUM_SQL = _pii_ccnum_sql()
+
+
 # --- text normalization ------------------------------------------------------
 
 def text_normalize(spark, sf_dir):
@@ -2662,6 +2735,7 @@ QUERIES = {
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
     "corpus_stats": (corpus_stats, CORPUS_STATS_SQL),
     "pii_redaction": (pii_redaction, PII_SQL),
+    "pii_ccnum": (pii_ccnum, PII_CCNUM_SQL),
     "domain_mixture": (domain_mixture, DOMAIN_MIXTURE_SQL),
     "stratified_budget": (stratified_budget, STRATIFIED_BUDGET_SQL),
     "dsir_select": (dsir_select, DSIR_SELECT_SQL),

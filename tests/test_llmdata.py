@@ -1557,3 +1557,38 @@ def test_importance_resampler_bigram_features(spark):
     # bigram model differs from unigram model on multi-token docs (the
     # bucket distributions include window mass, shifting every ratio)
     assert lw2[1] != lw1[1]
+
+
+def test_pii_ccnum_luhn_redaction(spark):
+    import pandas as pd
+    from flink_ml_spark.llmdata import PIIRedactor
+    rows = [
+        (0, "pay 4111111111111111 now"),          # Luhn-valid 16
+        (1, "pay 4111 1111 1111 1111 now"),       # valid, spaced
+        (2, "ref 4111111111111112 stays"),        # Luhn-INVALID lookalike
+        (3, "amex 378282246310005 ok"),           # valid 15
+        (4, "call +555 867 5309 x 4012-8888-8888-1881"),  # phone + card
+        (5, "order 123456789012 is 12 digits"),   # too short: never a card
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = PIIRedactor(inputCol="text", outputCol="red") \
+        .set_(detectCardNumbers=True)
+    out = {x["doc_id"]: x for x in r.transform(df)[0].collect()}
+    assert out[0]["red"] == "pay <CCNUM> now"
+    assert out[1]["red"] == "pay <CCNUM> now"
+    assert out[2]["red"] == "ref 4111111111111112 stays"  # checksum gate
+    assert out[3]["pii_ccnum_count"] == 1
+    # card redacts BEFORE the phone pattern can eat its segments
+    assert out[4]["red"] == "call <PHONE> x <CCNUM>"
+    assert out[4]["pii_phone_count"] == 1
+    assert out[5]["pii_ccnum_count"] == 0
+    # local path parity (counts + redacted text)
+    pdf = pd.DataFrame({"doc_id": [a for a, _ in rows],
+                        "text": [b for _, b in rows]})
+    loc = r.transform_local(pdf)
+    for i, c, t in zip(loc["doc_id"], loc["pii_ccnum_count"], loc["red"]):
+        assert (out[i]["pii_ccnum_count"], out[i]["red"]) == (c, t)
+    # default (detectCardNumbers=False) leaves behavior unchanged
+    base = PIIRedactor(inputCol="text", outputCol="red").transform(df)[0]
+    assert "pii_ccnum_count" not in base.columns
+    assert base.filter(base.red.contains("4111111111111111")).count() == 1
