@@ -43,6 +43,7 @@ HEADLINE = [
     "elementwise_product", "interaction", "polynomial_expansion", "dct",
     "variance_threshold", "univariate_feature_selector",
     "naive_bayes", "chisq_test", "anova_test", "fvalue_test",
+    "corr_matrix", "data_profile", "constraint_gate", "profile_drift",
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",
     "stateful_sessions", "asof_join", "range_join", "sliding_windows",
     "streaming_dedup", "streaming_incremental_dedup", "streaming_drift",

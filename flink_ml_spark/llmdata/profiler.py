@@ -1,0 +1,310 @@
+"""Data-quality profiling and constraint gating for corpus ingest.
+
+A 100 TB training-data pipeline needs a profiling/validation layer in
+front of every expensive stage (dedup, tokenization, training): a cheap
+single-pass column profile to SEE the data, and declarative constraints
+that gate a batch before it poisons downstream state (the published
+pattern: AWS Deequ, Schelter et al., VLDB 2018 — "Automating Large-Scale
+Data Quality Verification"; re-expressed here on native Spark
+aggregates, no library code).
+
+Scale design (the whole point):
+
+- ``DataProfiler`` compiles the ENTIRE profile — every requested column's
+  null/distinct/moment/extrema/length stats — into ONE ``df.agg(...)``
+  so the corpus is scanned exactly once with map-side partial
+  aggregation; the single result row (a few doubles per column) is
+  pivoted to per-column rows driver-side.  Distinct counts default to
+  HyperLogLog (``approx_count_distinct``), which keeps the pass narrow;
+  ``exactDistinct=True`` is available for gates that need exactness and
+  is documented as paying Spark's multi-count-distinct Expand (input ×
+  (distinct-aggs + 1) rows into the shuffle) — correct, but the opt-in
+  slow path.
+- ``ConstraintGate`` compiles ALL constraints into the same one-pass
+  aggregation shape and emits one verdict row per constraint.  The only
+  constraints that cost more than the scan are ``unique`` ones (exact
+  count-distinct by necessity — a uniqueness gate cannot be
+  approximate).
+
+Both operators return cluster-computed scalars only: rows leaving the
+cluster = number of columns (or constraints), regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..api import AlgoOperator
+from ..param import BoolParam, Param, ParamValidators, StringArrayParam
+
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+_PROFILE_SCHEMA = T.StructType([
+    T.StructField("column", T.StringType()),
+    T.StructField("dtype", T.StringType()),
+    T.StructField("n_rows", T.LongType()),
+    T.StructField("n_null", T.LongType()),
+    T.StructField("n_distinct", T.LongType()),
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("stddev", T.DoubleType()),
+    T.StructField("min_num", T.DoubleType()),
+    T.StructField("max_num", T.DoubleType()),
+    T.StructField("min_len", T.LongType()),
+    T.StructField("max_len", T.LongType()),
+    T.StructField("n_empty", T.LongType()),
+])
+
+
+def _numeric_view(col: str, dtype: str) -> Column | None:
+    """A double-valued rendering of any orderable scalar type, so the
+    moment/extrema stats share one code path: numerics cast, booleans
+    as 0/1, timestamps as epoch millis (naive-as-UTC, matching DuckDB's
+    ``epoch_ms``).  Strings/arrays/binaries have no numeric view."""
+    if dtype in _NUMERIC:
+        return F.col(col).cast("double")
+    if dtype == "boolean":
+        return F.col(col).cast("int").cast("double")
+    if dtype.startswith("timestamp"):
+        return F.unix_millis(F.col(col).cast("timestamp")).cast("double")
+    if dtype == "date":
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")
+    return None
+
+
+class DataProfiler(AlgoOperator):
+    """Single-pass per-column corpus profile.
+
+    ``transform(df)`` → one DataFrame with a row per profiled column:
+    ``(column, dtype, n_rows, n_null, n_distinct, mean, stddev, min_num,
+    max_num, min_len, max_len, n_empty)``.  Numeric/boolean/temporal
+    columns fill the moment/extrema block (temporals as epoch millis);
+    string columns fill the length block; every orderable column gets
+    null + distinct counts.  ``stddev`` is the sample standard deviation
+    (``stddev_samp``, matching DuckDB/ANSI ``STDDEV``).
+
+    Plan: ONE aggregation job over one corpus scan — all statistics for
+    all columns are expressions in a single ``df.agg``; partial
+    aggregation combines map-side, a single reduce task assembles the
+    one result row, and the per-column pivot is driver-side arithmetic
+    on that row.  With the default HLL distinct counts the pass is
+    Expand-free; ``exactDistinct=True`` switches to exact
+    ``count(DISTINCT)`` and pays the documented Expand multiplication.
+    """
+
+    columns = StringArrayParam(
+        "columns", "Columns to profile (None = every top-level column of "
+        "a profilable type: numeric, string, boolean, timestamp, date).",
+        None)
+    exactDistinct = BoolParam(
+        "exactDistinct", "Exact count(DISTINCT) per column instead of "
+        "HyperLogLog — needed when the profile feeds an exactness gate "
+        "or a cross-engine comparison; costs Spark's multi-distinct "
+        "Expand (input rows × (distinct aggs + 1) into the shuffle).",
+        False)
+    relativeSD = Param(
+        "relativeSD", "HyperLogLog relative standard deviation for the "
+        "approximate distinct counts.", 0.02,
+        ParamValidators.in_range(0.000017, 0.4, lower_inclusive=False))
+
+    def _agg_frame(self, df: DataFrame) -> tuple[list[str], dict, DataFrame]:
+        """The one-pass aggregation (exposed so tests can assert the
+        plan shape: approx mode must plan Expand-free)."""
+        dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        cols = self.get_("columns")
+        if cols is None:
+            cols = [c for c, t in dtypes.items()
+                    if t in _NUMERIC or t == "string" or t == "boolean"
+                    or t.startswith("timestamp") or t == "date"]
+        exact = self.get_("exactDistinct")
+        rsd = float(self.get_("relativeSD"))
+
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__n__")]
+        for c in cols:
+            t = dtypes[c]
+            col = F.col(c)
+            aggs.append(F.count(col).alias(f"{c}__nn"))
+            # distinct over the string rendering so float NaN/-0.0 and
+            # timestamp precision quirks canonicalize identically in any
+            # engine consuming the same parquet
+            dcol = col.cast("string")
+            aggs.append((F.count_distinct(dcol) if exact
+                         else F.approx_count_distinct(dcol, rsd))
+                        .alias(f"{c}__nd"))
+            num = _numeric_view(c, t)
+            if num is not None:
+                aggs += [F.avg(num).alias(f"{c}__avg"),
+                         F.stddev_samp(num).alias(f"{c}__std"),
+                         F.min(num).alias(f"{c}__min"),
+                         F.max(num).alias(f"{c}__max")]
+            if t == "string":
+                ln = F.length(col)
+                aggs += [F.min(ln).alias(f"{c}__minl"),
+                         F.max(ln).alias(f"{c}__maxl"),
+                         F.count(F.when(col == "", 1)).alias(f"{c}__emp")]
+        return cols, dtypes, df.agg(*aggs)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        cols, dtypes, agg = self._agg_frame(df)
+        row = agg.first().asDict()
+
+        def _l(v):  # noqa: E306 - tiny pivots
+            return None if v is None else int(v)
+
+        def _d(v):
+            return None if v is None else float(v)
+
+        out_rows = []
+        for c in cols:
+            out_rows.append((
+                c, dtypes[c], int(row["__n__"]),
+                int(row["__n__"]) - int(row[f"{c}__nn"]),
+                _l(row.get(f"{c}__nd")),
+                _d(row.get(f"{c}__avg")), _d(row.get(f"{c}__std")),
+                _d(row.get(f"{c}__min")), _d(row.get(f"{c}__max")),
+                _l(row.get(f"{c}__minl")), _l(row.get(f"{c}__maxl")),
+                _l(row.get(f"{c}__emp")),
+            ))
+        spark = df.sparkSession
+        return [spark.createDataFrame(out_rows, _PROFILE_SCHEMA)]
+
+
+_GATE_SCHEMA = T.StructType([
+    T.StructField("constraint", T.StringType()),
+    T.StructField("column", T.StringType()),
+    T.StructField("observed", T.DoubleType()),
+    T.StructField("threshold", T.DoubleType()),
+    T.StructField("passed", T.BooleanType()),
+])
+
+
+def _c_get(c: dict, key: str) -> Any:
+    if key not in c:
+        raise ValueError(f"constraint {c.get('type')!r} requires {key!r}")
+    return c[key]
+
+
+class ConstraintGate(AlgoOperator):
+    """Declarative data-quality gate: verdicts for a constraint suite in
+    one aggregation pass (Deequ's check model, Schelter et al. 2018).
+
+    ``constraints`` is a list of dicts:
+
+    - ``{"type": "min_rows", "value": n}`` — at least n rows.
+    - ``{"type": "not_null", "col": c}`` — no nulls in c.
+    - ``{"type": "max_null_frac", "col": c, "frac": f}`` — null
+      fraction ≤ f.
+    - ``{"type": "unique", "col": c}`` — c has no duplicate non-null
+      values (exact by necessity).
+    - ``{"type": "in_range", "col": c, "min": lo, "max": hi}`` — every
+      non-null value in [lo, hi] (observed = fraction in range).
+    - ``{"type": "in_set", "col": c, "allowed": [...]}`` — every
+      non-null value (as string) in the allowed set.
+    - ``{"type": "matches_regex", "col": c, "pattern": p,
+      "min_frac": f}`` — at least fraction f of non-null values match.
+    - ``{"type": "min_distinct", "col": c, "value": k}`` — at least k
+      distinct non-null values (exact).
+
+    ``transform(df)`` → [report] where report has one row per
+    constraint: ``(constraint, column, observed, threshold, passed)``;
+    ``observed``/``threshold`` are the rule's native scalars (fractions,
+    counts) so the report is actionable, not just boolean.  ``check``
+    is the gating convenience: run, and either return (all_passed,
+    report_rows) or raise on failure.
+
+    Plan: every constraint lowers to aggregate expressions in ONE
+    ``df.agg`` — a corpus-sized input produces a single combined scan
+    with map-side partials; only ``unique``/``min_distinct`` add exact
+    count-distincts (the Expand cost is the price of an exact
+    uniqueness gate — an approximate uniqueness verdict is worthless).
+    The report is built driver-side from the one result row.
+    """
+
+    constraints = Param(
+        "constraints", "Constraint suite: list of dicts (see class doc).",
+        None, ParamValidators.non_empty_array())
+    failOnViolation = BoolParam(
+        "failOnViolation", "check() raises ValueError when any "
+        "constraint fails (batch gating); False = report only.", True)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        suite: list[dict] = list(self.get_("constraints"))
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__n__")]
+        for i, c in enumerate(suite):
+            t = c.get("type")
+            if t == "min_rows":
+                continue  # served by __n__
+            col = F.col(_c_get(c, "col"))
+            if t in ("not_null", "max_null_frac"):
+                aggs.append(F.count(col).alias(f"c{i}"))
+            elif t == "unique":
+                aggs += [F.count(col).alias(f"c{i}_n"),
+                         F.count_distinct(col).alias(f"c{i}_d")]
+            elif t == "min_distinct":
+                aggs.append(F.count_distinct(col).alias(f"c{i}"))
+            elif t == "in_range":
+                lo, hi = _c_get(c, "min"), _c_get(c, "max")
+                ok = F.when(col.cast("double").between(
+                    float(lo), float(hi)), 1)
+                aggs += [F.count(ok).alias(f"c{i}_ok"),
+                         F.count(col).alias(f"c{i}_n")]
+            elif t == "in_set":
+                allowed = [str(v) for v in _c_get(c, "allowed")]
+                ok = F.when(col.cast("string").isin(allowed), 1)
+                aggs += [F.count(ok).alias(f"c{i}_ok"),
+                         F.count(col).alias(f"c{i}_n")]
+            elif t == "matches_regex":
+                ok = F.when(col.cast("string")
+                            .rlike(_c_get(c, "pattern")), 1)
+                aggs += [F.count(ok).alias(f"c{i}_ok"),
+                         F.count(col).alias(f"c{i}_n")]
+            else:
+                raise ValueError(f"unknown constraint type {t!r}")
+        row = df.agg(*aggs).first().asDict()
+
+        n = int(row["__n__"])
+        out = []
+        for i, c in enumerate(suite):
+            t, cc = c["type"], c.get("col")
+            if t == "min_rows":
+                thr = float(_c_get(c, "value"))
+                out.append((t, None, float(n), thr, n >= thr))
+            elif t == "not_null":
+                nulls = n - int(row[f"c{i}"])
+                out.append((t, cc, float(nulls), 0.0, nulls == 0))
+            elif t == "max_null_frac":
+                frac = (n - int(row[f"c{i}"])) / n if n else 0.0
+                thr = float(_c_get(c, "frac"))
+                out.append((t, cc, frac, thr, frac <= thr))
+            elif t == "unique":
+                dupes = int(row[f"c{i}_n"]) - int(row[f"c{i}_d"])
+                out.append((t, cc, float(dupes), 0.0, dupes == 0))
+            elif t == "min_distinct":
+                d = int(row[f"c{i}"])
+                thr = float(_c_get(c, "value"))
+                out.append((t, cc, float(d), thr, d >= thr))
+            else:  # fraction rules: in_range / in_set / matches_regex
+                nn = int(row[f"c{i}_n"])
+                frac = int(row[f"c{i}_ok"]) / nn if nn else 1.0
+                thr = (float(c.get("min_frac", 1.0))
+                       if t == "matches_regex" else 1.0)
+                out.append((t, cc, frac, thr, frac >= thr))
+        spark = df.sparkSession
+        return [spark.createDataFrame(out, _GATE_SCHEMA)]
+
+    def check(self, df: DataFrame) -> tuple[bool, list]:
+        """Gate a batch: returns (all_passed, report rows); raises
+        ValueError listing the violated constraints when
+        ``failOnViolation`` and any rule failed."""
+        rows = self.transform(df)[0].collect()
+        failed = [r for r in rows if not r["passed"]]
+        if failed and self.get_("failOnViolation"):
+            detail = ", ".join(
+                f"{r['constraint']}({r['column']}): observed "
+                f"{r['observed']:g} vs {r['threshold']:g}" for r in failed)
+            raise ValueError(f"constraint violations: {detail}")
+        return (not failed, rows)

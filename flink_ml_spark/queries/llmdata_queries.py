@@ -2696,6 +2696,178 @@ FROM kept
 DUP_SPAN_REMOVAL_SQL = _dup_span_removal_sql()
 
 
+# -- data-quality profiling / constraint gating (Deequ-style, one pass) -----
+
+def data_profile(spark, sf_dir):
+    """Single-pass per-column corpus profile (the Deequ/Schelter-2018
+    pattern): the ENTIRE per-column stat block — nulls, exact distincts,
+    moments, extrema, string lengths — compiles into ONE df.agg, so the
+    corpus is scanned exactly once with map-side partials and the
+    per-column pivot is driver arithmetic on the single result row."""
+    from ..llmdata import DataProfiler
+    docs = load(spark, sf_dir, "documents")
+    out = DataProfiler(columns=["doc_id", "text", "lang", "source",
+                                "n_chars"],
+                       exactDistinct=True).transform(docs)[0]
+    neg9 = F.lit(-9.0)
+    return out.select(
+        "column", "n_rows", "n_null", "n_distinct",
+        q4(F.coalesce(F.col("mean"), neg9)).alias("mean_q"),
+        q4(F.coalesce(F.col("stddev"), neg9)).alias("std_q"),
+        q4(F.coalesce(F.col("min_num"), neg9)).alias("min_q"),
+        q4(F.coalesce(F.col("max_num"), neg9)).alias("max_q"),
+        F.coalesce(F.col("min_len"), F.lit(-1)).alias("min_len"),
+        F.coalesce(F.col("max_len"), F.lit(-1)).alias("max_len"),
+        F.coalesce(F.col("n_empty"), F.lit(-1)).alias("n_empty"))
+
+
+def _profile_col_sql(c: str, numeric: bool, stringy: bool) -> str:
+    mean = f"AVG(CAST({c} AS DOUBLE))" if numeric else "-9"
+    std = f"COALESCE(STDDEV(CAST({c} AS DOUBLE)), -9)" if numeric else "-9"
+    mn = f"CAST(MIN({c}) AS DOUBLE)" if numeric else "-9"
+    mx = f"CAST(MAX({c}) AS DOUBLE)" if numeric else "-9"
+    minl = f"MIN(LENGTH({c}))" if stringy else "-1"
+    maxl = f"MAX(LENGTH({c}))" if stringy else "-1"
+    emp = f"COUNT(CASE WHEN {c} = '' THEN 1 END)" if stringy else "-1"
+    return f"""
+SELECT '{c}' AS column, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct,
+       {SQL_Q4.format(mean)} AS mean_q, {SQL_Q4.format(std)} AS std_q,
+       {SQL_Q4.format(mn)} AS min_q, {SQL_Q4.format(mx)} AS max_q,
+       CAST({minl} AS BIGINT) AS min_len, CAST({maxl} AS BIGINT) AS max_len,
+       CAST({emp} AS BIGINT) AS n_empty
+FROM documents"""
+
+
+DATA_PROFILE_SQL = "\nUNION ALL\n".join(
+    _profile_col_sql(c, num, st) for c, num, st in [
+        ("doc_id", True, False), ("text", False, True),
+        ("lang", False, True), ("source", False, True),
+        ("n_chars", True, False)])
+
+
+_GATE_SUITE = [
+    {"type": "min_rows", "value": 1000},
+    {"type": "not_null", "col": "o_custkey"},
+    {"type": "unique", "col": "o_orderkey"},
+    {"type": "max_null_frac", "col": "o_custkey", "frac": 0.01},
+    {"type": "in_range", "col": "o_totalprice", "min": 0, "max": 400000},
+    {"type": "in_set", "col": "o_orderstatus", "allowed": ["O", "F"]},
+    {"type": "matches_regex", "col": "o_orderpriority",
+     "pattern": "^[1-3]-", "min_frac": 0.5},
+    {"type": "min_distinct", "col": "o_custkey", "value": 1000},
+]
+
+
+def constraint_gate(spark, sf_dir):
+    """Declarative batch-quality gate over the orders feed: the whole
+    8-rule suite lowers to ONE aggregation pass (only the exact
+    uniqueness/distinct rules add count-distincts); the report carries
+    the observed scalar per rule so a failing gate is actionable.  The
+    suite intentionally includes failing rules (totalprice range,
+    status set) — a gate demo that always passes demonstrates
+    nothing."""
+    from ..llmdata import ConstraintGate
+    orders = load(spark, sf_dir, "orders")
+    gate = ConstraintGate(constraints=_GATE_SUITE, failOnViolation=False)
+    out = gate.transform(orders)[0]
+    return out.select(
+        "constraint", F.coalesce(F.col("column"), F.lit("")).alias("col"),
+        q4(F.col("observed")).alias("observed"),
+        q4(F.col("threshold")).alias("threshold"),
+        F.col("passed").cast("int").alias("passed"))
+
+
+CONSTRAINT_GATE_SQL = f"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_custkey) AS nn_ck,
+         COUNT(DISTINCT o_custkey) AS nd_ck,
+         COUNT(o_orderkey) AS nn_ok,
+         COUNT(DISTINCT o_orderkey) AS nd_ok,
+         COUNT(CASE WHEN o_totalprice BETWEEN 0 AND 400000 THEN 1 END)
+           AS ok_price, COUNT(o_totalprice) AS nn_price,
+         COUNT(CASE WHEN o_orderstatus IN ('O', 'F') THEN 1 END) AS ok_st,
+         COUNT(o_orderstatus) AS nn_st,
+         COUNT(CASE WHEN regexp_matches(o_orderpriority, '^[1-3]-')
+               THEN 1 END) AS ok_pr, COUNT(o_orderpriority) AS nn_pr
+  FROM orders)
+SELECT 'min_rows' AS constraint, '' AS col,
+       {SQL_Q4.format('n')} AS observed, {SQL_Q4.format('1000')} AS threshold,
+       CAST(n >= 1000 AS INT) AS passed FROM s
+UNION ALL SELECT 'not_null', 'o_custkey', {SQL_Q4.format('n - nn_ck')},
+       0, CAST(n - nn_ck = 0 AS INT) FROM s
+UNION ALL SELECT 'unique', 'o_orderkey', {SQL_Q4.format('nn_ok - nd_ok')},
+       0, CAST(nn_ok - nd_ok = 0 AS INT) FROM s
+UNION ALL SELECT 'max_null_frac', 'o_custkey',
+       {SQL_Q4.format('(n - nn_ck) * 1.0 / n')}, {SQL_Q4.format('0.01')},
+       CAST((n - nn_ck) * 1.0 / n <= 0.01 AS INT) FROM s
+UNION ALL SELECT 'in_range', 'o_totalprice',
+       {SQL_Q4.format('ok_price * 1.0 / nn_price')}, {SQL_Q4.format('1.0')},
+       CAST(ok_price = nn_price AS INT) FROM s
+UNION ALL SELECT 'in_set', 'o_orderstatus',
+       {SQL_Q4.format('ok_st * 1.0 / nn_st')}, {SQL_Q4.format('1.0')},
+       CAST(ok_st = nn_st AS INT) FROM s
+UNION ALL SELECT 'matches_regex', 'o_orderpriority',
+       {SQL_Q4.format('ok_pr * 1.0 / nn_pr')}, {SQL_Q4.format('0.5')},
+       CAST(ok_pr * 1.0 / nn_pr >= 0.5 AS INT) FROM s
+UNION ALL SELECT 'min_distinct', 'o_custkey', {SQL_Q4.format('nd_ck')},
+       {SQL_Q4.format('1000')}, CAST(nd_ck >= 1000 AS INT) FROM s
+"""
+
+
+def profile_drift(spark, sf_dir):
+    """Schema/profile drift between two corpus snapshots — the
+    structural counterpart to token_drift (content) and embedding_drift
+    (geometry): per column, how null rates, cardinality, and the
+    numeric mean moved.  Two single-pass profiles (one per snapshot)
+    joined on column name; output rows = column count."""
+    from ..llmdata import DataProfiler
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 != 1)
+    prof = DataProfiler(columns=["doc_id", "lang", "source", "n_chars"],
+                        exactDistinct=True)
+    po = prof.transform(old)[0].alias("o")
+    pn = prof.transform(new)[0].alias("n")
+    j = po.join(pn, "column")
+    neg9 = F.lit(-9.0)
+    return j.select(
+        "column",
+        F.col("o.n_distinct").alias("d_old"),
+        F.col("n.n_distinct").alias("d_new"),
+        q4((F.col("n.n_null") / F.col("n.n_rows"))
+           - (F.col("o.n_null") / F.col("o.n_rows"))).alias("null_frac_d"),
+        q4(F.coalesce(F.col("n.mean") - F.col("o.mean"), neg9))
+         .alias("mean_shift"))
+
+
+def _profile_drift_side_sql(tag: str, pred: str) -> str:
+    rows = []
+    for c, numeric in [("doc_id", True), ("lang", False),
+                       ("source", False), ("n_chars", True)]:
+        mean = f"AVG(CAST({c} AS DOUBLE))" if numeric else "NULL"
+        rows.append(f"""
+SELECT '{c}' AS column, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct,
+       {mean} AS mean
+FROM documents WHERE {pred}""")
+    return f"{tag} AS (" + "\nUNION ALL\n".join(rows) + ")"
+
+
+PROFILE_DRIFT_SQL = f"""
+WITH {_profile_drift_side_sql('o', 'doc_id % 3 <> 0')},
+{_profile_drift_side_sql('n', 'doc_id % 3 <> 1')}
+SELECT o.column AS column, o.n_distinct AS d_old, n.n_distinct AS d_new,
+       {SQL_Q4.format('n.n_null * 1.0 / n.n_rows - o.n_null * 1.0 / o.n_rows')}
+         AS null_frac_d,
+       {SQL_Q4.format('COALESCE(n.mean - o.mean, -9)')} AS mean_shift
+FROM o JOIN n ON o.column = n.column
+"""
+
+
 QUERIES = {
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "dup_span_removal": (dup_span_removal, DUP_SPAN_REMOVAL_SQL),
@@ -2760,4 +2932,7 @@ QUERIES = {
     "pca_whiten": (pca_whiten, PCA_WHITEN_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
+    "data_profile": (data_profile, DATA_PROFILE_SQL),
+    "constraint_gate": (constraint_gate, CONSTRAINT_GATE_SQL),
+    "profile_drift": (profile_drift, PROFILE_DRIFT_SQL),
 }

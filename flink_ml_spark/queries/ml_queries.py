@@ -697,8 +697,35 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix over the embedding column (stats-family
+    completion; Spark MLlib's ml.stat.Correlation analogue).  ONE
+    zero-shuffle Arrow partial pass (n, Σx, ΣxxT — the PCAWhitener /
+    optimizer-allReduce sufficient-statistic shape); the dim×dim ratio
+    arithmetic is driver-side, output = dim·(dim+1)/2 scalar rows
+    regardless of corpus size."""
+    from ..stats import CorrelationMatrix
+    emb = load(spark, sf_dir, "embeddings")
+    out = CorrelationMatrix(featuresCol="embedding").transform(emb)[0]
+    return out.select("i", "j",
+                      q4(F.coalesce(F.col("corr"), F.lit(-9))).alias("c"))
+
+
+CORR_MATRIX_SQL = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)
+SELECT a.i AS i, b.i AS j,
+       {SQL_Q4.format("COALESCE(LEAST(GREATEST(corr(a.x, b.x), -1.0), 1.0), -9)")} AS c
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
 QUERIES = {
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),
+    "corr_matrix": (corr_matrix, CORR_MATRIX_SQL),
     "logistic_regression": (logistic_regression, LOGISTIC_REGRESSION_SQL),
     "linear_svc": (linear_svc, LINEAR_SVC_SQL),
     "linear_regression": (linear_regression, LINEAR_REGRESSION_SQL),

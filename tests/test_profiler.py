@@ -1,0 +1,191 @@
+"""DataProfiler / ConstraintGate / CorrelationMatrix vs hand-computed
+truths, plan-shape assertions (one-pass, Expand only when exact), and
+save/load round-trips."""
+
+import math
+
+import numpy as np
+import pytest
+
+from flink_ml_spark.llmdata import ConstraintGate, DataProfiler
+from flink_ml_spark.stats import CorrelationMatrix
+
+
+@pytest.fixture()
+def frame(spark):
+    rows = [
+        (1, "alpha", 10.0, True),
+        (2, "beta", 20.0, False),
+        (3, None, 30.0, True),
+        (4, "", None, None),
+        (5, "alpha", 50.0, True),
+    ]
+    return spark.createDataFrame(
+        rows, "id bigint, name string, score double, flag boolean")
+
+
+def _by_col(out):
+    return {r["column"]: r for r in out.collect()}
+
+
+def test_profiler_stats(frame):
+    prof = _by_col(DataProfiler(exactDistinct=True).transform(frame)[0])
+    assert set(prof) == {"id", "name", "score", "flag"}
+    i = prof["id"]
+    assert (i["n_rows"], i["n_null"], i["n_distinct"]) == (5, 0, 5)
+    assert i["mean"] == pytest.approx(3.0)
+    assert i["stddev"] == pytest.approx(np.std([1, 2, 3, 4, 5], ddof=1))
+    assert (i["min_num"], i["max_num"]) == (1.0, 5.0)
+    assert i["min_len"] is None and i["n_empty"] is None
+    s = prof["score"]
+    assert (s["n_rows"], s["n_null"], s["n_distinct"]) == (5, 1, 4)
+    assert s["mean"] == pytest.approx(27.5)
+    n = prof["name"]
+    assert (n["n_null"], n["n_distinct"]) == (1, 3)  # alpha, beta, ''
+    assert (n["min_len"], n["max_len"], n["n_empty"]) == (0, 5, 1)
+    assert n["mean"] is None
+    f = prof["flag"]  # booleans profile as 0/1 numerics
+    assert f["mean"] == pytest.approx(0.75)
+    assert (f["min_num"], f["max_num"]) == (0.0, 1.0)
+
+
+def test_profiler_timestamp_as_epoch_ms(spark):
+    df = spark.sql("""SELECT * FROM VALUES
+        (TIMESTAMP '1970-01-01 00:00:01'),
+        (TIMESTAMP '1970-01-01 00:00:03') AS t(ts)""")
+    r = _by_col(DataProfiler(exactDistinct=True).transform(df)[0])["ts"]
+    assert (r["min_num"], r["max_num"]) == (1000.0, 3000.0)
+    assert r["mean"] == pytest.approx(2000.0)
+
+
+def test_profiler_one_pass_plan(frame):
+    """The whole profile is ONE aggregation: approx (HLL) mode must plan
+    Expand-free — a single narrow pass with map-side partials; exact
+    mode pays the documented multi-count-distinct Expand but still
+    exactly one scan of the input."""
+    _, _, approx = DataProfiler(exactDistinct=False)._agg_frame(frame)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert plan.count("Scan") <= 1
+    _, _, exact = DataProfiler(exactDistinct=True)._agg_frame(frame)
+    eplan = exact._jdf.queryExecution().executedPlan().toString()
+    assert eplan.count("Scan") <= 1
+
+
+def test_profiler_approx_close(frame):
+    exact = _by_col(DataProfiler(exactDistinct=True).transform(frame)[0])
+    approx = _by_col(DataProfiler().transform(frame)[0])
+    for c in exact:
+        assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= 1
+
+
+def test_profiler_column_subset_and_persistence(frame, tmp_path):
+    p = DataProfiler(columns=["id"], exactDistinct=True)
+    p.save(str(tmp_path / "prof"))
+    from flink_ml_spark.api import Stage
+    p2 = Stage.load(frame.sparkSession, str(tmp_path / "prof"))
+    out = p2.transform(frame)[0].collect()
+    assert len(out) == 1 and out[0]["column"] == "id"
+
+
+def test_gate_pass_and_fail(frame):
+    gate = ConstraintGate(constraints=[
+        {"type": "min_rows", "value": 3},
+        {"type": "not_null", "col": "id"},
+        {"type": "not_null", "col": "score"},
+        {"type": "unique", "col": "id"},
+        {"type": "unique", "col": "name"},
+        {"type": "max_null_frac", "col": "score", "frac": 0.25},
+        {"type": "in_range", "col": "score", "min": 0, "max": 40},
+        {"type": "in_set", "col": "name", "allowed": ["alpha", "beta"]},
+        {"type": "matches_regex", "col": "name", "pattern": "^a",
+         "min_frac": 0.4},
+        {"type": "min_distinct", "col": "name", "value": 3},
+    ], failOnViolation=False)
+    rep = {(r["constraint"], r["column"]): r
+           for r in gate.transform(frame)[0].collect()}
+    assert rep[("min_rows", None)]["passed"]
+    assert rep[("not_null", "id")]["passed"]
+    assert rep[("not_null", "score")]["observed"] == 1.0
+    assert not rep[("not_null", "score")]["passed"]
+    assert rep[("unique", "id")]["passed"]
+    # 'alpha' appears twice among non-null names
+    assert rep[("unique", "name")]["observed"] == 1.0
+    assert not rep[("unique", "name")]["passed"]
+    assert rep[("max_null_frac", "score")]["observed"] == pytest.approx(0.2)
+    assert rep[("max_null_frac", "score")]["passed"]
+    # scores 10,20,30,50 → 3/4 in [0,40]
+    assert rep[("in_range", "score")]["observed"] == pytest.approx(0.75)
+    assert not rep[("in_range", "score")]["passed"]
+    # names alpha,beta,'',alpha → 3/4 in set
+    assert rep[("in_set", "name")]["observed"] == pytest.approx(0.75)
+    # 2/4 match ^a ≥ 0.4
+    assert rep[("matches_regex", "name")]["observed"] == pytest.approx(0.5)
+    assert rep[("matches_regex", "name")]["passed"]
+    assert rep[("min_distinct", "name")]["observed"] == 3.0
+    assert rep[("min_distinct", "name")]["passed"]
+
+
+def test_gate_check_raises(frame):
+    gate = ConstraintGate(constraints=[{"type": "not_null", "col": "score"}])
+    with pytest.raises(ValueError, match="not_null"):
+        gate.check(frame)
+    ok, rows = ConstraintGate(
+        constraints=[{"type": "not_null", "col": "id"}]).check(frame)
+    assert ok and len(rows) == 1
+
+
+def test_gate_unknown_type(frame):
+    gate = ConstraintGate(constraints=[{"type": "nope", "col": "id"}])
+    with pytest.raises(ValueError, match="unknown constraint"):
+        gate.transform(frame)
+
+
+def test_gate_empty_input(spark):
+    df = spark.createDataFrame([], "id bigint")
+    gate = ConstraintGate(constraints=[
+        {"type": "min_rows", "value": 1},
+        {"type": "max_null_frac", "col": "id", "frac": 0.5},
+        {"type": "in_range", "col": "id", "min": 0, "max": 1},
+    ], failOnViolation=False)
+    rep = {r["constraint"]: r for r in gate.transform(df)[0].collect()}
+    assert not rep["min_rows"]["passed"]
+    # vacuous fraction rules pass on empty input
+    assert rep["max_null_frac"]["passed"]
+    assert rep["in_range"]["passed"]
+
+
+def test_gate_persistence(frame, tmp_path):
+    gate = ConstraintGate(constraints=[{"type": "unique", "col": "id"}])
+    gate.save(str(tmp_path / "gate"))
+    from flink_ml_spark.api import Stage
+    g2 = Stage.load(frame.sparkSession, str(tmp_path / "gate"))
+    assert g2.get_("constraints") == [{"type": "unique", "col": "id"}]
+    assert g2.transform(frame)[0].collect()[0]["passed"]
+
+
+def test_corr_matrix_known(spark):
+    # y = 2x exactly; z anti-correlated with x; w constant
+    rows = [([float(x), 2.0 * x, float(-x), 1.0],) for x in range(1, 9)]
+    df = spark.createDataFrame(rows, "features array<double>")
+    out = CorrelationMatrix(featuresCol="features").transform(df)[0]
+    c = {(r["i"], r["j"]): r["corr"] for r in out.collect()}
+    assert len(c) == 10  # 4*5/2 upper triangle
+    assert c[(0, 0)] == pytest.approx(1.0)
+    assert c[(0, 1)] == pytest.approx(1.0)
+    assert c[(0, 2)] == pytest.approx(-1.0)
+    assert c[(1, 2)] == pytest.approx(-1.0)
+    assert c[(0, 3)] is None and c[(3, 3)] is None  # zero variance
+
+
+def test_corr_matrix_vs_numpy(spark):
+    rng = np.random.RandomState(7)
+    X = rng.randn(200, 5)
+    X[:, 3] = 0.7 * X[:, 0] + 0.3 * X[:, 3]
+    df = spark.createDataFrame([(r.tolist(),) for r in X],
+                               "features array<double>")
+    out = CorrelationMatrix(featuresCol="features").transform(df)[0]
+    got = {(r["i"], r["j"]): r["corr"] for r in out.collect()}
+    truth = np.corrcoef(X.T)
+    for (i, j), v in got.items():
+        assert v == pytest.approx(truth[i, j], abs=1e-9)
