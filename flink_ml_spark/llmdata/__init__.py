@@ -8,7 +8,7 @@ from .dedup import (ConnectedComponents, ContaminationScorer,
                     NGramJaccardDeduplicator, SimHashDeduplicator,
                     SnapshotDiff)
 from .bpe import BpeTokenizerModel, BpeTokenizerTrainer
-from .profiler import ConstraintGate, DataProfiler
+from .profiler import ConstraintGate, DataProfiler, FrequentItemsProfiler
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,

@@ -308,3 +308,117 @@ class ConstraintGate(AlgoOperator):
                 f"{r['observed']:g} vs {r['threshold']:g}" for r in failed)
             raise ValueError(f"constraint violations: {detail}")
         return (not failed, rows)
+
+
+def _mg_shrink(counts: dict, capacity: int) -> None:
+    """Misra-Gries decrement step: keep at most ``capacity`` counters by
+    subtracting the (capacity+1)-largest count from everything and
+    dropping the non-positives (the mergeable-summaries formulation,
+    Agarwal et al., PODS 2012)."""
+    if len(counts) <= capacity:
+        return
+    pivot = sorted(counts.values(), reverse=True)[capacity]
+    for k in [k for k, v in counts.items() if v <= pivot]:
+        del counts[k]
+    for k in counts:
+        counts[k] -= pivot
+
+
+class FrequentItemsProfiler(AlgoOperator):
+    """EXACT top-``k`` heavy hitters over a (possibly huge-cardinality)
+    column without shuffling the full item universe — the classic
+    two-pass scheme: a mergeable Misra-Gries sketch pass narrows the
+    universe to ≤ ``capacity`` candidates, then one exact count pass
+    over only the candidate rows ranks them.
+
+    Why not ``groupBy(item).count().orderBy(...).limit(k)``?  That
+    shuffles one row per DISTINCT item per partition — at 100 TB a
+    token/n-gram universe has billions of distinct items and the
+    aggregation state alone is the bottleneck.  Here pass 1 is
+    zero-shuffle (per-partition sketches of ``capacity`` counters, a few
+    KB each, combined on the driver) and pass 2 shuffles only rows whose
+    item is in the candidate literal (an ``isin`` that survives in
+    WholeStageCodegen), i.e. the heavy rows themselves.
+
+    Exactness guarantee (mergeable-summaries bound): every item with
+    true frequency > n/(capacity+1) survives the merged sketch, so the
+    output is PROVABLY the exact top-k whenever the k-th exact count
+    clears that bound — reported per run in the ``guaranteed`` column
+    (all rows carry the same flag).  A False flag means the tail of the
+    ranking may be approximate and ``capacity`` should grow.
+
+    ``itemsCol`` may be a scalar column (profiled as-is) or an array
+    column (elements profiled) — arrays iterate inside the Arrow pass,
+    no explode materialization.
+    """
+
+    itemsCol = Param("itemsCol", "Column to profile: scalar or array "
+                     "(elements).", "items", ParamValidators.not_null())
+    k = Param("k", "Heavy hitters to report.", 20, ParamValidators.gt(0))
+    capacity = Param(
+        "capacity", "Misra-Gries counters per sketch; the exactness "
+        "bound is n/(capacity+1), so capacity >> n/count(k-th hitter).",
+        4096, ParamValidators.gt(0))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        col = self.get_("itemsCol")
+        cap = int(self.get_("capacity"))
+        k = int(self.get_("k"))
+        is_array = df.schema[col].dataType.simpleString().startswith("array")
+
+        def sketch(it):
+            import pandas as pd
+            counts: dict = {}
+            n = 0
+            for pdf in it:
+                vals = pdf[col].dropna()
+                if is_array:
+                    vals = vals.explode().dropna()
+                if not len(vals):
+                    continue
+                n += int(len(vals))
+                # vectorized per-batch exact counts, MG-merged into the
+                # running sketch (merging exact sub-counts is a valid
+                # MG merge — counts only ever under-estimate)
+                for item, c in vals.value_counts().items():
+                    counts[str(item)] = counts.get(str(item), 0) + int(c)
+                _mg_shrink(counts, cap)
+            yield pd.DataFrame(
+                {"item": list(counts), "c": list(counts.values()),
+                 "n": [n] * len(counts)})
+
+        src = df.select(F.col(col).alias(col))
+        parts = src.mapInPandas(sketch, "item string, c long, n long") \
+            .collect()
+        # driver merge: sum per item (each partition reports its n once
+        # per row; per-partition n = any row's n)
+        merged: dict = {}
+        for r in parts:
+            merged[r["item"]] = merged.get(r["item"], 0) + r["c"]
+        # total n = sum over distinct partitions — recover via one tiny
+        # count job instead of trusting row bookkeeping
+        total = src.select(
+            (F.sum(F.size(col)) if is_array else F.count(col))
+            .alias("n")).first()["n"] or 0
+        _mg_shrink(merged, cap)
+        candidates = list(merged)
+        spark = df.sparkSession
+        if not candidates:
+            return [spark.createDataFrame(
+                [], "item string, freq long, guaranteed boolean")]
+        # pass 2: exact counts over candidate rows only
+        items = (src.select(F.explode(col).alias("__e__"))
+                 .select(F.col("__e__").cast("string").alias("__i__"))
+                 if is_array
+                 else src.select(F.col(col).cast("string").alias("__i__")))
+        exact = (items.filter(F.col("__i__").isin(candidates))
+                 .groupBy("__i__").agg(F.count("*").alias("freq"))
+                 .orderBy(F.col("freq").desc(), "__i__").limit(k)
+                 .collect())
+        bound = total / (cap + 1)
+        guaranteed = bool(exact) and float(exact[-1]["freq"]) > bound \
+            and len(exact) == min(k, len(candidates))
+        rows = [(r["__i__"], int(r["freq"]), guaranteed) for r in exact]
+        return [spark.createDataFrame(
+            rows, "item string, freq long, guaranteed boolean")]

@@ -2817,6 +2817,32 @@ UNION ALL SELECT 'min_distinct', 'o_custkey', {SQL_Q4.format('nd_ck')},
 """
 
 
+def frequent_items(spark, sf_dir):
+    """EXACT token heavy hitters via the two-pass Misra-Gries scheme:
+    pass 1 is a zero-shuffle mergeable sketch (capacity counters per
+    partition, KBs to the driver), pass 2 exact-counts ONLY candidate
+    rows — at 100 TB this replaces a full-vocabulary aggregation state
+    with one codegen isin filter plus a candidate-sized shuffle.  The
+    run's exactness guarantee (k-th count > n/(capacity+1)) is asserted
+    by the guaranteed flag, which the oracle pins to true."""
+    from ..llmdata.profiler import FrequentItemsProfiler
+    from ..llmdata.textanalysis import _tokens
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(_tokens(F.coalesce(F.col("text"), F.lit("")))
+                       .alias("toks"))
+    out = FrequentItemsProfiler(itemsCol="toks", k=20,
+                                capacity=2048).transform(toks)[0]
+    return out.select(F.col("item"), F.col("freq"),
+                      F.col("guaranteed").cast("int").alias("guaranteed"))
+
+
+FREQUENT_ITEMS_SQL = f"""
+WITH t AS (SELECT unnest({TOKS}) AS item FROM documents)
+SELECT item, COUNT(*) AS freq, 1 AS guaranteed
+FROM t GROUP BY item ORDER BY freq DESC, item LIMIT 20
+"""
+
+
 def profile_drift(spark, sf_dir):
     """Schema/profile drift between two corpus snapshots — the
     structural counterpart to token_drift (content) and embedding_drift
@@ -2935,4 +2961,5 @@ QUERIES = {
     "data_profile": (data_profile, DATA_PROFILE_SQL),
     "constraint_gate": (constraint_gate, CONSTRAINT_GATE_SQL),
     "profile_drift": (profile_drift, PROFILE_DRIFT_SQL),
+    "frequent_items": (frequent_items, FREQUENT_ITEMS_SQL),
 }

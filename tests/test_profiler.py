@@ -164,6 +164,74 @@ def test_gate_persistence(frame, tmp_path):
     assert g2.transform(frame)[0].collect()[0]["passed"]
 
 
+def test_frequent_items_exact_scalar(spark):
+    # zipf-ish: item 'w0' 100x, 'w1' 50x, ..., plus a long unique tail
+    rows = ([("w0",)] * 100 + [("w1",)] * 50 + [("w2",)] * 25
+            + [(f"tail{i}",) for i in range(200)])
+    df = spark.createDataFrame(rows, "items string").repartition(7)
+    from flink_ml_spark.llmdata import FrequentItemsProfiler
+    out = FrequentItemsProfiler(itemsCol="items", k=3,
+                                capacity=64).transform(df)[0].collect()
+    assert [(r["item"], r["freq"]) for r in out] == [
+        ("w0", 100), ("w1", 50), ("w2", 25)]
+    assert all(r["guaranteed"] for r in out)
+
+
+def test_frequent_items_array_column(spark):
+    rows = [(["a", "b", "a"],), (["a", "c"],), (["b"],), ([],), (None,)]
+    df = spark.createDataFrame(rows, "items array<string>")
+    from flink_ml_spark.llmdata import FrequentItemsProfiler
+    out = FrequentItemsProfiler(itemsCol="items", k=2,
+                                capacity=16).transform(df)[0].collect()
+    assert [(r["item"], r["freq"]) for r in out] == [("a", 3), ("b", 2)]
+
+
+def test_frequent_items_matches_exact_groupby(spark, sf_dir):
+    """Two-pass MG output == the exact full-shuffle top-k on real text."""
+    from flink_ml_spark.llmdata import FrequentItemsProfiler
+    from flink_ml_spark.llmdata.textanalysis import _tokens
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(_tokens(F.coalesce("text", F.lit(""))).alias("t"))
+    got = FrequentItemsProfiler(itemsCol="t", k=10,
+                                capacity=2048).transform(toks)[0].collect()
+    truth = (toks.select(F.explode("t").alias("i")).groupBy("i").count()
+             .orderBy(F.col("count").desc(), "i").limit(10).collect())
+    assert [(r["item"], r["freq"]) for r in got] == \
+        [(r["i"], r["count"]) for r in truth]
+    assert all(r["guaranteed"] for r in got)
+
+
+def test_frequent_items_guarantee_flag_degrades(spark):
+    """With capacity far below the distinct count and a flat
+    distribution, the run must self-report no exactness guarantee."""
+    rows = [(f"t{i % 97}",) for i in range(970)]
+    df = spark.createDataFrame(rows, "items string").repartition(5)
+    from flink_ml_spark.llmdata import FrequentItemsProfiler
+    out = FrequentItemsProfiler(itemsCol="items", k=5,
+                                capacity=8).transform(df)[0].collect()
+    assert (not out) or not out[0]["guaranteed"]
+
+
+def test_frequent_items_empty(spark):
+    df = spark.createDataFrame([], "items string")
+    from flink_ml_spark.llmdata import FrequentItemsProfiler
+    out = FrequentItemsProfiler(itemsCol="items").transform(df)[0]
+    assert out.count() == 0
+
+
+def test_mg_shrink_bound():
+    """Property: after shrink, at most capacity counters remain and each
+    kept count is an under-estimate by at most the subtracted pivot."""
+    from flink_ml_spark.llmdata.profiler import _mg_shrink
+    counts = {f"i{i}": i + 1 for i in range(100)}
+    _mg_shrink(counts, 10)
+    assert len(counts) <= 10
+    # survivors are the largest originals, shifted down uniformly
+    assert set(counts) == {f"i{i}" for i in range(90, 100)}
+    assert counts["i99"] == 100 - 90
+
+
 def test_corr_matrix_known(spark):
     # y = 2x exactly; z anti-correlated with x; w constant
     rows = [([float(x), 2.0 * x, float(-x), 1.0],) for x in range(1, 9)]
