@@ -55,6 +55,7 @@ _PROFILE_SCHEMA = T.StructType([
     T.StructField("min_len", T.LongType()),
     T.StructField("max_len", T.LongType()),
     T.StructField("n_empty", T.LongType()),
+    T.StructField("quantiles", T.ArrayType(T.DoubleType())),
 ])
 
 
@@ -108,6 +109,19 @@ class DataProfiler(AlgoOperator):
         "relativeSD", "HyperLogLog relative standard deviation for the "
         "approximate distinct counts.", 0.02,
         ParamValidators.in_range(0.000017, 0.4, lower_inclusive=False))
+    quantiles = Param(
+        "quantiles", "Quantile probabilities to profile per numeric "
+        "column (None = none); linear-interpolated (ANSI "
+        "PERCENTILE_CONT semantics).", None,
+        lambda v: v is None or all(0.0 <= q <= 1.0 for q in v))
+    exactQuantiles = BoolParam(
+        "exactQuantiles", "Exact sort-based percentiles instead of the "
+        "mergeable KLL-style approx_percentile sketch — exact buffers "
+        "the column per group and is the small-data / oracle path; the "
+        "default sketch is the 100 TB path.", False)
+    quantileAccuracy = Param(
+        "quantileAccuracy", "approx_percentile accuracy (1/eps).", 10000,
+        ParamValidators.gt(0))
 
     def _agg_frame(self, df: DataFrame) -> tuple[list[str], dict, DataFrame]:
         """The one-pass aggregation (exposed so tests can assert the
@@ -139,6 +153,16 @@ class DataProfiler(AlgoOperator):
                          F.stddev_samp(num).alias(f"{c}__std"),
                          F.min(num).alias(f"{c}__min"),
                          F.max(num).alias(f"{c}__max")]
+                qs = self.get_("quantiles")
+                if qs:
+                    probe = F.lit([float(q) for q in qs])
+                    aggs.append(
+                        (F.percentile(num, probe)
+                         if self.get_("exactQuantiles")
+                         else F.percentile_approx(
+                             num, probe,
+                             F.lit(int(self.get_("quantileAccuracy")))))
+                        .alias(f"{c}__q"))
             if t == "string":
                 ln = F.length(col)
                 aggs += [F.min(ln).alias(f"{c}__minl"),
@@ -167,6 +191,9 @@ class DataProfiler(AlgoOperator):
                 _d(row.get(f"{c}__min")), _d(row.get(f"{c}__max")),
                 _l(row.get(f"{c}__minl")), _l(row.get(f"{c}__maxl")),
                 _l(row.get(f"{c}__emp")),
+                ([None if q is None else float(q)
+                  for q in row[f"{c}__q"]]
+                 if row.get(f"{c}__q") is not None else None),
             ))
         spark = df.sparkSession
         return [spark.createDataFrame(out_rows, _PROFILE_SCHEMA)]

@@ -2817,6 +2817,33 @@ UNION ALL SELECT 'min_distinct', 'o_custkey', {SQL_Q4.format('nd_ck')},
 """
 
 
+def profile_quantiles(spark, sf_dir):
+    """Quantile block of the column profile: linear-interpolated
+    (PERCENTILE_CONT) p25/p50/p75/p95 per numeric column, still inside
+    the profiler's ONE aggregation pass.  exactQuantiles=True here so
+    the DuckDB quantile_cont oracle matches bit-for-bit; the default
+    mode is the mergeable approx_percentile sketch (the 100 TB path —
+    exact percentile buffers the column)."""
+    from ..llmdata import DataProfiler
+    docs = load(spark, sf_dir, "documents")
+    out = DataProfiler(columns=["doc_id", "n_chars"],
+                       quantiles=[0.25, 0.5, 0.75, 0.95],
+                       exactQuantiles=True).transform(docs)[0]
+    q = F.col("quantiles")
+    return out.select("column",
+                      q4(q[0]).alias("q25"), q4(q[1]).alias("q50"),
+                      q4(q[2]).alias("q75"), q4(q[3]).alias("q95"))
+
+
+PROFILE_QUANTILES_SQL = "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS column,
+       {SQL_Q4.format(f'quantile_cont({c}, 0.25)')} AS q25,
+       {SQL_Q4.format(f'quantile_cont({c}, 0.5)')} AS q50,
+       {SQL_Q4.format(f'quantile_cont({c}, 0.75)')} AS q75,
+       {SQL_Q4.format(f'quantile_cont({c}, 0.95)')} AS q95
+FROM documents""" for c in ["doc_id", "n_chars"])
+
+
 def frequent_items(spark, sf_dir):
     """EXACT token heavy hitters via the two-pass Misra-Gries scheme:
     pass 1 is a zero-shuffle mergeable sketch (capacity counters per
@@ -2962,4 +2989,5 @@ QUERIES = {
     "constraint_gate": (constraint_gate, CONSTRAINT_GATE_SQL),
     "profile_drift": (profile_drift, PROFILE_DRIFT_SQL),
     "frequent_items": (frequent_items, FREQUENT_ITEMS_SQL),
+    "profile_quantiles": (profile_quantiles, PROFILE_QUANTILES_SQL),
 }

@@ -164,6 +164,21 @@ def test_gate_persistence(frame, tmp_path):
     assert g2.transform(frame)[0].collect()[0]["passed"]
 
 
+def test_profiler_quantiles(spark):
+    df = spark.createDataFrame([(float(x),) for x in [1, 2, 3, 4, 10]],
+                               "x double")
+    r = _by_col(DataProfiler(quantiles=[0.25, 0.5, 0.95],
+                             exactQuantiles=True).transform(df)[0])["x"]
+    assert r["quantiles"] == pytest.approx([2.0, 3.0, 8.8])
+    # sketch mode exists and is sane on tiny input
+    ra = _by_col(DataProfiler(quantiles=[0.5]).transform(df)[0])["x"]
+    assert ra["quantiles"][0] in (3.0,)
+    # non-numeric columns carry no quantile block
+    ds = spark.createDataFrame([("a",)], "s string")
+    rs = _by_col(DataProfiler(quantiles=[0.5]).transform(ds)[0])["s"]
+    assert rs["quantiles"] is None
+
+
 def test_frequent_items_exact_scalar(spark):
     # zipf-ish: item 'w0' 100x, 'w1' 50x, ..., plus a long unique tail
     rows = ([("w0",)] * 100 + [("w1",)] * 50 + [("w2",)] * 25
