@@ -48,6 +48,7 @@ HEADLINE = [
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",
     "stateful_sessions", "asof_join", "range_join", "sliding_windows",
     "streaming_dedup", "streaming_incremental_dedup", "streaming_drift",
+    "streaming_quality_gate",
     "language_id", "text_quality", "char_entropy", "gopher_filter",
     "unigram_lm_score",
     "bigram_lm_score", "quality_classifier",

@@ -710,8 +710,129 @@ FROM js
 """
 
 
+def streaming_quality_gate(spark, sf_dir):
+    """Per-micro-batch circuit breaker in front of stateful stages:
+    three event micro-batches replay through readStream →
+    foreachBatch(StreamingQualityGate) — batches 0/1 are clean id-hash
+    slices (forwarded to the sink), batch 2 is corrupted the way
+    upstream regressions actually corrupt (a unit bug ×1000 on value, an
+    unknown enum from a deploy) and is quarantined WHOLE.  Output = the
+    full per-batch verdict report plus the routing decision — one
+    aggregation pass per batch, no cross-batch state."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import StreamingQualityGate
+
+    # load_events handles the nanos/micros timestamp variants; ts itself
+    # is not part of the gated payload
+    events = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "value", "event_type")
+    tmp = tempfile.mkdtemp(prefix="streaming_quality_")
+    q = None
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        corrupt_val = F.col("value") * 1000
+        corrupt_type = F.when(F.col("event_id") % 7 == 0, F.lit("zz_bad")) \
+            .otherwise(F.col("event_type"))
+        batches = [
+            events.where(F.col("event_id") % 3 == 0),
+            events.where(F.col("event_id") % 3 == 1),
+            events.where(F.col("event_id") % 3 == 2)
+                  .withColumn("value", corrupt_val)
+                  .withColumn("event_type", corrupt_type),
+        ]
+        os.mkdir(os.path.join(tmp, "in"))
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.parquet(os.path.join(tmp, f"b{i}"))
+            src = [f for f in os.listdir(os.path.join(tmp, f"b{i}"))
+                   if f.endswith(".parquet")][0]
+            dst = os.path.join(tmp, "in", f"batch{i}.parquet")
+            shutil.copy(os.path.join(tmp, f"b{i}", src), dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        gate = StreamingQualityGate(constraints=[
+            {"type": "min_rows", "value": 100},
+            {"type": "not_null", "col": "user_id"},
+            {"type": "in_range", "col": "value", "min": 0, "max": 500},
+            {"type": "in_set", "col": "event_type",
+             "allowed": ["click", "signup", "purchase", "error", "view"]},
+        ])
+        routed: dict[int, str] = {}
+        reports: list[tuple] = []
+
+        def report_fn(rows, bid, passed):
+            routed[bid] = "sink" if passed else "quarantine"
+            for r in rows:
+                reports.append((bid, r["constraint"], r["column"] or "",
+                                float(r["observed"]), bool(r["passed"])))
+
+        stream = (spark.readStream.schema(batches[0].schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(tmp, "in")))
+        q = (stream.writeStream
+             .foreachBatch(gate.foreach_batch(
+                 sink_fn=lambda df, bid: df.count(),
+                 quarantine_fn=lambda df, bid: df.count(),
+                 report_fn=report_fn))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        q.awaitTermination(300)
+        out = spark.createDataFrame(
+            [(b, c, col, obs, routed[b], p)
+             for (b, c, col, obs, p) in reports],
+            "batch_id long, rule string, col string, observed double, "
+            "routed string, passed boolean")
+        return out.select("batch_id", "rule", "col",
+                          q4(F.col("observed")).alias("observed"),
+                          "routed", F.col("passed").cast("int")
+                          .alias("passed"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if q is not None and q.isActive:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_QUALITY_SQL = f"""
+WITH batches AS (
+  SELECT event_id % 3 AS b, user_id,
+         CASE WHEN event_id % 3 = 2 THEN value * 1000 ELSE value END
+           AS value,
+         CASE WHEN event_id % 3 = 2 AND event_id % 7 = 0 THEN 'zz_bad'
+              ELSE event_type END AS event_type
+  FROM events),
+agg AS (SELECT b, COUNT(*) AS n, COUNT(user_id) AS nn_u,
+               COUNT(CASE WHEN value BETWEEN 0 AND 500 THEN 1 END) AS ok_v,
+               COUNT(value) AS nn_v,
+               COUNT(CASE WHEN event_type IN
+                     ('click','signup','purchase','error','view')
+                     THEN 1 END) AS ok_t,
+               COUNT(event_type) AS nn_t
+        FROM batches GROUP BY b),
+rep AS (
+  SELECT b, 'min_rows' AS rule, '' AS col, CAST(n AS DOUBLE) AS obs,
+         n >= 100 AS p FROM agg
+  UNION ALL SELECT b, 'not_null', 'user_id', CAST(n - nn_u AS DOUBLE),
+         n - nn_u = 0 FROM agg
+  UNION ALL SELECT b, 'in_range', 'value', ok_v * 1.0 / nn_v,
+         ok_v = nn_v FROM agg
+  UNION ALL SELECT b, 'in_set', 'event_type', ok_t * 1.0 / nn_t,
+         ok_t = nn_t FROM agg),
+route AS (SELECT b, CASE WHEN BOOL_AND(p) THEN 'sink' ELSE 'quarantine' END
+                 AS routed FROM rep GROUP BY b)
+SELECT rep.b AS batch_id, rule, col, {SQL_Q4.format('obs')} AS observed,
+       route.routed AS routed, CAST(p AS INT) AS passed
+FROM rep JOIN route ON rep.b = route.b
+"""
+
+
 QUERIES = {
     "event_windows": (event_windows, EVENT_WINDOWS_SQL),
+    "streaming_quality_gate": (streaming_quality_gate,
+                               STREAMING_QUALITY_SQL),
     "session_windows": (session_windows, SESSION_WINDOWS_SQL),
     "stateful_sessions": (stateful_sessions, STATEFUL_SESSIONS_SQL),
     "online_standard_scaler": (online_standard_scaler, ONLINE_SCALER_SQL),

@@ -1,6 +1,7 @@
 from .dedup import (StreamingExactDeduplicator,
                     StreamingIncrementalDeduplicator)
 from .drift import StreamingDriftMonitor
+from .quality import StreamingQualityGate
 from .online import (OnlineKMeans, OnlineLogisticRegression,
                      OnlineStandardScaler, OnlineStandardScalerModel)
 from .stateful import StatefulSessionizer
@@ -9,5 +10,6 @@ from .windows import Windows
 __all__ = ["OnlineStandardScaler", "OnlineStandardScalerModel",
            "OnlineKMeans", "OnlineLogisticRegression",
            "StatefulSessionizer", "StreamingDriftMonitor",
+           "StreamingQualityGate",
            "StreamingExactDeduplicator",
            "StreamingIncrementalDeduplicator", "Windows"]

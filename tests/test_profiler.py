@@ -247,6 +247,40 @@ def test_mg_shrink_bound():
     assert counts["i99"] == 100 - 90
 
 
+def test_streaming_quality_gate_routing(spark):
+    from flink_ml_spark.streaming import StreamingQualityGate
+    gate = StreamingQualityGate(constraints=[
+        {"type": "in_range", "col": "v", "min": 0, "max": 10}])
+    clean = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    dirty = spark.createDataFrame([(1.0,), (99.0,)], "v double")
+    ok, rep = gate.process_batch(clean)
+    assert ok and rep[0]["passed"]
+    ok, rep = gate.process_batch(dirty)
+    assert not ok and rep[0]["observed"] == pytest.approx(0.5)
+
+    sunk, quarantined, verdicts = [], [], []
+    fb = gate.foreach_batch(
+        sink_fn=lambda df, bid: sunk.append(bid),
+        quarantine_fn=lambda df, bid: quarantined.append(bid),
+        report_fn=lambda rows, bid, passed: verdicts.append((bid, passed)))
+    fb(clean, 0)
+    fb(dirty, 1)
+    assert sunk == [0] and quarantined == [1]
+    assert verdicts == [(0, True), (1, False)]
+
+
+def test_streaming_quality_gate_fail_mode(spark):
+    from flink_ml_spark.streaming import StreamingQualityGate
+    gate = StreamingQualityGate(
+        constraints=[{"type": "not_null", "col": "v"}], on_violation="fail")
+    dirty = spark.createDataFrame([(None,)], "v double")
+    with pytest.raises(ValueError, match="not_null"):
+        gate.process_batch(dirty)
+    with pytest.raises(ValueError):
+        StreamingQualityGate(constraints=[{"type": "not_null", "col": "v"}],
+                             on_violation="explode")
+
+
 def test_corr_matrix_known(spark):
     # y = 2x exactly; z anti-correlated with x; w constant
     rows = [([float(x), 2.0 * x, float(-x), 1.0],) for x in range(1, 9)]
