@@ -979,6 +979,113 @@ class Bm25ScorerModel(Model, HasInputCol, HasOutputCol):
         return out
 
 
+class Bm25Retriever(AlgoOperator):
+    """Sparse-retrieval top-k JOIN: for a TABLE of queries, the ``k``
+    best documents each by Okapi BM25 — the sparse counterpart to the
+    ANN operators (BruteForceKNNJoin / IVF), and the standard first
+    stage of retrieval pipelines (seed-corpus expansion, RAG passage
+    retrieval, eval-set mining).  Where ``Bm25Scorer`` scores the corpus
+    against ONE fixed seed query, this joins corpus × query-set through
+    an inverted index, never a cross join.
+
+    ``transform(corpus, queries)`` → ``(query-id col, doc-id col,
+    score, rank)`` with rank 1..k per query.
+
+    Plan (all relational, one logical pass each):
+      1. corpus stats — ONE agg (N, avgdl): two driver scalars;
+      2. postings — explode corpus tokens, ONE groupBy (token, doc) for
+         tf (map-side combined); per-token df derives from the postings
+         relation (second agg over already-reduced data);
+      3. the retrieval join — postings ⋈ distinct query terms on token.
+         The query side is broadcast (query sets are model-sized next
+         to a corpus), so the corpus-sized postings never reshuffle for
+         the join; ``maxDocFreq`` drops tokens whose postings list
+         exceeds the cap BEFORE the join (the impact-sorted-index
+         trick: a stopword in one query must not pull a billion-row
+         postings list — and its idf ≈ 0 contribution is exactly the
+         mass BM25 already ignores);
+      4. per-(query, doc) score — ONE groupBy sum;
+      5. exact top-k per query via the two-stage salted rank
+         (hot-query safe).
+
+    ``scoreRounding`` (decimals) snaps scores before ranking — summation
+    order across partitions can move the last ulp, and two docs with the
+    SAME term profile must rank as a true tie broken by doc id, in any
+    engine (the learners' weightRounding pattern).
+    """
+
+    idCol = StringParam("idCol", "Corpus document id column.", "doc_id")
+    textCol = StringParam("textCol", "Corpus text column.", "text")
+    queryIdCol = StringParam("queryIdCol", "Query id column.", "query_id")
+    queryTextCol = StringParam("queryTextCol", "Query text column.",
+                               "query_text")
+    k = IntParam("k", "Documents to return per query.", 10,
+                 ParamValidators.gt(0))
+    k1 = FloatParam("k1", "Term-frequency saturation.", 1.2)
+    b = FloatParam("b", "Length normalization strength.", 0.75)
+    maxDocFreq = IntParam(
+        "maxDocFreq", "Drop tokens with document frequency above this "
+        "from the index (None = keep all) — bounds the postings a "
+        "stopword query term can pull into the join.", None,
+        lambda v: v is None or v > 0)
+    scoreRounding = IntParam(
+        "scoreRounding", "Round scores to this many decimals before "
+        "ranking (None = raw) so cross-partition sum order cannot flip "
+        "true ties; ties break by doc id.", None,
+        lambda v: v is None or v >= 0)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        corpus, queries = inputs
+        idc, txt = self.get_("idCol"), self.get_("textCol")
+        qid, qtxt = self.get_("queryIdCol"), self.get_("queryTextCol")
+        k1, b = float(self.get_("k1")), float(self.get_("b"))
+        toks = _tokens(F.coalesce(F.col(txt), F.lit("")))
+
+        stats = corpus.agg(F.count(F.lit(1)).alias("n"),
+                           F.avg(F.size(toks)).alias("avgdl")).first()
+        n, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+        spark = corpus.sparkSession
+        if n == 0 or avgdl <= 0:
+            return [spark.createDataFrame(
+                [], f"{qid} long, {idc} long, score double, rank int")]
+
+        postings = (corpus
+                    .select(F.col(idc), F.size(toks).alias("dl"),
+                            F.explode(toks).alias("tok"))
+                    .groupBy("tok", idc, "dl")
+                    .agg(F.count(F.lit(1)).alias("tf")))
+        df_rel = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        cap = self.get_("maxDocFreq")
+        if cap is not None:
+            df_rel = df_rel.filter(F.col("df") <= cap)
+        # df is token-level metadata (≤ vocab rows, already reduced);
+        # joining it back broadcast-style keeps postings in place
+        postings = postings.join(F.broadcast(df_rel), "tok")
+
+        qterms = (queries
+                  .select(F.col(qid), F.explode(F.array_distinct(
+                      _tokens(F.coalesce(F.col(qtxt), F.lit("")))))
+                      .alias("tok"))
+                  .distinct())
+        idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5))
+        norm = F.lit(k1) * (1.0 - b + F.lit(b)
+                            * F.col("dl").cast("double") / avgdl)
+        contrib = (idf * F.col("tf").cast("double") * (k1 + 1.0)
+                   / (F.col("tf").cast("double") + norm))
+        scored = (postings.join(F.broadcast(qterms), "tok")
+                  .groupBy(qid, idc)
+                  .agg(F.sum(contrib).alias("score")))
+        rnd = self.get_("scoreRounding")
+        if rnd is not None:
+            scored = scored.withColumn("score", F.round("score", int(rnd)))
+        from ..common.dataflow import top_k_per_key
+        out = top_k_per_key(
+            scored, [qid], [F.col("score").desc(), F.col(idc)],
+            int(self.get_("k")), salt_cols=[idc], rank_col="rank")
+        return [out.select(qid, idc, "score", "rank")]
+
+
 class DocumentFingerprinter(Transformer, HasInputCol, HasOutputCol):
     """Order-sensitive rolling-hash fingerprint of the token stream
     (content-defined; equal texts → equal fingerprints, reordered texts
