@@ -2817,6 +2817,58 @@ UNION ALL SELECT 'min_distinct', 'o_custkey', {SQL_Q4.format('nd_ck')},
 """
 
 
+def bm25_retrieval(spark, sf_dir):
+    """Sparse top-k retrieval JOIN (query table × corpus through an
+    inverted index — the BM25 counterpart of the ANN join family):
+    queries are the first-5-token prefixes of every doc_id % 100 == 7
+    document; each retrieves its 5 best documents by Okapi BM25.  Plan:
+    one stats agg + one postings groupBy + broadcast query-term join +
+    one score groupBy + salted exact top-k; scoreRounding=6 snaps
+    cross-partition sum-order ulps so ranking ties are true ties broken
+    by doc_id in both engines."""
+    from ..llmdata import Bm25Retriever
+    from ..llmdata.textanalysis import _tokens
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    qs = (docs.filter(F.col("doc_id") % 100 == 7)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.concat_ws(" ", F.slice(toks, 1, 5))
+                  .alias("query_text")))
+    out = Bm25Retriever(k=5, scoreRounding=6).transform(docs, qs)[0]
+    return out.select("query_id", "doc_id",
+                      q4(F.col("score")).alias("score"), "rank")
+
+
+BM25_RETRIEVAL_SQL = f"""
+WITH corpus AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM corpus),
+ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM corpus),
+postings AS (SELECT tok, doc_id, dl, COUNT(*) AS tf
+             FROM ex GROUP BY tok, doc_id, dl),
+dfrel AS (SELECT tok, COUNT(*) AS df FROM postings GROUP BY tok),
+qterms AS (SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS tok
+           FROM corpus WHERE doc_id % 100 = 7),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         ROUND(SUM(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))), 6)
+           AS score
+  FROM postings p
+  JOIN dfrel d ON p.tok = d.tok
+  JOIN qterms q ON p.tok = q.tok
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, doc_id, {SQL_Q4.format('score')} AS score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def profile_quantiles(spark, sf_dir):
     """Quantile block of the column profile: linear-interpolated
     (PERCENTILE_CONT) p25/p50/p75/p95 per numeric column, still inside
@@ -2990,4 +3042,5 @@ QUERIES = {
     "profile_drift": (profile_drift, PROFILE_DRIFT_SQL),
     "frequent_items": (frequent_items, FREQUENT_ITEMS_SQL),
     "profile_quantiles": (profile_quantiles, PROFILE_QUANTILES_SQL),
+    "bm25_retrieval": (bm25_retrieval, BM25_RETRIEVAL_SQL),
 }

@@ -1,0 +1,117 @@
+"""Bm25Retriever vs hand-computed BM25 and vs Bm25Scorer parity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ml_spark.llmdata import Bm25Retriever, Bm25Scorer
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "apple apple apple durian"),
+        (3, "cherry cherry banana banana"),
+        (4, "elderberry"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def test_retriever_hand_computed(spark, corpus):
+    qs = spark.createDataFrame([(100, "apple cherry")],
+                               "query_id bigint, query_text string")
+    out = Bm25Retriever(k=10).transform(corpus, qs)[0].collect()
+    n, avgdl = 5, (3 + 2 + 4 + 4 + 1) / 5.0
+    # df: apple in docs {0,2} → 2; cherry in {1,3} → 2
+    expect = {
+        0: _bm25(2, 2, n, 3, avgdl),   # apple tf2
+        1: _bm25(1, 2, n, 2, avgdl),   # cherry tf1 (banana not queried)
+        2: _bm25(3, 2, n, 4, avgdl),   # apple tf3
+        3: _bm25(2, 2, n, 4, avgdl),   # cherry tf2
+    }
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert set(got) == set(expect)  # doc 4 shares no term
+    for d, s in expect.items():
+        assert got[d] == pytest.approx(s, abs=1e-12)
+    # ranks follow score desc, doc_id asc
+    order = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    truth = sorted(expect, key=lambda d: (-expect[d], d))
+    assert order == truth
+
+
+def test_retriever_multi_query_topk(spark, corpus):
+    qs = spark.createDataFrame(
+        [(1, "apple"), (2, "banana cherry"), (3, "zzz_nohit")],
+        "query_id bigint, query_text string")
+    out = Bm25Retriever(k=2).transform(corpus, qs)[0].collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) <= 2 for v in per_q.values())
+    assert 3 not in per_q  # no shared term → no rows
+    assert {r["rank"] for r in per_q[1]} == {1, 2}
+
+
+def test_retriever_parity_with_scorer(spark, corpus):
+    """The retriever's scores equal Bm25Scorer's corpus scoring for the
+    same term set (same N/avgdl/df definitions)."""
+    terms = ["banana", "durian"]
+    qs = spark.createDataFrame([(9, " ".join(terms))],
+                               "query_id bigint, query_text string")
+    got = {r["doc_id"]: r["score"] for r in
+           Bm25Retriever(k=10).transform(corpus, qs)[0].collect()}
+    scored = (Bm25Scorer(inputCol="text", outputCol="s", queryTerms=terms)
+              .fit(corpus).transform(corpus)[0]
+              .filter(F.col("s") > 0).collect())
+    truth = {r["doc_id"]: r["s"] for r in scored}
+    assert set(got) == set(truth)
+    for d in truth:
+        assert got[d] == pytest.approx(truth[d], abs=1e-12)
+
+
+def test_retriever_max_doc_freq(spark, corpus):
+    """A term over the df cap is dropped from the index entirely."""
+    qs = spark.createDataFrame([(1, "banana durian")],
+                               "query_id bigint, query_text string")
+    out = Bm25Retriever(k=10, maxDocFreq=2).transform(corpus, qs)[0] \
+        .collect()
+    # banana df=3 > 2 → dropped; only durian (df=1, doc 2) scores
+    assert [r["doc_id"] for r in out] == [2]
+
+
+def test_retriever_score_rounding_ties(spark):
+    """Identical term profiles are TRUE ties broken by doc_id."""
+    rows = [(i, "same same other%d" % i) for i in range(6)]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    qs = spark.createDataFrame([(1, "same")],
+                               "query_id bigint, query_text string")
+    out = Bm25Retriever(k=4, scoreRounding=6).transform(corpus, qs)[0] \
+        .collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == [0, 1, 2, 3]
+    assert len({r["score"] for r in out}) == 1
+
+
+def test_retriever_empty_corpus(spark):
+    corpus = spark.createDataFrame([], "doc_id bigint, text string")
+    qs = spark.createDataFrame([(1, "x")],
+                               "query_id bigint, query_text string")
+    out = Bm25Retriever().transform(corpus, qs)[0]
+    assert out.count() == 0
+
+
+def test_retriever_persistence(spark, corpus, tmp_path):
+    r = Bm25Retriever(k=3, maxDocFreq=10, scoreRounding=6)
+    r.save(str(tmp_path / "r"))
+    from flink_ml_spark.api import Stage
+    r2 = Stage.load(spark, str(tmp_path / "r"))
+    assert (r2.get_("k"), r2.get_("maxDocFreq"),
+            r2.get_("scoreRounding")) == (3, 10, 6)
