@@ -80,6 +80,7 @@ HEADLINE = [
     "llm_prep_pipeline_v5",
     "llm_prep_pipeline_v6",
     "llm_prep_pipeline_v7",
+    "llm_prep_pipeline_v8", "profile_by_source",
 ]
 
 # the round-1 headline set, for like-for-like round-over-round subtotals

@@ -44,6 +44,7 @@ from ..param import BoolParam, Param, ParamValidators, StringArrayParam
 _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
 
 _PROFILE_SCHEMA = T.StructType([
+    T.StructField("group", T.StringType()),
     T.StructField("column", T.StringType()),
     T.StructField("dtype", T.StringType()),
     T.StructField("n_rows", T.LongType()),
@@ -123,6 +124,12 @@ class DataProfiler(AlgoOperator):
     quantileAccuracy = Param(
         "quantileAccuracy", "approx_percentile accuracy (1/eps).", 10000,
         ParamValidators.gt(0))
+    groupByCol = Param(
+        "groupByCol", "Segment the profile by this column (None = whole "
+        "table): same single pass, one stat row per (group, column).  "
+        "Driver state is groups × columns rows — meant for model-sized "
+        "group cardinalities (sources, languages, shards), not "
+        "per-user grouping.", None)
 
     def _agg_frame(self, df: DataFrame) -> tuple[list[str], dict, DataFrame]:
         """The one-pass aggregation (exposed so tests can assert the
@@ -169,12 +176,19 @@ class DataProfiler(AlgoOperator):
                 aggs += [F.min(ln).alias(f"{c}__minl"),
                          F.max(ln).alias(f"{c}__maxl"),
                          F.count(F.when(col == "", 1)).alias(f"{c}__emp")]
-        return cols, dtypes, df.agg(*aggs)
+        gcol = self.get_("groupByCol")
+        if gcol is not None:
+            agg = (df.groupBy(F.col(gcol).cast("string").alias("__g__"))
+                   .agg(*aggs))
+        else:
+            agg = df.agg(*aggs)
+        return cols, dtypes, agg
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
         cols, dtypes, agg = self._agg_frame(df)
-        row = agg.first().asDict()
+        grouped = self.get_("groupByCol") is not None
+        rows = agg.collect() if grouped else [agg.first()]
 
         def _l(v):  # noqa: E306 - tiny pivots
             return None if v is None else int(v)
@@ -183,19 +197,22 @@ class DataProfiler(AlgoOperator):
             return None if v is None else float(v)
 
         out_rows = []
-        for c in cols:
-            out_rows.append((
-                c, dtypes[c], int(row["__n__"]),
-                int(row["__n__"]) - int(row[f"{c}__nn"]),
-                _l(row.get(f"{c}__nd")),
-                _d(row.get(f"{c}__avg")), _d(row.get(f"{c}__std")),
-                _d(row.get(f"{c}__min")), _d(row.get(f"{c}__max")),
-                _l(row.get(f"{c}__minl")), _l(row.get(f"{c}__maxl")),
-                _l(row.get(f"{c}__emp")),
-                ([None if q is None else float(q)
-                  for q in row[f"{c}__q"]]
-                 if row.get(f"{c}__q") is not None else None),
-            ))
+        for r in rows:
+            row = r.asDict()
+            for c in cols:
+                out_rows.append((
+                    row.get("__g__") if grouped else None,
+                    c, dtypes[c], int(row["__n__"]),
+                    int(row["__n__"]) - int(row[f"{c}__nn"]),
+                    _l(row.get(f"{c}__nd")),
+                    _d(row.get(f"{c}__avg")), _d(row.get(f"{c}__std")),
+                    _d(row.get(f"{c}__min")), _d(row.get(f"{c}__max")),
+                    _l(row.get(f"{c}__minl")), _l(row.get(f"{c}__maxl")),
+                    _l(row.get(f"{c}__emp")),
+                    ([None if q is None else float(q)
+                      for q in row[f"{c}__q"]]
+                     if row.get(f"{c}__q") is not None else None),
+                ))
         spark = df.sparkSession
         return [spark.createDataFrame(out_rows, _PROFILE_SCHEMA)]
 

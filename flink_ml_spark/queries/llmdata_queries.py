@@ -2817,6 +2817,119 @@ UNION ALL SELECT 'min_distinct', 'o_custkey', {SQL_Q4.format('nd_ck')},
 """
 
 
+def profile_by_source(spark, sf_dir):
+    """Segmented profile: the same single-pass profiler grouped by
+    source — one groupBy(source) aggregation (map-side partials), one
+    stat row per (source, column); driver state = groups × columns."""
+    from ..llmdata import DataProfiler
+    docs = load(spark, sf_dir, "documents")
+    out = DataProfiler(columns=["n_chars"], exactDistinct=True,
+                       groupByCol="source").transform(docs)[0]
+    return out.select(F.col("group").alias("source"),
+                      "n_rows", "n_null", "n_distinct",
+                      q4(F.col("mean")).alias("mean_q"),
+                      q4(F.col("stddev")).alias("std_q"),
+                      q4(F.col("min_num")).alias("min_q"),
+                      q4(F.col("max_num")).alias("max_q"))
+
+
+PROFILE_BY_SOURCE_SQL = f"""
+SELECT source, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(n_chars) AS n_null,
+       COUNT(DISTINCT CAST(n_chars AS VARCHAR)) AS n_distinct,
+       {SQL_Q4.format('AVG(CAST(n_chars AS DOUBLE))')} AS mean_q,
+       {SQL_Q4.format('STDDEV(CAST(n_chars AS DOUBLE))')} AS std_q,
+       {SQL_Q4.format('CAST(MIN(n_chars) AS DOUBLE)')} AS min_q,
+       {SQL_Q4.format('CAST(MAX(n_chars) AS DOUBLE)')} AS max_q
+FROM documents GROUP BY source
+"""
+
+
+def llm_prep_pipeline_v8(spark, sf_dir):
+    """Corpus-prep v8 — the GATED + RETRIEVAL-TARGETED recipe: the
+    batch must pass a declarative quality gate before any curation
+    touches it (circuit breaker), then the corpus is narrowed to the
+    lexical neighborhoods of trusted seed queries (BM25 top-k per
+    query — DSIR's idea with an inverted index instead of hashed
+    n-gram importance), exact-deduplicated (min-id keeps its copy),
+    and accounted per lang × source.  Every stage is one-pass /
+    broadcast-joined; the oracle replays the entire recipe."""
+    from ..llmdata import Bm25Retriever, ConstraintGate
+    from ..llmdata.textanalysis import _tokens
+    docs = load(spark, sf_dir, "documents")
+    ok, _ = ConstraintGate(constraints=[
+        {"type": "min_rows", "value": 100},
+        {"type": "not_null", "col": "text"},
+        {"type": "unique", "col": "doc_id"},
+    ]).check(docs)
+    assert ok  # failOnViolation raises with the violated rules anyway
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    seeds = (docs.filter((F.col("doc_id") % 100 == 7)
+                         & (F.col("lang") == "en"))
+             .select(F.col("doc_id").alias("query_id"),
+                     F.concat_ws(" ", F.slice(toks, 1, 5))
+                     .alias("query_text")))
+    hits = Bm25Retriever(k=100, scoreRounding=6).transform(docs, seeds)[0]
+    targeted = docs.join(hits.select("doc_id").distinct(), "doc_id",
+                         "left_semi")
+    # exact dedup: min doc_id per text digest keeps its copy (digest =
+    # 32-byte shuffle key instead of the text; the window's groups are
+    # clone clusters — tiny by construction)
+    from pyspark.sql.window import Window
+    keep = (targeted
+            .withColumn("dig", F.sha2(F.col("text"), 256))
+            .withColumn("keep_id",
+                        F.min("doc_id").over(Window.partitionBy("dig")))
+            .filter(F.col("doc_id") == F.col("keep_id")))
+    return (keep.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size(toks)).cast("bigint").alias("n_tokens"))
+            )
+
+
+def _llm_prep_v8_sql() -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, text, lang, source, {TOKS} AS toks
+                FROM documents),
+stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM corpus),
+ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM corpus),
+postings AS (SELECT tok, doc_id, dl, COUNT(*) AS tf
+             FROM ex GROUP BY tok, doc_id, dl),
+dfrel AS (SELECT tok, COUNT(*) AS df FROM postings GROUP BY tok),
+qterms AS (SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS tok
+           FROM corpus WHERE doc_id % 100 = 7 AND lang = 'en'),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         ROUND(SUM(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))), 6)
+           AS score
+  FROM postings p
+  JOIN dfrel d ON p.tok = d.tok
+  JOIN qterms q ON p.tok = q.tok
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id),
+ranked AS (SELECT query_id, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+           FROM scored),
+targeted AS (SELECT DISTINCT c.* FROM corpus c
+             JOIN ranked r ON c.doc_id = r.doc_id AND r.rank <= 100),
+kept AS (SELECT * FROM (
+           -- partitioning by the text itself groups identically to the
+           -- digest (the digest only narrows the Spark shuffle key)
+           SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep_id
+           FROM targeted)
+         WHERE doc_id = keep_id)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+FROM kept GROUP BY lang, source
+"""
+
+
+LLM_PREP_V8_SQL = _llm_prep_v8_sql()
+
+
 def bm25_retrieval(spark, sf_dir):
     """Sparse top-k retrieval JOIN (query table × corpus through an
     inverted index — the BM25 counterpart of the ANN join family):
@@ -3043,4 +3156,6 @@ QUERIES = {
     "frequent_items": (frequent_items, FREQUENT_ITEMS_SQL),
     "profile_quantiles": (profile_quantiles, PROFILE_QUANTILES_SQL),
     "bm25_retrieval": (bm25_retrieval, BM25_RETRIEVAL_SQL),
+    "profile_by_source": (profile_by_source, PROFILE_BY_SOURCE_SQL),
+    "llm_prep_pipeline_v8": (llm_prep_pipeline_v8, LLM_PREP_V8_SQL),
 }

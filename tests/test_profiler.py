@@ -164,6 +164,22 @@ def test_gate_persistence(frame, tmp_path):
     assert g2.transform(frame)[0].collect()[0]["passed"]
 
 
+def test_profiler_grouped(spark):
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = DataProfiler(columns=["x"], exactDistinct=True,
+                       groupByCol="g").transform(df)[0].collect()
+    by_g = {r["group"]: r for r in out}
+    assert set(by_g) == {"a", "b"}
+    assert by_g["a"]["mean"] == pytest.approx(2.0)
+    assert (by_g["a"]["n_rows"], by_g["a"]["n_null"]) == (2, 0)
+    assert (by_g["b"]["n_rows"], by_g["b"]["n_null"]) == (2, 1)
+    assert by_g["b"]["mean"] == pytest.approx(10.0)
+    # ungrouped keeps a null group column
+    whole = DataProfiler(columns=["x"]).transform(df)[0].collect()
+    assert whole[0]["group"] is None
+
+
 def test_profiler_quantiles(spark):
     df = spark.createDataFrame([(float(x),) for x in [1, 2, 3, 4, 10]],
                                "x double")
