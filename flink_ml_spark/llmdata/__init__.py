@@ -8,7 +8,8 @@ from .dedup import (ConnectedComponents, ContaminationScorer,
                     NGramJaccardDeduplicator, SimHashDeduplicator,
                     SnapshotDiff)
 from .bpe import BpeTokenizerModel, BpeTokenizerTrainer
-from .profiler import ConstraintGate, DataProfiler, FrequentItemsProfiler
+from .profiler import (ConstraintGate, DataProfiler,
+                       FrequentItemsProfiler, suggest_constraints)
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,

@@ -355,6 +355,64 @@ class ConstraintGate(AlgoOperator):
         return (not failed, rows)
 
 
+def suggest_constraints(profile_rows, slack: float = 0.1,
+                        max_set_size: int = 32) -> list[dict]:
+    """Deequ-style constraint suggestion: turn a ``DataProfiler`` run
+    into a ``ConstraintGate`` suite that codifies what the profiled
+    batch already satisfies — the standard bootstrap for gating a feed
+    whose invariants nobody wrote down (Schelter et al. 2018 §3.4).
+
+    Rules derived per column (ungrouped profiles only):
+    - ``n_null == 0``            → ``not_null``
+    - else                        → ``max_null_frac`` at observed + slack
+    - ``n_distinct == n_rows``    → ``unique`` (id-shaped column)
+    - numeric with min/max        → ``in_range`` widened by ``slack`` ×
+      the observed span (an exact-bounds gate would reject the first
+      legitimately new value)
+    - plus a corpus-level ``min_rows`` at (1 − slack) × observed rows.
+
+    ``in_set`` is intentionally NOT suggested from n_distinct alone —
+    the profile carries cardinality, not the member list, and
+    ``max_set_size`` exists so a caller who fetched the members (one
+    extra distinct query) can bound what they inline.
+
+    Driver-side arithmetic over the profile rows (rows = columns, never
+    corpus-sized); returns the JSON-codable constraint list that
+    ``ConstraintGate(constraints=...)`` / ``StreamingQualityGate``
+    accept directly.
+    """
+    rows = [r.asDict() if hasattr(r, "asDict") else dict(r)
+            for r in profile_rows]
+    if any(r.get("group") is not None for r in rows):
+        raise ValueError("suggest_constraints expects an ungrouped "
+                         "profile (groupByCol=None)")
+    out: list[dict] = []
+    n_rows = max((r["n_rows"] for r in rows), default=0)
+    if n_rows:
+        out.append({"type": "min_rows",
+                    "value": int(n_rows * (1.0 - slack))})
+    for r in rows:
+        c = r["column"]
+        if r["n_null"] == 0:
+            out.append({"type": "not_null", "col": c})
+        elif r["n_rows"]:
+            frac = r["n_null"] / r["n_rows"]
+            out.append({"type": "max_null_frac", "col": c,
+                        "frac": round(min(1.0, frac * (1.0 + slack)
+                                          + 1e-9), 6)})
+        nd = r.get("n_distinct")
+        if nd is not None and r["n_rows"] and nd == r["n_rows"] \
+                and r["n_null"] == 0:
+            out.append({"type": "unique", "col": c})
+        lo, hi = r.get("min_num"), r.get("max_num")
+        if lo is not None and hi is not None:
+            span = (hi - lo) or abs(hi) or 1.0
+            out.append({"type": "in_range", "col": c,
+                        "min": lo - slack * span,
+                        "max": hi + slack * span})
+    return out
+
+
 def _mg_shrink(counts: dict, capacity: int) -> None:
     """Misra-Gries decrement step: keep at most ``capacity`` counters by
     subtracting the (capacity+1)-largest count from everything and

@@ -263,6 +263,42 @@ def test_mg_shrink_bound():
     assert counts["i99"] == 100 - 90
 
 
+def test_suggest_constraints_lifecycle(spark, frame):
+    """profile → suggest → gate: the suggested suite must accept the
+    batch it was derived from, and a corrupted batch must fail it."""
+    from flink_ml_spark.llmdata import ConstraintGate, suggest_constraints
+    prof = DataProfiler(exactDistinct=True).transform(frame)[0].collect()
+    suite = suggest_constraints(prof, slack=0.1)
+    types = {(c["type"], c.get("col")) for c in suite}
+    assert ("min_rows", None) in types
+    assert ("not_null", "id") in types
+    assert ("unique", "id") in types           # all-distinct, no nulls
+    assert ("max_null_frac", "score") in types  # has a null
+    assert ("in_range", "id") in types
+    ok, _ = ConstraintGate(constraints=suite,
+                           failOnViolation=False).check(frame)
+    assert ok
+    # corrupt: out-of-range ids and a duplicated id
+    bad = spark.createDataFrame(
+        [(999, "x", 1.0, True), (999, "y", 2.0, True)],
+        "id bigint, name string, score double, flag boolean")
+    ok, report = ConstraintGate(constraints=suite,
+                                failOnViolation=False).check(bad)
+    assert not ok
+    failed = {(r["constraint"], r["column"]) for r in report
+              if not r["passed"]}
+    assert ("in_range", "id") in failed
+    assert ("unique", "id") in failed
+
+
+def test_suggest_constraints_rejects_grouped(spark, frame):
+    from flink_ml_spark.llmdata import suggest_constraints
+    prof = DataProfiler(columns=["score"], groupByCol="name") \
+        .transform(frame)[0].collect()
+    with pytest.raises(ValueError, match="ungrouped"):
+        suggest_constraints(prof)
+
+
 def test_streaming_quality_gate_routing(spark):
     from flink_ml_spark.streaming import StreamingQualityGate
     gate = StreamingQualityGate(constraints=[
