@@ -1,3 +1,4 @@
 from .binaryclassification import BinaryClassificationEvaluator
+from .ranking import RankingEvaluator
 
-__all__ = ["BinaryClassificationEvaluator"]
+__all__ = ["BinaryClassificationEvaluator", "RankingEvaluator"]

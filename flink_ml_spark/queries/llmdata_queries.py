@@ -2817,6 +2817,103 @@ UNION ALL SELECT 'min_distinct', 'o_custkey', {SQL_Q4.format('nd_ck')},
 """
 
 
+def retrieval_eval(spark, sf_dir):
+    """Retrieval quality measurement: the bm25_retrieval run scored
+    with RankingEvaluator against a graded truth (same-source docs are
+    relevant, grade 2 when the language also matches) — recall@5,
+    precision@5, MRR, nDCG@5 per query, the ann_recall/dedup_recall
+    pattern applied to sparse retrieval.  All relational: two joins +
+    two aggregations over query-result-sized relations."""
+    from ..evaluation import RankingEvaluator
+    from ..llmdata import Bm25Retriever
+    from ..llmdata.textanalysis import _tokens
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    qs = (docs.filter(F.col("doc_id") % 100 == 7)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.concat_ws(" ", F.slice(toks, 1, 5))
+                  .alias("query_text")))
+    preds = Bm25Retriever(k=5, scoreRounding=6).transform(docs, qs)[0]
+    seeds = (docs.filter(F.col("doc_id") % 100 == 7)
+             .select(F.col("doc_id").alias("query_id"),
+                     F.col("source").alias("__s__"),
+                     F.col("lang").alias("__l__")))
+    truth = (seeds.join(docs.select("doc_id", "source", "lang"),
+                        F.col("__s__") == F.col("source"))
+             .select("query_id", "doc_id",
+                     F.when(F.col("lang") == F.col("__l__"), 2.0)
+                     .otherwise(1.0).alias("relevance")))
+    out = RankingEvaluator(k=5).transform(preds, truth)[0]
+    return out.select("query_id", "n_relevant", "hits",
+                      q4(F.col("recall")).alias("recall"),
+                      q4(F.col("precision")).alias("precision"),
+                      q4(F.col("mrr")).alias("mrr"),
+                      q4(F.col("ndcg")).alias("ndcg"))
+
+
+RETRIEVAL_EVAL_SQL = f"""
+WITH corpus AS (SELECT doc_id, text, lang, source, {TOKS} AS toks
+                FROM documents),
+stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM corpus),
+ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM corpus),
+postings AS (SELECT tok, doc_id, dl, COUNT(*) AS tf
+             FROM ex GROUP BY tok, doc_id, dl),
+dfrel AS (SELECT tok, COUNT(*) AS df FROM postings GROUP BY tok),
+qterms AS (SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS tok
+           FROM corpus WHERE doc_id % 100 = 7),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         ROUND(SUM(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))), 6)
+           AS score
+  FROM postings p
+  JOIN dfrel d ON p.tok = d.tok
+  JOIN qterms q ON p.tok = q.tok
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id),
+ranked AS (SELECT query_id, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+           FROM scored),
+preds AS (SELECT * FROM ranked WHERE rank <= 5),
+seeds AS (SELECT doc_id AS query_id, source, lang FROM corpus
+          WHERE doc_id % 100 = 7),
+truth AS (SELECT s.query_id, d.doc_id,
+                 CASE WHEN d.lang = s.lang THEN 2.0 ELSE 1.0 END AS rel
+          FROM seeds s JOIN corpus d ON d.source = s.source),
+perq AS (
+  SELECT p.query_id,
+         SUM(CASE WHEN t.rel IS NOT NULL
+             THEN t.rel / (ln(p.rank + 1.0) / ln(2.0)) ELSE 0 END) AS dcg,
+         COUNT(t.rel) AS hits,
+         MIN(CASE WHEN t.rel IS NOT NULL THEN p.rank END) AS first_rel
+  FROM preds p LEFT JOIN truth t
+    ON p.query_id = t.query_id AND p.doc_id = t.doc_id
+  GROUP BY p.query_id),
+ideal AS (SELECT query_id, rel,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, doc_id) AS irn
+          FROM truth),
+idcg AS (SELECT query_id,
+                SUM(rel / (ln(irn + 1.0) / ln(2.0))) AS idcg
+         FROM ideal WHERE irn <= 5 GROUP BY query_id),
+nrel AS (SELECT query_id, COUNT(*) AS n_relevant FROM truth
+         GROUP BY query_id)
+SELECT q.query_id, COALESCE(n.n_relevant, 0) AS n_relevant, q.hits,
+       {SQL_Q4.format('CASE WHEN COALESCE(n.n_relevant, 0) > 0 '
+                      'THEN q.hits * 1.0 / n.n_relevant ELSE 0 END')}
+         AS recall,
+       {SQL_Q4.format('q.hits / 5.0')} AS precision,
+       {SQL_Q4.format('COALESCE(1.0 / q.first_rel, 0)')} AS mrr,
+       {SQL_Q4.format('CASE WHEN COALESCE(i.idcg, 0) > 0 '
+                      'THEN q.dcg / i.idcg ELSE 0 END')} AS ndcg
+FROM perq q
+LEFT JOIN nrel n ON q.query_id = n.query_id
+LEFT JOIN idcg i ON q.query_id = i.query_id
+"""
+
+
 def profile_by_source(spark, sf_dir):
     """Segmented profile: the same single-pass profiler grouped by
     source — one groupBy(source) aggregation (map-side partials), one
@@ -3158,4 +3255,5 @@ QUERIES = {
     "bm25_retrieval": (bm25_retrieval, BM25_RETRIEVAL_SQL),
     "profile_by_source": (profile_by_source, PROFILE_BY_SOURCE_SQL),
     "llm_prep_pipeline_v8": (llm_prep_pipeline_v8, LLM_PREP_V8_SQL),
+    "retrieval_eval": (retrieval_eval, RETRIEVAL_EVAL_SQL),
 }

@@ -1,0 +1,83 @@
+"""RankingEvaluator vs hand-computed recall/precision/MRR/nDCG."""
+
+import math
+
+import pytest
+
+from flink_ml_spark.evaluation import RankingEvaluator
+
+
+def _dcg(rels):
+    return sum(r / math.log2(i + 2) for i, r in enumerate(rels))
+
+
+@pytest.fixture()
+def frames(spark):
+    # query 1: preds [d1, d2, d3]; relevant {d1: 2, d3: 1, d9: 3}
+    # query 2: preds [d5, d6]; no relevant docs at all
+    preds = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (1, 3, 3), (2, 5, 1), (2, 6, 2)],
+        "query_id bigint, doc_id bigint, rank int")
+    truth = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 3, 1.0), (1, 9, 3.0), (3, 7, 1.0)],
+        "query_id bigint, doc_id bigint, relevance double")
+    return preds, truth
+
+
+def test_ranking_metrics_hand_computed(spark, frames):
+    preds, truth = frames
+    out = {r["query_id"]: r for r in
+           RankingEvaluator(k=3).transform(*frames)[0].collect()}
+
+    q1 = out[1]
+    assert (q1["n_relevant"], q1["hits"]) == (3, 2)
+    assert q1["recall"] == pytest.approx(2 / 3)
+    assert q1["precision"] == pytest.approx(2 / 3)
+    assert q1["mrr"] == pytest.approx(1.0)  # rank-1 hit
+    # DCG: rel2 at rank1 + rel1 at rank3; IDCG: rels [3,2,1]
+    dcg = 2 / math.log2(2) + 1 / math.log2(4)
+    idcg = _dcg([3.0, 2.0, 1.0])
+    assert q1["ndcg"] == pytest.approx(dcg / idcg, abs=1e-12)
+
+    q2 = out[2]
+    assert (q2["n_relevant"], q2["hits"]) == (0, 0)
+    assert (q2["recall"], q2["mrr"], q2["ndcg"]) == (0.0, 0.0, 0.0)
+
+
+def test_ranking_cutoff_filters_rank(spark, frames):
+    preds, truth = frames
+    out = {r["query_id"]: r for r in
+           RankingEvaluator(k=2).transform(preds, truth)[0].collect()}
+    # k=2 drops the rank-3 hit: hits 1, recall 1/3, precision 1/2
+    q1 = out[1]
+    assert q1["hits"] == 1
+    assert q1["recall"] == pytest.approx(1 / 3)
+    assert q1["precision"] == pytest.approx(0.5)
+    # IDCG truncates to top-2 ideal rels [3, 2]
+    dcg = 2 / math.log2(2)
+    idcg = _dcg([3.0, 2.0])
+    assert q1["ndcg"] == pytest.approx(dcg / idcg, abs=1e-12)
+
+
+def test_ranking_perfect_retrieval(spark):
+    preds = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id bigint, doc_id bigint, rank int")
+    truth = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 11, 1.0)],
+        "query_id bigint, doc_id bigint, relevance double")
+    r = RankingEvaluator(k=2).transform(preds, truth)[0].collect()[0]
+    assert r["recall"] == pytest.approx(1.0)
+    assert r["ndcg"] == pytest.approx(1.0)
+    assert r["mrr"] == pytest.approx(1.0)
+
+
+def test_ranking_zero_relevance_rows_ignored(spark):
+    """relevance = 0 rows are NOT relevant (graded truth convention)."""
+    preds = spark.createDataFrame(
+        [(1, 10, 1)], "query_id bigint, doc_id bigint, rank int")
+    truth = spark.createDataFrame(
+        [(1, 10, 0.0), (1, 11, 1.0)],
+        "query_id bigint, doc_id bigint, relevance double")
+    r = RankingEvaluator(k=5).transform(preds, truth)[0].collect()[0]
+    assert (r["n_relevant"], r["hits"]) == (1, 0)
+    assert r["ndcg"] == 0.0
