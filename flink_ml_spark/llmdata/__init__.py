@@ -24,7 +24,7 @@ from .sampling import (CorpusShuffler, DocumentChunker, DomainMixtureSampler,
                        TemperatureMixtureSampler,
                        TemperatureMixtureSamplerModel)
 from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
-                           Bm25Retriever,
+                           Bm25Index, Bm25IndexModel, Bm25Retriever,
                            Bm25Scorer, Bm25ScorerModel, CharEntropyScorer,
                            DocumentFingerprinter, GopherQualityFilter,
                            LanguageIdentifier, NGramProfiler, PIIRedactor,

@@ -1037,53 +1037,150 @@ class Bm25Retriever(AlgoOperator):
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         corpus, queries = inputs
         idc, txt = self.get_("idCol"), self.get_("textCol")
-        qid, qtxt = self.get_("queryIdCol"), self.get_("queryTextCol")
-        k1, b = float(self.get_("k1")), float(self.get_("b"))
-        toks = _tokens(F.coalesce(F.col(txt), F.lit("")))
+        n, avgdl, postings = _bm25_build_index(
+            corpus, idc, txt, self.get_("maxDocFreq"))
+        return [_bm25_query(
+            postings, n, avgdl, queries,
+            idc, self.get_("queryIdCol"), self.get_("queryTextCol"),
+            float(self.get_("k1")), float(self.get_("b")),
+            int(self.get_("k")), self.get_("scoreRounding"))]
 
-        stats = corpus.agg(F.count(F.lit(1)).alias("n"),
-                           F.avg(F.size(toks)).alias("avgdl")).first()
-        n, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
-        spark = corpus.sparkSession
-        if n == 0 or avgdl <= 0:
-            return [spark.createDataFrame(
-                [], f"{qid} long, {idc} long, score double, rank int")]
 
-        postings = (corpus
-                    .select(F.col(idc), F.size(toks).alias("dl"),
-                            F.explode(toks).alias("tok"))
-                    .groupBy("tok", idc, "dl")
-                    .agg(F.count(F.lit(1)).alias("tf")))
-        df_rel = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-        cap = self.get_("maxDocFreq")
-        if cap is not None:
-            df_rel = df_rel.filter(F.col("df") <= cap)
-        # df is token-level metadata (≤ vocab rows, already reduced);
-        # joining it back broadcast-style keeps postings in place
-        postings = postings.join(F.broadcast(df_rel), "tok")
+def _bm25_build_index(corpus: DataFrame, idc: str, txt: str,
+                      max_doc_freq):
+    """One stats agg + one postings groupBy → (n, avgdl, postings
+    relation (tok, id, dl, tf, df)).  df joins back broadcast-style —
+    token-level metadata, ≤ vocab rows — so postings never reshuffle."""
+    toks = _tokens(F.coalesce(F.col(txt), F.lit("")))
+    stats = corpus.agg(F.count(F.lit(1)).alias("n"),
+                       F.avg(F.size(toks)).alias("avgdl")).first()
+    n, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if n == 0 or avgdl <= 0:
+        return n, avgdl, None
+    postings = (corpus
+                .select(F.col(idc), F.size(toks).alias("dl"),
+                        F.explode(toks).alias("tok"))
+                .groupBy("tok", idc, "dl")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    df_rel = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if max_doc_freq is not None:
+        df_rel = df_rel.filter(F.col("df") <= max_doc_freq)
+    return n, avgdl, postings.join(F.broadcast(df_rel), "tok")
 
-        qterms = (queries
-                  .select(F.col(qid), F.explode(F.array_distinct(
-                      _tokens(F.coalesce(F.col(qtxt), F.lit("")))))
-                      .alias("tok"))
-                  .distinct())
-        idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5))
-        norm = F.lit(k1) * (1.0 - b + F.lit(b)
-                            * F.col("dl").cast("double") / avgdl)
-        contrib = (idf * F.col("tf").cast("double") * (k1 + 1.0)
-                   / (F.col("tf").cast("double") + norm))
-        scored = (postings.join(F.broadcast(qterms), "tok")
-                  .groupBy(qid, idc)
-                  .agg(F.sum(contrib).alias("score")))
-        rnd = self.get_("scoreRounding")
-        if rnd is not None:
-            scored = scored.withColumn("score", F.round("score", int(rnd)))
-        from ..common.dataflow import top_k_per_key
-        out = top_k_per_key(
-            scored, [qid], [F.col("score").desc(), F.col(idc)],
-            int(self.get_("k")), salt_cols=[idc], rank_col="rank")
-        return [out.select(qid, idc, "score", "rank")]
+
+def _bm25_query(postings, n: int, avgdl: float, queries: DataFrame,
+                idc: str, qid: str, qtxt: str, k1: float, b: float,
+                k: int, score_rounding) -> DataFrame:
+    """Broadcast query-term join + score groupBy + salted exact top-k
+    over a built postings relation."""
+    spark = queries.sparkSession
+    if postings is None:
+        return spark.createDataFrame(
+            [], f"{qid} long, {idc} long, score double, rank int")
+    qterms = (queries
+              .select(F.col(qid), F.explode(F.array_distinct(
+                  _tokens(F.coalesce(F.col(qtxt), F.lit("")))))
+                  .alias("tok"))
+              .distinct())
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = F.lit(k1) * (1.0 - b + F.lit(b)
+                        * F.col("dl").cast("double") / avgdl)
+    contrib = (idf * F.col("tf").cast("double") * (k1 + 1.0)
+               / (F.col("tf").cast("double") + norm))
+    scored = (postings.join(F.broadcast(qterms), "tok")
+              .groupBy(qid, idc)
+              .agg(F.sum(contrib).alias("score")))
+    if score_rounding is not None:
+        scored = scored.withColumn("score",
+                                   F.round("score", int(score_rounding)))
+    from ..common.dataflow import top_k_per_key
+    out = top_k_per_key(
+        scored, [qid], [F.col("score").desc(), F.col(idc)],
+        k, salt_cols=[idc], rank_col="rank")
+    return out.select(qid, idc, "score", "rank")
+
+
+class Bm25Index(Estimator):
+    """The fit/query split of ``Bm25Retriever`` — build the inverted
+    index ONCE (the corpus-sized work: stats agg + postings groupBy),
+    then serve any number of query batches against it.  ``fit`` returns
+    a ``Bm25IndexModel`` whose model data is the postings RELATION
+    (table-shaped model state, the reference's Model.getModelData
+    contract — cf. KnnModel); ``save`` persists it as parquet so a
+    reloaded index never re-tokenizes the corpus."""
+
+    idCol = StringParam("idCol", "Corpus document id column.", "doc_id")
+    textCol = StringParam("textCol", "Corpus text column.", "text")
+    maxDocFreq = IntParam(
+        "maxDocFreq", "Drop tokens above this document frequency from "
+        "the index (None = keep all).", None, lambda v: v is None or v > 0)
+
+    def fit(self, *inputs: DataFrame) -> "Bm25IndexModel":
+        (corpus,) = inputs
+        n, avgdl, postings = _bm25_build_index(
+            corpus, self.get_("idCol"), self.get_("textCol"),
+            self.get_("maxDocFreq"))
+        model = Bm25IndexModel(idCol=self.get_("idCol"))
+        model.model_data = {"numDocs": n, "avgDocLen": avgdl}
+        model.postings = postings
+        return model
+
+
+class Bm25IndexModel(Model):
+    """Query side of the persisted BM25 index: ``transform(queries)`` →
+    (queryIdCol, idCol, score, rank).  Scoring joins the model-held
+    postings relation against the broadcast query terms — identical
+    math (and outputs, parity-tested) to ``Bm25Retriever``."""
+
+    idCol = StringParam("idCol", "Corpus document id column.", "doc_id")
+    queryIdCol = StringParam("queryIdCol", "Query id column.", "query_id")
+    queryTextCol = StringParam("queryTextCol", "Query text column.",
+                               "query_text")
+    k = IntParam("k", "Documents to return per query.", 10,
+                 ParamValidators.gt(0))
+    k1 = FloatParam("k1", "Term-frequency saturation.", 1.2)
+    b = FloatParam("b", "Length normalization strength.", 0.75)
+    scoreRounding = IntParam(
+        "scoreRounding", "Round scores before ranking (None = raw).",
+        None, lambda v: v is None or v >= 0)
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.postings: DataFrame | None = None
+
+    def _transform(self, queries: DataFrame) -> DataFrame:
+        return _bm25_query(
+            self.postings, int(self.model_data["numDocs"]),
+            float(self.model_data["avgDocLen"]), queries,
+            self.get_("idCol"), self.get_("queryIdCol"),
+            self.get_("queryTextCol"), float(self.get_("k1")),
+            float(self.get_("b")), int(self.get_("k")),
+            self.get_("scoreRounding"))
+
+    # table-shaped model data: postings go to parquet (KnnModel pattern)
+    def _save_model_data(self, path: str) -> None:
+        import os
+        if self.postings is not None:
+            self.postings.write.mode("overwrite").parquet(
+                os.path.join(path, "data"))
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import os
+        p = os.path.join(path, "data")
+        if os.path.exists(p):
+            self.postings = spark.read.parquet(p)
+
+    def get_model_data(self, spark) -> list[DataFrame]:
+        stats = super().get_model_data(spark)
+        return stats + ([self.postings] if self.postings is not None
+                        else [])
+
+    def set_model_data(self, *tables: DataFrame) -> "Bm25IndexModel":
+        stats, postings = tables
+        super().set_model_data(stats)
+        self.postings = postings
+        return self
 
 
 class DocumentFingerprinter(Transformer, HasInputCol, HasOutputCol):

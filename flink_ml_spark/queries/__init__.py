@@ -89,7 +89,7 @@ def all_queries():
         "data_profile", "constraint_gate", "profile_drift", "corr_matrix",
         "frequent_items", "profile_quantiles", "streaming_quality_gate",
         "bm25_retrieval", "profile_by_source", "llm_prep_pipeline_v8",
-        "retrieval_eval",
+        "retrieval_eval", "bm25_indexed",
         "dsir_select", "dsir_bigram", "token_drift", "llm_prep_pipeline_v7",
         "embedding_drift", "streaming_drift", "pii_ccnum",
         "snapshot_diff", "dedup_recall",

@@ -2817,6 +2817,27 @@ UNION ALL SELECT 'min_distinct', 'o_custkey', {SQL_Q4.format('nd_ck')},
 """
 
 
+def bm25_indexed(spark, sf_dir):
+    """The same retrieval as bm25_retrieval, through the fit-once index
+    path: Bm25Index.fit builds the postings relation once,
+    Bm25IndexModel.transform serves the query batch against it — the
+    production shape (pay corpus tokenization once, query many).  Same
+    oracle as bm25_retrieval: the two paths must be indistinguishable."""
+    from ..llmdata import Bm25Index
+    from ..llmdata.textanalysis import _tokens
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    qs = (docs.filter(F.col("doc_id") % 100 == 7)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.concat_ws(" ", F.slice(toks, 1, 5))
+                  .alias("query_text")))
+    model = Bm25Index().fit(docs)
+    model.set_(k=5, scoreRounding=6)
+    out = model.transform(qs)[0]
+    return out.select("query_id", "doc_id",
+                      q4(F.col("score")).alias("score"), "rank")
+
+
 def retrieval_eval(spark, sf_dir):
     """Retrieval quality measurement: the bm25_retrieval run scored
     with RankingEvaluator against a graded truth (same-source docs are
@@ -3256,4 +3277,5 @@ QUERIES = {
     "profile_by_source": (profile_by_source, PROFILE_BY_SOURCE_SQL),
     "llm_prep_pipeline_v8": (llm_prep_pipeline_v8, LLM_PREP_V8_SQL),
     "retrieval_eval": (retrieval_eval, RETRIEVAL_EVAL_SQL),
+    "bm25_indexed": (bm25_indexed, BM25_RETRIEVAL_SQL),
 }

@@ -108,6 +108,42 @@ def test_retriever_empty_corpus(spark):
     assert out.count() == 0
 
 
+def test_index_model_parity_and_persistence(spark, corpus, tmp_path):
+    """Bm25Index fit → save → load → query == Bm25Retriever outputs."""
+    from flink_ml_spark.llmdata import Bm25Index
+    from flink_ml_spark.api import Stage
+    qs = spark.createDataFrame(
+        [(1, "apple cherry"), (2, "banana")],
+        "query_id bigint, query_text string")
+    want = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in Bm25Retriever(k=3).transform(corpus, qs)[0].collect())
+    model = Bm25Index().fit(corpus)
+    model.set_(k=3)
+    got = sorted((r["query_id"], r["doc_id"], round(r["score"], 9),
+                  r["rank"])
+                 for r in model.transform(qs)[0].collect())
+    assert got == want
+    # persisted index: reload must answer without the corpus
+    model.save(str(tmp_path / "idx"))
+    m2 = Stage.load(spark, str(tmp_path / "idx"))
+    m2.set_(k=3)
+    got2 = sorted((r["query_id"], r["doc_id"], round(r["score"], 9),
+                   r["rank"])
+                  for r in m2.transform(qs)[0].collect())
+    assert got2 == want
+    # model-data round trip (stats row + postings relation)
+    tables = model.get_model_data(spark)
+    assert len(tables) == 2
+    from flink_ml_spark.llmdata import Bm25IndexModel
+    m3 = Bm25IndexModel(idCol="doc_id").set_model_data(*tables)
+    m3.set_(k=3)
+    got3 = sorted((r["query_id"], r["doc_id"], round(r["score"], 9),
+                   r["rank"])
+                  for r in m3.transform(qs)[0].collect())
+    assert got3 == want
+
+
 def test_retriever_persistence(spark, corpus, tmp_path):
     r = Bm25Retriever(k=3, maxDocFreq=10, scoreRounding=6)
     r.save(str(tmp_path / "r"))
