@@ -87,9 +87,9 @@ def all_queries():
         "bpe_tokenize",
         # new in round 4 (no prior driver evidence)
         "data_profile", "constraint_gate", "profile_drift", "corr_matrix",
-        "frequent_items", "profile_quantiles", "streaming_quality_gate",
-        "bm25_retrieval", "profile_by_source", "llm_prep_pipeline_v8",
-        "retrieval_eval", "bm25_indexed",
+        "frequent_items", "streaming_quality_gate",
+        "bm25_retrieval", "llm_prep_pipeline_v8",
+        "retrieval_eval",
         "dsir_select", "dsir_bigram", "token_drift", "llm_prep_pipeline_v7",
         "embedding_drift", "streaming_drift", "pii_ccnum",
         "snapshot_diff", "dedup_recall",
@@ -106,6 +106,11 @@ def all_queries():
         "vector_assembler", "imputer", "imputer_median", "kbins_quantile",
         "one_hot_encoder", "kbins_uniform", "variance_threshold",
         "sql_transformer", "ngram", "chisq_test", "fvalue_test", "ann_ivf",
+        # variants of already-prioritized families (shared code + oracle
+        # with their siblings above; locally verified) — after the stale
+        # r01 block so the 50-cap spends its slots on first-ever/oldest
+        # evidence
+        "profile_quantiles", "profile_by_source", "bm25_indexed",
         # latest driver evidence is round 2 — feature_hasher first (its
         # poly-map pre-aggregation was fused this round), then the media /
         # recommendation / clustering / text-analysis block
