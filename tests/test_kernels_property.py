@@ -281,3 +281,70 @@ def test_dsir_bincount_and_logw_agree(texts, ngram_max):
     for t, c in zip(texts, per_doc):
         if not (t or "").split():
             assert c.sum() == 0
+
+
+# --- Misra-Gries sketch invariants (llmdata/profiler.py) -----------------
+
+mg_items = st.lists(st.integers(min_value=0, max_value=40),
+                    min_size=1, max_size=400)
+mg_cap = st.integers(min_value=1, max_value=16)
+mg_parts = st.integers(min_value=1, max_value=5)
+
+
+@given(mg_items, mg_cap, mg_parts)
+@settings(max_examples=200)
+def test_mg_merge_guarantee(items, cap, n_parts):
+    """The mergeable-summaries bound (Agarwal et al. 2012): the TIGHT
+    n/(cap+1) error bound survives arbitrary partition splits and
+    merges — every decrement of amount d removes d x (cap+1) from the
+    total retained mass, so total decrements across the whole merge
+    tree are <= n/(cap+1) per item.  This is exactly the superset
+    property FrequentItemsProfiler's ``guaranteed`` flag relies on."""
+    from collections import Counter
+    from flink_ml_spark.llmdata.profiler import _mg_shrink
+
+    truth = Counter(items)
+    n = len(items)
+    # partition split: round-robin into n_parts, sketch each, merge
+    sketches = []
+    for p in range(n_parts):
+        c: dict = {}
+        for x in items[p::n_parts]:
+            c[x] = c.get(x, 0) + 1
+            _mg_shrink(c, cap)
+        sketches.append(c)
+    merged: dict = {}
+    for s in sketches:
+        for k, v in s.items():
+            merged[k] = merged.get(k, 0) + v
+    _mg_shrink(merged, cap)
+    # kept counts never exceed the truth (under-estimates only)
+    for k, v in merged.items():
+        assert 0 < v <= truth[k]
+    bound = n / (cap + 1)
+    for k, t in truth.items():
+        if t > bound:
+            assert k in merged, (k, t, bound, merged)
+        # and the under-estimate is itself within the bound
+        if k in merged:
+            assert t - merged[k] <= bound + 1e-9
+
+
+@given(mg_items, mg_cap)
+@settings(max_examples=200)
+def test_mg_single_level_bound(items, cap):
+    """Single sketch (no merge): classic MG — any item with true count
+    > n/(cap+1) survives, and the sketch holds at most cap counters."""
+    from collections import Counter
+    from flink_ml_spark.llmdata.profiler import _mg_shrink
+
+    c: dict = {}
+    for x in items:
+        c[x] = c.get(x, 0) + 1
+        _mg_shrink(c, cap)
+    assert len(c) <= cap
+    truth = Counter(items)
+    n = len(items)
+    for k, t in truth.items():
+        if t > n / (cap + 1):
+            assert k in c
