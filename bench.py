@@ -195,6 +195,36 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # Host-noise guard for the round-over-round headline: this VM shows
+    # 3-8x hypervisor-steal spikes on single runs (a 14s query measured
+    # 75.7s in one rep, identical code/data — see PLANS.md).  The
+    # comparable single-run r01_subset_total keeps the r01 methodology;
+    # a SECOND pass over just the r01 set records min(run1, run2) as
+    # r01_subset_min2 — the noise-robust estimate, reported alongside,
+    # never replacing, the methodology-compatible number.
+    timings2: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in R01_SET or timings.get(name, -1.0) < 0:
+            continue
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            df.count()
+            timings2[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            print(f"bench error (pass 2) {name}: {e}", file=sys.stderr)
+        df = None
+        import gc
+        gc.collect()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    r01_min2 = round(sum(min(t, timings2.get(n, t))
+                         for n, t in timings.items()
+                         if n in R01_SET and t >= 0), 3)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # the headline set grew from 44 (round 1) to 65+ queries; this subtotal
     # covers exactly the round-1 set so round-over-round totals compare
@@ -211,7 +241,8 @@ def main() -> None:
     # hard-capped at 2,000 bytes (slowest entries kept, count of dropped
     # entries recorded — no silent truncation).
     totals = {"metric": "headline_queries_total_time", "value": total,
-              "unit": "sec", "sf": sf_val, "r01_subset_total": r01_subset}
+              "unit": "sec", "sf": sf_val, "r01_subset_total": r01_subset,
+              "r01_subset_min2": r01_min2}
     # failure sentinels (-1.0) sort FIRST so truncation can never silently
     # drop a failed query; real timings follow slowest-first
     detail = dict(sorted(timings.items(),
