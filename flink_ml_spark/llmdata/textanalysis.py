@@ -1047,10 +1047,19 @@ class Bm25Retriever(AlgoOperator):
 
 
 def _bm25_build_index(corpus: DataFrame, idc: str, txt: str,
-                      max_doc_freq):
+                      max_doc_freq, max_postings_per_token=None):
     """One stats agg + one postings groupBy → (n, avgdl, postings
     relation (tok, id, dl, tf, df)).  df joins back broadcast-style —
-    token-level metadata, ≤ vocab rows — so postings never reshuffle."""
+    token-level metadata, ≤ vocab rows — so postings never reshuffle.
+
+    ``max_postings_per_token`` applies static impact pruning (the
+    WAND-family index trick): keep only the P highest-impact postings
+    per token, ranked by the token's full BM25 partial (tf AND length
+    norm, not raw tf — a tf-3 posting in a 10k-token document is weaker
+    than a tf-2 posting in a 40-token one), ties by doc id.  df is
+    computed BEFORE pruning so idf stays the true corpus statistic; the
+    cut is per-token bounded via the salted two-stage top-k, so a
+    stopword's postings list prunes without a hot task."""
     toks = _tokens(F.coalesce(F.col(txt), F.lit("")))
     stats = corpus.agg(F.count(F.lit(1)).alias("n"),
                        F.avg(F.size(toks)).alias("avgdl")).first()
@@ -1065,6 +1074,19 @@ def _bm25_build_index(corpus: DataFrame, idc: str, txt: str,
     df_rel = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if max_doc_freq is not None:
         df_rel = df_rel.filter(F.col("df") <= max_doc_freq)
+    if max_postings_per_token is not None:
+        from ..common.dataflow import top_k_per_key
+        # impact ∝ tf/(tf+norm(dl)) with k1=1.2, b=0.75 (idf is
+        # per-token constant, so it cannot change the per-token order)
+        impact = (F.col("tf").cast("double")
+                  / (F.col("tf") + 1.2 * (0.25 + 0.75
+                                          * F.col("dl").cast("double")
+                                          / avgdl)))
+        postings = top_k_per_key(
+            postings.withColumn("__imp__", impact), ["tok"],
+            [F.col("__imp__").desc(), F.col(idc)],
+            int(max_postings_per_token), salt_cols=[idc]) \
+            .drop("__imp__")
     return n, avgdl, postings.join(F.broadcast(df_rel), "tok")
 
 
@@ -1115,12 +1137,18 @@ class Bm25Index(Estimator):
     maxDocFreq = IntParam(
         "maxDocFreq", "Drop tokens above this document frequency from "
         "the index (None = keep all).", None, lambda v: v is None or v > 0)
+    maxPostingsPerToken = IntParam(
+        "maxPostingsPerToken", "Static impact pruning: keep only the P "
+        "highest-impact postings per token (None = keep all) — bounds "
+        "index size and query fan-out; recall beyond the strongest P "
+        "candidates per term is explicitly traded away.", None,
+        lambda v: v is None or v > 0)
 
     def fit(self, *inputs: DataFrame) -> "Bm25IndexModel":
         (corpus,) = inputs
         n, avgdl, postings = _bm25_build_index(
             corpus, self.get_("idCol"), self.get_("textCol"),
-            self.get_("maxDocFreq"))
+            self.get_("maxDocFreq"), self.get_("maxPostingsPerToken"))
         model = Bm25IndexModel(idCol=self.get_("idCol"))
         model.model_data = {"numDocs": n, "avgDocLen": avgdl}
         model.postings = postings

@@ -144,6 +144,25 @@ def test_index_model_parity_and_persistence(spark, corpus, tmp_path):
     assert got3 == want
 
 
+def test_index_static_impact_pruning(spark, corpus):
+    """maxPostingsPerToken keeps the HIGHEST-IMPACT postings per token
+    (tf + length norm, not raw tf), df stays the true corpus value."""
+    from flink_ml_spark.llmdata import Bm25Index
+    qs = spark.createDataFrame([(1, "apple")],
+                               "query_id bigint, query_text string")
+    # apple postings: doc0 (tf2, dl3), doc2 (tf3, dl4) — doc2's impact
+    # 3/(3+norm(4)) beats doc0's 2/(2+norm(3)); P=1 keeps doc2 only
+    m = Bm25Index(maxPostingsPerToken=1).fit(corpus)
+    m.set_(k=10)
+    out = m.transform(qs)[0].collect()
+    assert [r["doc_id"] for r in out] == [2]
+    # and the kept posting still scores with the TRUE df (=2), i.e.
+    # identical to the unpruned score for that document
+    full = {r["doc_id"]: r["score"] for r in
+            Bm25Index().fit(corpus).set_(k=10).transform(qs)[0].collect()}
+    assert out[0]["score"] == pytest.approx(full[2], abs=1e-12)
+
+
 def test_retriever_persistence(spark, corpus, tmp_path):
     r = Bm25Retriever(k=3, maxDocFreq=10, scoreRounding=6)
     r.save(str(tmp_path / "r"))
