@@ -23,6 +23,8 @@ from .sampling import (CorpusShuffler, DocumentChunker, DomainMixtureSampler,
                        SequencePacker, StratifiedBudgetSampler,
                        TemperatureMixtureSampler,
                        TemperatureMixtureSamplerModel)
+from .webextract import (C4LineFilter, HtmlTextExtractor, UrlNormalizer,
+                         WordBlocklistFilter)
 from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
                            Bm25Index, Bm25IndexModel, Bm25Retriever,
                            Bm25Scorer, Bm25ScorerModel, CharEntropyScorer,

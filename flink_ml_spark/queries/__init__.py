@@ -86,6 +86,7 @@ def all_queries():
         # fixed this round to emit a scalar string) — must lead
         "bpe_tokenize",
         # new in round 4 (no prior driver evidence)
+        "html_extract", "c4_line_filter", "url_normalize", "word_blocklist",
         "data_profile", "constraint_gate", "profile_drift", "corr_matrix",
         "frequent_items", "streaming_quality_gate",
         "bm25_retrieval", "llm_prep_pipeline_v8",

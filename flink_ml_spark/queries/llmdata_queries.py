@@ -3204,7 +3204,172 @@ FROM o JOIN n ON o.column = n.column
 """
 
 
+# web-extraction family (webextract.py) ------------------------------------
+#
+# documents.text is plain single-line prose, so each query derives the
+# web-shaped input (HTML wrapper / multi-line page / URL) deterministically
+# from the given columns, then runs the operator; the oracles replay the
+# identical Java∩RE2 regex chains (html/c4) or independently re-derive the
+# expected output algebraically from the same columns (url) — the stronger
+# oracle where the input construction makes it possible.
+
+_HTML_PRE = ("<html><head><title>t</title><style>body{color:red}</style>"
+             "</head><body class='x'><p>")
+_HTML_POST = ("</p><script type='text/javascript'>var a='<b>no</b>';"
+              "</script><div>Tom &amp; Jo &lt;3</div><!-- c --></body></html>")
+
+
+def html_extract(spark, sf_dir):
+    """HtmlTextExtractor over an HTML-wrapped documents.text: head/script/
+    style/comment blocks vanish, block tags become line breaks, entities
+    decode — verified via md5 of the full extracted text."""
+    from ..llmdata import HtmlTextExtractor
+    docs = load(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PRE), "text", F.lit(_HTML_POST)).alias("raw"))
+    out = HtmlTextExtractor(inputCol="raw", outputCol="clean") \
+        .transform(wrapped)[0]
+    return out.select("doc_id",
+                      F.length("clean").alias("clean_len"),
+                      F.size(F.split("clean", r"\n")).alias("n_lines"),
+                      F.md5(F.col("clean")).alias("clean_md5"))
+
+
+HTML_EXTRACT_SQL = f"""
+WITH w AS (SELECT doc_id,
+                  '{_HTML_PRE.replace("'", "''")}' || text ||
+                  '{_HTML_POST.replace("'", "''")}' AS raw
+           FROM documents),
+c AS (SELECT doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(
+    replace(replace(replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(raw,
+          '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+          '(?is)<head(\\s[^>]*)?>.*?</head\\s*>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?i)<(br|/p|/div|/li|/h1|/h2|/h3|/h4|/h5|/h6|/tr|/table)[^>]*>',
+          chr(10), 'g'),
+          '<[^>]+>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+    '[ \\t\\x0B\\f\\r]+', ' ', 'g'),
+    ' ?\\n ?', chr(10), 'g'),
+    '\\n+', chr(10), 'g')) AS clean
+  FROM w)
+SELECT doc_id, CAST(length(clean) AS INT) AS clean_len,
+       CAST(len(string_split(clean, chr(10))) AS INT) AS n_lines,
+       md5(clean) AS clean_md5
+FROM c
+"""
+
+
+def c4_line_filter(spark, sf_dir):
+    """C4LineFilter over a derived multi-line page: the doc text (kept),
+    a too-short line (dropped: < minWordsPerLine), a blocked 'cookie
+    policy' banner (dropped), and the doc's first 80 chars (kept when it
+    still holds ≥5 words)."""
+    from ..llmdata import C4LineFilter
+    docs = load(spark, sf_dir, "documents")
+    page = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.lit("tiny line"),
+                    F.lit("our cookie policy banner text line"),
+                    F.substring("text", 1, 80)).alias("page"))
+    out = C4LineFilter(inputCol="page", outputCol="clean",
+                       minWordsPerLine=5, requireTerminalPunct=False) \
+        .transform(page)[0]
+    return out.select("doc_id",
+                      F.col("clean_n_lines").cast("int").alias("n_kept"),
+                      F.length("clean").alias("clean_len"),
+                      F.md5(F.col("clean")).alias("clean_md5"))
+
+
+C4_LINE_FILTER_SQL = """
+WITH page AS (SELECT doc_id,
+                     text || chr(10) || 'tiny line' || chr(10) ||
+                     'our cookie policy banner text line' || chr(10) ||
+                     substr(text, 1, 80) AS page
+              FROM documents),
+k AS (SELECT doc_id,
+             list_filter(string_split(page, chr(10)), l ->
+               len(list_filter(string_split_regex(trim(l), '[ \\t]+'),
+                               w -> w <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')
+               AND NOT contains(lower(l), 'lorem ipsum')
+               AND NOT contains(lower(l), 'cookie policy')) AS kept
+      FROM page)
+SELECT doc_id, CAST(len(kept) AS INT) AS n_kept,
+       CAST(length(array_to_string(kept, chr(10))) AS INT) AS clean_len,
+       md5(array_to_string(kept, chr(10))) AS clean_md5
+FROM k
+"""
+
+
+def url_normalize(spark, sf_dir):
+    """UrlNormalizer over a derived messy URL (upper-case authority,
+    default port, userinfo, utm/fbclid params, fragment; ccTLD for every
+    third doc).  The oracle re-derives the expected outputs ALGEBRAICALLY
+    from the same columns — an independent check of the whole normalize/
+    host/registered-domain chain, not a regex replay."""
+    from ..llmdata import UrlNormalizer
+    docs = load(spark, sf_dir, "documents")
+    tld = F.when(F.col("doc_id") % 3 == 0, "co.uk").otherwise("com")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("HTTPS://u:pw@WWW."), "source", F.lit(".Example."),
+                 tld, F.lit(":443/Docs/"), F.col("doc_id").cast("string"),
+                 F.lit("?utm_source=nl&ref="), "lang",
+                 F.lit("&fbclid=abc#frag")).alias("url"))
+    out = UrlNormalizer(inputCol="url").transform(urls)[0]
+    return out.select("doc_id", "url_norm", "url_host", "url_domain")
+
+
+URL_NORMALIZE_SQL = """
+SELECT doc_id,
+       'https://www.' || source || '.example.' ||
+       CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END ||
+       '/Docs/' || doc_id || '?ref=' || lang AS url_norm,
+       'www.' || source || '.example.' ||
+       CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END AS url_host,
+       'example.' ||
+       CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END AS url_domain
+FROM documents
+"""
+
+
+def word_blocklist(spark, sf_dir):
+    """WordBlocklistFilter (C4 bad-words gate, flag mode) on documents:
+    token-exact hit counts against a small blocklist + the keep verdict."""
+    from ..llmdata import WordBlocklistFilter
+    docs = load(spark, sf_dir, "documents")
+    out = WordBlocklistFilter(inputCol="text", outputCol="hits",
+                              blocklist=["spark", "join", "cookie"],
+                              maxHits=2).transform(docs)[0]
+    return out.select("doc_id", F.col("hits").cast("int").alias("hits"),
+                      F.col("hits_keep").cast("int").alias("keep"))
+
+
+WORD_BLOCKLIST_SQL = """
+WITH t AS (SELECT doc_id,
+                  len(list_filter(
+                    list_filter(string_split_regex(lower(text),
+                                 '[ \\t\\n\\x0b\\f\\r]'), x -> x <> ''),
+                    x -> x IN ('spark', 'join', 'cookie'))) AS hits
+           FROM documents)
+SELECT doc_id, CAST(hits AS INT) AS hits,
+       CASE WHEN hits <= 2 THEN 1 ELSE 0 END AS keep
+FROM t
+"""
+
+
 QUERIES = {
+    "html_extract": (html_extract, HTML_EXTRACT_SQL),
+    "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
+    "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
+    "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "dup_span_removal": (dup_span_removal, DUP_SPAN_REMOVAL_SQL),
     "bm25_scoring": (bm25_scoring, BM25_SQL),
