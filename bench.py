@@ -55,6 +55,7 @@ HEADLINE = [
     "token_count", "fingerprint",
     "text_normalize", "corpus_stats", "repetition_quality", "pii_redaction",
     "pii_ccnum",
+    "html_extract", "c4_line_filter", "url_normalize", "word_blocklist",
     "domain_mixture", "temperature_mixture", "stratified_budget",
     "token_drift",
     "corpus_shuffle",
@@ -81,6 +82,7 @@ HEADLINE = [
     "llm_prep_pipeline_v6",
     "llm_prep_pipeline_v7",
     "llm_prep_pipeline_v8", "profile_by_source",
+    "llm_prep_pipeline_v9",
 ]
 
 # the round-1 headline set, for like-for-like round-over-round subtotals

@@ -3365,8 +3365,68 @@ FROM t
 """
 
 
+def llm_prep_pipeline_v9(spark, sf_dir):
+    """Corpus-prep v9 — the RAW-WEB INGEST recipe: HTML-wrapped pages →
+    HtmlTextExtractor → C4LineFilter (page line cleanup) →
+    WordBlocklistFilter (drop mode) → ExactDeduplicator → per
+    lang × source accounting with min/max content digests.
+
+    The oracle is the IDENTITY check made aggregate: the wrapper noise
+    (head/title/style/script/short footer) must vanish and the original
+    text must survive the whole chain byte-exact (verified: every
+    testdata doc has ≥10 words, no tabs/double spaces, no '<'/'&'), so
+    the expected per-group digests are computable from raw
+    documents.text without replaying the regex chain — any extraction
+    corruption, over-aggressive line rule, or dedup slip breaks the
+    hash.  100 TB: extract/filter/gate ride the scan (zero shuffle);
+    dedup shuffles 32-byte digests; accounting is one partial-agg."""
+    from ..llmdata import (C4LineFilter, ExactDeduplicator,
+                           HtmlTextExtractor, WordBlocklistFilter)
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id", "lang", "source",
+        F.concat(F.lit(_HTML_PRE), "text", F.lit(_HTML_POST)).alias("raw"))
+    txt = HtmlTextExtractor(inputCol="raw", outputCol="txt") \
+        .transform(raw)[0]
+    clean = C4LineFilter(inputCol="txt", outputCol="clean",
+                         minWordsPerLine=5, requireTerminalPunct=False) \
+        .transform(txt)[0]
+    gated = WordBlocklistFilter(inputCol="clean", outputCol="hits",
+                                blocklist=["spark", "join", "cookie"],
+                                maxHits=4, mode="drop") \
+        .transform(clean)[0]
+    kept = ExactDeduplicator(inputCol="clean", idCol="doc_id") \
+        .transform(gated)[0]
+    toks = F.array_remove(F.split(F.col("clean"), r"\s"), "")
+    return (kept.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_docs"),
+                 F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
+                 F.min(F.md5(F.col("clean"))).alias("min_md5"),
+                 F.max(F.md5(F.col("clean"))).alias("max_md5")))
+
+
+LLM_PREP_V9_SQL = """
+WITH gated AS (
+  SELECT doc_id, text, lang, source,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ('spark', 'join', 'cookie'))) AS hits,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks
+  FROM documents),
+surv AS (SELECT * FROM gated WHERE hits <= 4),
+kept AS (SELECT s.* FROM surv s
+         JOIN (SELECT text, min(doc_id) AS keep_id FROM surv GROUP BY text) w
+           ON s.text = w.text AND s.doc_id = w.keep_id)
+SELECT lang, source, CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+FROM kept
+GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "html_extract": (html_extract, HTML_EXTRACT_SQL),
+    "llm_prep_pipeline_v9": (llm_prep_pipeline_v9, LLM_PREP_V9_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),
