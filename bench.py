@@ -69,6 +69,7 @@ HEADLINE = [
     "ngram_profile", "simhash_dedup", "dedup_recall",
     "minhash_signature", "minhash_dedup", "minhash_join_skewsafe",
     "incremental_dedup", "incremental_dedup_bucketed",
+    "incremental_dedup_bloom",
     "dup_keep_best",
     "ann_bruteforce",
     "embedding_dedup_lsh", "embedding_quantize", "pca_whiten", "bm25_scoring",

@@ -7,6 +7,7 @@ from .dedup import (ConnectedComponents, ContaminationScorer,
                     MinHashLSHDeduplicator, MinHashSignature,
                     NGramJaccardDeduplicator, SimHashDeduplicator,
                     SnapshotDiff)
+from .bloom import DigestBloomFilter, DigestBloomFilterModel
 from .bpe import BpeTokenizerModel, BpeTokenizerTrainer
 from .profiler import (ConstraintGate, DataProfiler,
                        FrequentItemsProfiler, suggest_constraints)

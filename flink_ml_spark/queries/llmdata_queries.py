@@ -3365,6 +3365,47 @@ FROM t
 """
 
 
+def incremental_dedup_bloom(spark, sf_dir):
+    """Exact incremental dedup with a Bloom prefilter: the store (old
+    docs) fits a DigestBloomFilter over prefix fingerprints; the new
+    batch probes it, DEFINITELY-new rows (maybe=false) skip the store
+    join entirely, and only the maybe rows resolve exactly.  No false
+    negatives ⇒ output is byte-identical to the plain join — the bloom
+    pass is a pure physical optimization, so the oracle replays only the
+    semantic join.  At 100 TB this is the steady-state incremental-ingest
+    shape: a ~1.2 MB bitmap per million store digests rides broadcast and
+    the store join's probe side shrinks to the (rare) suspected dups."""
+    from ..llmdata import DigestBloomFilter
+    docs = load(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.col("text"), r"\s"), "")
+    d = docs.select("doc_id", F.sha2(
+        F.concat_ws(" ", F.slice(toks, 1, 5)), 256).alias("dig"))
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    model = DigestBloomFilter(inputCol="dig", fpp=0.01).fit(old)
+    flagged = model.transform(new)[0]
+    dups = (flagged.where("maybe")
+            .join(old.select("dig").distinct(), "dig", "left_semi")
+            .select("doc_id", F.lit(1).alias("is_dup")))
+    return (flagged.select("doc_id").join(dups, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("is_dup", F.lit(0)).cast("int")
+                    .alias("is_dup")))
+
+
+INCREMENTAL_DEDUP_BLOOM_SQL = """
+WITH d AS (SELECT doc_id,
+                  array_to_string(list_filter(string_split(text, ' '),
+                                              t -> t <> '')[1:5], ' ') AS pfx
+           FROM documents)
+SELECT n.doc_id,
+       CASE WHEN o.pfx IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+FROM (SELECT * FROM d WHERE doc_id % 5 = 0) n
+LEFT JOIN (SELECT DISTINCT pfx FROM d WHERE doc_id % 5 <> 0) o
+  USING (pfx)
+"""
+
+
 def llm_prep_pipeline_v9(spark, sf_dir):
     """Corpus-prep v9 — the RAW-WEB INGEST recipe: HTML-wrapped pages →
     HtmlTextExtractor → C4LineFilter (page line cleanup) →
@@ -3427,6 +3468,8 @@ GROUP BY lang, source
 QUERIES = {
     "html_extract": (html_extract, HTML_EXTRACT_SQL),
     "llm_prep_pipeline_v9": (llm_prep_pipeline_v9, LLM_PREP_V9_SQL),
+    "incremental_dedup_bloom": (incremental_dedup_bloom,
+                                INCREMENTAL_DEDUP_BLOOM_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),
