@@ -9,7 +9,7 @@ from .dedup import (ConnectedComponents, ContaminationScorer,
                     SnapshotDiff)
 from .bloom import DigestBloomFilter, DigestBloomFilterModel
 from .bpe import BpeTokenizerModel, BpeTokenizerTrainer
-from .profiler import (ConstraintGate, DataProfiler,
+from .profiler import (ConstraintGate, DataProfiler, DiversityProfiler,
                        FrequentItemsProfiler, suggest_constraints)
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)

@@ -38,8 +38,9 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
-from ..api import AlgoOperator
-from ..param import BoolParam, Param, ParamValidators, StringArrayParam
+from ..api import AlgoOperator, Transformer
+from ..param import (BoolParam, HasInputCol, Param, ParamValidators,
+                     StringArrayParam, StringParam)
 
 _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
 
@@ -545,3 +546,52 @@ class FrequentItemsProfiler(AlgoOperator):
         rows = [(r["__i__"], int(r["freq"]), guaranteed) for r in exact]
         return [spark.createDataFrame(
             rows, "item string, freq long, guaranteed boolean")]
+
+
+class DiversityProfiler(Transformer, HasInputCol):
+    """Corpus lexical-diversity report (the Gopher/MassiveText corpus-
+    health metric family): per ``groupByCol`` group (None = whole corpus),
+    token and bigram counts, distinct counts, and type-token ratios — the
+    canary for boilerplate floods (TTR collapses) and synthetic-loop
+    contamination (bigram TTR collapses first).
+
+    Plan: ONE explode of a tagged unigram+bigram stream → ONE groupBy —
+    a single shuffle whose payload is tokens once.  Distincts are HLL
+    sketches by default (``approx_count_distinct``, mergeable partials,
+    no Expand); ``exactDistinct=True`` pays the two-count-distinct
+    Expand for oracle-grade numbers (the DataProfiler convention).
+    """
+
+    groupByCol = StringParam("groupByCol",
+                             "Group column; None = whole corpus.", None)
+    exactDistinct = BoolParam("exactDistinct",
+                              "Exact distincts instead of HLL.", False)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from .textanalysis import _tokens
+        toks = _tokens(F.col(self.get_("inputCol")))
+        m = F.size(toks) - 1
+        bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                             lambda x, y: F.concat_ws(" ", x, y))
+        tag = lambda arr, k: F.transform(
+            arr, lambda v: F.struct(F.lit(k).alias("k"), v.alias("v")))
+        items = F.explode(F.concat(tag(toks, 1), tag(bigrams, 2)))
+        grp = self.get_("groupByCol")
+        keys = [grp] if grp else []
+        sel = df.select(*keys, items.alias("it"))
+        uni = F.when(F.col("it.k") == 1, F.col("it.v"))
+        bi = F.when(F.col("it.k") == 2, F.col("it.v"))
+        cd = F.count_distinct if self.get_("exactDistinct") \
+            else F.approx_count_distinct
+        agg = sel.groupBy(*keys).agg(
+            F.count(uni).alias("n_tokens"),
+            cd(uni).alias("distinct_tokens"),
+            F.count(bi).alias("n_bigrams"),
+            cd(bi).alias("distinct_bigrams"))
+        ttr = F.when(F.col("n_tokens") > 0,
+                     F.col("distinct_tokens") / F.col("n_tokens")) \
+            .otherwise(0.0)
+        bttr = F.when(F.col("n_bigrams") > 0,
+                      F.col("distinct_bigrams") / F.col("n_bigrams")) \
+            .otherwise(0.0)
+        return agg.withColumn("ttr", ttr).withColumn("bigram_ttr", bttr)

@@ -3365,6 +3365,44 @@ FROM t
 """
 
 
+def diversity_profile(spark, sf_dir):
+    """DiversityProfiler (exact mode) per source: token/bigram counts,
+    distincts and type-token ratios — single-shuffle corpus-health
+    report; the oracle replays the tagged unigram+bigram stream."""
+    from ..llmdata import DiversityProfiler
+    docs = load(spark, sf_dir, "documents")
+    out = DiversityProfiler(inputCol="text", groupByCol="source",
+                            exactDistinct=True).transform(docs)[0]
+    return out.select("source",
+                      F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                      F.col("distinct_tokens").cast("bigint")
+                      .alias("distinct_tokens"),
+                      F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+                      F.col("distinct_bigrams").cast("bigint")
+                      .alias("distinct_bigrams"),
+                      q4(F.col("ttr")).alias("ttr"),
+                      q4(F.col("bigram_ttr")).alias("bigram_ttr"))
+
+
+DIVERSITY_PROFILE_SQL = f"""
+WITH toks AS (SELECT source, {TOKS} AS ot FROM documents),
+uni AS (SELECT source, unnest(ot) AS v FROM toks),
+bi AS (SELECT source,
+              unnest(list_transform(range(1, len(ot)),
+                                    i -> ot[i] || ' ' || ot[i + 1])) AS v
+       FROM toks),
+u AS (SELECT source, count(v) AS n_tokens,
+             count(DISTINCT v) AS distinct_tokens FROM uni GROUP BY source),
+b AS (SELECT source, count(v) AS n_bigrams,
+             count(DISTINCT v) AS distinct_bigrams FROM bi GROUP BY source)
+SELECT source, n_tokens, distinct_tokens, n_bigrams, distinct_bigrams,
+       {SQL_Q4.format("CAST(distinct_tokens AS DOUBLE) / n_tokens")} AS ttr,
+       {SQL_Q4.format("CAST(distinct_bigrams AS DOUBLE) / n_bigrams")}
+         AS bigram_ttr
+FROM u JOIN b USING (source)
+"""
+
+
 def incremental_dedup_bloom(spark, sf_dir):
     """Exact incremental dedup with a Bloom prefilter: the store (old
     docs) fits a DigestBloomFilter over prefix fingerprints; the new
@@ -3470,6 +3508,7 @@ QUERIES = {
     "llm_prep_pipeline_v9": (llm_prep_pipeline_v9, LLM_PREP_V9_SQL),
     "incremental_dedup_bloom": (incremental_dedup_bloom,
                                 INCREMENTAL_DEDUP_BLOOM_SQL),
+    "diversity_profile": (diversity_profile, DIVERSITY_PROFILE_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

@@ -358,3 +358,41 @@ def test_corr_matrix_vs_numpy(spark):
     truth = np.corrcoef(X.T)
     for (i, j), v in got.items():
         assert v == pytest.approx(truth[i, j], abs=1e-9)
+
+
+def test_diversity_profiler_exact(spark):
+    from flink_ml_spark.llmdata import DiversityProfiler
+    df = spark.createDataFrame(
+        [(1, "g1", "a b a"), (2, "g1", "a b"), (3, "g2", "x x x x")],
+        "id long, g string, text string")
+    rows = {r["g"]: r for r in DiversityProfiler(
+        inputCol="text", groupByCol="g", exactDistinct=True)
+        .transform(df)[0].collect()}
+    g1 = rows["g1"]
+    # g1: tokens a b a | a b -> 5 tokens, 2 distinct; bigrams
+    # "a b","b a","a b" -> 3 bigrams, 2 distinct
+    assert (g1["n_tokens"], g1["distinct_tokens"]) == (5, 2)
+    assert (g1["n_bigrams"], g1["distinct_bigrams"]) == (3, 2)
+    assert abs(g1["ttr"] - 2 / 5) < 1e-12
+    g2 = rows["g2"]
+    assert (g2["n_tokens"], g2["distinct_tokens"]) == (4, 1)
+    assert (g2["n_bigrams"], g2["distinct_bigrams"]) == (3, 1)
+    # collapsed diversity is the boilerplate signal
+    assert g2["bigram_ttr"] < g1["bigram_ttr"]
+
+
+def test_diversity_profiler_whole_corpus_hll(spark):
+    from flink_ml_spark.llmdata import DiversityProfiler
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} common word") for i in range(200)],
+        "id long, text string")
+    out = DiversityProfiler(inputCol="text").transform(df)[0].collect()
+    assert len(out) == 1  # groupByCol=None -> one corpus row
+    r = out[0]
+    assert r["n_tokens"] == 800
+    # HLL estimate of 203 distinct tokens within its ~2% default error
+    assert abs(r["distinct_tokens"] - 203) <= 15
+    # single-token docs: zero bigrams must not divide by zero
+    one = spark.createDataFrame([(1, "solo")], "id long, text string")
+    r1 = DiversityProfiler(inputCol="text").transform(one)[0].collect()[0]
+    assert r1["n_bigrams"] == 0 and r1["bigram_ttr"] == 0.0

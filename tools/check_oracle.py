@@ -87,6 +87,18 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # registry convention (queries/__init__ docstring): scalar
+            # columns ONLY — the driver's canonicalizer sorts cell values
+            # and cannot hash arrays/maps/structs (bpe_tokenize broke the
+            # r03 driver row this way).  Enforce for EVERY query, incl.
+            # rows-only ones the hash path would never touch.
+            bad = [f.name for f in sdf.schema.fields
+                   if f.dataType.typeName() in ("array", "map", "struct")]
+            if bad:
+                print(f"FAIL {name}: non-scalar output columns {bad} "
+                      "(driver canonicalizer cannot hash these)")
+                n_fail += 1
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:140]}")
