@@ -66,7 +66,9 @@ class HtmlTextExtractor(Transformer, HasInputCol, HasOutputCol):
         "decodeEntities", "Decode common named HTML entities.", True)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        t = F.col(self.get_("inputCol"))
+        # NULL input behaves as "" (matches transform_local; avoids
+        # Spark's size(NULL) = -1 legacy surfacing in derived counts)
+        t = F.coalesce(F.col(self.get_("inputCol")), F.lit(""))
         t = F.regexp_replace(t, RE_SCRIPT, " ")
         t = F.regexp_replace(t, RE_STYLE, " ")
         t = F.regexp_replace(t, RE_HEAD, " ")
@@ -139,7 +141,7 @@ class C4LineFilter(Transformer, HasInputCol, HasOutputCol):
         return keep
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        text = F.col(self.get_("inputCol"))
+        text = F.coalesce(F.col(self.get_("inputCol")), F.lit(""))
         kept = F.filter(F.split(text, r"\n"), self._line_keep)
         out = self.get_("outputCol")
         return (df.withColumn(out, F.array_join(kept, "\n"))
@@ -195,7 +197,7 @@ class UrlNormalizer(Transformer, HasInputCol):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         c = self.get_("inputCol")
-        u = F.col(c)
+        u = F.coalesce(F.col(c), F.lit(""))
         # lowercase the scheme://host authority prefix only (paths are
         # case-sensitive); [^/?#]* cannot over-run into the path
         auth = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
@@ -291,7 +293,8 @@ class WordBlocklistFilter(Transformer, HasInputCol, HasOutputCol):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         toks = F.array_remove(
-            F.split(F.lower(F.col(self.get_("inputCol"))), r"\s"), "")
+            F.split(F.lower(F.coalesce(F.col(self.get_("inputCol")),
+                                       F.lit(""))), r"\s"), "")
         blocked = F.array(*[F.lit(w.lower())
                             for w in self.get_("blocklist")])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(blocked, t)))

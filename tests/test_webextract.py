@@ -38,12 +38,12 @@ def test_html_extractor_spark(spark):
     assert "Header one." in lines
     assert "item alpha has five words." in lines
     assert got[2] == "plain text, no markup."
-    assert got[3] is None
+    assert got[3] == ""  # NULL input behaves as empty (local parity)
 
 
 def test_html_extractor_local_parity(spark):
     ex = HtmlTextExtractor(inputCol="raw", outputCol="text")
-    df = _extract_df(spark).where("raw is not null")
+    df = _extract_df(spark)  # includes the NULL row: "" both paths
     spark_rows = {r["doc_id"]: r["text"] for r in ex.transform(df)[0].collect()}
     pdf = ex.transform_local(df.toPandas())
     for did, text in zip(pdf["doc_id"], pdf["text"]):
