@@ -73,7 +73,7 @@ HEADLINE = [
     "dup_keep_best",
     "ann_bruteforce",
     "embedding_dedup_lsh", "embedding_quantize", "pca_whiten", "bm25_scoring",
-    "bm25_retrieval", "retrieval_eval", "bm25_indexed",
+    "bm25_retrieval", "retrieval_eval", "bm25_indexed", "hybrid_retrieval",
     "ann_ivf_pq", "semantic_dedup", "ann_recall", "embedding_drift",
     "dup_spans", "dup_span_removal", "decontamination", "contamination_score",
     "llm_prep_pipeline",

@@ -1,4 +1,4 @@
 from .binaryclassification import BinaryClassificationEvaluator
-from .ranking import RankingEvaluator
+from .ranking import RankingEvaluator, ReciprocalRankFusion
 
 __all__ = ["BinaryClassificationEvaluator", "RankingEvaluator"]

@@ -99,3 +99,55 @@ class RankingEvaluator(AlgoOperator):
                           F.col("dcg") / F.col("idcg"))
                     .otherwise(0.0).alias("ndcg")))
         return [out]
+
+
+class ReciprocalRankFusion(AlgoOperator):
+    """Hybrid-retrieval rank fusion (RRF, Cormack et al. 2009): combine
+    N ranked lists — e.g. a BM25 lexical run and an embedding-ANN run —
+    into one ranking per query by ``score(d) = Σ_runs 1 / (rrfK +
+    rank_run(d))``.  The standard RAG hybrid-search combiner: it needs
+    no score calibration between runs (ranks only), and ``rrfK`` (60 in
+    the paper) damps the head so one run cannot dominate.
+
+    ``transform(run1, run2, ...)`` — each input carries (queryIdCol,
+    docIdCol, rankCol); output is ``(query, doc, rrf, rank)`` cut at
+    ``k`` with the deterministic total order (rrf desc, doc asc).
+    ``scoreRounding`` snaps the summed reciprocals so cross-partition
+    accumulation-order ulps cannot flip ties between engines (the
+    Bm25Retriever convention).
+
+    Plan: union of run outputs (already query-result-sized, NOT
+    corpus-sized) → one groupBy(query, doc) partial-aggregated sum →
+    salted exact top-k per query.  Scale is driven by Σ|runs| = queries
+    × k × runs rows regardless of corpus size.
+    """
+
+    queryIdCol = StringParam("queryIdCol", "Query id column.", "query_id")
+    docIdCol = StringParam("docIdCol", "Document id column.", "doc_id")
+    rankCol = StringParam("rankCol", "1-based rank column.", "rank")
+    rrfK = IntParam("rrfK", "RRF damping constant.", 60,
+                    ParamValidators.gt(0))
+    k = IntParam("k", "Results per query after fusion.", 10,
+                 ParamValidators.gt(0))
+    scoreRounding = IntParam("scoreRounding",
+                             "Decimal places for the fused score.", 9,
+                             ParamValidators.gt(0))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        if len(inputs) < 2:
+            raise ValueError("ReciprocalRankFusion expects >= 2 run tables")
+        q, d, r = (self.get_("queryIdCol"), self.get_("docIdCol"),
+                   self.get_("rankCol"))
+        runs = [df.select(F.col(q), F.col(d), F.col(r)) for df in inputs]
+        u = runs[0]
+        for nxt in runs[1:]:
+            u = u.unionByName(nxt)
+        contrib = F.lit(1.0) / (F.lit(self.get_("rrfK")) + F.col(r))
+        scores = (u.groupBy(q, d)
+                  .agg(F.round(F.sum(contrib), self.get_("scoreRounding"))
+                       .alias("rrf")))
+        from ..common.dataflow import top_k_per_key
+        out = top_k_per_key(scores, [q],
+                            [F.col("rrf").desc(), F.col(d).asc()],
+                            self.get_("k"), salt_cols=[d], rank_col="rank")
+        return [out]

@@ -3100,6 +3100,103 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def hybrid_retrieval(spark, sf_dir):
+    """Hybrid search (the RAG retrieval pattern): a BM25 lexical run and
+    an embedding-ANN run over the same queries (ids % 100 == 7 give both
+    a text prefix and a query vector), fused per query with reciprocal-
+    rank fusion.  The ANN side is the IVF probe — the scale path, no
+    brute-force join — and fusion inputs are query-result-sized, so
+    corpus size only touches the two retrievers, each already
+    scale-shaped."""
+    from ..evaluation import ReciprocalRankFusion
+    from ..llmdata import Bm25Retriever, IVFIndex
+    from ..llmdata.textanalysis import _tokens
+    docs, emb = load(spark, sf_dir, "documents", "embeddings")
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    qs_text = (docs.filter(F.col("doc_id") % 100 == 7)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.concat_ws(" ", F.slice(toks, 1, 5))
+                       .alias("query_text")))
+    bm = Bm25Retriever(k=5, scoreRounding=6).transform(docs, qs_text)[0]
+    idx = IVFIndex(vecCol="embedding", nlist=8, maxIter=3).fit(emb)
+    corpus = idx.transform(emb.select(F.col("vec_id").alias("corpus_id"),
+                                      "embedding"))[0]
+    qs_vec = (emb.filter(F.col("vec_id") % 100 == 7)
+              .select(F.col("vec_id").alias("query_id"), "embedding"))
+    ann = (idx.search(qs_vec, corpus, "query_id", "corpus_id", k=5)
+           .select("query_id", F.col("corpus_id").alias("doc_id"), "rank"))
+    fused = ReciprocalRankFusion(k=5).transform(
+        bm.select("query_id", "doc_id", "rank"), ann)[0]
+    return fused.select("query_id", "doc_id",
+                        q4(F.col("rrf")).alias("rrf"), "rank")
+
+
+def _hybrid_retrieval_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
+                          nprobe: int = 2, k: int = 5) -> str:
+    """BM25 chain + the shared IVF replay (_ivf_cells_parts) + RRF."""
+    parts, d2 = _ivf_cells_parts(nlist, iters, dim)
+    nrm = ("sqrt(list_aggregate(list_transform(range(1, {d}), "
+           "i -> {x}.v[i] * {x}.v[i]), 'sum'))")
+    dot = (f"list_aggregate(list_transform(range(1, {dim + 1}), "
+           f"i -> q.v[i] * t.v[i]), 'sum')")
+    parts.append(
+        f"probes AS MATERIALIZED (SELECT vec_id AS query_id, p.v, cid AS "
+        f"cell FROM (SELECT p.vec_id, p.v, c.cid, row_number() OVER ("
+        f"PARTITION BY p.vec_id ORDER BY {d2}, c.cid) AS rn "
+        f"FROM pts p CROSS JOIN c{iters} c WHERE p.vec_id % 100 = 7) p "
+        f"WHERE rn <= {nprobe})")
+    parts.append(
+        "ascored AS (SELECT q.query_id, t.corpus_id AS doc_id, "
+        + dot + " / (" + nrm.format(d=dim + 1, x="q") + " * "
+        + nrm.format(d=dim + 1, x="t")
+        + ") AS cosine FROM probes q JOIN cells t ON q.cell = t.cell)")
+    parts.append(
+        "aranked AS (SELECT query_id, doc_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank "
+        "FROM ascored)")
+    parts.append(f"bcorpus AS (SELECT doc_id, {TOKS} AS toks FROM documents)")
+    parts.append("bstats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl "
+                 "FROM bcorpus)")
+    parts.append("bex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS "
+                 "tok FROM bcorpus)")
+    parts.append("bpostings AS (SELECT tok, doc_id, dl, COUNT(*) AS tf "
+                 "FROM bex GROUP BY tok, doc_id, dl)")
+    parts.append("bdf AS (SELECT tok, COUNT(*) AS df FROM bpostings "
+                 "GROUP BY tok)")
+    parts.append("bqterms AS (SELECT DISTINCT doc_id AS query_id, "
+                 "unnest(toks[1:5]) AS tok FROM bcorpus "
+                 "WHERE doc_id % 100 = 7)")
+    parts.append("""bscored AS (
+  SELECT q.query_id, p.doc_id,
+         ROUND(SUM(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))), 6)
+           AS score
+  FROM bpostings p
+  JOIN bdf d ON p.tok = d.tok
+  JOIN bqterms q ON p.tok = q.tok
+  CROSS JOIN bstats s
+  GROUP BY q.query_id, p.doc_id)""")
+    parts.append("branked AS (SELECT query_id, doc_id, row_number() OVER ("
+                 "PARTITION BY query_id ORDER BY score DESC, doc_id) AS "
+                 "rank FROM bscored)")
+    parts.append(f"u AS (SELECT query_id, doc_id, rank FROM branked "
+                 f"WHERE rank <= {k} UNION ALL SELECT query_id, doc_id, "
+                 f"rank FROM aranked WHERE rank <= {k})")
+    parts.append("fused AS (SELECT query_id, doc_id, "
+                 "ROUND(SUM(1.0 / (60 + rank)), 9) AS rrf "
+                 "FROM u GROUP BY query_id, doc_id)")
+    parts.append("franked AS (SELECT query_id, doc_id, rrf, row_number() "
+                 "OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) "
+                 "AS rank FROM fused)")
+    return (", ".join(parts)
+            + f" SELECT query_id, doc_id, {SQL_Q4.format('rrf')} AS rrf, "
+              f"CAST(rank AS INT) AS rank FROM franked WHERE rank <= {k}")
+
+
+HYBRID_RETRIEVAL_SQL = _hybrid_retrieval_sql()
+
+
 def profile_quantiles(spark, sf_dir):
     """Quantile block of the column profile: linear-interpolated
     (PERCENTILE_CONT) p25/p50/p75/p95 per numeric column, still inside
@@ -3509,6 +3606,7 @@ QUERIES = {
     "incremental_dedup_bloom": (incremental_dedup_bloom,
                                 INCREMENTAL_DEDUP_BLOOM_SQL),
     "diversity_profile": (diversity_profile, DIVERSITY_PROFILE_SQL),
+    "hybrid_retrieval": (hybrid_retrieval, HYBRID_RETRIEVAL_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

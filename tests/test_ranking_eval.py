@@ -81,3 +81,34 @@ def test_ranking_zero_relevance_rows_ignored(spark):
     r = RankingEvaluator(k=5).transform(preds, truth)[0].collect()[0]
     assert (r["n_relevant"], r["hits"]) == (1, 0)
     assert r["ndcg"] == 0.0
+
+
+def test_reciprocal_rank_fusion(spark):
+    from flink_ml_spark.evaluation import ReciprocalRankFusion
+    bm = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id long, doc_id long, rank int")
+    ann = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3),
+         (2, 22, 1), (2, 20, 2)],
+        "query_id long, doc_id long, rank int")
+    out = ReciprocalRankFusion(k=3).transform(bm, ann)[0]
+    rows = {(r["query_id"], r["rank"]): (r["doc_id"], r["rrf"])
+            for r in out.collect()}
+    # q1: doc 11 fuses ranks (2,1) -> 1/62+1/61; doc 10 (1,3) -> 1/61+1/63;
+    # doc 12 (3,-) -> 1/63; doc 13 (-,2) -> 1/62.  Order: 11, 10, 12|13?
+    # 1/63 (~.01587) > 1/62 (~.01613)? no: 1/62 > 1/63, so 13 beats 12.
+    assert rows[(1, 1)][0] == 11
+    assert rows[(1, 2)][0] == 10
+    assert rows[(1, 3)][0] == 13
+    assert abs(rows[(1, 1)][1] - (1 / 62 + 1 / 61)) < 1e-9
+    # q2: doc 20 fuses (1,2) -> top; 22 (ann rank 1, 1/61) beats 21
+    # (bm rank 2, 1/62)
+    assert rows[(2, 1)][0] == 20
+    assert rows[(2, 2)][0] == 22
+    assert rows[(2, 3)][0] == 21
+    # fewer than 2 runs is an error
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ReciprocalRankFusion().transform(bm)
