@@ -1162,6 +1162,8 @@ class Bm25IndexModel(Model):
     math (and outputs, parity-tested) to ``Bm25Retriever``."""
 
     idCol = StringParam("idCol", "Corpus document id column.", "doc_id")
+    textCol = StringParam("textCol", "Corpus text column (for update()).",
+                          "text")
     queryIdCol = StringParam("queryIdCol", "Query id column.", "query_id")
     queryTextCol = StringParam("queryTextCol", "Query text column.",
                                "query_text")
@@ -1185,6 +1187,59 @@ class Bm25IndexModel(Model):
             self.get_("queryTextCol"), float(self.get_("k1")),
             float(self.get_("b")), int(self.get_("k")),
             self.get_("scoreRounding"))
+
+    def update(self, new_docs: DataFrame) -> "Bm25IndexModel":
+        """Incremental index merge: tokenize ONLY the new batch, union
+        its postings with the held relation, and refresh the df column
+        and (numDocs, avgDocLen) from sufficient statistics — the
+        existing corpus is never re-read or re-tokenized.  Batch doc ids
+        must be NEW (replace = delete + add; deletion unsupported).
+        Token-level df corrections travel as a broadcast vocab-sized
+        delta joined into both sides, so the only shuffle is the batch's
+        own postings groupBy; avgdl drift needs no postings rewrite
+        because length norms fold in at query time from the stored dl.
+        Contract: the index must have been built WITHOUT
+        maxDocFreq/maxPostingsPerToken pruning (pruned-away postings
+        cannot be resurrected; prune at query-serving rebuilds instead).
+        Chained updates stack lineage — ``save`` (parquet) is the
+        intended checkpoint between ingest batches."""
+        idc, txt = self.get_("idCol"), self.get_("textCol")
+        toks = _tokens(F.coalesce(F.col(txt), F.lit("")))
+        s = new_docs.agg(F.count(F.lit(1)).alias("n1"),
+                         F.sum(F.size(toks)).alias("s1")).first()
+        n1, s1 = int(s["n1"]), int(s["s1"] or 0)
+        if n1 == 0:
+            return self
+        n0 = int(self.model_data["numDocs"])
+        avgdl0 = float(self.model_data["avgDocLen"])
+        bp = (new_docs
+              .select(F.col(idc), F.size(toks).alias("dl"),
+                      F.explode(toks).alias("tok"))
+              .groupBy("tok", idc, "dl")
+              .agg(F.count(F.lit(1)).alias("tf")))
+        delta = bp.groupBy("tok").agg(F.count(F.lit(1)).alias("__ddf__"))
+        if self.postings is None:
+            merged = bp.join(
+                F.broadcast(delta.withColumnRenamed("__ddf__", "df")),
+                "tok")
+        else:
+            old = (self.postings.join(F.broadcast(delta), "tok", "left")
+                   .withColumn("df", F.col("df")
+                               + F.coalesce("__ddf__", F.lit(0)))
+                   .drop("__ddf__"))
+            old_tokdf = self.postings.groupBy("tok") \
+                .agg(F.first("df").alias("__odf__"))
+            batch = (bp.join(F.broadcast(old_tokdf), "tok", "left")
+                     .join(F.broadcast(delta), "tok")
+                     .withColumn("df", F.coalesce("__odf__", F.lit(0))
+                                 + F.col("__ddf__"))
+                     .drop("__odf__", "__ddf__"))
+            merged = old.unionByName(batch)
+        self.model_data = {
+            "numDocs": n0 + n1,
+            "avgDocLen": (n0 * avgdl0 + s1) / (n0 + n1)}
+        self.postings = merged
+        return self
 
     # table-shaped model data: postings go to parquet (KnnModel pattern)
     def _save_model_data(self, path: str) -> None:

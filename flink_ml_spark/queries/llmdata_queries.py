@@ -3462,6 +3462,29 @@ FROM t
 """
 
 
+def bm25_incremental(spark, sf_dir):
+    """Incremental-ingest retrieval: the index is fit on 80% of the
+    corpus and UPDATED with the remaining 20% (Bm25IndexModel.update —
+    only the batch tokenizes; df and the global stats merge from
+    sufficient statistics), then serves the standard query batch.
+    Same oracle as bm25_retrieval: fit+update must be indistinguishable
+    from a full rebuild."""
+    from ..llmdata import Bm25Index
+    from ..llmdata.textanalysis import _tokens
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    qs = (docs.filter(F.col("doc_id") % 100 == 7)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.concat_ws(" ", F.slice(toks, 1, 5))
+                  .alias("query_text")))
+    model = Bm25Index().fit(docs.filter(F.col("doc_id") % 5 != 0))
+    model.update(docs.filter(F.col("doc_id") % 5 == 0))
+    model.set_(k=5, scoreRounding=6)
+    out = model.transform(qs)[0]
+    return out.select("query_id", "doc_id",
+                      q4(F.col("score")).alias("score"), "rank")
+
+
 def diversity_profile(spark, sf_dir):
     """DiversityProfiler (exact mode) per source: token/bigram counts,
     distincts and type-token ratios — single-shuffle corpus-health
@@ -3607,6 +3630,7 @@ QUERIES = {
                                 INCREMENTAL_DEDUP_BLOOM_SQL),
     "diversity_profile": (diversity_profile, DIVERSITY_PROFILE_SQL),
     "hybrid_retrieval": (hybrid_retrieval, HYBRID_RETRIEVAL_SQL),
+    "bm25_incremental": (bm25_incremental, BM25_RETRIEVAL_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

@@ -170,3 +170,51 @@ def test_retriever_persistence(spark, corpus, tmp_path):
     r2 = Stage.load(spark, str(tmp_path / "r"))
     assert (r2.get_("k"), r2.get_("maxDocFreq"),
             r2.get_("scoreRounding")) == (3, 10, 6)
+
+
+def test_bm25_index_incremental_update_equals_rebuild(spark):
+    from flink_ml_spark.llmdata import Bm25Index
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common filler word{i % 5}")
+         for i in range(60)], "doc_id long, text string")
+    old = docs.filter("doc_id % 4 != 0")
+    new = docs.filter("doc_id % 4 = 0")
+    queries = spark.createDataFrame(
+        [(1, "tok1 common"), (2, "word3 tok2"), (3, "filler")],
+        "query_id long, query_text string")
+
+    full = Bm25Index().fit(docs)
+    inc = Bm25Index().fit(old).update(new)
+    # sufficient statistics merge exactly
+    assert inc.model_data["numDocs"] == full.model_data["numDocs"] == 60
+    assert abs(inc.model_data["avgDocLen"]
+               - full.model_data["avgDocLen"]) < 1e-12
+    # postings relations are identical as sets (tok, id, dl, tf, df)
+    a = {tuple(r) for r in full.postings.collect()}
+    b = {tuple(r) for r in inc.postings.collect()}
+    assert a == b
+    # and the served rankings match row for row
+    for m in (full, inc):
+        m.set_(k=5, scoreRounding=6)
+    ra = sorted(tuple(r) for r in full.transform(queries)[0].collect())
+    rb = sorted(tuple(r) for r in inc.transform(queries)[0].collect())
+    assert ra == rb
+
+
+def test_bm25_index_update_from_empty_and_empty_batch(spark):
+    from flink_ml_spark.llmdata import Bm25Index, Bm25IndexModel
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    empty = docs.where("doc_id < 0")
+    # empty batch: no-op
+    m = Bm25Index().fit(docs)
+    before = {tuple(r) for r in m.postings.collect()}
+    m.update(empty)
+    assert {tuple(r) for r in m.postings.collect()} == before
+    # building up from an empty fit via update equals a direct fit
+    m0 = Bm25Index().fit(empty)
+    assert m0.postings is None
+    m0.update(docs)
+    want = {tuple(r) for r in Bm25Index().fit(docs).postings.collect()}
+    assert {tuple(r) for r in m0.postings.collect()} == want
+    assert m0.model_data["numDocs"] == 2
