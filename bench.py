@@ -43,7 +43,8 @@ HEADLINE = [
     "elementwise_product", "interaction", "polynomial_expansion", "dct",
     "variance_threshold", "univariate_feature_selector",
     "naive_bayes", "chisq_test", "anova_test", "fvalue_test",
-    "corr_matrix", "data_profile", "constraint_gate", "profile_drift",
+    "corr_matrix", "mutual_information", "data_profile", "constraint_gate",
+    "profile_drift",
     "frequent_items", "profile_quantiles", "diversity_profile",
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",
     "stateful_sessions", "asof_join", "range_join", "sliding_windows",

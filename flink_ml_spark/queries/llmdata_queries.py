@@ -3462,6 +3462,35 @@ FROM t
 """
 
 
+def mutual_information(spark, sf_dir):
+    """MutualInformation(lang, source): one contingency groupBy, then
+    cardinality-sized marginal/entropy arithmetic."""
+    from ..stats import MutualInformation
+    docs = load(spark, sf_dir, "documents")
+    out = MutualInformation(xCol="lang", yCol="source").transform(docs)[0]
+    return out.select("n", q4(F.col("mi")).alias("mi"),
+                      q4(F.col("nmi")).alias("nmi"))
+
+
+MUTUAL_INFORMATION_SQL = f"""
+WITH j AS (SELECT lang, source, count(*) AS c FROM documents
+           GROUP BY lang, source),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, sum(c) AS n_raw FROM j),
+mx AS (SELECT lang, sum(c) AS cx FROM j GROUP BY lang),
+my AS (SELECT source, sum(c) AS cy FROM j GROUP BY source),
+mirel AS (SELECT sum((j.c / t.n) * ln(j.c * t.n / (mx.cx * my.cy))) AS mi
+          FROM j JOIN mx USING (lang) JOIN my USING (source)
+          CROSS JOIN tot t),
+hx AS (SELECT sum((cx / t.n) * -ln(cx / t.n)) AS h FROM mx CROSS JOIN tot t),
+hy AS (SELECT sum((cy / t.n) * -ln(cy / t.n)) AS h FROM my CROSS JOIN tot t)
+SELECT t.n_raw AS n, {SQL_Q4.format('mirel.mi')} AS mi,
+       {SQL_Q4.format(
+           "CASE WHEN hx.h * hy.h > 0 "
+           "THEN mirel.mi / sqrt(hx.h * hy.h) ELSE 0 END")} AS nmi
+FROM tot t CROSS JOIN mirel CROSS JOIN hx CROSS JOIN hy
+"""
+
+
 def bm25_incremental(spark, sf_dir):
     """Incremental-ingest retrieval: the index is fit on 80% of the
     corpus and UPDATED with the remaining 20% (Bm25IndexModel.update —
@@ -3631,6 +3660,7 @@ QUERIES = {
     "diversity_profile": (diversity_profile, DIVERSITY_PROFILE_SQL),
     "hybrid_retrieval": (hybrid_retrieval, HYBRID_RETRIEVAL_SQL),
     "bm25_incremental": (bm25_incremental, BM25_RETRIEVAL_SQL),
+    "mutual_information": (mutual_information, MUTUAL_INFORMATION_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

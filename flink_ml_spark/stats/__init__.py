@@ -1,4 +1,4 @@
-from .correlation import CorrelationMatrix
+from .correlation import CorrelationMatrix, MutualInformation
 from .tests import ANOVATest, ChiSqTest, FValueTest
 
-__all__ = ["ChiSqTest", "ANOVATest", "FValueTest", "CorrelationMatrix"]
+__all__ = ["ChiSqTest", "ANOVATest", "FValueTest", "CorrelationMatrix", "MutualInformation"]

@@ -17,11 +17,11 @@ rows = dim·(dim+1)/2 — both independent of corpus size.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from ..api import AlgoOperator
-from ..param import HasFeaturesCol
+from ..param import HasFeaturesCol, StringParam
 
 _SCHEMA = T.StructType([
     T.StructField("i", T.IntegerType()),
@@ -55,3 +55,52 @@ class CorrelationMatrix(AlgoOperator, HasFeaturesCol):
                     c = None
                 rows.append((i, j, c))
         return [df.sparkSession.createDataFrame(rows, _SCHEMA)]
+
+
+class MutualInformation(AlgoOperator):
+    """Mutual information (nats) + normalized MI between two categorical
+    columns — the Deequ ``MutualInformation`` analyzer: the dependence
+    diagnostic ChiSq tests for but doesn't quantify (how much does
+    ``source`` determine ``lang``?), and a standard redundant-feature /
+    leakage check before training.
+
+    ``transform(df)`` → one row: ``(n, mi, nmi)``; ``nmi = MI /
+    sqrt(H(x)·H(y))`` (0 when either entropy is 0 — a constant column
+    shares no information).
+
+    Plan: ONE corpus scan builds the joint contingency ``groupBy(x, y)``
+    (map-side partial-combined); marginals and entropies re-aggregate
+    the joint relation, which is cardinality-sized (|X|·|Y| rows), not
+    corpus-sized — so every post-scan step is metadata work.  NULL is a
+    category like any other (both engines group it).
+    """
+
+    xCol = StringParam("xCol", "First categorical column.", "x")
+    yCol = StringParam("yCol", "Second categorical column.", "y")
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        x, y = self.get_("xCol"), self.get_("yCol")
+        joint = df.groupBy(x, y).agg(F.count(F.lit(1)).alias("c")) \
+            .localCheckpoint(eager=True)  # cardinality-sized; reused 3x
+        n = joint.agg(F.sum("c")).first()[0] or 0
+        if n == 0:
+            return [df.sparkSession.createDataFrame(
+                [(0, 0.0, 0.0)], "n long, mi double, nmi double")]
+        mx = joint.groupBy(x).agg(F.sum("c").alias("cx"))
+        my = joint.groupBy(y).agg(F.sum("c").alias("cy"))
+        nf = float(n)
+        mi = (joint.join(F.broadcast(mx), x).join(F.broadcast(my), y)
+              .select(F.sum((F.col("c") / nf)
+                            * F.log(F.col("c") * nf
+                                    / (F.col("cx") * F.col("cy"))))
+                      .alias("mi")).first()["mi"])
+        ent = (lambda m, c: m.select(
+            F.sum((F.col(c) / nf) * -F.log(F.col(c) / nf)).alias("h"))
+            .first()["h"])
+        hx, hy = ent(mx, "cx"), ent(my, "cy")
+        denom = (hx * hy) ** 0.5
+        nmi = (mi / denom) if denom > 0 else 0.0
+        return [df.sparkSession.createDataFrame(
+            [(int(n), float(mi), float(nmi))],
+            "n long, mi double, nmi double")]

@@ -166,3 +166,26 @@ def test_stats_unflattened_layout(spark):
     assert len(row["pValues"]) == 2
     assert len(row["degreesOfFreedom"]) == 2
     assert len(row["statistics"]) == 2
+
+
+def test_mutual_information(spark):
+    import math
+    from flink_ml_spark.stats import MutualInformation
+    # perfect dependence: y == x -> MI = H(X), NMI = 1
+    dep = spark.createDataFrame(
+        [("a", "a")] * 2 + [("b", "b")] * 2, "x string, y string")
+    r = MutualInformation(xCol="x", yCol="y").transform(dep)[0].first()
+    assert r["n"] == 4
+    assert abs(r["mi"] - math.log(2)) < 1e-12
+    assert abs(r["nmi"] - 1.0) < 1e-12
+    # exact independence: balanced product distribution -> MI = 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(3)],
+        "x string, y string")
+    r = MutualInformation(xCol="x", yCol="y").transform(ind)[0].first()
+    assert abs(r["mi"]) < 1e-12 and abs(r["nmi"]) < 1e-12
+    # constant column: zero entropy -> nmi defined as 0
+    const = spark.createDataFrame([("a", "c"), ("a", "d")],
+                                  "x string, y string")
+    r = MutualInformation(xCol="x", yCol="y").transform(const)[0].first()
+    assert r["mi"] == 0.0 and r["nmi"] == 0.0
