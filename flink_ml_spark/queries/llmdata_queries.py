@@ -3462,6 +3462,36 @@ FROM t
 """
 
 
+def calibration_eval(spark, sf_dir):
+    """CalibrationEvaluator reliability bins over a deterministic
+    pseudo-probability (l_discount×10 vs quantity>25): one binning
+    groupBy; the B-row diagram is the output (summary stats are
+    driver arithmetic, pytest-pinned)."""
+    from ..evaluation import CalibrationEvaluator
+    li = load(spark, sf_dir, "lineitem")
+    scored = li.select((F.col("l_discount") * 10).alias("probability"),
+                       (F.col("l_quantity") > 25).cast("double")
+                       .alias("label"))
+    bins, _summary = CalibrationEvaluator(numBins=10).transform(scored)
+    return bins.select("bin", "n", q4(F.col("conf")).alias("conf"),
+                       q4(F.col("acc")).alias("acc"),
+                       q4(F.col("gap")).alias("gap"))
+
+
+CALIBRATION_EVAL_SQL = f"""
+WITH s AS (SELECT l_discount * 10 AS p,
+                  CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS y
+           FROM lineitem),
+b AS (SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
+             count(*) AS n, avg(p) AS conf, avg(y) AS acc
+      FROM s GROUP BY 1)
+SELECT bin, n, {SQL_Q4.format('conf')} AS conf,
+       {SQL_Q4.format('acc')} AS acc,
+       {SQL_Q4.format('acc - conf')} AS gap
+FROM b
+"""
+
+
 def mutual_information(spark, sf_dir):
     """MutualInformation(lang, source): one contingency groupBy, then
     cardinality-sized marginal/entropy arithmetic."""
@@ -3661,6 +3691,7 @@ QUERIES = {
     "hybrid_retrieval": (hybrid_retrieval, HYBRID_RETRIEVAL_SQL),
     "bm25_incremental": (bm25_incremental, BM25_RETRIEVAL_SQL),
     "mutual_information": (mutual_information, MUTUAL_INFORMATION_SQL),
+    "calibration_eval": (calibration_eval, CALIBRATION_EVAL_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

@@ -189,3 +189,34 @@ def test_mutual_information(spark):
                                   "x string, y string")
     r = MutualInformation(xCol="x", yCol="y").transform(const)[0].first()
     assert r["mi"] == 0.0 and r["nmi"] == 0.0
+
+
+def test_calibration_evaluator(spark):
+    from flink_ml_spark.evaluation import CalibrationEvaluator
+    # perfectly calibrated halves: p=0.25 with 1/4 positives, p=0.75
+    # with 3/4 positives
+    rows = ([(0.25, 1.0)] + [(0.25, 0.0)] * 3
+            + [(0.75, 1.0)] * 3 + [(0.75, 0.0)])
+    df = spark.createDataFrame(rows, "probability double, label double")
+    bins, summary = CalibrationEvaluator(numBins=4).transform(df)
+    s = summary.first()
+    assert s["n"] == 8
+    assert abs(s["ece"]) < 1e-12 and abs(s["mce"]) < 1e-12
+    # brier for calibrated p: mean of p(1-p) pairs -> 0.1875 each group
+    assert abs(s["brier"] - 0.1875) < 1e-12
+    bd = {r["bin"]: r for r in bins.collect()}
+    assert set(bd) == {1, 3} and bd[1]["n"] == 4
+    assert abs(bd[1]["acc"] - 0.25) < 1e-12
+    # maximally miscalibrated: confident and always wrong
+    bad = spark.createDataFrame([(0.95, 0.0)] * 4,
+                                "probability double, label double")
+    s2 = CalibrationEvaluator(numBins=10).transform(bad)[1].first()
+    assert abs(s2["ece"] - 0.95) < 1e-12
+    assert abs(s2["mce"] - 0.95) < 1e-12
+    assert abs(s2["brier"] - 0.95 ** 2) < 1e-12
+    # p = 1.0 lands in the top bin, not an overflow bin
+    edge = spark.createDataFrame([(1.0, 1.0), (0.0, 0.0)],
+                                 "probability double, label double")
+    b3 = {r["bin"] for r in CalibrationEvaluator(numBins=10)
+          .transform(edge)[0].collect()}
+    assert b3 == {0, 9}
