@@ -89,7 +89,7 @@ def all_queries():
         "html_extract", "c4_line_filter", "url_normalize", "word_blocklist",
         "llm_prep_pipeline_v9", "incremental_dedup_bloom",
         "diversity_profile", "hybrid_retrieval", "bm25_incremental",
-        "mutual_information", "calibration_eval",
+        "mutual_information", "calibration_eval", "isotonic_calibration",
         "data_profile", "constraint_gate", "profile_drift", "corr_matrix",
         "frequent_items", "streaming_quality_gate",
         "bm25_retrieval", "llm_prep_pipeline_v8",

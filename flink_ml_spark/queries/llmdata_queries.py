@@ -3492,6 +3492,48 @@ FROM b
 """
 
 
+def isotonic_calibration(spark, sf_dir):
+    """IsotonicRegression over the lineitem pseudo-score: fit = one
+    groupBy(score) sufficient statistic + driver PAVA; the oracle
+    recomputes the SAME fit through the closed-form minimax identity
+    ŷ_k = max_{i≤k} min_{j≥k} weightedAvg(i..j) — an INDEPENDENT
+    derivation of the isotonic solution (no PAVA replay), exact here
+    because pooled sums are integer-valued so both engines divide the
+    identical integers."""
+    from ..regression import IsotonicRegression
+    li = load(spark, sf_dir, "lineitem")
+    scored = li.select((F.col("l_discount") * 10).alias("score"),
+                       (F.col("l_quantity") > 25).cast("double")
+                       .alias("label"))
+    m = IsotonicRegression(featureCol="score").fit(scored)
+    rows = list(zip(m.model_data["boundaries"], m.model_data["values"]))
+    out = spark.createDataFrame(rows, "x double, fitted double")
+    return out.select(q4(F.col("x")).alias("x"),
+                      q4(F.col("fitted")).alias("fitted"))
+
+
+ISOTONIC_CALIBRATION_SQL = f"""
+WITH s AS (SELECT l_discount * 10 AS x,
+                  CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS y
+           FROM lineitem),
+g AS (SELECT x, sum(y) AS swy, count(*) AS sw FROM s GROUP BY x),
+o AS (SELECT x, swy, sw, row_number() OVER (ORDER BY x) AS k FROM g),
+c AS (SELECT k, x, sum(swy) OVER (ORDER BY k) AS cy,
+             sum(sw) OVER (ORDER BY k) AS cw FROM o),
+pairs AS (SELECT i.k AS i, j.k AS j,
+                 (j.cy - COALESCE(ip.cy, 0)) / (j.cw - COALESCE(ip.cw, 0))
+                   AS m
+          FROM c i JOIN c j ON j.k >= i.k
+          LEFT JOIN c ip ON ip.k = i.k - 1),
+inner_min AS (SELECT p.i, k.k, min(p.m) AS mn
+              FROM pairs p JOIN c k ON p.j >= k.k AND p.i <= k.k
+              GROUP BY p.i, k.k),
+fit AS (SELECT k, max(mn) AS yhat FROM inner_min GROUP BY k)
+SELECT {SQL_Q4.format('o.x')} AS x, {SQL_Q4.format('fit.yhat')} AS fitted
+FROM fit JOIN o USING (k)
+"""
+
+
 def mutual_information(spark, sf_dir):
     """MutualInformation(lang, source): one contingency groupBy, then
     cardinality-sized marginal/entropy arithmetic."""
@@ -3692,6 +3734,7 @@ QUERIES = {
     "bm25_incremental": (bm25_incremental, BM25_RETRIEVAL_SQL),
     "mutual_information": (mutual_information, MUTUAL_INFORMATION_SQL),
     "calibration_eval": (calibration_eval, CALIBRATION_EVAL_SQL),
+    "isotonic_calibration": (isotonic_calibration, ISOTONIC_CALIBRATION_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

@@ -1,3 +1,5 @@
 from ..classification.linear import LinearRegression, LinearRegressionModel
+from .isotonic import IsotonicRegression, IsotonicRegressionModel
 
-__all__ = ["LinearRegression", "LinearRegressionModel"]
+__all__ = ["LinearRegression", "LinearRegressionModel",
+           "IsotonicRegression", "IsotonicRegressionModel"]

@@ -226,3 +226,63 @@ def test_kmeans_distributed_matches_local(spark, monkeypatch):
     monkeypatch.setattr(optimizer, "LOCAL_SOLVE_MAX_VALUES", 0)
     c_dist = KMeans(**kw).fit(df).model_data["centroids"]
     np.testing.assert_allclose(c_local, c_dist, rtol=1e-9)
+
+
+def test_isotonic_regression_known_fits(spark):
+    import numpy as np
+    from flink_ml_spark.regression import (IsotonicRegression,
+                                           IsotonicRegressionModel)
+    # classic violator case: [1,3,2,4] -> [1,2.5,2.5,4]
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0)],
+        "feature double, label double")
+    m = IsotonicRegression(featureCol="feature").fit(df)
+    assert np.allclose(m.model_data["values"], [1.0, 2.5, 2.5, 4.0])
+    # fully decreasing input pools to the global mean
+    dec = spark.createDataFrame(
+        [(float(i), float(3 - i)) for i in range(4)],
+        "feature double, label double")
+    m2 = IsotonicRegression(featureCol="feature").fit(dec)
+    assert np.allclose(m2.model_data["values"], [1.5] * 4)
+    # weighted pooling: (y=1,w=1) then (y=0,w=3) -> both 0.25
+    wdf = spark.createDataFrame(
+        [(0.0, 1.0, 1.0), (1.0, 0.0, 3.0)],
+        "feature double, label double, w double")
+    m3 = IsotonicRegression(featureCol="feature", weightCol="w").fit(wdf)
+    assert np.allclose(m3.model_data["values"], [0.25, 0.25])
+    # duplicate feature values aggregate before PAVA
+    dup = spark.createDataFrame(
+        [(1.0, 0.0), (1.0, 1.0), (2.0, 1.0)], "feature double, label double")
+    m4 = IsotonicRegression(featureCol="feature").fit(dup)
+    assert np.allclose(m4.model_data["boundaries"], [1.0, 2.0])
+    assert np.allclose(m4.model_data["values"], [0.5, 1.0])
+
+
+def test_isotonic_regression_predict_interpolates(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    from flink_ml_spark.regression import (IsotonicRegression,
+                                           IsotonicRegressionModel)
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 1.0)], "feature double, label double")
+    m = IsotonicRegression(featureCol="feature").fit(df)
+    probe = spark.createDataFrame(
+        [(-1.0,), (0.0,), (0.25,), (1.0,), (5.0,)], "feature double")
+    got = [r["prediction"] for r in m.transform(probe)[0]
+           .orderBy("feature").collect()]
+    assert np.allclose(got, [0.0, 0.0, 0.25, 1.0, 1.0])  # clamp + lerp
+    # save/load + local parity
+    p = str(tmp_path / "iso")
+    m.save(p)
+    back = IsotonicRegressionModel.load(spark, p)
+    pdf = back.transform_local(pd.DataFrame({"feature": [-1, 0.25, 5]}))
+    assert np.allclose(pdf["prediction"], [0.0, 0.25, 1.0])
+    # monotonicity property on a noisy fit
+    import random
+    rnd = random.Random(7)
+    noisy = spark.createDataFrame(
+        [(i / 50.0, float(i / 50.0 + rnd.uniform(-0.3, 0.3) > 0.5))
+         for i in range(200)], "feature double, label double")
+    mf = IsotonicRegression(featureCol="feature").fit(noisy)
+    vals = mf.model_data["values"]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
