@@ -348,3 +348,47 @@ def test_mg_single_level_bound(items, cap):
     for k, t in truth.items():
         if t > n / (cap + 1):
             assert k in c
+
+
+finite = st.floats(min_value=-1e6, max_value=1e6,
+                   allow_nan=False, allow_infinity=False)
+posw = st.floats(min_value=1e-3, max_value=1e3,
+                 allow_nan=False, allow_infinity=False)
+
+
+@given(st.lists(st.tuples(finite, posw), min_size=1, max_size=60))
+@settings(max_examples=200)
+def test_pava_properties(pairs):
+    """Isotonic PAVA invariants on arbitrary weighted inputs:
+    monotone output, weighted-mean preservation, idempotence, and
+    already-monotone inputs pass through unchanged."""
+    from flink_ml_spark.regression.isotonic import _pava
+    y = np.array([p[0] for p in pairs])
+    w = np.array([p[1] for p in pairs])
+    out = _pava(y, w)
+    # non-decreasing
+    assert np.all(np.diff(out) >= -1e-9)
+    # weighted mean preserved (PAVA projects within each pool)
+    assert abs(float(np.dot(out, w) - np.dot(y, w))) \
+        <= 1e-6 * (1 + abs(float(np.dot(y, w))))
+    # idempotent: re-fitting the fit changes nothing
+    assert np.allclose(_pava(out, w), out, atol=1e-9)
+    # sorted input is its own isotonic fit
+    ys = np.sort(y)
+    assert np.allclose(_pava(ys, w), ys, atol=1e-12)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=10_000),
+                min_size=1, max_size=200),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=100)
+def test_bloom_bit_indices_deterministic_and_in_range(hs, i):
+    """Double-hash index derivation: pure, deterministic, in [0, m)."""
+    from flink_ml_spark.llmdata.bloom import _bit_indices
+    m = 1 << 13
+    h1 = np.array(hs, dtype=np.int64).view(np.uint64)
+    h2 = (np.array(hs, dtype=np.int64) * 31 + 7).view(np.uint64)
+    a = _bit_indices(h1, h2, i, m)
+    b = _bit_indices(h1, h2, i, m)
+    assert np.array_equal(a, b)
+    assert a.max() < m and a.min() >= 0
