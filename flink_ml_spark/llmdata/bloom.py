@@ -44,11 +44,46 @@ def _bit_indices(h1: np.ndarray, h2: np.ndarray, i: int,
     return (h1 + np.uint64(i) * h2) % np.uint64(m)
 
 
+def _build_bitmap(df: DataFrame, col: str, m: int, k: int) -> np.ndarray:
+    """One mapInPandas pass: per-partition bitmap partials over JVM
+    xxhash64 double-hash pairs, OR-merged driver-side."""
+    nbytes = m // 8
+
+    def build(batches):
+        import pandas as pd
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in batches:
+            h1 = pdf["h1"].to_numpy(np.int64).view(np.uint64)
+            h2 = pdf["h2"].to_numpy(np.int64).view(np.uint64)
+            for i in range(k):
+                idx = _bit_indices(h1, h2, i, m)
+                np.bitwise_or.at(bm, (idx >> np.uint64(3)).astype(np.int64),
+                                 (np.uint64(1) << (idx & np.uint64(7)))
+                                 .astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    partials = (df.select(F.xxhash64(col).alias("h1"),
+                          F.xxhash64(col, F.lit(_SALT2)).alias("h2"))
+                .mapInPandas(build, "bm binary").collect())
+    bm = np.zeros(nbytes, dtype=np.uint8)
+    for r in partials:
+        bm |= np.frombuffer(r["bm"], dtype=np.uint8)
+    return bm
+
+
 class DigestBloomFilter(Estimator, HasInputCol):
     """Fit a Bloom filter over the distinct values of ``inputCol``
     (typically a content digest).  ``expectedItems=None`` sizes from a
     ``count()`` of the input; pass it explicitly to skip that job when
-    the store's cardinality is already tracked."""
+    the store's cardinality is already tracked.
+
+    Incremental ingest: ``model.update(new_items)`` ORs a new batch into
+    the existing bitmap (bloom insertion is idempotent and monotone), so
+    a steady-state pipeline — including a ``foreachBatch`` streaming
+    store — fits once and updates per batch instead of refitting over
+    the grown store.  The FP rate degrades gracefully past the fitted
+    capacity; refit at a larger ``m`` when total inserts exceed ~2× the
+    original ``expectedItems``."""
 
     fpp = FloatParam("fpp", "Target false-positive rate.", 0.01,
                      ParamValidators.in_range(0, 1, lower_inclusive=False,
@@ -68,27 +103,7 @@ class DigestBloomFilter(Estimator, HasInputCol):
         m = int(-n * math.log(p) / (math.log(2) ** 2))
         m = max((m + 63) // 64 * 64, 1024)
         k = max(1, round(m / n * math.log(2)))
-        nbytes = m // 8
-
-        def build(batches):
-            import pandas as pd
-            bm = np.zeros(nbytes, dtype=np.uint8)
-            for pdf in batches:
-                h1 = pdf["h1"].to_numpy(np.int64).view(np.uint64)
-                h2 = pdf["h2"].to_numpy(np.int64).view(np.uint64)
-                for i in range(k):
-                    idx = _bit_indices(h1, h2, i, m)
-                    np.bitwise_or.at(bm, (idx >> np.uint64(3)).astype(np.int64),
-                                     (np.uint64(1) << (idx & np.uint64(7)))
-                                     .astype(np.uint8))
-            yield pd.DataFrame({"bm": [bm.tobytes()]})
-
-        partials = (df.select(F.xxhash64(col).alias("h1"),
-                              F.xxhash64(col, F.lit(_SALT2)).alias("h2"))
-                    .mapInPandas(build, "bm binary").collect())
-        bm = np.zeros(nbytes, dtype=np.uint8)
-        for r in partials:
-            bm |= np.frombuffer(r["bm"], dtype=np.uint8)
+        bm = _build_bitmap(df, col, m, k)
         model = DigestBloomFilterModel()
         model.set_(inputCol=col)
         model.model_data = {
@@ -108,6 +123,24 @@ class DigestBloomFilterModel(Model, HasInputCol, HasOutputCol):
 
     outputCol = StringParam("outputCol", "Boolean membership column.",
                             "maybe")
+
+    def update(self, new_items: DataFrame) -> "DigestBloomFilterModel":
+        """OR a new batch into the bitmap (same m/k — bloom insertion is
+        monotone and idempotent, so replayed batches are harmless).
+        ``fittedItems`` (sizing capacity at fit, plus each update's
+        insert count) feeds the refit heuristic."""
+        m = int(self.model_data["numBits"])
+        k = int(self.model_data["numHashes"])
+        old = np.frombuffer(base64.b64decode(self.model_data["bitmap"]),
+                            dtype=np.uint8)
+        delta = _build_bitmap(new_items, self.get_("inputCol"), m, k)
+        n1 = new_items.count()
+        self.model_data = {
+            **self.model_data,
+            "bitmap": base64.b64encode((old | delta).tobytes())
+            .decode("ascii"),
+            "fittedItems": int(self.model_data["fittedItems"]) + int(n1)}
+        return self
 
     def _transform(self, df: DataFrame) -> DataFrame:
         import pandas as pd

@@ -59,3 +59,27 @@ def test_bloom_prefilter_composition_exact(spark):
     # and the prefilter really prunes: most of the 3000 fresh digests
     # never reach the join
     assert flagged.where("maybe").count() < 3000 * 0.2 + 1000
+
+
+def test_bloom_incremental_update(spark):
+    a = _digests(spark, 0, 1000)
+    b = _digests(spark, 1000, 2000)
+    model = DigestBloomFilter(inputCol="d", fpp=0.01,
+                              expectedItems=2000).fit(a)
+    # batch b unknown before the update, fully covered after
+    assert model.transform(b)[0].where("maybe").count() < 200
+    model.update(b)
+    assert model.transform(b)[0].where(~F.col("maybe")).count() == 0
+    assert model.transform(a)[0].where(~F.col("maybe")).count() == 0
+    # fit stored the sizing capacity (expectedItems=2000); update adds
+    # the batch's actual insert count for the refit heuristic
+    assert model.model_data["fittedItems"] == 3000
+    # update == fit-on-union, bit for bit (same m/k, OR is associative)
+    both = _digests(spark, 0, 2000)
+    full = DigestBloomFilter(inputCol="d", fpp=0.01,
+                             expectedItems=2000).fit(both)
+    assert full.model_data["bitmap"] == model.model_data["bitmap"]
+    # replayed batch is a no-op on the bitmap (idempotent insertion)
+    bm_before = model.model_data["bitmap"]
+    model.update(b)
+    assert model.model_data["bitmap"] == bm_before
