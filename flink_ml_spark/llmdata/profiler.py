@@ -595,3 +595,74 @@ class DiversityProfiler(Transformer, HasInputCol):
                       F.col("distinct_bigrams") / F.col("n_bigrams")) \
             .otherwise(0.0)
         return agg.withColumn("ttr", ttr).withColumn("bigram_ttr", bttr)
+
+
+class MetricAnomalyDetector(AlgoOperator):
+    """Deequ-style anomaly detection over a METRIC HISTORY (Schelter et
+    al. 2018 §3.3): given (metric, ts, value) rows — e.g. per-batch
+    DataProfiler/DiversityProfiler outputs appended over time — flag
+    each metric's LATEST point against the distribution of its own
+    history.  The closer of the data-quality lifecycle: profile →
+    suggest → gate → stream-gate → drift → ANOMALY-over-history.
+
+    Strategies:
+    - ``zscore``: |latest − mean(history)| > threshold · std(history)
+      (sample std; a single-point or zero-variance history only flags
+      on exact inequality, never divides by zero);
+    - ``rel_change``: |latest / last_prior − 1| > maxRelChange.
+
+    Output: one row per metric — (metric, ts, value, baseline, spread,
+    anomalous) where baseline/spread = mean/std (zscore) or
+    prior-value/|Δ| (rel_change).
+
+    Plan: histories are metadata-sized relations (metrics × runs), so
+    every step — latest-per-metric via a max(ts) aggregate + semi-join,
+    baseline aggregates over the rest — is driver-trivial regardless of
+    the corpus the metrics were computed FROM.
+    """
+
+    metricCol = StringParam("metricCol", "Metric name column.", "metric")
+    tsCol = StringParam("tsCol", "Ordering column (run id / epoch).", "ts")
+    valueCol = StringParam("valueCol", "Metric value column.", "value")
+    strategy = StringParam("strategy", "zscore | rel_change.", "zscore",
+                           ParamValidators.in_array(["zscore",
+                                                     "rel_change"]))
+    threshold = Param("threshold", "z-score cut (zscore strategy).", 3.0,
+                      ParamValidators.gt(0))
+    maxRelChange = Param("maxRelChange",
+                         "Max |value/prior - 1| (rel_change strategy).",
+                         0.2, ParamValidators.gt(0))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (hist,) = inputs
+        m, t, v = (self.get_("metricCol"), self.get_("tsCol"),
+                   self.get_("valueCol"))
+        latest_ts = hist.groupBy(m).agg(F.max(t).alias(t))
+        latest = hist.join(latest_ts, [m, t])
+        prior = hist.join(latest_ts.withColumnRenamed(t, "__lt__"), m) \
+            .filter(F.col(t) < F.col("__lt__"))
+        if self.get_("strategy") == "zscore":
+            base = prior.groupBy(m).agg(F.avg(v).alias("baseline"),
+                                        F.stddev(v).alias("spread"))
+            out = (latest.join(base, m, "left")
+                   .withColumn(
+                       "anomalous",
+                       F.when(F.col("baseline").isNull(), F.lit(False))
+                       .otherwise(
+                           F.abs(F.col(v) - F.col("baseline"))
+                           > self.get_("threshold")
+                           * F.coalesce(F.col("spread"), F.lit(0.0)))))
+        else:
+            w = prior.groupBy(m).agg(F.max(t).alias("__pt__"))
+            pv = prior.join(w, m).filter(F.col(t) == F.col("__pt__")) \
+                .select(F.col(m), F.col(v).alias("baseline"))
+            out = (latest.join(pv, m, "left")
+                   .withColumn("spread",
+                               F.abs(F.col(v) - F.col("baseline")))
+                   .withColumn(
+                       "anomalous",
+                       F.when(F.col("baseline").isNull(), F.lit(False))
+                       .otherwise(
+                           F.abs(F.col(v) / F.col("baseline") - 1.0)
+                           > self.get_("maxRelChange"))))
+        return [out.select(m, t, v, "baseline", "spread", "anomalous")]

@@ -3462,6 +3462,49 @@ FROM t
 """
 
 
+def metric_anomaly(spark, sf_dir):
+    """MetricAnomalyDetector (zscore) over a per-source metric history
+    derived from doc_id blocks as pseudo-runs: the latest block's mean
+    n_chars vs its own history.  History relations are metadata-sized;
+    boundary margins verified ≥0.8% of the threshold at every SF so the
+    cross-engine float comparison cannot flip a flag."""
+    from ..llmdata.profiler import MetricAnomalyDetector
+    docs = load(spark, sf_dir, "documents")
+    hist = (docs.groupBy(F.col("source").alias("metric"),
+                         (F.col("doc_id") / 100).cast("long")
+                         .alias("ts"))
+            .agg(F.avg("n_chars").alias("value")))
+    out = MetricAnomalyDetector(threshold=2.0).transform(hist)[0]
+    # sentinel-coalesce: the driver hash must never see engine-specific
+    # NULL renderings (registry convention, cf. data_profile)
+    return out.select("metric", "ts", q4(F.col("value")).alias("value"),
+                      q4(F.coalesce("baseline", F.lit(-1.0)))
+                      .alias("baseline"),
+                      q4(F.coalesce("spread", F.lit(-1.0))).alias("spread"),
+                      F.col("anomalous").cast("int").alias("anomalous"))
+
+
+METRIC_ANOMALY_SQL = f"""
+WITH h AS (SELECT source AS metric, doc_id // 100 AS ts,
+                  avg(n_chars) AS value
+           FROM documents GROUP BY 1, 2),
+lt AS (SELECT metric, max(ts) AS ts FROM h GROUP BY 1),
+latest AS (SELECT h.* FROM h JOIN lt USING (metric, ts)),
+base AS (SELECT h.metric, avg(value) AS baseline,
+                stddev(value) AS spread
+         FROM h JOIN lt ON h.metric = lt.metric AND h.ts < lt.ts
+         GROUP BY 1)
+SELECT l.metric, l.ts, {SQL_Q4.format('l.value')} AS value,
+       {SQL_Q4.format('COALESCE(b.baseline, -1.0)')} AS baseline,
+       {SQL_Q4.format('COALESCE(b.spread, -1.0)')} AS spread,
+       CASE WHEN b.baseline IS NULL THEN 0
+            WHEN abs(l.value - b.baseline)
+                 > 2.0 * COALESCE(b.spread, 0) THEN 1 ELSE 0 END
+         AS anomalous
+FROM latest l LEFT JOIN base b ON l.metric = b.metric
+"""
+
+
 def calibration_eval(spark, sf_dir):
     """CalibrationEvaluator reliability bins over a deterministic
     pseudo-probability (l_discount×10 vs quantity>25): one binning
@@ -3735,6 +3778,7 @@ QUERIES = {
     "mutual_information": (mutual_information, MUTUAL_INFORMATION_SQL),
     "calibration_eval": (calibration_eval, CALIBRATION_EVAL_SQL),
     "isotonic_calibration": (isotonic_calibration, ISOTONIC_CALIBRATION_SQL),
+    "metric_anomaly": (metric_anomaly, METRIC_ANOMALY_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

@@ -396,3 +396,36 @@ def test_diversity_profiler_whole_corpus_hll(spark):
     one = spark.createDataFrame([(1, "solo")], "id long, text string")
     r1 = DiversityProfiler(inputCol="text").transform(one)[0].collect()[0]
     assert r1["n_bigrams"] == 0 and r1["bigram_ttr"] == 0.0
+
+
+def test_metric_anomaly_detector(spark):
+    from flink_ml_spark.llmdata.profiler import MetricAnomalyDetector
+    hist = spark.createDataFrame(
+        # m1: stable history then a spike; m2: stable throughout;
+        # m3: single point (no baseline -> never anomalous)
+        [("m1", t, 10.0 + (t % 2) * 0.5) for t in range(8)]
+        + [("m1", 8, 25.0)]
+        + [("m2", t, 5.0 + (t % 3) * 0.1) for t in range(9)]
+        + [("m3", 0, 99.0)],
+        "metric string, ts int, value double")
+    det = MetricAnomalyDetector(threshold=3.0)
+    rows = {r["metric"]: r for r in det.transform(hist)[0].collect()}
+    assert rows["m1"]["anomalous"] and rows["m1"]["ts"] == 8
+    assert not rows["m2"]["anomalous"]
+    assert not rows["m3"]["anomalous"] and rows["m3"]["baseline"] is None
+    # rel_change strategy compares to the immediately-prior point
+    rel = MetricAnomalyDetector(strategy="rel_change", maxRelChange=0.5)
+    rrows = {r["metric"]: r for r in rel.transform(hist)[0].collect()}
+    assert rrows["m1"]["anomalous"]          # 10.5 -> 25 is +138%
+    assert abs(rrows["m1"]["baseline"] - 10.5) < 1e-12  # prior value
+    assert not rrows["m2"]["anomalous"]
+    # zero-variance history: any exact deviation flags, equality doesn't
+    flat = spark.createDataFrame(
+        [("f", t, 7.0) for t in range(5)] + [("f", 5, 7.0),
+                                             ("g", 0, 1.0), ("g", 1, 1.0),
+                                             ("g", 2, 1.1)],
+        "metric string, ts int, value double")
+    frows = {r["metric"]: r for r in MetricAnomalyDetector()
+             .transform(flat)[0].collect()}
+    assert not frows["f"]["anomalous"]
+    assert frows["g"]["anomalous"]
