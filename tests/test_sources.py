@@ -72,3 +72,20 @@ def test_parquet_filter_pushdown(spark, sf_dir):
         .filter(F.col("n_chars") > 300).select("doc_id", "n_chars")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "n_chars" in plan
+
+
+def test_orc_roundtrip_with_pushdown(spark, docs, tmp_path):
+    """ORC is the other columnar Spark scans natively: round-trip
+    fidelity vs the parquet source of truth, plus pushed filters and a
+    pruned read schema in the physical plan."""
+    p = str(tmp_path / "docs_orc")
+    docs.write.orc(p)
+    back = spark.read.orc(p)
+    assert _sorted_rows(back) == _sorted_rows(docs)
+    plan = (back.filter(F.col("n_chars") > 500).select("doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [" in plan and "n_chars" in plan.split(
+        "PushedFilters")[1][:120]
+    # pruned scan: only the two referenced columns reach the reader
+    sel = plan.split("ReadSchema")[1][:120]
+    assert "doc_id" in sel and "lang" not in sel
