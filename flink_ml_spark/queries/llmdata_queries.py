@@ -3462,6 +3462,91 @@ FROM t
 """
 
 
+def _isotonic_minimax_ctes(src: str) -> str:
+    """CTE chain computing the isotonic fit of relation ``src`` (must
+    expose x, y): ends in ``isofit(x, yhat)`` via the closed-form
+    ŷ_k = max_{i≤k} min_{j≥k} weightedAvg(i..j) identity (shared by
+    isotonic_calibration and the v10 recipe)."""
+    return f"""
+isog AS (SELECT x, sum(y) AS swy, count(*) AS sw FROM {src} GROUP BY x),
+isoo AS (SELECT x, swy, sw, row_number() OVER (ORDER BY x) AS k FROM isog),
+isoc AS (SELECT k, x, sum(swy) OVER (ORDER BY k) AS cy,
+                sum(sw) OVER (ORDER BY k) AS cw FROM isoo),
+isopairs AS (SELECT i.k AS i, j.k AS j,
+                    (j.cy - COALESCE(ip.cy, 0))
+                      / (j.cw - COALESCE(ip.cw, 0)) AS m
+             FROM isoc i JOIN isoc j ON j.k >= i.k
+             LEFT JOIN isoc ip ON ip.k = i.k - 1),
+isoinner AS (SELECT p.i, k.k, min(p.m) AS mn
+             FROM isopairs p JOIN isoc k ON p.j >= k.k AND p.i <= k.k
+             GROUP BY p.i, k.k),
+isofit AS (SELECT o.x, f.yhat
+           FROM (SELECT k, max(mn) AS yhat FROM isoinner GROUP BY k) f
+           JOIN isoo o USING (k))"""
+
+
+def llm_prep_pipeline_v10(spark, sf_dir):
+    """Corpus-prep v10 — the CALIBRATED-CASCADE recipe: a cheap corpus-LM
+    score everywhere, the (notionally expensive) Gopher gate as labels,
+    isotonic calibration turning the score into P(passes gate), and the
+    final keep decision made in probability space (P ≥ 0.5) — the
+    standard cheap-scorer/expensive-gate cascade with a principled
+    threshold.  Per-lang accounting of the calibrated survivors.
+
+    Scale: LM fit = one count agg; scoring zero-shuffle; calibration
+    fit = distinct-score-sized (scores binned to 1 decimal); the final
+    gate is a row filter on an interpolated probability.  The oracle
+    replays LM + Gopher labels + the minimax isotonic identity."""
+    from ..llmdata import GopherQualityFilter, UnigramLMScorer
+    from ..regression import IsotonicRegression
+    docs = load(spark, sf_dir, "documents")
+    lm = UnigramLMScorer(inputCol="text", outputCol="lm_score",
+                         vocabSize=50_000).fit(docs)
+    scored = (lm.transform(docs)[0]
+              .withColumn("s", F.round("lm_score", 1)))
+    # minRequiredStopwords=1: the synthetic vocab carries one Gopher
+    # stopword ('the'), so the default of 2 would zero every label and
+    # degenerate the calibration
+    gated = GopherQualityFilter(inputCol="text",
+                                minRequiredStopwords=1).transform(scored)[0]
+    labeled = gated.select("doc_id", "lang", "s",
+                           F.col("keep").cast("double").alias("y"))
+    iso = IsotonicRegression(featureCol="s", labelCol="y").fit(labeled)
+    cal = iso.set_(predictionCol="p").transform(labeled)[0]
+    kept = cal.filter(F.col("p") >= 0.5)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_kept"),
+                 q4(F.avg("p")).alias("avg_p")))
+
+
+def _llm_prep_v10_sql() -> str:
+    lm_body = f"""
+toks AS (SELECT doc_id, unnest({TOKS}) AS t FROM documents),
+cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+konst AS (SELECT sum(c) AS total, count(*) AS v FROM cnt),
+vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 50000),
+lmscored AS (
+  SELECT tk.doc_id,
+         avg(ln(COALESCE(vb.c + 1, 1) * 1.0
+                / (k.total + least(k.v, 50000) + 1))) AS lm_score
+  FROM toks tk LEFT JOIN vocab vb USING (t), konst k
+  GROUP BY tk.doc_id),
+labeled AS (
+  SELECT d.doc_id, d.lang,
+         ROUND(COALESCE(s.lm_score, 0.0), 1) AS x,
+         CASE WHEN {_gopher_keep_sql(50, 1)} THEN 1.0 ELSE 0.0 END AS y
+  FROM documents d LEFT JOIN lmscored s USING (doc_id))"""
+    return (f"WITH {lm_body}, {_isotonic_minimax_ctes('labeled')}, "
+            "cal AS (SELECT l.lang, f.yhat AS p FROM labeled l "
+            "JOIN isofit f ON f.x = l.x) "
+            "SELECT lang, CAST(count(*) AS INT) AS n_kept, "
+            f"{SQL_Q4.format('avg(p)')} AS avg_p "
+            "FROM cal WHERE p >= 0.5 GROUP BY lang")
+
+
+LLM_PREP_V10_SQL = _llm_prep_v10_sql()
+
+
 def metric_anomaly(spark, sf_dir):
     """MetricAnomalyDetector (zscore) over a per-source metric history
     derived from doc_id blocks as pseudo-runs: the latest block's mean
@@ -3779,6 +3864,7 @@ QUERIES = {
     "calibration_eval": (calibration_eval, CALIBRATION_EVAL_SQL),
     "isotonic_calibration": (isotonic_calibration, ISOTONIC_CALIBRATION_SQL),
     "metric_anomaly": (metric_anomaly, METRIC_ANOMALY_SQL),
+    "llm_prep_pipeline_v10": (llm_prep_pipeline_v10, LLM_PREP_V10_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),
