@@ -3640,26 +3640,15 @@ def isotonic_calibration(spark, sf_dir):
                       q4(F.col("fitted")).alias("fitted"))
 
 
-ISOTONIC_CALIBRATION_SQL = f"""
-WITH s AS (SELECT l_discount * 10 AS x,
-                  CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS y
-           FROM lineitem),
-g AS (SELECT x, sum(y) AS swy, count(*) AS sw FROM s GROUP BY x),
-o AS (SELECT x, swy, sw, row_number() OVER (ORDER BY x) AS k FROM g),
-c AS (SELECT k, x, sum(swy) OVER (ORDER BY k) AS cy,
-             sum(sw) OVER (ORDER BY k) AS cw FROM o),
-pairs AS (SELECT i.k AS i, j.k AS j,
-                 (j.cy - COALESCE(ip.cy, 0)) / (j.cw - COALESCE(ip.cw, 0))
-                   AS m
-          FROM c i JOIN c j ON j.k >= i.k
-          LEFT JOIN c ip ON ip.k = i.k - 1),
-inner_min AS (SELECT p.i, k.k, min(p.m) AS mn
-              FROM pairs p JOIN c k ON p.j >= k.k AND p.i <= k.k
-              GROUP BY p.i, k.k),
-fit AS (SELECT k, max(mn) AS yhat FROM inner_min GROUP BY k)
-SELECT {SQL_Q4.format('o.x')} AS x, {SQL_Q4.format('fit.yhat')} AS fitted
-FROM fit JOIN o USING (k)
-"""
+def _isotonic_calibration_sql() -> str:
+    return (f"WITH s AS (SELECT l_discount * 10 AS x, "
+            f"CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS y "
+            f"FROM lineitem), {_isotonic_minimax_ctes('s')} "
+            f"SELECT {SQL_Q4.format('x')} AS x, "
+            f"{SQL_Q4.format('yhat')} AS fitted FROM isofit")
+
+
+ISOTONIC_CALIBRATION_SQL = _isotonic_calibration_sql()
 
 
 def mutual_information(spark, sf_dir):
