@@ -90,7 +90,7 @@ def all_queries():
         "llm_prep_pipeline_v9", "incremental_dedup_bloom",
         "diversity_profile", "hybrid_retrieval", "bm25_incremental",
         "mutual_information", "calibration_eval", "isotonic_calibration",
-        "metric_anomaly", "llm_prep_pipeline_v10",
+        "metric_anomaly", "llm_prep_pipeline_v10", "curriculum_order",
         "data_profile", "constraint_gate", "profile_drift", "corr_matrix",
         "frequent_items", "streaming_quality_gate",
         "bm25_retrieval", "llm_prep_pipeline_v8",

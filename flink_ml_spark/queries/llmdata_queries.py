@@ -1627,6 +1627,51 @@ SELECT doc_id, CAST(order_key % 8 AS INT) AS shard, order_key FROM keyed
 """
 
 
+def curriculum_order(spark, sf_dir):
+    """Curriculum data ordering (Bengio et al. 2009 applied to corpus
+    prep): easy-first difficulty buckets from the corpus-LM score
+    (bucket = ⌊−avg-logprob⌋ — smaller = more predictable = easier),
+    with CorpusShuffler's epoch-keyed pseudo-random order WITHIN each
+    bucket.  A sharded writer consuming (bucket, shard, order_key)
+    emits a reproducible curriculum: all zero-shuffle labeling — the
+    one physical reorder belongs to the consumer's write, exactly as in
+    corpus_shuffle."""
+    from ..llmdata import CorpusShuffler, UnigramLMScorer
+    docs = load(spark, sf_dir, "documents")
+    lm = UnigramLMScorer(inputCol="text", outputCol="lm_score",
+                         vocabSize=50_000).fit(docs)
+    scored = lm.transform(docs)[0]
+    keyed = CorpusShuffler(idCol="doc_id", numShards=8, epoch=1,
+                           salt=13).transform(scored)[0]
+    return keyed.select(
+        "doc_id",
+        F.floor(-F.col("lm_score")).cast("int").alias("bucket"),
+        "shard", "order_key")
+
+
+CURRICULUM_ORDER_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS t FROM documents),
+cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+konst AS (SELECT sum(c) AS total, count(*) AS v FROM cnt),
+vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 50000),
+lmscored AS (
+  SELECT tk.doc_id,
+         avg(ln(COALESCE(vb.c + 1, 1) * 1.0
+                / (k.total + least(k.v, 50000) + 1))) AS lm_score
+  FROM toks tk LEFT JOIN vocab vb USING (t), konst k
+  GROUP BY tk.doc_id),
+keyed AS (
+  SELECT d.doc_id,
+         CAST(floor(-COALESCE(s.lm_score, 0.0)) AS INT) AS bucket,
+         xor((((d.doc_id % 2147483648) + 2147483648) % 2147483648
+              * 2654435761 + 13) % 2147483648,
+             2654435761 % 2147483648) AS order_key
+  FROM documents d LEFT JOIN lmscored s USING (doc_id))
+SELECT doc_id, bucket, CAST(order_key % 8 AS INT) AS shard, order_key
+FROM keyed
+"""
+
+
 def llm_prep_pipeline_v3(spark, sf_dir):
     """Round-3 corpus-prep flagship composing the new gates in at-scale
     order — cheapest first: Gopher rule filter (zero-shuffle) →
@@ -3854,6 +3899,7 @@ QUERIES = {
     "isotonic_calibration": (isotonic_calibration, ISOTONIC_CALIBRATION_SQL),
     "metric_anomaly": (metric_anomaly, METRIC_ANOMALY_SQL),
     "llm_prep_pipeline_v10": (llm_prep_pipeline_v10, LLM_PREP_V10_SQL),
+    "curriculum_order": (curriculum_order, CURRICULUM_ORDER_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),
