@@ -43,8 +43,9 @@ HEADLINE = [
     "elementwise_product", "interaction", "polynomial_expansion", "dct",
     "variance_threshold", "univariate_feature_selector",
     "naive_bayes", "chisq_test", "anova_test", "fvalue_test",
-    "corr_matrix", "mutual_information", "data_profile", "constraint_gate",
-    "profile_drift",
+    "corr_matrix", "mutual_information", "calibration_eval",
+    "isotonic_calibration", "metric_anomaly", "data_profile",
+    "constraint_gate", "profile_drift",
     "frequent_items", "profile_quantiles", "diversity_profile",
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",
     "stateful_sessions", "asof_join", "range_join", "sliding_windows",
@@ -59,7 +60,7 @@ HEADLINE = [
     "html_extract", "c4_line_filter", "url_normalize", "word_blocklist",
     "domain_mixture", "temperature_mixture", "stratified_budget",
     "token_drift",
-    "corpus_shuffle",
+    "corpus_shuffle", "curriculum_order",
     "sequence_packing",
     "document_chunking",
     # tokenize/vocab + Arrow-UDF-heavy pipelines
@@ -75,6 +76,7 @@ HEADLINE = [
     "ann_bruteforce",
     "embedding_dedup_lsh", "embedding_quantize", "pca_whiten", "bm25_scoring",
     "bm25_retrieval", "retrieval_eval", "bm25_indexed", "hybrid_retrieval",
+    "bm25_incremental",
     "ann_ivf_pq", "semantic_dedup", "ann_recall", "embedding_drift",
     "dup_spans", "dup_span_removal", "decontamination", "contamination_score",
     "llm_prep_pipeline",
