@@ -112,3 +112,24 @@ def test_reciprocal_rank_fusion(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ReciprocalRankFusion().transform(bm)
+
+
+def test_rrf_run_order_invariance(spark):
+    from flink_ml_spark.evaluation import ReciprocalRankFusion
+    import random
+    rnd = random.Random(3)
+    runs = []
+    for _ in range(3):
+        rows = [(q, d, r + 1)
+                for q in (1, 2)
+                for r, d in enumerate(rnd.sample(range(100, 120), 8))]
+        runs.append(spark.createDataFrame(
+            rows, "query_id long, doc_id long, rank int"))
+    f = ReciprocalRankFusion(k=5)
+    a = sorted(tuple(r) for r in f.transform(*runs)[0].collect())
+    b = sorted(tuple(r) for r in f.transform(*reversed(runs))[0].collect())
+    assert a == b  # fusion is symmetric in its input runs
+    # rrfK monotonicity sanity: scores shrink as the damping grows
+    hi = ReciprocalRankFusion(k=5, rrfK=600).transform(*runs)[0]
+    assert max(r["rrf"] for r in hi.collect()) < \
+        max(r["rrf"] for r in f.transform(*runs)[0].collect())
