@@ -1201,8 +1201,10 @@ class Bm25IndexModel(Model):
         Contract: the index must have been built WITHOUT
         maxDocFreq/maxPostingsPerToken pruning (pruned-away postings
         cannot be resurrected; prune at query-serving rebuilds instead).
-        Chained updates stack lineage — ``save`` (parquet) is the
-        intended checkpoint between ingest batches."""
+        The merged relation is localCheckpointed (the streaming-store
+        pattern) so chained updates never stack lineage and queries
+        don't re-run the merge — measured 4.4s → 2.8-4.1s warm at
+        sf0.1; ``save`` (parquet) remains the durable checkpoint."""
         idc, txt = self.get_("idCol"), self.get_("textCol")
         toks = _tokens(F.coalesce(F.col(txt), F.lit("")))
         s = new_docs.agg(F.count(F.lit(1)).alias("n1"),
@@ -1238,7 +1240,7 @@ class Bm25IndexModel(Model):
         self.model_data = {
             "numDocs": n0 + n1,
             "avgDocLen": (n0 * avgdl0 + s1) / (n0 + n1)}
-        self.postings = merged
+        self.postings = merged.localCheckpoint(eager=True)
         return self
 
     # table-shaped model data: postings go to parquet (KnnModel pattern)
