@@ -26,10 +26,14 @@ def array_to_vector(col) -> Column:
 
 
 def array_to_sparse(col) -> Column:
-    """Dense array<double> → sparse struct (drop zeros, sorted indices)."""
+    """Dense array<double> → sparse struct (drop zeros, sorted indices).
+    Zero-length input short-circuits: sequence(0, -1) descends to
+    [0, -1] and element_at(c, 0) raises."""
     c = F.col(col) if isinstance(col, str) else col
-    idx = F.filter(F.sequence(F.lit(0), F.size(c) - 1),
-                   lambda i: F.element_at(c, i + 1) != 0.0)
+    idx = F.when(F.size(c) > 0,
+                 F.filter(F.sequence(F.lit(0), F.size(c) - 1),
+                          lambda i: F.element_at(c, i + 1) != 0.0)) \
+        .otherwise(F.array().cast("array<int>"))
     vals = F.transform(idx, lambda i: F.element_at(c, i + 1))
     return F.struct(F.size(c).alias("size"), idx.cast("array<int>").alias("indices"),
                     vals.alias("values"))

@@ -570,7 +570,9 @@ class DiversityProfiler(Transformer, HasInputCol):
     def _transform(self, df: DataFrame) -> DataFrame:
         from .textanalysis import _tokens
         toks = _tokens(F.col(self.get_("inputCol")))
-        m = F.size(toks) - 1
+        # greatest(.., 0): slice() raises on negative length for an
+        # empty/whitespace-only document (zero tokens)
+        m = F.greatest(F.size(toks) - 1, F.lit(0))
         bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
                              lambda x, y: F.concat_ws(" ", x, y))
         tag = lambda arr, k: F.transform(

@@ -735,7 +735,9 @@ class RepetitionScorer(Transformer, HasInputCol):
             lambda d: F.size(F.filter(toks, lambda t: t == d))))
         top_word_frac = F.when(n_tok > 0,
                                top_word.cast("double") / n_tok).otherwise(0.0)
-        m = n_tok - 1
+        # greatest(.., 0): slice() raises on negative length when a
+        # document tokenizes to nothing (empty/whitespace-only text)
+        m = F.greatest(n_tok - 1, F.lit(0))
         bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
                              lambda x, y: F.concat_ws(" ", x, y))
         top_bi = F.array_max(F.transform(

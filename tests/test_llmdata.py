@@ -1592,3 +1592,27 @@ def test_pii_ccnum_luhn_redaction(spark):
     base = PIIRedactor(inputCol="text", outputCol="red").transform(df)[0]
     assert "pii_ccnum_count" not in base.columns
     assert base.filter(base.red.contains("4111111111111111")).count() == 1
+
+
+def test_empty_text_zero_token_guards(spark):
+    """Empty / whitespace-only docs must not crash the bigram slices
+    (slice() raises on negative length) nor array_to_sparse (sequence
+    descends and element_at(c, 0) raises on zero-size input)."""
+    from flink_ml_spark.llmdata import DiversityProfiler
+    from flink_ml_spark.llmdata.textanalysis import RepetitionScorer
+    from flink_ml_spark.feature.functions import array_to_sparse
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "a b a")],
+                               "id long, text string")
+    prof = DiversityProfiler(inputCol="text").transform(df)[0].collect()[0]
+    assert prof["n_tokens"] == 3 and prof["n_bigrams"] == 2
+    reps = {r["id"]: r for r in
+            RepetitionScorer(inputCol="text").transform(df)[0].collect()}
+    assert reps[1]["rep_top_word_frac"] == 0.0
+    assert reps[3]["rep_top_word_frac"] > 0.5
+    vec = spark.createDataFrame([(1, []), (2, [0.0, 2.5])],
+                                "id long, v array<double>")
+    rows = {r["id"]: r["s"] for r in
+            vec.select("id", array_to_sparse("v").alias("s")).collect()}
+    assert rows[1]["size"] == 0 and list(rows[1]["indices"]) == []
+    assert list(rows[2]["indices"]) == [1]
