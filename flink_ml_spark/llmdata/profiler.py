@@ -577,7 +577,13 @@ class DiversityProfiler(Transformer, HasInputCol):
                              lambda x, y: F.concat_ws(" ", x, y))
         tag = lambda arr, k: F.transform(
             arr, lambda v: F.struct(F.lit(k).alias("k"), v.alias("v")))
-        items = F.explode(F.concat(tag(toks, 1), tag(bigrams, 2)))
+        # explode_OUTER: a group whose documents all tokenize to nothing
+        # must still emit an n_tokens=0 row (an all-boilerplate-empty
+        # group silently missing from a corpus-health report is exactly
+        # the failure the report exists to catch); the when() projections
+        # below count only non-null items, so the null placeholder row
+        # contributes zero to every aggregate
+        items = F.explode_outer(F.concat(tag(toks, 1), tag(bigrams, 2)))
         grp = self.get_("groupByCol")
         keys = [grp] if grp else []
         sel = df.select(*keys, items.alias("it"))

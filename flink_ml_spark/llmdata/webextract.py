@@ -175,7 +175,12 @@ class C4LineFilter(Transformer, HasInputCol, HasOutputCol):
 # (tiny public-suffix approximation; swap in the full PSL as a broadcast
 # map for production)
 _SECOND_LEVEL = ["co", "com", "net", "org", "ac", "gov", "edu"]
-_TRACKING = r"(?i)(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid)=[^&#]*"
+# anchored to the parameter boundary ([?&], re-emitted via group 1) so
+# suffix matches can't fire: '?xgclid=abc' / '?myutm_source=1' are NOT
+# tracking params and must survive (ADVICE r04 — the unanchored form
+# mangled them, corrupting URLs used as dedup keys)
+_TRACKING = (r"(?i)([?&])"
+             r"(?:utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid)=[^&#]*")
 
 
 class UrlNormalizer(Transformer, HasInputCol):
@@ -206,7 +211,7 @@ class UrlNormalizer(Transformer, HasInputCol):
         u = F.regexp_replace(u, r"#.*$", "")          # fragment
         # strip userinfo: credentials must never survive into corpus keys
         u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)[^/@?#]*@", r"$1")
-        u = F.regexp_replace(u, _TRACKING, "")        # tracking params
+        u = F.regexp_replace(u, _TRACKING, r"$1")     # tracking params
         # tidy the holes the param strip leaves (?&x / a=1&&b=2 / tails);
         # no lookaheads anywhere — RE2 (the oracle engine) lacks them
         u = F.regexp_replace(u, r"&&+", "&")
@@ -243,7 +248,7 @@ class UrlNormalizer(Transformer, HasInputCol):
                 u = m.group(1).lower() + u[m.end():]
             u = re.sub(r"#.*$", "", u)
             u = re.sub(r"^([a-z][a-z0-9+.-]*://)[^/@?#]*@", r"\1", u)
-            u = re.sub(_TRACKING, "", u)
+            u = re.sub(_TRACKING, r"\1", u)
             u = re.sub(r"&&+", "&", u)
             u = re.sub(r"\?&", "?", u)
             u = re.sub(r"[?&]+$", "", u)

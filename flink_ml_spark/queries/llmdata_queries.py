@@ -3713,7 +3713,8 @@ tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, sum(c) AS n_raw FROM j),
 mx AS (SELECT lang, sum(c) AS cx FROM j GROUP BY lang),
 my AS (SELECT source, sum(c) AS cy FROM j GROUP BY source),
 mirel AS (SELECT sum((j.c / t.n) * ln(j.c * t.n / (mx.cx * my.cy))) AS mi
-          FROM j JOIN mx USING (lang) JOIN my USING (source)
+          FROM j JOIN mx ON j.lang IS NOT DISTINCT FROM mx.lang
+                 JOIN my ON j.source IS NOT DISTINCT FROM my.source
           CROSS JOIN tot t),
 hx AS (SELECT sum((cx / t.n) * -ln(cx / t.n)) AS h FROM mx CROSS JOIN tot t),
 hy AS (SELECT sum((cy / t.n) * -ln(cy / t.n)) AS h FROM my CROSS JOIN tot t)

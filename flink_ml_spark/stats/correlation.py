@@ -69,10 +69,16 @@ class MutualInformation(AlgoOperator):
     shares no information).
 
     Plan: ONE corpus scan builds the joint contingency ``groupBy(x, y)``
-    (map-side partial-combined); marginals and entropies re-aggregate
-    the joint relation, which is cardinality-sized (|X|·|Y| rows), not
-    corpus-sized — so every post-scan step is metadata work.  NULL is a
-    category like any other (both engines group it).
+    (map-side partial-combined); the contingency is cardinality-sized
+    (|X|·|Y| rows) by construction, so it is collected once and the
+    MI/entropy sums run driver-side in numpy over CANONICALLY SORTED
+    keys — bit-deterministic regardless of partitioning (a distributed
+    ``F.sum`` over doubles is partition-order dependent, and the r04
+    driver environment produced a different last-ulp value than the
+    local run on exactly that path).  NULL is a category like any other
+    (the groupBy keeps it, and the driver-side marginals key on the raw
+    value, so no null-unsafe join can drop NULL cells from the MI sum
+    while leaving them in n and the entropies).
     """
 
     xCol = StringParam("xCol", "First categorical column.", "x")
@@ -81,24 +87,32 @@ class MutualInformation(AlgoOperator):
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
         x, y = self.get_("xCol"), self.get_("yCol")
-        joint = df.groupBy(x, y).agg(F.count(F.lit(1)).alias("c")) \
-            .localCheckpoint(eager=True)  # cardinality-sized; reused 3x
-        n = joint.agg(F.sum("c")).first()[0] or 0
+        rows = df.groupBy(x, y).agg(F.count(F.lit(1)).alias("c")).collect()
+        n = sum(r["c"] for r in rows)
         if n == 0:
             return [df.sparkSession.createDataFrame(
                 [(0, 0.0, 0.0)], "n long, mi double, nmi double")]
-        mx = joint.groupBy(x).agg(F.sum("c").alias("cx"))
-        my = joint.groupBy(y).agg(F.sum("c").alias("cy"))
+        # canonical key order (NULLs last) -> fixed summation order
+        key = lambda v: (v is None, 0 if v is None else v)
+        cells = sorted(((r[x], r[y], r["c"]) for r in rows),
+                       key=lambda t: (key(t[0]), key(t[1])))
+        cx: dict = {}
+        cy: dict = {}
+        for kx, ky, c in cells:
+            cx[kx] = cx.get(kx, 0) + c
+            cy[ky] = cy.get(ky, 0) + c
         nf = float(n)
-        mi = (joint.join(F.broadcast(mx), x).join(F.broadcast(my), y)
-              .select(F.sum((F.col("c") / nf)
-                            * F.log(F.col("c") * nf
-                                    / (F.col("cx") * F.col("cy"))))
-                      .alias("mi")).first()["mi"])
-        ent = (lambda m, c: m.select(
-            F.sum((F.col(c) / nf) * -F.log(F.col(c) / nf)).alias("h"))
-            .first()["h"])
-        hx, hy = ent(mx, "cx"), ent(my, "cy")
+        c_arr = np.array([c for _, _, c in cells], dtype=np.float64)
+        cx_arr = np.array([cx[kx] for kx, _, _ in cells], dtype=np.float64)
+        cy_arr = np.array([cy[ky] for _, ky, _ in cells], dtype=np.float64)
+        mi = float(np.sum((c_arr / nf)
+                          * np.log(c_arr * nf / (cx_arr * cy_arr))))
+        def ent(marg: dict) -> float:
+            a = np.array([marg[k] for k in sorted(marg, key=key)],
+                         dtype=np.float64)
+            return float(np.sum((a / nf) * -np.log(a / nf)))
+
+        hx, hy = ent(cx), ent(cy)
         denom = (hx * hy) ** 0.5
         nmi = (mi / denom) if denom > 0 else 0.0
         return [df.sparkSession.createDataFrame(

@@ -218,3 +218,40 @@ def test_bm25_index_update_from_empty_and_empty_batch(spark):
     want = {tuple(r) for r in Bm25Index().fit(docs).postings.collect()}
     assert {tuple(r) for r in m0.postings.collect()} == want
     assert m0.model_data["numDocs"] == 2
+
+
+def test_bm25_index_fit_propagates_textcol(spark):
+    """fit() must hand textCol to the model: update() on a model fit
+    with a non-default text column used to tokenize 'text' (ADVICE r04
+    — silently indexing the wrong column)."""
+    from flink_ml_spark.llmdata import Bm25Index
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} common body", "DECOY DECOY")
+         for i in range(20)], "doc_id long, body string, text string")
+    full = Bm25Index(textCol="body").fit(docs)
+    inc = (Bm25Index(textCol="body").fit(docs.filter("doc_id % 2 = 0"))
+           .update(docs.filter("doc_id % 2 = 1")))
+    assert inc.get_("textCol") == "body"
+    a = {tuple(r) for r in full.postings.collect()}
+    b = {tuple(r) for r in inc.postings.collect()}
+    assert a == b  # no 'DECOY' tokens: update used body, not text
+
+
+def test_bm25_index_update_rejects_pruned(spark):
+    """A model fit with pruning records the fact and update() raises
+    (ADVICE r04: the no-pruning contract was documented but unenforced
+    — a violating update silently produced wrong df/idf)."""
+    import pytest
+    from flink_ml_spark.llmdata import Bm25Index
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} common") for i in range(20)],
+        "doc_id long, text string")
+    m = Bm25Index(maxDocFreq=10).fit(docs)
+    assert m.model_data["pruned"] is True
+    with pytest.raises(ValueError, match="pruned|maxDocFreq"):
+        m.update(docs)
+    # unpruned fit records pruned=False and still updates fine
+    m2 = Bm25Index().fit(docs.filter("doc_id % 2 = 0"))
+    assert m2.model_data["pruned"] is False
+    m2.update(docs.filter("doc_id % 2 = 1"))
+    assert m2.model_data["numDocs"] == 20

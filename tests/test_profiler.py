@@ -398,6 +398,24 @@ def test_diversity_profiler_whole_corpus_hll(spark):
     assert r1["n_bigrams"] == 0 and r1["bigram_ttr"] == 0.0
 
 
+def test_diversity_profiler_empty_group_emits_zero_row(spark):
+    """A group whose documents all tokenize to nothing must appear in
+    the report as an n_tokens=0 row, not vanish (ADVICE r04: plain
+    explode dropped it — an all-boilerplate-empty cohort silently
+    missing is exactly what the corpus-health report exists to catch)."""
+    from flink_ml_spark.llmdata import DiversityProfiler
+    df = spark.createDataFrame(
+        [(1, "ok", "a b c"), (2, "empty", ""), (3, "empty", "   ")],
+        "id long, g string, text string")
+    rows = {r["g"]: r for r in DiversityProfiler(
+        inputCol="text", groupByCol="g", exactDistinct=True)
+        .transform(df)[0].collect()}
+    assert set(rows) == {"ok", "empty"}
+    e = rows["empty"]
+    assert (e["n_tokens"], e["distinct_tokens"], e["n_bigrams"]) == (0, 0, 0)
+    assert e["ttr"] == 0.0 and e["bigram_ttr"] == 0.0
+
+
 def test_metric_anomaly_detector(spark):
     from flink_ml_spark.llmdata.profiler import MetricAnomalyDetector
     hist = spark.createDataFrame(

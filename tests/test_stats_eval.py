@@ -189,6 +189,16 @@ def test_mutual_information(spark):
                                   "x string, y string")
     r = MutualInformation(xCol="x", yCol="y").transform(const)[0].first()
     assert r["mi"] == 0.0 and r["nmi"] == 0.0
+    # NULL is a category like any other: (a,a)x2 + (NULL,NULL)x2 is
+    # perfect dependence over two categories -> MI = ln 2, NMI = 1
+    # (ADVICE r04: null-unsafe joins used to drop the NULL cell from the
+    # MI sum while n and the entropies kept it)
+    nul = spark.createDataFrame(
+        [("a", "a")] * 2 + [(None, None)] * 2, "x string, y string")
+    r = MutualInformation(xCol="x", yCol="y").transform(nul)[0].first()
+    assert r["n"] == 4
+    assert abs(r["mi"] - math.log(2)) < 1e-12
+    assert abs(r["nmi"] - 1.0) < 1e-12
 
 
 def test_calibration_evaluator(spark):

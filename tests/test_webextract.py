@@ -100,6 +100,30 @@ def test_url_normalizer(spark):
     assert out[6]["url_domain"] == "localhost"
 
 
+def test_url_normalizer_tracking_anchored(spark):
+    """The tracking-param strip is anchored to a [?&] boundary: suffix
+    matches ('?xgclid=', '?myutm_source=') are NOT tracking params and
+    must survive untouched (ADVICE r04 — the unanchored pattern mangled
+    them, corrupting URLs used as dedup keys)."""
+    rows = [
+        (1, "https://a.example.com/p?xgclid=abc"),
+        (2, "https://a.example.com/p?myutm_source=1&b=2"),
+        (3, "https://a.example.com/p?gclid=abc&utm_source=x"),
+        (4, "https://a.example.com/p?a=1&gclid=x&b=2"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    n = UrlNormalizer(inputCol="url")
+    out = {r["id"]: r["url_norm"] for r in n.transform(df)[0].collect()}
+    assert out[1] == "https://a.example.com/p?xgclid=abc"
+    assert out[2] == "https://a.example.com/p?myutm_source=1&b=2"
+    assert out[3] == "https://a.example.com/p"
+    assert out[4] == "https://a.example.com/p?a=1&b=2"
+    # local parity on the same cases
+    pdf = n.transform_local(df.toPandas())
+    for _, r in pdf.iterrows():
+        assert r["url_norm"] == out[r["id"]]
+
+
 def test_url_normalizer_local_parity(spark):
     df = spark.createDataFrame(URLS, "id long, url string")
     n = UrlNormalizer(inputCol="url")
