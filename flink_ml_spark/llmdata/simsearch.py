@@ -563,19 +563,27 @@ class SemanticDeduplicator(AlgoOperator, HasSeed, HasDistanceMeasure):
     idCol = StringParam("idCol", "Id column.", "id")
     vecCol = StringParam("vecCol", "Embedding column.", "embedding")
     threshold = FloatParam("threshold", "Cosine threshold.", 0.95)
-    numClusters = IntParam("numClusters", "KMeans cells.", 8,
-                           ParamValidators.gt(1))
+    numClusters = IntParam(
+        "numClusters",
+        "KMeans cells.  A FIXED cell count is a scale trap: the within-"
+        "cell self-join costs Σ|cell|² ≈ n²/numClusters — quadratic in "
+        "corpus size at constant cells.  None (default) derives ≈ √n "
+        "(clamped [16, 4096], one count() job, mirroring IVFIndex.nlist) "
+        "so expected per-cell pair work stays constant as n grows.",
+        None, lambda v: v is None or v > 1)
     maxIter = IntParam("maxIter", "KMeans iterations.", 3,
                        ParamValidators.gt(0))
     maxCellSize = IntParam(
         "maxCellSize", "Cells with more members than this are EXCLUDED "
-        "from pair generation (None = no cap).  The safety valve against "
-        "a degenerate cell (e.g. a boilerplate/zero-embedding spike) "
-        "turning the within-cell self-join quadratic — same shape as "
-        "maxShingleDocFreq / maxBandDocFreq on the text-dedup paths.  "
-        "Exact duplicates should be collapsed by ExactDeduplicator "
-        "UPSTREAM: identical vectors are inherently all-pairs and no "
-        "bucketing scheme can sub-divide them.", None)
+        "from pair generation.  None (default) derives 32 × the expected "
+        "cell size ⌈n/numClusters⌉ — generous to real density skew but "
+        "finite, so one degenerate cell (a boilerplate/zero-embedding "
+        "spike) can cost at most (32·n/k)² pairs instead of n².  Pass an "
+        "explicit int to override, or 0 to disable the cap entirely.  "
+        "Same shape as maxShingleDocFreq / maxBandDocFreq on the "
+        "text-dedup paths.  Exact duplicates should be collapsed by "
+        "ExactDeduplicator UPSTREAM: identical vectors are inherently "
+        "all-pairs and no bucketing scheme can sub-divide them.", None)
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
@@ -587,8 +595,18 @@ class SemanticDeduplicator(AlgoOperator, HasSeed, HasDistanceMeasure):
                        maxIter=self.get_("maxIter"),
                        distanceMeasure=self.get_("distanceMeasure"),
                        seed=self.get_("seed")).fit(v)
-        cells = idx.transform(v)[0].select("id", "cell")
+        # (id, cell) is 2 narrow columns — checkpoint it so the candidate
+        # self-join doesn't re-run the Arrow assignment UDF on BOTH join
+        # sides (no CSE across self-joins; the signature-relation rule
+        # from the minhash/simhash deduplicators).  r04 measured the
+        # re-execution at ~2× the whole operator's useful work.
+        cells = idx.transform(v)[0].select("id", "cell") \
+            .localCheckpoint(eager=True)
         cap = self.get_("maxCellSize")
+        if cap is None:
+            n = cells.count()  # cheap: reads the checkpointed blocks
+            k = len(idx.model_data["centroids"])
+            cap = 32 * -(-n // k) if n else 0
         if cap:
             sizes = cells.groupBy("cell").agg(F.count("*").alias("__n__"))
             keep = sizes.filter(F.col("__n__") <= cap).select("cell")

@@ -81,54 +81,39 @@ def all_queries():
     # ones needing fresh evidence first (local tools/check_oracle.py covers
     # the full set every session regardless).
     prio = [
-        # the only registry entry with zero driver evidence across r01-r03
-        # (r03 err: array<string> output broke the driver canonicalizer;
-        # fixed this round to emit a scalar string) — must lead
-        "bpe_tokenize",
-        # new in round 4 (no prior driver evidence)
-        "html_extract", "c4_line_filter", "url_normalize", "word_blocklist",
-        "llm_prep_pipeline_v9", "incremental_dedup_bloom",
-        "diversity_profile", "hybrid_retrieval", "bm25_incremental",
-        "mutual_information", "calibration_eval", "isotonic_calibration",
-        "metric_anomaly", "llm_prep_pipeline_v10", "curriculum_order",
-        "data_profile", "constraint_gate", "profile_drift", "corr_matrix",
-        "frequent_items", "streaming_quality_gate",
-        "bm25_retrieval", "llm_prep_pipeline_v8",
-        "retrieval_eval",
-        "dsir_select", "dsir_bigram", "token_drift", "llm_prep_pipeline_v7",
-        "embedding_drift", "streaming_drift", "pii_ccnum",
-        "snapshot_diff", "dedup_recall",
-        "incremental_dedup_bucketed", "minhash_join_skewsafe",
-        "quality_classifier", "llm_prep_pipeline_v5", "stratified_budget",
-        "char_entropy", "dup_span_removal", "ann_recall", "llm_prep_pipeline_v6",
-        # latest driver evidence is round 1 (28 queries; unchanged code —
-        # the r02/r03 caps rotated them out) — refresh before they age out
-        "regex_tokenizer", "stop_words_remover", "hashing_tf",
-        "naive_bayes", "vector_indexer", "univariate_feature_selector",
-        "random_splitter", "bucketizer", "standard_scaler", "minmax_scaler",
+        # r05 head: the one red r04 row (arithmetic made bit-deterministic
+        # this round), then the two queries whose code changed this round,
+        # then the brand-new value-level BPE encode gate
+        "mutual_information", "semantic_dedup", "bpe_encode",
+        # never driver-run, ever (parked behind the 50-cap as family
+        # variants in r04 — each gets a first driver round now)
+        "profile_quantiles", "profile_by_source", "bm25_indexed",
+        # latest driver evidence is ROUND 1 — three rounds stale, and the
+        # feature/functions guards landed since (VERDICT r04 item 1)
+        "bucketizer", "standard_scaler", "minmax_scaler",
         "maxabs_scaler", "robust_scaler", "normalizer",
         "elementwise_product", "interaction", "vector_slicer",
         "vector_assembler", "imputer", "imputer_median", "kbins_quantile",
         "one_hot_encoder", "kbins_uniform", "variance_threshold",
         "sql_transformer", "ngram", "chisq_test", "fvalue_test", "ann_ivf",
-        # variants of already-prioritized families (shared code + oracle
-        # with their siblings above; locally verified) — after the stale
-        # r01 block so the 50-cap spends its slots on first-ever/oldest
-        # evidence
-        "profile_quantiles", "profile_by_source", "bm25_indexed",
-        # latest driver evidence is round 2 — feature_hasher first (its
-        # poly-map pre-aggregation was fused this round), then the media /
-        # recommendation / clustering / text-analysis block
+        # r02/r03 evidence + the codec stub boundary changed in r04
+        # (VERDICT r04 item 8)
+        "media_pipeline", "media_codec_pipeline", "graph_dag",
+        # code touched this round (tracking-param anchor / explode_outer /
+        # update contracts) — outputs unchanged but evidence should be
+        # fresher than the change
+        "url_normalize", "diversity_profile", "bm25_incremental",
+        # latest driver evidence is round 2 — oldest first
         "feature_hasher", "string_indexer", "binarizer", "dct",
         "polynomial_expansion", "index_to_string", "dataflow_pipeline",
         "anova_test", "swing", "minhash_lsh_join", "minhash_lsh_nn",
         "agglomerative", "bm25_scoring", "embedding_quantize",
-        "document_chunking", "media_pipeline", "media_codec_pipeline",
-        "embedding_dedup", "embedding_dedup_lsh", "ann_bruteforce",
-        "repetition_quality", "text_normalize", "pii_redaction",
-        "domain_mixture", "sequence_packing", "language_id", "text_quality",
-        "token_count", "fingerprint",
-        # everything below has green r03 evidence; registry order follows
+        "document_chunking", "embedding_dedup", "embedding_dedup_lsh",
+        "ann_bruteforce", "repetition_quality", "text_normalize",
+        "pii_redaction", "domain_mixture", "sequence_packing",
+        "language_id", "text_quality", "token_count", "fingerprint",
+        "bpe_tokenize",
+        # everything below has green r03/r04 evidence; registry order follows
     ]
     ordered = {k: out[k] for k in prio if k in out}
     ordered.update(out)

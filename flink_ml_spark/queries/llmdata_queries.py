@@ -1606,6 +1606,91 @@ def bpe_tokenize(spark, sf_dir):
                        .alias("head_toks"))
 
 
+# Pinned literal merge table for bpe_encode — trained ONCE on sf0.001
+# (BpeTokenizerTrainer, numMerges=24, minWordFreq=2) and frozen so the
+# Spark encoder and the DuckDB oracle replay the IDENTICAL ranks.  The
+# list is hierarchical on purpose (scan/column/window/order build from
+# earlier merges) so the greedy lowest-rank loop is actually exercised.
+BPE_MERGES = [
+    ["e", "r</w>"], ["o", "w</w>"], ["o", "r"], ["l", "u"], ["i", "n"],
+    ["a", "r"], ["p", "ar"], ["e", "r"], ["a", "s"], ["t", "o"],
+    ["a", "t"], ["a", "n</w>"], ["c", "an</w>"], ["s", "can</w>"],
+    ["c", "o"], ["co", "lu"], ["colu", "m"], ["colum", "n</w>"],
+    ["d", "ow</w>"], ["in", "dow</w>"], ["w", "indow</w>"],
+    ["d", "er</w>"], ["or", "der</w>"], ["or", "t</w>"],
+]
+
+
+def bpe_encode(spark, sf_dir):
+    """Value-level gate for the BPE ENCODE path (the trainer's merge
+    learning is not SQL-expressible — bpe_tokenize stays rows-only —
+    but greedy lowest-rank merge APPLICATION is: the oracle replays it
+    as a recursive CTE over the pinned literal merge table).  Output:
+    per-doc subword count + md5 of the space-joined subword stream."""
+    from ..llmdata.bpe import BpeTokenizerModel
+    docs = load(spark, sf_dir, "documents")
+    m = BpeTokenizerModel(inputCol="text", outputCol="toks")
+    m.model_data = {"merges": [list(p) for p in BPE_MERGES]}
+    out = m.transform(docs)[0]
+    return out.select("doc_id",
+                      F.size("toks").alias("n_subwords"),
+                      F.md5(F.concat_ws(" ", "toks")).alias("enc_md5"))
+
+
+def _bpe_encode_sql() -> str:
+    """DuckDB replay of greedy BPE encoding: per DISTINCT word, start
+    from characters + '</w>' and repeatedly merge the leftmost
+    occurrence of the lowest-rank adjacent pair (exactly
+    bpe._encode_word's loop), via a recursive CTE; encoded words then
+    join back into per-doc streams by position."""
+    keys = ", ".join("'" + a + " " + b + "'" for a, b in BPE_MERGES)
+    # rank*100000 + position packs (rank, leftmost) into one argmin;
+    # nullif: DuckDB's list_position returns 0 (not NULL) for a missing
+    # element, which would read as the lowest rank
+    best = ("list_min(list_transform(range(1, len(sym)), "
+            f"i -> CAST(coalesce(nullif(list_position([{keys}], "
+            "sym[i] || ' ' || sym[i+1]), 0), 999999) AS BIGINT) "
+            "* 100000 + i))")
+    return f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(text),
+                           '[ \\t\\n\\x0b\\f\\r]'), x -> x <> '') AS ws
+        FROM documents),
+dw AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS ord
+       FROM tok),
+w0 AS (SELECT w,
+              list_append(list_transform(range(1, length(w)),
+                                         i -> w[i]),
+                          w[length(w)] || '</w>') AS sym
+       FROM (SELECT DISTINCT w FROM dw)),
+enc AS (
+  SELECT w, sym FROM w0
+  UNION ALL
+  SELECT w,
+         sym[1:(best % 100000) - 1]
+           || [sym[best % 100000] || sym[best % 100000 + 1]]
+           || sym[best % 100000 + 2:]
+  FROM (SELECT w, sym, {best} AS best FROM enc
+        WHERE len(sym) > 1) s
+  WHERE best // 100000 < 999999),
+encoded AS (
+  SELECT w, sym FROM enc
+  WHERE len(sym) = 1 OR {best} // 100000 = 999999),
+docenc AS (
+  SELECT d.doc_id, flatten(list(e.sym ORDER BY d.ord)) AS toks
+  FROM dw d JOIN encoded e ON d.w = e.w
+  GROUP BY d.doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(len(x.toks), 0) AS INT) AS n_subwords,
+       md5(coalesce(array_to_string(x.toks, ' '), '')) AS enc_md5
+FROM tok t LEFT JOIN docenc x ON t.doc_id = x.doc_id
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
 def corpus_shuffle(spark, sf_dir):
     """Epoch-keyed deterministic training-order shuffle: reproducible
     pseudo-random (shard, order_key) layout, zero shuffles in the
@@ -3952,6 +4037,7 @@ QUERIES = {
     "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "bpe_tokenize": (bpe_tokenize, None),
+    "bpe_encode": (bpe_encode, BPE_ENCODE_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "language_id": (language_id, LANGUAGE_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

@@ -568,6 +568,37 @@ def test_semantic_dedup_max_cell_size_cap(spark):
     assert not any(a < 500 and b < 500 for a, b in got)
 
 
+def test_semantic_dedup_auto_scaling(spark):
+    """numClusters=None derives ≈√n; maxCellSize=None derives a finite
+    32×-expected-cell cap (the r04 scale-trap fix); maxCellSize=0
+    disables capping explicitly."""
+    from flink_ml_spark.llmdata import SemanticDeduplicator
+    # degenerate spike: 200 identical vectors; 40 well-separated others
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(200)]
+    rows += [(1000 + j, [float(j), 50.0, float(j * j % 7)])
+             for j in range(40)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    # explicit k=40 -> expected cell ⌈240/40⌉ = 6, auto cap = 192 < 200:
+    # the spike cell is excluded from pair generation
+    capped = SemanticDeduplicator(idCol="id", vecCol="embedding",
+                                  threshold=0.999, numClusters=40,
+                                  maxIter=2).transform(df)[0]
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+    # maxCellSize=0 disables the cap: the 19900 spike pairs come back
+    uncapped = SemanticDeduplicator(idCol="id", vecCol="embedding",
+                                    threshold=0.999, numClusters=40,
+                                    maxIter=2, maxCellSize=0).transform(df)[0]
+    got0 = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert sum(1 for a, b in got0 if a < 1000 and b < 1000) == 200 * 199 // 2
+    # fully-auto (numClusters=None -> √240 clamped to 16): runs end to
+    # end; auto cap 32·⌈240/16⌉ = 480 > 200 keeps the spike pairs
+    auto = SemanticDeduplicator(idCol="id", vecCol="embedding",
+                                threshold=0.999, maxIter=2).transform(df)[0]
+    gota = {(r["id_a"], r["id_b"]) for r in auto.collect()}
+    assert (0, 1) in gota
+
+
 def test_temperature_mixture_sampler(spark):
     import pandas as pd
     from flink_ml_spark.llmdata import TemperatureMixtureSampler

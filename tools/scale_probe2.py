@@ -166,6 +166,16 @@ def main() -> None:
             .set_(maxBucketDocFreq=128, hotBucketStrategy="block",
                   numBlocks=16, signaturePrefilter=pf).transform(emb)[0])
 
+        def semdedup():
+            # auto numClusters ≈ √n + auto 32×-expected-cell cap (the r04
+            # n²/k scale-trap fix): candidate pairs ≈ n²/(2√n) = n^1.5/2,
+            # sub-quadratic by construction — the timing slope verifies it
+            from flink_ml_spark.llmdata import SemanticDeduplicator
+            return SemanticDeduplicator(
+                idCol="doc_id", vecCol="embedding", threshold=0.95,
+                maxIter=3, seed=7).transform(emb)[0].select("id_a", "id_b")
+        timed("semantic_dedup_auto", semdedup)
+
         def ivf():
             idx = IVFIndex(vecCol="embedding", nlist=None, maxIter=3,
                            seed=7).fit(emb)
