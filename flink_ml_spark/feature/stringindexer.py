@@ -28,15 +28,40 @@ class StringIndexer(Estimator, HasInputCols, HasOutputCols, HasHandleInvalid):
                                   ParamValidators.in_array(ORDERS))
     maxIndexNum = IntParam("maxIndexNum", "Max number of indices (freqDesc only).",
                            2147483647, ParamValidators.gt(1))
+    maxDriverVocabSize = IntParam(
+        "maxDriverVocabSize",
+        "Fail-fast guard (superset of the reference, which only caps "
+        "freqDesc — StringIndexer.java:118-140): every order collects the "
+        "vocabulary to the driver, so a high-cardinality column (e.g. "
+        "10^8 distinct ids mistaken for a category) would OOM it.  Fits "
+        "whose vocabulary would exceed this raise with an actionable "
+        "message instead.  The check is one count() over the persisted "
+        "distinct-counts relation — vocab-sized, not corpus-sized.",
+        10_000_000, ParamValidators.gt(0))
 
     def fit(self, *inputs: DataFrame) -> "StringIndexerModel":
         (df,) = inputs
         order = self.get_("stringOrderType")
+        guard = self.get_("maxDriverVocabSize")
         vocabs: list[list[str]] = []
         for c in self.get_("inputCols"):
             counts = (df.select(F.col(c).cast("string").alias("v"))
                       .filter(F.col("v").isNotNull())
-                      .groupBy("v").count())
+                      .groupBy("v").count()).persist()
+            n_distinct = counts.count()
+            effective = min(n_distinct, self.get_("maxIndexNum")) \
+                if order == "freqDesc" else n_distinct
+            if effective > guard:
+                counts.unpersist()
+                raise ValueError(
+                    f"StringIndexer: column '{c}' has {n_distinct} distinct "
+                    f"values; collecting a vocabulary of {effective} to the "
+                    f"driver exceeds maxDriverVocabSize={guard}.  Use "
+                    f"stringOrderType='freqDesc' with maxIndexNum<={guard} "
+                    f"to keep only the most frequent values, hash the "
+                    f"column (FeatureHasher) instead of indexing it, or "
+                    f"raise maxDriverVocabSize if the driver really has "
+                    f"the memory.")
             if order in ("freqDesc", "arbitrary"):
                 q = counts.orderBy(F.desc("count"), F.asc("v"))
                 if order == "freqDesc":
@@ -50,6 +75,7 @@ class StringIndexer(Estimator, HasInputCols, HasOutputCols, HasHandleInvalid):
                 rows = counts.orderBy(F.asc("v")).collect()
             else:
                 rows = counts.orderBy(F.desc("v")).collect()
+            counts.unpersist()
             vocabs.append([r["v"] for r in rows])
         model = StringIndexerModel()
         model.set_(inputCols=self.get_("inputCols"), outputCols=self.get_("outputCols"),
