@@ -35,8 +35,11 @@ class RankingEvaluator(AlgoOperator):
     query-result-sized, not corpus-sized; one groupBy(query) for
     DCG/hits/MRR; IDCG from the truth side's salted exact top-k; a
     final broadcast-sized join stitches the per-query scalars.  Queries
-    with no relevant docs report recall/mrr/ndcg = 0 (not null) so
-    macro averages stay defined.
+    with no relevant docs report recall/mrr/ndcg = 0 (not null), and a
+    query present only in the TRUTH (the retriever returned nothing for
+    it — e.g. no term matched) still emits a zero row rather than
+    silently vanishing — dropping it would overstate every macro
+    average, the exact failure an IR evaluator exists to expose.
     """
 
     queryIdCol = StringParam("queryIdCol", "Query id column.", "query_id")
@@ -82,20 +85,25 @@ class RankingEvaluator(AlgoOperator):
                               F.count(F.lit(1)).alias("__nk__")))
         n_rel = t.groupBy(qid).agg(F.count(F.lit(1)).alias("n_relevant"))
 
-        out = (per_q
+        qids = (p.select(qid).union(t.select(qid))).distinct()
+        out = (qids
+               .join(per_q, qid, "left")
                .join(n_rel, qid, "left")
                .join(idcg.select(qid, "idcg"), qid, "left")
                .select(
                    F.col(qid),
                    F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),
-                   F.col("hits"),
+                   F.coalesce("hits", F.lit(0)).alias("hits"),
                    F.when(F.coalesce("n_relevant", F.lit(0)) > 0,
-                          F.col("hits") / F.col("n_relevant"))
+                          F.coalesce("hits", F.lit(0))
+                          / F.col("n_relevant"))
                     .otherwise(0.0).alias("recall"),
-                   (F.col("hits") / float(k)).alias("precision"),
+                   (F.coalesce("hits", F.lit(0)) / float(k))
+                    .alias("precision"),
                    F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0))
                     .alias("mrr"),
-                   F.when(F.coalesce("idcg", F.lit(0.0)) > 0,
+                   F.when((F.coalesce("idcg", F.lit(0.0)) > 0)
+                          & F.col("dcg").isNotNull(),
                           F.col("dcg") / F.col("idcg"))
                     .otherwise(0.0).alias("ndcg")))
         return [out]

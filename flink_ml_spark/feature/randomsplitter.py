@@ -10,6 +10,15 @@ pure row function — stable under repartitioning / retries / engines (a
 seeded Bernoulli split is partition-order dependent), which is what a
 100 TB train/eval split actually wants, and what lets the driver's DuckDB
 oracle verify the split exactly.
+
+A STRING ``hashCol`` makes this a LEAKAGE-SAFE GROUP SPLIT: the key is
+first reduced with the cross-engine polynomial hash (dedup.poly_token_hash),
+so every row sharing the key (a domain, a normalized URL, a dedup-cluster
+id) lands in the SAME split — near-duplicate documents from one site can
+never straddle train/eval, the standard contamination hazard of row-level
+splitting (cf. the deduplicate-then-split discipline in Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better").  Zero
+shuffle either way: the assignment stays a pure row function.
 """
 
 from __future__ import annotations
@@ -31,7 +40,9 @@ class RandomSplitter(AlgoOperator, HasSeed):
         "hash (deterministic row-function split on hashCol).", "random",
         ParamValidators.in_array(["random", "hash"]))
     hashCol = StringParam(
-        "hashCol", "Long column the hash split keys on.", None)
+        "hashCol", "Column the hash split keys on: long columns are used "
+        "directly; a string column (group key — domain/url/cluster id) is "
+        "poly-hashed first so the whole group shares one split.", None)
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
@@ -39,7 +50,12 @@ class RandomSplitter(AlgoOperator, HasSeed):
         weights = list(self.get_("weights"))
         if self.get_("splitStrategy") == "random":
             return df.randomSplit(weights, seed=seed)
-        key = F.col(self.get_("hashCol")).cast("long")
+        hc = self.get_("hashCol")
+        if df.schema[hc].dataType.simpleString() == "string":
+            from ..llmdata.dedup import poly_token_hash
+            key = poly_token_hash(F.coalesce(F.col(hc), F.lit("")))
+        else:
+            key = F.col(hc).cast("long")
         u = F.pmod(key * F.lit(HASH_MULT) + F.lit(int(seed or 0)),
                    F.lit(HASH_MOD)) / float(HASH_MOD)
         total = sum(weights)

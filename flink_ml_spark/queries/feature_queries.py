@@ -652,6 +652,44 @@ FROM lineitem
 """
 
 
+def group_split(spark, sf_dir):
+    """Leakage-safe train/eval GROUP split: RandomSplitter
+    (splitStrategy='hash') on a STRING key — the poly-hash keying puts
+    every document of a pseudo-domain in the SAME split, so near-dups
+    from one site can never straddle train/eval (the contamination
+    hazard row-level splitting invites; deduplicate-then-split per Lee
+    et al. 2022).  Pure row function, zero shuffle; the oracle replays
+    poly-hash + threshold exactly."""
+    from ..feature import RandomSplitter
+    docs = load(spark, sf_dir, "documents")
+    df = docs.withColumn(
+        "domain", F.concat(F.col("source"), F.lit("-"),
+                           (F.col("doc_id") % 40).cast("string")))
+    tr, ev = RandomSplitter(weights=[4.0, 1.0], seed=7,
+                            splitStrategy="hash",
+                            hashCol="domain").transform(df)
+    return (tr.select("doc_id", "domain", F.lit(0).alias("split"))
+            .unionAll(ev.select("doc_id", "domain",
+                                F.lit(1).alias("split"))))
+
+
+# cross-engine polynomial string hash — the llmdata TOKHASH twin
+_POLY = ("list_reduce(list_transform(range(1, length({t}) + 1), "
+         "i -> CAST(ascii(substr({t}, CAST(i AS INT), 1)) AS BIGINT)), "
+         "(a, b) -> (a * 31 + b) % 2038074743)")
+
+GROUP_SPLIT_SQL = f"""
+WITH d AS (SELECT doc_id,
+                  source || '-' || CAST(doc_id % 40 AS VARCHAR) AS domain
+           FROM documents),
+h AS (SELECT doc_id, domain, {_POLY.format(t='domain')} AS hk FROM d)
+SELECT doc_id, domain,
+       CASE WHEN (hk * 2654435761 + 7) % 2147483648 / 2147483648.0 < 0.8
+            THEN 0 ELSE 1 END AS split
+FROM h
+"""
+
+
 def graph_dag(spark, sf_dir):
     """GraphBuilder fan-out DAG: one assembled input feeds TWO estimator
     nodes (StandardScaler, MinMaxScaler); the GraphModel returns both
@@ -720,6 +758,7 @@ QUERIES = {
     "vector_indexer": (vector_indexer, VECTOR_INDEXER_SQL),
     "univariate_feature_selector": (univariate_feature_selector, UFS_SQL),
     "random_splitter": (random_splitter, RANDOM_SPLITTER_SQL),
+    "group_split": (group_split, GROUP_SPLIT_SQL),
     "bucketizer": (bucketizer, BUCKETIZER_SQL),
     "standard_scaler": (standard_scaler, STANDARD_SCALER_SQL),
     "minmax_scaler": (minmax_scaler, MINMAX_SCALER_SQL),

@@ -75,7 +75,10 @@ class IsotonicRegression(Estimator, HasLabelCol, HasWeightCol):
         y = F.col(self.get_("labelCol")).cast("double")
         wc = self.get_("weightCol")
         w = F.col(wc).cast("double") if wc else F.lit(1.0)
-        agg = (df.select(x.alias("x"), (w * y).alias("wy"), w.alias("w"))
+        # rows with a null score or label carry no calibration signal and
+        # would poison the driver arrays (object dtype / null sums)
+        agg = (df.filter(x.isNotNull() & y.isNotNull())
+               .select(x.alias("x"), (w * y).alias("wy"), w.alias("w"))
                .groupBy("x").agg(F.sum("wy").alias("swy"),
                                  F.sum("w").alias("sw")))
         cap = self.get_("maxDistinct")

@@ -129,6 +129,34 @@ def test_string_indexer_driver_vocab_guard(spark):
     assert len(m.model_data["stringArrays"][0]) == 50
 
 
+def test_random_splitter_group_split_leakage_safe(spark):
+    """String hashCol = leakage-safe group split: every group lands in
+    exactly one split, the assignment is repartition-invariant, and the
+    proportions roughly follow the weights."""
+    from flink_ml_spark.feature import RandomSplitter
+    df = spark.range(1000).selectExpr(
+        "id", "concat('dom', cast(id % 97 as string)) AS domain")
+    s = RandomSplitter(weights=[4.0, 1.0], seed=7,
+                       splitStrategy="hash", hashCol="domain")
+    tr, ev = s.transform(df)
+    tr_doms = {r["domain"] for r in tr.select("domain").distinct().collect()}
+    ev_doms = {r["domain"] for r in ev.select("domain").distinct().collect()}
+    assert not (tr_doms & ev_doms)          # no group straddles
+    assert len(tr_doms) + len(ev_doms) == 97
+    n_tr, n_ev = tr.count(), ev.count()
+    assert n_tr + n_ev == 1000
+    assert 0.6 < n_tr / 1000 < 0.95         # ~80/20 at 97-group granularity
+    # pure row function: identical under repartitioning
+    tr2, _ = s.transform(df.repartition(13))
+    assert {r["id"] for r in tr2.collect()} == {r["id"] for r in tr.collect()}
+    # null group keys coalesce to one group instead of vanishing
+    dfn = spark.createDataFrame([(1, None), (2, None)],
+                                "id long, domain string")
+    a, b = s.transform(dfn)
+    assert a.count() + b.count() == 2
+    assert a.count() in (0, 2)              # both nulls in the same split
+
+
 def test_index_to_string(spark):
     df = spark.createDataFrame([(1, 0.0), (2, 1.0)], ["id", "i"])
     m = IndexToStringModel(inputCols=["i"], outputCols=["s"]) \

@@ -256,6 +256,13 @@ def test_isotonic_regression_known_fits(spark):
     m4 = IsotonicRegression(featureCol="feature").fit(dup)
     assert np.allclose(m4.model_data["boundaries"], [1.0, 2.0])
     assert np.allclose(m4.model_data["values"], [0.5, 1.0])
+    # null score/label rows carry no signal and must not poison the fit
+    nul = spark.createDataFrame(
+        [(1.0, 1.0), (None, 0.0), (2.0, None), (2.0, 3.0)],
+        "feature double, label double")
+    m5 = IsotonicRegression(featureCol="feature").fit(nul)
+    assert np.allclose(m5.model_data["boundaries"], [1.0, 2.0])
+    assert np.allclose(m5.model_data["values"], [1.0, 3.0])
 
 
 def test_isotonic_regression_predict_interpolates(spark, tmp_path):

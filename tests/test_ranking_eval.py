@@ -83,6 +83,24 @@ def test_ranking_zero_relevance_rows_ignored(spark):
     assert r["ndcg"] == 0.0
 
 
+def test_ranking_truth_only_query_emits_zero_row(spark):
+    """A query the retriever returned NOTHING for must still appear with
+    zero scores — silently dropping it overstates every macro average."""
+    preds = spark.createDataFrame(
+        [(1, 10, 1)], "query_id bigint, doc_id bigint, rank int")
+    truth = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 1.0), (2, 21, 2.0)],
+        "query_id bigint, doc_id bigint, relevance double")
+    rows = {r["query_id"]: r for r in
+            RankingEvaluator(k=5).transform(preds, truth)[0].collect()}
+    assert set(rows) == {1, 2}
+    q2 = rows[2]
+    assert (q2["n_relevant"], q2["hits"]) == (2, 0)
+    assert q2["recall"] == 0.0 and q2["precision"] == 0.0
+    assert q2["mrr"] == 0.0 and q2["ndcg"] == 0.0
+    assert rows[1]["recall"] == pytest.approx(1.0)
+
+
 def test_reciprocal_rank_fusion(spark):
     from flink_ml_spark.evaluation import ReciprocalRankFusion
     bm = spark.createDataFrame(
