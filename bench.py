@@ -65,7 +65,8 @@ HEADLINE = [
     "document_chunking",
     # tokenize/vocab + Arrow-UDF-heavy pipelines
     "tokenizer", "ngram", "stop_words_remover", "count_vectorizer", "tfidf",
-    "hashing_tf", "feature_hasher", "bpe_tokenize", "dsir_select", "dsir_bigram",
+    "hashing_tf", "feature_hasher", "bpe_tokenize", "bpe_encode",
+    "group_split", "dsir_select", "dsir_bigram",
     "exact_dedup",
     "snapshot_diff", "line_dedup",
     "ngram_profile", "simhash_dedup", "dedup_recall",
