@@ -2,9 +2,11 @@
 
 Uncompressed BMP (24/32-bit BITMAPINFOHEADER) and PCM WAV (16-bit RIFF)
 are plain header parses over flat sample buffers, so they decode with
-numpy alone.  These make the multimodal kernels REAL for the formats the
-sandbox can express; compressed codecs (JPEG/PNG/MP3/H.264) still need
-PIL/ffmpeg plugged into the same mapInPandas slots.
+numpy alone.  PNG (8-bit gray/RGB/RGBA, non-interlaced — the bulk of
+real-web PNGs) decodes too: DEFLATE is in the Python stdlib (zlib), so
+only the scanline unfiltering needs implementing (PNG spec §6, public).
+Remaining compressed codecs (JPEG/MP3/H.264) still need PIL/ffmpeg
+plugged into the same mapInPandas slots.
 
 All functions return None on anything they cannot parse — callers treat
 None as "needs an external codec".
@@ -13,6 +15,7 @@ None as "needs an external codec".
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -58,12 +61,140 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + raw
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth only; palette needs PLTE
+# indirection and sub-byte packing — return None, route externally)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def decode_png(payload: bytes | None) -> np.ndarray | None:
+    """PNG (8-bit gray / RGB / RGBA, non-interlaced) → HxWx3 uint8 RGB.
+
+    DEFLATE via stdlib zlib; scanline unfiltering per the PNG spec §6
+    (filters 0-4: None/Sub/Up/Average/Paeth).  Gray broadcasts to RGB;
+    alpha is dropped (feature kernels consume RGB).  Interlaced, paletted
+    or 16-bit images return None — external-codec territory."""
+    if payload is None or len(payload) < 45 \
+            or payload[:8] != _PNG_SIG:
+        return None
+    pos, n = 8, len(payload)
+    w = h = None
+    ctype = None
+    idat = []
+    while pos + 8 <= n:
+        (sz,) = struct.unpack_from(">I", payload, pos)
+        cid = payload[pos + 4:pos + 8]
+        body = pos + 8
+        if body + sz > n:
+            return None
+        if cid == b"IHDR":
+            if sz != 13:
+                return None
+            w, h, depth, ctype, comp, filt, inter = struct.unpack_from(
+                ">IIBBBBB", payload, body)
+            if (depth != 8 or ctype not in _PNG_CHANNELS or comp != 0
+                    or filt != 0 or inter != 0 or w == 0 or h == 0):
+                return None
+        elif cid == b"IDAT":
+            idat.append(payload[body:body + sz])
+        elif cid == b"IEND":
+            break
+        pos = body + sz + 4  # skip CRC
+    if w is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    lines = np.frombuffer(raw, np.uint8,
+                          count=h * (stride + 1)).reshape(h, stride + 1)
+    filters = lines[:, 0]
+    data = lines[:, 1:].astype(np.int32)  # headroom for the filter sums
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, row = int(filters[y]), data[y]
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-ch]
+            rec = row.copy()
+            for c in range(ch):  # per-channel cumsum = the sequential sum
+                rec[c::ch] = np.cumsum(rec[c::ch]) & 0xFF
+        elif f == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif f == 3:  # Average: left/2 + up/2 — left is sequential
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth — sequential in x by definition
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif ctype == 6:
+        px = px[:, :, :3]
+    return np.ascontiguousarray(px)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB array → PNG bytes (filter 0, one IDAT)."""
+    h, w = img.shape[:2]
+    body = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    body[:, 1:] = img.reshape(h, w * 3)
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + cid + data
+                + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_image(payload: bytes | None) -> np.ndarray | None:
+    """Any bundled image codec → HxWx3 uint8 RGB (BMP, then PNG)."""
+    img = decode_bmp(payload)
+    if img is None:
+        img = decode_png(payload)
+    return img
+
+
 def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
     """Nearest-neighbor resize (H, W, C) → (th, tw, C)."""
     h, w = img.shape[:2]
     ys = (np.arange(th) * h // th).clip(0, h - 1)
     xs = (np.arange(tw) * w // tw).clip(0, w - 1)
     return img[ys][:, xs]
+
+
+def _resize_reencode(payload: bytes | None, tw: int, th: int) -> bytes | None:
+    """Decode (BMP or PNG) → nearest resize → re-encode in the SAME
+    container; None when no bundled codec parses the payload."""
+    img = decode_bmp(payload)
+    if img is not None:
+        return encode_bmp(resize_nearest(img, tw, th))
+    img = decode_png(payload)
+    if img is not None:
+        return encode_png(resize_nearest(img, tw, th))
+    return None
 
 
 def decode_wav(payload: bytes | None) -> tuple[int, np.ndarray] | None:

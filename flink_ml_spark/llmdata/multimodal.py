@@ -91,12 +91,13 @@ def _audio_stats_features(rate: int, samples: np.ndarray,
 class MediaFeatureExtractor(Transformer):
     """binary payload → feature vector via mapInPandas (Arrow batches).
 
-    ``kernel="auto"`` decodes BMP images / PCM WAV audio for real (pure
-    numpy, codecs.py) and falls back to the deterministic hash stub for
-    payloads needing an external codec; ``kernel="hash"`` forces the stub
-    (cross-engine deterministic — the oracle-replayable mode);
-    ``kernel="strict"`` raises on any payload the bundled codecs cannot
-    decode (naming its sniffed format) instead of stubbing.
+    ``kernel="auto"`` decodes BMP + PNG images / PCM WAV audio for real
+    (pure numpy + stdlib zlib, codecs.py) and falls back to the
+    deterministic hash stub for payloads needing an external codec;
+    ``kernel="hash"`` forces the stub (cross-engine deterministic — the
+    oracle-replayable mode); ``kernel="strict"`` raises on any payload
+    the bundled codecs cannot decode (naming its sniffed format) instead
+    of stubbing.
 
     The STUB BOUNDARY is typed, never silent: every output row also
     carries ``decodedCol`` (default ``<outputCol>_decoded``) — true iff a
@@ -125,8 +126,8 @@ class MediaFeatureExtractor(Transformer):
             if p is None:
                 return np.zeros(dim), False
             if mode in ("auto", "strict"):
-                from .codecs import decode_bmp, decode_wav, sniff_format
-                img = decode_bmp(p)
+                from .codecs import decode_image, decode_wav, sniff_format
+                img = decode_image(p)
                 if img is not None:
                     return _image_stats_features(img, dim), True
                 wav = decode_wav(p)
@@ -173,11 +174,12 @@ class MediaFeatureExtractor(Transformer):
 class ImageResizer(Transformer):
     """Byte-in/byte-out image resize.
 
-    ``mode="decode"`` is REAL for uncompressed BMP payloads: pure-numpy
-    decode → nearest-neighbor resize → BMP re-encode, all inside one
-    Arrow ``mapInPandas`` stage.  Payloads the BMP codec cannot parse
-    (JPEG/PNG — no external codec in this container) come back with a
-    null payload so callers can route them to an external decode.
+    ``mode="decode"`` is REAL for uncompressed BMP and 8-bit PNG
+    payloads: pure-numpy (+stdlib-zlib) decode → nearest-neighbor resize
+    → re-encode in the SAME container, all inside one Arrow
+    ``mapInPandas`` stage.  Payloads the bundled codecs cannot parse
+    (JPEG — no external codec in this container) come back with a null
+    payload so callers can route them to an external decode.
     ``mode="passthrough"`` re-emits payloads with updated metadata only."""
 
     payloadCol = StringParam("payloadCol", "Binary payload column.", "payload")
@@ -193,14 +195,11 @@ class ImageResizer(Transformer):
             schema = df.schema
 
             def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                from .codecs import decode_bmp, encode_bmp, resize_nearest
+                from .codecs import _resize_reencode
                 for pdf in batches:
-                    out = []
-                    for p in pdf[pcol]:
-                        img = decode_bmp(p)
-                        out.append(encode_bmp(resize_nearest(img, w, h))
-                                   if img is not None else None)
-                    pdf = pdf.assign(**{pcol: out})
+                    pdf = pdf.assign(
+                        **{pcol: [_resize_reencode(p, w, h)
+                                  for p in pdf[pcol]]})
                     if "width" in pdf.columns:
                         pdf = pdf.assign(width=np.int32(w), height=np.int32(h))
                     yield pdf
@@ -213,14 +212,9 @@ class ImageResizer(Transformer):
         w, h = self.get_("targetWidth"), self.get_("targetHeight")
         out = pdf.copy()
         if self.get_("mode") == "decode":
-            from .codecs import decode_bmp, encode_bmp, resize_nearest
+            from .codecs import _resize_reencode
             pcol = self.get_("payloadCol")
-            payloads = []
-            for p in pdf[pcol]:
-                img = decode_bmp(p)
-                payloads.append(encode_bmp(resize_nearest(img, w, h))
-                                if img is not None else None)
-            out[pcol] = payloads
+            out[pcol] = [_resize_reencode(p, w, h) for p in pdf[pcol]]
         if "width" in out.columns or self.get_("mode") != "decode":
             out["width"] = np.int32(w)
             out["height"] = np.int32(h)

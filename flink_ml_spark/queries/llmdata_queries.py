@@ -659,6 +659,12 @@ FROM dots d JOIN og ON og.label = d.label JOIN ng ON ng.label = d.label
 # an end-to-end binary-payload kernel chain.
 
 def media_codec_pipeline(spark, sf_dir):
+    """REAL image decode → resize → feature chain, alternating the two
+    bundled containers per row (even doc_id → BMP, odd → PNG): the synth
+    image is a solid color derived from doc_id, so expected cell means
+    are ALGEBRAIC and container-independent — one oracle verifies both
+    codecs end-to-end, plus the decoded flag (must be a real decode for
+    every row, never the hash stub)."""
     import numpy as np
     import pandas as pd
     from ..llmdata import ImageResizer, MediaFeatureExtractor
@@ -666,14 +672,15 @@ def media_codec_pipeline(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
-        from ..llmdata.codecs import encode_bmp
+        from ..llmdata.codecs import encode_bmp, encode_png
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
                 rgb = np.array([d % 256, (2 * d) % 256, (3 * d) % 256],
                                dtype=np.uint8)
-                payloads.append(encode_bmp(
-                    np.ascontiguousarray(np.broadcast_to(rgb, (8, 8, 3)))))
+                img = np.ascontiguousarray(np.broadcast_to(rgb, (8, 8, 3)))
+                payloads.append(encode_bmp(img) if d % 2 == 0
+                                else encode_png(img))
             yield pdf.assign(payload=payloads)
 
     media = docs.mapInPandas(synth, "doc_id long, payload binary") \
@@ -684,13 +691,15 @@ def media_codec_pipeline(spark, sf_dir):
         .transform(resized)[0]
     f = F.col("media_features")
     return feat.select("doc_id", "width",
+                       F.col("media_features_decoded").cast("int")
+                       .alias("decoded"),
                        q4(F.element_at(f, 1)).alias("r"),
                        q4(F.element_at(f, 2)).alias("g"),
                        q4(F.element_at(f, 3)).alias("b"))
 
 
 MEDIA_CODEC_SQL = f"""
-SELECT doc_id, 4 AS width,
+SELECT doc_id, 4 AS width, 1 AS decoded,
        {SQL_Q4.format('(doc_id % 256) / 255.0')} AS r,
        {SQL_Q4.format('((2 * doc_id) % 256) / 255.0')} AS g,
        {SQL_Q4.format('((3 * doc_id) % 256) / 255.0')} AS b

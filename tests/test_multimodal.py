@@ -81,6 +81,118 @@ def test_bmp_codec_round_trip():
     assert decode_bmp(None) is None
 
 
+def test_png_codec_round_trip():
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import (decode_png, encode_png,
+                                               sniff_format)
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (11, 5, 3), dtype=np.uint8)
+    payload = encode_png(img)
+    assert sniff_format(payload) == "png"
+    back = decode_png(payload)
+    assert back is not None and back.shape == (11, 5, 3)
+    np.testing.assert_array_equal(back, img)
+    assert decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40) is None
+    assert decode_png(b"garbage") is None and decode_png(None) is None
+
+
+def _png_with_filters(img: "np.ndarray", filters: list[int]) -> bytes:
+    """Hand-build a PNG whose row y uses filter type filters[y], computed
+    by an INDEPENDENT naive reference (spec formulas, per-byte loops) —
+    so decode_png's vectorized unfiltering is checked against the spec,
+    not against our own encoder."""
+    import struct
+    import zlib
+    import numpy as np
+    h, w = img.shape[:2]
+    ch = img.shape[2]
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        rec = img[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        raw.append(f)
+        for x in range(w * ch):
+            a = int(rec[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((int(rec[x]) - pred) & 0xFF)
+        prev = rec
+
+    def chunk(cid, data):
+        return (struct.pack(">I", len(data)) + cid + data
+                + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_all_filter_types_and_color_types():
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import decode_png
+
+    rng = np.random.RandomState(3)
+    # RGB with every filter type exercised (incl. repeats)
+    img = rng.randint(0, 256, (6, 9, 3), dtype=np.uint8)
+    payload = _png_with_filters(img, [0, 1, 2, 3, 4, 4])
+    np.testing.assert_array_equal(decode_png(payload), img)
+    # grayscale broadcasts to RGB
+    g = rng.randint(0, 256, (5, 4, 1), dtype=np.uint8)
+    got = decode_png(_png_with_filters(g, [1, 4, 2, 3, 0]))
+    np.testing.assert_array_equal(got, np.repeat(g, 3, axis=2))
+    # RGBA drops alpha
+    a = rng.randint(0, 256, (4, 3, 4), dtype=np.uint8)
+    got = decode_png(_png_with_filters(a, [4, 3, 2, 1]))
+    np.testing.assert_array_equal(got, a[:, :, :3])
+
+
+def test_image_resizer_decode_real_png(spark):
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    rows = [("p", "image", bytearray(encode_png(img)), 16, 16, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = ImageResizer(mode="decode", targetWidth=4, targetHeight=4) \
+        .transform(df)[0]
+    got = out.collect()[0]
+    back = decode_png(bytes(got["payload"]))  # re-encoded in SAME container
+    assert back is not None and back.shape == (4, 4, 3)
+
+
+def test_media_feature_extractor_auto_kernel_png(spark):
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import encode_bmp, encode_png
+
+    green = np.zeros((8, 8, 3), dtype=np.uint8)
+    green[:, :, 1] = 255
+    rows = [("png", "image", bytearray(encode_png(green)), 8, 8, None),
+            ("bmp", "image", bytearray(encode_bmp(green)), 8, 8, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ex = MediaFeatureExtractor(featureDim=12).set_(kernel="auto")
+    got = {r["media_id"]: (r["media_features"], r["media_features_decoded"])
+           for r in ex.transform(df)[0].collect()}
+    assert got["png"][1] is True  # REAL decode, not the stub
+    # identical pixels through either container → identical features
+    assert got["png"][0] == got["bmp"][0]
+
+
 def test_wav_codec_round_trip():
     import numpy as np
     from flink_ml_spark.llmdata.codecs import decode_wav, encode_wav
