@@ -85,6 +85,7 @@ def all_queries():
         # this round), then the two queries whose code changed this round,
         # then the brand-new value-level BPE encode gate
         "mutual_information", "semantic_dedup", "bpe_encode", "group_split",
+        "llm_prep_pipeline_v11",
         # never driver-run, ever (parked behind the 50-cap as family
         # variants in r04 — each gets a first driver round now)
         "profile_quantiles", "profile_by_source", "bm25_indexed",

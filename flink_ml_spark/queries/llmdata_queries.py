@@ -3981,6 +3981,84 @@ GROUP BY lang, source
 """
 
 
+def llm_prep_pipeline_v11(spark, sf_dir):
+    """Corpus-prep v11 — the PUBLISH recipe: URL canonicalization →
+    URL-level exact dedup → leakage-safe domain split → accounting.
+    The same page fetched under tracking-param / port / case / userinfo
+    variants collapses to ONE copy (UrlNormalizer + ExactDeduplicator on
+    the canonical URL, keep lowest doc_id), then RandomSplitter's
+    string-key hash split assigns every REGISTERED DOMAIN wholly to
+    train or eval (near-dups from one site cannot straddle the split —
+    Lee et al. 2022's dedup-then-split discipline).
+
+    Oracle: re-derives the canonical URL and registered domain
+    ALGEBRAICALLY from the synthetic construction (the url_normalize
+    convention — an independent check, not a regex replay), replays the
+    min-id dedup, the poly-hash split, and the per-(split, lang)
+    accounting with content digests.
+
+    100 TB: normalize + split are zero-shuffle row functions; dedup
+    shuffles 32-byte digests; accounting is one partial-agg."""
+    from ..feature import RandomSplitter
+    from ..llmdata import ExactDeduplicator, UrlNormalizer
+    docs = load(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 11).cast("string")
+    messy = F.concat(
+        F.lit("HTTPS://u:pw@WWW."), "source", F.lit("-"), g,
+        F.lit(".Example-"), g, F.lit(".COM:443/p/"),
+        (F.col("doc_id") % 55).cast("string"),
+        F.lit("?gclid="), F.col("doc_id").cast("string"),
+        F.lit("&ref=keep&utm_campaign=x#s"), F.col("doc_id").cast("string"))
+    urls = UrlNormalizer(inputCol="url").transform(
+        docs.withColumn("url", messy))[0]
+    # materialize the dedup output once: the splitter's two where()
+    # branches would otherwise each re-run the normalize+dedup DAG
+    # (the v6 recipe lesson — one checkpoint per composed stage)
+    kept = ExactDeduplicator(inputCol="url_norm", idCol="doc_id") \
+        .transform(urls)[0] \
+        .select("doc_id", "lang", "text", "url_norm", "url_domain") \
+        .localCheckpoint(eager=True)
+    train, ev = RandomSplitter(weights=[9.0, 1.0], seed=11,
+                               splitStrategy="hash",
+                               hashCol="url_domain").transform(kept)
+    both = train.withColumn("split", F.lit(0)) \
+        .unionByName(ev.withColumn("split", F.lit(1)))
+    return (both.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_docs"),
+                 F.countDistinct("url_domain").cast("int")
+                 .alias("n_domains"),
+                 F.min(F.md5(F.col("text"))).alias("min_md5"),
+                 F.max(F.md5(F.col("text"))).alias("max_md5")))
+
+
+_V11_POLY = ("list_reduce(list_transform(range(1, length({t}) + 1), "
+             "i -> CAST(ascii(substr({t}, CAST(i AS INT), 1)) AS BIGINT)), "
+             "(a, b) -> (a * 31 + b) % 2038074743)")
+
+LLM_PREP_V11_SQL = f"""
+WITH u AS (
+  SELECT doc_id, lang, text,
+         'https://www.' || source || '-' || CAST(doc_id % 11 AS VARCHAR)
+           || '.example-' || CAST(doc_id % 11 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id % 55 AS VARCHAR) || '?ref=keep' AS url_norm,
+         'example-' || CAST(doc_id % 11 AS VARCHAR) || '.com' AS url_domain
+  FROM documents),
+kept AS (SELECT u.* FROM u
+         JOIN (SELECT url_norm, min(doc_id) AS keep_id
+               FROM u GROUP BY url_norm) w
+           ON u.url_norm = w.url_norm AND u.doc_id = w.keep_id),
+s AS (SELECT *,
+             CASE WHEN ({_V11_POLY.format(t='url_domain')} * 2654435761
+                        + 11) % 2147483648 / 2147483648.0 < 0.9
+                  THEN 0 ELSE 1 END AS split
+      FROM kept)
+SELECT split, lang, CAST(count(*) AS INT) AS n_docs,
+       CAST(count(DISTINCT url_domain) AS INT) AS n_domains,
+       min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+FROM s GROUP BY split, lang
+"""
+
+
 QUERIES = {
     "html_extract": (html_extract, HTML_EXTRACT_SQL),
     "llm_prep_pipeline_v9": (llm_prep_pipeline_v9, LLM_PREP_V9_SQL),
@@ -3994,6 +4072,7 @@ QUERIES = {
     "isotonic_calibration": (isotonic_calibration, ISOTONIC_CALIBRATION_SQL),
     "metric_anomaly": (metric_anomaly, METRIC_ANOMALY_SQL),
     "llm_prep_pipeline_v10": (llm_prep_pipeline_v10, LLM_PREP_V10_SQL),
+    "llm_prep_pipeline_v11": (llm_prep_pipeline_v11, LLM_PREP_V11_SQL),
     "curriculum_order": (curriculum_order, CURRICULUM_ORDER_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
