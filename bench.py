@@ -44,6 +44,7 @@ HEADLINE = [
     "variance_threshold", "univariate_feature_selector",
     "naive_bayes", "chisq_test", "anova_test", "fvalue_test",
     "corr_matrix", "mutual_information", "calibration_eval",
+    "regression_evaluator", "multiclass_evaluator",
     "isotonic_calibration", "metric_anomaly", "data_profile",
     "constraint_gate", "profile_drift",
     "frequent_items", "profile_quantiles", "diversity_profile",

@@ -1,6 +1,9 @@
 from .binaryclassification import BinaryClassificationEvaluator
 from .calibration import CalibrationEvaluator
+from .multiclass import MulticlassClassificationEvaluator
 from .ranking import RankingEvaluator, ReciprocalRankFusion
+from .regression import RegressionEvaluator
 
 __all__ = ["BinaryClassificationEvaluator", "CalibrationEvaluator",
-           "RankingEvaluator", "ReciprocalRankFusion"]
+           "MulticlassClassificationEvaluator", "RankingEvaluator",
+           "ReciprocalRankFusion", "RegressionEvaluator"]

@@ -723,6 +723,109 @@ GROUP BY a.i, b.i
 """
 
 
+def regression_evaluator(spark, sf_dir):
+    """RegressionEvaluator (mse/rmse/mae/r2) over a deterministic
+    pseudo-prediction of l_quantity: one agg pass, one row out."""
+    from ..evaluation import RegressionEvaluator
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(F.col("l_quantity").cast("double").alias("label"),
+                   (25.0 + F.col("l_discount") * 100).alias("prediction"))
+    out = RegressionEvaluator(labelCol="label",
+                              predictionCol="prediction").transform(df)[0]
+    return out.select(F.col("n").cast("long").alias("n"),
+                      q4(F.col("mse")).alias("mse"),
+                      q4(F.col("rmse")).alias("rmse"),
+                      q4(F.col("mae")).alias("mae"),
+                      q4(F.col("r2")).alias("r2"))
+
+
+REGRESSION_EVALUATOR_SQL = f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS y, 25.0 + l_discount * 100 AS p
+  FROM lineitem),
+a AS (SELECT CAST(count(*) AS DOUBLE) n, sum((p - y) * (p - y)) sse,
+             sum(abs(p - y)) sae, sum(y) sy, sum(y * y) syy
+      FROM base)
+SELECT CAST(n AS BIGINT) AS n, {SQL_Q4.format('sse / n')} AS mse,
+       {SQL_Q4.format('sqrt(sse / n)')} AS rmse,
+       {SQL_Q4.format('sae / n')} AS mae,
+       {SQL_Q4.format('1 - sse / (syy - sy * sy / n)')} AS r2
+FROM a
+"""
+
+
+def multiclass_evaluator(spark, sf_dir):
+    """MulticlassClassificationEvaluator: 3-class confusion over
+    (l_returnflag decoded, l_orderkey % 3) — one groupBy(label,
+    prediction) count, driver arithmetic on the K² relation.  Output =
+    per-class rows with the summary scalars cross-joined on, so the
+    oracle gates per-class AND averaged metrics in one relation."""
+    from ..evaluation import MulticlassClassificationEvaluator
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.when(F.col("l_returnflag") == "A", 0.0)
+         .when(F.col("l_returnflag") == "N", 1.0)
+         .otherwise(2.0).alias("label"),
+        (F.col("l_orderkey") % 3).cast("double").alias("prediction"))
+    per_class, summary = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction").transform(df)
+    s = summary.select(q4(F.col("accuracy")).alias("acc"),
+                       q4(F.col("macro_f1")).alias("mf1"),
+                       q4(F.col("weighted_f1")).alias("wf1"))
+    return (per_class.crossJoin(s)
+            .select(F.col("label").cast("int").alias("label"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("tp").cast("long").alias("tp"),
+                    F.col("fp").cast("long").alias("fp"),
+                    F.col("fn").cast("long").alias("fn"),
+                    q4(F.col("precision")).alias("prec"),
+                    q4(F.col("recall")).alias("rec"),
+                    q4(F.col("f1")).alias("f1"),
+                    "acc", "mf1", "wf1"))
+
+
+MULTICLASS_EVALUATOR_SQL = f"""
+WITH base AS (
+  SELECT CASE l_returnflag WHEN 'A' THEN 0.0 WHEN 'N' THEN 1.0
+         ELSE 2.0 END AS y,
+         CAST(l_orderkey % 3 AS DOUBLE) AS p
+  FROM lineitem),
+cls AS (SELECT DISTINCT y AS k FROM base
+        UNION SELECT DISTINCT p FROM base),
+per AS (
+  SELECT c.k AS label,
+         CAST(sum(CASE WHEN b.y = c.k THEN 1 ELSE 0 END) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN b.y = c.k AND b.p = c.k THEN 1 ELSE 0 END)
+              AS DOUBLE) AS tp,
+         CAST(sum(CASE WHEN b.p = c.k AND b.y <> c.k THEN 1 ELSE 0 END)
+              AS DOUBLE) AS fp,
+         CAST(sum(CASE WHEN b.y = c.k AND b.p <> c.k THEN 1 ELSE 0 END)
+              AS DOUBLE) AS fn
+  FROM (SELECT DISTINCT k FROM cls) c CROSS JOIN base b GROUP BY 1),
+m AS (
+  SELECT label, n, tp, fp, fn,
+         CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS prec,
+         CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS rec
+  FROM per),
+f AS (
+  SELECT *, CASE WHEN prec + rec > 0
+                 THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+  FROM m),
+s AS (
+  SELECT sum(tp) / sum(n) AS acc,
+         avg(f1) FILTER (WHERE n > 0) AS mf1,
+         sum(f1 * n) / sum(n) AS wf1
+  FROM f)
+SELECT CAST(f.label AS INT) AS label, CAST(f.n AS BIGINT) AS n,
+       CAST(f.tp AS BIGINT) AS tp, CAST(f.fp AS BIGINT) AS fp,
+       CAST(f.fn AS BIGINT) AS fn,
+       {SQL_Q4.format('f.prec')} AS prec, {SQL_Q4.format('f.rec')} AS rec,
+       {SQL_Q4.format('f.f1')} AS f1, {SQL_Q4.format('s.acc')} AS acc,
+       {SQL_Q4.format('s.mf1')} AS mf1, {SQL_Q4.format('s.wf1')} AS wf1
+FROM f, s
+"""
+
+
 QUERIES = {
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),
     "corr_matrix": (corr_matrix, CORR_MATRIX_SQL),
@@ -736,6 +839,8 @@ QUERIES = {
     "anova_test": (anova_test, ANOVA_SQL),
     "fvalue_test": (fvalue_test, FVALUE_SQL),
     "binary_evaluator": (binary_evaluator, BINARY_EVALUATOR_SQL),
+    "regression_evaluator": (regression_evaluator, REGRESSION_EVALUATOR_SQL),
+    "multiclass_evaluator": (multiclass_evaluator, MULTICLASS_EVALUATOR_SQL),
     "swing": (swing, SWING_SQL),
     "minhash_lsh_join": (minhash_lsh_join, _lsh_join_sql()),
     "minhash_lsh_nn": (minhash_lsh_nn, _lsh_nn_sql()),

@@ -230,3 +230,75 @@ def test_calibration_evaluator(spark):
     b3 = {r["bin"] for r in CalibrationEvaluator(numBins=10)
           .transform(edge)[0].collect()}
     assert b3 == {0, 9}
+
+
+def test_regression_evaluator(spark):
+    from flink_ml_spark.evaluation import RegressionEvaluator
+    # hand-computed: y=[1,2,3,4], p=[1,2,4,2] -> e=[0,0,1,-2]
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 4.0), (4.0, 2.0)],
+        "label double, prediction double")
+    r = RegressionEvaluator().transform(df)[0].first()
+    assert r["n"] == 4
+    assert r["mse"] == pytest.approx(5 / 4)
+    assert r["rmse"] == pytest.approx(math.sqrt(5 / 4))
+    assert r["mae"] == pytest.approx(3 / 4)
+    # SST = sum(y^2) - (sum y)^2/n = 30 - 25 = 5 -> r2 = 1 - 5/5 = 0
+    assert r["r2"] == pytest.approx(0.0)
+    # perfect predictions -> r2 = 1, all errors 0
+    perfect = spark.createDataFrame([(x, x) for x in (1.0, 2.0, 5.0)],
+                                    "label double, prediction double")
+    r2 = RegressionEvaluator().transform(perfect)[0].first()
+    assert r2["mse"] == 0.0 and r2["r2"] == pytest.approx(1.0)
+    # constant label -> SST=0 -> r2 is NaN, not a crash
+    const = spark.createDataFrame([(2.0, 1.0), (2.0, 3.0)],
+                                  "label double, prediction double")
+    r3 = RegressionEvaluator().transform(const)[0].first()
+    assert math.isnan(r3["r2"]) and r3["mse"] == pytest.approx(1.0)
+    # weighted: weight 3 on the first row == repeating it 3x
+    w = spark.createDataFrame([(1.0, 2.0, 3.0), (3.0, 3.0, 1.0)],
+                              "label double, prediction double, w double")
+    rw = RegressionEvaluator(weightCol="w").transform(w)[0].first()
+    assert rw["n"] == 4 and rw["mse"] == pytest.approx(3 / 4)
+
+
+def test_multiclass_evaluator(spark):
+    from flink_ml_spark.evaluation import MulticlassClassificationEvaluator
+    # 3-class confusion, hand-computed:
+    # y: 0,0,1,1,2,2   p: 0,1,1,1,2,0
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 1.0),
+         (2.0, 2.0), (2.0, 0.0)], "label double, prediction double")
+    per, summ = MulticlassClassificationEvaluator().transform(df)
+    pc = {r["label"]: r for r in per.collect()}
+    assert pc[0.0]["tp"] == 1 and pc[0.0]["fp"] == 1 and pc[0.0]["fn"] == 1
+    assert pc[0.0]["precision"] == pytest.approx(0.5)
+    assert pc[0.0]["recall"] == pytest.approx(0.5)
+    assert pc[1.0]["precision"] == pytest.approx(2 / 3)
+    assert pc[1.0]["recall"] == pytest.approx(1.0)
+    assert pc[2.0]["precision"] == pytest.approx(1.0)
+    assert pc[2.0]["recall"] == pytest.approx(0.5)
+    s = summ.first()
+    assert s["n"] == 6 and s["accuracy"] == pytest.approx(4 / 6)
+    f1s = [0.5, 0.8, 2 / 3]
+    assert s["macro_f1"] == pytest.approx(sum(f1s) / 3)
+    assert s["weighted_f1"] == pytest.approx(sum(f * 2 for f in f1s) / 6)
+    # a class PREDICTED but never true appears with n=0 and recall 0,
+    # and does not pollute macro averages (observed-true classes only)
+    skew = spark.createDataFrame([(0.0, 0.0), (0.0, 5.0)],
+                                 "label double, prediction double")
+    per2, summ2 = MulticlassClassificationEvaluator().transform(skew)
+    pc2 = {r["label"]: r for r in per2.collect()}
+    assert pc2[5.0]["n"] == 0 and pc2[5.0]["precision"] == 0.0
+    assert summ2.first()["macro_f1"] == pytest.approx(2 / 3)  # only class 0
+    # weighted rows == repetition
+    w = spark.createDataFrame([(0.0, 0.0, 2.0), (0.0, 1.0, 1.0),
+                               (1.0, 1.0, 3.0)],
+                              "label double, prediction double, w double")
+    sw = MulticlassClassificationEvaluator(weightCol="w").transform(w)[1].first()
+    assert sw["n"] == 6 and sw["accuracy"] == pytest.approx(5 / 6)
+    # maxClasses guard fails fast on id-like labels
+    ids = spark.createDataFrame([(float(i), float(i)) for i in range(40)],
+                                "label double, prediction double")
+    with pytest.raises(ValueError, match="maxClasses"):
+        MulticlassClassificationEvaluator(maxClasses=10).transform(ids)
