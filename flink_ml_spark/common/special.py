@@ -132,3 +132,21 @@ def f_sf(f, dfn, dfd):
             out.append(betainc(b / 2.0, a / 2.0, b / (b + a * v)))
     arr = np.array(out)
     return arr.reshape(fs.shape) if np.ndim(f) else float(arr[0])
+
+
+def kolmogorov_sf(lam: float) -> float:
+    """Kolmogorov distribution survival function
+    Q(λ) = 2 Σ_{k≥1} (−1)^{k−1} exp(−2 k² λ²) (Numerical Recipes §14.3.3;
+    the series converges in a handful of terms for λ > 0.2).  Clamped to
+    [0, 1]; Q(0⁺) → 1."""
+    if not math.isfinite(lam):
+        return float("nan")
+    if lam <= 0.0:
+        return 1.0
+    s = 0.0
+    for k in range(1, 101):
+        term = 2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        s += term
+        if abs(term) < 1e-16:
+            break
+    return max(0.0, min(1.0, s))

@@ -826,6 +826,83 @@ FROM f, s
 """
 
 
+def ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov: l_extendedprice distribution of
+    linestatus 'F' vs 'O' rows.  D via the evaluator's exact
+    range-partitioned ECDF; asymptotic p replayed by the oracle's
+    Kolmogorov series over generate_series."""
+    from ..stats import KolmogorovSmirnovTest
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(F.col("l_extendedprice").alias("value"),
+                   F.col("l_linestatus").alias("group"))
+    out = KolmogorovSmirnovTest(valueCol="value", groupCol="group",
+                                groupA="F").transform(df)[0]
+    return out.select("n_a", "n_b", q4(F.col("statistic")).alias("d"),
+                      q4(F.col("p_value")).alias("p"))
+
+
+KS_TEST_SQL = f"""
+WITH base AS (
+  SELECT l_extendedprice AS v,
+         CASE WHEN l_linestatus = 'F' THEN 1.0 ELSE 0.0 END AS a
+  FROM lineitem),
+t AS (SELECT sum(a) AS na, sum(1 - a) AS nb FROM base),
+g AS (SELECT v, sum(a) AS ca, sum(1 - a) AS cb FROM base GROUP BY v),
+c AS (SELECT sum(ca) OVER (ORDER BY v) AS fa,
+             sum(cb) OVER (ORDER BY v) AS fb FROM g),
+d AS (SELECT max(abs(fa / t.na - fb / t.nb)) AS d FROM c, t),
+lam AS (SELECT d.d,
+               (sqrt(t.na * t.nb / (t.na + t.nb)) + 0.12
+                + 0.11 / sqrt(t.na * t.nb / (t.na + t.nb))) * d.d AS l
+        FROM d, t),
+p AS (SELECT LEAST(GREATEST(
+         2 * sum(CASE WHEN k % 2 = 1 THEN 1 ELSE -1 END
+                 * exp(-2.0 * k * k * lam.l * lam.l)), 0.0), 1.0) AS p
+      FROM generate_series(1, 100) s(k), lam GROUP BY lam.l)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       {SQL_Q4.format('d.d')} AS d, {SQL_Q4.format('p.p')} AS p
+FROM t, d, p
+"""
+
+
+def spearman_corr(spark, sf_dir):
+    """Spearman rank correlation (l_quantity vs l_extendedprice):
+    average-tie midranks via the range-partition cumsum, exact decimal
+    rank sums.  The oracle replays midranks with a window over the
+    distinct-value relation; p is driver arithmetic from rho (pytest-
+    pinned — incomplete beta isn't SQL-expressible)."""
+    from ..stats import SpearmanCorrelation
+    li = load(spark, sf_dir, "lineitem")
+    out = SpearmanCorrelation(xCol="l_quantity",
+                              yCol="l_extendedprice").transform(li)[0]
+    return out.select("n", q4(F.col("rho")).alias("rho"))
+
+
+SPEARMAN_SQL = f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem),
+rx AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS r
+       FROM (SELECT x AS v, count(*) AS c FROM base GROUP BY 1)),
+ry AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS r
+       FROM (SELECT y AS v, count(*) AS c FROM base GROUP BY 1)),
+j AS (SELECT rx.r AS a, ry.r AS b
+      FROM base JOIN rx ON base.x = rx.v JOIN ry ON base.y = ry.v),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(a) AS DOUBLE) AS sx, CAST(sum(b) AS DOUBLE) AS sy,
+             CAST(sum(a * b) AS DOUBLE) AS sxy,
+             CAST(sum(a * a) AS DOUBLE) AS sxx,
+             CAST(sum(b * b) AS DOUBLE) AS syy
+      FROM j)
+SELECT CAST(n AS BIGINT) AS n,
+       {SQL_Q4.format('(n * sxy - sx * sy) / '
+                      'sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))')}
+       AS rho
+FROM s
+"""
+
+
 QUERIES = {
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),
     "corr_matrix": (corr_matrix, CORR_MATRIX_SQL),
@@ -841,6 +918,8 @@ QUERIES = {
     "binary_evaluator": (binary_evaluator, BINARY_EVALUATOR_SQL),
     "regression_evaluator": (regression_evaluator, REGRESSION_EVALUATOR_SQL),
     "multiclass_evaluator": (multiclass_evaluator, MULTICLASS_EVALUATOR_SQL),
+    "ks_test": (ks_test, KS_TEST_SQL),
+    "spearman_corr": (spearman_corr, SPEARMAN_SQL),
     "swing": (swing, SWING_SQL),
     "minhash_lsh_join": (minhash_lsh_join, _lsh_join_sql()),
     "minhash_lsh_nn": (minhash_lsh_nn, _lsh_nn_sql()),

@@ -1,4 +1,5 @@
-from .correlation import CorrelationMatrix, MutualInformation
-from .tests import ANOVATest, ChiSqTest, FValueTest
+from .correlation import CorrelationMatrix, MutualInformation, SpearmanCorrelation
+from .tests import ANOVATest, ChiSqTest, FValueTest, KolmogorovSmirnovTest
 
-__all__ = ["ChiSqTest", "ANOVATest", "FValueTest", "CorrelationMatrix", "MutualInformation"]
+__all__ = ["ChiSqTest", "ANOVATest", "FValueTest", "KolmogorovSmirnovTest",
+           "CorrelationMatrix", "MutualInformation", "SpearmanCorrelation"]

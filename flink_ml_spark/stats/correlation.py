@@ -118,3 +118,116 @@ class MutualInformation(AlgoOperator):
         return [df.sparkSession.createDataFrame(
             [(int(n), float(mi), float(nmi))],
             "n long, mi double, nmi double")]
+
+
+def _midranks(df: DataFrame, col: str) -> DataFrame:
+    """``(v, r2)``: per distinct value of ``col``, TWICE the average-tie
+    midrank (``2·(cnt_less + (cnt+1)/2) = 2·cnt_less + cnt + 1`` — always
+    an integer, so rank sums stay exact).  Same scale geometry as
+    BinaryClassificationEvaluator's exact KS: ``groupBy(value)`` tie
+    collapse, range-partitioned per-partition cumsum, broadcast prefix
+    offsets — no global single-task sort, nothing corpus-sized collected."""
+    import pandas as pd
+    spark = df.sparkSession
+    g = (df.groupBy(F.col(col).cast("double").alias("v"))
+         .agg(F.count("*").alias("c")).persist())
+    try:
+        m = g.count()
+        if m == 0:
+            return spark.createDataFrame([], "v double, r2 long")
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        npart = max(1, min(npart, m // 65536 + 1))
+        part = (g.repartitionByRange(npart, F.col("v").asc())
+                .sortWithinPartitions(F.col("v").asc())
+                .withColumn("pid", F.spark_partition_id()).persist())
+        if npart == 1:
+            offs = [(0, 0)]
+        else:
+            ptot = sorted(part.groupBy("pid").agg(F.sum("c").alias("s"))
+                          .collect(), key=lambda r: r["pid"])
+            offs, o = [], 0
+            for r in ptot:
+                offs.append((int(r["pid"]), o))
+                o += int(r["s"])
+        odf = spark.createDataFrame(offs, "pid int, off long")
+
+        def cum(batches):
+            run = 0
+            for pdf in batches:
+                lc = pdf["c"].cumsum() + run
+                if len(pdf):
+                    run = int(lc.iloc[-1])
+                yield pd.DataFrame({"pid": pdf["pid"], "v": pdf["v"],
+                                    "c": pdf["c"], "lc": lc})
+
+        local = part.mapInPandas(cum, "pid int, v double, c long, lc long")
+        # 2·midrank = 2·(cum_incl − c) + c + 1
+        return (local.join(F.broadcast(odf), "pid")
+                .select("v", (2 * (F.col("lc") + F.col("off") - F.col("c"))
+                              + F.col("c") + 1).alias("r2")))
+    finally:
+        g.unpersist()
+
+
+class SpearmanCorrelation(AlgoOperator):
+    """Spearman rank correlation between two numeric columns: Pearson
+    correlation of average-tie midranks, plus the t-distribution p-value
+    (t² = ρ²(n−2)/(1−ρ²) ~ F(1, n−2)).  Completes the correlation family
+    next to the Pearson ``CorrelationMatrix`` — rank correlation is the
+    robust choice for heavy-tailed corpus statistics (doc lengths,
+    frequency counts) where Pearson is leverage-dominated.
+
+    Scale design: midranks per column via ``_midranks`` (range-partition
+    cumsum, no global sort), two hash joins back to the rows, then ONE
+    aggregation of integer rank sums (doubled midranks are integers, so
+    the sums are bit-exact and partition-order independent — the
+    determinism lesson from MutualInformation); ρ and p are driver
+    arithmetic on the single aggregate row.  ``transform(df)`` → one row
+    ``(n, rho, p_value)``.
+    """
+
+    xCol = StringParam("xCol", "First numeric column.", "x")
+    yCol = StringParam("yCol", "Second numeric column.", "y")
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        import math
+
+        from ..common.special import f_sf
+        (df,) = inputs
+        spark = df.sparkSession
+        xc, yc = self.get_("xCol"), self.get_("yCol")
+        base = (df.select(F.col(xc).cast("double").alias("x"),
+                          F.col(yc).cast("double").alias("y"))
+                .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+        rx = _midranks(base, "x").withColumnRenamed("r2", "rx")
+        ry = _midranks(base, "y").withColumnRenamed("r2", "ry")
+        j = (base.join(rx, base["x"] == rx["v"]).drop("v")
+             .join(ry, base["y"] == ry["v"]).drop("v"))
+        # decimal(38,0) sums: exact integers (no int64 overflow at any
+        # corpus size, no float rounding), so the aggregate is bit-identical
+        # under any partitioning
+        dx = F.col("rx").cast("decimal(19,0)")
+        dy = F.col("ry").cast("decimal(19,0)")
+        a = j.agg(F.count("*").alias("n"),
+                  F.sum(dx).alias("sx"), F.sum(dy).alias("sy"),
+                  F.sum((dx * dx).cast("decimal(38,0)")).alias("sxx"),
+                  F.sum((dy * dy).cast("decimal(38,0)")).alias("syy"),
+                  F.sum((dx * dy).cast("decimal(38,0)")).alias("sxy")).first()
+        n = int(a["n"])
+        schema = "n long, rho double, p_value double"
+        if n < 2:
+            return [spark.createDataFrame(
+                [(n, float("nan"), float("nan"))], schema)]
+        num = n * a["sxy"] - a["sx"] * a["sy"]
+        den = math.sqrt(float(n * a["sxx"] - a["sx"] ** 2)
+                        * float(n * a["syy"] - a["sy"] ** 2))
+        if den == 0:  # a constant column: rho undefined
+            return [spark.createDataFrame(
+                [(n, float("nan"), float("nan"))], schema)]
+        rho = max(-1.0, min(1.0, float(num) / den))
+        if abs(rho) >= 1.0 or n <= 2:
+            p = 0.0 if n > 2 else float("nan")
+        else:
+            t2 = rho * rho * (n - 2) / (1.0 - rho * rho)
+            p = f_sf(t2, 1, n - 2)
+        return [spark.createDataFrame([(n, rho, float(p))], schema)]

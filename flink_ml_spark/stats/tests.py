@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..api import AlgoOperator
 from ..common.special import chi2_sf, f_sf
-from ..param import HasFeaturesCol, HasFlatten, HasLabelCol
+from ..param import (HasFeaturesCol, HasFlatten, HasLabelCol, Param,
+                     StringParam)
 
 
 def _emit(spark, rows, stat_name: str, flatten: bool):
@@ -120,3 +121,61 @@ class FValueTest(AlgoOperator, HasFeaturesCol, HasLabelCol, HasFlatten):
             p = f_sf(fstat, 1, dfd) if np.isfinite(fstat) else 0.0
             rows.append((r["fi"], float(p), int(dfd), float(fstat)))
         return [_emit(spark, rows, "fValue", self.get_("flatten"))]
+
+
+class KolmogorovSmirnovTest(AlgoOperator):
+    """Exact two-sample Kolmogorov–Smirnov test: D = sup |F_A − F_B| over
+    the empirical CDFs of ``valueCol`` split by ``groupCol``, with the
+    asymptotic p-value Q_KS((√n_e + 0.12 + 0.11/√n_e)·D),
+    n_e = n_A·n_B/(n_A+n_B) (Numerical Recipes §14.3.3).  The classical
+    distribution-drift test completing the drift family (PSI/JS gates in
+    ``streaming/drift.py`` are binned heuristics; KS is the exact,
+    binning-free statistic).
+
+    Scale design: the sup runs through BinaryClassificationEvaluator's
+    exact KS machinery — ``groupBy(value)`` tie collapse, range-partitioned
+    per-partition cumsums with broadcast prefix offsets
+    (``evaluation/binaryclassification.py``) — so there is NO global
+    single-task sort and NO corpus-sized collect; group totals are one
+    extra aggregate.  ``transform(df)`` → one row
+    ``(n_a, n_b, statistic, p_value)``.
+    """
+
+    valueCol = StringParam("valueCol", "Numeric sample column.", "value")
+    groupCol = StringParam("groupCol", "Two-group label column.", "group")
+    groupA = Param("groupA", "Value of groupCol naming sample A; default = "
+                   "smallest observed group key.", None)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        from ..common.special import kolmogorov_sf
+        from ..evaluation import BinaryClassificationEvaluator
+        (df,) = inputs
+        spark = df.sparkSession
+        vcol, gcol = self.get_("valueCol"), self.get_("groupCol")
+        counts = {r["g"]: r["c"] for r in
+                  df.groupBy(F.col(gcol).alias("g"))
+                    .agg(F.count("*").alias("c")).collect()}
+        if len(counts) != 2:
+            raise ValueError(
+                f"KolmogorovSmirnovTest needs exactly 2 groups in "
+                f"'{gcol}', saw {sorted(counts)[:5]}"
+                f"{'...' if len(counts) > 5 else ''}")
+        ga = self.get_("groupA")
+        if ga is None:
+            ga = sorted(counts)[0]
+        elif ga not in counts:
+            raise ValueError(f"groupA={ga!r} not present in '{gcol}'")
+        na = int(counts[ga])
+        nb = int(sum(c for g, c in counts.items() if g != ga))
+        ind = df.select(
+            F.col(vcol).cast("double").alias("score"),
+            (F.col(gcol) == F.lit(ga)).cast("double").alias("label"))
+        ev = BinaryClassificationEvaluator(labelCol="label",
+                                           rawPredictionCol="score")
+        d = float(ev.transform(ind)[0].first()["ks"])
+        ne = na * nb / (na + nb)
+        lam = (np.sqrt(ne) + 0.12 + 0.11 / np.sqrt(ne)) * d
+        p = kolmogorov_sf(float(lam))
+        return [spark.createDataFrame(
+            [(na, nb, d, p)],
+            "n_a long, n_b long, statistic double, p_value double")]

@@ -302,3 +302,85 @@ def test_multiclass_evaluator(spark):
                                 "label double, prediction double")
     with pytest.raises(ValueError, match="maxClasses"):
         MulticlassClassificationEvaluator(maxClasses=10).transform(ids)
+
+
+def test_kolmogorov_smirnov(spark):
+    from flink_ml_spark.common.special import kolmogorov_sf
+    from flink_ml_spark.stats import KolmogorovSmirnovTest
+    # identical samples -> D = 0, p = 1
+    same = spark.createDataFrame(
+        [(v, g) for v in (1.0, 2.0, 3.0) for g in ("a", "b")],
+        "value double, group string")
+    r = KolmogorovSmirnovTest().transform(same)[0].first()
+    assert r["statistic"] == 0.0 and r["p_value"] == 1.0
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    # disjoint supports -> D = 1; p matches the asymptotic formula
+    disj = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "a"),
+         (14.0, "b"), (15.0, "b"), (16.0, "b")], "value double, group string")
+    r = KolmogorovSmirnovTest().transform(disj)[0].first()
+    assert r["statistic"] == pytest.approx(1.0)
+    ne = 9 / 6
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * 1.0
+    assert r["p_value"] == pytest.approx(kolmogorov_sf(lam), abs=1e-12)
+    # a hand-checkable middle case, brute-force ECDF sup-diff
+    av = [1.0, 2.0, 3.0, 4.0]
+    bv = [2.5, 3.5, 4.5, 5.5]
+    pts = sorted(av + bv)
+    d_true = max(abs(sum(x <= p for x in av) / 4 - sum(x <= p for x in bv) / 4)
+                 for p in pts)
+    mid = spark.createDataFrame([(v, "x") for v in av] + [(v, "y") for v in bv],
+                                "value double, group string")
+    r = KolmogorovSmirnovTest().transform(mid)[0].first()
+    assert r["statistic"] == pytest.approx(d_true)
+    # ties across groups count correctly (shared value collapses)
+    # kolmogorov_sf sanity: monotone decreasing, endpoints
+    assert kolmogorov_sf(0.0) == 1.0
+    assert kolmogorov_sf(0.5) > kolmogorov_sf(1.0) > kolmogorov_sf(2.0)
+    # >2 groups fails fast
+    three = spark.createDataFrame([(1.0, "a"), (2.0, "b"), (3.0, "c")],
+                                  "value double, group string")
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        KolmogorovSmirnovTest().transform(three)
+    # explicit groupA must exist
+    with pytest.raises(ValueError, match="not present"):
+        KolmogorovSmirnovTest(groupA="zzz").transform(same)
+
+
+def test_spearman(spark):
+    from flink_ml_spark.stats import SpearmanCorrelation
+    # perfect monotone (nonlinear!) relation -> rho = 1, p = 0
+    mono = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0), (5.0, 125.0)],
+        "x double, y double")
+    r = SpearmanCorrelation().transform(mono)[0].first()
+    assert r["rho"] == pytest.approx(1.0) and r["p_value"] == 0.0
+    # reversed -> -1
+    rev = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 4.0), (3.0, 3.0), (4.0, 2.0), (5.0, 1.0)],
+        "x double, y double")
+    assert SpearmanCorrelation().transform(rev)[0].first()["rho"] == pytest.approx(-1.0)
+    # average-tie midranks, hand-computed vs numpy Pearson of midranks
+    xs = [1.0, 1.0, 2.0, 3.0, 3.0, 3.0]
+    ys = [3.0, 5.0, 4.0, 1.0, 1.0, 9.0]
+    def midranks(vs):
+        out = []
+        for v in vs:
+            less = sum(1 for u in vs if u < v)
+            eq = sum(1 for u in vs if u == v)
+            out.append(less + (eq + 1) / 2)
+        return np.array(out)
+    expected = float(np.corrcoef(midranks(xs), midranks(ys))[0, 1])
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    r = SpearmanCorrelation().transform(df)[0].first()
+    assert r["n"] == 6 and r["rho"] == pytest.approx(expected, abs=1e-12)
+    # nulls are dropped pairwise
+    withnull = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (None, 9.0), (3.0, None), (4.0, 4.0)],
+        "x double, y double")
+    r = SpearmanCorrelation().transform(withnull)[0].first()
+    assert r["n"] == 3 and r["rho"] == pytest.approx(1.0)
+    # constant column -> NaN, not a crash
+    const = spark.createDataFrame([(1.0, 2.0), (2.0, 2.0), (3.0, 2.0)],
+                                  "x double, y double")
+    assert math.isnan(SpearmanCorrelation().transform(const)[0].first()["rho"])
