@@ -17,10 +17,12 @@ from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         EmbeddingDriftProfiler,
                         EmbeddingQuantizer, IVFIndex, IVFIndexModel,
                         PCAWhitener, PCAWhitenerModel,
+                        HardNegativeMiner,
                         RandomHyperplaneLSH, RandomHyperplaneLSHModel,
                         SemanticDeduplicator)
 from .sampling import (CorpusShuffler, DocumentChunker, DomainMixtureSampler,
                        ImportanceResampler, ImportanceResamplerModel,
+                       NegativeSampler,
                        SequencePacker, StratifiedBudgetSampler,
                        TemperatureMixtureSampler,
                        TemperatureMixtureSamplerModel)

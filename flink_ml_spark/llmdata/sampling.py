@@ -10,7 +10,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..api import Estimator, Model, Transformer
+from ..api import AlgoOperator, Estimator, Model, Transformer
 from ..param import IntParam, FloatParam, Param, ParamValidators, StringParam
 
 # the same deterministic 31-bit multiplicative hash the corpus-prep
@@ -573,3 +573,95 @@ class StratifiedBudgetSampler(Transformer):
         return (pdf[pdf["__rank__"] <= lim]
                 .drop(columns=["__u__", "__rank__"])
                 .sort_index().reset_index(drop=True))
+
+
+class NegativeSampler(AlgoOperator):
+    """Deterministic uniform negative sampling for contrastive / metric /
+    retriever training: for every query in ``positives``, draw ``k``
+    pseudo-random corpus items that are NOT among that query's positives
+    (in-batch negatives are biased toward frequent items; a corpus-wide
+    uniform draw is the standard complement — e.g. DPR, Karpukhin et al.
+    2020, mixes exactly these two).
+
+    Reproducibility: no RNG state — every draw is the corpus-prep LCG
+    (``_unit_hash``) over (query, draw-index), so re-runs, retries and
+    the SQL oracle produce the identical sample.
+
+    Scale design: the corpus is hashed into ``numBuckets`` buckets
+    (expected size ``bucketSize``); each (query, draw j) targets ONE
+    bucket and picks the member whose unit hash is closest to the draw's
+    unit value (ties → lowest id).  The candidate join is
+    ``queries × draws × bucketSize`` rows — linear in queries, constant
+    per draw, never ``queries × corpus`` — followed by a left_anti join
+    against the positives and two query-partitioned windows (per-query
+    cardinality = draws, driver never involved).  All expressions, no
+    UDFs.
+
+    ``transform(positives, corpus)`` → ``(query, negative, j)`` with at
+    most ``k`` rows per query (fewer only if ``k + margin`` draws all
+    collide with positives/duplicates — raise ``margin`` for tiny
+    corpora)."""
+
+    queryCol = StringParam("queryCol", "Query id column in positives.", "query")
+    posCol = StringParam("posCol", "Positive doc id column in positives.", "doc")
+    docCol = StringParam("docCol", "Doc id column in the corpus table.", "doc")
+    k = IntParam("k", "Negatives per query.", 5, ParamValidators.gt(0))
+    margin = IntParam("margin", "Extra draws to absorb positive/duplicate "
+                      "collisions.", 2, ParamValidators.gt_eq(0))
+    bucketSize = IntParam("bucketSize", "Expected corpus rows per hash "
+                          "bucket (numBuckets = max(1, n // bucketSize)).",
+                          64, ParamValidators.gt(0))
+    numBuckets = IntParam("numBuckets", "Override the derived bucket "
+                          "count.", None, lambda v: v is None or v > 0)
+    salt = IntParam("salt", "Hash salt.", 7)
+
+    @staticmethod
+    def _lcg(col, salt: int):
+        """One LCG round on an int64 column, result in [0, 2^31)."""
+        inner = ((col % HASH_MOD) + HASH_MOD) % HASH_MOD
+        return (((inner * 2654435761 + F.lit(salt)) % HASH_MOD + HASH_MOD)
+                % HASH_MOD)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        positives, corpus = inputs
+        qc, pc, dc = (self.get_("queryCol"), self.get_("posCol"),
+                      self.get_("docCol"))
+        k, salt = self.get_("k"), self.get_("salt")
+        draws = k + self.get_("margin")
+        b = self.get_("numBuckets")
+        if b is None:
+            n = corpus.count()
+            b = max(1, n // self.get_("bucketSize"))
+        # corpus side: bucket + tie-break unit hash, computed once per doc
+        docs = corpus.select(
+            F.col(dc).alias("__doc__"),
+            (self._lcg(F.col(dc), salt) % b).alias("__bkt__"),
+            (self._lcg(F.col(dc), salt) / float(HASH_MOD)).alias("__du__"))
+        # query side: distinct queries × draw indices; two chained LCG
+        # rounds give the per-(query, j) bucket and target unit
+        q = (positives.select(F.col(qc).alias("__q__")).distinct()
+             .select("__q__", F.explode(F.sequence(
+                 F.lit(1), F.lit(draws))).alias("j")))
+        h1 = self._lcg(F.col("__q__"), salt)
+        h2 = self._lcg((h1 + F.col("j")) % HASH_MOD, salt)
+        q = q.select("__q__", "j", (h2 % b).alias("__bkt__"),
+                     (self._lcg(h2, salt) / float(HASH_MOD)).alias("__u__"))
+        cand = (q.join(docs, "__bkt__")
+                .join(positives.select(F.col(qc).alias("__q__"),
+                                       F.col(pc).alias("__doc__")),
+                      ["__q__", "__doc__"], "left_anti"))
+        from pyspark.sql import Window
+        w_pick = (Window.partitionBy("__q__", "j")
+                  .orderBy(F.abs(F.col("__du__") - F.col("__u__")),
+                           F.col("__doc__")))
+        picked = (cand.withColumn("__rn__", F.row_number().over(w_pick))
+                  .filter(F.col("__rn__") == 1))
+        w_dedup = Window.partitionBy("__q__", "__doc__").orderBy("j")
+        w_rank = Window.partitionBy("__q__").orderBy("j")
+        out = (picked.withColumn("__dd__", F.row_number().over(w_dedup))
+               .filter(F.col("__dd__") == 1)
+               .withColumn("__k__", F.row_number().over(w_rank))
+               .filter(F.col("__k__") <= k)
+               .select(F.col("__q__").alias(qc),
+                       F.col("__doc__").alias("negative"), "j"))
+        return [out]

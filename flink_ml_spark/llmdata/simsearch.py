@@ -227,7 +227,9 @@ class IVFIndexModel(Model):
 
     def search(self, queries: DataFrame, corpus_indexed: DataFrame,
                query_id: str, corpus_id: str, k: int,
-               codes_col: str | None = None, rerank: int = 0) -> DataFrame:
+               codes_col: str | None = None, rerank: int = 0,
+               carry_query_cols: tuple = (), carry_corpus_cols: tuple = (),
+               candidate_filter=None) -> DataFrame:
         """ANN search: probe nprobe nearest cells per query, rank within.
 
         ``codes_col`` switches to the IVF-PQ-style scale path: the corpus
@@ -298,22 +300,34 @@ class IVFIndexModel(Model):
         # summation order matches the HOF fold so values are bit-identical
         q = queries.select(
             F.col(query_id), v.alias("qv"),
-            F.explode(probe_cells).alias(cc)
+            F.explode(probe_cells).alias(cc),
+            *[F.col(x) for x in carry_query_cols]
         ).select(query_id, "qv", cc,
-                 F.sqrt(V.sq_norm_fixed(F.col("qv"), dim)).alias("__qn__"))
+                 F.sqrt(V.sq_norm_fixed(F.col("qv"), dim)).alias("__qn__"),
+                 *[F.col(x) for x in carry_query_cols])
         from ..common.dataflow import top_k_per_key
         if codes_col is None:
             cv = F.col(vc).cast("array<double>")
             c = corpus_indexed.select(
-                F.col(corpus_id), F.col(cc), cv.alias("cv")).select(
+                F.col(corpus_id), F.col(cc), cv.alias("cv"),
+                *[F.col(x) for x in carry_corpus_cols]).select(
                 corpus_id, cc, "cv",
-                F.sqrt(V.sq_norm_fixed(F.col("cv"), dim)).alias("__cn__"))
+                F.sqrt(V.sq_norm_fixed(F.col("cv"), dim)).alias("__cn__"),
+                *[F.col(x) for x in carry_corpus_cols])
             joined = c.join(F.broadcast(q), cc)
+            if candidate_filter is not None:
+                # predicate over carried columns, applied BEFORE the top-k
+                # (post-rank filtering would under-fill k) and before any
+                # cosine arithmetic runs on the dropped candidates
+                joined = joined.filter(candidate_filter)
             cos = V.dot_fixed("qv", "cv", dim) / (F.col("__qn__") * F.col("__cn__"))
             return (top_k_per_key(joined.withColumn("cosine", cos), [query_id],
                                   [F.desc("cosine"), F.asc(corpus_id)], k,
                                   salt_cols=[corpus_id], rank_col="rank")
                     .select(query_id, corpus_id, "cosine", "rank"))
+        if candidate_filter is not None or carry_query_cols or carry_corpus_cols:
+            raise ValueError("candidate_filter/carry columns are only "
+                             "supported on the float (codes_col=None) path")
         # quantized probe: candidates ranked on dequantized int8 codes;
         # dequantize runs once per CORPUS row (not per candidate), and the
         # candidate-side cosine is the unrolled dot over the materialized
@@ -856,3 +870,54 @@ class EmbeddingQuantizer(Transformer, HasInputCol, HasOutputCol):
         q = F.col(quantized) if isinstance(quantized, str) else quantized
         s = q["scale"]
         return F.transform(q["codes"], lambda c: c.cast("double") * s)
+
+
+class HardNegativeMiner(AlgoOperator, HasSeed):
+    """Hard-negative mining for contrastive / metric / retriever training:
+    per anchor, the top-``k`` most-cosine-similar corpus items whose label
+    (class / cluster / positive-set id) DIFFERS from the anchor's — the
+    "similar but wrong" pairs that carry the training signal uniform
+    negatives lack (ANCE, Xiong et al. 2021 mine exactly these from an
+    ANN index over the corpus).
+
+    Scale design: composes the IVF machinery — fit the coarse quantizer,
+    assign cells once, probe ``nprobe`` cells per anchor with labels
+    carried through the candidate join, and apply the label-mismatch
+    predicate BEFORE the salted exact top-k, so filtering never
+    under-fills k and excluded candidates never reach the cosine
+    arithmetic.  Candidate volume = anchors · nprobe · (n/nlist), never
+    anchors · corpus.
+
+    ``transform(anchors, corpus)`` → ``(anchor id, corpus id, cosine,
+    rank)``; both inputs need ``idCol`` + ``vecCol`` + ``labelCol``
+    (corpus id column may differ via ``corpusIdCol``)."""
+
+    idCol = StringParam("idCol", "Anchor id column.", "query_id")
+    corpusIdCol = StringParam("corpusIdCol", "Corpus id column.", "corpus_id")
+    vecCol = StringParam("vecCol", "Embedding column.", "embedding")
+    labelCol = StringParam("labelCol", "Label column whose value must "
+                           "DIFFER between anchor and negative.", "label")
+    k = IntParam("k", "Hard negatives per anchor.", 5, ParamValidators.gt(0))
+    nlist = IntParam("nlist", "IVF cells (None → √n, clamped).", None,
+                     lambda v: v is None or v > 1)
+    nprobe = IntParam("nprobe", "Cells probed per anchor.", 2,
+                      ParamValidators.gt(0))
+    maxIter = IntParam("maxIter", "Coarse-quantizer KMeans iterations.", 3,
+                       ParamValidators.gt(0))
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        anchors, corpus = inputs
+        vc, lc = self.get_("vecCol"), self.get_("labelCol")
+        qid, cid = self.get_("idCol"), self.get_("corpusIdCol")
+        idx = IVFIndex(vecCol=vc, nlist=self.get_("nlist"),
+                       maxIter=self.get_("maxIter")).fit(corpus)
+        idx.set(IVFIndexModel.nprobe, self.get_("nprobe"))
+        indexed = idx.transform(
+            corpus.select(F.col(cid), F.col(vc),
+                          F.col(lc).alias("__cl__")))[0]
+        q = anchors.select(F.col(qid), F.col(vc), F.col(lc).alias("__ql__"))
+        out = idx.search(
+            q, indexed, qid, cid, self.get_("k"),
+            carry_query_cols=("__ql__",), carry_corpus_cols=("__cl__",),
+            candidate_filter=~F.col("__ql__").eqNullSafe(F.col("__cl__")))
+        return [out]

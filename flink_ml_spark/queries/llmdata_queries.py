@@ -4059,6 +4059,104 @@ FROM s GROUP BY split, lang
 """
 
 
+def hard_negatives(spark, sf_dir):
+    """HardNegativeMiner: per anchor, top-k most-similar corpus vectors
+    with a DIFFERENT label — IVF probe with the label-mismatch predicate
+    applied before the top-k.  Oracle replays the IVF pipeline
+    (_ivf_cells_parts) with labels joined into the candidate relation."""
+    from ..llmdata import HardNegativeMiner
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding",
+                        "label")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    out = HardNegativeMiner(nlist=8, maxIter=3, nprobe=2, k=5) \
+        .transform(anchors, corpus)[0]
+    return out.select("query_id", "corpus_id",
+                      q4(F.col("cosine")).alias("cosine"), "rank")
+
+
+def _hard_negatives_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
+                        nprobe: int = 2, k: int = 5) -> str:
+    from .ml_queries import SQL_Q4  # noqa: F401  (q4 convention shared)
+    parts, d2 = _ivf_cells_parts(nlist, iters, dim)
+    nrm = ("sqrt(list_aggregate(list_transform(range(1, {d}), "
+           "i -> {x}.v[i] * {x}.v[i]), 'sum'))")
+    dot = (f"list_aggregate(list_transform(range(1, {dim + 1}), "
+           f"i -> q.v[i] * t.v[i]), 'sum')")
+    cos = (dot + " / (" + nrm.format(d=dim + 1, x="q") + " * "
+           + nrm.format(d=dim + 1, x="t") + ")")
+    parts.append(
+        f"probes AS MATERIALIZED (SELECT vec_id AS query_id, p.v, cid AS "
+        f"cell FROM (SELECT p.vec_id, p.v, c.cid, row_number() OVER ("
+        f"PARTITION BY p.vec_id ORDER BY {d2}, c.cid) AS rn "
+        f"FROM pts p CROSS JOIN c{iters} c WHERE p.vec_id % 50 = 0) p "
+        f"WHERE rn <= {nprobe})")
+    parts.append(
+        f"scored AS (SELECT q.query_id, t.corpus_id, {cos} AS cosine "
+        f"FROM probes q JOIN cells t ON q.cell = t.cell "
+        f"JOIN embeddings lq ON lq.vec_id = q.query_id "
+        f"JOIN embeddings lt ON lt.vec_id = t.corpus_id "
+        f"WHERE lq.label IS DISTINCT FROM lt.label)")
+    return (", ".join(parts)
+            + f" SELECT query_id, corpus_id, "
+              f"CAST(ROUND(cosine * 10000) AS BIGINT) AS cosine, rank FROM ("
+              f"SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY "
+              f"cosine DESC, corpus_id) AS rank FROM scored) WHERE rank <= {k}")
+
+
+HARD_NEGATIVES_SQL = _hard_negatives_sql()
+
+
+def negative_sampling(spark, sf_dir):
+    """NegativeSampler: k deterministic uniform negatives per query from
+    the documents corpus (bucketed-hash draw + argmin-unit pick, positives
+    anti-joined).  LCG arithmetic is integer-exact, so the oracle replays
+    every draw bit-for-bit."""
+    from ..llmdata import NegativeSampler
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("doc"))
+    q = docs.filter(F.col("doc") % 50 == 0).select(F.col("doc").alias("query"))
+    pos = q.select("query", F.explode(F.array(
+        F.col("query"), F.col("query") + 1, F.col("query") + 2)).alias("doc"))
+    out = NegativeSampler(queryCol="query", posCol="doc", docCol="doc",
+                          k=5, margin=3, salt=7).transform(pos, docs)[0]
+    return out.select("query", "negative", F.col("j").cast("int").alias("j"))
+
+
+NEGATIVE_SAMPLING_SQL = """
+WITH nb AS (SELECT GREATEST(1, count(*) // 64) AS b FROM documents),
+d2 AS (SELECT doc_id AS doc,
+              ((doc_id % 2147483648) * 2654435761 + 7) % 2147483648 AS h
+       FROM documents),
+docs AS (SELECT doc, h % nb.b AS bkt, h / 2147483648.0 AS du FROM d2, nb),
+q AS (SELECT doc AS query FROM d2 WHERE doc % 50 = 0),
+pos AS (SELECT query, query + g AS doc FROM q, generate_series(0, 2) s(g)),
+qh AS (SELECT query, j,
+              ((query % 2147483648) * 2654435761 + 7) % 2147483648 AS h1
+       FROM q, generate_series(1, 8) s(j)),
+qh2 AS (SELECT query, j,
+               (((h1 + j) % 2147483648) * 2654435761 + 7) % 2147483648 AS h2
+        FROM qh),
+qv AS (SELECT query, j, h2 % nb.b AS bkt,
+              (((h2 % 2147483648) * 2654435761 + 7) % 2147483648)
+              / 2147483648.0 AS u
+       FROM qh2, nb),
+cand AS (SELECT qv.query, qv.j, docs.doc, abs(docs.du - qv.u) AS dist
+         FROM qv JOIN docs USING (bkt)
+         WHERE NOT EXISTS (SELECT 1 FROM pos
+                           WHERE pos.query = qv.query AND pos.doc = docs.doc)),
+picked AS (SELECT query, j, doc FROM (
+  SELECT *, row_number() OVER (PARTITION BY query, j ORDER BY dist, doc) rn
+  FROM cand) WHERE rn = 1),
+dd AS (SELECT query, j, doc FROM (
+  SELECT *, row_number() OVER (PARTITION BY query, doc ORDER BY j) rn
+  FROM picked) WHERE rn = 1)
+SELECT query, doc AS negative, CAST(j AS INT) AS j FROM (
+  SELECT *, row_number() OVER (PARTITION BY query ORDER BY j) rk FROM dd)
+WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "html_extract": (html_extract, HTML_EXTRACT_SQL),
     "llm_prep_pipeline_v9": (llm_prep_pipeline_v9, LLM_PREP_V9_SQL),
@@ -4074,6 +4172,8 @@ QUERIES = {
     "llm_prep_pipeline_v10": (llm_prep_pipeline_v10, LLM_PREP_V10_SQL),
     "llm_prep_pipeline_v11": (llm_prep_pipeline_v11, LLM_PREP_V11_SQL),
     "curriculum_order": (curriculum_order, CURRICULUM_ORDER_SQL),
+    "negative_sampling": (negative_sampling, NEGATIVE_SAMPLING_SQL),
+    "hard_negatives": (hard_negatives, HARD_NEGATIVES_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

@@ -1647,3 +1647,70 @@ def test_empty_text_zero_token_guards(spark):
             vec.select("id", array_to_sparse("v").alias("s")).collect()}
     assert rows[1]["size"] == 0 and list(rows[1]["indices"]) == []
     assert list(rows[2]["indices"]) == [1]
+
+
+def test_negative_sampler(spark):
+    from pyspark.sql import functions as F
+    from flink_ml_spark.llmdata import NegativeSampler
+    corpus = spark.range(0, 400).select(F.col("id").alias("doc"))
+    pos = spark.createDataFrame(
+        [(q, d) for q in range(6) for d in (q, q + 1)], "query long, doc long")
+    s = NegativeSampler(k=4, margin=4, salt=7)
+    rows = s.transform(pos, corpus)[0].collect()
+    pos_set = {(q, d) for q in range(6) for d in (q, q + 1)}
+    # never a positive, at most k per query, per-query negatives distinct
+    assert all((r["query"], r["negative"]) not in pos_set for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query"], []).append(r["negative"])
+    assert set(per_q) == set(range(6))
+    for negs in per_q.values():
+        assert 1 <= len(negs) <= 4 and len(set(negs)) == len(negs)
+    # deterministic across reruns AND input partitioning
+    again = s.transform(pos.repartition(7), corpus.repartition(5))[0].collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # different salt -> different sample (overwhelmingly)
+    other = NegativeSampler(k=4, margin=4, salt=99).transform(pos, corpus)[0].collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+    # explicit numBuckets skips the count job and still fills k
+    nb = NegativeSampler(k=3, margin=5, salt=7, numBuckets=8) \
+        .transform(pos, corpus)[0].collect()
+    assert all(len([r for r in nb if r["query"] == q]) == 3 for q in range(6))
+
+
+def test_hard_negative_miner(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from flink_ml_spark.llmdata import HardNegativeMiner
+    rng = np.random.RandomState(0)
+    # two tight clusters; labels split WITHIN each cluster so the nearest
+    # same-cluster neighbors include same-label vectors that must be
+    # filtered BEFORE the top-k (post-rank filtering would under-fill k)
+    base = np.vstack([rng.randn(30, 8) * 0.05 + 5.0,
+                      rng.randn(30, 8) * 0.05 - 5.0])
+    rows = [(i, [float(x) for x in base[i]], int(i % 2)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>, label int")
+    corpus = df.select(F.col("id").alias("corpus_id"), "embedding", "label")
+    anchors = df.filter(F.col("id") < 4) \
+        .select(F.col("id").alias("query_id"), "embedding", "label")
+    out = HardNegativeMiner(nlist=2, maxIter=5, nprobe=1, k=5) \
+        .transform(anchors, corpus)[0].collect()
+    lab = {i: i % 2 for i in range(60)}
+    per_q = {}
+    for r in out:
+        assert lab[r["query_id"]] != lab[r["corpus_id"]]
+        per_q.setdefault(r["query_id"], []).append(r)
+    # k is FILLED despite half the nearest neighbors sharing the label
+    assert all(len(v) == 5 for v in per_q.values())
+    # ranks ordered by cosine descending
+    for v in per_q.values():
+        cs = [r["cosine"] for r in sorted(v, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+    # candidate_filter refuses the quantized path loudly
+    from flink_ml_spark.llmdata import IVFIndex
+    idx = IVFIndex(vecCol="embedding", nlist=2, maxIter=2).fit(corpus)
+    indexed = idx.transform(corpus)[0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="codes_col"):
+        idx.search(anchors, indexed, "query_id", "corpus_id", 3,
+                   codes_col="anything", candidate_filter=F.lit(True))
