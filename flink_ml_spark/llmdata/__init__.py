@@ -26,6 +26,7 @@ from .sampling import (CorpusShuffler, DocumentChunker, DomainMixtureSampler,
                        SequencePacker, StratifiedBudgetSampler,
                        TemperatureMixtureSampler,
                        TemperatureMixtureSamplerModel)
+from .linkgraph import PageRank
 from .webextract import (C4LineFilter, HtmlTextExtractor, UrlNormalizer,
                          WordBlocklistFilter)
 from .textanalysis import (BigramLMScorer, BigramLMScorerModel,

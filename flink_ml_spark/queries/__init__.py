@@ -86,6 +86,9 @@ def all_queries():
         # then the brand-new value-level BPE encode gate
         "mutual_information", "semantic_dedup", "bpe_encode", "group_split",
         "llm_prep_pipeline_v11",
+        # brand-new this round — zero driver evidence ever
+        "regression_evaluator", "multiclass_evaluator", "ks_test",
+        "spearman_corr", "negative_sampling", "hard_negatives", "pagerank",
         # never driver-run, ever (parked behind the 50-cap as family
         # variants in r04 — each gets a first driver round now)
         "profile_quantiles", "profile_by_source", "bm25_indexed",

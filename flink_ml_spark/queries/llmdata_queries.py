@@ -4059,6 +4059,53 @@ FROM s GROUP BY split, lang
 """
 
 
+def pagerank(spark, sf_dir):
+    """PageRank over the order→part link graph (5 power iterations,
+    d=0.85, dangling mass redistributed).  Oracle = exact iterative-CTE
+    replay; ranks are scaled ×1000 before q4 so the hash checks 7
+    decimal places of the ~1/n-sized values."""
+    from ..llmdata import PageRank
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select((F.col("l_orderkey") % 500).alias("src"),
+                      (F.col("l_partkey") % 500).alias("dst"))
+    out = PageRank(maxIter=5).transform(edges)[0]
+    return out.select("v", q4(F.col("rank") * 1000).alias("rk"))
+
+
+def _pagerank_sql(iters: int = 5, mod: int = 500, d: float = 0.85) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT l_orderkey % {mod} "
+        f"AS src, l_partkey % {mod} AS dst FROM lineitem)",
+        "nodes AS MATERIALIZED (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg "
+        "FROM edges GROUP BY src)",
+        "dang AS MATERIALIZED (SELECT v FROM nodes "
+        "WHERE v NOT IN (SELECT src FROM edges))",
+        "r0 AS MATERIALIZED (SELECT v, 1.0 / nn.c AS r FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r), 0.0) AS s FROM r{i - 1} "
+            f"WHERE v IN (SELECT v FROM dang))")
+        parts.append(
+            f"m{i} AS (SELECT e.dst, sum(p.r / deg.deg) AS m FROM edges e "
+            f"JOIN r{i - 1} p ON p.v = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT nodes.v, "
+            f"(1 - {d}) / nn.c + {d} * (coalesce(m.m, 0.0) + d{i}.s / nn.c) "
+            f"AS r FROM nodes CROSS JOIN nn CROSS JOIN d{i} "
+            f"LEFT JOIN m{i} m ON m.dst = nodes.v)")
+    return (", ".join(parts)
+            + f" SELECT v, CAST(ROUND((r * 1000) * 10000) AS BIGINT) AS rk "
+              f"FROM r{iters}")
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
 def hard_negatives(spark, sf_dir):
     """HardNegativeMiner: per anchor, top-k most-similar corpus vectors
     with a DIFFERENT label — IVF probe with the label-mismatch predicate
@@ -4174,6 +4221,7 @@ QUERIES = {
     "curriculum_order": (curriculum_order, CURRICULUM_ORDER_SQL),
     "negative_sampling": (negative_sampling, NEGATIVE_SAMPLING_SQL),
     "hard_negatives": (hard_negatives, HARD_NEGATIVES_SQL),
+    "pagerank": (pagerank, PAGERANK_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

@@ -1714,3 +1714,43 @@ def test_hard_negative_miner(spark):
     with _pytest.raises(ValueError, match="codes_col"):
         idx.search(anchors, indexed, "query_id", "corpus_id", 3,
                    codes_col="anything", candidate_filter=F.lit(True))
+
+
+def test_pagerank(spark):
+    import math
+    from pyspark.sql import functions as F
+    from flink_ml_spark.llmdata import PageRank
+    # star graph: everyone links to 0; 0 is dangling
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 5)],
+                                  "src long, dst long")
+    ranks = {r["v"]: r["rank"] for r in
+             PageRank(maxIter=20).transform(edges)[0].collect()}
+    # mass conserved exactly
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-9)
+    # hub dominates, leaves symmetric
+    assert ranks[0] > ranks[1]
+    assert all(math.isclose(ranks[i], ranks[1], rel_tol=1e-12)
+               for i in (2, 3, 4))
+    # closed form for the 2-node cycle: symmetric -> 0.5 / 0.5
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    rc = {r["v"]: r["rank"] for r in
+          PageRank(maxIter=30).transform(cyc)[0].collect()}
+    assert math.isclose(rc[1], 0.5, rel_tol=1e-12)
+    # parallel edges collapse: duplicated edge list gives identical ranks
+    dup = spark.createDataFrame([(i, 0) for i in range(1, 5)] * 3,
+                                "src long, dst long")
+    rd = {r["v"]: r["rank"] for r in
+          PageRank(maxIter=20).transform(dup)[0].collect()}
+    assert all(math.isclose(rd[v], ranks[v], rel_tol=1e-12) for v in ranks)
+    # hand-checked one iteration: chain 1->2, d=0.5, n=2, deg(1)=1
+    # r0 = [.5, .5]; dangling node 2 holds .5 -> D/n = .25
+    # r1(1) = .25 + .5*(0 + .25)  = .375
+    # r1(2) = .25 + .5*(.5 + .25) = .625   (sum = 1.0, mass conserved)
+    ch = spark.createDataFrame([(1, 2)], "src long, dst long")
+    r1 = {r["v"]: r["rank"] for r in
+          PageRank(maxIter=1, damping=0.5).transform(ch)[0].collect()}
+    assert math.isclose(r1[1], 0.375, rel_tol=1e-12)
+    assert math.isclose(r1[2], 0.625, rel_tol=1e-12)
+    # empty edge list -> empty output, no crash
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert PageRank(maxIter=2).transform(empty)[0].count() == 0
