@@ -45,7 +45,7 @@ HEADLINE = [
     "naive_bayes", "chisq_test", "anova_test", "fvalue_test",
     "corr_matrix", "mutual_information", "calibration_eval",
     "regression_evaluator", "multiclass_evaluator",
-    "ks_test", "spearman_corr", "negative_sampling", "hard_negatives",
+    "ks_test", "spearman_corr", "paired_ttest", "negative_sampling", "hard_negatives",
     "pagerank",
     "isotonic_calibration", "metric_anomaly", "data_profile",
     "constraint_gate", "profile_drift",

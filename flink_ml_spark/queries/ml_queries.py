@@ -903,6 +903,35 @@ FROM s
 """
 
 
+def paired_ttest(spark, sf_dir):
+    """PairedTTest over per-order (avg discount, avg tax) pairs — the
+    offline A/B comparison primitive.  n / mean_diff / t are oracle-gated;
+    the p-value (incomplete beta, not SQL-expressible) is pytest-pinned."""
+    from ..stats import PairedTTest
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (li.groupBy("l_orderkey")
+             .agg(F.avg("l_discount").alias("a"), F.avg("l_tax").alias("b")))
+    out = PairedTTest(aCol="a", bCol="b").transform(pairs)[0]
+    return out.select("n", q4(F.col("mean_diff")).alias("mean_diff"),
+                      q4(F.col("t")).alias("t"))
+
+
+PAIRED_TTEST_SQL = f"""
+WITH pairs AS (
+  SELECT avg(l_discount) AS a, avg(l_tax) AS b
+  FROM lineitem GROUP BY l_orderkey),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(b - a) AS sd,
+             sum((b - a) * (b - a)) AS sdd
+      FROM pairs),
+m AS (SELECT n, sd / n AS mean,
+             (sdd - n * (sd / n) * (sd / n)) / (n - 1) AS var
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n, {SQL_Q4.format('mean')} AS mean_diff,
+       {SQL_Q4.format('mean / sqrt(var / n)')} AS t
+FROM m
+"""
+
+
 QUERIES = {
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),
     "corr_matrix": (corr_matrix, CORR_MATRIX_SQL),
@@ -920,6 +949,7 @@ QUERIES = {
     "multiclass_evaluator": (multiclass_evaluator, MULTICLASS_EVALUATOR_SQL),
     "ks_test": (ks_test, KS_TEST_SQL),
     "spearman_corr": (spearman_corr, SPEARMAN_SQL),
+    "paired_ttest": (paired_ttest, PAIRED_TTEST_SQL),
     "swing": (swing, SWING_SQL),
     "minhash_lsh_join": (minhash_lsh_join, _lsh_join_sql()),
     "minhash_lsh_nn": (minhash_lsh_nn, _lsh_nn_sql()),

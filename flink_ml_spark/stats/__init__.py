@@ -1,5 +1,7 @@
 from .correlation import CorrelationMatrix, MutualInformation, SpearmanCorrelation
-from .tests import ANOVATest, ChiSqTest, FValueTest, KolmogorovSmirnovTest
+from .tests import (ANOVATest, ChiSqTest, FValueTest, KolmogorovSmirnovTest,
+                    PairedTTest)
 
 __all__ = ["ChiSqTest", "ANOVATest", "FValueTest", "KolmogorovSmirnovTest",
-           "CorrelationMatrix", "MutualInformation", "SpearmanCorrelation"]
+           "PairedTTest", "CorrelationMatrix", "MutualInformation",
+           "SpearmanCorrelation"]

@@ -179,3 +179,44 @@ class KolmogorovSmirnovTest(AlgoOperator):
         return [spark.createDataFrame(
             [(na, nb, d, p)],
             "n_a long, n_b long, statistic double, p_value double")]
+
+
+class PairedTTest(AlgoOperator):
+    """Paired two-sided t-test between two metric columns measured on the
+    same units (queries / documents / days): the standard "did variant B
+    beat variant A significantly?" primitive for offline eval comparisons
+    (per-query nDCG A vs B, per-slice quality before/after a filter).
+
+    One aggregation carries (n, Σd, Σd²) for d = b − a; t, the mean
+    difference and the p-value (t² ~ F(1, n−1)) are driver arithmetic on
+    that single row — corpus size never leaves the map-side combine.
+    ``transform(df)`` → one row ``(n, mean_diff, t, p_value)``."""
+
+    aCol = StringParam("aCol", "Baseline metric column.", "a")
+    bCol = StringParam("bCol", "Variant metric column.", "b")
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        import math
+        (df,) = inputs
+        spark = df.sparkSession
+        d = (F.col(self.get_("bCol")).cast("double")
+             - F.col(self.get_("aCol")).cast("double"))
+        r = (df.filter(F.col(self.get_("aCol")).isNotNull()
+                       & F.col(self.get_("bCol")).isNotNull())
+             .agg(F.count("*").alias("n"), F.sum(d).alias("sd"),
+                  F.sum(d * d).alias("sdd")).first())
+        n = int(r["n"])
+        schema = "n long, mean_diff double, t double, p_value double"
+        if n < 2:
+            return [spark.createDataFrame(
+                [(n, float("nan"), float("nan"), float("nan"))], schema)]
+        mean = r["sd"] / n
+        var = (r["sdd"] - n * mean * mean) / (n - 1)
+        if var <= 0:  # all differences identical
+            t = float("inf") if mean != 0 else 0.0
+            p = 0.0 if mean != 0 else 1.0
+        else:
+            t = mean / math.sqrt(var / n)
+            p = f_sf(t * t, 1, n - 1)
+        return [spark.createDataFrame(
+            [(n, float(mean), float(t), float(p))], schema)]

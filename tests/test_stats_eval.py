@@ -384,3 +384,31 @@ def test_spearman(spark):
     const = spark.createDataFrame([(1.0, 2.0), (2.0, 2.0), (3.0, 2.0)],
                                   "x double, y double")
     assert math.isnan(SpearmanCorrelation().transform(const)[0].first()["rho"])
+
+
+def test_paired_ttest(spark):
+    from flink_ml_spark.common.special import f_sf
+    from flink_ml_spark.stats import PairedTTest
+    # hand-computed: d = [1, 2, 3] -> mean 2, var 1, t = 2/sqrt(1/3)
+    df = spark.createDataFrame([(0.0, 1.0), (1.0, 3.0), (2.0, 5.0)],
+                               "a double, b double")
+    r = PairedTTest().transform(df)[0].first()
+    assert r["n"] == 3 and r["mean_diff"] == pytest.approx(2.0)
+    t_exp = 2.0 / math.sqrt(1.0 / 3.0)
+    assert r["t"] == pytest.approx(t_exp)
+    assert r["p_value"] == pytest.approx(f_sf(t_exp ** 2, 1, 2), abs=1e-12)
+    # no difference -> t = 0, p = 1
+    same = spark.createDataFrame([(1.0, 1.0), (2.0, 3.0), (3.0, 2.0)],
+                                 "a double, b double")
+    r2 = PairedTTest().transform(same)[0].first()
+    assert r2["mean_diff"] == pytest.approx(0.0)
+    assert r2["p_value"] == pytest.approx(f_sf(r2["t"] ** 2, 1, 2), abs=1e-12)
+    # identical nonzero differences -> infinite t, p = 0
+    const = spark.createDataFrame([(0.0, 1.0), (5.0, 6.0)], "a double, b double")
+    r3 = PairedTTest().transform(const)[0].first()
+    assert math.isinf(r3["t"]) and r3["p_value"] == 0.0
+    # nulls dropped pairwise; n<2 -> NaN
+    nulls = spark.createDataFrame([(1.0, None), (None, 2.0), (1.0, 2.0)],
+                                  "a double, b double")
+    r4 = PairedTTest().transform(nulls)[0].first()
+    assert r4["n"] == 1 and math.isnan(r4["t"])
