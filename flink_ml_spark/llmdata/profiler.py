@@ -674,3 +674,80 @@ class MetricAnomalyDetector(AlgoOperator):
                            F.abs(F.col(v) / F.col("baseline") - 1.0)
                            > self.get_("maxRelChange"))))
         return [out.select(m, t, v, "baseline", "spread", "anomalous")]
+
+
+class KeySkewProfiler(Transformer, HasInputCol):
+    """Shuffle-key skew report: per-key row counts with share / rank /
+    cumulative share, plus corpus-level concentration summaries (Gini
+    coefficient, top-1 / top-k share).  The pre-flight diagnostic for
+    every groupBy/join in a pipeline — a 0.9 top-1 share means the next
+    shuffle puts 90% of the rows on one task and needs salting or an
+    AQE skew join BEFORE it runs at 100 TB, not after.
+
+    Plan: ONE ``groupBy(key)`` count (map-side combine) collapses the
+    corpus to the distinct-key relation; the rank/cumulative window and
+    the Gini aggregation run over THAT — cardinality-sized, the same
+    contract as the MI/frequent-items analyzers (an id-like key column
+    is the caller's bug, and ``maxKeys`` fails fast on it).
+
+    Gini over per-key counts x₁…x_m sorted ascending:
+      G = 2·Σᵢ i·xᵢ / (m·Σx) − (m+1)/m      (i = 1-based ascending rank)
+
+    ``transform(df)`` → one row per key:
+    ``(key, cnt, share, rank, cum_share, gini, top1_share, topk_share)``
+    with rank 1 = heaviest key and the three summary scalars repeated on
+    every row (single-relation output keeps the report joinable)."""
+
+    topK = Param("topK", "k for the top-k concentration share.", 10,
+                 lambda v: int(v) > 0)
+    maxKeys = Param("maxKeys", "Fail fast above this many distinct keys "
+                    "(the report is cardinality-sized).", 10_000_000,
+                    lambda v: int(v) > 0)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        key = self.get_("inputCol")
+        counts = (df.groupBy(F.col(key).alias("key"))
+                  .agg(F.count("*").alias("cnt"))
+                  .localCheckpoint(eager=True))
+        m = counts.count()
+        spark = df.sparkSession
+        if m == 0:
+            return spark.createDataFrame(
+                [], "key string, cnt long, share double, rank long, "
+                    "cum_share double, gini double, top1_share double, "
+                    "topk_share double")
+        if m > int(self.get_("maxKeys")):
+            raise ValueError(
+                f"KeySkewProfiler saw {m} distinct keys in '{key}' "
+                f"(> maxKeys={self.get_('maxKeys')}); is this an id column?")
+        # rank/cum windows over the distinct-key relation (cardinality-
+        # sized by contract); single ordered window, not corpus-sized
+        w_desc = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+        w_asc = Window.orderBy(F.col("cnt").asc(), F.col("key"))
+        ranked = (counts
+                  .withColumn("rank", F.row_number().over(w_desc))
+                  .withColumn("__i__", F.row_number().over(w_asc))
+                  .withColumn("__cum__",
+                              F.sum("cnt").over(
+                                  w_desc.rowsBetween(Window.unboundedPreceding,
+                                                     Window.currentRow))))
+        k = int(self.get_("topK"))
+        tot = ranked.agg(
+            F.sum("cnt").alias("n"),
+            F.sum(F.col("__i__").cast("double") * F.col("cnt")).alias("iw"),
+            F.sum(F.when(F.col("rank") <= 1, F.col("cnt"))
+                  .otherwise(F.lit(0))).alias("t1"),
+            F.sum(F.when(F.col("rank") <= k, F.col("cnt"))
+                  .otherwise(F.lit(0))).alias("tk")).first()
+        n = float(tot["n"])
+        gini = 2.0 * float(tot["iw"]) / (m * n) - (m + 1) / m
+        summary = spark.createDataFrame(
+            [(float(gini), float(tot["t1"]) / n, float(tot["tk"]) / n)],
+            "gini double, top1_share double, topk_share double")
+        return (ranked.crossJoin(F.broadcast(summary))
+                .select(F.col("key").cast("string").alias("key"), "cnt",
+                        (F.col("cnt") / F.lit(n)).alias("share"),
+                        F.col("rank").cast("long").alias("rank"),
+                        (F.col("__cum__") / F.lit(n)).alias("cum_share"),
+                        "gini", "top1_share", "topk_share"))

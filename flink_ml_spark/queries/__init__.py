@@ -88,7 +88,8 @@ def all_queries():
         "llm_prep_pipeline_v11",
         # brand-new this round — zero driver evidence ever
         "regression_evaluator", "multiclass_evaluator", "ks_test",
-        "spearman_corr", "paired_ttest", "negative_sampling", "hard_negatives", "pagerank",
+        "spearman_corr", "paired_ttest", "negative_sampling",
+        "hard_negatives", "pagerank", "key_skew",
         # never driver-run, ever (parked behind the 50-cap as family
         # variants in r04 — each gets a first driver round now)
         "profile_quantiles", "profile_by_source", "bm25_indexed",

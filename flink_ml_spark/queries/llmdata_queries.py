@@ -4059,6 +4059,41 @@ FROM s GROUP BY split, lang
 """
 
 
+def key_skew(spark, sf_dir):
+    """KeySkewProfiler over documents.source: per-key share/rank/cum
+    plus Gini and top-k concentration — the pre-shuffle skew check."""
+    from ..llmdata import KeySkewProfiler
+    docs = load(spark, sf_dir, "documents")
+    out = KeySkewProfiler(inputCol="source", topK=5).transform(docs)[0]
+    return out.select("key", "cnt", q4(F.col("share")).alias("share"),
+                      "rank", q4(F.col("cum_share")).alias("cum_share"),
+                      q4(F.col("gini")).alias("gini"),
+                      q4(F.col("top1_share")).alias("top1_share"),
+                      q4(F.col("topk_share")).alias("topk_share"))
+
+
+KEY_SKEW_SQL = f"""
+WITH c AS (SELECT source AS key, count(*) AS cnt FROM documents GROUP BY 1),
+r AS (SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key) AS rank,
+             row_number() OVER (ORDER BY cnt ASC, key) AS i,
+             sum(cnt) OVER (ORDER BY cnt DESC, key
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c),
+t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, count(*) AS m,
+             sum(CAST(i AS DOUBLE) * cnt) AS iw,
+             sum(CASE WHEN rank <= 1 THEN cnt ELSE 0 END) AS t1,
+             sum(CASE WHEN rank <= 5 THEN cnt ELSE 0 END) AS tk
+      FROM r)
+SELECT r.key, r.cnt, {SQL_Q4.format('r.cnt / t.n')} AS share, r.rank,
+       {SQL_Q4.format('r.cum / t.n')} AS cum_share,
+       {SQL_Q4.format('2 * t.iw / (t.m * t.n) - (t.m + 1.0) / t.m')} AS gini,
+       {SQL_Q4.format('t.t1 / t.n')} AS top1_share,
+       {SQL_Q4.format('t.tk / t.n')} AS topk_share
+FROM r, t
+"""
+
+
 def pagerank(spark, sf_dir):
     """PageRank over the order→part link graph (5 power iterations,
     d=0.85, dangling mass redistributed).  Oracle = exact iterative-CTE
@@ -4222,6 +4257,7 @@ QUERIES = {
     "negative_sampling": (negative_sampling, NEGATIVE_SAMPLING_SQL),
     "hard_negatives": (hard_negatives, HARD_NEGATIVES_SQL),
     "pagerank": (pagerank, PAGERANK_SQL),
+    "key_skew": (key_skew, KEY_SKEW_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

@@ -447,3 +447,38 @@ def test_metric_anomaly_detector(spark):
              .transform(flat)[0].collect()}
     assert not frows["f"]["anomalous"]
     assert frows["g"]["anomalous"]
+
+
+def test_key_skew_profiler(spark):
+    import math
+    import pytest
+    from pyspark.sql import functions as F
+    from flink_ml_spark.llmdata import KeySkewProfiler
+    # 90/5/5 split: heavy skew
+    rows = [("a",)] * 90 + [("b",)] * 5 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = KeySkewProfiler(inputCol="k", topK=2).transform(df)[0].collect()
+    by_key = {r["key"]: r for r in out}
+    assert by_key["a"]["rank"] == 1
+    assert by_key["a"]["share"] == pytest.approx(0.9)
+    assert by_key["a"]["cum_share"] == pytest.approx(0.9)
+    assert by_key["a"]["top1_share"] == pytest.approx(0.9)
+    assert by_key["a"]["topk_share"] == pytest.approx(0.95)
+    # hand Gini: counts asc [5,5,90] -> 2*(1*5+2*5+3*90)/(3*100) - 4/3
+    g = 2 * (5 + 10 + 270) / 300 - 4 / 3
+    assert by_key["a"]["gini"] == pytest.approx(g)
+    # uniform keys -> gini 0
+    uni = spark.createDataFrame([(str(i % 4),) for i in range(80)], "k string")
+    r = KeySkewProfiler(inputCol="k").transform(uni)[0].first()
+    assert r["gini"] == pytest.approx(0.0)
+    assert r["top1_share"] == pytest.approx(0.25)
+    # cum_share of the last rank is exactly 1
+    last = max(out, key=lambda r: r["rank"])
+    assert last["cum_share"] == pytest.approx(1.0)
+    # maxKeys guard
+    ids = spark.createDataFrame([(str(i),) for i in range(50)], "k string")
+    with pytest.raises(ValueError, match="maxKeys"):
+        KeySkewProfiler(inputCol="k", maxKeys=10).transform(ids)
+    # empty input -> empty report
+    empty = spark.createDataFrame([], "k string")
+    assert KeySkewProfiler(inputCol="k").transform(empty)[0].count() == 0
