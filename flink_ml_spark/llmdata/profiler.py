@@ -705,13 +705,13 @@ class KeySkewProfiler(Transformer, HasInputCol):
                     lambda v: int(v) > 0)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
+        import pandas as pd
         key = self.get_("inputCol")
+        spark = df.sparkSession
         counts = (df.groupBy(F.col(key).alias("key"))
                   .agg(F.count("*").alias("cnt"))
                   .localCheckpoint(eager=True))
         m = counts.count()
-        spark = df.sparkSession
         if m == 0:
             return spark.createDataFrame(
                 [], "key string, cnt long, share double, rank long, "
@@ -721,33 +721,70 @@ class KeySkewProfiler(Transformer, HasInputCol):
             raise ValueError(
                 f"KeySkewProfiler saw {m} distinct keys in '{key}' "
                 f"(> maxKeys={self.get_('maxKeys')}); is this an id column?")
-        # rank/cum windows over the distinct-key relation (cardinality-
-        # sized by contract); single ordered window, not corpus-sized
-        w_desc = Window.orderBy(F.col("cnt").desc(), F.col("key"))
-        w_asc = Window.orderBy(F.col("cnt").asc(), F.col("key"))
-        ranked = (counts
-                  .withColumn("rank", F.row_number().over(w_desc))
-                  .withColumn("__i__", F.row_number().over(w_asc))
-                  .withColumn("__cum__",
-                              F.sum("cnt").over(
-                                  w_desc.rowsBetween(Window.unboundedPreceding,
-                                                     Window.currentRow))))
+        # ascending range-partitioned cumsum (the exact-KS geometry — no
+        # single-task global Window even at 10M distinct keys): ascending
+        # index i and inclusive cum per partition, broadcast prefix
+        # offsets make them global.  Descending rank / cum_share derive
+        # from the ascending pass: with asc order (cnt, key DESC), the
+        # desc order (cnt DESC, key ASC) is its exact reverse, so
+        # rank = m − i + 1 and cum_desc = n − cum_asc + cnt.
+        npart = max(1, min(int(spark.conf.get(
+            "spark.sql.shuffle.partitions", "32")), m // 65536 + 1))
+        part = (counts.repartitionByRange(
+                    npart, F.col("cnt").asc(), F.col("key").desc())
+                .sortWithinPartitions(F.col("cnt").asc(), F.col("key").desc())
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint(eager=True))
+        if npart == 1:
+            offs = [(0, 0, 0)]
+        else:
+            ptot = sorted(part.groupBy("pid")
+                          .agg(F.count("*").alias("r"),
+                               F.sum("cnt").alias("s")).collect(),
+                          key=lambda r: r["pid"])
+            offs, oi, oc = [], 0, 0
+            for r in ptot:
+                offs.append((int(r["pid"]), oi, oc))
+                oi += int(r["r"])
+                oc += int(r["s"])
+        odf = spark.createDataFrame(offs, "pid int, ioff long, coff long")
+
+        def cum(batches):
+            i = 0
+            c = 0
+            for pdf in batches:
+                li = pd.RangeIndex(i + 1, i + 1 + len(pdf)).to_series(
+                    index=pdf.index)
+                lc = pdf["cnt"].cumsum() + c
+                if len(pdf):
+                    i += len(pdf)
+                    c = int(lc.iloc[-1])
+                yield pd.DataFrame({"pid": pdf["pid"], "key": pdf["key"],
+                                    "cnt": pdf["cnt"], "i": li, "lc": lc})
+
+        local = part.mapInPandas(
+            cum, "pid int, key string, cnt long, i long, lc long")
+        ranked = (local.join(F.broadcast(odf), "pid")
+                  .select("key", "cnt",
+                          (F.col("i") + F.col("ioff")).alias("__i__"),
+                          (F.col("lc") + F.col("coff")).alias("__ca__")))
         k = int(self.get_("topK"))
+        rank = F.lit(m) - F.col("__i__") + 1
         tot = ranked.agg(
             F.sum("cnt").alias("n"),
             F.sum(F.col("__i__").cast("double") * F.col("cnt")).alias("iw"),
-            F.sum(F.when(F.col("rank") <= 1, F.col("cnt"))
-                  .otherwise(F.lit(0))).alias("t1"),
-            F.sum(F.when(F.col("rank") <= k, F.col("cnt"))
-                  .otherwise(F.lit(0))).alias("tk")).first()
+            F.sum(F.when(rank <= 1, F.col("cnt")).otherwise(F.lit(0)))
+             .alias("t1"),
+            F.sum(F.when(rank <= k, F.col("cnt")).otherwise(F.lit(0)))
+             .alias("tk")).first()
         n = float(tot["n"])
         gini = 2.0 * float(tot["iw"]) / (m * n) - (m + 1) / m
-        summary = spark.createDataFrame(
-            [(float(gini), float(tot["t1"]) / n, float(tot["tk"]) / n)],
-            "gini double, top1_share double, topk_share double")
-        return (ranked.crossJoin(F.broadcast(summary))
+        cum_desc = F.lit(int(tot["n"])) - F.col("__ca__") + F.col("cnt")
+        return (ranked
                 .select(F.col("key").cast("string").alias("key"), "cnt",
                         (F.col("cnt") / F.lit(n)).alias("share"),
-                        F.col("rank").cast("long").alias("rank"),
-                        (F.col("__cum__") / F.lit(n)).alias("cum_share"),
-                        "gini", "top1_share", "topk_share"))
+                        rank.cast("long").alias("rank"),
+                        (cum_desc / F.lit(n)).alias("cum_share"),
+                        F.lit(float(gini)).alias("gini"),
+                        F.lit(float(tot["t1"]) / n).alias("top1_share"),
+                        F.lit(float(tot["tk"]) / n).alias("topk_share")))
