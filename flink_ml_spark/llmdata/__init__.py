@@ -27,6 +27,7 @@ from .sampling import (CorpusShuffler, DocumentChunker, DomainMixtureSampler,
                        SequencePacker, StratifiedBudgetSampler,
                        TemperatureMixtureSampler,
                        TemperatureMixtureSamplerModel)
+from .fuzzyjoin import FuzzyStringJoin
 from .linkgraph import PageRank
 from .webextract import (C4LineFilter, HtmlTextExtractor, UrlNormalizer,
                          WordBlocklistFilter)

@@ -4059,6 +4059,43 @@ FROM s GROUP BY split, lang
 """
 
 
+def fuzzy_join(spark, sf_dir):
+    """FuzzyStringJoin: part names vs their last-word-truncated variants
+    — blocked (first-token, length-band) candidates, Levenshtein verify.
+    Both engines share the regex truncation and levenshtein semantics,
+    so the oracle replays blocking + verify exactly."""
+    from ..llmdata import FuzzyStringJoin
+    part = load(spark, sf_dir, "part")
+    left = part.select(F.col("p_partkey").alias("left_id"),
+                       F.col("p_name").alias("name"))
+    right = part.select(
+        F.col("p_partkey").alias("right_id"),
+        F.regexp_replace(F.col("p_name"), r"\s+\S+$", "").alias("name"))
+    out = FuzzyStringJoin(maxDistance=12, firstTokenBlock=1, keepBest=1) \
+        .transform(left, right)[0]
+    return out.select("left_id", "right_id",
+                      F.col("distance").cast("int").alias("distance"))
+
+
+FUZZY_JOIN_SQL = r"""
+WITH l AS (SELECT p_partkey AS left_id, p_name AS ls FROM part),
+r AS (SELECT p_partkey AS right_id,
+             regexp_replace(p_name, '\s+\S+$', '') AS rs
+      FROM part),
+cand AS (
+  SELECT l.left_id, r.right_id,
+         CAST(levenshtein(l.ls, r.rs) AS INT) AS distance
+  FROM l JOIN r
+    ON split_part(l.ls, ' ', 1) = split_part(r.rs, ' ', 1)
+   AND abs(length(l.ls) - length(r.rs)) <= 12
+  WHERE levenshtein(l.ls, r.rs) <= 12)
+SELECT left_id, right_id, distance FROM (
+  SELECT *, row_number() OVER (PARTITION BY right_id
+                               ORDER BY distance, left_id) AS rk
+  FROM cand) WHERE rk <= 1
+"""
+
+
 def key_skew(spark, sf_dir):
     """KeySkewProfiler over documents.source: per-key share/rank/cum
     plus Gini and top-k concentration — the pre-shuffle skew check."""
@@ -4258,6 +4295,7 @@ QUERIES = {
     "hard_negatives": (hard_negatives, HARD_NEGATIVES_SQL),
     "pagerank": (pagerank, PAGERANK_SQL),
     "key_skew": (key_skew, KEY_SKEW_SQL),
+    "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

@@ -1754,3 +1754,60 @@ def test_pagerank(spark):
     # empty edge list -> empty output, no crash
     empty = spark.createDataFrame([], "src long, dst long")
     assert PageRank(maxIter=2).transform(empty)[0].count() == 0
+
+
+def test_fuzzy_string_join(spark):
+    from pyspark.sql import functions as F
+    from flink_ml_spark.llmdata import FuzzyStringJoin
+    left = spark.createDataFrame(
+        [(1, "golden lace ribbon"), (2, "silver spring chocolate"),
+         (3, "golden lace ribbons"), (4, "completely different phrase")],
+        "left_id long, name string")
+    right = spark.createDataFrame(
+        [(10, "golden lace ribon"),      # 1 deletion from id 1
+         (20, "silver spring chocolates"),
+         (30, "unrelated text entirely")],
+        "right_id long, name string")
+    out = FuzzyStringJoin(maxDistance=3, firstTokenBlock=1) \
+        .transform(left, right)[0].collect()
+    pairs = {(r["left_id"], r["right_id"]): r["distance"] for r in out}
+    assert pairs[(1, 10)] == 1
+    assert pairs[(3, 10)] == 2
+    assert pairs[(2, 20)] == 1
+    assert (4, 30) not in pairs  # distance >> 3
+    # length band is recall-lossless: a pair differing by exactly
+    # maxDistance in length still matches (crosses one bucket boundary)
+    l2 = spark.createDataFrame([(1, "abcdef")], "left_id long, name string")
+    r2 = spark.createDataFrame([(9, "abcdefxyz")], "right_id long, name string")
+    m = FuzzyStringJoin(maxDistance=3).transform(l2, r2)[0].collect()
+    assert [(m[0]["left_id"], m[0]["right_id"], m[0]["distance"])] == [(1, 9, 3)]
+    # verify filter: same block, too-distant strings are dropped
+    r3 = spark.createDataFrame([(9, "zzzzzz")], "right_id long, name string")
+    assert FuzzyStringJoin(maxDistance=3).transform(l2, r3)[0].count() == 0
+    # no duplicate pairs from the 3-bucket probe fanout
+    assert len(pairs) == len(out)
+    # firstTokenBlock=0 finds matches with a typo in the FIRST token
+    l4 = spark.createDataFrame([(1, "golden lace")], "left_id long, name string")
+    r4 = spark.createDataFrame([(5, "golden lace"), (6, "g0lden lace")],
+                               "right_id long, name string")
+    strict = FuzzyStringJoin(maxDistance=2, firstTokenBlock=1).transform(l4, r4)[0]
+    loose = FuzzyStringJoin(maxDistance=2, firstTokenBlock=0).transform(l4, r4)[0]
+    assert strict.count() == 1 and loose.count() == 2
+
+
+def test_fuzzy_join_keep_best(spark):
+    from flink_ml_spark.llmdata import FuzzyStringJoin
+    left = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha bets"), (3, "alpha betas")],
+        "left_id long, name string")
+    right = spark.createDataFrame([(9, "alpha bet")],
+                                  "right_id long, name string")
+    # all three are within distance 2; keepBest=1 keeps the closest
+    # (distance 1 tie between ids 1 and 2 -> lowest left_id)
+    best = FuzzyStringJoin(maxDistance=2, firstTokenBlock=1, keepBest=1) \
+        .transform(left, right)[0].collect()
+    assert [(r["left_id"], r["right_id"], r["distance"]) for r in best] \
+        == [(1, 9, 1)]
+    allp = FuzzyStringJoin(maxDistance=2, firstTokenBlock=1) \
+        .transform(left, right)[0].count()
+    assert allp == 3
