@@ -788,3 +788,53 @@ class KeySkewProfiler(Transformer, HasInputCol):
                         F.lit(float(gini)).alias("gini"),
                         F.lit(float(tot["t1"]) / n).alias("top1_share"),
                         F.lit(float(tot["tk"]) / n).alias("topk_share")))
+
+
+class VocabGrowthProfiler(Transformer, HasInputCol):
+    """Vocabulary-growth (Heaps-law) curve: split the corpus into
+    ``numSlices`` deterministic hash slices, then report per slice how
+    many token TYPES appear for the first time — the marginal-new-
+    vocabulary measure behind "is more of this source still adding
+    diversity, or just repeating itself?" (type growth flattening is the
+    classic saturation signal; near-dup-heavy corpora flatten early).
+
+    Plan: one tagged explode + TWO vocab-keyed aggregations — per-slice
+    token totals and per-type ``min(slice)`` (the first-appearance slice)
+    — both map-side-combining, the same single-shuffle contract as
+    token_drift; the curve itself is ≤ numSlices rows, cumulated
+    driver-side over exact integers.  Slicing uses the corpus-prep LCG
+    (``sampling._unit_hash``), so slices are reproducible and
+    SQL-replayable.
+
+    ``transform(df)`` → one row per non-empty slice:
+    ``(slice, tokens, new_types, cum_types, new_type_rate)``."""
+
+    idCol = StringParam("idCol", "Document id column.", "doc_id")
+    numSlices = Param("numSlices", "Hash slices (curve points).", 10,
+                      lambda v: 1 < int(v) <= 100000)
+    salt = Param("salt", "Slice hash salt.", 7, lambda v: True)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from .sampling import _unit_hash
+        from .textanalysis import _tokens
+        b = int(self.get_("numSlices"))
+        u = _unit_hash(self.get_("idCol"), int(self.get_("salt")))
+        sl = F.least(F.floor(u * b), F.lit(b - 1)).cast("int")
+        tok = (df.select(sl.alias("slice"),
+                         F.explode(_tokens(F.coalesce(
+                             F.col(self.get_("inputCol")), F.lit(""))))
+                         .alias("t")))
+        tot = tok.groupBy("slice").agg(F.count("*").alias("tokens"))
+        first = tok.groupBy("t").agg(F.min("slice").alias("slice"))
+        new = first.groupBy("slice").agg(F.count("*").alias("new_types"))
+        rows = sorted((r["slice"], int(r["tokens"]),
+                       int(r["new_types"] or 0)) for r in
+                      tot.join(new, "slice", "left").collect())
+        out, cum = [], 0
+        for s, tokens, nt in rows:  # ≤ numSlices rows — curve-sized
+            cum += nt
+            out.append((s, tokens, nt, cum,
+                        nt / tokens if tokens else 0.0))
+        return df.sparkSession.createDataFrame(
+            out, "slice int, tokens long, new_types long, cum_types long, "
+                 "new_type_rate double")

@@ -4059,6 +4059,36 @@ FROM s GROUP BY split, lang
 """
 
 
+def vocab_growth(spark, sf_dir):
+    """VocabGrowthProfiler: per hash slice, tokens / first-appearance
+    types / cumulative types — the Heaps-law saturation diagnostic."""
+    from ..llmdata import VocabGrowthProfiler
+    docs = load(spark, sf_dir, "documents")
+    out = VocabGrowthProfiler(idCol="doc_id", inputCol="text",
+                              numSlices=10, salt=7).transform(docs)[0]
+    return out.select("slice", "tokens", "new_types", "cum_types",
+                      q4(F.col("new_type_rate")).alias("rate"))
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH d AS (
+  SELECT LEAST(CAST(floor((((doc_id % 2147483648) * 2654435761 + 7)
+                           % 2147483648) / 2147483648.0 * 10) AS INT), 9)
+         AS slice, text
+  FROM documents),
+tok AS (SELECT slice, unnest({TOKS}) AS t FROM d),
+tot AS (SELECT slice, count(*) AS tokens FROM tok GROUP BY 1),
+first AS (SELECT t, min(slice) AS slice FROM tok GROUP BY 1),
+new AS (SELECT slice, count(*) AS new_types FROM first GROUP BY 1)
+SELECT tot.slice, tot.tokens, coalesce(new.new_types, 0) AS new_types,
+       sum(coalesce(new.new_types, 0)) OVER (ORDER BY tot.slice
+           ROWS UNBOUNDED PRECEDING) AS cum_types,
+       {SQL_Q4.format('coalesce(new.new_types, 0) * 1.0 / tot.tokens')}
+       AS rate
+FROM tot LEFT JOIN new ON new.slice = tot.slice
+"""
+
+
 def fuzzy_join(spark, sf_dir):
     """FuzzyStringJoin: part names vs their last-word-truncated variants
     — blocked (first-token, length-band) candidates, Levenshtein verify.
@@ -4296,6 +4326,7 @@ QUERIES = {
     "pagerank": (pagerank, PAGERANK_SQL),
     "key_skew": (key_skew, KEY_SKEW_SQL),
     "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
+    "vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),

@@ -482,3 +482,32 @@ def test_key_skew_profiler(spark):
     # empty input -> empty report
     empty = spark.createDataFrame([], "k string")
     assert KeySkewProfiler(inputCol="k").transform(empty)[0].count() == 0
+
+
+def test_vocab_growth_profiler(spark):
+    import pytest
+    from flink_ml_spark.llmdata import VocabGrowthProfiler
+    # 2 slices via numSlices=2; craft ids whose unit-hash slices differ
+    from flink_ml_spark.llmdata.sampling import _unit_hash_local
+    ids0 = [i for i in range(100) if _unit_hash_local(i, 7) < 0.5][:2]
+    ids1 = [i for i in range(100) if _unit_hash_local(i, 7) >= 0.5][:2]
+    rows = [(ids0[0], "a b c"), (ids0[1], "a b"),
+            (ids1[0], "a d"), (ids1[1], "e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["slice"]: r for r in
+           VocabGrowthProfiler(idCol="doc_id", inputCol="text", numSlices=2,
+                               salt=7).transform(df)[0].collect()}
+    # slice 0 holds {a,b,c} (5 tokens), slice 1 adds {d,e} (3 tokens)
+    assert out[0]["tokens"] == 5 and out[0]["new_types"] == 3
+    assert out[1]["tokens"] == 3 and out[1]["new_types"] == 2
+    assert out[1]["cum_types"] == 5
+    assert out[0]["new_type_rate"] == pytest.approx(3 / 5)
+    # a pure-repetition corpus flattens to zero new types after slice 0
+    rep = spark.createDataFrame([(i, "x y") for i in range(40)],
+                                "doc_id long, text string")
+    curve = VocabGrowthProfiler(idCol="doc_id", inputCol="text",
+                                numSlices=4, salt=7).transform(rep)[0].collect()
+    curve = sorted(curve, key=lambda r: r["slice"])
+    assert curve[0]["new_types"] == 2
+    assert all(r["new_types"] == 0 for r in curve[1:])
+    assert curve[-1]["cum_types"] == 2
