@@ -412,3 +412,71 @@ def test_paired_ttest(spark):
                                   "a double, b double")
     r4 = PairedTTest().transform(nulls)[0].first()
     assert r4["n"] == 1 and math.isnan(r4["t"])
+
+
+def test_spearman_matches_numpy_randomized(spark):
+    """Randomized parity: SpearmanCorrelation vs an independent numpy
+    midrank+Pearson recomputation, across tie densities."""
+    from flink_ml_spark.stats import SpearmanCorrelation
+    rng = np.random.RandomState(42)
+    for trial, card in enumerate((3, 10, 1000)):  # heavy ties -> near-unique
+        xs = rng.randint(0, card, 200).astype(float)
+        ys = (xs * rng.choice([-1.0, 1.0])
+              + rng.randint(0, card, 200)).astype(float)
+        def mid(vs):
+            out = []
+            for v in vs:
+                out.append((vs < v).sum() + ((vs == v).sum() + 1) / 2)
+            return np.array(out, dtype=float)
+        exp = float(np.corrcoef(mid(xs), mid(ys))[0, 1])
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(xs, ys)],
+            "x double, y double")
+        got = SpearmanCorrelation().transform(df)[0].first()["rho"]
+        assert got == pytest.approx(exp, abs=1e-9), (trial, card)
+
+
+def test_ks_matches_bruteforce_randomized(spark):
+    """Randomized parity: KS statistic vs brute-force ECDF sup-diff."""
+    from flink_ml_spark.stats import KolmogorovSmirnovTest
+    rng = np.random.RandomState(7)
+    for shift in (0.0, 0.5, 3.0):
+        a = rng.randn(150)
+        b = rng.randn(120) + shift
+        # quantize to force cross-group ties
+        a = np.round(a, 1)
+        b = np.round(b, 1)
+        pts = np.unique(np.concatenate([a, b]))
+        d_true = max(abs((a <= p).mean() - (b <= p).mean()) for p in pts)
+        rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+        df = spark.createDataFrame(rows, "value double, group string")
+        got = KolmogorovSmirnovTest().transform(df)[0].first()["statistic"]
+        assert got == pytest.approx(d_true, abs=1e-12), shift
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Randomized parity: distributed PageRank vs a dense numpy power
+    iteration with the same dangling handling."""
+    from flink_ml_spark.llmdata import PageRank
+    rng = np.random.RandomState(3)
+    n, d = 25, 0.85
+    edges = sorted({(int(rng.randint(0, n)), int(rng.randint(0, n)))
+                    for _ in range(60)})
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    deg = np.zeros(m)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    r = np.full(m, 1.0 / m)
+    for _ in range(15):
+        contrib = np.zeros(m)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / deg[idx[u]]
+        dang = r[deg == 0].sum()
+        r = (1 - d) / m + d * (contrib + dang / m)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {row["v"]: row["rank"] for row in
+           PageRank(maxIter=15, damping=d).transform(df)[0].collect()}
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], abs=1e-12), v
