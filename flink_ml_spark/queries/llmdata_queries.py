@@ -4059,6 +4059,152 @@ FROM s GROUP BY split, lang
 """
 
 
+def llm_prep_pipeline_v12(spark, sf_dir):
+    """Corpus-prep v12 — the CONTRASTIVE-PAIRS publish recipe: one IVF
+    index serves both sides of retriever-training data (positives = top-1
+    same-label neighbor, hard negatives = top-3 different-label neighbors
+    — the candidate_filter hook on the SAME probe join) + uniform random
+    negatives (NegativeSampler, same-label pairs excluded), then an
+    anchor-keyed hash split (a query's pairs never straddle train/eval)
+    and per-(split, pair_type) accounting with pair digests.
+
+    100 TB: the index is fit once and the cell assignment is
+    localCheckpointed before BOTH searches (the self-join/CSE rule);
+    every candidate join is cell- or bucket-equi; pairs are
+    anchor-result-sized before the zero-shuffle split."""
+    from ..feature import RandomSplitter
+    from ..llmdata import IVFIndex, NegativeSampler
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding",
+                        F.col("label").alias("__cl__"))
+    idx = IVFIndex(vecCol="embedding", nlist=8, maxIter=3).fit(emb)
+    indexed = idx.transform(corpus)[0].localCheckpoint(eager=True)
+    anchors = emb.filter(F.col("vec_id") % 20 == 3) \
+        .select(F.col("vec_id").alias("query_id"), "embedding",
+                F.col("label").alias("__ql__"))
+    diff = ~F.col("__ql__").eqNullSafe(F.col("__cl__"))
+    hard = idx.search(anchors, indexed, "query_id", "corpus_id", 3,
+                      carry_query_cols=("__ql__",),
+                      carry_corpus_cols=("__cl__",),
+                      candidate_filter=diff) \
+        .select("query_id", F.col("corpus_id").alias("doc_id"),
+                F.lit("hard_neg").alias("pair_type"))
+    pos = idx.search(anchors, indexed, "query_id", "corpus_id", 1,
+                     carry_query_cols=("__ql__",),
+                     carry_corpus_cols=("__cl__",),
+                     candidate_filter=(~diff) & (F.col("query_id")
+                                                 != F.col("corpus_id"))) \
+        .select("query_id", F.col("corpus_id").alias("doc_id"),
+                F.lit("pos").alias("pair_type"))
+    docs = corpus.select(F.col("corpus_id").alias("doc"))
+    same_label = (anchors.select("query_id", "__ql__")
+                  .join(corpus.select(F.col("corpus_id").alias("doc"),
+                                      "__cl__"),
+                        F.col("__ql__") == F.col("__cl__"))
+                  .select("query_id", "doc"))
+    rand = NegativeSampler(queryCol="query_id", posCol="doc", docCol="doc",
+                           k=3, margin=3, salt=7) \
+        .transform(same_label, docs)[0] \
+        .select("query_id", F.col("negative").alias("doc_id"),
+                F.lit("rand_neg").alias("pair_type"))
+    pairs = hard.unionByName(pos).unionByName(rand) \
+        .localCheckpoint(eager=True)
+    train, ev = RandomSplitter(weights=[8.0, 2.0], seed=5,
+                               splitStrategy="hash",
+                               hashCol="query_id").transform(pairs)
+    both = train.withColumn("split", F.lit(0)) \
+        .unionByName(ev.withColumn("split", F.lit(1)))
+    dig = F.md5(F.concat_ws(":", F.col("query_id").cast("string"),
+                            F.col("doc_id").cast("string")))
+    return (both.groupBy("split", "pair_type")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_pairs"),
+                 F.countDistinct("query_id").cast("int").alias("n_anchors"),
+                 F.min(dig).alias("min_md5"), F.max(dig).alias("max_md5")))
+
+
+def _llm_prep_v12_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
+                      nprobe: int = 2) -> str:
+    parts, d2 = _ivf_cells_parts(nlist, iters, dim)
+    nrm = ("sqrt(list_aggregate(list_transform(range(1, {d}), "
+           "i -> {x}.v[i] * {x}.v[i]), 'sum'))")
+    dot = (f"list_aggregate(list_transform(range(1, {dim + 1}), "
+           f"i -> q.v[i] * t.v[i]), 'sum')")
+    cos = (dot + " / (" + nrm.format(d=dim + 1, x="q") + " * "
+           + nrm.format(d=dim + 1, x="t") + ")")
+    parts.append(
+        f"probes AS MATERIALIZED (SELECT vec_id AS query_id, p.v, cid AS "
+        f"cell FROM (SELECT p.vec_id, p.v, c.cid, row_number() OVER ("
+        f"PARTITION BY p.vec_id ORDER BY {d2}, c.cid) AS rn "
+        f"FROM pts p CROSS JOIN c{iters} c WHERE p.vec_id % 20 = 3) p "
+        f"WHERE rn <= {nprobe})")
+    parts.append(
+        f"scored AS MATERIALIZED (SELECT q.query_id, t.corpus_id, "
+        f"lq.label AS ql, lt.label AS cl, {cos} AS cosine "
+        f"FROM probes q JOIN cells t ON q.cell = t.cell "
+        f"JOIN embeddings lq ON lq.vec_id = q.query_id "
+        f"JOIN embeddings lt ON lt.vec_id = t.corpus_id)")
+    parts.append(
+        "hard AS (SELECT query_id, corpus_id AS doc_id, 'hard_neg' AS "
+        "pair_type FROM (SELECT *, row_number() OVER (PARTITION BY "
+        "query_id ORDER BY cosine DESC, corpus_id) AS rk FROM scored "
+        "WHERE ql IS DISTINCT FROM cl) WHERE rk <= 3)")
+    parts.append(
+        "pos AS (SELECT query_id, corpus_id AS doc_id, 'pos' AS pair_type "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER "
+        "BY cosine DESC, corpus_id) AS rk FROM scored WHERE ql IS NOT "
+        "DISTINCT FROM cl AND query_id <> corpus_id) WHERE rk <= 1)")
+    # NegativeSampler replay (salt 7, k 3, margin 3 -> 6 draws),
+    # positives = same-label pairs
+    parts.append("nb AS (SELECT GREATEST(1, count(*) // 64) AS b "
+                 "FROM embeddings)")
+    parts.append("d2h AS (SELECT vec_id AS doc, ((vec_id % 2147483648) * "
+                 "2654435761 + 7) % 2147483648 AS h FROM embeddings)")
+    parts.append("docs AS (SELECT doc, h % nb.b AS bkt, "
+                 "h / 2147483648.0 AS du FROM d2h, nb)")
+    parts.append("qa AS (SELECT vec_id AS query_id, label FROM embeddings "
+                 "WHERE vec_id % 20 = 3)")
+    parts.append("spos AS (SELECT qa.query_id, e.vec_id AS doc FROM qa "
+                 "JOIN embeddings e ON e.label = qa.label)")
+    parts.append("qh AS (SELECT query_id, j, ((query_id % 2147483648) * "
+                 "2654435761 + 7) % 2147483648 AS h1 "
+                 "FROM qa, generate_series(1, 6) s(j))")
+    parts.append("qh2 AS (SELECT query_id, j, (((h1 + j) % 2147483648) * "
+                 "2654435761 + 7) % 2147483648 AS h2 FROM qh)")
+    parts.append("qv AS (SELECT query_id, j, h2 % nb.b AS bkt, "
+                 "(((h2 % 2147483648) * 2654435761 + 7) % 2147483648) "
+                 "/ 2147483648.0 AS u FROM qh2, nb)")
+    parts.append("cand AS (SELECT qv.query_id, qv.j, docs.doc, "
+                 "abs(docs.du - qv.u) AS dist FROM qv JOIN docs USING (bkt) "
+                 "WHERE NOT EXISTS (SELECT 1 FROM spos WHERE spos.query_id "
+                 "= qv.query_id AND spos.doc = docs.doc))")
+    parts.append("picked AS (SELECT query_id, j, doc FROM (SELECT *, "
+                 "row_number() OVER (PARTITION BY query_id, j ORDER BY "
+                 "dist, doc) rn FROM cand) WHERE rn = 1)")
+    parts.append("dd AS (SELECT query_id, j, doc FROM (SELECT *, "
+                 "row_number() OVER (PARTITION BY query_id, doc ORDER BY "
+                 "j) rn FROM picked) WHERE rn = 1)")
+    parts.append("rand AS (SELECT query_id, doc AS doc_id, 'rand_neg' AS "
+                 "pair_type FROM (SELECT *, row_number() OVER (PARTITION "
+                 "BY query_id ORDER BY j) rk FROM dd) WHERE rk <= 3)")
+    parts.append("pairs AS (SELECT * FROM hard UNION ALL SELECT * FROM pos "
+                 "UNION ALL SELECT * FROM rand)")
+    parts.append(
+        "sp AS (SELECT *, CASE WHEN ((query_id * 2654435761 + 5) % "
+        "2147483648) / 2147483648.0 < 0.8 THEN 0 ELSE 1 END AS split "
+        "FROM pairs)")
+    return (", ".join(parts)
+            + " SELECT split, pair_type, CAST(count(*) AS INT) AS n_pairs, "
+              "CAST(count(DISTINCT query_id) AS INT) AS n_anchors, "
+              "min(md5(CAST(query_id AS VARCHAR) || ':' || "
+              "CAST(doc_id AS VARCHAR))) AS min_md5, "
+              "max(md5(CAST(query_id AS VARCHAR) || ':' || "
+              "CAST(doc_id AS VARCHAR))) AS max_md5 "
+              "FROM sp GROUP BY 1, 2")
+
+
+LLM_PREP_V12_SQL = _llm_prep_v12_sql()
+
+
 def vocab_growth(spark, sf_dir):
     """VocabGrowthProfiler: per hash slice, tokens / first-appearance
     types / cumulative types — the Heaps-law saturation diagnostic."""
@@ -4327,6 +4473,7 @@ QUERIES = {
     "key_skew": (key_skew, KEY_SKEW_SQL),
     "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
     "vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),
+    "llm_prep_pipeline_v12": (llm_prep_pipeline_v12, LLM_PREP_V12_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "word_blocklist": (word_blocklist, WORD_BLOCKLIST_SQL),
