@@ -46,7 +46,7 @@ HEADLINE = [
     "corr_matrix", "mutual_information", "calibration_eval",
     "regression_evaluator", "multiclass_evaluator",
     "ks_test", "spearman_corr", "paired_ttest", "negative_sampling", "hard_negatives",
-    "pagerank", "key_skew", "fuzzy_join", "vocab_growth",
+    "pagerank", "trustrank", "key_skew", "fuzzy_join", "vocab_growth",
     "isotonic_calibration", "metric_anomaly", "data_profile",
     "constraint_gate", "profile_drift",
     "frequent_items", "profile_quantiles", "diversity_profile",

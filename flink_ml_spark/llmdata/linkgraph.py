@@ -34,7 +34,15 @@ class PageRank(AlgoOperator):
     r⁰(v) = 1/n;  rᵗ⁺¹(v) = (1−d)/n + d·(Σ_{(u,v)∈E} rᵗ(u)/deg(u) + D/n)
 
     where D is the total rank sitting on dangling (no-out-edge) nodes —
-    conserved mass, Σr = 1 exactly at every iteration."""
+    conserved mass, Σr = 1 exactly at every iteration.
+
+    ``transform(edges, seeds)`` (two inputs) switches to PERSONALIZED
+    PageRank / TrustRank (Gyöngyi et al. 2004): the uniform teleport 1/n
+    becomes t(v) = 1/|S| on the seed set, 0 elsewhere — trust flows out
+    from curated seed sites, the standard crawl-quality complement to
+    plain centrality.  r⁰ = t; teleport AND dangling mass go to t, so
+    Σr = 1 still holds; unreachable nodes rank 0.  ``seeds`` is a
+    one-column relation of node ids (extra columns ignored)."""
 
     srcCol = StringParam("srcCol", "Edge source column.", "src")
     dstCol = StringParam("dstCol", "Edge destination column.", "dst")
@@ -44,7 +52,8 @@ class PageRank(AlgoOperator):
                          ParamValidators.in_range(0, 1))
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
-        (df,) = inputs
+        df = inputs[0]
+        seeds = inputs[1] if len(inputs) > 1 else None
         sc_, dc = self.get_("srcCol"), self.get_("dstCol")
         d = self.get_("damping")
         edges = (df.select(F.col(sc_).alias("src"), F.col(dc).alias("dst"))
@@ -58,23 +67,42 @@ class PageRank(AlgoOperator):
         n = nodes.count()
         if n == 0:
             return [df.sparkSession.createDataFrame([], "v long, rank double")]
+        if seeds is None:
+            # uniform teleport: t(v) = 1/n as a literal — no join needed
+            nodes_t = nodes.withColumn("t", F.lit(1.0 / n))
+        else:
+            sv = seeds.select(F.col(seeds.columns[0]).alias("v")).distinct()
+            ns = sv.join(nodes, "v", "left_semi").count()
+            if ns == 0:
+                raise ValueError("PageRank: no seed id appears in the graph")
+            nodes_t = (nodes.join(sv.withColumn("t", F.lit(1.0 / ns)),
+                                  "v", "left")
+                       .select("v", F.coalesce("t", F.lit(0.0)).alias("t")))
+        nodes_t = nodes_t.localCheckpoint(eager=True)
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         # out-degree rides the edge relation once, not once per iteration
         edeg = (edges.join(deg, "src")
                 .select("src", "dst", "deg").localCheckpoint(eager=True))
         dangling = (nodes.join(deg, nodes["v"] == deg["src"], "left_anti")
                     .localCheckpoint(eager=True))
-        ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
+        ranks = nodes_t.select("v", F.col("t").alias("r"))
         for _ in range(self.get_("maxIter")):
             dang = (dangling.join(ranks, "v")
                     .agg(F.coalesce(F.sum("r"), F.lit(0.0))).first()[0])
             contrib = (edeg.join(ranks, edeg["src"] == ranks["v"])
                        .groupBy("dst")
                        .agg(F.sum(F.col("r") / F.col("deg")).alias("m")))
-            ranks = (nodes.join(contrib, nodes["v"] == contrib["dst"], "left")
-                     .select("v",
-                             (F.lit((1.0 - d) / n)
-                              + d * (F.coalesce(F.col("m"), F.lit(0.0))
-                                     + F.lit(dang / n))).alias("r"))
+            m_ = F.coalesce(F.col("m"), F.lit(0.0))
+            if seeds is None:
+                # keep the uniform-teleport expression in its original
+                # floating-point form — the oracle replays it term-exactly
+                upd = (F.lit((1.0 - d) / n)
+                       + d * (m_ + F.lit(dang / n)))
+            else:
+                upd = ((F.lit(1.0 - d) + F.lit(d * dang)) * F.col("t")
+                       + d * m_)
+            ranks = (nodes_t.join(contrib,
+                                  nodes_t["v"] == contrib["dst"], "left")
+                     .select("v", upd.alias("r"))
                      .localCheckpoint(eager=True))
         return [ranks.select("v", F.col("r").alias("rank"))]

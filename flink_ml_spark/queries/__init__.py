@@ -89,7 +89,7 @@ def all_queries():
         # brand-new this round — zero driver evidence ever
         "regression_evaluator", "multiclass_evaluator", "ks_test",
         "spearman_corr", "paired_ttest", "negative_sampling",
-        "hard_negatives", "pagerank", "key_skew", "fuzzy_join", "vocab_growth",
+        "hard_negatives", "pagerank", "trustrank", "key_skew", "fuzzy_join", "vocab_growth",
         "llm_prep_pipeline_v12",
         # never driver-run, ever (parked behind the 50-cap as family
         # variants in r04 — each gets a first driver round now)

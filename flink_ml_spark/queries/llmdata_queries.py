@@ -4354,6 +4354,61 @@ def _pagerank_sql(iters: int = 5, mod: int = 500, d: float = 0.85) -> str:
 PAGERANK_SQL = _pagerank_sql()
 
 
+def trustrank(spark, sf_dir):
+    """Personalized PageRank / TrustRank: teleport restricted to seed
+    nodes (v % 50 == 0) — trust flows from curated seeds; unreachable
+    nodes rank 0.  Same iterative-CTE oracle shape as pagerank with a
+    teleport-vector relation."""
+    from ..llmdata import PageRank
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select((F.col("l_orderkey") % 500).alias("src"),
+                      (F.col("l_partkey") % 500).alias("dst"))
+    seeds = (edges.select(F.col("src").alias("v"))
+             .union(edges.select(F.col("dst").alias("v"))).distinct()
+             .filter(F.col("v") % 50 == 0))
+    out = PageRank(maxIter=5).transform(edges, seeds)[0]
+    return out.select("v", q4(F.col("rank") * 1000).alias("rk"))
+
+
+def _trustrank_sql(iters: int = 5, mod: int = 500, d: float = 0.85) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT l_orderkey % {mod} "
+        f"AS src, l_partkey % {mod} AS dst FROM lineitem)",
+        "nodes AS MATERIALIZED (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "seeds AS MATERIALIZED (SELECT v FROM nodes WHERE v % 50 = 0)",
+        "nsd AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM seeds)",
+        "tvec AS MATERIALIZED (SELECT nodes.v, CASE WHEN s.v IS NOT NULL "
+        "THEN 1.0 / nsd.c ELSE 0.0 END AS t "
+        "FROM nodes CROSS JOIN nsd LEFT JOIN seeds s ON s.v = nodes.v)",
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg "
+        "FROM edges GROUP BY src)",
+        "dang AS MATERIALIZED (SELECT v FROM nodes "
+        "WHERE v NOT IN (SELECT src FROM edges))",
+        "r0 AS MATERIALIZED (SELECT v, t AS r FROM tvec)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r), 0.0) AS s FROM r{i - 1} "
+            f"WHERE v IN (SELECT v FROM dang))")
+        parts.append(
+            f"m{i} AS (SELECT e.dst, sum(p.r / deg.deg) AS m FROM edges e "
+            f"JOIN r{i - 1} p ON p.v = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT tvec.v, "
+            f"((1 - {d}) + {d} * d{i}.s) * tvec.t "
+            f"+ {d} * coalesce(m.m, 0.0) AS r "
+            f"FROM tvec CROSS JOIN d{i} "
+            f"LEFT JOIN m{i} m ON m.dst = tvec.v)")
+    return (", ".join(parts)
+            + f" SELECT v, CAST(ROUND((r * 1000) * 10000) AS BIGINT) AS rk "
+              f"FROM r{iters}")
+
+
+TRUSTRANK_SQL = _trustrank_sql()
+
+
 def hard_negatives(spark, sf_dir):
     """HardNegativeMiner: per anchor, top-k most-similar corpus vectors
     with a DIFFERENT label — IVF probe with the label-mismatch predicate
@@ -4470,6 +4525,7 @@ QUERIES = {
     "negative_sampling": (negative_sampling, NEGATIVE_SAMPLING_SQL),
     "hard_negatives": (hard_negatives, HARD_NEGATIVES_SQL),
     "pagerank": (pagerank, PAGERANK_SQL),
+    "trustrank": (trustrank, TRUSTRANK_SQL),
     "key_skew": (key_skew, KEY_SKEW_SQL),
     "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
     "vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),

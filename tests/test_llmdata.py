@@ -1811,3 +1811,39 @@ def test_fuzzy_join_keep_best(spark):
     allp = FuzzyStringJoin(maxDistance=2, firstTokenBlock=1) \
         .transform(left, right)[0].count()
     assert allp == 3
+
+
+def test_personalized_pagerank(spark):
+    import math
+    import pytest
+    from flink_ml_spark.llmdata import PageRank
+    # chain 0 -> 1 -> 2 with seed {0}: trust decays along the chain
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "v long")
+    r = {row["v"]: row["rank"] for row in
+         PageRank(maxIter=40, damping=0.85).transform(edges, seeds)[0]
+         .collect()}
+    assert math.isclose(sum(r.values()), 1.0, rel_tol=1e-9)  # mass conserved
+    assert r[0] > r[1] > r[2] > 0
+    # numpy replay of the same personalized iteration
+    import numpy as np
+    t = np.array([1.0, 0.0, 0.0])
+    deg = np.array([1.0, 1.0, 0.0])
+    rv = t.copy()
+    for _ in range(40):
+        contrib = np.array([0.0, rv[0] / 1.0, rv[1] / 1.0])
+        dangm = rv[2]
+        rv = (1 - 0.85 + 0.85 * dangm) * t + 0.85 * contrib
+    for v in range(3):
+        assert r[v] == pytest.approx(rv[v], abs=1e-12)
+    # a node unreachable from the seeds ranks exactly 0 with no dangling
+    # feedback (4 -> 3: both off the seed component, 3 has out-edges? no)
+    edges2 = spark.createDataFrame([(0, 1), (4, 3), (3, 4)],
+                                   "src long, dst long")
+    r2 = {row["v"]: row["rank"] for row in
+          PageRank(maxIter=10).transform(edges2, seeds)[0].collect()}
+    assert r2[3] == 0.0 and r2[4] == 0.0 and r2[0] > 0
+    # seeds not in the graph -> loud error
+    bad = spark.createDataFrame([(99,)], "v long")
+    with pytest.raises(ValueError, match="seed"):
+        PageRank(maxIter=2).transform(edges, bad)
