@@ -44,8 +44,13 @@ class FuzzyStringJoin(AlgoOperator):
     maxDistance = IntParam("maxDistance", "Max Levenshtein distance "
                            "(also the length-bucket width).", 5,
                            ParamValidators.gt(0))
-    firstTokenBlock = IntParam("firstTokenBlock", "1 = candidates must "
-                               "share the first whitespace token.", 0)
+    firstTokenBlock = IntParam(
+        "firstTokenBlock", "Number of LEADING whitespace tokens candidates "
+        "must share (0 = length-band only).  Raise it when the string "
+        "population shares a small vocabulary — each extra prefix token "
+        "divides block sizes by the effective vocabulary (TPC-H part "
+        "names at 1 prefix token: 50M candidate pairs; at 2: ~600k).",
+        0, ParamValidators.gt_eq(0))
     keepBest = IntParam("keepBest", "k > 0 keeps only the k closest left "
                         "matches per right row (distance, then left id) — "
                         "bounds the output at |right|·k instead of all "
@@ -54,41 +59,68 @@ class FuzzyStringJoin(AlgoOperator):
                         0, ParamValidators.gt_eq(0))
 
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        from ..common.dataflow import top_k_per_key
         left, right = inputs
         d = self.get_("maxDistance")
         lid, rid = self.get_("leftIdCol"), self.get_("rightIdCol")
         lc, rc = self.get_("leftCol"), self.get_("rightCol")
-        tok1 = (lambda c: F.coalesce(F.split(F.trim(c), r"\s+")
-                                     .getItem(0), F.lit("")))
-        lbkt = F.floor(F.length(F.col("__ls__")) / d)
-        l = left.select(F.col(lid), F.col(lc).alias("__ls__")) \
-            .withColumn("__bkt__", lbkt)
-        if self.get_("firstTokenBlock"):
-            l = l.withColumn("__t1__", tok1(F.col("__ls__")))
+        nblk = int(self.get_("firstTokenBlock"))
+        tokp = (lambda c: F.coalesce(
+            F.array_join(F.slice(F.split(F.trim(c), r"\s+"), 1, nblk), " "),
+            F.lit("")))
+        # blocking, verify and (for keepBest) the string-level ranking all
+        # run over DISTINCT strings: real name populations repeat heavily
+        # (TPC-H part names: 20k rows, a few hundred distinct strings —
+        # id-level candidates were 50M pairs, string-level ~600k), so
+        # candidate work scales with the string vocabulary, not rowcount.
+        # __lmin__ = min left id per string is the tie representative:
+        # id-level order is (distance, left_id), and a string's best pair
+        # uses its minimal id, so top-k strings by (distance, __lmin__)
+        # provably contain every id-level top-k contributor.
+        lstr = (left.select(F.col(lid), F.col(lc).alias("__ls__"))
+                .groupBy("__ls__").agg(F.min(lid).alias("__lmin__"))
+                .withColumn("__bkt__",
+                            F.floor(F.length(F.col("__ls__")) / d)))
+        if nblk:
+            lstr = lstr.withColumn("__t1__", tokp(F.col("__ls__")))
         # probe side fans out to the 3 adjacent length buckets so the
         # band |len_l − len_r| ≤ d never crosses more than one boundary
-        rbase = right.select(F.col(rid), F.col(rc).alias("__rs__"))
-        r = rbase.select(
-            "*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
-            .alias("__off__")).withColumn(
-            "__bkt__", F.floor(F.length(F.col("__rs__")) / d)
-            + F.col("__off__")).drop("__off__")
-        if self.get_("firstTokenBlock"):
-            r = r.withColumn("__t1__", tok1(F.col("__rs__")))
-        keys = ["__bkt__"] + (["__t1__"]
-                              if self.get_("firstTokenBlock") else [])
-        cand = l.join(r, keys)
+        rstr = (right.select(F.col(rc).alias("__rs__")).distinct()
+                .select("*",
+                        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+                        .alias("__off__"))
+                .withColumn("__bkt__",
+                            F.floor(F.length(F.col("__rs__")) / d)
+                            + F.col("__off__"))
+                .drop("__off__"))
+        if nblk:
+            rstr = rstr.withColumn("__t1__", tokp(F.col("__rs__")))
+        keys = ["__bkt__"] + (["__t1__"] if nblk else [])
         dist = F.levenshtein(F.col("__ls__"), F.col("__rs__"))
-        out = (cand
-               .filter(F.abs(F.length("__ls__") - F.length("__rs__")) <= d)
-               .withColumn("distance", dist)
-               .filter(F.col("distance") <= d)
-               .select(lid, rid, "distance"))
+        cand = (lstr.join(rstr, keys)
+                .filter(F.abs(F.length("__ls__") - F.length("__rs__")) <= d)
+                .withColumn("distance", dist)
+                .filter(F.col("distance") <= d)
+                .select("__ls__", "__lmin__", "__rs__", "distance"))
         kb = self.get_("keepBest")
         if kb > 0:
-            from ..common.dataflow import top_k_per_key
-            out = top_k_per_key(out, [rid],
-                                [F.asc("distance"), F.asc(lid)], kb,
-                                salt_cols=[lid], rank_col="__rk__") \
+            # string-level prune first (k strings cover the k best id
+            # pairs), THEN expand ids and re-rank exactly
+            cand = top_k_per_key(cand, ["__rs__"],
+                                 [F.asc("distance"), F.asc("__lmin__")], kb,
+                                 salt_cols=["__lmin__"], rank_col="__sk__") \
+                .select("__ls__", "__rs__", "distance")
+        else:
+            cand = cand.select("__ls__", "__rs__", "distance")
+        pairs = (cand
+                 .join(left.select(F.col(lid), F.col(lc).alias("__ls__")),
+                       "__ls__")
+                 .join(right.select(F.col(rid), F.col(rc).alias("__rs__")),
+                       "__rs__")
+                 .select(lid, rid, "distance"))
+        if kb > 0:
+            pairs = top_k_per_key(pairs, [rid],
+                                  [F.asc("distance"), F.asc(lid)], kb,
+                                  salt_cols=[lid], rank_col="__rk__") \
                 .select(lid, rid, "distance")
-        return [out]
+        return [pairs]

@@ -769,10 +769,15 @@ def multiclass_evaluator(spark, sf_dir):
         (F.col("l_orderkey") % 3).cast("double").alias("prediction"))
     per_class, summary = MulticlassClassificationEvaluator(
         labelCol="label", predictionCol="prediction").transform(df)
-    s = summary.select(q4(F.col("accuracy")).alias("acc"),
-                       q4(F.col("macro_f1")).alias("mf1"),
-                       q4(F.col("weighted_f1")).alias("wf1"))
-    return (per_class.crossJoin(s)
+    # summary is one local row — attach as literals; a crossJoin of two
+    # driver-local relations plans a CartesianProduct with |lpart|·|rpart|
+    # scheduler tasks (measured 12s for 3 rows at 32 default partitions)
+    srow = summary.first()
+    per_class = (per_class
+                 .withColumn("acc", q4(F.lit(srow["accuracy"])))
+                 .withColumn("mf1", q4(F.lit(srow["macro_f1"])))
+                 .withColumn("wf1", q4(F.lit(srow["weighted_f1"]))))
+    return (per_class
             .select(F.col("label").cast("int").alias("label"),
                     F.col("n").cast("long").alias("n"),
                     F.col("tp").cast("long").alias("tp"),
