@@ -480,3 +480,40 @@ def test_pagerank_matches_numpy_power_iteration(spark):
            PageRank(maxIter=15, damping=d).transform(df)[0].collect()}
     for v in nodes:
         assert got[v] == pytest.approx(r[idx[v]], abs=1e-12), v
+
+
+def test_new_operator_persistence_roundtrip(spark, tmp_path):
+    """Param save/load round-trip for this session's stateless operators
+    (the Stage persistence contract every stage honors)."""
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.evaluation import (MulticlassClassificationEvaluator,
+                                           RegressionEvaluator)
+    from flink_ml_spark.llmdata import (FuzzyStringJoin, KeySkewProfiler,
+                                        NegativeSampler, PageRank,
+                                        VocabGrowthProfiler)
+    from flink_ml_spark.stats import (KolmogorovSmirnovTest, PairedTTest,
+                                      SpearmanCorrelation)
+    stages = [
+        RegressionEvaluator(labelCol="y", predictionCol="p"),
+        MulticlassClassificationEvaluator(maxClasses=77),
+        KolmogorovSmirnovTest(valueCol="v", groupCol="g", groupA="x"),
+        SpearmanCorrelation(xCol="a", yCol="b"),
+        PairedTTest(aCol="m1", bCol="m2"),
+        NegativeSampler(k=7, margin=4, salt=13, numBuckets=32),
+        PageRank(maxIter=3, damping=0.5),
+        KeySkewProfiler(inputCol="src", topK=3, maxKeys=1000),
+        VocabGrowthProfiler(idCol="i", inputCol="t", numSlices=4),
+        FuzzyStringJoin(maxDistance=4, firstTokenBlock=1, keepBest=2),
+    ]
+    for i, st in enumerate(stages):
+        p = str(tmp_path / f"stage_{i}")
+        st.save(p)
+        back = Stage.load(spark, p)
+        assert type(back) is type(st), type(back)
+        for p in st.params():
+            assert back.get_(p.name) == st.get_(p.name), (type(st), p.name)
+    # loaded operator actually runs: PageRank after round-trip
+    pr = Stage.load(spark, str(tmp_path / "stage_6"))
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = {r["v"]: r["rank"] for r in pr.transform(edges)[0].collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
