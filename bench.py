@@ -47,7 +47,7 @@ HEADLINE = [
     "regression_evaluator", "multiclass_evaluator",
     "ks_test", "spearman_corr", "paired_ttest", "negative_sampling", "hard_negatives",
     "pagerank", "trustrank", "key_skew", "fuzzy_join", "vocab_growth",
-    "isotonic_calibration", "metric_anomaly", "data_profile",
+    "isotonic_calibration", "conformal_interval", "metric_anomaly", "data_profile",
     "constraint_gate", "profile_drift",
     "frequent_items", "profile_quantiles", "diversity_profile",
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",

@@ -937,6 +937,54 @@ FROM m
 """
 
 
+def conformal_interval(spark, sf_dir):
+    """ConformalRegressor: split-conformal q on a calibration split
+    (k-th order statistic via range-partition cumsum), then held-out
+    coverage per linestatus — ≥ 0.8 by the conformal guarantee."""
+    from ..regression import ConformalRegressor
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(F.col("l_orderkey").alias("k"),
+                     F.col("l_linestatus").alias("ls"),
+                     F.col("l_quantity").cast("double").alias("label"),
+                     (25.0 + F.col("l_discount") * 100).alias("prediction"))
+    calib = base.filter(F.col("k") % 5 < 4)
+    holdout = base.filter(F.col("k") % 5 == 4)
+    model = ConformalRegressor(alpha=0.2, labelCol="label",
+                               predictionCol="prediction").fit(calib)
+    ev = model.transform(holdout)[0]
+    cov = ((F.col("label") >= F.col("lower"))
+           & (F.col("label") <= F.col("upper"))).cast("long")
+    return (ev.groupBy("ls")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cov).alias("n_cov"),
+                 q4(F.sum(cov) / F.count(F.lit(1))).alias("coverage"))
+            .withColumn("q", q4(F.lit(model.model_data["q"]))))
+
+
+CONFORMAL_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey AS k, l_linestatus AS ls,
+         CAST(l_quantity AS DOUBLE) AS y,
+         25.0 + l_discount * 100 AS p
+  FROM lineitem),
+calib AS (SELECT abs(p - y) AS s FROM base WHERE k % 5 < 4),
+nk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(ceil((count(*) + 1) * (1.0 - 0.2)) AS BIGINT) AS kk
+       FROM calib),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM (
+          SELECT s AS v, count(*) AS c FROM calib GROUP BY 1)),
+qv AS (SELECT min(v) AS q FROM cum, nk WHERE cc >= nk.kk),
+ev AS (SELECT ls,
+              CASE WHEN y >= p - qv.q AND y <= p + qv.q
+                   THEN 1 ELSE 0 END AS cov
+       FROM base, qv WHERE k % 5 = 4)
+SELECT ls, count(*) AS n, sum(cov) AS n_cov,
+       {SQL_Q4.format('sum(cov) * 1.0 / count(*)')} AS coverage,
+       {SQL_Q4.format('qv.q')} AS q
+FROM ev, qv GROUP BY ls, qv.q
+"""
+
+
 QUERIES = {
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),
     "corr_matrix": (corr_matrix, CORR_MATRIX_SQL),
@@ -955,6 +1003,7 @@ QUERIES = {
     "ks_test": (ks_test, KS_TEST_SQL),
     "spearman_corr": (spearman_corr, SPEARMAN_SQL),
     "paired_ttest": (paired_ttest, PAIRED_TTEST_SQL),
+    "conformal_interval": (conformal_interval, CONFORMAL_SQL),
     "swing": (swing, SWING_SQL),
     "minhash_lsh_join": (minhash_lsh_join, _lsh_join_sql()),
     "minhash_lsh_nn": (minhash_lsh_nn, _lsh_nn_sql()),

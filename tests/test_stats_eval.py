@@ -517,3 +517,46 @@ def test_new_operator_persistence_roundtrip(spark, tmp_path):
     edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     out = {r["v"]: r["rank"] for r in pr.transform(edges)[0].collect()}
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_conformal_regressor(spark):
+    from flink_ml_spark.regression import ConformalRegressor
+    # residuals |p-y| on calibration: [1,2,3,...,10]; alpha=0.2, n=10
+    # -> k = ceil(11*0.8) = 9 -> q = 9
+    rows = [(float(i), 0.0) for i in range(1, 11)]
+    calib = spark.createDataFrame(rows, "label double, prediction double")
+    m = ConformalRegressor(alpha=0.2).fit(calib)
+    assert m.model_data["k"] == 9 and m.model_data["q"] == 9.0
+    # intervals: prediction +/- q
+    test = spark.createDataFrame([(100.0,)], "prediction double")
+    r = m.transform(test)[0].first()
+    assert r["lower"] == 91.0 and r["upper"] == 109.0
+    # transform_local parity
+    import pandas as pd
+    loc = m.transform_local(pd.DataFrame({"prediction": [100.0]}))
+    assert loc["lower"][0] == 91.0 and loc["upper"][0] == 109.0
+    # empirical coverage >= 1 - alpha on exchangeable data
+    rng = np.random.RandomState(0)
+    y = rng.randn(2000)
+    p = y + rng.randn(2000) * 0.5
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, p)],
+        "label double, prediction double")
+    calib2 = df.limit(1000)
+    m2 = ConformalRegressor(alpha=0.1).fit(calib2)
+    ev = m2.transform(df.subtract(calib2))[0]
+    from pyspark.sql import functions as F
+    cov = ev.select(F.avg(((F.col("label") >= F.col("lower"))
+                           & (F.col("label") <= F.col("upper")))
+                          .cast("double"))).first()[0]
+    assert cov >= 0.85  # 1-alpha=0.9 minus sampling slack
+    # ties in residuals: k-th order statistic respects multiplicity
+    tied = spark.createDataFrame(
+        [(1.0, 0.0)] * 5 + [(9.0, 0.0)] * 5, "label double, prediction double")
+    mt = ConformalRegressor(alpha=0.5).fit(tied)  # k = ceil(11*.5) = 6
+    assert mt.model_data["q"] == 9.0
+    # infeasible coverage fails loudly
+    import pytest as _p
+    tiny = spark.createDataFrame([(1.0, 0.0)], "label double, prediction double")
+    with _p.raises(ValueError, match="cannot certify"):
+        ConformalRegressor(alpha=0.1).fit(tiny)
