@@ -49,7 +49,7 @@ HEADLINE = [
     "pagerank", "trustrank", "key_skew", "fuzzy_join", "vocab_growth",
     "isotonic_calibration", "conformal_interval", "metric_anomaly", "data_profile",
     "constraint_gate", "profile_drift",
-    "frequent_items", "profile_quantiles", "diversity_profile",
+    "frequent_items", "profile_quantiles", "diversity_profile", "psi_drift",
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",
     "stateful_sessions", "asof_join", "range_join", "sliding_windows",
     "streaming_dedup", "streaming_incremental_dedup", "streaming_drift",

@@ -10,7 +10,7 @@ from .dedup import (ConnectedComponents, ContaminationScorer,
 from .bloom import DigestBloomFilter, DigestBloomFilterModel
 from .bpe import BpeTokenizerModel, BpeTokenizerTrainer
 from .profiler import (ConstraintGate, DataProfiler, DiversityProfiler,
-                       KeySkewProfiler, VocabGrowthProfiler,
+                       KeySkewProfiler, PsiDrift, VocabGrowthProfiler,
                        FrequentItemsProfiler, suggest_constraints)
 from .multimodal import (ImageResizer, MediaFeatureExtractor,
                          VideoFrameSampler)

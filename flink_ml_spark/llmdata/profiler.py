@@ -838,3 +838,79 @@ class VocabGrowthProfiler(Transformer, HasInputCol):
         return df.sparkSession.createDataFrame(
             out, "slice int, tokens long, new_types long, cum_types long, "
                  "new_type_rate double")
+
+
+class PsiDrift(AlgoOperator, HasInputCol):
+    """Population Stability Index between a baseline and a current
+    snapshot of one numeric column — the classic "has the score/feature
+    distribution moved?" gate (credit-scoring lineage; the standard
+    reading: < 0.1 stable, 0.1–0.25 shifting, > 0.25 drifted).  The
+    batch complement of the streaming JS gate (`streaming/drift.py`) and
+    the structural profile_drift: PSI is symmetric-ish, binned on the
+    BASELINE's quantiles, and contribution-decomposable per bin.
+
+    Plan: baseline quantile edges come from one aggregation
+    (``approx_percentile`` sketch by default — the 100 TB path;
+    ``exactQuantiles=True`` uses exact ``percentile`` for cross-engine
+    parity), then each side takes ONE pass binning against the B−1
+    literal edges with map-side combine — B-row outputs; shares are
+    ε-floored so empty bins stay finite.
+
+    ``transform(baseline, current)`` → one row per bin:
+    ``(bin, base_share, cur_share, contrib, psi)`` (psi repeated as a
+    literal, contribution-decomposed by bin)."""
+
+    numBins = Param("numBins", "Baseline-quantile bins.", 10,
+                    lambda v: 1 < int(v) <= 10000)
+    exactQuantiles = BoolParam(
+        "exactQuantiles", "Exact percentile edges (buffers the baseline "
+        "column — small-data / oracle path) instead of the mergeable "
+        "approx_percentile sketch.", False)
+    epsilon = Param("epsilon", "Share floor for empty bins.", 1e-6,
+                    lambda v: 0 < float(v) < 0.5)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        baseline, current = inputs
+        col = self.get_("inputCol")
+        b = int(self.get_("numBins"))
+        eps = float(self.get_("epsilon"))
+        x = F.col(col).cast("double")
+        probs = [i / b for i in range(1, b)]
+        fn = "percentile" if self.get_("exactQuantiles") \
+            else "approx_percentile"
+        edges_row = (baseline.filter(x.isNotNull())
+                     .agg(F.expr(f"{fn}({col}, array({', '.join(map(str, probs))}))"))
+                     .first()[0])
+        edges = [float(e) for e in edges_row]
+
+        def binned(df: DataFrame, name: str) -> DataFrame:
+            bin_ = sum((x > F.lit(e)).cast("int") for e in edges)
+            return (df.filter(x.isNotNull())
+                    .groupBy(bin_.alias("bin"))
+                    .agg(F.count("*").alias(name)))
+
+        base = binned(baseline, "nb")
+        cur = binned(current, "nc")
+        spark = baseline.sparkSession
+        bins = spark.range(b).select(F.col("id").cast("int").alias("bin"))
+        joined = (bins.join(base, "bin", "left").join(cur, "bin", "left")
+                  .select("bin",
+                          F.coalesce("nb", F.lit(0)).alias("nb"),
+                          F.coalesce("nc", F.lit(0)).alias("nc")))
+        rows = sorted((r["bin"], int(r["nb"]), int(r["nc"]))
+                      for r in joined.collect())  # ≤ numBins rows
+        tb = sum(r[1] for r in rows) or 1
+        tc = sum(r[2] for r in rows) or 1
+        import math
+        out = []
+        psi = 0.0
+        for bin_, nb, nc in rows:
+            sb = max(nb / tb, eps)
+            sc = max(nc / tc, eps)
+            contrib = (sc - sb) * math.log(sc / sb)
+            psi += contrib
+            out.append((bin_, nb / tb, nc / tc, contrib))
+        return [spark.createDataFrame(
+            [(bin_, sb_, sc_, c_, psi) for bin_, sb_, sc_, c_ in out],
+            "bin int, base_share double, cur_share double, "
+            "contrib double, psi double")]

@@ -4272,6 +4272,59 @@ SELECT left_id, right_id, distance FROM (
 """
 
 
+def psi_drift(spark, sf_dir):
+    """PsiDrift: PSI of l_extendedprice between two halves of lineitem,
+    the current half shifted ×1.1 — baseline-quantile bins, ε-floored
+    shares, per-bin contributions.  exactQuantiles=True for bit-parity
+    with quantile_cont (the sketch is the default 100 TB path)."""
+    from ..llmdata import PsiDrift
+    li = load(spark, sf_dir, "lineitem")
+    baseline = li.filter(F.col("l_orderkey") % 2 == 0) \
+        .select(F.col("l_extendedprice").alias("x"))
+    current = li.filter(F.col("l_orderkey") % 2 == 1) \
+        .select((F.col("l_extendedprice") * 1.1).alias("x"))
+    out = PsiDrift(inputCol="x", numBins=10, exactQuantiles=True) \
+        .transform(baseline, current)[0]
+    return out.select("bin", q4(F.col("base_share")).alias("base_share"),
+                      q4(F.col("cur_share")).alias("cur_share"),
+                      q4(F.col("contrib")).alias("contrib"),
+                      q4(F.col("psi")).alias("psi"))
+
+
+PSI_DRIFT_SQL = f"""
+WITH baseline AS (
+  SELECT l_extendedprice AS x FROM lineitem WHERE l_orderkey % 2 = 0),
+cur AS (
+  SELECT l_extendedprice * 1.1 AS x FROM lineitem WHERE l_orderkey % 2 = 1),
+e AS (SELECT quantile_cont(x, [{', '.join(str(i / 10) for i in range(1, 10))}])
+      AS ed FROM baseline),
+bb AS (SELECT bin, count(*) AS c FROM (
+    SELECT list_aggregate(list_transform(e.ed,
+        v -> CASE WHEN x > v THEN 1 ELSE 0 END), 'sum') AS bin
+    FROM baseline, e) GROUP BY 1),
+cc AS (SELECT bin, count(*) AS c FROM (
+    SELECT list_aggregate(list_transform(e.ed,
+        v -> CASE WHEN x > v THEN 1 ELSE 0 END), 'sum') AS bin
+    FROM cur, e) GROUP BY 1),
+bins AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+j AS (SELECT bins.bin, coalesce(bb.c, 0) AS nb, coalesce(cc.c, 0) AS nc
+      FROM bins LEFT JOIN bb ON bb.bin = bins.bin
+                LEFT JOIN cc ON cc.bin = bins.bin),
+t AS (SELECT CAST(sum(nb) AS DOUBLE) AS tb, CAST(sum(nc) AS DOUBLE) AS tc
+      FROM j),
+s AS (SELECT bin, nb / t.tb AS sb0, nc / t.tc AS sc0,
+             GREATEST(nb / t.tb, 1e-6) AS sb,
+             GREATEST(nc / t.tc, 1e-6) AS sc
+      FROM j, t),
+p AS (SELECT sum((sc - sb) * ln(sc / sb)) AS psi FROM s)
+SELECT bin, {SQL_Q4.format('sb0')} AS base_share,
+       {SQL_Q4.format('sc0')} AS cur_share,
+       {SQL_Q4.format('(sc - sb) * ln(sc / sb)')} AS contrib,
+       {SQL_Q4.format('p.psi')} AS psi
+FROM s, p
+"""
+
+
 def key_skew(spark, sf_dir):
     """KeySkewProfiler over documents.source: per-key share/rank/cum
     plus Gini and top-k concentration — the pre-shuffle skew check."""
@@ -4527,6 +4580,7 @@ QUERIES = {
     "pagerank": (pagerank, PAGERANK_SQL),
     "trustrank": (trustrank, TRUSTRANK_SQL),
     "key_skew": (key_skew, KEY_SKEW_SQL),
+    "psi_drift": (psi_drift, PSI_DRIFT_SQL),
     "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
     "vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),
     "llm_prep_pipeline_v12": (llm_prep_pipeline_v12, LLM_PREP_V12_SQL),

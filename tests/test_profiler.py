@@ -511,3 +511,33 @@ def test_vocab_growth_profiler(spark):
     assert curve[0]["new_types"] == 2
     assert all(r["new_types"] == 0 for r in curve[1:])
     assert curve[-1]["cum_types"] == 2
+
+
+def test_psi_drift(spark):
+    import math
+    import pytest
+    from flink_ml_spark.llmdata import PsiDrift
+    # identical distributions -> psi == 0 exactly (same counts per bin)
+    vals = [float(v) for v in range(100)]
+    a = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = PsiDrift(inputCol="x", numBins=4, exactQuantiles=True) \
+        .transform(a, a)[0].collect()
+    assert all(r["contrib"] == 0.0 for r in out)
+    assert out[0]["psi"] == 0.0
+    assert len(out) == 4
+    # shares sum to 1 on both sides
+    assert sum(r["base_share"] for r in out) == pytest.approx(1.0)
+    # hand-computed shift: baseline uniform over bins; current all in the
+    # top bin -> psi = 3 bins emptying + one bin 0.25->1.0
+    top = spark.createDataFrame([(99.0,)] * 40, "x double")
+    out2 = {r["bin"]: r for r in
+            PsiDrift(inputCol="x", numBins=4, exactQuantiles=True)
+            .transform(a, top)[0].collect()}
+    eps = 1e-6
+    exp = sum((max(sc, eps) - sb) * math.log(max(sc, eps) / sb)
+              for sb, sc in [(0.25, 0.0)] * 3 + [(0.25, 1.0)])
+    assert out2[3]["cur_share"] == pytest.approx(1.0)
+    assert out2[0]["psi"] == pytest.approx(exp, rel=1e-9)
+    # contributions decompose the total
+    assert sum(r["contrib"] for r in out2.values()) == pytest.approx(
+        out2[0]["psi"], rel=1e-12)
