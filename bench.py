@@ -42,7 +42,7 @@ HEADLINE = [
     "one_hot_encoder", "kbins_uniform", "vector_assembler", "vector_slicer",
     "elementwise_product", "interaction", "polynomial_expansion", "dct",
     "variance_threshold", "univariate_feature_selector",
-    "naive_bayes", "chisq_test", "anova_test", "fvalue_test",
+    "naive_bayes", "target_encoding", "chisq_test", "anova_test", "fvalue_test",
     "corr_matrix", "mutual_information", "calibration_eval",
     "regression_evaluator", "multiclass_evaluator",
     "ks_test", "spearman_corr", "paired_ttest", "negative_sampling", "hard_negatives",

@@ -23,6 +23,7 @@ from .selectors import (VarianceThresholdSelector,
 from .sqltransformer import SQLTransformer
 from .stopwordsremover import StopWordsRemover
 from .stringindexer import IndexToStringModel, StringIndexer, StringIndexerModel
+from .targetencoder import TargetEncoder, TargetEncoderModel
 from .tokenizer import RegexTokenizer, Tokenizer
 from .univariatefeatureselector import (UnivariateFeatureSelector,
                                         UnivariateFeatureSelectorModel)

@@ -985,6 +985,49 @@ FROM ev, qv GROUP BY ls, qv.q
 """
 
 
+def target_encoding(spark, sf_dir):
+    """TargetEncoder out-of-fold: returnflag||linestatus encoded against
+    l_quantity
+    with deterministic LCG folds keyed on l_orderkey (same order → same
+    fold: group-level leakage safety).  One row per (category, fold):
+    the shared OOF encoding value and its row count."""
+    from ..feature import TargetEncoder
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(F.col("l_orderkey").alias("id"),
+                   F.concat(F.col("l_returnflag"),
+                            F.col("l_linestatus")).alias("category"),
+                   F.col("l_quantity").cast("double").alias("label"))
+    model = TargetEncoder(inputCol="category", labelCol="label",
+                          smoothing=20.0).fit(df)
+    model.set(type(model).numFolds, 5)
+    enc = model.transform_oof(df)
+    inner = ((F.col("id") % 2147483648) + 2147483648) % 2147483648
+    fold = ((((inner * 2654435761 + 7) % 2147483648) + 2147483648)
+            % 2147483648 % 5).cast("int")
+    return (enc.withColumn("fold", fold)
+            .groupBy("category", "fold")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 q4(F.min("encoded")).alias("enc")))
+
+
+TARGET_ENCODING_SQL = f"""
+WITH base AS (
+  SELECT l_returnflag || l_linestatus AS category, CAST(l_quantity AS DOUBLE) AS y,
+         CAST(((l_orderkey % 2147483648) * 2654435761 + 7) % 2147483648
+              % 5 AS INT) AS fold
+  FROM lineitem),
+pcf AS (SELECT category, fold, count(*) AS nf, sum(y) AS sf
+        FROM base GROUP BY 1, 2),
+fullc AS (SELECT category, sum(nf) AS n, sum(sf) AS s
+          FROM pcf GROUP BY 1),
+prior AS (SELECT sum(s) / sum(n) AS p FROM fullc)
+SELECT pcf.category, pcf.fold, pcf.nf AS n,
+       {SQL_Q4.format('((fullc.s - pcf.sf) + 20.0 * prior.p) '
+                      '/ ((fullc.n - pcf.nf) + 20.0)')} AS enc
+FROM pcf JOIN fullc USING (category), prior
+"""
+
+
 QUERIES = {
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),
     "corr_matrix": (corr_matrix, CORR_MATRIX_SQL),
@@ -1004,6 +1047,7 @@ QUERIES = {
     "spearman_corr": (spearman_corr, SPEARMAN_SQL),
     "paired_ttest": (paired_ttest, PAIRED_TTEST_SQL),
     "conformal_interval": (conformal_interval, CONFORMAL_SQL),
+    "target_encoding": (target_encoding, TARGET_ENCODING_SQL),
     "swing": (swing, SWING_SQL),
     "minhash_lsh_join": (minhash_lsh_join, _lsh_join_sql()),
     "minhash_lsh_nn": (minhash_lsh_nn, _lsh_nn_sql()),

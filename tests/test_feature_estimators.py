@@ -236,3 +236,55 @@ def test_idf_counts_null_vector_docs(spark):
     assert m.model_data["numDocs"] == 4
     # term 0 appears in 2 docs of 4
     assert m.model_data["idf"][0] == pytest.approx(math.log(5 / 3))
+
+
+def test_target_encoder(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.feature import TargetEncoder
+    # categories: a -> labels (1,1,0), b -> (0,0), prior = 2/5
+    rows = [(1, "a", 1.0), (2, "a", 1.0), (3, "a", 0.0),
+            (4, "b", 0.0), (5, "b", 0.0)]
+    df = spark.createDataFrame(rows, "id long, category string, label double")
+    m = TargetEncoder(inputCol="category", labelCol="label",
+                      smoothing=10.0).fit(df)
+    prior = 2 / 5
+    enc = {r["category"]: r["encoded"] for r in m.transform(df)[0].collect()}
+    assert enc["a"] == pytest.approx((2 + 10 * prior) / (3 + 10))
+    assert enc["b"] == pytest.approx((0 + 10 * prior) / (2 + 10))
+    # unseen category -> prior
+    new = spark.createDataFrame([(9, "zzz")], "id long, category string")
+    assert m.transform(new)[0].first()["encoded"] == pytest.approx(prior)
+    # smoothing -> prior as m -> inf, -> raw mean as m -> 0
+    m0 = TargetEncoder(inputCol="category", labelCol="label",
+                       smoothing=0.0).fit(df)
+    e0 = {r["category"]: r["encoded"] for r in m0.transform(df)[0].collect()}
+    assert e0["a"] == pytest.approx(2 / 3) and e0["b"] == 0.0
+    # out-of-fold: a row's own label never contributes to its encoding.
+    # single category, labels differ by row: with k=numFolds greater than
+    # n each row is its own fold -> leave-one-out exactly
+    rows2 = [(i, "c", float(i % 2)) for i in range(6)]
+    df2 = spark.createDataFrame(rows2, "id long, category string, label double")
+    m2 = TargetEncoder(inputCol="category", labelCol="label",
+                       smoothing=0.0).fit(df2)
+    m2.set(type(m2).numFolds, 1009)  # ~one row per fold
+    oof = m2.transform_oof(df2).collect()
+    tot = sum(r % 2 for r in range(6))  # 3 positives
+    for r in oof:
+        own = r["label"]
+        # leave-one-out mean of the others
+        exp = (tot - own) / 5
+        assert r["encoded"] == pytest.approx(exp), r
+    # save/load round-trip preserves stats and prior
+    p = str(tmp_path / "te")
+    m.save(p)
+    back = Stage.load(spark, p)
+    enc2 = {r["category"]: r["encoded"] for r in back.transform(df)[0].collect()}
+    assert enc2 == pytest.approx(enc)
+    # id-like category guard
+    ids = spark.createDataFrame([(i, str(i), 1.0) for i in range(100)],
+                                "id long, category string, label double")
+    with pytest.raises(ValueError, match="maxCategories"):
+        TargetEncoder(inputCol="category", labelCol="label",
+                      maxCategories=10).fit(ids)
