@@ -50,6 +50,7 @@ HEADLINE = [
     "isotonic_calibration", "conformal_interval", "metric_anomaly", "data_profile",
     "constraint_gate", "profile_drift",
     "frequent_items", "profile_quantiles", "diversity_profile", "psi_drift",
+    "corpus_datasheet",
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",
     "stateful_sessions", "asof_join", "range_join", "sliding_windows",
     "streaming_dedup", "streaming_incremental_dedup", "streaming_drift",

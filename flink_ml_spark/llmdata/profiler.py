@@ -914,3 +914,62 @@ class PsiDrift(AlgoOperator, HasInputCol):
             [(bin_, sb_, sc_, c_, psi) for bin_, sb_, sc_, c_ in out],
             "bin int, base_share double, cur_share double, "
             "contrib double, psi double")]
+
+
+class CorpusDatasheet(Transformer, HasInputCol):
+    """One-call corpus datasheet: the "Datasheets for Datasets" (Gebru et
+    al. 2021) summary a corpus release ships with, composed from this
+    package's profiler family — volume, exact-duplication rate, language
+    mix, source concentration (KeySkewProfiler's Gini/top-1), lexical
+    diversity — as one tall ``(section, metric, value)`` relation that
+    drops straight into a metric store or MetricAnomalyDetector history.
+
+    Scale: one aggregate over the corpus (counts, chars, token counts,
+    digest-distinct), one vocabulary-keyed distinct for TTR, one
+    lang-counts aggregate, and the KeySkewProfiler pass — every piece is
+    the already-audited shape; output is a fixed ~dozen rows plus one
+    per observed language."""
+
+    idCol = StringParam("idCol", "Document id column.", "doc_id")
+    langCol = StringParam("langCol", "Language column.", "lang")
+    sourceCol = StringParam("sourceCol", "Source/domain column.", "source")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from .textanalysis import _tokens
+        spark = df.sparkSession
+        text = F.coalesce(F.col(self.get_("inputCol")), F.lit(""))
+        toks = _tokens(text)
+        base = df.select(F.col(self.get_("idCol")).alias("id"),
+                         text.alias("t"), toks.alias("tk"),
+                         F.col(self.get_("langCol")).alias("lang"),
+                         F.col(self.get_("sourceCol")).alias("src"))
+        agg = base.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("tk")).alias("n_tokens"),
+            F.avg(F.length("t")).alias("avg_chars"),
+            F.count_distinct(F.md5("t")).alias("n_distinct")).first()
+        n = int(agg["n_docs"])
+        rows = [("volume", "n_docs", float(n)),
+                ("volume", "n_tokens", float(agg["n_tokens"] or 0)),
+                ("volume", "avg_chars", float(agg["avg_chars"] or 0.0))]
+        if n:
+            rows.append(("dedup", "exact_dup_rate",
+                         1.0 - int(agg["n_distinct"]) / n))
+            # lexical diversity: corpus type-token ratio (exact — the
+            # vocab-keyed distinct is the token_drift shuffle shape)
+            n_types = (base.select(F.explode("tk").alias("w"))
+                       .agg(F.count_distinct("w")).first()[0])
+            n_tok = int(agg["n_tokens"] or 0)
+            rows.append(("diversity", "ttr",
+                         n_types / n_tok if n_tok else 0.0))
+            for r in sorted(base.groupBy("lang").count().collect(),
+                            key=lambda r: str(r["lang"])):
+                rows.append(("language", f"share_{r['lang']}",
+                             r["count"] / n))
+            skew = (KeySkewProfiler(inputCol="src", topK=5)
+                    .transform(base)[0].first())
+            rows.append(("skew", "source_gini", float(skew["gini"])))
+            rows.append(("skew", "source_top1_share",
+                         float(skew["top1_share"])))
+        return spark.createDataFrame(
+            rows, "section string, metric string, value double")

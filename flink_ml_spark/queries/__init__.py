@@ -89,8 +89,9 @@ def all_queries():
         # brand-new this round — zero driver evidence ever
         "regression_evaluator", "multiclass_evaluator", "ks_test",
         "spearman_corr", "paired_ttest", "negative_sampling",
-        "hard_negatives", "pagerank", "trustrank", "key_skew", "fuzzy_join", "vocab_growth",
-        "llm_prep_pipeline_v12", "conformal_interval", "psi_drift", "target_encoding",
+        "hard_negatives", "pagerank", "trustrank", "key_skew", "fuzzy_join",
+        "llm_prep_pipeline_v12", "conformal_interval", "psi_drift",
+        "target_encoding", "corpus_datasheet", "vocab_growth",
         # never driver-run, ever (parked behind the 50-cap as family
         # variants in r04 — each gets a first driver round now)
         "profile_quantiles", "profile_by_source", "bm25_indexed",

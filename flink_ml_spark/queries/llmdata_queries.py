@@ -4272,6 +4272,54 @@ SELECT left_id, right_id, distance FROM (
 """
 
 
+def corpus_datasheet(spark, sf_dir):
+    """CorpusDatasheet: the one-call (section, metric, value) corpus
+    report — volume, exact-dup rate, language mix, source Gini/top-1,
+    corpus TTR — every metric replayed in one oracle."""
+    from ..llmdata import CorpusDatasheet
+    docs = load(spark, sf_dir, "documents")
+    out = CorpusDatasheet(inputCol="text", idCol="doc_id", langCol="lang",
+                          sourceCol="source").transform(docs)[0]
+    return out.select("section", "metric", q4(F.col("value")).alias("v"))
+
+
+CORPUS_DATASHEET_SQL = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t, {TOKS} AS tk,
+                     lang, source FROM documents),
+a AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(len(tk)) AS DOUBLE) AS n_tokens,
+             avg(length(t)) AS avg_chars,
+             CAST(count(DISTINCT md5(t)) AS DOUBLE) AS nd
+      FROM base),
+types AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS nt
+          FROM (SELECT unnest(tk) AS w FROM base)),
+langs AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM base GROUP BY 1),
+sk_c AS (SELECT source AS key, count(*) AS cnt FROM base GROUP BY 1),
+sk_r AS (SELECT key, cnt,
+                row_number() OVER (ORDER BY cnt DESC, key) AS rank,
+                row_number() OVER (ORDER BY cnt ASC, key) AS i
+         FROM sk_c),
+sk_t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, count(*) AS m,
+                sum(CAST(i AS DOUBLE) * cnt) AS iw,
+                sum(CASE WHEN rank <= 1 THEN cnt ELSE 0 END) AS t1
+         FROM sk_r)
+SELECT 'volume' AS section, 'n_docs' AS metric,
+       {SQL_Q4.format('n_docs')} AS v FROM a
+UNION ALL SELECT 'volume', 'n_tokens', {SQL_Q4.format('n_tokens')} FROM a
+UNION ALL SELECT 'volume', 'avg_chars', {SQL_Q4.format('avg_chars')} FROM a
+UNION ALL SELECT 'dedup', 'exact_dup_rate',
+       {SQL_Q4.format('1.0 - nd / n_docs')} FROM a
+UNION ALL SELECT 'diversity', 'ttr',
+       {SQL_Q4.format('types.nt / a.n_tokens')} FROM types, a
+UNION ALL SELECT 'language', 'share_' || lang,
+       {SQL_Q4.format('c / a.n_docs')} FROM langs, a
+UNION ALL SELECT 'skew', 'source_gini',
+       {SQL_Q4.format('2 * iw / (m * n) - (m + 1.0) / m')} FROM sk_t
+UNION ALL SELECT 'skew', 'source_top1_share',
+       {SQL_Q4.format('t1 / n')} FROM sk_t
+"""
+
+
 def psi_drift(spark, sf_dir):
     """PsiDrift: PSI of l_extendedprice between two halves of lineitem,
     the current half shifted ×1.1 — baseline-quantile bins, ε-floored
@@ -4581,6 +4629,7 @@ QUERIES = {
     "trustrank": (trustrank, TRUSTRANK_SQL),
     "key_skew": (key_skew, KEY_SKEW_SQL),
     "psi_drift": (psi_drift, PSI_DRIFT_SQL),
+    "corpus_datasheet": (corpus_datasheet, CORPUS_DATASHEET_SQL),
     "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
     "vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),
     "llm_prep_pipeline_v12": (llm_prep_pipeline_v12, LLM_PREP_V12_SQL),

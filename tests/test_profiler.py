@@ -541,3 +541,32 @@ def test_psi_drift(spark):
     # contributions decompose the total
     assert sum(r["contrib"] for r in out2.values()) == pytest.approx(
         out2[0]["psi"], rel=1e-12)
+
+
+def test_corpus_datasheet(spark):
+    import pytest
+    from flink_ml_spark.llmdata import CorpusDatasheet
+    rows = [(1, "a b c", "en", "web"), (2, "a b c", "en", "web"),
+            (3, "d e", "fr", "books"), (4, "f", "en", "web")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "lang string, source string")
+    out = {(r["section"], r["metric"]): r["value"] for r in
+           CorpusDatasheet(inputCol="text", idCol="doc_id", langCol="lang",
+                           sourceCol="source").transform(df)[0].collect()}
+    assert out[("volume", "n_docs")] == 4.0
+    # tokens = 3 + 3 + 2 + 1 = 9; types = {a b c d e f} = 6
+    assert out[("volume", "n_tokens")] == 9.0
+    # one exact duplicate pair -> dup rate 1 - 3/4
+    assert out[("dedup", "exact_dup_rate")] == pytest.approx(0.25)
+    assert out[("diversity", "ttr")] == pytest.approx(6 / 9)
+    assert out[("language", "share_en")] == pytest.approx(0.75)
+    assert out[("language", "share_fr")] == pytest.approx(0.25)
+    # web has 3 of 4 docs
+    assert out[("skew", "source_top1_share")] == pytest.approx(0.75)
+    # empty corpus: volume rows only, no crash
+    empty = spark.createDataFrame([], "doc_id long, text string, "
+                                      "lang string, source string")
+    rows2 = CorpusDatasheet(inputCol="text", idCol="doc_id", langCol="lang",
+                            sourceCol="source").transform(empty)[0].collect()
+    assert {(r["section"], r["metric"]) for r in rows2} == {
+        ("volume", "n_docs"), ("volume", "n_tokens"), ("volume", "avg_chars")}
