@@ -35,7 +35,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     # driver-loop / iterative (job-latency-bound)
     "logistic_regression", "linear_svc", "linear_regression", "kmeans",
-    "knn", "ann_ivf", "hashingtf_logreg", "binary_evaluator", "dup_clusters",
+    "knn", "ann_ivf", "hashingtf_logreg", "binary_evaluator", "sliced_auc", "dup_clusters",
     # expression-only transformers and aggregate fits
     "binarizer", "bucketizer", "standard_scaler", "minmax_scaler",
     "robust_scaler", "normalizer", "imputer", "string_indexer",

@@ -1028,6 +1028,45 @@ FROM pcf JOIN fullc USING (category), prior
 """
 
 
+def sliced_auc(spark, sf_dir):
+    """SlicedBinaryClassificationEvaluator: per-linestatus tie-aware AUC
+    in ONE pass (Mann–Whitney midrank identity over group-partitioned
+    windows) — must agree with the global evaluator run per slice."""
+    from ..evaluation import SlicedBinaryClassificationEvaluator
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_linestatus").alias("grp"),
+        (F.col("l_quantity") / 50 + F.col("l_discount") * 2).alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+        .alias("label"))
+    ev = SlicedBinaryClassificationEvaluator(
+        groupCol="grp", labelCol="label", rawPredictionCol="score")
+    out = ev.transform(df)[0]
+    return out.select("grp", "n", "n_pos", q4(F.col("auc")).alias("auc"))
+
+
+SLICED_AUC_SQL = f"""
+WITH base AS (
+  SELECT l_linestatus AS grp, l_quantity / 50 + l_discount * 2 AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS p
+  FROM lineitem),
+g AS (SELECT grp, s, sum(p) AS pos, count(*) AS tot
+      FROM base GROUP BY 1, 2),
+r AS (SELECT grp, pos, tot,
+             2 * (sum(tot) OVER (PARTITION BY grp ORDER BY s
+                                 ROWS UNBOUNDED PRECEDING) - tot)
+             + tot + 1 AS m2
+      FROM g),
+a AS (SELECT grp, CAST(sum(pos) AS DOUBLE) AS P,
+             CAST(sum(tot - pos) AS DOUBLE) AS N,
+             CAST(sum(pos * m2) AS DOUBLE) AS r2sum
+      FROM r GROUP BY 1)
+SELECT grp, CAST(P + N AS BIGINT) AS n, CAST(P AS BIGINT) AS n_pos,
+       {SQL_Q4.format('(r2sum / 2.0 - P * (P + 1) / 2.0) / (P * N)')} AS auc
+FROM a
+"""
+
+
 QUERIES = {
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),
     "corr_matrix": (corr_matrix, CORR_MATRIX_SQL),
@@ -1048,6 +1087,7 @@ QUERIES = {
     "paired_ttest": (paired_ttest, PAIRED_TTEST_SQL),
     "conformal_interval": (conformal_interval, CONFORMAL_SQL),
     "target_encoding": (target_encoding, TARGET_ENCODING_SQL),
+    "sliced_auc": (sliced_auc, SLICED_AUC_SQL),
     "swing": (swing, SWING_SQL),
     "minhash_lsh_join": (minhash_lsh_join, _lsh_join_sql()),
     "minhash_lsh_nn": (minhash_lsh_nn, _lsh_nn_sql()),

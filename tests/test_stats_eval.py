@@ -560,3 +560,35 @@ def test_conformal_regressor(spark):
     tiny = spark.createDataFrame([(1.0, 0.0)], "label double, prediction double")
     with _p.raises(ValueError, match="cannot certify"):
         ConformalRegressor(alpha=0.1).fit(tiny)
+
+
+def test_sliced_auc_matches_global_per_group(spark):
+    from pyspark.sql import functions as F
+    from flink_ml_spark.evaluation import (BinaryClassificationEvaluator,
+                                           SlicedBinaryClassificationEvaluator)
+    rng = np.random.RandomState(11)
+    rows = []
+    for grp, sep in (("a", 1.5), ("b", 0.2), ("c", 0.0)):
+        for _ in range(120):
+            y = float(rng.randint(0, 2))
+            # ties on purpose: scores rounded to 1 decimal
+            s = round(float(rng.randn() + sep * y), 1)
+            rows.append((grp, s, y))
+    df = spark.createDataFrame(rows, "grp string, score double, label double")
+    sliced = {r["grp"]: r for r in SlicedBinaryClassificationEvaluator(
+        groupCol="grp", labelCol="label", rawPredictionCol="score")
+        .transform(df)[0].collect()}
+    for grp in ("a", "b", "c"):
+        sub = df.filter(F.col("grp") == grp)
+        ref = BinaryClassificationEvaluator(
+            labelCol="label", rawPredictionCol="score") \
+            .transform(sub)[0].first()["areaUnderROC"]
+        assert sliced[grp]["auc"] == pytest.approx(ref, abs=1e-12), grp
+        assert sliced[grp]["n"] == 120
+    # single-class slice -> NaN, not a crash
+    one = spark.createDataFrame([("z", 0.5, 1.0), ("z", 0.2, 1.0)],
+                                "grp string, score double, label double")
+    r = SlicedBinaryClassificationEvaluator(
+        groupCol="grp", labelCol="label", rawPredictionCol="score") \
+        .transform(one)[0].first()
+    assert math.isnan(r["auc"]) and r["n_pos"] == 2
