@@ -46,10 +46,11 @@ class FuzzyStringJoin(AlgoOperator):
                            ParamValidators.gt(0))
     firstTokenBlock = IntParam(
         "firstTokenBlock", "Number of LEADING whitespace tokens candidates "
-        "must share (0 = length-band only).  Raise it when the string "
-        "population shares a small vocabulary — each extra prefix token "
-        "divides block sizes by the effective vocabulary (TPC-H part "
-        "names at 1 prefix token: 50M candidate pairs; at 2: ~600k).",
+        "must share (0 = length-band only).  Each extra prefix token "
+        "divides block sizes by the effective vocabulary, but BOTH sides "
+        "must genuinely share that prefix — e.g. a right side built by "
+        "truncating the LAST word keeps the first token, so 1 is safe "
+        "there, while 2 would need ≥3-word strings on both sides.",
         0, ParamValidators.gt_eq(0))
     keepBest = IntParam("keepBest", "k > 0 keeps only the k closest left "
                         "matches per right row (distance, then left id) — "
