@@ -947,8 +947,14 @@ class CorpusDatasheet(Transformer, HasInputCol):
             F.count("*").alias("n_docs"),
             F.sum(F.size("tk")).alias("n_tokens"),
             F.avg(F.length("t")).alias("avg_chars"),
-            F.count_distinct(F.md5("t")).alias("n_distinct")).first()
+            F.count_distinct(F.md5("t")).alias("n_distinct"),
+            F.count_distinct("lang").alias("n_langs")).first()
         n = int(agg["n_docs"])
+        if int(agg["n_langs"] or 0) > 10000:
+            raise ValueError(
+                f"CorpusDatasheet saw {agg['n_langs']} distinct values in "
+                f"'{self.get_('langCol')}' — the language-mix section is "
+                f"per-language rows; is this really a language column?")
         rows = [("volume", "n_docs", float(n)),
                 ("volume", "n_tokens", float(agg["n_tokens"] or 0)),
                 ("volume", "avg_chars", float(agg["avg_chars"] or 0.0))]
