@@ -1847,3 +1847,34 @@ def test_personalized_pagerank(spark):
     bad = spark.createDataFrame([(99,)], "v long")
     with pytest.raises(ValueError, match="seed"):
         PageRank(maxIter=2).transform(edges, bad)
+
+
+def test_new_ops_edge_cases(spark):
+    import math
+    from pyspark.sql import functions as F
+    from flink_ml_spark.llmdata import (FuzzyStringJoin, NegativeSampler,
+                                        PageRank)
+    # NegativeSampler: NEGATIVE ids hash deterministically (LCG normalizes)
+    corpus = spark.range(-100, 100).select(F.col("id").alias("doc"))
+    pos = spark.createDataFrame([(-5, -5), (3, 3)], "query long, doc long")
+    r1 = NegativeSampler(k=3, margin=3, numBuckets=8).transform(pos, corpus)[0]
+    r2 = NegativeSampler(k=3, margin=3, numBuckets=8).transform(
+        pos.repartition(3), corpus.repartition(5))[0]
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+    assert all(r["query"] != r["negative"] for r in r1.collect())
+    # FuzzyStringJoin: null strings on either side don't crash or match
+    l = spark.createDataFrame([(1, None), (2, "abc")],
+                              "left_id long, name string")
+    r = spark.createDataFrame([(7, None), (8, "abd")],
+                              "right_id long, name string")
+    out = FuzzyStringJoin(maxDistance=2).transform(l, r)[0].collect()
+    assert [(x["left_id"], x["right_id"]) for x in out] == [(2, 8)]
+    # PageRank: self-loop counts as an out-edge, mass still conserved
+    loop = spark.createDataFrame([(1, 1), (1, 2)], "src long, dst long")
+    ranks = {x["v"]: x["rank"] for x in
+             PageRank(maxIter=15).transform(loop)[0].collect()}
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-9)
+    # fixed point is exactly symmetric here: node 1 splits between itself
+    # and 2; node 2's (dangling) mass redistributes evenly
+    assert math.isclose(ranks[1], 0.5, rel_tol=1e-6)
+    assert math.isclose(ranks[2], 0.5, rel_tol=1e-6)
