@@ -63,6 +63,7 @@ HEADLINE = [
     "pii_ccnum",
     "html_extract", "c4_line_filter", "url_normalize", "word_blocklist",
     "domain_mixture", "temperature_mixture", "stratified_budget",
+    "weighted_sample",
     "token_drift",
     "corpus_shuffle", "curriculum_order",
     "sequence_packing",

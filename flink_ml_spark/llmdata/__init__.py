@@ -23,6 +23,7 @@ from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         RandomHyperplaneLSH, RandomHyperplaneLSHModel,
                         SemanticDeduplicator)
 from .sampling import (CorpusShuffler, DocumentChunker, DomainMixtureSampler,
+                       WeightedSampler,
                        ImportanceResampler, ImportanceResamplerModel,
                        NegativeSampler,
                        SequencePacker, StratifiedBudgetSampler,

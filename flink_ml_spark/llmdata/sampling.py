@@ -665,3 +665,54 @@ class NegativeSampler(AlgoOperator):
                .select(F.col("__q__").alias(qc),
                        F.col("__doc__").alias("negative"), "j"))
         return [out]
+
+
+class WeightedSampler(Transformer):
+    """Weighted sampling WITHOUT replacement, deterministic: take the
+    top-``k`` rows by the Efraimidis–Spirakis key u^(1/w) (Efraimidis &
+    Spirakis 2006) with u drawn from the corpus-prep LCG instead of an
+    RNG — inclusion probabilities follow the weights (quality scores,
+    token counts, recency weights), yet re-runs, retries and the SQL
+    oracle reproduce the exact sample.  ``byCol`` makes it per-group
+    (k docs per source/language).
+
+    Scale: the key is a zero-shuffle row expression; selection is the
+    two-stage salted exact top-k — never a global single-task sort."""
+
+    idCol = StringParam("idCol", "Unique integer id column.", "id")
+    weightCol = StringParam("weightCol", "Positive weight column.", "weight")
+    k = IntParam("k", "Rows to keep (per group with byCol).", 100,
+                 ParamValidators.gt(0))
+    byCol = StringParam("byCol", "Optional group column.", None)
+    salt = IntParam("salt", "Hash salt.", 7)
+    keyRounding = IntParam(
+        "keyRounding", "Round the u^(1/w) key to this many decimals "
+        "before ranking (None = raw).  pow() may differ in the last ulp "
+        "across libm implementations; rounding + the id tiebreaker makes "
+        "the selected set engine-reproducible (the bm25 scoreRounding "
+        "convention).", None, lambda v: v is None or v > 0)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from ..common.dataflow import top_k_per_key
+        idc = self.get_("idCol")
+        # the salt must mix NON-affinely (the CorpusShuffler lesson: an
+        # additive salt shifts every hash by the same constant mod M —
+        # a near-rotation that leaves top-k samples almost unchanged);
+        # XOR with a salt-derived mask genuinely re-permutes
+        mask = (int(self.get_("salt")) * 2654435761) % HASH_MOD
+        base = ((((F.col(idc) % HASH_MOD) + HASH_MOD) % HASH_MOD)
+                * 2654435761) % HASH_MOD
+        u = base.bitwiseXOR(F.lit(mask)) / float(HASH_MOD)
+        w = F.col(self.get_("weightCol")).cast("double")
+        # u^(1/w); w <= 0 or null excludes the row (key null -> dropped)
+        key = F.when(w > 0, F.pow(u, 1.0 / w)).otherwise(F.lit(None))
+        if self.get_("keyRounding") is not None:
+            key = F.round(key, int(self.get_("keyRounding")))
+        tagged = (df.withColumn("__wkey__", key)
+                  .filter(F.col("__wkey__").isNotNull()))
+        by = self.get_("byCol")
+        out = top_k_per_key(tagged, [by] if by else [],
+                            [F.desc("__wkey__"), F.asc(idc)],
+                            self.get_("k"), salt_cols=[idc],
+                            rank_col="__wrank__")
+        return out.drop("__wkey__", "__wrank__")

@@ -4272,6 +4272,34 @@ SELECT left_id, right_id, distance FROM (
 """
 
 
+def weighted_sample(spark, sf_dir):
+    """WeightedSampler: 5 docs per source, inclusion ∝ n_chars —
+    Efraimidis–Spirakis u^(1/w) keys over the deterministic LCG, salted
+    exact top-k per group; key rounded to 12 decimals so pow()'s last
+    ulp can't reorder ties across engines."""
+    from ..llmdata import WeightedSampler
+    docs = load(spark, sf_dir, "documents")
+    out = WeightedSampler(idCol="doc_id", weightCol="n_chars", k=5,
+                          byCol="source", salt=7, keyRounding=12) \
+        .transform(docs)[0]
+    return out.select("source", "doc_id", "n_chars")
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(pow(xor((doc_id % 2147483648) * 2654435761 % 2147483648,
+                       7 * 2654435761 % 2147483648)
+                   / 2147483648.0, 1.0 / n_chars), 12) AS k
+  FROM documents WHERE n_chars > 0),
+r AS (SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY k DESC, doc_id) AS rk
+      FROM keyed)
+SELECT source, doc_id, n_chars FROM r WHERE rk <= 5
+"""
+
+
 def corpus_datasheet(spark, sf_dir):
     """CorpusDatasheet: the one-call (section, metric, value) corpus
     report — volume, exact-dup rate, language mix, source Gini/top-1,
@@ -4630,6 +4658,7 @@ QUERIES = {
     "key_skew": (key_skew, KEY_SKEW_SQL),
     "psi_drift": (psi_drift, PSI_DRIFT_SQL),
     "corpus_datasheet": (corpus_datasheet, CORPUS_DATASHEET_SQL),
+    "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
     "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
     "vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),
     "llm_prep_pipeline_v12": (llm_prep_pipeline_v12, LLM_PREP_V12_SQL),

@@ -1878,3 +1878,40 @@ def test_new_ops_edge_cases(spark):
     # and 2; node 2's (dangling) mass redistributes evenly
     assert math.isclose(ranks[1], 0.5, rel_tol=1e-6)
     assert math.isclose(ranks[2], 0.5, rel_tol=1e-6)
+
+
+def test_weighted_sampler(spark):
+    import math
+    from collections import Counter
+    from pyspark.sql import functions as F
+    from flink_ml_spark.llmdata import WeightedSampler
+    # inclusion tracks weights: two strata, weight 100 vs 1; sampling k
+    # of 2n rows should overwhelmingly pick heavy rows
+    rows = [(i, "g", 100.0 if i % 2 == 0 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = WeightedSampler(idCol="id", weightCol="w", k=50,
+                          byCol="grp").transform(df)[0].collect()
+    assert len(out) == 50
+    heavy = sum(1 for r in out if r["id"] % 2 == 0)
+    assert heavy >= 45  # heavy stratum dominates
+    # deterministic under repartitioning
+    out2 = WeightedSampler(idCol="id", weightCol="w", k=50,
+                           byCol="grp").transform(df.repartition(7))[0].collect()
+    assert sorted(r["id"] for r in out) == sorted(r["id"] for r in out2)
+    # different salt -> different sample
+    out3 = WeightedSampler(idCol="id", weightCol="w", k=50, byCol="grp",
+                           salt=99).transform(df)[0].collect()
+    assert sorted(r["id"] for r in out) != sorted(r["id"] for r in out3)
+    # per-group k
+    two = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", 1.0) for i in range(100)],
+        "id long, grp string, w double")
+    g = Counter(r["grp"] for r in WeightedSampler(
+        idCol="id", weightCol="w", k=7, byCol="grp").transform(two)[0].collect())
+    assert g == {"a": 7, "b": 7}
+    # nonpositive / null weights never selected
+    bad = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, None), (4, 5.0)],
+                                "id long, w double")
+    picked = WeightedSampler(idCol="id", weightCol="w", k=10) \
+        .transform(bad)[0].collect()
+    assert [r["id"] for r in picked] == [4]
