@@ -58,7 +58,7 @@ HEADLINE = [
     "language_id", "text_quality", "char_entropy", "gopher_filter",
     "unigram_lm_score",
     "bigram_lm_score", "quality_classifier",
-    "token_count", "fingerprint",
+    "token_count", "fingerprint", "keyness",
     "text_normalize", "corpus_stats", "repetition_quality", "pii_redaction",
     "pii_ccnum",
     "html_extract", "c4_line_filter", "url_normalize", "word_blocklist",

@@ -37,6 +37,7 @@ from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
                            Bm25Index, Bm25IndexModel, Bm25Retriever,
                            Bm25Scorer, Bm25ScorerModel, CharEntropyScorer,
                            DocumentFingerprinter, GopherQualityFilter,
+                           KeynessAnalyzer,
                            LanguageIdentifier, NGramProfiler, PIIRedactor,
                            RepetitionScorer,
                            TextNormalizer, TextQualityScorer, TokenCounter,

@@ -1308,3 +1308,68 @@ class DocumentFingerprinter(Transformer, HasInputCol, HasOutputCol):
         out = pdf.copy()
         out[self.get_("outputCol")] = rows
         return out
+
+
+class KeynessAnalyzer(AlgoOperator, HasInputCol):
+    """Corpus comparison by token keyness: the informative-Dirichlet
+    log-odds z-scores of Monroe, Colaresi & Quinn 2008 ("Fightin'
+    Words") — WHICH tokens distinguish corpus A from corpus B, with the
+    variance-stabilized statistic that raw log-odds / PMI lack (rare
+    tokens don't dominate).  The standard tool for "what changed between
+    these two snapshots / sources" beyond count drift.
+
+      α_w = α0·(y_aw+y_bw)/(n_a+n_b)           (pooled informative prior)
+      δ_w = ln[(y_aw+α_w)/(n_a+α0−y_aw−α_w)] − (same for B)
+      z_w = δ_w / √(1/(y_aw+α_w) + 1/(y_bw+α_w))
+
+    Plan: one token-count aggregation per side (map-side combine), a
+    vocab-keyed full-outer join, closed-form column arithmetic, and the
+    top-``k`` by |z| pushed into TakeOrderedAndProject — k rows out at
+    any corpus size, driver sees only two scalar totals.
+    ``transform(a, b)`` → ``(token, count_a, count_b, z)``, z > 0 ⇒
+    A-leaning."""
+
+    alpha0 = FloatParam("alpha0", "Total Dirichlet prior mass α0.", 100.0,
+                        ParamValidators.gt(0))
+    k = IntParam("k", "Top tokens by |z| to keep.", 50,
+                 ParamValidators.gt(0))
+    zRounding = IntParam(
+        "zRounding", "Round z to this many decimals BEFORE the top-k "
+        "ordering (None = raw) — with the token tiebreaker this makes "
+        "the k-boundary engine-reproducible (the bm25 scoreRounding "
+        "convention; log/sqrt may differ in the last ulp across libms).",
+        None, lambda v: v is None or v > 0)
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        a, b = inputs
+        col = self.get_("inputCol")
+        a0 = float(self.get_("alpha0"))
+
+        def counts(df: DataFrame, name: str) -> DataFrame:
+            return (df.select(F.explode(_tokens(F.coalesce(
+                        F.col(col), F.lit("")))).alias("token"))
+                    .groupBy("token").agg(F.count("*").alias(name)))
+
+        ca = counts(a, "count_a")
+        cb = counts(b, "count_b")
+        joined = (ca.join(cb, "token", "full_outer")
+                  .select("token",
+                          F.coalesce("count_a", F.lit(0)).alias("count_a"),
+                          F.coalesce("count_b", F.lit(0)).alias("count_b")))
+        tot = joined.agg(F.sum("count_a"), F.sum("count_b")).first()
+        na, nb = float(tot[0] or 0), float(tot[1] or 0)
+        if na == 0 or nb == 0:
+            raise ValueError("KeynessAnalyzer: both corpora must contain "
+                             "at least one token")
+        ya = F.col("count_a").cast("double")
+        yb = F.col("count_b").cast("double")
+        alpha = a0 * (ya + yb) / (na + nb)
+        delta = (F.log((ya + alpha) / (na + a0 - ya - alpha))
+                 - F.log((yb + alpha) / (nb + a0 - yb - alpha)))
+        z = delta / F.sqrt(1.0 / (ya + alpha) + 1.0 / (yb + alpha))
+        if self.get_("zRounding") is not None:
+            z = F.round(z, int(self.get_("zRounding")))
+        out = (joined.withColumn("z", z)
+               .orderBy(F.abs(F.col("z")).desc(), F.col("token"))
+               .limit(self.get_("k")))
+        return [out]

@@ -4272,6 +4272,46 @@ SELECT left_id, right_id, distance FROM (
 """
 
 
+def keyness(spark, sf_dir):
+    """KeynessAnalyzer: Monroe et al. log-odds z — which tokens
+    distinguish English docs from the rest; top-25 by |z| through
+    TakeOrderedAndProject, z rounded to 9 decimals so the k-boundary is
+    engine-reproducible."""
+    from ..llmdata import KeynessAnalyzer
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en")
+    b = docs.filter(F.col("lang") != "en")
+    out = KeynessAnalyzer(inputCol="text", alpha0=100.0, k=25,
+                          zRounding=9).transform(a, b)[0]
+    return out.select("token", "count_a", "count_b",
+                      q4(F.col("z")).alias("z"))
+
+
+KEYNESS_SQL = f"""
+WITH ta AS (SELECT unnest({TOKS}) AS token FROM documents
+            WHERE lang = 'en'),
+tb AS (SELECT unnest({TOKS}) AS token FROM documents
+       WHERE lang <> 'en'),
+ca AS (SELECT token, count(*) AS count_a FROM ta GROUP BY 1),
+cb AS (SELECT token, count(*) AS count_b FROM tb GROUP BY 1),
+j AS (SELECT coalesce(ca.token, cb.token) AS token,
+             coalesce(count_a, 0) AS count_a,
+             coalesce(count_b, 0) AS count_b
+      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+t AS (SELECT CAST(sum(count_a) AS DOUBLE) AS na,
+             CAST(sum(count_b) AS DOUBLE) AS nb FROM j),
+s AS (SELECT token, count_a, count_b,
+             round((ln((count_a + aw) / (t.na + 100.0 - count_a - aw))
+                    - ln((count_b + aw) / (t.nb + 100.0 - count_b - aw)))
+                   / sqrt(1.0 / (count_a + aw) + 1.0 / (count_b + aw)),
+                   9) AS z
+      FROM (SELECT j.*, 100.0 * (count_a + count_b) / (t.na + t.nb) AS aw
+            FROM j, t), t)
+SELECT token, count_a, count_b, {SQL_Q4.format('z')} AS z
+FROM s ORDER BY abs(z) DESC, token LIMIT 25
+"""
+
+
 def weighted_sample(spark, sf_dir):
     """WeightedSampler: 5 docs per source, inclusion ∝ n_chars —
     Efraimidis–Spirakis u^(1/w) keys over the deterministic LCG, salted
@@ -4659,6 +4699,7 @@ QUERIES = {
     "psi_drift": (psi_drift, PSI_DRIFT_SQL),
     "corpus_datasheet": (corpus_datasheet, CORPUS_DATASHEET_SQL),
     "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
+    "keyness": (keyness, KEYNESS_SQL),
     "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
     "vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),
     "llm_prep_pipeline_v12": (llm_prep_pipeline_v12, LLM_PREP_V12_SQL),

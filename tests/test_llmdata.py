@@ -1915,3 +1915,35 @@ def test_weighted_sampler(spark):
     picked = WeightedSampler(idCol="id", weightCol="w", k=10) \
         .transform(bad)[0].collect()
     assert [r["id"] for r in picked] == [4]
+
+
+def test_keyness_analyzer(spark):
+    import math
+    import pytest
+    from flink_ml_spark.llmdata import KeynessAnalyzer
+    # 'alpha' exclusive to A, 'beta' exclusive to B, 'common' shared
+    a = spark.createDataFrame([("alpha common",)] * 20, "text string")
+    b = spark.createDataFrame([("beta common",)] * 20, "text string")
+    out = {r["token"]: r for r in
+           KeynessAnalyzer(inputCol="text", alpha0=10.0, k=10)
+           .transform(a, b)[0].collect()}
+    assert out["alpha"]["z"] > 0 > out["beta"]["z"]
+    # symmetric construction -> antisymmetric z
+    assert out["alpha"]["z"] == pytest.approx(-out["beta"]["z"], rel=1e-9)
+    assert abs(out["common"]["z"]) < 1e-9  # identical usage -> z ~ 0
+    assert out["alpha"]["count_a"] == 20 and out["alpha"]["count_b"] == 0
+    # hand-check against the Monroe et al. formulas
+    na = nb = 40.0
+    a0 = 10.0
+    aw = a0 * 20 / 80  # alpha_w for 'alpha'
+    delta = (math.log((20 + aw) / (na + a0 - 20 - aw))
+             - math.log((0 + aw) / (nb + a0 - 0 - aw)))
+    zexp = delta / math.sqrt(1 / (20 + aw) + 1 / (0 + aw))
+    assert out["alpha"]["z"] == pytest.approx(zexp, rel=1e-12)
+    # k caps the output by |z|
+    many = KeynessAnalyzer(inputCol="text", k=2).transform(a, b)[0].collect()
+    assert len(many) == 2 and {r["token"] for r in many} == {"alpha", "beta"}
+    # empty side fails loudly
+    empty = spark.createDataFrame([], "text string")
+    with pytest.raises(ValueError, match="at least one token"):
+        KeynessAnalyzer(inputCol="text").transform(a, empty)
