@@ -24,6 +24,7 @@ from .sqltransformer import SQLTransformer
 from .stopwordsremover import StopWordsRemover
 from .stringindexer import IndexToStringModel, StringIndexer, StringIndexerModel
 from .targetencoder import TargetEncoder, TargetEncoderModel
+from .winsorizer import Winsorizer, WinsorizerModel
 from .tokenizer import RegexTokenizer, Tokenizer
 from .univariatefeatureselector import (UnivariateFeatureSelector,
                                         UnivariateFeatureSelectorModel)

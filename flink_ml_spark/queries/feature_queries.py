@@ -748,7 +748,47 @@ FROM lineitem, sstats, mstats
 """
 
 
+def winsorize(spark, sf_dir):
+    """Winsorizer: clip l_extendedprice/l_quantity to fitted p01/p99
+    (exactQuantiles=True for PERCENTILE_CONT oracle parity); the
+    summary aggregate gates bounds AND the clipped distribution."""
+    from ..feature import Winsorizer
+    li = load(spark, sf_dir, "lineitem")
+    m = Winsorizer(inputCols=["l_extendedprice", "l_quantity"],
+                   outputCols=["p_w", "q_w"],
+                   lower=0.01, upper=0.99, exactQuantiles=True).fit(li)
+    out = m.transform(li)[0]
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        q4(F.min("p_w")).alias("p_min"), q4(F.max("p_w")).alias("p_max"),
+        q4(F.avg("p_w")).alias("p_avg"),
+        q4(F.min("q_w")).alias("q_min"), q4(F.max("q_w")).alias("q_max"),
+        q4(F.avg("q_w")).alias("q_avg"))
+
+
+WINSORIZE_SQL = f"""
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS plo,
+         quantile_cont(l_extendedprice, 0.99) AS phi,
+         quantile_cont(l_quantity, 0.01) AS qlo,
+         quantile_cont(l_quantity, 0.99) AS qhi
+  FROM lineitem),
+c AS (
+  SELECT LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), b.plo), b.phi)
+         AS pw,
+         LEAST(GREATEST(CAST(l_quantity AS DOUBLE), b.qlo), b.qhi) AS qw
+  FROM lineitem, b)
+SELECT count(*) AS n,
+       {SQL_Q4.format('min(pw)')} AS p_min, {SQL_Q4.format('max(pw)')} AS p_max,
+       {SQL_Q4.format('avg(pw)')} AS p_avg,
+       {SQL_Q4.format('min(qw)')} AS q_min, {SQL_Q4.format('max(qw)')} AS q_max,
+       {SQL_Q4.format('avg(qw)')} AS q_avg
+FROM c
+"""
+
+
 QUERIES = {
+    "winsorize": (winsorize, WINSORIZE_SQL),
     "graph_dag": (graph_dag, GRAPH_DAG_SQL),
     "binarizer": (binarizer, BINARIZER_SQL),
     "dct": (dct, DCT_SQL),

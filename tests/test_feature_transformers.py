@@ -173,3 +173,38 @@ def test_feature_hasher_high_cardinality_fallback(spark, monkeypatch):
     monkeypatch.setattr(H, "MAX_MAP_DISTINCTS", 8)
     capped = run()                    # uid (300 distincts) trips the cap
     assert capped == full
+
+
+def test_winsorizer(spark, tmp_path):
+    import pytest
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.feature import Winsorizer
+    # values 1..100; p10/p90 exact-interpolated bounds
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                               "x double")
+    m = Winsorizer(inputCols=["x"], outputCols=["xc"], lower=0.1, upper=0.9,
+                   exactQuantiles=True).fit(df)
+    lo, hi = m.model_data["bounds"]["x"]
+    # PERCENTILE_CONT on 1..100: p10 = 10.9, p90 = 90.1
+    assert lo == pytest.approx(10.9) and hi == pytest.approx(90.1)
+    vals = {r["x"]: r["xc"] for r in m.transform(df)[0].collect()}
+    assert vals[1.0] == pytest.approx(10.9)      # clipped up
+    assert vals[100.0] == pytest.approx(90.1)    # clipped down
+    assert vals[50.0] == 50.0                    # interior untouched
+    # transform_local parity
+    import pandas as pd
+    loc = m.transform_local(pd.DataFrame({"x": [1.0, 50.0, 100.0]}))
+    assert list(loc["xc"]) == pytest.approx([10.9, 50.0, 90.1])
+    # save/load
+    p = str(tmp_path / "w")
+    m.save(p)
+    back = Stage.load(spark, p)
+    # JSON round-trip stores the tuple as a list
+    assert list(back.model_data["bounds"]["x"]) == pytest.approx([10.9, 90.1])
+    # invalid quantile ordering fails fast
+    with pytest.raises(ValueError, match="must be <"):
+        Winsorizer(inputCols=["x"], lower=0.9, upper=0.1).fit(df)
+    # all-null column fails loudly
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    with pytest.raises(ValueError, match="no non-null"):
+        Winsorizer(inputCols=["x"], exactQuantiles=True).fit(nulls)
