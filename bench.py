@@ -42,6 +42,7 @@ HEADLINE = [
     "one_hot_encoder", "kbins_uniform", "vector_assembler", "vector_slicer",
     "elementwise_product", "interaction", "polynomial_expansion", "dct",
     "variance_threshold", "univariate_feature_selector", "winsorize",
+    "rare_collapse",
     "naive_bayes", "target_encoding", "chisq_test", "anova_test", "fvalue_test",
     "corr_matrix", "mutual_information", "calibration_eval",
     "regression_evaluator", "multiclass_evaluator",

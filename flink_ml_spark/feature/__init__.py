@@ -23,7 +23,9 @@ from .selectors import (VarianceThresholdSelector,
 from .sqltransformer import SQLTransformer
 from .stopwordsremover import StopWordsRemover
 from .stringindexer import IndexToStringModel, StringIndexer, StringIndexerModel
-from .targetencoder import TargetEncoder, TargetEncoderModel
+from .targetencoder import (RareCategoryCollapser,
+                            RareCategoryCollapserModel,
+                            TargetEncoder, TargetEncoderModel)
 from .winsorizer import Winsorizer, WinsorizerModel
 from .tokenizer import RegexTokenizer, Tokenizer
 from .univariatefeatureselector import (UnivariateFeatureSelector,

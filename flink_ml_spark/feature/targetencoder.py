@@ -154,3 +154,97 @@ class TargetEncoderModel(Model, HasLabelCol):
         self._stats = spark.createDataFrame(
             [tuple(r) for r in data["stats"]],
             "__cat__ string, __n__ long, __s__ double")
+
+
+class RareCategoryCollapser(Estimator):
+    """Collapse long-tail categories into one sentinel value — the
+    standard prep ahead of one-hot / target encoding (unbounded
+    vocabularies leak ids and overfit singletons).  Keep rule:
+    ``count ≥ minCount`` AND ``count/n ≥ minFraction`` (the fraction
+    form is scale-invariant — the same categories survive at sf0.01 and
+    at 100 TB if the distribution holds).
+
+    Fit = ONE groupBy count (maxCategories-guarded); the model holds the
+    keep set and transforms via a broadcast left_semi-style join — no
+    literal IN list that would blow the plan at large keep sets;
+    ``transform_local`` serves from the same set."""
+
+    inputCol = StringParam("inputCol", "Categorical column.", "category")
+    outputCol = StringParam("outputCol", "Collapsed column.", "collapsed")
+    minCount = IntParam("minCount", "Absolute keep threshold.", 2,
+                        ParamValidators.gt_eq(0))
+    minFraction = FloatParam("minFraction", "Relative keep threshold.",
+                             0.0, ParamValidators.in_range(0, 1))
+    otherValue = StringParam("otherValue", "Sentinel for collapsed "
+                             "categories.", "__other__")
+    maxCategories = IntParam("maxCategories", "Fail fast above this many "
+                             "distinct categories.", 10_000_000,
+                             ParamValidators.gt(0))
+
+    def fit(self, *inputs: DataFrame) -> "RareCategoryCollapserModel":
+        (df,) = inputs
+        c = F.col(self.get_("inputCol"))
+        stats = (df.filter(c.isNotNull())
+                 .groupBy(c.alias("__cat__"))
+                 .agg(F.count("*").alias("__n__"))
+                 .localCheckpoint(eager=True))
+        m = stats.count()
+        if m > self.get_("maxCategories"):
+            raise ValueError(
+                f"RareCategoryCollapser saw {m} categories (> "
+                f"maxCategories={self.get_('maxCategories')})")
+        n = stats.agg(F.sum("__n__")).first()[0] or 0
+        thresh = max(int(self.get_("minCount")),
+                     int(float(self.get_("minFraction")) * n)
+                     if n else 0)
+        keep = stats.filter(F.col("__n__") >= thresh).select("__cat__")
+        model = RareCategoryCollapserModel()
+        model.set_(inputCol=self.get_("inputCol"),
+                   outputCol=self.get_("outputCol"),
+                   otherValue=self.get_("otherValue"))
+        model._keep = keep.localCheckpoint(eager=True)
+        model.model_data = {"n": int(n), "threshold": int(thresh)}
+        return model
+
+
+class RareCategoryCollapserModel(Model):
+    inputCol = StringParam("inputCol", "Categorical column.", "category")
+    outputCol = StringParam("outputCol", "Collapsed column.", "collapsed")
+    otherValue = StringParam("otherValue", "Sentinel.", "__other__")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        ic = self.get_("inputCol")
+        joined = df.join(
+            F.broadcast(self._keep.withColumn("__keep__", F.lit(True))),
+            df[ic] == F.col("__cat__"), "left")
+        return (joined.withColumn(
+                    self.get_("outputCol"),
+                    F.when(F.col("__keep__"), F.col(ic))
+                     .otherwise(F.lit(self.get_("otherValue"))))
+                .drop("__cat__", "__keep__"))
+
+    def transform_local(self, pdf):
+        keep = {r["__cat__"] for r in self._keep.collect()}
+        out = pdf.copy()
+        ic = self.get_("inputCol")
+        other = self.get_("otherValue")
+        out[self.get_("outputCol")] = [
+            v if v in keep else other for v in out[ic]]
+        return out
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+        with open(os.path.join(path, "model_data.json"), "w") as f:
+            json.dump({**self.model_data,
+                       "keep": sorted(str(r["__cat__"])
+                                      for r in self._keep.collect())}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+        with open(os.path.join(path, "model_data.json")) as f:
+            data = json.load(f)
+        self.model_data = {"n": data["n"], "threshold": data["threshold"]}
+        self._keep = spark.createDataFrame(
+            [(v,) for v in data["keep"]], "__cat__ string")

@@ -92,7 +92,7 @@ def all_queries():
         "hard_negatives", "pagerank", "trustrank", "key_skew", "fuzzy_join",
         "llm_prep_pipeline_v12", "conformal_interval", "psi_drift",
         "target_encoding", "corpus_datasheet", "vocab_growth", "sliced_auc",
-        "weighted_sample", "keyness", "winsorize",
+        "weighted_sample", "keyness", "winsorize", "rare_collapse",
         # never driver-run, ever (parked behind the 50-cap as family
         # variants in r04 — each gets a first driver round now)
         "profile_quantiles", "profile_by_source", "bm25_indexed",

@@ -748,6 +748,34 @@ FROM lineitem, sstats, mstats
 """
 
 
+def rare_collapse(spark, sf_dir):
+    """RareCategoryCollapser over documents.source: sources under 4.5%
+    share collapse into __other__ (the scale-invariant fraction rule);
+    output = per collapsed-category accounting."""
+    from ..feature import RareCategoryCollapser
+    docs = load(spark, sf_dir, "documents")
+    m = RareCategoryCollapser(inputCol="source", outputCol="src_c",
+                              minCount=0, minFraction=0.045).fit(docs)
+    out = m.transform(docs)[0]
+    return (out.groupBy("src_c")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct("source").alias("n_sources")))
+
+
+RARE_COLLAPSE_SQL = """
+WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+t AS (SELECT sum(cnt) AS n FROM c),
+keep AS (SELECT source FROM c, t
+         WHERE cnt >= CAST(floor(0.045 * t.n) AS BIGINT)),
+lab AS (SELECT d.source,
+               CASE WHEN k.source IS NOT NULL THEN d.source
+                    ELSE '__other__' END AS src_c
+        FROM documents d LEFT JOIN keep k ON k.source = d.source)
+SELECT src_c, count(*) AS n, count(DISTINCT source) AS n_sources
+FROM lab GROUP BY 1
+"""
+
+
 def winsorize(spark, sf_dir):
     """Winsorizer: clip l_extendedprice/l_quantity to fitted p01/p99
     (exactQuantiles=True for PERCENTILE_CONT oracle parity); the
@@ -788,6 +816,7 @@ FROM c
 
 
 QUERIES = {
+    "rare_collapse": (rare_collapse, RARE_COLLAPSE_SQL),
     "winsorize": (winsorize, WINSORIZE_SQL),
     "graph_dag": (graph_dag, GRAPH_DAG_SQL),
     "binarizer": (binarizer, BINARIZER_SQL),

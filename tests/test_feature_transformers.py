@@ -208,3 +208,36 @@ def test_winsorizer(spark, tmp_path):
     nulls = spark.createDataFrame([(None,), (None,)], "x double")
     with pytest.raises(ValueError, match="no non-null"):
         Winsorizer(inputCols=["x"], exactQuantiles=True).fit(nulls)
+
+
+def test_rare_category_collapser(spark, tmp_path):
+    import pytest
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.feature import RareCategoryCollapser
+    rows = [("a",)] * 10 + [("b",)] * 5 + [("c",)] * 1 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "category string")
+    m = RareCategoryCollapser(inputCol="category", outputCol="c2",
+                              minCount=3).fit(df)
+    got = {(r["category"], r["c2"]) for r in m.transform(df)[0].collect()}
+    assert got == {("a", "a"), ("b", "b"), ("c", "__other__"),
+                   ("d", "__other__")}
+    assert m.model_data["threshold"] == 3
+    # minFraction is scale-invariant: same keep set after duplication
+    df3 = df.union(df).union(df)
+    mf = RareCategoryCollapser(inputCol="category", minFraction=0.2).fit(df3)
+    got3 = {(r["category"], r["collapsed"]) for r in
+            mf.transform(df3)[0].collect()}
+    assert got3 == {("a", "a"), ("b", "b"), ("c", "__other__"),
+                    ("d", "__other__")}
+    # unseen category at transform time collapses (not in keep set)
+    new = spark.createDataFrame([("zzz",)], "category string")
+    assert m.transform(new)[0].first()["c2"] == "__other__"
+    # transform_local parity + save/load
+    import pandas as pd
+    loc = m.transform_local(pd.DataFrame({"category": ["a", "c", "zzz"]}))
+    assert list(loc["c2"]) == ["a", "__other__", "__other__"]
+    p = str(tmp_path / "rc")
+    m.save(p)
+    back = Stage.load(spark, p)
+    got_b = {(r["category"], r["c2"]) for r in back.transform(df)[0].collect()}
+    assert got_b == got
