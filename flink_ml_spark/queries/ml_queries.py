@@ -940,7 +940,12 @@ FROM m
 def conformal_interval(spark, sf_dir):
     """ConformalRegressor: split-conformal q on a calibration split
     (k-th order statistic via range-partition cumsum), then held-out
-    coverage per linestatus — ≥ 0.8 by the conformal guarantee."""
+    coverage counts per linestatus — n_cov/n ≥ 0.8 by the conformal
+    guarantee.  Integer-exact contract: (n, n_cov) counts plus q — an
+    order-statistic DATA VALUE (|25 + 100·disc − qty|, 2-dp precision),
+    never a computed ratio; the float coverage rate and the conformal
+    guarantee itself stay under the pytest oracle
+    (tests/test_stats_eval.py)."""
     from ..regression import ConformalRegressor
     li = load(spark, sf_dir, "lineitem")
     base = li.select(F.col("l_orderkey").alias("k"),
@@ -956,12 +961,12 @@ def conformal_interval(spark, sf_dir):
            & (F.col("label") <= F.col("upper"))).cast("long")
     return (ev.groupBy("ls")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(cov).alias("n_cov"),
-                 q4(F.sum(cov) / F.count(F.lit(1))).alias("coverage"))
-            .withColumn("q", q4(F.lit(model.model_data["q"]))))
+                 F.sum(cov).alias("n_cov"))
+            .withColumn("q_c", F.round(F.lit(model.model_data["q"]) * 100)
+                        .cast("long")))
 
 
-CONFORMAL_SQL = f"""
+CONFORMAL_SQL = """
 WITH base AS (
   SELECT l_orderkey AS k, l_linestatus AS ls,
          CAST(l_quantity AS DOUBLE) AS y,
@@ -969,7 +974,8 @@ WITH base AS (
   FROM lineitem),
 calib AS (SELECT abs(p - y) AS s FROM base WHERE k % 5 < 4),
 nk AS (SELECT CAST(count(*) AS BIGINT) AS n,
-              CAST(ceil((count(*) + 1) * (1.0 - 0.2)) AS BIGINT) AS kk
+              -- exact integer rank: ceil((n+1)*(1-1/5)) = ((n+1)*4+4)//5
+              ((count(*) + 1) * 4 + 4) // 5 AS kk
        FROM calib),
 cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM (
           SELECT s AS v, count(*) AS c FROM calib GROUP BY 1)),
@@ -979,8 +985,7 @@ ev AS (SELECT ls,
                    THEN 1 ELSE 0 END AS cov
        FROM base, qv WHERE k % 5 = 4)
 SELECT ls, count(*) AS n, sum(cov) AS n_cov,
-       {SQL_Q4.format('sum(cov) * 1.0 / count(*)')} AS coverage,
-       {SQL_Q4.format('qv.q')} AS q
+       CAST(ROUND(qv.q * 100) AS BIGINT) AS q_c
 FROM ev, qv GROUP BY ls, qv.q
 """
 

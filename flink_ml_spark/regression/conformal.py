@@ -91,7 +91,13 @@ class ConformalRegressor(Estimator, HasLabelCol, HasPredictionCol):
             raise ValueError("ConformalRegressor: empty calibration split")
         alpha = self.get_("alpha")
         import math
-        k = math.ceil((n + 1) * (1.0 - alpha))
+        from fractions import Fraction
+        # exact rational rank: float ceil((n+1)*(1-alpha)) can land one
+        # order statistic off when (n+1)(1-alpha) sits at an integer and
+        # binary alpha carries last-ulp error (0.8*(n+1) = k±ε) — the
+        # chosen q then differs per environment.  Fraction(str(alpha))
+        # recovers the intended decimal exactly.
+        k = math.ceil((n + 1) * (1 - Fraction(str(alpha))))
         if k > n:
             raise ValueError(
                 f"ConformalRegressor: n={n} calibration rows cannot "

@@ -64,9 +64,14 @@ class MutualInformation(AlgoOperator):
     ``source`` determine ``lang``?), and a standard redundant-feature /
     leakage check before training.
 
-    ``transform(df)`` → one row: ``(n, mi, nmi)``; ``nmi = MI /
-    sqrt(H(x)·H(y))`` (0 when either entropy is 0 — a constant column
-    shares no information).
+    ``transform(df)`` → TWO outputs: ``[0]`` one row ``(n, mi, nmi)``;
+    ``nmi = MI / sqrt(H(x)·H(y))`` (0 when either entropy is 0 — a
+    constant column shares no information); ``[1]`` the integer-exact
+    contingency relation ``(x, y, c, cx, cy, n)`` — one row per joint
+    cell with its marginals and the grand total, all counts.  The
+    contingency output is what the cross-engine correctness gate hashes
+    (pure integers, no transcendental formatting ambiguity); the mi/nmi
+    scalars are pytest-oracled against numpy.
 
     Plan: ONE corpus scan builds the joint contingency ``groupBy(x, y)``
     (map-side partial-combined); the contingency is cardinality-sized
@@ -87,11 +92,16 @@ class MutualInformation(AlgoOperator):
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         (df,) = inputs
         x, y = self.get_("xCol"), self.get_("yCol")
+        cell_schema = T.StructType(
+            list(df.select(x, y).schema.fields)
+            + [T.StructField(c, T.LongType()) for c in
+               ("c", "cx", "cy", "n")])
         rows = df.groupBy(x, y).agg(F.count(F.lit(1)).alias("c")).collect()
         n = sum(r["c"] for r in rows)
         if n == 0:
             return [df.sparkSession.createDataFrame(
-                [(0, 0.0, 0.0)], "n long, mi double, nmi double")]
+                [(0, 0.0, 0.0)], "n long, mi double, nmi double"),
+                df.sparkSession.createDataFrame([], cell_schema)]
         # canonical key order (NULLs last) -> fixed summation order
         key = lambda v: (v is None, 0 if v is None else v)
         cells = sorted(((r[x], r[y], r["c"]) for r in rows),
@@ -115,9 +125,12 @@ class MutualInformation(AlgoOperator):
         hx, hy = ent(cx), ent(cy)
         denom = (hx * hy) ** 0.5
         nmi = (mi / denom) if denom > 0 else 0.0
+        cell_rows = [(kx, ky, int(c), int(cx[kx]), int(cy[ky]), int(n))
+                     for kx, ky, c in cells]
         return [df.sparkSession.createDataFrame(
             [(int(n), float(mi), float(nmi))],
-            "n long, mi double, nmi double")]
+            "n long, mi double, nmi double"),
+            df.sparkSession.createDataFrame(cell_rows, cell_schema)]
 
 
 def _midranks(df: DataFrame, col: str) -> DataFrame:
