@@ -1039,10 +1039,10 @@ class Bm25Retriever(AlgoOperator):
     def transform(self, *inputs: DataFrame) -> list[DataFrame]:
         corpus, queries = inputs
         idc, txt = self.get_("idCol"), self.get_("textCol")
-        n, avgdl, postings = _bm25_build_index(
+        n, avgdl, postings, token_stats = _bm25_build_index(
             corpus, idc, txt, self.get_("maxDocFreq"))
         return [_bm25_query(
-            postings, n, avgdl, queries,
+            postings, token_stats, n, avgdl, queries,
             idc, self.get_("queryIdCol"), self.get_("queryTextCol"),
             float(self.get_("k1")), float(self.get_("b")),
             int(self.get_("k")), self.get_("scoreRounding"))]
@@ -1051,8 +1051,14 @@ class Bm25Retriever(AlgoOperator):
 def _bm25_build_index(corpus: DataFrame, idc: str, txt: str,
                       max_doc_freq, max_postings_per_token=None):
     """One stats agg + one postings groupBy → (n, avgdl, postings
-    relation (tok, id, dl, tf, df)).  df joins back broadcast-style —
-    token-level metadata, ≤ vocab rows — so postings never reshuffle.
+    relation (tok, id, dl, tf), token-stats relation (tok, df)).
+    The store is NORMALIZED: df lives only in the vocab-sized
+    token-stats relation, never on posting rows — so incremental
+    ingest (Bm25IndexModel.update) appends batch postings without
+    touching existing ones, and idf folds in at query time exactly
+    like dl norms do.  maxDocFreq filters TOKEN-STATS (the query join
+    is inner through it, so an over-cap token can never pull its
+    postings into the retrieval join).
 
     ``max_postings_per_token`` applies static impact pruning (the
     WAND-family index trick): keep only the P highest-impact postings
@@ -1067,7 +1073,7 @@ def _bm25_build_index(corpus: DataFrame, idc: str, txt: str,
                        F.avg(F.size(toks)).alias("avgdl")).first()
     n, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
     if n == 0 or avgdl <= 0:
-        return n, avgdl, None
+        return n, avgdl, None, None
     postings = (corpus
                 .select(F.col(idc), F.size(toks).alias("dl"),
                         F.explode(toks).alias("tok"))
@@ -1089,14 +1095,17 @@ def _bm25_build_index(corpus: DataFrame, idc: str, txt: str,
             [F.col("__imp__").desc(), F.col(idc)],
             int(max_postings_per_token), salt_cols=[idc]) \
             .drop("__imp__")
-    return n, avgdl, postings.join(F.broadcast(df_rel), "tok")
+    return n, avgdl, postings, df_rel
 
 
-def _bm25_query(postings, n: int, avgdl: float, queries: DataFrame,
-                idc: str, qid: str, qtxt: str, k1: float, b: float,
-                k: int, score_rounding) -> DataFrame:
+def _bm25_query(postings, token_stats, n: int, avgdl: float,
+                queries: DataFrame, idc: str, qid: str, qtxt: str,
+                k1: float, b: float, k: int, score_rounding) -> DataFrame:
     """Broadcast query-term join + score groupBy + salted exact top-k
-    over a built postings relation."""
+    over a normalized (postings, token-stats) index.  df for the query
+    terms comes from ONE broadcast-filtered pass over the vocab-sized
+    token-stats relation — the corpus-sized postings see a single
+    broadcast hash join, no reshuffle."""
     spark = queries.sparkSession
     if postings is None:
         return spark.createDataFrame(
@@ -1106,13 +1115,19 @@ def _bm25_query(postings, n: int, avgdl: float, queries: DataFrame,
                   _tokens(F.coalesce(F.col(qtxt), F.lit("")))))
                   .alias("tok"))
               .distinct())
+    # (tok, df) for just the query vocabulary: token_stats is scanned
+    # once with the tiny term set broadcast into it, and the tiny
+    # result re-broadcasts into the postings join
+    qtok_df = token_stats.join(
+        F.broadcast(qterms.select("tok").distinct()), "tok")
+    qjoin = qterms.join(qtok_df, "tok")
     idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     norm = F.lit(k1) * (1.0 - b + F.lit(b)
                         * F.col("dl").cast("double") / avgdl)
     contrib = (idf * F.col("tf").cast("double") * (k1 + 1.0)
                / (F.col("tf").cast("double") + norm))
-    scored = (postings.join(F.broadcast(qterms), "tok")
+    scored = (postings.join(F.broadcast(qjoin), "tok")
               .groupBy(qid, idc)
               .agg(F.sum(contrib).alias("score")))
     if score_rounding is not None:
@@ -1148,7 +1163,7 @@ class Bm25Index(Estimator):
 
     def fit(self, *inputs: DataFrame) -> "Bm25IndexModel":
         (corpus,) = inputs
-        n, avgdl, postings = _bm25_build_index(
+        n, avgdl, postings, token_stats = _bm25_build_index(
             corpus, self.get_("idCol"), self.get_("textCol"),
             self.get_("maxDocFreq"), self.get_("maxPostingsPerToken"))
         model = Bm25IndexModel(idCol=self.get_("idCol"),
@@ -1160,6 +1175,7 @@ class Bm25Index(Estimator):
             "pruned": (self.get_("maxDocFreq") is not None
                        or self.get_("maxPostingsPerToken") is not None)}
         model.postings = postings
+        model.token_stats = token_stats
         return model
 
 
@@ -1186,10 +1202,12 @@ class Bm25IndexModel(Model):
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
         self.postings: DataFrame | None = None
+        self.token_stats: DataFrame | None = None
 
     def _transform(self, queries: DataFrame) -> DataFrame:
         return _bm25_query(
-            self.postings, int(self.model_data["numDocs"]),
+            self.postings, self.token_stats,
+            int(self.model_data["numDocs"]),
             float(self.model_data["avgDocLen"]), queries,
             self.get_("idCol"), self.get_("queryIdCol"),
             self.get_("queryTextCol"), float(self.get_("k1")),
@@ -1197,22 +1215,23 @@ class Bm25IndexModel(Model):
             self.get_("scoreRounding"))
 
     def update(self, new_docs: DataFrame) -> "Bm25IndexModel":
-        """Incremental index merge: tokenize ONLY the new batch, union
-        its postings with the held relation, and refresh the df column
-        and (numDocs, avgDocLen) from sufficient statistics — the
-        existing corpus is never re-read or re-tokenized.  Batch doc ids
-        must be NEW (replace = delete + add; deletion unsupported).
-        Token-level df corrections travel as a broadcast vocab-sized
-        delta joined into both sides, so the only shuffle is the batch's
-        own postings groupBy; avgdl drift needs no postings rewrite
-        because length norms fold in at query time from the stored dl.
-        Contract: the index must have been built WITHOUT
-        maxDocFreq/maxPostingsPerToken pruning (pruned-away postings
-        cannot be resurrected; prune at query-serving rebuilds instead).
-        The merged relation is localCheckpointed (the streaming-store
-        pattern) so chained updates never stack lineage and queries
-        don't re-run the merge — measured 4.4s → 2.8-4.1s warm at
-        sf0.1; ``save`` (parquet) remains the durable checkpoint."""
+        """Incremental APPEND-ONLY ingest: tokenize ONLY the new batch;
+        its postings append to the store (the existing postings
+        relation is untouched — not re-read, not re-written); the
+        vocab-sized token-stats relation merges the batch's df delta;
+        (numDocs, avgDocLen) merge from sufficient statistics.  Per
+        update the work is O(batch postings) + O(vocab), NEVER
+        O(index): df lives only in token-stats, so no posting row
+        carries state that an ingest could invalidate — idf and length
+        norms both fold in at query time.  Batch doc ids must be NEW
+        (replace = delete + add; deletion unsupported).  Contract: the
+        index must have been built WITHOUT maxDocFreq /
+        maxPostingsPerToken pruning (pruned-away df cannot be
+        resurrected; prune at query-serving rebuilds instead).  The
+        batch postings and merged token-stats are localCheckpointed
+        (batch-/vocab-sized materializations) so chained updates never
+        stack lineage; ``save`` (parquet) remains the durable
+        checkpoint."""
         if self.model_data.get("pruned"):
             raise ValueError(
                 "Bm25IndexModel.update() requires an index built without "
@@ -1232,54 +1251,56 @@ class Bm25IndexModel(Model):
               .select(F.col(idc), F.size(toks).alias("dl"),
                       F.explode(toks).alias("tok"))
               .groupBy("tok", idc, "dl")
-              .agg(F.count(F.lit(1)).alias("tf")))
+              .agg(F.count(F.lit(1)).alias("tf"))
+              .localCheckpoint(eager=True))
         delta = bp.groupBy("tok").agg(F.count(F.lit(1)).alias("__ddf__"))
-        if self.postings is None:
-            merged = bp.join(
-                F.broadcast(delta.withColumnRenamed("__ddf__", "df")),
-                "tok")
+        if self.token_stats is None:
+            stats = delta.withColumnRenamed("__ddf__", "df")
         else:
-            old = (self.postings.join(F.broadcast(delta), "tok", "left")
-                   .withColumn("df", F.col("df")
-                               + F.coalesce("__ddf__", F.lit(0)))
-                   .drop("__ddf__"))
-            old_tokdf = self.postings.groupBy("tok") \
-                .agg(F.first("df").alias("__odf__"))
-            batch = (bp.join(F.broadcast(old_tokdf), "tok", "left")
-                     .join(F.broadcast(delta), "tok")
-                     .withColumn("df", F.coalesce("__odf__", F.lit(0))
-                                 + F.col("__ddf__"))
-                     .drop("__odf__", "__ddf__"))
-            merged = old.unionByName(batch)
+            stats = (self.token_stats
+                     .join(delta, "tok", "full")
+                     .select("tok",
+                             (F.coalesce("df", F.lit(0))
+                              + F.coalesce("__ddf__", F.lit(0)))
+                             .alias("df")))
+        self.token_stats = stats.localCheckpoint(eager=True)
+        self.postings = (bp if self.postings is None
+                         else self.postings.unionByName(bp))
         self.model_data = {
             "numDocs": n0 + n1,
             "avgDocLen": (n0 * avgdl0 + s1) / (n0 + n1),
             "pruned": False}
-        self.postings = merged.localCheckpoint(eager=True)
         return self
 
-    # table-shaped model data: postings go to parquet (KnnModel pattern)
+    # table-shaped model data: postings + token stats go to parquet
+    # (KnnModel pattern)
     def _save_model_data(self, path: str) -> None:
         import os
         if self.postings is not None:
             self.postings.write.mode("overwrite").parquet(
                 os.path.join(path, "data"))
+            self.token_stats.write.mode("overwrite").parquet(
+                os.path.join(path, "tokstats"))
 
     def _load_model_data(self, spark, path: str) -> None:
         import os
         p = os.path.join(path, "data")
         if os.path.exists(p):
             self.postings = spark.read.parquet(p)
+            self.token_stats = spark.read.parquet(
+                os.path.join(path, "tokstats"))
 
     def get_model_data(self, spark) -> list[DataFrame]:
         stats = super().get_model_data(spark)
-        return stats + ([self.postings] if self.postings is not None
-                        else [])
+        if self.postings is None:
+            return stats
+        return stats + [self.postings, self.token_stats]
 
     def set_model_data(self, *tables: DataFrame) -> "Bm25IndexModel":
-        stats, postings = tables
+        stats, postings, token_stats = tables
         super().set_model_data(stats)
         self.postings = postings
+        self.token_stats = token_stats
         return self
 
 

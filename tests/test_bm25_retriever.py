@@ -132,9 +132,9 @@ def test_index_model_parity_and_persistence(spark, corpus, tmp_path):
                    r["rank"])
                   for r in m2.transform(qs)[0].collect())
     assert got2 == want
-    # model-data round trip (stats row + postings relation)
+    # model-data round trip (stats row + postings + token stats)
     tables = model.get_model_data(spark)
-    assert len(tables) == 2
+    assert len(tables) == 3
     from flink_ml_spark.llmdata import Bm25IndexModel
     m3 = Bm25IndexModel(idCol="doc_id").set_model_data(*tables)
     m3.set_(k=3)
@@ -189,10 +189,14 @@ def test_bm25_index_incremental_update_equals_rebuild(spark):
     assert inc.model_data["numDocs"] == full.model_data["numDocs"] == 60
     assert abs(inc.model_data["avgDocLen"]
                - full.model_data["avgDocLen"]) < 1e-12
-    # postings relations are identical as sets (tok, id, dl, tf, df)
+    # postings relations are identical as sets (tok, id, dl, tf) and
+    # so are the vocab-sized token-stats (tok, df)
     a = {tuple(r) for r in full.postings.collect()}
     b = {tuple(r) for r in inc.postings.collect()}
     assert a == b
+    sa = {tuple(r) for r in full.token_stats.collect()}
+    sb = {tuple(r) for r in inc.token_stats.collect()}
+    assert sa == sb
     # and the served rankings match row for row
     for m in (full, inc):
         m.set_(k=5, scoreRounding=6)
@@ -215,8 +219,11 @@ def test_bm25_index_update_from_empty_and_empty_batch(spark):
     m0 = Bm25Index().fit(empty)
     assert m0.postings is None
     m0.update(docs)
-    want = {tuple(r) for r in Bm25Index().fit(docs).postings.collect()}
+    direct = Bm25Index().fit(docs)
+    want = {tuple(r) for r in direct.postings.collect()}
     assert {tuple(r) for r in m0.postings.collect()} == want
+    assert ({tuple(r) for r in m0.token_stats.collect()}
+            == {tuple(r) for r in direct.token_stats.collect()})
     assert m0.model_data["numDocs"] == 2
 
 

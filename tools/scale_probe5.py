@@ -85,6 +85,8 @@ def main() -> None:
             # materialize the index the way a persisted one would be
             built[0].postings = built[0].postings \
                 .localCheckpoint(eager=True)
+            built[0].token_stats = built[0].token_stats \
+                .localCheckpoint(eager=True)
             return docs.limit(0)
 
         timed("index_build", build)
@@ -96,6 +98,8 @@ def main() -> None:
         def build_uncapped():
             uncapped[0] = Bm25Index().fit(docs)
             uncapped[0].postings = uncapped[0].postings \
+                .localCheckpoint(eager=True)
+            uncapped[0].token_stats = uncapped[0].token_stats \
                 .localCheckpoint(eager=True)
             return docs.limit(0)
 
