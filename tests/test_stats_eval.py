@@ -592,3 +592,38 @@ def test_sliced_auc_matches_global_per_group(spark):
         groupCol="grp", labelCol="label", rawPredictionCol="score") \
         .transform(one)[0].first()
     assert math.isnan(r["auc"]) and r["n_pos"] == 2
+
+
+def test_sliced_auc_dominant_slice_multipartition(spark, monkeypatch):
+    """One slice holding ~95% of all distinct scores must produce the
+    same AUC when the composite (group, score) cumsum spans MANY range
+    partitions (the r05 per-group Window ran such a slice in a single
+    task; the replacement must be correct with its per-(partition,
+    group) offsets and cross-batch carry, nulls included)."""
+    from pyspark.sql import functions as F
+    from flink_ml_spark.evaluation import (
+        BinaryClassificationEvaluator, SlicedBinaryClassificationEvaluator)
+    from flink_ml_spark.evaluation import sliced as sliced_mod
+    monkeypatch.setattr(sliced_mod, "_ROWS_PER_PART", 40)
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(1200):  # dominant slice: distinct-ish scores + ties
+        y = float(rng.randint(0, 2))
+        rows.append(("big", round(float(rng.randn() + 0.7 * y), 2), y))
+    for grp in ("s1", None):  # small slices, one of them NULL
+        for _ in range(30):
+            y = float(rng.randint(0, 2))
+            rows.append((grp, round(float(rng.randn() + y), 1), y))
+    df = spark.createDataFrame(rows,
+                               "grp string, score double, label double")
+    out = {r["grp"]: r for r in SlicedBinaryClassificationEvaluator(
+        groupCol="grp", labelCol="label", rawPredictionCol="score")
+        .transform(df)[0].collect()}
+    assert set(out) == {"big", "s1", None}
+    for grp in ("big", "s1", None):
+        cond = (F.col("grp").isNull() if grp is None
+                else (F.col("grp") == grp))
+        ref = BinaryClassificationEvaluator(
+            labelCol="label", rawPredictionCol="score") \
+            .transform(df.filter(cond))[0].first()["areaUnderROC"]
+        assert out[grp]["auc"] == pytest.approx(ref, abs=1e-12), grp
