@@ -47,18 +47,33 @@ class MulticlassClassificationEvaluator(AlgoOperator, HasLabelCol,
         spark = df.sparkSession
         wcol = self.get_("weightCol")
         w = F.col(wcol).cast("double") if wcol else F.lit(1.0)
-        cells = (df.select(
+        base = (df.select(
                     F.col(self.get_("labelCol")).cast("double").alias("y"),
                     F.col(self.get_("predictionCol")).cast("double")
                      .alias("p"), w.alias("w"))
-                 .groupBy("y", "p").agg(F.sum("w").alias("c"))
+                # null (or non-numeric-castable) labels/predictions carry
+                # no class information; excluded from n and every metric
+                .filter(F.col("y").isNotNull() & F.col("p").isNotNull()))
+        cap = self.get_("maxClasses")
+        # pre-collect guard: the exact post-collect check below fires
+        # only AFTER ~rowcount rows reached the driver when the label is
+        # id-like — estimate cardinality cluster-side first (±few % —
+        # hence the slack factor; the exact guard still backstops)
+        est = base.agg(F.approx_count_distinct("y").alias("ky"),
+                       F.approx_count_distinct("p").alias("kp")).first()
+        if max(int(est["ky"]), int(est["kp"])) > 1.1 * cap + 16:
+            raise ValueError(
+                f"MulticlassClassificationEvaluator: ~{est['ky']} labels /"
+                f" ~{est['kp']} predictions exceed maxClasses={cap}; is "
+                f"the label column an id?")
+        cells = (base.groupBy("y", "p").agg(F.sum("w").alias("c"))
                  .collect())  # ≤ observed-pairs rows, maxClasses-guarded
         classes = sorted({r["y"] for r in cells} | {r["p"] for r in cells})
-        if len(classes) > self.get_("maxClasses"):
+        if len(classes) > cap:
             raise ValueError(
                 f"MulticlassClassificationEvaluator saw {len(classes)} "
-                f"distinct classes (> maxClasses="
-                f"{self.get_('maxClasses')}); is the label column an id?")
+                f"distinct classes (> maxClasses={cap}); is the label "
+                f"column an id?")
         per_class_schema = ("label double, n double, tp double, fp double, "
                             "fn double, precision double, recall double, "
                             "f1 double")

@@ -49,7 +49,11 @@ class TargetEncoder(Estimator, HasLabelCol):
 
     def fit(self, *inputs: DataFrame) -> "TargetEncoderModel":
         (df,) = inputs
-        c = F.col(self.get_("inputCol"))
+        # categories key by their STRING form everywhere (fit, both
+        # transforms, persistence) — save dumps strings and load
+        # restored '__cat__ string', so a model fit on a numeric
+        # category column used to stop matching after reload
+        c = F.col(self.get_("inputCol")).cast("string")
         y = F.col(self.get_("labelCol")).cast("double")
         stats = (df.filter(c.isNotNull() & y.isNotNull())
                  .groupBy(c.alias("__cat__"))
@@ -95,7 +99,8 @@ class TargetEncoderModel(Model, HasLabelCol):
                / (F.col("__n__") + m)).alias(self.get_("outputCol"))
         joined = df.join(
             F.broadcast(self._stats),
-            df[self.get_("inputCol")] == F.col("__cat__"), "left")
+            df[self.get_("inputCol")].cast("string") == F.col("__cat__"),
+            "left")
         return (joined.withColumn(self.get_("outputCol"),
                                   F.coalesce(enc, F.lit(prior)))
                 .drop("__cat__", "__n__", "__s__"))
@@ -108,7 +113,7 @@ class TargetEncoderModel(Model, HasLabelCol):
         prior = float(self.model_data["prior"])
         k = int(self.get_("numFolds"))
         salt = int(self.get_("foldSalt"))
-        cat = F.col(self.get_("inputCol"))
+        cat = F.col(self.get_("inputCol")).cast("string")
         y = F.col(self.get_("labelCol")).cast("double")
         idc = F.col(self.get_("idCol"))
         inner = ((idc % _HASH_MOD) + _HASH_MOD) % _HASH_MOD
@@ -125,7 +130,8 @@ class TargetEncoderModel(Model, HasLabelCol):
         stats = per_cf.join(full, "__cat__")
         joined = tagged.join(
             F.broadcast(stats),
-            (tagged[self.get_("inputCol")] == F.col("__cat__"))
+            (tagged[self.get_("inputCol")].cast("string")
+             == F.col("__cat__"))
             & (tagged["__fold__"] == stats["__fold__"]), "left") \
             .drop(stats["__fold__"])
         oof_n = F.col("__n__") - F.col("__nf__")
@@ -183,7 +189,9 @@ class RareCategoryCollapser(Estimator):
 
     def fit(self, *inputs: DataFrame) -> "RareCategoryCollapserModel":
         (df,) = inputs
-        c = F.col(self.get_("inputCol"))
+        # string-keyed keep set (persistence round-trips strings; see
+        # TargetEncoder.fit)
+        c = F.col(self.get_("inputCol")).cast("string")
         stats = (df.filter(c.isNotNull())
                  .groupBy(c.alias("__cat__"))
                  .agg(F.count("*").alias("__n__"))
@@ -194,9 +202,15 @@ class RareCategoryCollapser(Estimator):
                 f"RareCategoryCollapser saw {m} categories (> "
                 f"maxCategories={self.get_('maxCategories')})")
         n = stats.agg(F.sum("__n__")).first()[0] or 0
+        # exact rational ceil: integer count ≥ minFraction·n ⇔ count ≥
+        # ⌈minFraction·n⌉; float floor kept categories slightly BELOW
+        # the documented keep rule, and float ceil can err at exact
+        # multiples (0.045·n = k±ulp)
+        import math
+        from fractions import Fraction
+        frac = Fraction(str(self.get_("minFraction")))
         thresh = max(int(self.get_("minCount")),
-                     int(float(self.get_("minFraction")) * n)
-                     if n else 0)
+                     math.ceil(frac * n) if n else 0)
         keep = stats.filter(F.col("__n__") >= thresh).select("__cat__")
         model = RareCategoryCollapserModel()
         model.set_(inputCol=self.get_("inputCol"),
@@ -216,10 +230,13 @@ class RareCategoryCollapserModel(Model):
         ic = self.get_("inputCol")
         joined = df.join(
             F.broadcast(self._keep.withColumn("__keep__", F.lit(True))),
-            df[ic] == F.col("__cat__"), "left")
+            df[ic].cast("string") == F.col("__cat__"), "left")
+        # output is always string: the sentinel is a string, and ANSI
+        # type coercion would otherwise try to cast IT to a numeric
+        # input column's type
         return (joined.withColumn(
                     self.get_("outputCol"),
-                    F.when(F.col("__keep__"), F.col(ic))
+                    F.when(F.col("__keep__"), F.col(ic).cast("string"))
                      .otherwise(F.lit(self.get_("otherValue"))))
                 .drop("__cat__", "__keep__"))
 
@@ -229,7 +246,8 @@ class RareCategoryCollapserModel(Model):
         ic = self.get_("inputCol")
         other = self.get_("otherValue")
         out[self.get_("outputCol")] = [
-            v if v in keep else other for v in out[ic]]
+            str(v) if v is not None and str(v) in keep else other
+            for v in out[ic]]
         return out
 
     def _save_model_data(self, path: str) -> None:

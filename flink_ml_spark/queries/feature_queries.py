@@ -766,7 +766,9 @@ RARE_COLLAPSE_SQL = """
 WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
 t AS (SELECT sum(cnt) AS n FROM c),
 keep AS (SELECT source FROM c, t
-         WHERE cnt >= CAST(floor(0.045 * t.n) AS BIGINT)),
+         -- exact rational ceil(9n/200): 0.045 = 9/200, keep rule is
+         -- count/n >= minFraction
+         WHERE cnt >= (9 * t.n + 199) // 200),
 lab AS (SELECT d.source,
                CASE WHEN k.source IS NOT NULL THEN d.source
                     ELSE '__other__' END AS src_c

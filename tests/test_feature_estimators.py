@@ -288,3 +288,20 @@ def test_target_encoder(spark, tmp_path):
     with pytest.raises(ValueError, match="maxCategories"):
         TargetEncoder(inputCol="category", labelCol="label",
                       maxCategories=10).fit(ids)
+    # numeric category column: encoding is string-keyed so the model
+    # survives save/load unchanged (ADVICE r05: load forced '__cat__
+    # string' while a fresh fit kept native dtype — reloads missed)
+    numdf = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 1.0), (3, 10, 0.0),
+         (4, 20, 0.0), (5, 20, 0.0)],
+        "id long, category int, label double")
+    mnum = TargetEncoder(inputCol="category", labelCol="label",
+                         smoothing=0.0).fit(numdf)
+    mnum.save(str(tmp_path / "te_num"))
+    backn = Stage.load(spark, str(tmp_path / "te_num"))
+    for mm in (mnum, backn):
+        en = {r["category"]: r["encoded"]
+              for r in mm.transform(numdf)[0].collect()}
+        assert en[10] == pytest.approx(2 / 3) and en[20] == 0.0
+    oofn = mnum.transform_oof(numdf)
+    assert oofn.filter(F.col("encoded").isNull()).count() == 0

@@ -241,3 +241,25 @@ def test_rare_category_collapser(spark, tmp_path):
     back = Stage.load(spark, p)
     got_b = {(r["category"], r["c2"]) for r in back.transform(df)[0].collect()}
     assert got_b == got
+    # ceil semantics at the exact fraction boundary (ADVICE r05: floor
+    # kept categories strictly BELOW the documented count/n >= minFraction
+    # rule): n=20, minFraction=0.25 -> threshold 5; a count-4 category
+    # (4/20 = 0.2 < 0.25) collapses, a count-5 one (exactly 0.25) stays
+    edge = spark.createDataFrame(
+        [("x",)] * 11 + [("y",)] * 5 + [("z",)] * 4, "category string")
+    me = RareCategoryCollapser(inputCol="category", minCount=0,
+                               minFraction=0.25).fit(edge)
+    assert me.model_data["threshold"] == 5
+    gote = {(r["category"], r["collapsed"]) for r in
+            me.transform(edge)[0].collect()}
+    assert gote == {("x", "x"), ("y", "y"), ("z", "__other__")}
+    # numeric category column: keep set is string-keyed and survives
+    # save/load (ADVICE r05: load forced strings, fresh fit did not)
+    num = spark.createDataFrame([(1,)] * 5 + [(2,)] * 1, "category int")
+    mn = RareCategoryCollapser(inputCol="category", minCount=3).fit(num)
+    mn.save(str(tmp_path / "rcn"))
+    backn = Stage.load(spark, str(tmp_path / "rcn"))
+    for mm in (mn, backn):
+        gn = {(r["category"], r["collapsed"])
+              for r in mm.transform(num)[0].collect()}
+        assert gn == {(1, "1"), (2, "__other__")}

@@ -302,6 +302,12 @@ def test_multiclass_evaluator(spark):
                                 "label double, prediction double")
     with pytest.raises(ValueError, match="maxClasses"):
         MulticlassClassificationEvaluator(maxClasses=10).transform(ids)
+    # null labels/predictions are excluded, not a crash (ADVICE r05)
+    nul = spark.createDataFrame(
+        [(1.0, 1.0), (None, 1.0), (0.0, None), (0.0, 0.0)],
+        "label double, prediction double")
+    sn = MulticlassClassificationEvaluator().transform(nul)[1].first()
+    assert sn["n"] == 2 and sn["accuracy"] == pytest.approx(1.0)
 
 
 def test_kolmogorov_smirnov(spark):
