@@ -5,8 +5,14 @@ are plain header parses over flat sample buffers, so they decode with
 numpy alone.  PNG (8-bit gray/RGB/RGBA, non-interlaced — the bulk of
 real-web PNGs) decodes too: DEFLATE is in the Python stdlib (zlib), so
 only the scanline unfiltering needs implementing (PNG spec §6, public).
-Remaining compressed codecs (JPEG/MP3/H.264) still need PIL/ffmpeg
-plugged into the same mapInPandas slots.
+Baseline sequential JPEG (ITU T.81: SOF0, 8-bit, Huffman, 1-2x chroma
+sampling, restart intervals) encodes and decodes here as well — quant /
+Huffman table handling, the zig-zag, and the 8x8 DCT pair are all
+public-spec constants and numpy linear algebra.  The pure-Python
+entropy loop makes this the CORRECTNESS / bootstrap path; production
+pipelines should still plug PIL/libjpeg-turbo into the same
+mapInPandas slots for throughput (progressive JPEG, MP3, H.264 remain
+external-only).
 
 All functions return None on anything they cannot parse — callers treat
 None as "needs an external codec".
@@ -169,11 +175,536 @@ def encode_png(img: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81).  All tables below are the public Annex-K
+# example tables; the zig-zag order and DCT basis are spec constants.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103,
+    99]).reshape(8, 8)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99]).reshape(8, 8)
+
+# Annex-K Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+_HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                   list(range(12)))
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_basis() -> np.ndarray:
+    """8x8 orthonormal DCT-II matrix C: forward F = C·B·Cᵀ, inverse
+    B = Cᵀ·F·C."""
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+_DCT = _dct_basis()
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman assignment (T.81 Annex C): symbol → (code,
+    length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _scaled_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 = Annex-K tables, 100 = near-lossless."""
+    q = max(1, min(100, int(quality)))
+    s = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((table * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    return np.stack([
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0], axis=-1)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value → (category, appended bits)."""
+    s = int(v)
+    size = int(abs(s)).bit_length()
+    if s < 0:
+        s += (1 << size) - 1
+    return size, s
+
+
+def _pad_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate a 2-D plane to (bh·8, bw·8)."""
+    h, w = plane.shape
+    out = np.empty((bh * 8, bw * 8))
+    out[:h, :w] = plane
+    out[h:, :w] = plane[-1:, :]
+    out[:, w:] = out[:, w - 1:w]
+    return out
+
+
+def _encode_block(wr: _BitWriter, block: np.ndarray, qt: np.ndarray,
+                  hdc: dict, hac: dict, prev_dc: int) -> int:
+    """DCT → quantize → zig-zag → Huffman one 8x8 block; returns the
+    new DC predictor."""
+    coef = _DCT @ block @ _DCT.T
+    qz = np.round(coef / qt).astype(np.int64)
+    zz = qz.reshape(64)[_ZIGZAG]
+    size, bitsv = _mag_bits(int(zz[0]) - prev_dc)
+    code, ln = hdc[size]
+    wr.put(code, ln)
+    if size:
+        wr.put(bitsv, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = hac[0xF0]  # ZRL
+            wr.put(code, ln)
+            run -= 16
+        size, bitsv = _mag_bits(v)
+        code, ln = hac[(run << 4) | size]
+        wr.put(code, ln)
+        wr.put(bitsv, size)
+        run = 0
+    if last < 63:
+        code, ln = hac[0x00]  # EOB
+        wr.put(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """HxWx3 uint8 RGB → baseline JFIF JPEG (Annex-K Huffman tables).
+    ``subsampling``: "444" (full chroma) or "420" (2x2 box-averaged
+    chroma, the common web default).  ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that many MCUs.  Lossy: expect per-channel
+    reconstruction error of a few counts at the default quality."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = img.shape[:2]
+    ycc = _rgb_to_ycbcr(img.astype(np.uint8)) - 128.0
+    qt = [_scaled_quant(_QUANT_LUMA, quality),
+          _scaled_quant(_QUANT_CHROMA, quality)]
+    hdc = [_huff_codes(*_HUFF_DC_LUMA), _huff_codes(*_HUFF_DC_CHROMA)]
+    hac = [_huff_codes(*_HUFF_AC_LUMA), _huff_codes(*_HUFF_AC_CHROMA)]
+    sub = 2 if subsampling == "420" else 1
+    planes = [ycc[..., 0]]
+    for c in (1, 2):
+        p = ycc[..., c]
+        if sub == 2:  # 2x2 box average (pad odd edges by replication)
+            if h % 2:
+                p = np.vstack([p, p[-1:]])
+            if w % 2:
+                p = np.hstack([p, p[:, -1:]])
+            p = (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2]
+                 + p[1::2, 1::2]) / 4.0
+        planes.append(p)
+    # MCU grid sized by the luma sampling factor
+    mcux = (w + 8 * sub - 1) // (8 * sub)
+    mcuy = (h + 8 * sub - 1) // (8 * sub)
+    samp = [(sub, sub), (1, 1), (1, 1)]
+    padded = [_pad_blocks(planes[ci], mcuy * samp[ci][1],
+                          mcux * samp[ci][0]) for ci in range(3)]
+    wr = _BitWriter()
+    prev_dc = [0, 0, 0]
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                data = wr.flush()
+                wr = _BitWriter()
+                wr.buf = bytearray(data)
+                wr.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev_dc = [0, 0, 0]
+            for ci in range(3):
+                t = 0 if ci == 0 else 1
+                hs, vs = samp[ci]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        py = (my * vs + byi) * 8
+                        px = (mx * hs + bxi) * 8
+                        block = padded[ci][py:py + 8, px:px + 8]
+                        prev_dc[ci] = _encode_block(
+                            wr, block, qt[t], hdc[t], hac[t], prev_dc[ci])
+            mcu_count += 1
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid])
+                   + bytes(int(x) for x in table.reshape(64)[_ZIGZAG]))
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                   + bytes(vals))
+
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, (sub << 4) | sub, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    jfif = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xff\xd8" + jfif + dqt(0, qt[0]) + dqt(1, qt[1]) + sof
+            + dht(0, 0, _HUFF_DC_LUMA) + dht(1, 0, _HUFF_AC_LUMA)
+            + dht(0, 1, _HUFF_DC_CHROMA) + dht(1, 1, _HUFF_AC_CHROMA)
+            + dri + sos + wr.flush() + b"\xff\xd9")
+
+
+class _BitReader:
+    """Entropy-segment bit reader with FF00 unstuffing and restart-
+    marker awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # pending marker encountered mid-stream
+
+    def _fill(self) -> bool:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.d):
+                return self.nbits > 0
+            b = self.d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(self.d):
+                    return self.nbits > 0
+                nxt = self.d[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    self.marker = nxt
+                    return self.nbits > 0
+                else:
+                    self.marker = nxt
+                    return self.nbits > 0
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        return True
+
+    def bit(self) -> int | None:
+        if self.nbits == 0 and not self._fill():
+            return None
+        if self.nbits == 0:
+            return None
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def align_restart(self) -> bool:
+        """Discard pad bits, consume an RSTn marker; False on anything
+        else."""
+        self.nbits = 0
+        self.acc = 0
+        if self.marker is None:
+            # marker not yet reached: scan forward
+            while self.pos + 1 < len(self.d):
+                if self.d[self.pos] == 0xFF \
+                        and self.d[self.pos + 1] != 0x00:
+                    self.marker = self.d[self.pos + 1]
+                    break
+                self.pos += 1
+        if self.marker is None or not 0xD0 <= self.marker <= 0xD7:
+            return False
+        self.pos += 2  # past FF Dn
+        self.marker = None
+        return True
+
+
+def _huff_decode(rd: _BitReader, table: dict) -> int | None:
+    code, length = 0, 0
+    while length < 16:
+        b = rd.bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: appended bits → signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes | None) -> np.ndarray | None:
+    """Baseline sequential JFIF JPEG → HxWx3 uint8 RGB.  Supports 8-bit
+    SOF0, 1 or 3 components, sampling factors 1-2, restart intervals.
+    Progressive (SOF2), arithmetic, 12-bit and CMYK return None."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    n = len(payload)
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None  # [(cid, hs, vs, tq)]
+    h = w = 0
+    restart = 0
+    scan = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (sz,) = struct.unpack_from(">H", payload, pos + 2)
+        body = pos + 4
+        end = pos + 2 + sz
+        if end > n:
+            return None
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = body
+            while p < end:
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    return None  # 16-bit tables: out of scope
+                tab = np.empty(64, np.int32)
+                tab[_ZIGZAG] = np.frombuffer(payload, np.uint8, 64, p + 1)
+                qts[tq] = tab.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = body
+            while p < end:
+                cls, tid = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nv])
+                spec = _huff_codes(bits, vals)
+                huff[(cls, tid)] = {(c, ln): s
+                                    for s, (c, ln) in spec.items()}
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, body)
+            if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                return None
+            comps = []
+            for i in range(nc):
+                cid = payload[body + 6 + 3 * i]
+                samp = payload[body + 7 + 3 * i]
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    return None
+                comps.append([cid, hs, vs, payload[body + 8 + 3 * i]])
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", payload, body)
+        elif marker == 0xDA:  # SOS
+            ns = payload[body]
+            if comps is None or ns != len(comps):
+                return None  # non-interleaved multi-scan: out of scope
+            scan = []
+            for i in range(ns):
+                cs = payload[body + 1 + 2 * i]
+                tt = payload[body + 2 + 2 * i]
+                match = [c for c in comps if c[0] == cs]
+                if not match:
+                    return None
+                scan.append((match[0], tt >> 4, tt & 0xF))
+            pos = end
+            break
+        pos = end
+    if scan is None or not qts:
+        return None
+
+    hmax = max(c[1] for c, _, _ in scan)
+    vmax = max(c[2] for c, _, _ in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c, _, _ in scan:
+        planes.append(np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8),
+                               np.float64))
+    rd = _BitReader(payload, pos)
+    prev_dc = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                if not rd.align_restart():
+                    return None
+                prev_dc = [0] * len(scan)
+            for ci, (c, td, ta) in enumerate(scan):
+                _, hs, vs, tq = c
+                dct = huff.get((0, td))
+                act = huff.get((1, ta))
+                qt = qts.get(tq)
+                if dct is None or act is None or qt is None:
+                    return None
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        size = _huff_decode(rd, dct)
+                        if size is None or size > 15:
+                            return None
+                        diff = 0
+                        if size:
+                            v = rd.bits(size)
+                            if v is None:
+                                return None
+                            diff = _extend(v, size)
+                        prev_dc[ci] += diff
+                        zz = np.zeros(64, np.int64)
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(rd, act)
+                            if rs is None:
+                                return None
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                return None
+                            v = rd.bits(size)
+                            if v is None:
+                                return None
+                            zz[k] = _extend(v, size)
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[_ZIGZAG] = zz * qt.reshape(64)[_ZIGZAG]
+                        block = _DCT.T @ coef.reshape(8, 8) @ _DCT
+                        py = (my * vs + byi) * 8
+                        px = (mx * hs + bxi) * 8
+                        planes[ci][py:py + 8, px:px + 8] = block
+            mcu_count += 1
+    out = []
+    for ci, (c, _, _) in enumerate(scan):
+        _, hs, vs, _ = c
+        p = planes[ci]
+        if hs < hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs < vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        out.append(p[:h, :w] + 128.0)
+    if len(out) == 1:
+        y = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.ascontiguousarray(
+        np.clip(np.round(rgb), 0, 255).astype(np.uint8))
+
+
 def decode_image(payload: bytes | None) -> np.ndarray | None:
-    """Any bundled image codec → HxWx3 uint8 RGB (BMP, then PNG)."""
+    """Any bundled image codec → HxWx3 uint8 RGB (BMP, PNG, then
+    baseline JPEG)."""
     img = decode_bmp(payload)
     if img is None:
         img = decode_png(payload)
+    if img is None:
+        img = decode_jpeg(payload)
     return img
 
 
@@ -186,14 +717,18 @@ def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 
 def _resize_reencode(payload: bytes | None, tw: int, th: int) -> bytes | None:
-    """Decode (BMP or PNG) → nearest resize → re-encode in the SAME
-    container; None when no bundled codec parses the payload."""
+    """Decode (BMP, PNG or baseline JPEG) → nearest resize → re-encode
+    in the SAME container; None when no bundled codec parses the
+    payload."""
     img = decode_bmp(payload)
     if img is not None:
         return encode_bmp(resize_nearest(img, tw, th))
     img = decode_png(payload)
     if img is not None:
         return encode_png(resize_nearest(img, tw, th))
+    img = decode_jpeg(payload)
+    if img is not None:
+        return encode_jpeg(resize_nearest(img, tw, th), quality=90)
     return None
 
 

@@ -174,11 +174,11 @@ class MediaFeatureExtractor(Transformer):
 class ImageResizer(Transformer):
     """Byte-in/byte-out image resize.
 
-    ``mode="decode"`` is REAL for uncompressed BMP and 8-bit PNG
-    payloads: pure-numpy (+stdlib-zlib) decode → nearest-neighbor resize
-    → re-encode in the SAME container, all inside one Arrow
-    ``mapInPandas`` stage.  Payloads the bundled codecs cannot parse
-    (JPEG — no external codec in this container) come back with a null
+    ``mode="decode"`` is REAL for uncompressed BMP, 8-bit PNG and
+    baseline JPEG payloads: pure-numpy (+stdlib) decode →
+    nearest-neighbor resize → re-encode in the SAME container, all
+    inside one Arrow ``mapInPandas`` stage.  Payloads the bundled
+    codecs cannot parse (progressive JPEG, video) come back with a null
     payload so callers can route them to an external decode.
     ``mode="passthrough"`` re-emits payloads with updated metadata only."""
 

@@ -276,3 +276,81 @@ def test_media_extractor_stub_boundary_is_typed(spark):
     local = ex.transform_local(pd.DataFrame(
         {"media_id": ["a", "b"], "payload": [bmp, png]}))
     assert list(local["media_features_decoded"]) == [True, False]
+
+
+def test_jpeg_codec_round_trip():
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import (decode_jpeg, encode_jpeg,
+                                               sniff_format)
+
+    # solid colors: DC-only blocks round-trip bit-exactly at q90 —
+    # exhaustive over the exact color cycle media_codec_pipeline uses
+    for d in range(256):
+        rgb = np.array([d % 256, (2 * d) % 256, (3 * d) % 256],
+                       dtype=np.uint8)
+        img = np.ascontiguousarray(np.broadcast_to(rgb, (8, 8, 3)))
+        payload = encode_jpeg(img, 90)
+        assert sniff_format(payload) == "jpeg"
+        back = decode_jpeg(payload)
+        np.testing.assert_array_equal(back, img), d
+    # gradient, non-multiple-of-8 dims: lossy but close
+    img2 = np.zeros((21, 13, 3), np.uint8)
+    img2[..., 0] = np.linspace(0, 255, 21)[:, None].round()
+    img2[..., 1] = np.linspace(255, 0, 13)[None, :].round()
+    img2[..., 2] = 128
+    d95 = decode_jpeg(encode_jpeg(img2, 95))
+    assert d95.shape == (21, 13, 3)
+    assert np.abs(d95.astype(int) - img2.astype(int)).max() <= 6
+    # higher quality → smaller error
+    d50 = decode_jpeg(encode_jpeg(img2, 50))
+    assert (np.abs(d95.astype(float) - img2).mean()
+            <= np.abs(d50.astype(float) - img2).mean())
+    # robustness: truncation and non-JPEG inputs return None, not raise
+    assert decode_jpeg(encode_jpeg(img2)[:60]) is None
+    assert decode_jpeg(b"\xff\xd8garbage") is None
+    assert decode_jpeg(None) is None
+
+
+def test_jpeg_chroma_subsampling_and_restart():
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    img = np.zeros((37, 29, 3), np.uint8)
+    img[..., 0] = np.linspace(0, 255, 37)[:, None].round()
+    img[..., 1] = np.linspace(255, 0, 29)[None, :].round()
+    img[..., 2] = 77
+    # 4:2:0 (2x2 sampling factors, odd dims) and restart markers drive
+    # the decoder's MCU-interleave / upsample / RSTn paths
+    for ss in ("444", "420"):
+        for ri in (0, 3):
+            dec = decode_jpeg(encode_jpeg(img, 85, subsampling=ss,
+                                          restart_interval=ri))
+            assert dec is not None and dec.shape == img.shape, (ss, ri)
+            tol = 6 if ss == "444" else 24  # chroma halved on a gradient
+            assert np.abs(dec.astype(int) - img.astype(int)).max() \
+                <= tol, (ss, ri)
+    # solid color stays exact under both samplings + restarts
+    solid = np.full((24, 24, 3), [13, 26, 39], dtype=np.uint8)
+    for ss in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(solid, 90, subsampling=ss,
+                                      restart_interval=1))
+        np.testing.assert_array_equal(dec, solid)
+
+
+def test_image_resizer_decode_real_jpeg(spark):
+    import numpy as np
+    from flink_ml_spark.llmdata import ImageResizer, MediaFeatureExtractor
+    from flink_ml_spark.llmdata.codecs import encode_jpeg
+
+    rgb = np.array([120, 240, 104], dtype=np.uint8)
+    img = np.ascontiguousarray(np.broadcast_to(rgb, (8, 8, 3)))
+    df = spark.createDataFrame([(1, bytearray(encode_jpeg(img, 90)))],
+                               "media_id long, payload binary")
+    rz = ImageResizer(mode="decode", targetWidth=4, targetHeight=4) \
+        .transform(df)[0]
+    feat = MediaFeatureExtractor(featureDim=3).set_(kernel="strict") \
+        .transform(rz)[0].first()
+    assert feat["media_features_decoded"] is True
+    got = [round(v * 255) for v in feat["media_features"]]
+    assert got == [120, 240, 104]
