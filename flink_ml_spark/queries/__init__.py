@@ -81,47 +81,45 @@ def all_queries():
     # ones needing fresh evidence first (local tools/check_oracle.py covers
     # the full set every session regardless).
     prio = [
-        # r05 head: the one red r04 row (arithmetic made bit-deterministic
-        # this round), then the two queries whose code changed this round,
-        # then the brand-new value-level BPE encode gate
-        "mutual_information", "semantic_dedup", "bpe_encode", "group_split",
-        "llm_prep_pipeline_v11",
-        # brand-new this round — zero driver evidence ever
-        "regression_evaluator", "multiclass_evaluator", "ks_test",
-        "spearman_corr", "paired_ttest", "negative_sampling",
-        "hard_negatives", "pagerank", "trustrank", "key_skew", "fuzzy_join",
-        "llm_prep_pipeline_v12", "conformal_interval", "psi_drift",
-        "target_encoding", "corpus_datasheet", "vocab_growth", "sliced_auc",
-        "weighted_sample", "keyness", "winsorize", "rare_collapse",
-        # never driver-run, ever (parked behind the 50-cap as family
-        # variants in r04 — each gets a first driver round now)
-        "profile_quantiles", "profile_by_source", "bm25_indexed",
-        # latest driver evidence is ROUND 1 — three rounds stale, and the
-        # feature/functions guards landed since (VERDICT r04 item 1)
-        "bucketizer", "standard_scaler", "minmax_scaler",
-        "maxabs_scaler", "robust_scaler", "normalizer",
-        "elementwise_product", "interaction", "vector_slicer",
-        "vector_assembler", "imputer", "imputer_median", "kbins_quantile",
-        "one_hot_encoder", "kbins_uniform", "variance_threshold",
-        "sql_transformer", "ngram", "chisq_test", "fvalue_test", "ann_ivf",
-        # r02/r03 evidence + the codec stub boundary changed in r04
-        # (VERDICT r04 item 8)
-        "media_pipeline", "media_codec_pipeline", "graph_dag",
-        # code touched this round (tracking-param anchor / explode_outer /
-        # update contracts) — outputs unchanged but evidence should be
-        # fresher than the change
-        "url_normalize", "diversity_profile", "bm25_incremental",
-        # latest driver evidence is round 2 — oldest first
-        "feature_hasher", "string_indexer", "binarizer", "dct",
-        "polynomial_expansion", "index_to_string", "dataflow_pipeline",
-        "anova_test", "swing", "minhash_lsh_join", "minhash_lsh_nn",
-        "agglomerative", "bm25_scoring", "embedding_quantize",
-        "document_chunking", "embedding_dedup", "embedding_dedup_lsh",
-        "ann_bruteforce", "repetition_quality", "text_normalize",
-        "pii_redaction", "domain_mixture", "sequence_packing",
-        "language_id", "text_quality", "token_count", "fingerprint",
+        # r06 head 1: contracts restructured this round to integer-exact
+        # outputs (the r05 driver-red trio) — fresh evidence is the whole
+        # point of the change
+        "mutual_information", "conformal_interval", "vocab_growth",
+        # r06 head 2: implementation rewritten/changed this round —
+        # sliced AUC composite-key cumsum; the BM25 append-only store and
+        # every query that routes through it; the evaluator/encoder
+        # guard + string-keying fixes; the JPEG codec leg
+        "sliced_auc",
+        "bm25_incremental", "bm25_indexed", "bm25_retrieval",
+        "hybrid_retrieval", "retrieval_eval", "dedup_recall",
+        "multiclass_evaluator", "target_encoding", "rare_collapse",
+        "media_codec_pipeline",
+        # r06 head 3: ann_ivf's only driver evidence is ROUND 1 (it sat at
+        # position 51 in r05's list — VERDICT r05 missing item 2)
+        "ann_ivf",
+        # r06 head 4: the 28 queries whose latest evidence is round 2 —
+        # three rounds stale (VERDICT r05 missing item 3), oldest cohort
+        # first
+        "media_pipeline", "swing", "minhash_lsh_join", "minhash_lsh_nn",
+        "agglomerative", "index_to_string", "string_indexer",
+        "feature_hasher", "binarizer", "dct", "polynomial_expansion",
+        "anova_test", "embedding_dedup", "embedding_dedup_lsh",
+        "ann_bruteforce", "embedding_quantize", "document_chunking",
+        "bm25_scoring", "dataflow_pipeline", "repetition_quality",
+        "text_normalize", "pii_redaction", "domain_mixture",
+        "sequence_packing", "language_id", "text_quality", "token_count",
+        "fingerprint",
+        # fill to the 50-cap with the most visible r03-latest rows
+        "tokenizer", "tfidf", "count_vectorizer", "kmeans",
+        "logistic_regression", "graph_dag", "exact_dedup",
+        # below the cap: remaining r03 cohort ahead of r04/r05-fresh rows
+        "minhash_dedup", "simhash_dedup", "line_dedup", "knn",
+        "linear_svc", "linear_regression", "online_kmeans",
+        "online_standard_scaler", "online_logistic_regression",
+        "binary_evaluator", "asof_join", "range_join", "event_windows",
+        "session_windows", "sliding_windows", "pca_whiten", "ann_ivf_pq",
         "bpe_tokenize",
-        # everything below has green r03/r04 evidence; registry order follows
+        # everything below has green r04/r05 evidence; registry order follows
     ]
     ordered = {k: out[k] for k in prio if k in out}
     ordered.update(out)
