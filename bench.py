@@ -35,7 +35,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     # driver-loop / iterative (job-latency-bound)
     "logistic_regression", "linear_svc", "linear_regression", "kmeans",
-    "knn", "ann_ivf", "hashingtf_logreg", "binary_evaluator", "sliced_auc", "dup_clusters",
+    "knn", "cross_validation", "ann_ivf", "hashingtf_logreg",
+    "binary_evaluator", "sliced_auc", "dup_clusters",
     # expression-only transformers and aggregate fits
     "binarizer", "bucketizer", "standard_scaler", "minmax_scaler",
     "robust_scaler", "normalizer", "imputer", "string_indexer",
@@ -49,7 +50,7 @@ HEADLINE = [
     "ks_test", "spearman_corr", "paired_ttest", "negative_sampling", "hard_negatives",
     "pagerank", "trustrank", "key_skew", "fuzzy_join", "vocab_growth",
     "isotonic_calibration", "conformal_interval", "metric_anomaly", "data_profile",
-    "constraint_gate", "profile_drift",
+    "constraint_gate", "constraint_suggest", "profile_drift",
     "frequent_items", "profile_quantiles", "diversity_profile", "psi_drift",
     "corpus_datasheet",
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",

@@ -9,7 +9,8 @@ from .dedup import (ConnectedComponents, ContaminationScorer,
                     SnapshotDiff)
 from .bloom import DigestBloomFilter, DigestBloomFilterModel
 from .bpe import BpeTokenizerModel, BpeTokenizerTrainer
-from .profiler import (ConstraintGate, CorpusDatasheet, DataProfiler,
+from .profiler import (ConstraintGate, ConstraintSuggester,
+                       CorpusDatasheet, DataProfiler,
                        DiversityProfiler,
                        KeySkewProfiler, PsiDrift, VocabGrowthProfiler,
                        FrequentItemsProfiler, suggest_constraints)

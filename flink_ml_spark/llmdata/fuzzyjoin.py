@@ -97,11 +97,14 @@ class FuzzyStringJoin(AlgoOperator):
         if nblk:
             rstr = rstr.withColumn("__t1__", tokp(F.col("__rs__")))
         keys = ["__bkt__"] + (["__t1__"] if nblk else [])
-        dist = F.levenshtein(F.col("__ls__"), F.col("__rs__"))
+        # threshold form: the banded DP early-exits once the distance
+        # provably exceeds d (returns -1), O(len·d) instead of O(len²)
+        # per candidate — same result as filter(levenshtein ≤ d)
+        dist = F.levenshtein(F.col("__ls__"), F.col("__rs__"), int(d))
         cand = (lstr.join(rstr, keys)
                 .filter(F.abs(F.length("__ls__") - F.length("__rs__")) <= d)
                 .withColumn("distance", dist)
-                .filter(F.col("distance") <= d)
+                .filter(F.col("distance") >= 0)
                 .select("__ls__", "__lmin__", "__rs__", "distance"))
         kb = self.get_("keepBest")
         if kb > 0:

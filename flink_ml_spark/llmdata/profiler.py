@@ -39,8 +39,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 from ..api import AlgoOperator, Transformer
-from ..param import (BoolParam, HasInputCol, Param, ParamValidators,
-                     StringArrayParam, StringParam)
+from ..param import (BoolParam, HasInputCol, IntParam, Param,
+                     ParamValidators, StringArrayParam, StringParam)
 
 _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
 
@@ -412,6 +412,85 @@ def suggest_constraints(profile_rows, slack: float = 0.1,
                         "min": lo - slack * span,
                         "max": hi + slack * span})
     return out
+
+
+_SUGGEST_SCHEMA = ("ctype string, col string, lo double, hi double, "
+                   "members string")
+
+
+class ConstraintSuggester(AlgoOperator):
+    """Profile → ``ConstraintGate`` suite, as one first-class operator —
+    the Deequ constraint-suggestion loop (Schelter et al. 2018 §3.4)
+    packaged end-to-end: run ``DataProfiler`` (exact distincts, one
+    aggregation pass), derive the suite via ``suggest_constraints``,
+    and — the piece the bare function deliberately leaves out — fetch
+    the member list for small-cardinality categorical columns so
+    ``in_set`` rules can be suggested too (one extra distinct query per
+    candidate column, each guarded by ``maxSetSize``).
+
+    ``transform(df)`` → one relation, a row per suggested rule:
+    ``(ctype, col, lo, hi, members)`` — ``lo`` carries min_rows' value /
+    max_null_frac's fraction / in_range's lower bound, ``hi`` in_range's
+    upper bound, ``members`` the comma-joined sorted ``in_set`` values.
+    ``suggest(df)`` returns the same suite as ``ConstraintGate``-ready
+    dicts (use it to bootstrap a gate: ``ConstraintGate(constraints=
+    ConstraintSuggester().suggest(batch))``).
+
+    Scale: the profile is ONE corpus scan; member fetches touch only
+    columns whose exact distinct count is already ≤ ``maxSetSize``
+    (cardinality-sized collects, a handful of rows each).  ``unique``
+    columns never fetch members; nothing corpus-sized reaches the
+    driver."""
+
+    columns = StringArrayParam(
+        "columns", "Columns to profile (None = every profilable "
+        "column).", None)
+    slack = Param("slack", "Relative widening applied to observed "
+                  "bounds (see suggest_constraints).", 0.1,
+                  ParamValidators.in_range(0, 1))
+    maxSetSize = IntParam(
+        "maxSetSize", "Suggest in_set (and fetch members) when a "
+        "non-unique column's exact distinct count is at most this.", 32,
+        ParamValidators.gt(0))
+
+    def suggest(self, df: DataFrame) -> list[dict]:
+        prof = DataProfiler(exactDistinct=True) \
+            .set(DataProfiler.columns, self.get_("columns")) \
+            .transform(df)[0].collect()
+        out = suggest_constraints(prof, slack=float(self.get_("slack")),
+                                  max_set_size=self.get_("maxSetSize"))
+        cap = int(self.get_("maxSetSize"))
+        uniq = {c["col"] for c in out if c["type"] == "unique"}
+        for r in prof:
+            c = r["column"]
+            if c in uniq or not r["n_rows"]:
+                continue
+            if 0 < int(r["n_distinct"]) <= cap:
+                vals = [v[0] for v in df.select(
+                    F.col(c).cast("string")).filter(
+                        F.col(c).isNotNull()).distinct().collect()]
+                out.append({"type": "in_set", "col": c,
+                            "allowed": sorted(vals)})
+        return out
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        rows = []
+        for c in self.suggest(df):
+            t = c["type"]
+            if t == "min_rows":
+                rows.append((t, None, float(c["value"]), None, None))
+            elif t == "max_null_frac":
+                rows.append((t, c["col"], float(c["frac"]), None, None))
+            elif t == "in_range":
+                rows.append((t, c["col"], float(c["min"]),
+                             float(c["max"]), None))
+            elif t == "in_set":
+                rows.append((t, c["col"], None, None,
+                             ",".join(c["allowed"])))
+            else:  # not_null / unique
+                rows.append((t, c["col"], None, None, None))
+        return [df.sparkSession.createDataFrame(rows, _SUGGEST_SCHEMA)]
 
 
 def _mg_shrink(counts: dict, capacity: int) -> None:

@@ -2865,6 +2865,63 @@ def data_profile(spark, sf_dir):
         F.coalesce(F.col("n_empty"), F.lit(-1)).alias("n_empty"))
 
 
+def constraint_suggest(spark, sf_dir):
+    """ConstraintSuggester end-to-end (Deequ constraint suggestion):
+    exact-distinct profile → suite derivation → in_set member fetch for
+    small-cardinality columns.  Every suggested rule is replayed by the
+    oracle from the same aggregates: bounds are data-derived doubles
+    (q4), counts/members are exact."""
+    from ..llmdata import ConstraintSuggester
+    li = load(spark, sf_dir, "lineitem")
+    out = ConstraintSuggester(
+        columns=["l_quantity", "l_tax", "l_returnflag", "l_linestatus"],
+        maxSetSize=32).transform(li)[0]
+    neg9 = F.lit(-9.0)
+    return out.select(
+        "ctype", F.coalesce(F.col("col"), F.lit("-")).alias("col"),
+        q4(F.coalesce(F.col("lo"), neg9)).alias("lo"),
+        q4(F.coalesce(F.col("hi"), neg9)).alias("hi"),
+        F.coalesce(F.col("members"), F.lit("-")).alias("members"))
+
+
+def _constraint_suggest_sql() -> str:
+    """Replay of ConstraintSuggester over lineitem, slack 0.1, cap 32:
+    conditional UNION branches mirror the suggestion rules exactly —
+    not_null when the column has no nulls, in_range for numerics,
+    in_set when 1 ≤ exact distinct ≤ 32 and the column is not
+    id-shaped, min_rows at trunc(0.9·n)."""
+    branches = [
+        "SELECT 'min_rows' AS ctype, '-' AS col, "
+        "CAST(trunc(count(*) * (1.0 - 0.1)) AS BIGINT) * 10000 AS lo, "
+        "-90000 AS hi, '-' AS members FROM lineitem HAVING count(*) > 0"]
+    numerics = ["l_quantity", "l_tax"]
+    for c in ["l_quantity", "l_tax", "l_returnflag", "l_linestatus"]:
+        branches.append(
+            f"SELECT 'not_null', '{c}', -90000, -90000, '-' "
+            f"FROM lineitem HAVING count(*) - count({c}) = 0")
+        if c in numerics:
+            span = (f"(CAST(max({c}) AS DOUBLE) "
+                    f"- CAST(min({c}) AS DOUBLE))")
+            lo = f"CAST(min({c}) AS DOUBLE) - 0.1 * {span}"
+            hi = f"CAST(max({c}) AS DOUBLE) + 0.1 * {span}"
+            branches.append(
+                f"SELECT 'in_range', '{c}', {SQL_Q4.format(lo)}, "
+                f"{SQL_Q4.format(hi)}, '-' FROM lineitem "
+                f"HAVING count({c}) > 0")
+        branches.append(
+            f"SELECT 'in_set', '{c}', -90000, -90000, "
+            f"(SELECT string_agg(v, ',' ORDER BY v) FROM "
+            f"(SELECT DISTINCT CAST({c} AS VARCHAR) AS v FROM lineitem "
+            f"WHERE {c} IS NOT NULL)) FROM lineitem "
+            f"HAVING count(DISTINCT CAST({c} AS VARCHAR)) BETWEEN 1 AND 32 "
+            f"AND NOT (count(DISTINCT CAST({c} AS VARCHAR)) = count(*) "
+            f"AND count({c}) = count(*))")
+    return "\nUNION ALL\n".join(branches)
+
+
+CONSTRAINT_SUGGEST_SQL = _constraint_suggest_sql()
+
+
 def _profile_col_sql(c: str, numeric: bool, stringy: bool) -> str:
     mean = f"AVG(CAST({c} AS DOUBLE))" if numeric else "-9"
     std = f"COALESCE(STDDEV(CAST({c} AS DOUBLE)), -9)" if numeric else "-9"
@@ -4773,6 +4830,7 @@ QUERIES = {
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
     "data_profile": (data_profile, DATA_PROFILE_SQL),
+    "constraint_suggest": (constraint_suggest, CONSTRAINT_SUGGEST_SQL),
     "constraint_gate": (constraint_gate, CONSTRAINT_GATE_SQL),
     "profile_drift": (profile_drift, PROFILE_DRIFT_SQL),
     "frequent_items": (frequent_items, FREQUENT_ITEMS_SQL),

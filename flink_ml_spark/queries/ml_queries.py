@@ -1072,7 +1072,72 @@ FROM a
 """
 
 
+def cross_validation(spark, sf_dir):
+    """CrossValidator(Knn, grid k∈{1,5}, 3 deterministic LCG folds,
+    metric=n_correct): the full tuning report — per (param, fold)
+    integer correct counts plus the winning param — is exactly
+    replayable because folds, k-NN tie-breaks (distance → train
+    vec_id; vote → count desc, label asc) and the integer metric are
+    all engine-independent.  Input ordered by vec_id so the packed
+    train-block order equals the oracle's tid tie-break order (the
+    ``knn`` query convention)."""
+    from ..classification import Knn as _Knn
+    from ..tuning import CrossValidator
+    emb = load(spark, sf_dir, "embeddings")
+    df = (emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("features"),
+            F.col("label").cast("double").alias("label"))
+          .orderBy("id"))
+    cv = CrossValidator(_Knn(), [{"k": 1}, {"k": 5}], numFolds=3,
+                        metric="n_correct", idCol="id")
+    m = cv.fit(df)
+    rep = m.metrics_df(spark)
+    ks = {0: 1, 1: 5}
+    kcol = F.when(F.col("param_index") == 0, ks[0]).otherwise(ks[1])
+    return rep.select("param_index", kcol.alias("k"), "fold",
+                      F.col("metric").cast("long").alias("n_correct"),
+                      F.col("best").cast("int").alias("best"))
+
+
+CROSS_VALIDATION_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) v, CAST(label AS DOUBLE) y,
+         CAST((((((vec_id % 2147483648) + 2147483648) % 2147483648)
+                * 2654435761 + 7) % 2147483648 + 2147483648)
+              % 2147483648 % 3 AS INT) AS f
+  FROM embeddings),
+params AS (SELECT * FROM (VALUES (0, 1), (1, 5)) AS t(pi, k)),
+nn AS (
+  SELECT pi, k, fold, qid, qy, ny FROM (
+    SELECT p.pi, p.k, a.f AS fold, a.vec_id AS qid, a.y AS qy, b.y AS ny,
+           row_number() OVER (
+             PARTITION BY p.pi, a.f, a.vec_id
+             ORDER BY list_inner_product(a.v, a.v)
+                      - 2 * list_inner_product(a.v, b.v)
+                      + list_inner_product(b.v, b.v) ASC,
+                      b.vec_id ASC) AS rn
+    FROM e a JOIN e b ON b.f <> a.f CROSS JOIN params p)
+  WHERE rn <= k),
+votes AS (SELECT pi, k, fold, qid, qy, ny, count(*) AS c
+          FROM nn GROUP BY ALL),
+pred AS (SELECT pi, k, fold, qid, qy, ny AS pred FROM votes
+         QUALIFY row_number() OVER (PARTITION BY pi, fold, qid
+                                    ORDER BY c DESC, ny ASC) = 1),
+perfold AS (SELECT pi, k, fold,
+                   sum(CASE WHEN pred = qy THEN 1 ELSE 0 END) AS n_correct
+            FROM pred GROUP BY ALL),
+tot AS (SELECT pi, sum(n_correct) AS t FROM perfold GROUP BY 1),
+best AS (SELECT pi FROM tot QUALIFY
+         row_number() OVER (ORDER BY t DESC, pi ASC) = 1)
+SELECT pf.pi AS param_index, pf.k, pf.fold, pf.n_correct,
+       CASE WHEN pf.pi = best.pi THEN 1 ELSE 0 END AS best
+FROM perfold pf CROSS JOIN best
+"""
+
+
 QUERIES = {
+    "cross_validation": (cross_validation, CROSS_VALIDATION_SQL),
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),
     "corr_matrix": (corr_matrix, CORR_MATRIX_SQL),
     "logistic_regression": (logistic_regression, LOGISTIC_REGRESSION_SQL),

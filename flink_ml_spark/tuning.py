@@ -1,0 +1,276 @@
+"""Model selection: ParamGridBuilder / CrossValidator / TrainValidationSplit.
+
+The reference stops at individual estimators (no tuning module); Spark
+MLlib's ``ml.tuning`` trio is the standard completion, and every
+large-scale pipeline ends up re-implementing it — so it ships here as a
+first-class extension, built on the repo's own reproducibility
+discipline:
+
+- **Deterministic folds.**  Fold assignment is the corpus-prep LCG over
+  an integer id column (the TargetEncoder / GroupSplitter convention:
+  ``((id % M)·A + salt) % M % k``), NOT an RNG split — the same row
+  lands in the same fold on every run, in any engine, so CV results are
+  reproducible and exactly replayable by a SQL oracle.
+- **Driver-loop orchestration, cluster-side work.**  CV is a control
+  loop over fits: the loop runs on the driver (SURVEY §3.2 — iteration
+  collapses to driver loops), each fit/transform is the estimator's own
+  distributed job.  Nothing corpus-sized is collected here; the metric
+  reduces each scored fold to one scalar via an aggregate.
+- **Deterministic selection.**  Ties on the average metric break toward
+  the EARLIEST param map (stable, engine-independent).
+
+``metric`` options: ``"accuracy"`` (mean of ``prediction == label``),
+``"n_correct"`` (integer count — the bit-exact choice for cross-engine
+gates), ``"rmse"``, ``"mae"`` (lower is better, handled automatically).
+A custom callable ``metric_fn(model, test_df) -> float`` overrides the
+built-ins (not persisted — models saved from a callable-metric CV
+reload with the callable absent).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .api import Estimator, Model, Stage
+from .param import (HasLabelCol, HasPredictionCol, IntParam, Param,
+                    ParamValidators, StringParam)
+
+# the corpus-prep LCG (sampling._unit_hash / TargetEncoder fold hash)
+_HASH_MOD = 2147483648
+_HASH_MULT = 2654435761
+
+_LOWER_IS_BETTER = {"rmse", "mae"}
+
+
+class ParamGridBuilder:
+    """Cartesian product of per-param value lists, in insertion order
+    (Spark MLlib's ``ParamGridBuilder``): ``add_grid("k", [1, 5])
+    .add_grid("b", [0.5]).build()`` → ``[{"k": 1, "b": 0.5}, ...]``.
+    The FIRST-added param varies slowest, so the map order — and with
+    it metric-tie selection — is deterministic."""
+
+    def __init__(self) -> None:
+        self._grid: dict[str, Sequence[Any]] = {}
+
+    def add_grid(self, name: str, values: Sequence[Any]) -> "ParamGridBuilder":
+        self._grid[name] = list(values)
+        return self
+
+    def build(self) -> list[dict[str, Any]]:
+        names = list(self._grid)
+        return [dict(zip(names, combo))
+                for combo in itertools.product(*self._grid.values())]
+
+
+def fold_column(id_col: str, num_folds: int, salt: int):
+    """Deterministic fold id 0..num_folds−1 from an integer id column —
+    exported so SQL oracles and callers can replay the split."""
+    idc = F.col(id_col)
+    inner = ((idc % _HASH_MOD) + _HASH_MOD) % _HASH_MOD
+    return (((inner * _HASH_MULT + F.lit(salt)) % _HASH_MOD + _HASH_MOD)
+            % _HASH_MOD % num_folds).cast("int")
+
+
+def _builtin_metric(name: str, label_col: str, pred_col: str):
+    y = F.col(label_col).cast("double")
+    p = F.col(pred_col).cast("double")
+
+    def fn(model: Model, test: DataFrame) -> float:
+        scored = model.transform(test)[0]
+        if name == "accuracy":
+            agg = F.avg((y == p).cast("double"))
+        elif name == "n_correct":
+            agg = F.sum((y == p).cast("long")).cast("double")
+        elif name == "rmse":
+            agg = F.sqrt(F.avg((y - p) * (y - p)))
+        elif name == "mae":
+            agg = F.avg(F.abs(y - p))
+        else:
+            raise ValueError(f"unknown metric {name!r}")
+        v = scored.agg(agg).first()[0]
+        return float(v if v is not None else 0.0)
+
+    return fn
+
+
+class _TunerBase(Estimator, HasLabelCol, HasPredictionCol):
+    idCol = StringParam("idCol", "Integer id column driving the "
+                        "deterministic split hash.", "id")
+    foldSalt = IntParam("foldSalt", "Split-hash salt.", 7)
+    metric = StringParam("metric", "accuracy | n_correct | rmse | mae.",
+                         "accuracy", ParamValidators.in_array(
+                             ["accuracy", "n_correct", "rmse", "mae"]))
+
+    def __init__(self, estimator: Estimator | None = None,
+                 param_maps: Sequence[dict[str, Any]] | None = None,
+                 metric_fn: Callable[[Model, DataFrame], float] | None = None,
+                 **kwargs: Any):
+        super().__init__(**kwargs)
+        self.estimator = estimator
+        self.param_maps = list(param_maps or [{}])
+        self.metric_fn = metric_fn
+
+    def _metric_fn(self):
+        if self.metric_fn is not None:
+            return self.metric_fn, True
+        name = self.get_("metric")
+        return (_builtin_metric(name, self.get_("labelCol"),
+                                self.get_("predictionCol")),
+                name not in _LOWER_IS_BETTER)
+
+    def _fit_with(self, pm: dict[str, Any], df: DataFrame) -> Model:
+        """Apply one param map, fit, restore the estimator's params."""
+        saved = {k: self.estimator.get_(k) for k in pm}
+        try:
+            self.estimator.set_(**pm)
+            return self.estimator.fit(df)
+        finally:
+            self.estimator.set_(**saved)
+
+    @staticmethod
+    def _best(avg: list[float], higher: bool) -> int:
+        best = 0
+        for i, v in enumerate(avg):
+            if (v > avg[best]) if higher else (v < avg[best]):
+                best = i
+        return best
+
+    # persistence: estimator under <path>/estimator, param maps in extra
+    def _extra_metadata(self) -> dict[str, Any]:
+        return {"paramMaps": self.param_maps}
+
+    def _load_extra_metadata(self, extra: dict[str, Any]) -> None:
+        self.param_maps = list(extra.get("paramMaps") or [{}])
+
+    def _save_model_data(self, path: str) -> None:
+        if self.estimator is not None:
+            self.estimator.save(os.path.join(path, "estimator"))
+
+    def _load_model_data(self, spark: SparkSession, path: str) -> None:
+        p = os.path.join(path, "estimator")
+        if os.path.exists(p):
+            self.estimator = Stage.load(spark, p)
+
+
+class CrossValidator(_TunerBase):
+    """k-fold cross-validation over a param grid: for every param map,
+    fit on each fold's complement and score its held-out fold; the best
+    average metric wins and is refit on ALL rows.
+
+    ``fit(df)`` → ``CrossValidatorModel`` whose ``model_data`` carries
+    ``best_index``, ``avg_metrics`` and per-fold ``fold_metrics``
+    (list per param map), and which transforms via the refit best
+    model."""
+
+    numFolds = IntParam("numFolds", "Number of folds.", 5,
+                        ParamValidators.gt(1))
+
+    def fit(self, *inputs: DataFrame) -> "CrossValidatorModel":
+        (df,) = inputs
+        if self.estimator is None:
+            raise ValueError("CrossValidator needs an estimator")
+        k = int(self.get_("numFolds"))
+        fold = fold_column(self.get_("idCol"), k, int(self.get_("foldSalt")))
+        tagged = df.withColumn("__fold__", fold).persist()
+        try:
+            metric_fn, higher = self._metric_fn()
+            fold_metrics: list[list[float]] = []
+            for pm in self.param_maps:
+                per_fold = []
+                for f in range(k):
+                    model = self._fit_with(
+                        pm, tagged.filter(F.col("__fold__") != f)
+                        .drop("__fold__"))
+                    per_fold.append(float(metric_fn(
+                        model, tagged.filter(F.col("__fold__") == f)
+                        .drop("__fold__"))))
+                fold_metrics.append(per_fold)
+            avg = [sum(m) / len(m) for m in fold_metrics]
+            best = self._best(avg, higher)
+        finally:
+            tagged.unpersist()
+        best_model = self._fit_with(self.param_maps[best], df)
+        out = CrossValidatorModel(best_model)
+        out.set_(labelCol=self.get_("labelCol"),
+                 predictionCol=self.get_("predictionCol"))
+        out.model_data = {"best_index": int(best), "avg_metrics": avg,
+                          "fold_metrics": fold_metrics,
+                          "param_maps": self.param_maps,
+                          "higher_is_better": bool(higher)}
+        return out
+
+
+class TrainValidationSplit(_TunerBase):
+    """Single deterministic train/validation split over a param grid —
+    CV's cheap sibling for expensive fits: rows whose split hash lands
+    below ``trainRatio`` train, the rest validate; best param map refits
+    on ALL rows."""
+
+    trainRatio = IntParam("trainRatio", "Train percentage 1-99 (hash "
+                          "buckets out of 100).", 75,
+                          ParamValidators.in_range(1, 99))
+
+    def fit(self, *inputs: DataFrame) -> "CrossValidatorModel":
+        (df,) = inputs
+        if self.estimator is None:
+            raise ValueError("TrainValidationSplit needs an estimator")
+        bucket = fold_column(self.get_("idCol"), 100,
+                             int(self.get_("foldSalt")))
+        ratio = int(self.get_("trainRatio"))
+        tagged = df.withColumn("__b__", bucket).persist()
+        try:
+            metric_fn, higher = self._metric_fn()
+            train = tagged.filter(F.col("__b__") < ratio).drop("__b__")
+            valid = tagged.filter(F.col("__b__") >= ratio).drop("__b__")
+            metrics = [float(metric_fn(self._fit_with(pm, train), valid))
+                       for pm in self.param_maps]
+            best = self._best(metrics, higher)
+        finally:
+            tagged.unpersist()
+        best_model = self._fit_with(self.param_maps[best], df)
+        out = CrossValidatorModel(best_model)
+        out.set_(labelCol=self.get_("labelCol"),
+                 predictionCol=self.get_("predictionCol"))
+        out.model_data = {"best_index": int(best), "avg_metrics": metrics,
+                          "fold_metrics": [[m] for m in metrics],
+                          "param_maps": self.param_maps,
+                          "higher_is_better": bool(higher)}
+        return out
+
+
+class CrossValidatorModel(Model, HasLabelCol, HasPredictionCol):
+    """Delegates transform to the winning refit model; ``model_data``
+    holds the full tuning report."""
+
+    def __init__(self, best_model: Model | None = None, **kwargs: Any):
+        super().__init__(**kwargs)
+        self.best_model = best_model
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return self.best_model.transform(df)[0]
+
+    def transform_local(self, pdf):
+        return self.best_model.transform_local(pdf)
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        """Tuning report as a relation: one row per (param map, fold)."""
+        rows = []
+        for i, per_fold in enumerate(self.model_data["fold_metrics"]):
+            for f, m in enumerate(per_fold):
+                rows.append((i, f, float(m),
+                             i == self.model_data["best_index"]))
+        return spark.createDataFrame(
+            rows, "param_index int, fold int, metric double, best boolean")
+
+    def _save_model_data(self, path: str) -> None:
+        if self.best_model is not None:
+            self.best_model.save(os.path.join(path, "bestModel"))
+
+    def _load_model_data(self, spark: SparkSession, path: str) -> None:
+        p = os.path.join(path, "bestModel")
+        if os.path.exists(p):
+            self.best_model = Stage.load(spark, p)

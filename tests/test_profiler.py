@@ -291,6 +291,35 @@ def test_suggest_constraints_lifecycle(spark, frame):
     assert ("unique", "id") in failed
 
 
+def test_constraint_suggester_operator(spark, frame):
+    """The packaged suggester: adds in_set member fetches on top of
+    suggest_constraints, skips id-shaped and over-cap columns, and its
+    suite gates the source batch clean."""
+    from flink_ml_spark.llmdata import ConstraintGate, ConstraintSuggester
+    sug = ConstraintSuggester(maxSetSize=8)
+    suite = sug.suggest(frame)
+    by_type = {}
+    for c in suite:
+        by_type.setdefault(c["type"], []).append(c)
+    # 'name' has few distinct values -> in_set with the sorted members;
+    # 'id' is unique -> never an in_set even though distinct ≤ cap... it
+    # exceeds the cap anyway only when rows > 8; either way no id set
+    sets = {c["col"]: c["allowed"] for c in by_type.get("in_set", [])}
+    assert "name" in sets and sets["name"] == sorted(sets["name"])
+    assert "id" not in sets
+    ok, _ = ConstraintGate(constraints=suite,
+                           failOnViolation=False).check(frame)
+    assert ok
+    # the relation view mirrors the suite
+    rel = sug.transform(frame)[0].collect()
+    rel_types = {(r["ctype"], r["col"]) for r in rel}
+    assert ("min_rows", None) in rel_types
+    assert ("in_set", "name") in rel_types
+    members = {r["col"]: r["members"] for r in rel
+               if r["ctype"] == "in_set"}
+    assert members["name"] == ",".join(sets["name"])
+
+
 def test_suggest_constraints_rejects_grouped(spark, frame):
     from flink_ml_spark.llmdata import suggest_constraints
     prof = DataProfiler(columns=["score"], groupByCol="name") \

@@ -1,0 +1,118 @@
+"""CrossValidator / TrainValidationSplit / ParamGridBuilder."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ml_spark.tuning import (CrossValidator, ParamGridBuilder,
+                                   TrainValidationSplit, fold_column)
+
+
+@pytest.fixture()
+def labeled(spark):
+    # two well-separated classes in 2-D; id drives the deterministic fold
+    rows = []
+    for i in range(120):
+        y = i % 2
+        rows.append((i, [float(y * 4 + (i % 7) * 0.1),
+                         float(y * 4 + (i % 5) * 0.1)], float(y)))
+    return spark.createDataFrame(rows, "id long, features array<double>, "
+                                       "label double")
+
+
+def test_param_grid_builder_order():
+    grid = (ParamGridBuilder().add_grid("k", [1, 3])
+            .add_grid("m", ["a", "b"]).build())
+    assert grid == [{"k": 1, "m": "a"}, {"k": 1, "m": "b"},
+                    {"k": 3, "m": "a"}, {"k": 3, "m": "b"}]
+    assert ParamGridBuilder().build() == [{}]
+
+
+def test_fold_column_deterministic(spark, labeled):
+    a = labeled.withColumn("f", fold_column("id", 5, 7)).collect()
+    b = labeled.withColumn("f", fold_column("id", 5, 7)).collect()
+    assert [r["f"] for r in a] == [r["f"] for r in b]
+    folds = {r["f"] for r in a}
+    assert folds <= set(range(5)) and len(folds) == 5
+
+
+def test_cross_validator_knn(spark, labeled):
+    from flink_ml_spark.classification import Knn
+    cv = CrossValidator(Knn(), ParamGridBuilder()
+                        .add_grid("k", [1, 5]).build(),
+                        numFolds=3, metric="n_correct")
+    m = cv.fit(labeled)
+    md = m.model_data
+    assert len(md["fold_metrics"]) == 2
+    assert all(len(pf) == 3 for pf in md["fold_metrics"])
+    # separable classes: every fold should score perfectly for k=1
+    # (metric is the integer correct count == fold size)
+    fold_sizes = {r["f"]: r["n"] for r in
+                  labeled.withColumn("f", fold_column("id", 3, 7))
+                  .groupBy("f").agg(F.count("*").alias("n")).collect()}
+    assert sorted(md["fold_metrics"][0]) == sorted(
+        float(fold_sizes[f]) for f in range(3))
+    # the refit best model transforms the full data
+    scored = m.transform(labeled)[0]
+    acc = scored.filter(F.col("label") == F.col("prediction")).count()
+    assert acc == 120
+    # the report relation shape
+    rep = m.metrics_df(spark)
+    assert rep.count() == 6
+    assert rep.filter("best").select("param_index").distinct().count() == 1
+    # fitting must not leave grid params applied to the user's estimator
+    assert cv.estimator.get_("k") == 5  # Knn default
+
+
+def test_cross_validator_custom_metric_and_ties(spark, labeled):
+    from flink_ml_spark.classification import Knn
+    # custom metric: prefer the LARGEST k (metric == k, higher wins)
+    cv = CrossValidator(Knn(), [{"k": 1}, {"k": 5}], numFolds=2,
+                        metric_fn=lambda model, test: float(model.get_("k")))
+    assert cv.fit(labeled).model_data["best_index"] == 1
+    # exact tie -> earliest param map
+    cv2 = CrossValidator(Knn(), [{"k": 3}, {"k": 3}], numFolds=2,
+                         metric_fn=lambda model, test: 1.0)
+    assert cv2.fit(labeled).model_data["best_index"] == 0
+
+
+def test_cross_validator_lower_is_better(spark, labeled):
+    from flink_ml_spark.classification import Knn
+    # rmse of a perfect classifier is 0 for both; force a difference by
+    # scoring k=5 against flipped labels via a custom frame — simpler:
+    # use rmse on the plain data; both perfect -> tie -> index 0
+    cv = CrossValidator(Knn(), [{"k": 1}, {"k": 5}], numFolds=2,
+                        metric="rmse")
+    assert cv.fit(labeled).model_data["best_index"] == 0
+    assert cv.fit(labeled).model_data["higher_is_better"] is False
+
+
+def test_train_validation_split(spark, labeled):
+    from flink_ml_spark.classification import Knn
+    tvs = TrainValidationSplit(Knn(), [{"k": 1}, {"k": 5}],
+                               trainRatio=75, metric="accuracy")
+    m = tvs.fit(labeled)
+    assert len(m.model_data["avg_metrics"]) == 2
+    assert m.model_data["best_index"] in (0, 1)
+    assert m.transform(labeled)[0].filter(
+        F.col("label") == F.col("prediction")).count() == 120
+
+
+def test_cross_validator_persistence(spark, labeled, tmp_path):
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.classification import Knn
+    cv = CrossValidator(Knn(), [{"k": 1}, {"k": 5}], numFolds=2,
+                        metric="n_correct")
+    cv.save(str(tmp_path / "cv"))
+    cv2 = Stage.load(spark, str(tmp_path / "cv"))
+    assert cv2.param_maps == [{"k": 1}, {"k": 5}]
+    assert type(cv2.estimator).__name__ == "Knn"
+    assert cv2.get_("numFolds") == 2 and cv2.get_("metric") == "n_correct"
+    m = cv2.fit(labeled)
+    m.save(str(tmp_path / "cvm"))
+    back = Stage.load(spark, str(tmp_path / "cvm"))
+    assert back.model_data["best_index"] == m.model_data["best_index"]
+    a = sorted((r["id"], r["prediction"])
+               for r in m.transform(labeled)[0].collect())
+    b = sorted((r["id"], r["prediction"])
+               for r in back.transform(labeled)[0].collect())
+    assert a == b
