@@ -44,7 +44,8 @@ HEADLINE = [
     "elementwise_product", "interaction", "polynomial_expansion", "dct",
     "variance_threshold", "univariate_feature_selector", "winsorize",
     "rare_collapse",
-    "naive_bayes", "target_encoding", "chisq_test", "anova_test", "fvalue_test",
+    "naive_bayes", "als", "target_encoding", "chisq_test", "anova_test",
+    "fvalue_test",
     "corr_matrix", "mutual_information", "calibration_eval",
     "regression_evaluator", "multiclass_evaluator",
     "ks_test", "spearman_corr", "paired_ttest", "negative_sampling", "hard_negatives",

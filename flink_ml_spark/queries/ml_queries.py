@@ -1108,17 +1108,21 @@ WITH e AS (
               % 2147483648 % 3 AS INT) AS f
   FROM embeddings),
 params AS (SELECT * FROM (VALUES (0, 1), (1, 5)) AS t(pi, k)),
-nn AS (
-  SELECT pi, k, fold, qid, qy, ny FROM (
-    SELECT p.pi, p.k, a.f AS fold, a.vec_id AS qid, a.y AS qy, b.y AS ny,
+-- distances and neighbor ranks are param-independent: compute once,
+-- slice per k
+ranked AS (
+  SELECT fold, qid, qy, ny, rn FROM (
+    SELECT a.f AS fold, a.vec_id AS qid, a.y AS qy, b.y AS ny,
            row_number() OVER (
-             PARTITION BY p.pi, a.f, a.vec_id
+             PARTITION BY a.f, a.vec_id
              ORDER BY list_inner_product(a.v, a.v)
                       - 2 * list_inner_product(a.v, b.v)
                       + list_inner_product(b.v, b.v) ASC,
                       b.vec_id ASC) AS rn
-    FROM e a JOIN e b ON b.f <> a.f CROSS JOIN params p)
-  WHERE rn <= k),
+    FROM e a JOIN e b ON b.f <> a.f)
+  WHERE rn <= 5),
+nn AS (SELECT p.pi, p.k, r.fold, r.qid, r.qy, r.ny
+       FROM ranked r CROSS JOIN params p WHERE r.rn <= p.k),
 votes AS (SELECT pi, k, fold, qid, qy, ny, count(*) AS c
           FROM nn GROUP BY ALL),
 pred AS (SELECT pi, k, fold, qid, qy, ny AS pred FROM votes
@@ -1136,7 +1140,87 @@ FROM perfold pf CROSS JOIN best
 """
 
 
+def als(spark, sf_dir):
+    """ALS rank-2, 3 alternation rounds on (supplier, part, avg qty)
+    ratings — every normal-equation sum is an exact decimal integer and
+    factors live on a 1e-6 grid, so the ENTIRE iterative fit is
+    bit-identical across engines and partitionings; the oracle replays
+    init + all six half-steps as a generated CTE chain.  Output: scored
+    ratings for a deterministic 1/11 slice of the pairs."""
+    from ..recommendation import ALS as _ALS
+    li = load(spark, sf_dir, "lineitem")
+    ratings = (li.groupBy(F.col("l_suppkey").alias("u"),
+                          F.col("l_partkey").alias("i"))
+               .agg((F.sum(F.col("l_quantity").cast("long"))
+                     .cast("double") / F.count(F.lit(1))).alias("rating")))
+    m = _ALS(userCol="u", itemCol="i", ratingCol="rating",
+             rank=2, maxIter=3, regParam=0.1).fit(ratings)
+    out = m.transform(
+        ratings.filter((F.col("u") * 31 + F.col("i")) % 11 == 0))[0]
+    return out.select("u", "i", q4(F.col("prediction")).alias("pred"))
+
+
+def _als_sql(iters: int = 3, lam: float = 0.1, scale: int = 10 ** 6,
+             salt: int = 7) -> str:
+    """Generated replay of the deterministic fixed-point ALS run (the
+    _kmeans_sql pattern): LCG init, then per round one user half-step
+    and one item half-step, each = HUGEINT-exact gram/rhs sums + the
+    rank-2 closed-form solve re-snapped to the factor grid."""
+    m, mult = 2147483648, 2654435761
+    lam_s = repr(float(lam) * scale * scale)
+
+    def init_f(j: int) -> str:
+        return (f"((((i % {m}) + {m}) % {m}) * {mult} + {salt + j}) "
+                f"% {m} % 200000 + {scale // 10}")
+
+    def half(t: str, src: str, fkey: str, okey: str) -> str:
+        g = (f"s{t} AS (SELECT r.{okey}, "
+             f"sum(CAST(q.f0*q.f0 AS HUGEINT)) AS g00, "
+             f"sum(CAST(q.f0*q.f1 AS HUGEINT)) AS g01, "
+             f"sum(CAST(q.f1*q.f1 AS HUGEINT)) AS g11, "
+             f"sum(CAST(q.f0*r.r AS HUGEINT)) AS v0, "
+             f"sum(CAST(q.f1*r.r AS HUGEINT)) AS v1 "
+             f"FROM ratings r JOIN {src} q USING ({fkey}) GROUP BY 1)")
+        a = f"(CAST(g00 AS DOUBLE) + {lam_s})"
+        b = "CAST(g01 AS DOUBLE)"
+        c = f"(CAST(g11 AS DOUBLE) + {lam_s})"
+        det = f"({a} * {c} - {b} * {b})"
+        f0 = (f"CAST(ROUND(({c} * CAST(v0 AS DOUBLE) - {b} * "
+              f"CAST(v1 AS DOUBLE)) / {det} * {scale}) AS BIGINT)")
+        f1 = (f"CAST(ROUND(({a} * CAST(v1 AS DOUBLE) - {b} * "
+              f"CAST(v0 AS DOUBLE)) / {det} * {scale}) AS BIGINT)")
+        return (f"{g},\n{t} AS (SELECT {okey}, {f0} AS f0, {f1} AS f1 "
+                f"FROM s{t})")
+
+    ctes = [
+        ("ratings AS (SELECT l_suppkey AS u, l_partkey AS i, "
+         "CAST(ROUND(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) "
+         f"/ count(*) * {scale}) AS BIGINT) AS r "
+         "FROM lineitem GROUP BY 1, 2)"),
+        (f"q0 AS (SELECT DISTINCT i, {init_f(0)} AS f0, "
+         f"{init_f(1)} AS f1 FROM ratings)"),
+    ]
+    prev_q = "q0"
+    for t in range(1, iters + 1):
+        ctes.append(half(f"p{t}", prev_q, "i", "u"))
+        ctes.append(half(f"q{t}", f"p{t}", "u", "i"))
+        prev_q = f"q{t}"
+    final = (
+        f"SELECT r.u, r.i, "
+        + SQL_Q4.format(
+            f"CAST(CAST(p.f0 AS HUGEINT) * q.f0 "
+            f"+ CAST(p.f1 AS HUGEINT) * q.f1 AS DOUBLE) "
+            f"/ ({scale}.0 * {scale})")
+        + f" AS pred FROM ratings r JOIN p{iters} p USING (u) "
+        f"JOIN {prev_q} q USING (i) WHERE (r.u * 31 + r.i) % 11 = 0")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+ALS_SQL = _als_sql()
+
+
 QUERIES = {
+    "als": (als, ALS_SQL),
     "cross_validation": (cross_validation, CROSS_VALIDATION_SQL),
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),
     "corr_matrix": (corr_matrix, CORR_MATRIX_SQL),

@@ -1,3 +1,4 @@
+from .als import ALS, ALSModel
 from .swing import Swing
 
-__all__ = ["Swing"]
+__all__ = ["ALS", "ALSModel", "Swing"]

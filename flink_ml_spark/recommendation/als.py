@@ -1,0 +1,235 @@
+"""ALS — alternating-least-squares matrix factorization, bit-exact.
+
+The reference's recommendation family stops at Swing item similarity
+(recommendation/swing/Swing.java:81); latent-factor collaborative
+filtering is the standard completion (Spark MLlib ``ml.recommendation.
+ALS``; Koren/Bell/Volinsky 2009).  Explicit-feedback ALS: alternate
+
+    p_u = (Σ_{i∈R(u)} q_i q_iᵀ + λI)⁻¹ Σ q_i r_ui      (users)
+    q_i = (Σ_{u∈R(i)} p_u p_uᵀ + λI)⁻¹ Σ p_u r_ui      (items)
+
+**Bit-deterministic by construction** (the MutualInformation /
+Spearman determinism discipline, applied to iterative training):
+factors live on a fixed-point micro grid (``factorScale`` decimals,
+default 6) and every normal-equation sum runs as an EXACT
+``decimal(38,0)`` integer aggregate — the sums are associative, so
+partition order cannot move a single ulp, and two engines (or two
+cluster sizes) produce identical factors.  The per-entry solve then
+runs on bit-identical doubles and re-snaps to the grid.  Initial item
+factors are an LCG hash of the item id — reproducible, no RNG.
+
+Scale design: each half-step is ONE join (ratings ⋈ factor relation on
+its key — content-keyed shuffle) + ONE map-side-combined groupBy
+producing r(r+1)/2 + r integer sums per entity, then pure codegen'd
+column arithmetic for the rank-2 closed-form solve (general rank uses
+an Arrow-batched solve over the factor-sized relation — never the
+ratings).  Factor relations are user-/item-cardinality-sized, are
+localCheckpointed per iteration (bounded lineage), and nothing
+corpus-sized reaches the driver.  ``transform`` scores (user, item)
+pairs with two hash joins and an exact integer dot product.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..api import Estimator, Model
+from ..param import FloatParam, IntParam, ParamValidators, StringParam
+
+_M = 2147483648
+_MULT = 2654435761
+
+
+def _sum_cols(rank: int, fcols: list, r_int):
+    """decimal(38,0)-exact normal-equation sums: gram upper triangle
+    (unit 1e-2s) + rhs (unit 1e-2s, s = factorScale)."""
+    aggs = []
+    for i in range(rank):
+        for j in range(i, rank):
+            aggs.append(F.sum((fcols[i] * fcols[j]).cast("decimal(38,0)"))
+                        .alias(f"g{i}_{j}"))
+    for i in range(rank):
+        aggs.append(F.sum((fcols[i] * r_int).cast("decimal(38,0)"))
+                    .alias(f"v{i}"))
+    return aggs
+
+
+class ALS(Estimator):
+    """``fit(ratings)`` → :class:`ALSModel`.  Ratings: one row per
+    (user, item) — pre-aggregate duplicates upstream (``groupBy.avg``)
+    so the loss is well-defined."""
+
+    userCol = StringParam("userCol", "User id column (integral).", "user")
+    itemCol = StringParam("itemCol", "Item id column (integral).", "item")
+    ratingCol = StringParam("ratingCol", "Rating column.", "rating")
+    rank = IntParam("rank", "Latent dimension.", 2, ParamValidators.gt(0))
+    maxIter = IntParam("maxIter", "Alternation rounds (one round = user "
+                       "step + item step).", 5, ParamValidators.gt(0))
+    regParam = FloatParam("regParam", "Ridge λ.", 0.1,
+                          ParamValidators.gt_eq(0))
+    factorScale = IntParam("factorScale", "Fixed-point decimals for the "
+                           "factor grid (6 → micro units).", 6,
+                           ParamValidators.in_range(3, 9))
+    initSalt = IntParam("initSalt", "LCG salt for the deterministic "
+                        "item-factor init.", 7)
+
+    def fit(self, *inputs: DataFrame) -> "ALSModel":
+        (df,) = inputs
+        rank = int(self.get_("rank"))
+        lam = float(self.get_("regParam"))
+        scale = 10 ** int(self.get_("factorScale"))
+        salt = int(self.get_("initSalt"))
+        u, i = self.get_("userCol"), self.get_("itemCol")
+        r = F.col(self.get_("ratingCol")).cast("double")
+        ratings = (df.select(F.col(u).cast("long").alias("u"),
+                             F.col(i).cast("long").alias("i"),
+                             F.round(r * scale).cast("long").alias("r"))
+                   .filter(F.col("u").isNotNull() & F.col("i").isNotNull()
+                           & F.col("r").isNotNull())
+                   .persist())
+        fcols = [f"f{j}" for j in range(rank)]
+        # deterministic init on the grid: f_j ∈ [0.1, 0.3)
+        inner = ((F.col("i") % _M) + _M) % _M
+        q = ratings.select("i").distinct().select(
+            "i", *[(((inner * _MULT + salt + j) % _M % 200000)
+                    + scale // 10).alias(fcols[j])
+                   for j in range(rank)])
+        q = q.localCheckpoint(eager=True)
+        p = None
+        for _ in range(int(self.get_("maxIter"))):
+            p = self._half_step(ratings, q, "i", "u", rank, lam, scale)
+            q = self._half_step(ratings, p, "u", "i", rank, lam, scale)
+        ratings.unpersist()
+        model = ALSModel()
+        model.set_(userCol=u, itemCol=i)
+        model.set(ALSModel.rank, rank)
+        model.set(ALSModel.factorScale, int(self.get_("factorScale")))
+        model.user_factors = p
+        model.item_factors = q
+        model.model_data = {"rank": rank,
+                            "factorScale": int(self.get_("factorScale"))}
+        return model
+
+    def _half_step(self, ratings: DataFrame, factors: DataFrame,
+                   fkey: str, okey: str, rank: int, lam: float,
+                   scale: int) -> DataFrame:
+        """Solve the ``okey`` side given ``fkey``-side factors."""
+        fcols = [F.col(f"f{j}") for j in range(rank)]
+        sums = (ratings.join(factors, fkey)
+                .groupBy(okey)
+                .agg(*_sum_cols(rank, fcols, F.col("r"))))
+        # λ in gram units: factors and ratings are 1e-s grids, so the
+        # gram/rhs sums carry unit 1e-2s and λI scales by scale²
+        lam_s = float(lam) * scale * scale
+        if rank == 2:
+            a = F.col("g0_0").cast("double") + lam_s
+            b = F.col("g0_1").cast("double")
+            c = F.col("g1_1").cast("double") + lam_s
+            v1 = F.col("v0").cast("double")
+            v2 = F.col("v1").cast("double")
+            det = a * c - b * b
+            out = sums.select(
+                okey,
+                F.round((c * v1 - b * v2) / det * scale)
+                .cast("long").alias("f0"),
+                F.round((a * v2 - b * v1) / det * scale)
+                .cast("long").alias("f1"))
+        else:
+            import pandas as pd
+            gcols = [f"g{i}_{j}" for i in range(rank)
+                     for j in range(i, rank)]
+            vcols = [f"v{i}" for i in range(rank)]
+
+            def solve(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    n = len(pdf)
+                    G = np.zeros((n, rank, rank))
+                    k = 0
+                    for ii in range(rank):
+                        for jj in range(ii, rank):
+                            col = pdf[gcols[k]].astype(float).to_numpy()
+                            G[:, ii, jj] = col
+                            G[:, jj, ii] = col
+                            k += 1
+                    G += lam_s * np.eye(rank)[None, :, :]
+                    V = np.stack([pdf[c].astype(float).to_numpy()
+                                  for c in vcols], axis=1)
+                    sol = np.linalg.solve(G, V)
+                    out = {okey: pdf[okey]}
+                    for j in range(rank):
+                        out[f"f{j}"] = np.round(sol[:, j] * scale) \
+                            .astype("int64")
+                    yield pd.DataFrame(out)
+
+            out = sums.mapInPandas(
+                solve, f"{okey} long, " + ", ".join(
+                    f"f{j} long" for j in range(rank)))
+        return out.localCheckpoint(eager=True)
+
+
+class ALSModel(Model):
+    """Scores (user, item) pairs: two hash joins against the factor
+    relations and an exact integer dot product (missing users/items
+    yield null predictions via left joins)."""
+
+    userCol = StringParam("userCol", "User id column.", "user")
+    itemCol = StringParam("itemCol", "Item id column.", "item")
+    predictionCol = StringParam("predictionCol", "Output column.",
+                                "prediction")
+    rank = IntParam("rank", "Latent dimension.", 2)
+    factorScale = IntParam("factorScale", "Fixed-point decimals.", 6)
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.user_factors: DataFrame | None = None
+        self.item_factors: DataFrame | None = None
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        rank = int(self.get_("rank"))
+        scale = 10 ** int(self.get_("factorScale"))
+        pu = self.user_factors.select(
+            F.col("u").alias("__alsu__"),
+            *[F.col(f"f{j}").alias(f"__pu{j}__") for j in range(rank)])
+        qi = self.item_factors.select(
+            F.col("i").alias("__alsi__"),
+            *[F.col(f"f{j}").alias(f"__qi{j}__") for j in range(rank)])
+        dot = None
+        for j in range(rank):
+            term = (F.col(f"__pu{j}__") * F.col(f"__qi{j}__")) \
+                .cast("decimal(38,0)")
+            dot = term if dot is None else dot + term
+        pred = (dot.cast("double") / (float(scale) * scale))
+        out = (df.join(pu, df[self.get_("userCol")].cast("long")
+                       == F.col("__alsu__"), "left")
+               .join(qi, df[self.get_("itemCol")].cast("long")
+                     == F.col("__alsi__"), "left")
+               .withColumn(self.get_("predictionCol"), pred))
+        drop = (["__alsu__", "__alsi__"]
+                + [f"__pu{j}__" for j in range(rank)]
+                + [f"__qi{j}__" for j in range(rank)])
+        return out.drop(*drop)
+
+    def get_model_data(self, spark: SparkSession) -> list[DataFrame]:
+        return [self.user_factors, self.item_factors]
+
+    def set_model_data(self, *tables: DataFrame) -> "ALSModel":
+        self.user_factors, self.item_factors = tables
+        return self
+
+    def _save_model_data(self, path: str) -> None:
+        self.user_factors.write.mode("overwrite").parquet(
+            os.path.join(path, "user_factors"))
+        self.item_factors.write.mode("overwrite").parquet(
+            os.path.join(path, "item_factors"))
+
+    def _load_model_data(self, spark: SparkSession, path: str) -> None:
+        p = os.path.join(path, "user_factors")
+        if os.path.exists(p):
+            self.user_factors = spark.read.parquet(p)
+            self.item_factors = spark.read.parquet(
+                os.path.join(path, "item_factors"))
