@@ -1219,8 +1219,48 @@ def _als_sql(iters: int = 3, lam: float = 0.1, scale: int = 10 ** 6,
 ALS_SQL = _als_sql()
 
 
+def als_recommend(spark, sf_dir):
+    """ALSModel.recommend_for_users: exact top-5 items for a 1/50 user
+    slice via broadcast item factors + salted top-k.  Scores are exact
+    integer dot products on the factor grid, so ranking ties break
+    identically in both engines (score desc, item asc)."""
+    from ..recommendation import ALS as _ALS
+    li = load(spark, sf_dir, "lineitem")
+    ratings = (li.groupBy(F.col("l_suppkey").alias("u"),
+                          F.col("l_partkey").alias("i"))
+               .agg((F.sum(F.col("l_quantity").cast("long"))
+                     .cast("double") / F.count(F.lit(1))).alias("rating")))
+    m = _ALS(userCol="u", itemCol="i", ratingCol="rating",
+             rank=2, maxIter=3, regParam=0.1).fit(ratings)
+    users = ratings.select("u").distinct().filter(F.col("u") % 50 == 0)
+    out = m.recommend_for_users(users, k=5)
+    return out.select("u", "i", q4(F.col("score")).alias("score"), "rank")
+
+
+def _als_recommend_sql() -> str:
+    base = _als_sql()
+    head, _, _ = base.rpartition("SELECT r.u")
+    scale = 10 ** 6
+    return (head
+            + "SELECT u, i, "
+            + SQL_Q4.format(
+                f"CAST(CAST(p.f0 AS HUGEINT) * q.f0 "
+                f"+ CAST(p.f1 AS HUGEINT) * q.f1 AS DOUBLE) "
+                f"/ ({scale}.0 * {scale})")
+            + " AS score, CAST(row_number() OVER (PARTITION BY u ORDER BY "
+            f"CAST(CAST(p.f0 AS HUGEINT) * q.f0 "
+            f"+ CAST(p.f1 AS HUGEINT) * q.f1 AS DOUBLE) DESC, i ASC) "
+            "AS INT) AS rank "
+            "FROM p3 p CROSS JOIN q3 q WHERE u % 50 = 0 "
+            "QUALIFY rank <= 5")
+
+
+ALS_RECOMMEND_SQL = _als_recommend_sql()
+
+
 QUERIES = {
     "als": (als, ALS_SQL),
+    "als_recommend": (als_recommend, ALS_RECOMMEND_SQL),
     "cross_validation": (cross_validation, CROSS_VALIDATION_SQL),
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),
     "corr_matrix": (corr_matrix, CORR_MATRIX_SQL),

@@ -214,6 +214,49 @@ class ALSModel(Model):
                 + [f"__qi{j}__" for j in range(rank)])
         return out.drop(*drop)
 
+    def recommend_for_users(self, users: DataFrame, k: int,
+                            max_broadcast_items: int = 2_000_000
+                            ) -> DataFrame:
+        """Top-``k`` items per requested user: broadcast the item-factor
+        relation (model-sized; fail fast above ``max_broadcast_items``
+        — at larger catalogs build an ANN index over the item factors,
+        e.g. ``IVFIndex``, instead of exact scoring) and rank with the
+        salted exact top-k, so a hot request set never funnels one
+        task.  Returns (userCol, itemCol, score, rank)."""
+        n_items = self.item_factors.count()
+        if n_items > max_broadcast_items:
+            raise ValueError(
+                f"recommend_for_users: {n_items} items exceed the "
+                f"broadcast cap ({max_broadcast_items}); score through "
+                f"an ANN index over the item factors instead")
+        rank = int(self.get_("rank"))
+        scale = 10 ** int(self.get_("factorScale"))
+        ucol, icol = self.get_("userCol"), self.get_("itemCol")
+        pu = self.user_factors.select(
+            F.col("u").alias("__alsu__"),
+            *[F.col(f"f{j}").alias(f"__pu{j}__") for j in range(rank)])
+        qi = self.item_factors.select(
+            F.col("i").alias("__alsi__"),
+            *[F.col(f"f{j}").alias(f"__qi{j}__") for j in range(rank)])
+        req = (users.select(F.col(ucol).cast("long").alias("__alsu__"))
+               .distinct().join(pu, "__alsu__"))
+        dot = None
+        for j in range(rank):
+            term = (F.col(f"__pu{j}__") * F.col(f"__qi{j}__")) \
+                .cast("decimal(38,0)")
+            dot = term if dot is None else dot + term
+        scored = (req.join(F.broadcast(qi))
+                  .select("__alsu__", "__alsi__",
+                          (dot.cast("double") / (float(scale) * scale))
+                          .alias("score")))
+        from ..common.dataflow import top_k_per_key
+        out = top_k_per_key(
+            scored, ["__alsu__"],
+            [F.col("score").desc(), F.col("__alsi__")], int(k),
+            salt_cols=["__alsi__"], rank_col="rank")
+        return out.select(F.col("__alsu__").alias(ucol),
+                          F.col("__alsi__").alias(icol), "score", "rank")
+
     def get_model_data(self, spark: SparkSession) -> list[DataFrame]:
         return [self.user_factors, self.item_factors]
 

@@ -65,6 +65,33 @@ def test_als_general_rank_path(spark):
             == sorted(tuple(r) for r in m2.item_factors.collect()))
 
 
+def test_als_recommend_for_users(spark):
+    df = _synthetic(spark)
+    m = ALS(rank=2, maxIter=4, regParam=0.05).fit(df)
+    users = spark.createDataFrame([(0,), (1,), (7,)], "user long")
+    rec = m.recommend_for_users(users, k=5).collect()
+    per_u = {}
+    for r in rec:
+        per_u.setdefault(r["user"], []).append(r)
+    assert set(per_u) == {0, 1, 7}
+    for u, rows in per_u.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # top-k agrees with brute-force scoring of all items
+        all_items = df.select("item").distinct()
+        pairs = all_items.withColumn("user", F.lit(u))
+        truth = sorted(((r["prediction"], r["item"]) for r in
+                        m.transform(pairs)[0].collect()),
+                       key=lambda t: (-t[0], t[1]))[:5]
+        assert [r["item"] for r in rows] == [i for _, i in truth]
+    # broadcast cap fails fast instead of melting the cluster
+    import pytest as _p
+    with _p.raises(ValueError, match="broadcast cap"):
+        m.recommend_for_users(users, k=2, max_broadcast_items=3)
+
+
 def test_als_cold_start_and_persistence(spark, tmp_path):
     from flink_ml_spark.api import Stage
     df = _synthetic(spark)
