@@ -1258,8 +1258,114 @@ def _als_recommend_sql() -> str:
 ALS_RECOMMEND_SQL = _als_recommend_sql()
 
 
+TREE_FEATS = ["l_discount * 10", "l_tax * 10", "l_quantity / 50"]
+TREE_LABEL = "l_extendedprice / 1000"
+TREE_DEPTH, TREE_BINS, TREE_SCALE = 2, 8, 100
+
+
+def decision_tree(spark, sf_dir):
+    """DecisionTreeRegressor (histogram CART, depth 2, uniform bins,
+    1e-2 label grid): the fit is bit-exact — integer histogram sums,
+    exact-rational gain comparisons — so the oracle replays BOTH fit
+    levels (stats → valid candidates → anti-join argmax with HUGEINT
+    cross-multiplied gains → node advancement) and then scores every
+    row through the same tree.  labelScale=2 keeps every cross-product
+    inside HUGEINT at sf0.1 (the operator itself uses Python bigints —
+    no bound)."""
+    from ..regression import DecisionTreeRegressor
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        F.array(F.expr(TREE_FEATS[0]), F.expr(TREE_FEATS[1]),
+                F.expr(TREE_FEATS[2])).alias("features"),
+        F.expr(TREE_LABEL).alias("label"))
+    m = DecisionTreeRegressor(maxDepth=TREE_DEPTH, maxBins=TREE_BINS,
+                              labelScale=2).fit(df)
+    out = m.transform(df)[0]
+    return out.select(*KEY, q4(F.col("prediction")).alias("pred"))
+
+
+def _decision_tree_sql() -> str:
+    dim, bins, scale = len(TREE_FEATS), TREE_BINS, TREE_SCALE
+    nthr = bins - 1
+
+    edges = ", ".join(
+        f"CAST(min({TREE_FEATS[i]}) AS DOUBLE) AS lo{i}, "
+        f"CAST(max({TREE_FEATS[i]}) AS DOUBLE) AS hi{i}"
+        for i in range(dim))
+    thr = {(i, b): f"(e.lo{i} + (e.hi{i} - e.lo{i}) / {bins} * {b + 1})"
+           for i in range(dim) for b in range(nthr)}
+    bin_exprs = ", ".join(
+        "(" + " + ".join(
+            f"CASE WHEN x{i} > {thr[(i, b)]} THEN 1 ELSE 0 END"
+            for b in range(nthr)) + f") AS b{i}"
+        for i in range(dim))
+    feats = ", ".join(f"{TREE_FEATS[i]} AS x{i}" for i in range(dim))
+    bsel = " ".join(f"WHEN {i} THEN b{i}" for i in range(dim))
+
+    def level(t: int, rows: str) -> str:
+        unpiv = " UNION ALL ".join(
+            f"SELECT node, {i} AS f, b{i} AS b, y FROM {rows}"
+            for i in range(dim))
+        return f"""
+st{t} AS (SELECT node, f, b, count(*) AS n,
+                 sum(CAST(y AS HUGEINT)) AS s
+          FROM ({unpiv}) GROUP BY ALL),
+tot{t} AS (SELECT node, sum(n) AS nt, sum(s) AS st FROM st{t}
+           WHERE f = 0 GROUP BY 1),
+cum{t} AS (SELECT node, f, b,
+                  sum(n) OVER (PARTITION BY node, f ORDER BY b) AS nl,
+                  sum(s) OVER (PARTITION BY node, f ORDER BY b) AS sl
+           FROM st{t}),
+cand{t} AS (
+  SELECT c.node, c.f, c.b,
+         c.sl * c.sl * (t.nt - c.nl)
+           + (t.st - c.sl) * (t.st - c.sl) * c.nl AS num,
+         c.nl * (t.nt - c.nl) AS den
+  FROM cum{t} c JOIN tot{t} t USING (node)
+  WHERE c.b < {nthr} AND c.nl >= 1 AND t.nt - c.nl >= 1
+    AND (c.sl * c.sl * (t.nt - c.nl)
+         + (t.st - c.sl) * (t.st - c.sl) * c.nl) * t.nt
+        > t.st * t.st * (c.nl * (t.nt - c.nl))),
+best{t} AS (
+  SELECT node, f, b FROM cand{t} c
+  WHERE NOT EXISTS (SELECT 1 FROM cand{t} d WHERE d.node = c.node AND
+    (d.num * c.den > c.num * d.den OR (d.num * c.den = c.num * d.den
+     AND (d.f < c.f OR (d.f = c.f AND d.b < c.b)))))),
+r{t + 1} AS (
+  SELECT {', '.join(f'r.x{i}' for i in range(dim))},
+         {', '.join(f'r.b{i}' for i in range(dim))}, r.y, r.k1, r.k2,
+         CASE WHEN s.node IS NULL THEN r.node
+              WHEN (CASE s.f {bsel} END) <= s.b THEN 2 * r.node + 1
+              ELSE 2 * r.node + 2 END AS node
+  FROM {rows} r LEFT JOIN best{t} s ON s.node = r.node)"""
+
+    ctes = [f"e AS (SELECT {edges} FROM lineitem)",
+            (f"r0 AS (SELECT {', '.join(f'x{i}' for i in range(dim))}, "
+             f"{bin_exprs}, y, node, k1, k2 FROM "
+             f"(SELECT {feats}, "
+             f"CAST(ROUND(({TREE_LABEL}) * {scale}) AS BIGINT) AS y, "
+             f"0 AS node, l_orderkey AS k1, l_linenumber AS k2 "
+             f"FROM lineitem) CROSS JOIN e)")]
+    for t in range(TREE_DEPTH):
+        ctes.append(level(t, f"r{t}"))
+    final_rows = f"r{TREE_DEPTH}"
+    leaves = (f"leaves AS (SELECT node, CAST(sum(CAST(y AS HUGEINT)) "
+              f"AS DOUBLE) / count(*) / {scale} AS v "
+              f"FROM {final_rows} GROUP BY 1)")
+    ctes.append(leaves)
+    final = (f"SELECT r.k1 AS l_orderkey, r.k2 AS l_linenumber, "
+             + SQL_Q4.format("l.v")
+             + f" AS pred FROM {final_rows} r JOIN leaves l USING (node)")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+DECISION_TREE_SQL = _decision_tree_sql()
+
+
 QUERIES = {
     "als": (als, ALS_SQL),
+    "decision_tree": (decision_tree, DECISION_TREE_SQL),
     "als_recommend": (als_recommend, ALS_RECOMMEND_SQL),
     "cross_validation": (cross_validation, CROSS_VALIDATION_SQL),
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),

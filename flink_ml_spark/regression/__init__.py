@@ -1,7 +1,9 @@
 from ..classification.linear import LinearRegression, LinearRegressionModel
 from .conformal import ConformalRegressor, ConformalRegressorModel
 from .isotonic import IsotonicRegression, IsotonicRegressionModel
+from .tree import DecisionTreeRegressor, DecisionTreeRegressorModel
 
 __all__ = ["LinearRegression", "LinearRegressionModel",
            "ConformalRegressor", "ConformalRegressorModel",
-           "IsotonicRegression", "IsotonicRegressionModel"]
+           "IsotonicRegression", "IsotonicRegressionModel",
+           "DecisionTreeRegressor", "DecisionTreeRegressorModel"]

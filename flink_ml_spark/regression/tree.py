@@ -1,0 +1,243 @@
+"""DecisionTreeRegressor — histogram-based CART, bit-exact splits.
+
+Trees are the reference's declared scope boundary (SURVEY §2.12: "no
+tree/ensemble models") and the most-requested completion next to
+tuning; this is the standard distributed formulation (histogram /
+approximate split finding — the XGBoost (Chen & Guestrin 2016) /
+LightGBM design), built Spark-first:
+
+- **One pass per level.**  Rows carry a ``node`` column; each level is
+  ONE ``groupBy(node, feature, bin)`` aggregation (map-side combined,
+  ≤ nodes·features·bins rows out — model-sized), split selection is
+  driver arithmetic on that tiny relation, and the node column
+  advances via one broadcast join against the chosen splits.  Depth d
+  costs d scans — the corpus itself is never shuffled.
+- **Bit-exact split selection** (the ALS fixed-point discipline):
+  labels snap to an integer grid (``labelScale`` decimals) and the
+  per-bin statistics are exact decimal integer sums, so histogram
+  content is partition-order independent; variance-reduction gains
+  (Sl²/nl + Sr²/nr) are compared as EXACT RATIONALS via
+  arbitrary-precision integer cross-multiplication — no float gain can
+  flip a split between runs, engines, or cluster sizes.  Ties break by
+  (feature, bin), lowest first.
+- **Bin = threshold count.**  A row's bin for feature f is the number
+  of candidate thresholds strictly below its value, so the fit-time
+  partition and the inference rule (``x <= thr`` goes left) agree
+  EXACTLY — no floor-arithmetic boundary mismatch.  Candidate
+  thresholds are uniform between the per-feature global min/max
+  (``binStrategy="uniform"``, engine-replayable) or equi-depth exact
+  percentiles (``"quantile"``, better for skew).
+- **Codegen inference.**  The fitted tree compiles to nested
+  ``F.when`` column expressions — ``transform`` is whole-stage-codegen
+  row arithmetic, zero shuffles; ``transform_local`` serves the same
+  tree over pandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..api import Estimator, Model
+from ..param import (HasFeaturesCol, HasLabelCol, HasPredictionCol,
+                     IntParam, ParamValidators, StringParam)
+
+
+class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
+                            HasPredictionCol):
+    maxDepth = IntParam("maxDepth", "Maximum tree depth.", 4,
+                        ParamValidators.in_range(1, 12))
+    maxBins = IntParam("maxBins", "Histogram bins per feature.", 32,
+                       ParamValidators.in_range(2, 1024))
+    minInstancesPerNode = IntParam(
+        "minInstancesPerNode", "Minimum rows on each side of a split.",
+        1, ParamValidators.gt(0))
+    labelScale = IntParam("labelScale", "Fixed-point decimals for the "
+                          "label grid.", 6, ParamValidators.in_range(0, 9))
+    binStrategy = StringParam(
+        "binStrategy", "uniform | quantile bin edges.", "uniform",
+        ParamValidators.in_array(["uniform", "quantile"]))
+
+    def fit(self, *inputs: DataFrame) -> "DecisionTreeRegressorModel":
+        (df,) = inputs
+        spark = df.sparkSession
+        depth = int(self.get_("maxDepth"))
+        bins = int(self.get_("maxBins"))
+        min_inst = int(self.get_("minInstancesPerNode"))
+        scale = 10 ** int(self.get_("labelScale"))
+        fcol = self.get_("featuresCol")
+        y = F.col(self.get_("labelCol")).cast("double")
+        base = (df.select(F.col(fcol).cast("array<double>").alias("x"),
+                          F.round(y * scale).cast("long").alias("y"))
+                .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+        first = base.select("x").first()
+        if first is None:
+            raise ValueError("DecisionTreeRegressor: no training rows")
+        dim = len(first["x"])
+
+        # candidate thresholds per feature
+        if self.get_("binStrategy") == "uniform":
+            r = base.agg(*[F.min(F.col("x")[i]).alias(f"lo{i}")
+                           for i in range(dim)],
+                         *[F.max(F.col("x")[i]).alias(f"hi{i}")
+                           for i in range(dim)]).first()
+            thresholds = []
+            for i in range(dim):
+                lo, hi = float(r[f"lo{i}"]), float(r[f"hi{i}"])
+                thresholds.append(
+                    [] if hi <= lo else
+                    [lo + (hi - lo) / bins * (b + 1)
+                     for b in range(bins - 1)])
+        else:
+            probs = [b / bins for b in range(1, bins)]
+            r = base.agg(*[F.percentile(F.col("x")[i],
+                                        F.lit([float(p) for p in probs]))
+                           .alias(f"q{i}") for i in range(dim)]).first()
+            thresholds = [sorted(set(float(v) for v in r[f"q{i}"]))
+                          for i in range(dim)]
+
+        def bin_expr(i: int):
+            # number of thresholds strictly below x — makes the bin
+            # partition and the `x <= thr` inference rule coincide
+            e = F.lit(0)
+            for t in thresholds[i]:
+                e = e + (F.col("x")[i] > F.lit(t)).cast("int")
+            return e
+
+        tagged = base.select(
+            "x", "y", F.lit(0).alias("node"),
+            *[bin_expr(i).alias(f"b{i}") for i in range(dim)]) \
+            .localCheckpoint(eager=True)
+        bins_arr = F.array(*[F.col(f"b{i}") for i in range(dim)])
+
+        tree: dict[int, dict] = {}  # node -> {feat, thr} | {value}
+        node_stats: dict[int, tuple[int, int]] = {}
+        root = tagged.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum(F.col("y").cast("decimal(38,0)"))
+                          .alias("s")).first()
+        node_stats[0] = (int(root["n"]), int(root["s"] or 0))
+        frontier = [0] if node_stats[0][0] > 0 else []
+
+        for _ in range(depth):
+            if not frontier:
+                break
+            stats = (tagged.filter(F.col("node").isin(frontier))
+                     .select("node", "y",
+                             F.explode(F.array(*[
+                                 F.struct(F.lit(i).alias("f"),
+                                          F.col(f"b{i}").alias("b"))
+                                 for i in range(dim)])).alias("fb"))
+                     .groupBy("node", F.col("fb.f").alias("f"),
+                              F.col("fb.b").alias("b"))
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum(F.col("y").cast("decimal(38,0)"))
+                          .alias("s"))
+                     .collect())  # ≤ frontier·dim·bins rows: model-sized
+            by_node: dict[int, dict] = {}
+            for row in stats:
+                by_node.setdefault(int(row["node"]), {}) \
+                    .setdefault(int(row["f"]), {})[int(row["b"])] = (
+                        int(row["n"]), int(row["s"] or 0))
+            new_frontier: list[int] = []
+            splits: list[tuple[int, int, int]] = []  # (node, feat, bin)
+            for node in frontier:
+                n_tot, s_tot = node_stats[node]
+                best = None  # (num, den, feat, bin): exact rational max
+                for f in sorted(by_node.get(node, {})):
+                    hist = by_node[node][f]
+                    nl = sl = 0
+                    for b in range(len(thresholds[f])):
+                        if b in hist:
+                            nl += hist[b][0]
+                            sl += hist[b][1]
+                        nr, sr = n_tot - nl, s_tot - sl
+                        if nl < min_inst or nr < min_inst:
+                            continue
+                        num = sl * sl * nr + sr * sr * nl
+                        den = nl * nr
+                        # positive gain: num/den > S²/n   (exact)
+                        if num * n_tot <= s_tot * s_tot * den:
+                            continue
+                        if best is None or num * best[1] > best[0] * den:
+                            best = (num, den, f, b)
+                if best is not None:
+                    _, _, f, b = best
+                    splits.append((node, f, b))
+                    tree[node] = {"feat": f, "thr": thresholds[f][b]}
+                    new_frontier += [2 * node + 1, 2 * node + 2]
+            if not splits:
+                break
+            sp = spark.createDataFrame(splits,
+                                       "node int, __sf__ int, __sb__ int")
+            left = (F.element_at(bins_arr, F.col("__sf__") + 1)
+                    <= F.col("__sb__"))
+            tagged = (tagged.join(F.broadcast(sp), "node", "left")
+                      .withColumn(
+                          "node",
+                          F.when(F.col("__sf__").isNull(), F.col("node"))
+                          .otherwise(F.when(left, 2 * F.col("node") + 1)
+                                     .otherwise(2 * F.col("node") + 2)))
+                      .drop("__sf__", "__sb__")
+                      .localCheckpoint(eager=True))
+            child = {int(r2["node"]): (int(r2["n"]), int(r2["s"] or 0))
+                     for r2 in tagged.filter(F.col("node")
+                                             .isin(new_frontier))
+                     .groupBy("node")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum(F.col("y").cast("decimal(38,0)"))
+                          .alias("s")).collect()}
+            node_stats.update(child)
+            frontier = [nd for nd in new_frontier
+                        if child.get(nd, (0, 0))[0] > 0]
+
+        # leaves: every populated node without a split
+        for node, (n, s) in node_stats.items():
+            if node not in tree and n > 0:
+                tree[node] = {"value": s / n / scale}
+        model = DecisionTreeRegressorModel()
+        model.set_(featuresCol=fcol,
+                   predictionCol=self.get_("predictionCol"))
+        model.model_data = {
+            "dim": dim,
+            "nodes": {str(k): v for k, v in tree.items()},
+            "labelScale": int(self.get_("labelScale"))}
+        return model
+
+
+class DecisionTreeRegressorModel(Model, HasFeaturesCol, HasPredictionCol):
+    def _node_map(self) -> dict[int, dict]:
+        return {int(k): v for k, v in self.model_data["nodes"].items()}
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        nodes = self._node_map()
+        x = F.col(self.get_("featuresCol")).cast("array<double>")
+
+        def expr(node: int):
+            info = nodes.get(node)
+            if info is None:
+                return F.lit(None).cast("double")
+            if "value" in info:
+                return F.lit(float(info["value"]))
+            return F.when(x[info["feat"]] <= F.lit(info["thr"]),
+                          expr(2 * node + 1)) \
+                .otherwise(expr(2 * node + 2))
+
+        return df.withColumn(self.get_("predictionCol"), expr(0))
+
+    def transform_local(self, pdf):
+        nodes = self._node_map()
+        out = pdf.copy()
+
+        def walk(vec) -> float:
+            node = 0
+            while True:
+                info = nodes.get(node)
+                if info is None:
+                    return float("nan")
+                if "value" in info:
+                    return float(info["value"])
+                node = (2 * node + 1 if vec[info["feat"]] <= info["thr"]
+                        else 2 * node + 2)
+
+        out[self.get_("predictionCol")] = [
+            walk(v) for v in pdf[self.get_("featuresCol")]]
+        return out

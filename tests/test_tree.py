@@ -1,0 +1,98 @@
+"""DecisionTreeRegressor: recovery of planted structure, exactness,
+determinism, persistence, servable parity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ml_spark.regression import DecisionTreeRegressor
+
+
+def _step_data(spark):
+    """Piecewise-constant target over a 2-D grid: a depth-2 tree can
+    fit it EXACTLY (y = 10 if x0<=0.5 else (20 if x1<=0.3 else 30))."""
+    rows = []
+    for i in range(400):
+        x0, x1 = (i % 20) / 20.0, (i // 20) / 20.0
+        y = 10.0 if x0 <= 0.5 else (20.0 if x1 <= 0.3 else 30.0)
+        rows.append(([x0, x1], y))
+    return spark.createDataFrame(rows,
+                                 "features array<double>, label double")
+
+
+def test_tree_fits_piecewise_constant_exactly(spark):
+    df = _step_data(spark)
+    m = DecisionTreeRegressor(maxDepth=3, maxBins=20).fit(df)
+    scored = m.transform(df)[0]
+    resid = scored.agg(F.max(F.abs(F.col("label")
+                                   - F.col("prediction")))).first()[0]
+    assert resid < 1e-9, resid
+    # root split must be on feature 0 (it explains the most variance)
+    assert m.model_data["nodes"]["0"]["feat"] == 0
+
+
+def test_tree_depth_and_min_instances(spark):
+    df = _step_data(spark)
+    m1 = DecisionTreeRegressor(maxDepth=1, maxBins=20).fit(df)
+    nodes = m1.model_data["nodes"]
+    assert set(nodes) == {"0", "1", "2"}  # one split, two leaves
+    assert "value" in nodes["1"] and "value" in nodes["2"]
+    # a huge min-instances bound forbids any split -> single leaf
+    m2 = DecisionTreeRegressor(maxDepth=3,
+                               minInstancesPerNode=1000).fit(df)
+    assert set(m2.model_data["nodes"]) == {"0"}
+    assert m2.model_data["nodes"]["0"]["value"] == pytest.approx(
+        df.agg(F.avg("label")).first()[0])
+
+
+def test_tree_bit_deterministic_across_partitioning(spark):
+    df = _step_data(spark)
+    # noisy target so gains are non-trivial rationals
+    noisy = df.withColumn(
+        "label", F.col("label")
+        + (F.crc32(F.concat_ws(",", F.col("features")
+                               .cast("array<string>"))) % 7)
+        .cast("double") / 3.0)
+    m1 = DecisionTreeRegressor(maxDepth=4, maxBins=16).fit(noisy)
+    m2 = DecisionTreeRegressor(maxDepth=4, maxBins=16) \
+        .fit(noisy.repartition(13))
+    assert m1.model_data["nodes"] == m2.model_data["nodes"]
+
+
+def test_tree_quantile_bins_on_skewed_feature(spark):
+    rows = []
+    for i in range(300):
+        x = 10.0 ** (i % 6)  # 1..100000, heavily skewed
+        y = 1.0 if x <= 100 else 5.0
+        rows.append(([x], y))
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    # uniform bins squash 1..1000 into one bin at maxBins=4 — quantile
+    # bins still separate the step
+    m = DecisionTreeRegressor(maxDepth=2, maxBins=4,
+                              binStrategy="quantile").fit(df)
+    resid = m.transform(df)[0].agg(
+        F.max(F.abs(F.col("label") - F.col("prediction")))).first()[0]
+    assert resid < 1e-9
+
+
+def test_tree_persistence_and_local_parity(spark, tmp_path):
+    from flink_ml_spark.api import Stage
+    df = _step_data(spark)
+    m = DecisionTreeRegressor(maxDepth=3, maxBins=20).fit(df)
+    m.save(str(tmp_path / "dt"))
+    back = Stage.load(spark, str(tmp_path / "dt"))
+    a = [r["prediction"] for r in m.transform(df)[0].collect()]
+    b = [r["prediction"] for r in back.transform(df)[0].collect()]
+    assert a == b
+    import pandas as pd
+    pdf = pd.DataFrame({"features": [[0.2, 0.9], [0.9, 0.1], [0.9, 0.9]]})
+    loc = back.transform_local(pdf)
+    assert list(loc["prediction"]) == [10.0, 20.0, 30.0]
+
+
+def test_tree_empty_input_raises(spark):
+    empty = spark.createDataFrame([],
+                                  "features array<double>, label double")
+    with pytest.raises(ValueError, match="no training rows"):
+        DecisionTreeRegressor().fit(empty)
