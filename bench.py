@@ -44,7 +44,8 @@ HEADLINE = [
     "elementwise_product", "interaction", "polynomial_expansion", "dct",
     "variance_threshold", "univariate_feature_selector", "winsorize",
     "rare_collapse",
-    "naive_bayes", "als", "decision_tree", "target_encoding", "chisq_test",
+    "naive_bayes", "als", "decision_tree", "gbt", "target_encoding",
+    "chisq_test",
     "anova_test",
     "fvalue_test",
     "corr_matrix", "mutual_information", "calibration_eval",

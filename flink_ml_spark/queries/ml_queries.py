@@ -1285,10 +1285,65 @@ def decision_tree(spark, sf_dir):
     return out.select(*KEY, q4(F.col("prediction")).alias("pred"))
 
 
-def _decision_tree_sql() -> str:
-    dim, bins, scale = len(TREE_FEATS), TREE_BINS, TREE_SCALE
-    nthr = bins - 1
+def _tree_chain(pref: str, rows0: str, depth: int, dim: int, nthr: int,
+                scale: int, carry: list[str]) -> tuple[list[str], str, str]:
+    """CTE chain replaying one bit-exact tree fit: per level, histogram
+    stats (HUGEINT sums) → valid split candidates (exact positive-gain
+    filter) → argmax via anti-joined integer cross-multiplication →
+    node advancement.  ``carry`` columns pass through untouched.
+    Returns (ctes, final_rows_cte, leaves_cte)."""
+    bsel = " ".join(f"WHEN {i} THEN b{i}" for i in range(dim))
+    keep = [f"x{i}" for i in range(dim)] + [f"b{i}" for i in range(dim)] \
+        + ["y"] + carry
+    ctes = []
+    for t in range(depth):
+        rows = rows0 if t == 0 else f"{pref}r{t}"
+        unpiv = " UNION ALL ".join(
+            f"SELECT node, {i} AS f, b{i} AS b, y FROM {rows}"
+            for i in range(dim))
+        ctes.append(f"""
+{pref}st{t} AS MATERIALIZED (SELECT node, f, b, count(*) AS n,
+                 sum(CAST(y AS HUGEINT)) AS s
+          FROM ({unpiv}) GROUP BY ALL),
+{pref}tot{t} AS (SELECT node, sum(n) AS nt, sum(s) AS st
+           FROM {pref}st{t} WHERE f = 0 GROUP BY 1),
+{pref}cum{t} AS (SELECT node, f, b,
+                  sum(n) OVER (PARTITION BY node, f ORDER BY b) AS nl,
+                  sum(s) OVER (PARTITION BY node, f ORDER BY b) AS sl
+           FROM {pref}st{t}),
+{pref}cand{t} AS MATERIALIZED (
+  SELECT c.node, c.f, c.b,
+         c.sl * c.sl * (t.nt - c.nl)
+           + (t.st - c.sl) * (t.st - c.sl) * c.nl AS num,
+         c.nl * (t.nt - c.nl) AS den
+  FROM {pref}cum{t} c JOIN {pref}tot{t} t USING (node)
+  WHERE c.b < {nthr} AND c.nl >= 1 AND t.nt - c.nl >= 1
+    AND (c.sl * c.sl * (t.nt - c.nl)
+         + (t.st - c.sl) * (t.st - c.sl) * c.nl) * t.nt
+        > t.st * t.st * (c.nl * (t.nt - c.nl))),
+{pref}best{t} AS (
+  SELECT node, f, b FROM {pref}cand{t} c
+  WHERE NOT EXISTS (SELECT 1 FROM {pref}cand{t} d WHERE d.node = c.node
+    AND (d.num * c.den > c.num * d.den OR (d.num * c.den = c.num * d.den
+     AND (d.f < c.f OR (d.f = c.f AND d.b < c.b)))))),
+{pref}r{t + 1} AS MATERIALIZED (
+  SELECT {', '.join(f'r.{c}' for c in keep)},
+         CASE WHEN s.node IS NULL THEN r.node
+              WHEN (CASE s.f {bsel} END) <= s.b THEN 2 * r.node + 1
+              ELSE 2 * r.node + 2 END AS node
+  FROM {rows} r LEFT JOIN {pref}best{t} s ON s.node = r.node)""")
+    final_rows = f"{pref}r{depth}"
+    ctes.append(
+        f"{pref}leaves AS (SELECT node, CAST(sum(CAST(y AS HUGEINT)) "
+        f"AS DOUBLE) / count(*) / {scale} AS v "
+        f"FROM {final_rows} GROUP BY 1)")
+    return ctes, final_rows, f"{pref}leaves"
 
+
+def _tree_base_ctes(dim: int, bins: int) -> list[str]:
+    """Shared feature/bin plumbing: per-feature global edges + the
+    threshold-count bin columns (identical every boosting round)."""
+    nthr = bins - 1
     edges = ", ".join(
         f"CAST(min({TREE_FEATS[i]}) AS DOUBLE) AS lo{i}, "
         f"CAST(max({TREE_FEATS[i]}) AS DOUBLE) AS hi{i}"
@@ -1301,71 +1356,96 @@ def _decision_tree_sql() -> str:
             for b in range(nthr)) + f") AS b{i}"
         for i in range(dim))
     feats = ", ".join(f"{TREE_FEATS[i]} AS x{i}" for i in range(dim))
-    bsel = " ".join(f"WHEN {i} THEN b{i}" for i in range(dim))
-
-    def level(t: int, rows: str) -> str:
-        unpiv = " UNION ALL ".join(
-            f"SELECT node, {i} AS f, b{i} AS b, y FROM {rows}"
-            for i in range(dim))
-        return f"""
-st{t} AS (SELECT node, f, b, count(*) AS n,
-                 sum(CAST(y AS HUGEINT)) AS s
-          FROM ({unpiv}) GROUP BY ALL),
-tot{t} AS (SELECT node, sum(n) AS nt, sum(s) AS st FROM st{t}
-           WHERE f = 0 GROUP BY 1),
-cum{t} AS (SELECT node, f, b,
-                  sum(n) OVER (PARTITION BY node, f ORDER BY b) AS nl,
-                  sum(s) OVER (PARTITION BY node, f ORDER BY b) AS sl
-           FROM st{t}),
-cand{t} AS (
-  SELECT c.node, c.f, c.b,
-         c.sl * c.sl * (t.nt - c.nl)
-           + (t.st - c.sl) * (t.st - c.sl) * c.nl AS num,
-         c.nl * (t.nt - c.nl) AS den
-  FROM cum{t} c JOIN tot{t} t USING (node)
-  WHERE c.b < {nthr} AND c.nl >= 1 AND t.nt - c.nl >= 1
-    AND (c.sl * c.sl * (t.nt - c.nl)
-         + (t.st - c.sl) * (t.st - c.sl) * c.nl) * t.nt
-        > t.st * t.st * (c.nl * (t.nt - c.nl))),
-best{t} AS (
-  SELECT node, f, b FROM cand{t} c
-  WHERE NOT EXISTS (SELECT 1 FROM cand{t} d WHERE d.node = c.node AND
-    (d.num * c.den > c.num * d.den OR (d.num * c.den = c.num * d.den
-     AND (d.f < c.f OR (d.f = c.f AND d.b < c.b)))))),
-r{t + 1} AS (
-  SELECT {', '.join(f'r.x{i}' for i in range(dim))},
-         {', '.join(f'r.b{i}' for i in range(dim))}, r.y, r.k1, r.k2,
-         CASE WHEN s.node IS NULL THEN r.node
-              WHEN (CASE s.f {bsel} END) <= s.b THEN 2 * r.node + 1
-              ELSE 2 * r.node + 2 END AS node
-  FROM {rows} r LEFT JOIN best{t} s ON s.node = r.node)"""
-
-    ctes = [f"e AS (SELECT {edges} FROM lineitem)",
-            (f"r0 AS (SELECT {', '.join(f'x{i}' for i in range(dim))}, "
-             f"{bin_exprs}, y, node, k1, k2 FROM "
-             f"(SELECT {feats}, "
-             f"CAST(ROUND(({TREE_LABEL}) * {scale}) AS BIGINT) AS y, "
-             f"0 AS node, l_orderkey AS k1, l_linenumber AS k2 "
+    return [f"e AS (SELECT {edges} FROM lineitem)",
+            (f"base AS MATERIALIZED (SELECT "
+             f"{', '.join(f'x{i}' for i in range(dim))}, {bin_exprs}, "
+             f"ly, k1, k2 FROM (SELECT {feats}, "
+             f"CAST(({TREE_LABEL}) AS DOUBLE) AS ly, "
+             f"l_orderkey AS k1, l_linenumber AS k2 "
              f"FROM lineitem) CROSS JOIN e)")]
-    for t in range(TREE_DEPTH):
-        ctes.append(level(t, f"r{t}"))
-    final_rows = f"r{TREE_DEPTH}"
-    leaves = (f"leaves AS (SELECT node, CAST(sum(CAST(y AS HUGEINT)) "
-              f"AS DOUBLE) / count(*) / {scale} AS v "
-              f"FROM {final_rows} GROUP BY 1)")
-    ctes.append(leaves)
+
+
+def _decision_tree_sql() -> str:
+    dim, bins, scale = len(TREE_FEATS), TREE_BINS, TREE_SCALE
+    ctes = _tree_base_ctes(dim, bins)
+    ctes.append(
+        f"r0 AS MATERIALIZED (SELECT * EXCLUDE (ly), "
+        f"CAST(ROUND(ly * {scale}) AS BIGINT) AS y, 0 AS node FROM base)")
+    chain, final_rows, leaves = _tree_chain(
+        "", "r0", TREE_DEPTH, dim, bins - 1, scale, ["k1", "k2"])
+    ctes += chain
     final = (f"SELECT r.k1 AS l_orderkey, r.k2 AS l_linenumber, "
              + SQL_Q4.format("l.v")
-             + f" AS pred FROM {final_rows} r JOIN leaves l USING (node)")
+             + f" AS pred FROM {final_rows} r JOIN {leaves} l "
+             f"USING (node)")
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 DECISION_TREE_SQL = _decision_tree_sql()
 
+GBT_ROUNDS, GBT_ETA, GBT_DEPTH = 2, 0.5, 2
+
+
+def gbt(spark, sf_dir):
+    """GBTRegressor (2 rounds, depth-2 trees, η=0.5 — a dyadic rational
+    so shrinkage arithmetic is exact in both engines): the oracle
+    replays F0 (exact grid mean), BOTH bit-exact tree fits on the
+    residual chain, and the accumulated prediction."""
+    from ..regression import GBTRegressor
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        F.array(F.expr(TREE_FEATS[0]), F.expr(TREE_FEATS[1]),
+                F.expr(TREE_FEATS[2])).alias("features"),
+        F.expr(TREE_LABEL).alias("label"))
+    m = GBTRegressor(numTrees=GBT_ROUNDS, maxDepth=GBT_DEPTH,
+                     maxBins=TREE_BINS, learningRate=GBT_ETA,
+                     labelScale=2).fit(df)
+    out = m.transform(df)[0]
+    return out.select(*KEY, q4(F.col("prediction")).alias("pred"))
+
+
+def _gbt_sql() -> str:
+    dim, bins, scale = len(TREE_FEATS), TREE_BINS, TREE_SCALE
+    eta = repr(float(GBT_ETA))
+    ctes = _tree_base_ctes(dim, bins)
+    # F0 = exact grid mean (HUGEINT sum < 2^53 at these scales, so the
+    # double conversion is exact in both engines)
+    ctes.append(
+        f"f0 AS (SELECT CAST(sum(CAST(ROUND(ly * {scale}) AS BIGINT))"
+        f" AS DOUBLE) / count(*) / {scale} AS v FROM base)")
+    prev = "g0rows"
+    ctes.append(
+        f"{prev} AS MATERIALIZED (SELECT base.* EXCLUDE (ly), base.ly - f0.v AS ly, "
+        f"CAST(ROUND((base.ly - f0.v) * {scale}) AS BIGINT) AS y, "
+        f"f0.v AS p, 0 AS node FROM base CROSS JOIN f0)")
+    for r in range(GBT_ROUNDS):
+        chain, final_rows, leaves = _tree_chain(
+            f"g{r}", prev, GBT_DEPTH, dim, bins - 1, scale,
+            ["ly", "p", "k1", "k2"])
+        ctes += chain
+        nxt = f"g{r + 1}rows"
+        keep = ", ".join([f"r.x{i}" for i in range(dim)]
+                         + [f"r.b{i}" for i in range(dim)])
+        ctes.append(
+            f"{nxt} AS MATERIALIZED (SELECT {keep}, r.k1, r.k2, "
+            f"r.ly - {eta} * l.v AS ly, "
+            f"CAST(ROUND((r.ly - {eta} * l.v) * {scale}) AS BIGINT) AS y, "
+            f"r.p + {eta} * l.v AS p, 0 AS node "
+            f"FROM {final_rows} r JOIN {leaves} l USING (node))")
+        prev = nxt
+    final = (f"SELECT k1 AS l_orderkey, k2 AS l_linenumber, "
+             + SQL_Q4.format("p") + f" AS pred FROM {prev}")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+GBT_SQL = _gbt_sql()
+
 
 QUERIES = {
     "als": (als, ALS_SQL),
     "decision_tree": (decision_tree, DECISION_TREE_SQL),
+    "gbt": (gbt, GBT_SQL),
     "als_recommend": (als_recommend, ALS_RECOMMEND_SQL),
     "cross_validation": (cross_validation, CROSS_VALIDATION_SQL),
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),

@@ -1,9 +1,11 @@
 from ..classification.linear import LinearRegression, LinearRegressionModel
 from .conformal import ConformalRegressor, ConformalRegressorModel
 from .isotonic import IsotonicRegression, IsotonicRegressionModel
+from .gbt import GBTRegressor, GBTRegressorModel
 from .tree import DecisionTreeRegressor, DecisionTreeRegressorModel
 
 __all__ = ["LinearRegression", "LinearRegressionModel",
            "ConformalRegressor", "ConformalRegressorModel",
            "IsotonicRegression", "IsotonicRegressionModel",
-           "DecisionTreeRegressor", "DecisionTreeRegressorModel"]
+           "DecisionTreeRegressor", "DecisionTreeRegressorModel",
+           "GBTRegressor", "GBTRegressorModel"]

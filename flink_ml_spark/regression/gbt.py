@@ -1,0 +1,135 @@
+"""GBTRegressor — gradient-boosted regression trees (squared loss).
+
+Boosting on top of :class:`DecisionTreeRegressor` (Friedman 2001):
+F₀ = exact global label mean, then each round fits a bit-exact
+histogram tree to the CURRENT residuals and adds it with shrinkage
+``learningRate``.  For squared loss the gradient IS the residual, so
+each round is: residual column update (pure codegen arithmetic) →
+one tree fit (maxDepth corpus scans) → localCheckpoint (bounded
+lineage).  The whole ensemble inherits the tree's determinism: exact
+decimal histogram sums + exact-rational split comparisons mean the
+SAME forest on any partitioning, any cluster size, any engine.
+
+Inference compiles F₀ + η·Σ trees into one stack of nested codegen
+CASE expressions — zero shuffles; ``transform_local`` serves the same
+ensemble over pandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..api import Estimator, Model
+from ..param import (FloatParam, HasFeaturesCol, HasLabelCol,
+                     HasPredictionCol, IntParam, ParamValidators,
+                     StringParam)
+from .tree import DecisionTreeRegressor
+
+
+class GBTRegressor(Estimator, HasFeaturesCol, HasLabelCol,
+                   HasPredictionCol):
+    numTrees = IntParam("numTrees", "Boosting rounds.", 10,
+                        ParamValidators.gt(0))
+    learningRate = FloatParam("learningRate", "Shrinkage η.", 0.3,
+                              ParamValidators.in_range(
+                                  0, 1, lower_inclusive=False))
+    maxDepth = IntParam("maxDepth", "Depth per tree.", 3,
+                        ParamValidators.in_range(1, 12))
+    maxBins = IntParam("maxBins", "Histogram bins per feature.", 32,
+                       ParamValidators.in_range(2, 1024))
+    minInstancesPerNode = IntParam(
+        "minInstancesPerNode", "Minimum rows per split side.", 1,
+        ParamValidators.gt(0))
+    labelScale = IntParam("labelScale", "Fixed-point decimals for the "
+                          "per-tree residual grid.", 6,
+                          ParamValidators.in_range(0, 9))
+    binStrategy = StringParam(
+        "binStrategy", "uniform | quantile bin edges.", "uniform",
+        ParamValidators.in_array(["uniform", "quantile"]))
+
+    def fit(self, *inputs: DataFrame) -> "GBTRegressorModel":
+        (df,) = inputs
+        fcol = self.get_("featuresCol")
+        eta = float(self.get_("learningRate"))
+        scale = 10 ** int(self.get_("labelScale"))
+        y = F.col(self.get_("labelCol")).cast("double")
+        cur = (df.select(F.col(fcol).cast("array<double>").alias("x"),
+                         y.alias("y"))
+               .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+        # F0 = exact global mean: decimal sum of grid labels / n
+        agg = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("y") * scale).cast("long")
+                  .cast("decimal(38,0)")).alias("s")).first()
+        n = int(agg["n"])
+        if n == 0:
+            raise ValueError("GBTRegressor: no training rows")
+        f0 = int(agg["s"] or 0) / n / scale
+        cur = cur.withColumn("y", F.col("y") - F.lit(f0)) \
+            .localCheckpoint(eager=True)
+        base_tree = DecisionTreeRegressor(
+            featuresCol="x", labelCol="y",
+            maxDepth=int(self.get_("maxDepth")),
+            maxBins=int(self.get_("maxBins")),
+            minInstancesPerNode=int(self.get_("minInstancesPerNode")),
+            labelScale=int(self.get_("labelScale")),
+            binStrategy=self.get_("binStrategy"))
+        trees = []
+        for t in range(int(self.get_("numTrees"))):
+            tm = base_tree.fit(cur)
+            trees.append(tm.model_data["nodes"])
+            if t + 1 < int(self.get_("numTrees")):
+                scored = tm.set_(predictionCol="__p__").transform(cur)[0]
+                cur = (scored.withColumn(
+                            "y", F.col("y") - eta * F.col("__p__"))
+                       .drop("__p__").localCheckpoint(eager=True))
+        model = GBTRegressorModel()
+        model.set_(featuresCol=fcol,
+                   predictionCol=self.get_("predictionCol"))
+        model.model_data = {"f0": float(f0), "eta": eta, "trees": trees}
+        return model
+
+
+class GBTRegressorModel(Model, HasFeaturesCol, HasPredictionCol):
+    def _transform(self, df: DataFrame) -> DataFrame:
+        eta = float(self.model_data["eta"])
+        pred = F.lit(float(self.model_data["f0"]))
+        x = F.col(self.get_("featuresCol")).cast("array<double>")
+        for nodes in self.model_data["trees"]:
+            nm = {int(k): v for k, v in nodes.items()}
+
+            def expr(node: int, nm=nm):
+                info = nm.get(node)
+                if info is None:
+                    return F.lit(0.0)
+                if "value" in info:
+                    return F.lit(float(info["value"]))
+                return F.when(x[info["feat"]] <= F.lit(info["thr"]),
+                              expr(2 * node + 1, nm)) \
+                    .otherwise(expr(2 * node + 2, nm))
+
+            pred = pred + F.lit(eta) * expr(0)
+        return df.withColumn(self.get_("predictionCol"), pred)
+
+    def transform_local(self, pdf):
+        eta = float(self.model_data["eta"])
+        out = pdf.copy()
+
+        def walk(nm, vec) -> float:
+            node = 0
+            while True:
+                info = nm.get(node)
+                if info is None:
+                    return 0.0
+                if "value" in info:
+                    return float(info["value"])
+                node = (2 * node + 1 if vec[info["feat"]] <= info["thr"]
+                        else 2 * node + 2)
+
+        maps = [{int(k): v for k, v in nodes.items()}
+                for nodes in self.model_data["trees"]]
+        out[self.get_("predictionCol")] = [
+            float(self.model_data["f0"])
+            + eta * sum(walk(nm, v) for nm in maps)
+            for v in pdf[self.get_("featuresCol")]]
+        return out
