@@ -44,7 +44,8 @@ HEADLINE = [
     "elementwise_product", "interaction", "polynomial_expansion", "dct",
     "variance_threshold", "univariate_feature_selector", "winsorize",
     "rare_collapse",
-    "naive_bayes", "als", "decision_tree", "gbt", "target_encoding",
+    "naive_bayes", "als", "decision_tree", "gbt", "decision_tree_cls",
+    "target_encoding",
     "chisq_test",
     "anova_test",
     "fvalue_test",

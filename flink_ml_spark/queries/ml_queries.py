@@ -1340,7 +1340,8 @@ def _tree_chain(pref: str, rows0: str, depth: int, dim: int, nthr: int,
     return ctes, final_rows, f"{pref}leaves"
 
 
-def _tree_base_ctes(dim: int, bins: int) -> list[str]:
+def _tree_base_ctes(dim: int, bins: int,
+                    label: str = TREE_LABEL) -> list[str]:
     """Shared feature/bin plumbing: per-feature global edges + the
     threshold-count bin columns (identical every boosting round)."""
     nthr = bins - 1
@@ -1360,7 +1361,7 @@ def _tree_base_ctes(dim: int, bins: int) -> list[str]:
             (f"base AS MATERIALIZED (SELECT "
              f"{', '.join(f'x{i}' for i in range(dim))}, {bin_exprs}, "
              f"ly, k1, k2 FROM (SELECT {feats}, "
-             f"CAST(({TREE_LABEL}) AS DOUBLE) AS ly, "
+             f"CAST(({label}) AS DOUBLE) AS ly, "
              f"l_orderkey AS k1, l_linenumber AS k2 "
              f"FROM lineitem) CROSS JOIN e)")]
 
@@ -1382,6 +1383,47 @@ def _decision_tree_sql() -> str:
 
 
 DECISION_TREE_SQL = _decision_tree_sql()
+
+TREE_CLS_LABEL = "CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END"
+
+
+def decision_tree_cls(spark, sf_dir):
+    """DecisionTreeClassifier (binary, Gini ≡ variance split on 0/1
+    labels): same bit-exact fit replay as decision_tree with grid
+    scale 1 (labels already integral); output = class + leaf rate."""
+    from ..regression import DecisionTreeClassifier
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        F.array(F.expr(TREE_FEATS[0]), F.expr(TREE_FEATS[1]),
+                F.expr(TREE_FEATS[2])).alias("features"),
+        F.expr(TREE_CLS_LABEL).alias("label"))
+    m = DecisionTreeClassifier(maxDepth=TREE_DEPTH,
+                               maxBins=TREE_BINS).fit(df)
+    out = m.transform(df)[0]
+    return out.select(*KEY,
+                      F.col("prediction").cast("int").alias("cls"),
+                      q4(F.col("probability")).alias("prob"))
+
+
+def _decision_tree_cls_sql() -> str:
+    dim, bins = len(TREE_FEATS), TREE_BINS
+    ctes = _tree_base_ctes(dim, bins, label=TREE_CLS_LABEL)
+    ctes.append(
+        "r0 AS MATERIALIZED (SELECT * EXCLUDE (ly), "
+        "CAST(ROUND(ly) AS BIGINT) AS y, 0 AS node FROM base)")
+    chain, final_rows, leaves = _tree_chain(
+        "", "r0", TREE_DEPTH, dim, bins - 1, 1, ["k1", "k2"])
+    ctes += chain
+    final = (f"SELECT r.k1 AS l_orderkey, r.k2 AS l_linenumber, "
+             f"CAST(CASE WHEN l.v > 0.5 THEN 1 ELSE 0 END AS INT) AS cls, "
+             + SQL_Q4.format("l.v")
+             + f" AS prob FROM {final_rows} r JOIN {leaves} l "
+             f"USING (node)")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+DECISION_TREE_CLS_SQL = _decision_tree_cls_sql()
 
 GBT_ROUNDS, GBT_ETA, GBT_DEPTH = 2, 0.5, 2
 
@@ -1446,6 +1488,7 @@ QUERIES = {
     "als": (als, ALS_SQL),
     "decision_tree": (decision_tree, DECISION_TREE_SQL),
     "gbt": (gbt, GBT_SQL),
+    "decision_tree_cls": (decision_tree_cls, DECISION_TREE_CLS_SQL),
     "als_recommend": (als_recommend, ALS_RECOMMEND_SQL),
     "cross_validation": (cross_validation, CROSS_VALIDATION_SQL),
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),

@@ -2,10 +2,12 @@ from ..classification.linear import LinearRegression, LinearRegressionModel
 from .conformal import ConformalRegressor, ConformalRegressorModel
 from .isotonic import IsotonicRegression, IsotonicRegressionModel
 from .gbt import GBTRegressor, GBTRegressorModel
-from .tree import DecisionTreeRegressor, DecisionTreeRegressorModel
+from .tree import (DecisionTreeClassifier, DecisionTreeClassifierModel,
+                   DecisionTreeRegressor, DecisionTreeRegressorModel)
 
 __all__ = ["LinearRegression", "LinearRegressionModel",
            "ConformalRegressor", "ConformalRegressorModel",
            "IsotonicRegression", "IsotonicRegressionModel",
            "DecisionTreeRegressor", "DecisionTreeRegressorModel",
-           "GBTRegressor", "GBTRegressorModel"]
+           "GBTRegressor", "GBTRegressorModel",
+           "DecisionTreeClassifier", "DecisionTreeClassifierModel"]

@@ -203,6 +203,42 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
         return model
 
 
+class DecisionTreeClassifier(DecisionTreeRegressor):
+    """Binary classifier on the same histogram machinery: for 0/1
+    labels, variance reduction is EQUIVALENT to the Gini impurity
+    criterion (both reduce to maximizing Σ sl²/nl over children for
+    fixed totals), so the regressor's bit-exact split selection IS the
+    Gini tree.  Leaf values are the positive-class rates;
+    ``transform`` emits ``probabilityCol`` (leaf rate) and
+    ``predictionCol`` (rate > 0.5).  ``labelScale`` is forced to 0 —
+    0/1 labels are already integral, keeping histogram sums minimal."""
+
+    probabilityCol = StringParam("probabilityCol",
+                                 "Positive-class rate column.",
+                                 "probability")
+
+    def fit(self, *inputs: DataFrame) -> "DecisionTreeClassifierModel":
+        (df,) = inputs
+        y = F.col(self.get_("labelCol")).cast("double")
+        bad = df.filter(y.isNotNull() & ~y.isin(0.0, 1.0)).limit(1).count()
+        if bad:
+            raise ValueError(
+                "DecisionTreeClassifier: labels must be 0/1 (binary)")
+        saved = self.get_("labelScale")
+        self.set(DecisionTreeRegressor.labelScale, 0)
+        try:
+            reg = super().fit(df)
+        finally:
+            self.set(DecisionTreeRegressor.labelScale, saved)
+        model = DecisionTreeClassifierModel()
+        model.set_(featuresCol=self.get_("featuresCol"),
+                   predictionCol=self.get_("predictionCol"))
+        model.set(DecisionTreeClassifierModel.probabilityCol,
+                  self.get_("probabilityCol"))
+        model.model_data = reg.model_data
+        return model
+
+
 class DecisionTreeRegressorModel(Model, HasFeaturesCol, HasPredictionCol):
     def _node_map(self) -> dict[int, dict]:
         return {int(k): v for k, v in self.model_data["nodes"].items()}
@@ -240,4 +276,27 @@ class DecisionTreeRegressorModel(Model, HasFeaturesCol, HasPredictionCol):
 
         out[self.get_("predictionCol")] = [
             walk(v) for v in pdf[self.get_("featuresCol")]]
+        return out
+
+
+class DecisionTreeClassifierModel(DecisionTreeRegressorModel):
+    probabilityCol = StringParam("probabilityCol",
+                                 "Positive-class rate column.",
+                                 "probability")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        pcol = self.get_("probabilityCol")
+        saved = self.get_("predictionCol")
+        # the regressor writes the leaf rate into predictionCol;
+        # rename it to probabilityCol and threshold for the class
+        return super()._transform(df) \
+            .withColumnRenamed(saved, pcol) \
+            .withColumn(saved, (F.col(pcol) > 0.5).cast("double"))
+
+    def transform_local(self, pdf):
+        out = super().transform_local(pdf)
+        pcol = self.get_("probabilityCol")
+        pred = self.get_("predictionCol")
+        out[pcol] = out[pred]
+        out[pred] = (out[pcol] > 0.5).astype(float)
         return out

@@ -96,3 +96,32 @@ def test_tree_empty_input_raises(spark):
                                   "features array<double>, label double")
     with pytest.raises(ValueError, match="no training rows"):
         DecisionTreeRegressor().fit(empty)
+
+
+def test_tree_classifier_binary(spark, tmp_path):
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.regression import DecisionTreeClassifier
+    rows = []
+    for i in range(300):
+        x0, x1 = (i % 20) / 20.0, (i // 20) / 15.0
+        y = 1.0 if (x0 > 0.4 and x1 <= 0.6) else 0.0
+        rows.append(([x0, x1], y))
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    m = DecisionTreeClassifier(maxDepth=3, maxBins=20).fit(df)
+    got = m.transform(df)[0]
+    wrong = got.filter(F.col("label") != F.col("prediction")).count()
+    assert wrong == 0
+    probs = got.select("probability").distinct().collect()
+    assert all(0.0 <= r["probability"] <= 1.0 for r in probs)
+    # non-binary labels fail fast
+    bad = spark.createDataFrame([([0.1], 2.0)],
+                                "features array<double>, label double")
+    with pytest.raises(ValueError, match="0/1"):
+        DecisionTreeClassifier().fit(bad)
+    # save/load + servable parity
+    m.save(str(tmp_path / "dtc"))
+    back = Stage.load(spark, str(tmp_path / "dtc"))
+    import pandas as pd
+    loc = back.transform_local(pd.DataFrame(
+        {"features": [[0.9, 0.2], [0.1, 0.2]]}))
+    assert list(loc["prediction"]) == [1.0, 0.0]
