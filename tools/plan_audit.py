@@ -34,10 +34,16 @@ SKIP = {"stateful_sessions", "streaming_dedup"}
 #                      are graded against (simsearch.py:461)
 #   ann_recall       — recall measurement embeds the brute-force exact
 #                      ground truth as one side (simsearch.py:480)
-# The corresponding scale paths are embedding_dedup_lsh and
-# ann_ivf / ann_ivf_pq.  The audit prints these under an explicit
-# "by-contract" section in its summary.
-BNLJ_BY_CONTRACT = {"embedding_dedup", "ann_bruteforce", "ann_recall"}
+#   als_recommend    — ALSModel.recommend_for_users scores requested
+#                      users against the BROADCAST item-factor catalog
+#                      (capped, fail-fast above max_broadcast_items);
+#                      exact top-k over all items IS the contract
+#                      (recommendation/als.py:recommend_for_users)
+# The corresponding scale paths are embedding_dedup_lsh,
+# ann_ivf / ann_ivf_pq, and an ANN index over item factors.  The audit
+# prints these under an explicit "by-contract" section in its summary.
+BNLJ_BY_CONTRACT = {"embedding_dedup", "ann_bruteforce", "ann_recall",
+                    "als_recommend"}
 
 
 def audit(name, df):
