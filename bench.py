@@ -45,6 +45,7 @@ HEADLINE = [
     "variance_threshold", "univariate_feature_selector", "winsorize",
     "rare_collapse",
     "naive_bayes", "als", "decision_tree", "gbt", "decision_tree_cls",
+    "random_forest",
     "target_encoding",
     "chisq_test",
     "anova_test",

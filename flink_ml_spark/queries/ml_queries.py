@@ -1425,6 +1425,88 @@ def _decision_tree_cls_sql() -> str:
 
 DECISION_TREE_CLS_SQL = _decision_tree_cls_sql()
 
+RF_TREES, RF_PCT, RF_SALT, RF_DEPTH = 2, 70, 7, 2
+
+
+def random_forest(spark, sf_dir):
+    """RandomForestRegressor (2 trees, depth 2, deterministic 70% LCG
+    bagging on a derived row id): each tree's bit-exact fit replays on
+    its subsample, then EVERY row scores through both trees (the bin ≤
+    split ⟺ x ≤ thr lemma) and predictions average."""
+    from ..regression import RandomForestRegressor
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        F.array(F.expr(TREE_FEATS[0]), F.expr(TREE_FEATS[1]),
+                F.expr(TREE_FEATS[2])).alias("features"),
+        F.expr(TREE_LABEL).alias("label"))
+    m = RandomForestRegressor(numTrees=RF_TREES, maxDepth=RF_DEPTH,
+                              maxBins=TREE_BINS, idCol="rid",
+                              subsamplePct=RF_PCT, bagSalt=RF_SALT,
+                              labelScale=2).fit(df)
+    out = m.transform(df)[0]
+    return out.select(*KEY, q4(F.col("prediction")).alias("pred"))
+
+
+def _random_forest_sql() -> str:
+    dim, bins, scale = len(TREE_FEATS), TREE_BINS, TREE_SCALE
+    m, mult = 2147483648, 2654435761
+    ctes = _tree_base_ctes(dim, bins)
+    # base carries the bagging id
+    ctes[1] = ctes[1].replace(
+        "l_orderkey AS k1, l_linenumber AS k2 ",
+        "l_orderkey AS k1, l_linenumber AS k2, "
+        "l_orderkey * 8 + l_linenumber AS rid ").replace(
+        "ly, k1, k2 FROM", "ly, k1, k2, rid FROM")
+    bsel = " ".join(f"WHEN {i} THEN b{i}" for i in range(dim))
+    for t in range(RF_TREES):
+        keep = (f"(((((rid % {m}) + {m}) % {m}) * {mult} "
+                f"+ {RF_SALT + t}) % {m} + {m}) % {m} % 100 < {RF_PCT}")
+        ctes.append(
+            f"rf{t}r0 AS MATERIALIZED (SELECT * EXCLUDE (ly, rid), "
+            f"CAST(ROUND(ly * {scale}) AS BIGINT) AS y, 0 AS node "
+            f"FROM base WHERE {keep})")
+        chain, _, _ = _tree_chain(
+            f"rf{t}", f"rf{t}r0", RF_DEPTH, dim, bins - 1, scale,
+            ["k1", "k2"])
+        ctes += chain
+    # score EVERY row through all trees in ONE chain — row identity is
+    # positional (the data's (orderkey, linenumber) key is NOT unique),
+    # so per-tree node columns ride along instead of re-joining on keys
+    prev = "base"
+    for lvl in range(RF_DEPTH):
+        nxt = f"scl{lvl + 1}"
+        sel = ("r.k1, r.k2, "
+               + ", ".join(f"r.b{i}" for i in range(dim)))
+        upd = []
+        joins = []
+        for t in range(RF_TREES):
+            node_in = "0" if lvl == 0 else f"r.n{t}"
+            upd.append(
+                f"CASE WHEN s{t}.node IS NULL THEN {node_in} "
+                f"WHEN (CASE s{t}.f {bsel} END) <= s{t}.b "
+                f"THEN 2 * {node_in} + 1 "
+                f"ELSE 2 * {node_in} + 2 END AS n{t}")
+            joins.append(f"LEFT JOIN rf{t}best{lvl} s{t} "
+                         f"ON s{t}.node = {node_in}")
+        ctes.append(f"{nxt} AS MATERIALIZED (SELECT {sel}, "
+                    + ", ".join(upd) + f" FROM {prev} r "
+                    + " ".join(joins) + ")")
+        prev = nxt
+    leaf_joins = " ".join(
+        f"JOIN rf{t}leaves l{t} ON l{t}.node = r.n{t}"
+        for t in range(RF_TREES))
+    avg = "(" + " + ".join(f"l{t}.v" for t in range(RF_TREES)) \
+        + f") / {RF_TREES}"
+    final = (f"SELECT r.k1 AS l_orderkey, r.k2 AS l_linenumber, "
+             + SQL_Q4.format(avg)
+             + f" AS pred FROM {prev} r {leaf_joins}")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+RANDOM_FOREST_SQL = _random_forest_sql()
+
 GBT_ROUNDS, GBT_ETA, GBT_DEPTH = 2, 0.5, 2
 
 
@@ -1489,6 +1571,7 @@ QUERIES = {
     "decision_tree": (decision_tree, DECISION_TREE_SQL),
     "gbt": (gbt, GBT_SQL),
     "decision_tree_cls": (decision_tree_cls, DECISION_TREE_CLS_SQL),
+    "random_forest": (random_forest, RANDOM_FOREST_SQL),
     "als_recommend": (als_recommend, ALS_RECOMMEND_SQL),
     "cross_validation": (cross_validation, CROSS_VALIDATION_SQL),
     "dataflow_pipeline": (dataflow_pipeline, DATAFLOW_PIPELINE_SQL),

@@ -1,6 +1,7 @@
 from ..classification.linear import LinearRegression, LinearRegressionModel
 from .conformal import ConformalRegressor, ConformalRegressorModel
 from .isotonic import IsotonicRegression, IsotonicRegressionModel
+from .forest import RandomForestRegressor, RandomForestRegressorModel
 from .gbt import GBTRegressor, GBTRegressorModel
 from .tree import (DecisionTreeClassifier, DecisionTreeClassifierModel,
                    DecisionTreeRegressor, DecisionTreeRegressorModel)
@@ -10,4 +11,5 @@ __all__ = ["LinearRegression", "LinearRegressionModel",
            "IsotonicRegression", "IsotonicRegressionModel",
            "DecisionTreeRegressor", "DecisionTreeRegressorModel",
            "GBTRegressor", "GBTRegressorModel",
-           "DecisionTreeClassifier", "DecisionTreeClassifierModel"]
+           "DecisionTreeClassifier", "DecisionTreeClassifierModel",
+           "RandomForestRegressor", "RandomForestRegressorModel"]
