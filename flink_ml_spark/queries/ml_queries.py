@@ -1171,7 +1171,7 @@ def _als_sql(iters: int = 3, lam: float = 0.1, scale: int = 10 ** 6,
 
     def init_f(j: int) -> str:
         return (f"((((i % {m}) + {m}) % {m}) * {mult} + {salt + j}) "
-                f"% {m} % 200000 + {scale // 10}")
+                f"% {m} % {scale // 5} + {scale // 10}")
 
     def half(t: str, src: str, fkey: str, okey: str) -> str:
         g = (f"s{t} AS (SELECT r.{okey}, "

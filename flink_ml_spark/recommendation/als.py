@@ -92,9 +92,11 @@ class ALS(Estimator):
                    .persist())
         fcols = [f"f{j}" for j in range(rank)]
         # deterministic init on the grid: f_j ∈ [0.1, 0.3)
+        # init grid: f_j ∈ [0.1, 0.3) regardless of factorScale —
+        # the span/offset are scale/5 and scale/10 grid units
         inner = ((F.col("i") % _M) + _M) % _M
         q = ratings.select("i").distinct().select(
-            "i", *[(((inner * _MULT + salt + j) % _M % 200000)
+            "i", *[(((inner * _MULT + salt + j) % _M % (scale // 5))
                     + scale // 10).alias(fcols[j])
                    for j in range(rank)])
         q = q.localCheckpoint(eager=True)
