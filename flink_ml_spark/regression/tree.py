@@ -103,23 +103,21 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                 e = e + (F.col("x")[i] > F.lit(t)).cast("int")
             return e
 
+        # the features array is only needed to compute the bins — drop
+        # it from the frame the level loop re-materializes
         tagged = base.select(
-            "x", "y", F.lit(0).alias("node"),
+            "y", F.lit(0).alias("node"),
             *[bin_expr(i).alias(f"b{i}") for i in range(dim)]) \
             .localCheckpoint(eager=True)
         bins_arr = F.array(*[F.col(f"b{i}") for i in range(dim)])
 
         tree: dict[int, dict] = {}  # node -> {feat, thr} | {value}
-        node_stats: dict[int, tuple[int, int]] = {}
-        root = tagged.agg(F.count(F.lit(1)).alias("n"),
-                          F.sum(F.col("y").cast("decimal(38,0)"))
-                          .alias("s")).first()
-        node_stats[0] = (int(root["n"]), int(root["s"] or 0))
-        frontier = [0] if node_stats[0][0] > 0 else []
-
+        frontier = [0]
         for _ in range(depth):
             if not frontier:
                 break
+            # ONE pass per level: the per-(node, feature, bin) histogram;
+            # node totals are its feature-0 marginal (model-sized collect)
             stats = (tagged.filter(F.col("node").isin(frontier))
                      .select("node", "y",
                              F.explode(F.array(*[
@@ -139,8 +137,9 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                         int(row["n"]), int(row["s"] or 0))
             new_frontier: list[int] = []
             splits: list[tuple[int, int, int]] = []  # (node, feat, bin)
-            for node in frontier:
-                n_tot, s_tot = node_stats[node]
+            for node in sorted(by_node):
+                n_tot = sum(v[0] for v in by_node[node][0].values())
+                s_tot = sum(v[1] for v in by_node[node][0].values())
                 best = None  # (num, den, feat, bin): exact rational max
                 for f in sorted(by_node.get(node, {})):
                     hist = by_node[node][f]
@@ -178,21 +177,18 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                                      .otherwise(2 * F.col("node") + 2)))
                       .drop("__sf__", "__sb__")
                       .localCheckpoint(eager=True))
-            child = {int(r2["node"]): (int(r2["n"]), int(r2["s"] or 0))
-                     for r2 in tagged.filter(F.col("node")
-                                             .isin(new_frontier))
-                     .groupBy("node")
-                     .agg(F.count(F.lit(1)).alias("n"),
-                          F.sum(F.col("y").cast("decimal(38,0)"))
-                          .alias("s")).collect()}
-            node_stats.update(child)
-            frontier = [nd for nd in new_frontier
-                        if child.get(nd, (0, 0))[0] > 0]
+            frontier = new_frontier
 
-        # leaves: every populated node without a split
-        for node, (n, s) in node_stats.items():
-            if node not in tree and n > 0:
-                tree[node] = {"value": s / n / scale}
+        # leaves: one final pass — every populated node without a split
+        # (exactly the oracle's leaves relation)
+        for row in tagged.groupBy("node").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("y").cast("decimal(38,0)")).alias("s")
+                ).collect():
+            node = int(row["node"])
+            if node not in tree and int(row["n"]) > 0:
+                tree[node] = {"value":
+                              int(row["s"] or 0) / int(row["n"]) / scale}
         model = DecisionTreeRegressorModel()
         model.set_(featuresCol=fcol,
                    predictionCol=self.get_("predictionCol"))
