@@ -104,6 +104,12 @@ class _TunerBase(Estimator, HasLabelCol, HasPredictionCol):
     metric = StringParam("metric", "accuracy | n_correct | rmse | mae.",
                          "accuracy", ParamValidators.in_array(
                              ["accuracy", "n_correct", "rmse", "mae"]))
+    parallelism = IntParam(
+        "parallelism", "Concurrent (param map, fold) fits — driver "
+        "threads submitting independent Spark jobs (Spark schedules "
+        "them concurrently); each task fits a CLONED estimator so "
+        "param application is race-free.  Results are identical at any "
+        "parallelism.", 1, ParamValidators.gt(0))
 
     def __init__(self, estimator: Estimator | None = None,
                  param_maps: Sequence[dict[str, Any]] | None = None,
@@ -130,6 +136,23 @@ class _TunerBase(Estimator, HasLabelCol, HasPredictionCol):
             return self.estimator.fit(df)
         finally:
             self.estimator.set_(**saved)
+
+    def _clone_estimator(self) -> Estimator:
+        est = type(self.estimator)()
+        est.load_params_json(self.estimator.params_json())
+        return est
+
+    def _run_tasks(self, tasks):
+        """Run (key, fn) pairs, concurrently when parallelism > 1;
+        returns {key: result}.  Each fn receives a cloned estimator."""
+        par = int(self.get_("parallelism"))
+        if par <= 1:
+            return {k: fn(self.estimator) for k, fn in tasks}
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=par) as pool:
+            futs = {k: pool.submit(fn, self._clone_estimator())
+                    for k, fn in tasks}
+            return {k: f.result() for k, f in futs.items()}
 
     @staticmethod
     def _best(avg: list[float], higher: bool) -> int:
@@ -178,17 +201,30 @@ class CrossValidator(_TunerBase):
         tagged = df.withColumn("__fold__", fold).persist()
         try:
             metric_fn, higher = self._metric_fn()
-            fold_metrics: list[list[float]] = []
-            for pm in self.param_maps:
-                per_fold = []
-                for f in range(k):
-                    model = self._fit_with(
-                        pm, tagged.filter(F.col("__fold__") != f)
-                        .drop("__fold__"))
-                    per_fold.append(float(metric_fn(
-                        model, tagged.filter(F.col("__fold__") == f)
-                        .drop("__fold__"))))
-                fold_metrics.append(per_fold)
+
+            def make_task(pm: dict, f: int):
+                train = tagged.filter(F.col("__fold__") != f) \
+                    .drop("__fold__")
+                test = tagged.filter(F.col("__fold__") == f) \
+                    .drop("__fold__")
+
+                def run(est):
+                    saved = {kk: est.get_(kk) for kk in pm}
+                    try:
+                        est.set_(**pm)
+                        model = est.fit(train)
+                    finally:
+                        est.set_(**saved)
+                    return float(metric_fn(model, test))
+
+                return run
+
+            res = self._run_tasks(
+                [((pi, f), make_task(pm, f))
+                 for pi, pm in enumerate(self.param_maps)
+                 for f in range(k)])
+            fold_metrics = [[res[(pi, f)] for f in range(k)]
+                            for pi in range(len(self.param_maps))]
             avg = [sum(m) / len(m) for m in fold_metrics]
             best = self._best(avg, higher)
         finally:
@@ -226,8 +262,23 @@ class TrainValidationSplit(_TunerBase):
             metric_fn, higher = self._metric_fn()
             train = tagged.filter(F.col("__b__") < ratio).drop("__b__")
             valid = tagged.filter(F.col("__b__") >= ratio).drop("__b__")
-            metrics = [float(metric_fn(self._fit_with(pm, train), valid))
-                       for pm in self.param_maps]
+
+            def make_task(pm: dict):
+                def run(est):
+                    saved = {kk: est.get_(kk) for kk in pm}
+                    try:
+                        est.set_(**pm)
+                        model = est.fit(train)
+                    finally:
+                        est.set_(**saved)
+                    return float(metric_fn(model, valid))
+
+                return run
+
+            res = self._run_tasks(
+                [(pi, make_task(pm))
+                 for pi, pm in enumerate(self.param_maps)])
+            metrics = [res[pi] for pi in range(len(self.param_maps))]
             best = self._best(metrics, higher)
         finally:
             tagged.unpersist()

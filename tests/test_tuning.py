@@ -116,3 +116,17 @@ def test_cross_validator_persistence(spark, labeled, tmp_path):
     b = sorted((r["id"], r["prediction"])
                for r in back.transform(labeled)[0].collect())
     assert a == b
+
+
+def test_cross_validator_parallelism_identical_results(spark, labeled):
+    from flink_ml_spark.classification import Knn
+    grid = [{"k": 1}, {"k": 5}]
+    seq = CrossValidator(Knn(), grid, numFolds=3,
+                         metric="n_correct").fit(labeled)
+    par = CrossValidator(Knn(), grid, numFolds=3, metric="n_correct",
+                         parallelism=4).fit(labeled)
+    assert seq.model_data["fold_metrics"] == par.model_data["fold_metrics"]
+    assert seq.model_data["best_index"] == par.model_data["best_index"]
+    tv = TrainValidationSplit(Knn(), grid, trainRatio=75,
+                              parallelism=2).fit(labeled)
+    assert len(tv.model_data["avg_metrics"]) == 2
