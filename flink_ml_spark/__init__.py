@@ -9,5 +9,7 @@ from .graph import (Graph, GraphAlgoOperator, GraphBuilder, GraphModel,
                     TableId)
 from .param import Param, ParamValidators, WithParams
 from .pipeline import Pipeline, PipelineModel
+from .tuning import (CrossValidator, CrossValidatorModel,
+                     ParamGridBuilder, TrainValidationSplit)
 
 __version__ = "0.1.0"
