@@ -69,6 +69,7 @@ HEADLINE = [
     "text_normalize", "corpus_stats", "repetition_quality", "pii_redaction",
     "pii_ccnum",
     "html_extract", "c4_line_filter", "url_normalize", "word_blocklist",
+    "frequent_itemsets", "assoc_rules",
     "domain_mixture", "temperature_mixture", "stratified_budget",
     "weighted_sample",
     "token_drift",

@@ -31,6 +31,7 @@ from .sampling import (CorpusShuffler, DocumentChunker, DomainMixtureSampler,
                        TemperatureMixtureSampler,
                        TemperatureMixtureSamplerModel)
 from .fuzzyjoin import FuzzyStringJoin
+from .itemsets import FrequentItemsets
 from .linkgraph import PageRank
 from .webextract import (C4LineFilter, HtmlTextExtractor, UrlNormalizer,
                          WordBlocklistFilter)

@@ -4294,6 +4294,82 @@ FROM tot LEFT JOIN new ON new.slice = tot.slice
 """
 
 
+ITEMSET_SUPPORT = 0.0001  # = 1/10000: threshold (n + 9999) // 10000
+
+
+def _itemset_input(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(F.col("l_orderkey").alias("tid"),
+                     (F.col("l_partkey") % 50).cast("string").alias("it"))
+
+
+def frequent_itemsets(spark, sf_dir):
+    """FrequentItemsets (relational Apriori, sizes 1-3) over order
+    baskets of bucketed part keys: supports are exact integer counts,
+    the threshold is the exact rational ceil(n/10000), and the Apriori
+    prune cannot change results (sub-itemset support ≥ itemset
+    support), so the oracle replays the joins and counts directly."""
+    from ..llmdata import FrequentItemsets
+    sets = FrequentItemsets(transactionCol="tid", itemsCol="it",
+                            minSupport=ITEMSET_SUPPORT) \
+        .transform(_itemset_input(spark, sf_dir))[0]
+    return sets.select(F.array_join("items", ",").alias("items"),
+                       "size", "support")
+
+
+FREQUENT_ITEMSETS_SQL = """
+WITH ti AS (SELECT DISTINCT l_orderkey AS t,
+                   CAST(l_partkey % 50 AS VARCHAR) AS i FROM lineitem),
+n AS (SELECT count(DISTINCT t) AS n FROM ti),
+l1 AS (SELECT i, count(*) AS c FROM ti GROUP BY 1
+       HAVING count(*) >= (SELECT (n + 9999) // 10000 FROM n)),
+tf AS (SELECT ti.t, ti.i FROM ti JOIN l1 USING (i)),
+p AS (SELECT a.i AS x, b.i AS y, count(*) AS c
+      FROM tf a JOIN tf b ON a.t = b.t AND a.i < b.i GROUP BY 1, 2
+      HAVING count(*) >= (SELECT (n + 9999) // 10000 FROM n)),
+tri AS (SELECT a.i AS x, b.i AS y, c3.i AS z, count(*) AS c
+        FROM tf a JOIN tf b ON a.t = b.t AND a.i < b.i
+        JOIN tf c3 ON b.t = c3.t AND b.i < c3.i
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= (SELECT (n + 9999) // 10000 FROM n))
+SELECT i AS items, 1 AS size, c AS support FROM l1
+UNION ALL
+SELECT x || ',' || y, 2, c FROM p
+UNION ALL
+SELECT x || ',' || y || ',' || z, 3, c FROM tri
+"""
+
+
+def assoc_rules(spark, sf_dir):
+    """Association rules over the frequent pairs — integer supports
+    only (confidence = support_pair/support_ante is derivable; ratios
+    stay out of the hash per the determinism discipline)."""
+    from ..llmdata import FrequentItemsets
+    rules = FrequentItemsets(transactionCol="tid", itemsCol="it",
+                             minSupport=ITEMSET_SUPPORT, maxSize=2) \
+        .transform(_itemset_input(spark, sf_dir))[1]
+    return rules.select("antecedent", "consequent", "support_pair",
+                        "support_ante")
+
+
+ASSOC_RULES_SQL = """
+WITH ti AS (SELECT DISTINCT l_orderkey AS t,
+                   CAST(l_partkey % 50 AS VARCHAR) AS i FROM lineitem),
+n AS (SELECT count(DISTINCT t) AS n FROM ti),
+l1 AS (SELECT i, count(*) AS c FROM ti GROUP BY 1
+       HAVING count(*) >= (SELECT (n + 9999) // 10000 FROM n)),
+tf AS (SELECT ti.t, ti.i FROM ti JOIN l1 USING (i)),
+p AS (SELECT a.i AS x, b.i AS y, count(*) AS c
+      FROM tf a JOIN tf b ON a.t = b.t AND a.i < b.i GROUP BY 1, 2
+      HAVING count(*) >= (SELECT (n + 9999) // 10000 FROM n)),
+ab AS (SELECT x AS antecedent, y AS consequent, c FROM p
+       UNION ALL SELECT y, x, c FROM p)
+SELECT b.antecedent, b.consequent, b.c AS support_pair,
+       l1.c AS support_ante
+FROM ab b JOIN l1 ON l1.i = b.antecedent
+"""
+
+
 def fuzzy_join(spark, sf_dir):
     """FuzzyStringJoin: part names vs their last-word-truncated variants
     — blocked (first-token, length-band) candidates, Levenshtein verify.
@@ -4760,6 +4836,8 @@ QUERIES = {
     "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
     "keyness": (keyness, KEYNESS_SQL),
     "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
+    "frequent_itemsets": (frequent_itemsets, FREQUENT_ITEMSETS_SQL),
+    "assoc_rules": (assoc_rules, ASSOC_RULES_SQL),
     "vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),
     "llm_prep_pipeline_v12": (llm_prep_pipeline_v12, LLM_PREP_V12_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
