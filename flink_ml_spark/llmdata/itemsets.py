@@ -162,6 +162,9 @@ class FrequentItemsets(AlgoOperator):
                         "confidence double")
             sets = sets.localCheckpoint(eager=True)
             rules = rules.localCheckpoint(eager=True)
+            for cached in (l1, tf, pairs_sup):
+                if cached is not None:
+                    cached.unpersist()
             return [sets, rules]
         finally:
             ti.unpersist()

@@ -138,6 +138,14 @@ class _TunerBase(Estimator, HasLabelCol, HasPredictionCol):
             self.estimator.set_(**saved)
 
     def _clone_estimator(self) -> Estimator:
+        # composite stages (Pipeline/Graph — custom load()) hold child
+        # stages that a params_json round-trip cannot clone; a hollow
+        # clone would silently fit nothing, so refuse loudly
+        if type(self.estimator).load.__func__ is not Stage.load.__func__:
+            raise ValueError(
+                f"parallelism > 1 cannot clone composite estimator "
+                f"{type(self.estimator).__name__} (child stages are not "
+                f"in params_json); use parallelism=1")
         est = type(self.estimator)()
         est.load_params_json(self.estimator.params_json())
         return est

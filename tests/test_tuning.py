@@ -130,3 +130,13 @@ def test_cross_validator_parallelism_identical_results(spark, labeled):
     tv = TrainValidationSplit(Knn(), grid, trainRatio=75,
                               parallelism=2).fit(labeled)
     assert len(tv.model_data["avg_metrics"]) == 2
+
+
+def test_parallelism_rejects_composite_estimator(spark, labeled):
+    from flink_ml_spark import Pipeline
+    from flink_ml_spark.classification import Knn
+    cv = CrossValidator(Pipeline([Knn()]), [{}], numFolds=2,
+                        parallelism=2,
+                        metric_fn=lambda m, t: 0.0)
+    with pytest.raises(ValueError, match="composite"):
+        cv.fit(labeled)
