@@ -101,7 +101,7 @@ HEADLINE = [
     "llm_prep_pipeline_v7",
     "llm_prep_pipeline_v8", "profile_by_source",
     "llm_prep_pipeline_v9", "llm_prep_pipeline_v10", "llm_prep_pipeline_v11",
-    "llm_prep_pipeline_v12",
+    "llm_prep_pipeline_v12", "llm_prep_pipeline_v13",
 ]
 
 # the round-1 headline set, for like-for-like round-over-round subtotals

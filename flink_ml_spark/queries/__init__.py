@@ -84,7 +84,7 @@ def all_queries():
         # r06 head 0: brand-new this round — zero driver evidence ever
         "cross_validation", "constraint_suggest", "als", "als_recommend",
         "decision_tree", "gbt", "decision_tree_cls", "random_forest",
-        "frequent_itemsets", "assoc_rules",
+        "frequent_itemsets", "assoc_rules", "llm_prep_pipeline_v13",
         # r06 head 1: contracts restructured this round to integer-exact
         # outputs (the r05 driver-red trio) — fresh evidence is the whole
         # point of the change

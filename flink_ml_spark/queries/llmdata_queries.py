@@ -4264,6 +4264,65 @@ def _llm_prep_v12_sql(nlist: int = 8, iters: int = 3, dim: int = 64,
 LLM_PREP_V12_SQL = _llm_prep_v12_sql()
 
 
+def llm_prep_pipeline_v13(spark, sf_dir):
+    """Corpus-prep v13: the learned-quality-gate recipe — derive cheap
+    per-doc quality features (chars, tokens, chars-per-token), label
+    them with a rule gate, TRAIN a DecisionTreeClassifier on those
+    labels, keep the docs the tree passes, and account per language.
+    The bit-exact tree fit means the whole learned gate replays in SQL
+    (the generated tree chain over documents) with integer accounting
+    out — 'train a quality classifier, apply it at corpus scale' as a
+    single exactly-gated pipeline (the tree sibling of v10's isotonic
+    cascade)."""
+    from ..llmdata.textanalysis import _tokens
+    from ..regression import DecisionTreeClassifier
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("f0"),
+        F.size(toks).cast("double").alias("f1"))
+    base = base.withColumn("f2", F.col("f0") / (F.col("f1") + 1.0))
+    label = ((F.col("f1") >= 20) & (F.col("f1") <= 2000)
+             & (F.col("f2") >= 3.0) & (F.col("f2") <= 12.0)) \
+        .cast("double")
+    df = base.select("lang",
+                     F.array("f0", "f1", "f2").alias("features"),
+                     label.alias("label"))
+    m = DecisionTreeClassifier(maxDepth=2, maxBins=8).fit(df)
+    kept = m.transform(df)[0].filter(F.col("prediction") == 1.0)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("features")[1].cast("long"))
+                 .alias("n_tokens")))
+
+
+def _llm_prep_v13_sql() -> str:
+    from .ml_queries import _tree_base_ctes, _tree_chain
+    f0 = "CAST(n_chars AS DOUBLE)"
+    f1 = f"CAST(len({TOKS}) AS DOUBLE)"
+    f2 = f"({f0} / ({f1} + 1.0))"
+    label = (f"CASE WHEN {f1} >= 20 AND {f1} <= 2000 AND {f2} >= 3.0 "
+             f"AND {f2} <= 12.0 THEN 1.0 ELSE 0.0 END")
+    ctes = _tree_base_ctes(3, 8, label=label, feats=[f0, f1, f2],
+                           table="documents",
+                           keys_sql="doc_id AS k1, lang AS k2")
+    ctes.append(
+        "r0 AS MATERIALIZED (SELECT * EXCLUDE (ly), "
+        "CAST(ROUND(ly) AS BIGINT) AS y, 0 AS node FROM base)")
+    chain, final_rows, leaves = _tree_chain(
+        "", "r0", 2, 3, 7, 1, ["k1", "k2"])
+    ctes += chain
+    final = (f"SELECT r.k2 AS lang, count(*) AS n_docs, "
+             f"sum(CAST(r.x1 AS BIGINT)) AS n_tokens "
+             f"FROM {final_rows} r JOIN {leaves} l USING (node) "
+             f"WHERE l.v > 0.5 GROUP BY 1")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+LLM_PREP_V13_SQL = _llm_prep_v13_sql()
+
+
 def vocab_growth(spark, sf_dir):
     """VocabGrowthProfiler: per hash slice, tokens / first-appearance
     types / cumulative types — the Heaps-law saturation diagnostic."""
@@ -4837,6 +4896,7 @@ QUERIES = {
     "keyness": (keyness, KEYNESS_SQL),
     "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
     "frequent_itemsets": (frequent_itemsets, FREQUENT_ITEMSETS_SQL),
+    "llm_prep_pipeline_v13": (llm_prep_pipeline_v13, LLM_PREP_V13_SQL),
     "assoc_rules": (assoc_rules, ASSOC_RULES_SQL),
     "vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),
     "llm_prep_pipeline_v12": (llm_prep_pipeline_v12, LLM_PREP_V12_SQL),

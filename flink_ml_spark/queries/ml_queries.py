@@ -1340,14 +1340,20 @@ def _tree_chain(pref: str, rows0: str, depth: int, dim: int, nthr: int,
     return ctes, final_rows, f"{pref}leaves"
 
 
-def _tree_base_ctes(dim: int, bins: int,
-                    label: str = TREE_LABEL) -> list[str]:
+def _tree_base_ctes(dim: int, bins: int, label: str = TREE_LABEL,
+                    feats: list[str] | None = None,
+                    table: str = "lineitem",
+                    keys_sql: str = "l_orderkey AS k1, "
+                                    "l_linenumber AS k2") -> list[str]:
     """Shared feature/bin plumbing: per-feature global edges + the
-    threshold-count bin columns (identical every boosting round)."""
+    threshold-count bin columns (identical every boosting round).
+    Parameterized over table/features/label so tree replays compose
+    into other tables' pipelines (llm_prep_pipeline_v13)."""
+    fx = feats if feats is not None else TREE_FEATS
     nthr = bins - 1
     edges = ", ".join(
-        f"CAST(min({TREE_FEATS[i]}) AS DOUBLE) AS lo{i}, "
-        f"CAST(max({TREE_FEATS[i]}) AS DOUBLE) AS hi{i}"
+        f"CAST(min({fx[i]}) AS DOUBLE) AS lo{i}, "
+        f"CAST(max({fx[i]}) AS DOUBLE) AS hi{i}"
         for i in range(dim))
     thr = {(i, b): f"(e.lo{i} + (e.hi{i} - e.lo{i}) / {bins} * {b + 1})"
            for i in range(dim) for b in range(nthr)}
@@ -1356,14 +1362,14 @@ def _tree_base_ctes(dim: int, bins: int,
             f"CASE WHEN x{i} > {thr[(i, b)]} THEN 1 ELSE 0 END"
             for b in range(nthr)) + f") AS b{i}"
         for i in range(dim))
-    feats = ", ".join(f"{TREE_FEATS[i]} AS x{i}" for i in range(dim))
-    return [f"e AS (SELECT {edges} FROM lineitem)",
+    fsel = ", ".join(f"{fx[i]} AS x{i}" for i in range(dim))
+    return [f"e AS (SELECT {edges} FROM {table})",
             (f"base AS MATERIALIZED (SELECT "
              f"{', '.join(f'x{i}' for i in range(dim))}, {bin_exprs}, "
-             f"ly, k1, k2 FROM (SELECT {feats}, "
+             f"ly, k1, k2 FROM (SELECT {fsel}, "
              f"CAST(({label}) AS DOUBLE) AS ly, "
-             f"l_orderkey AS k1, l_linenumber AS k2 "
-             f"FROM lineitem) CROSS JOIN e)")]
+             f"{keys_sql} "
+             f"FROM {table}) CROSS JOIN e)")]
 
 
 def _decision_tree_sql() -> str:
