@@ -72,58 +72,50 @@ def load_events(spark, sf_dir: str):
 
 def all_queries():
     from . import (feature_queries, llmdata_queries, ml_queries,
-                   streaming_queries, text_queries)
+                   probe_queries, streaming_queries, text_queries)
     out = {}
     for mod in (feature_queries, text_queries, ml_queries, llmdata_queries,
-                streaming_queries):
+                streaming_queries, probe_queries):
         out.update(mod.QUERIES)
     # The driver's correctness run caps at 50 queries per round; order the
     # ones needing fresh evidence first (local tools/check_oracle.py covers
     # the full set every session regardless).
     prio = [
-        # r06 head 0: brand-new this round — zero driver evidence ever
-        "cross_validation", "constraint_suggest", "als", "als_recommend",
-        "decision_tree", "gbt", "decision_tree_cls", "random_forest",
-        "frequent_itemsets", "assoc_rules", "llm_prep_pipeline_v13",
-        # r06 head 1: contracts restructured this round to integer-exact
-        # outputs (the r05 driver-red trio) — fresh evidence is the whole
-        # point of the change
+        # r07 head 0: the five r04–r06 driver-red rows, oracles fixed this
+        # round (bare sum(int) output columns were DuckDB HUGEINT — the
+        # driver's fetch path normalizes HUGEINT unlike Spark's long; all
+        # five now CAST to BIGINT; see probe_queries docstring)
         "mutual_information", "conformal_interval", "vocab_growth",
-        # r06 head 2: implementation rewritten/changed this round —
-        # sliced AUC composite-key cumsum; the BM25 append-only store and
-        # every query that routes through it; the evaluator/encoder
-        # guard + string-keying fixes; the JPEG codec leg
-        "sliced_auc",
-        "bm25_incremental", "bm25_indexed", "bm25_retrieval",
-        "hybrid_retrieval", "retrieval_eval", "dedup_recall",
-        "multiclass_evaluator", "target_encoding", "rare_collapse",
-        "media_codec_pipeline",
-        # r06 head 3: ann_ivf's only driver evidence is ROUND 1 (it sat at
-        # position 51 in r05's list — VERDICT r05 missing item 2)
-        "ann_ivf",
-        # r06 head 4: the 28 queries whose latest evidence is round 2 —
-        # three rounds stale (VERDICT r05 missing item 3), oldest cohort
-        # first
-        "media_pipeline", "swing", "minhash_lsh_join", "minhash_lsh_nn",
-        "agglomerative", "index_to_string", "string_indexer",
-        "feature_hasher", "binarizer", "dct", "polynomial_expansion",
-        "anova_test", "embedding_dedup", "embedding_dedup_lsh",
-        "ann_bruteforce", "embedding_quantize", "document_chunking",
-        "bm25_scoring", "dataflow_pipeline", "repetition_quality",
-        "text_normalize", "pii_redaction", "domain_mixture",
-        "sequence_packing", "language_id", "text_quality", "token_count",
-        "fingerprint",
-        # fill to the 50-cap with the most visible r03-latest rows
+        "cross_validation", "llm_prep_pipeline_v13",
+        # r07 head 1: their probe decomposition + engine-parity canaries
+        # (VERDICT r06 item 1) — sub-relation bisect if any red survives
+        "mi_probe_cells", "mi_probe_marginals",
+        "vg_probe_docs", "vg_probe_tokens", "vg_probe_first",
+        "conf_probe_calib", "conf_probe_q", "conf_probe_cov",
+        "cv_probe_folds", "cv_probe_cell", "v13_probe_labels",
+        "canary_engine", "canary_types",
+        # r07 head 2: tokenization-parity witness + the last r02-stale
+        # cohort (VERDICT r06 item 3; token_count doubles as the
+        # tokenizer-divergence probe)
+        "token_count", "language_id", "text_quality", "fingerprint",
+        # r07 head 3: queries whose code changed this round (tree quantile
+        # default, CV pipeline clone, ALS guards, BM25 load fallback)
+        "decision_tree", "decision_tree_cls", "random_forest", "gbt",
+        "als", "als_recommend", "bm25_incremental",
+        # r07 head 4: oldest-evidence rotation (r03 cohort; VERDICT r06
+        # item 7) fills the remaining cap slots
         "tokenizer", "tfidf", "count_vectorizer", "kmeans",
         "logistic_regression", "graph_dag", "exact_dedup",
-        # below the cap: remaining r03 cohort ahead of r04/r05-fresh rows
         "minhash_dedup", "simhash_dedup", "line_dedup", "knn",
         "linear_svc", "linear_regression", "online_kmeans",
         "online_standard_scaler", "online_logistic_regression",
-        "binary_evaluator", "asof_join", "range_join", "event_windows",
-        "session_windows", "sliding_windows", "pca_whiten", "ann_ivf_pq",
-        "bpe_tokenize",
-        # everything below has green r04/r05 evidence; registry order follows
+        "binary_evaluator", "asof_join", "range_join",
+        # 50-cap boundary is here; remaining r03 cohort rotates in r08
+        "event_windows", "session_windows", "sliding_windows",
+        "pca_whiten", "ann_ivf_pq", "bpe_tokenize", "naive_bayes",
+        "chisq_test", "fvalue_test", "window_agg", "onehot",
+        # everything below has green r04–r06 evidence; registry order
+        # follows
     ]
     ordered = {k: out[k] for k in prio if k in out}
     ordered.update(out)

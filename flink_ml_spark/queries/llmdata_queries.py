@@ -3869,9 +3869,9 @@ def mutual_information(spark, sf_dir):
 MUTUAL_INFORMATION_SQL = """
 WITH j AS (SELECT lang, source, count(*) AS c FROM documents
            GROUP BY lang, source),
-tot AS (SELECT sum(c) AS n FROM j),
-mx AS (SELECT lang, sum(c) AS cx FROM j GROUP BY lang),
-my AS (SELECT source, sum(c) AS cy FROM j GROUP BY source)
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+mx AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cx FROM j GROUP BY lang),
+my AS (SELECT source, CAST(sum(c) AS BIGINT) AS cy FROM j GROUP BY source)
 SELECT j.lang, j.source, j.c, mx.cx, my.cy, t.n
 FROM j JOIN mx ON j.lang IS NOT DISTINCT FROM mx.lang
        JOIN my ON j.source IS NOT DISTINCT FROM my.source
@@ -4314,7 +4314,7 @@ def _llm_prep_v13_sql() -> str:
         "", "r0", 2, 3, 7, 1, ["k1", "k2"])
     ctes += chain
     final = (f"SELECT r.k2 AS lang, count(*) AS n_docs, "
-             f"sum(CAST(r.x1 AS BIGINT)) AS n_tokens "
+             f"CAST(sum(CAST(r.x1 AS BIGINT)) AS BIGINT) AS n_tokens "
              f"FROM {final_rows} r JOIN {leaves} l USING (node) "
              f"WHERE l.v > 0.5 GROUP BY 1")
     return "WITH " + ",\n".join(ctes) + "\n" + final
@@ -4347,8 +4347,8 @@ tot AS (SELECT slice, count(*) AS tokens FROM tok GROUP BY 1),
 first AS (SELECT t, min(slice) AS slice FROM tok GROUP BY 1),
 new AS (SELECT slice, count(*) AS new_types FROM first GROUP BY 1)
 SELECT tot.slice, tot.tokens, coalesce(new.new_types, 0) AS new_types,
-       sum(coalesce(new.new_types, 0)) OVER (ORDER BY tot.slice
-           ROWS UNBOUNDED PRECEDING) AS cum_types
+       CAST(sum(coalesce(new.new_types, 0)) OVER (ORDER BY tot.slice
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
 FROM tot LEFT JOIN new ON new.slice = tot.slice
 """
 

@@ -984,7 +984,7 @@ ev AS (SELECT ls,
               CASE WHEN y >= p - qv.q AND y <= p + qv.q
                    THEN 1 ELSE 0 END AS cov
        FROM base, qv WHERE k % 5 = 4)
-SELECT ls, count(*) AS n, sum(cov) AS n_cov,
+SELECT ls, count(*) AS n, CAST(sum(cov) AS BIGINT) AS n_cov,
        CAST(ROUND(qv.q * 100) AS BIGINT) AS q_c
 FROM ev, qv GROUP BY ls, qv.q
 """
@@ -1129,7 +1129,8 @@ pred AS (SELECT pi, k, fold, qid, qy, ny AS pred FROM votes
          QUALIFY row_number() OVER (PARTITION BY pi, fold, qid
                                     ORDER BY c DESC, ny ASC) = 1),
 perfold AS (SELECT pi, k, fold,
-                   sum(CASE WHEN pred = qy THEN 1 ELSE 0 END) AS n_correct
+                   CAST(sum(CASE WHEN pred = qy THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct
             FROM pred GROUP BY ALL),
 tot AS (SELECT pi, sum(n_correct) AS t FROM perfold GROUP BY 1),
 best AS (SELECT pi FROM tot QUALIFY

@@ -109,6 +109,23 @@ def main():
             n_rows_only += 1
             continue
         try:
+            # r06→r07 lesson: the five never-green driver rows were ALL
+            # (and only) oracles with a bare sum(<integer>) output column
+            # — DuckDB HUGEINT, which the driver's fetch path normalizes
+            # differently from Spark's long (hash-red with rows+schema
+            # green).  Gate on the DESCRIBEd output types so it can
+            # never recur: integer outputs must be CAST to BIGINT.
+            otypes = con.execute(
+                f"DESCRIBE SELECT * FROM ({oracles[name]}) LIMIT 0"
+            ).fetchall()
+            hug = {c: t for c, t, *_ in otypes
+                   if t in ("HUGEINT", "UHUGEINT")}
+            if hug:
+                print(f"FAIL {name}: oracle output columns {hug} are "
+                      "HUGEINT (bare sum(int)?) — CAST(... AS BIGINT); "
+                      "the driver gate hash-rejects HUGEINT cells")
+                n_fail += 1
+                continue
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
