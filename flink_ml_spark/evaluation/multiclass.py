@@ -59,9 +59,14 @@ class MulticlassClassificationEvaluator(AlgoOperator, HasLabelCol,
         # only AFTER ~rowcount rows reached the driver when the label is
         # id-like — estimate cardinality cluster-side first (±few % —
         # hence the slack factor; the exact guard still backstops)
+        # 2x slack: the default ~5% rsd estimate can legitimately run a
+        # few sigma high near the cap — this guard only exists to stop
+        # id-like labels (orders of magnitude over), so a generous bound
+        # keeps it deterministic on valid input; the exact post-collect
+        # check below stays authoritative
         est = base.agg(F.approx_count_distinct("y").alias("ky"),
                        F.approx_count_distinct("p").alias("kp")).first()
-        if max(int(est["ky"]), int(est["kp"])) > 1.1 * cap + 16:
+        if max(int(est["ky"]), int(est["kp"])) > 2 * cap + 16:
             raise ValueError(
                 f"MulticlassClassificationEvaluator: ~{est['ky']} labels /"
                 f" ~{est['kp']} predictions exceed maxClasses={cap}; is "

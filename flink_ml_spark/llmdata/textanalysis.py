@@ -1287,8 +1287,17 @@ class Bm25IndexModel(Model):
         p = os.path.join(path, "data")
         if os.path.exists(p):
             self.postings = spark.read.parquet(p)
-            self.token_stats = spark.read.parquet(
-                os.path.join(path, "tokstats"))
+            ts = os.path.join(path, "tokstats")
+            if os.path.exists(ts):
+                self.token_stats = spark.read.parquet(ts)
+            else:
+                # index saved by the pre-normalized format (df lived on
+                # the posting rows): rebuild the vocab-sized token-stats
+                # relation from the postings — one groupBy, loaded once
+                self.token_stats = (
+                    self.postings.groupBy("tok")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .localCheckpoint(eager=True))
 
     def get_model_data(self, spark) -> list[DataFrame]:
         stats = super().get_model_data(spark)
@@ -1297,6 +1306,11 @@ class Bm25IndexModel(Model):
         return stats + [self.postings, self.token_stats]
 
     def set_model_data(self, *tables: DataFrame) -> "Bm25IndexModel":
+        # accepts the stats-only tuple an EMPTY index round-trips with
+        # (get_model_data returns 1 table before any fit/update)
+        if len(tables) == 1:
+            super().set_model_data(tables[0])
+            return self
         stats, postings, token_stats = tables
         super().set_model_data(stats)
         self.postings = postings

@@ -45,14 +45,19 @@ _MULT = 2654435761
 
 def _sum_cols(rank: int, fcols: list, r_int):
     """decimal(38,0)-exact normal-equation sums: gram upper triangle
-    (unit 1e-2s) + rhs (unit 1e-2s, s = factorScale)."""
+    (unit 1e-2s) + rhs (unit 1e-2s, s = factorScale).  The LEFT operand
+    is cast to decimal BEFORE the multiply — a long*long product wraps
+    silently past ~9.2e18 with ANSI off (factor magnitudes above ~3e9
+    grid units), while decimal×long is exact."""
     aggs = []
     for i in range(rank):
         for j in range(i, rank):
-            aggs.append(F.sum((fcols[i] * fcols[j]).cast("decimal(38,0)"))
+            aggs.append(F.sum((fcols[i].cast("decimal(38,0)") * fcols[j])
+                              .cast("decimal(38,0)"))
                         .alias(f"g{i}_{j}"))
     for i in range(rank):
-        aggs.append(F.sum((fcols[i] * r_int).cast("decimal(38,0)"))
+        aggs.append(F.sum((fcols[i].cast("decimal(38,0)") * r_int)
+                          .cast("decimal(38,0)"))
                     .alias(f"v{i}"))
     return aggs
 
@@ -68,8 +73,11 @@ class ALS(Estimator):
     rank = IntParam("rank", "Latent dimension.", 2, ParamValidators.gt(0))
     maxIter = IntParam("maxIter", "Alternation rounds (one round = user "
                        "step + item step).", 5, ParamValidators.gt(0))
-    regParam = FloatParam("regParam", "Ridge λ.", 0.1,
-                          ParamValidators.gt_eq(0))
+    # strictly positive: with λ=0 any user/item whose gram matrix is
+    # singular (e.g. a single rating at rank 2) divides by det=0 —
+    # NaN/inf factors silently, LinAlgError at general rank
+    regParam = FloatParam("regParam", "Ridge λ (must be > 0).", 0.1,
+                          ParamValidators.gt(0))
     factorScale = IntParam("factorScale", "Fixed-point decimals for the "
                            "factor grid (6 → micro units).", 6,
                            ParamValidators.in_range(3, 9))

@@ -25,8 +25,19 @@ LightGBM design), built Spark-first:
   partition and the inference rule (``x <= thr`` goes left) agree
   EXACTLY — no floor-arithmetic boundary mismatch.  Candidate
   thresholds are uniform between the per-feature global min/max
-  (``binStrategy="uniform"``, engine-replayable) or equi-depth exact
-  percentiles (``"quantile"``, better for skew).
+  (``binStrategy="uniform"``, engine-replayable) or equi-depth
+  percentiles (``"quantile"``, better for skew).  Quantile edges come
+  from the mergeable ``approx_percentile`` sketch by DEFAULT — the
+  100 TB path (the reference's own quantile work uses GK sketches,
+  QuantileSummary.java:42); ``exactQuantiles=True`` opts into exact
+  ``percentile`` (a full-sort aggregate — small-data / oracle parity
+  only).
+- **Codegen-safe binning.**  The threshold-count bin is a chain of
+  ``dim × (maxBins−1)`` comparisons — ideal whole-stage-codegen work
+  at the default 32 bins, hostile at maxBins=1024 × wide features; past
+  ``_CODEGEN_BIN_LIMIT`` total comparisons the bins come from ONE
+  Arrow-batched ``searchsorted`` UDF instead (bit-identical results:
+  both count thresholds strictly below x with exact float compares).
 - **Codegen inference.**  The fitted tree compiles to nested
   ``F.when`` column expressions — ``transform`` is whole-stage-codegen
   row arithmetic, zero shuffles; ``transform_local`` serves the same
@@ -35,11 +46,19 @@ LightGBM design), built Spark-first:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..api import Estimator, Model
-from ..param import (HasFeaturesCol, HasLabelCol, HasPredictionCol,
-                     IntParam, ParamValidators, StringParam)
+from ..param import (BoolParam, HasFeaturesCol, HasLabelCol,
+                     HasPredictionCol, IntParam, ParamValidators,
+                     StringParam)
+
+# past this many total threshold comparisons (dim × per-feature
+# thresholds), chained codegen CASEs degrade compilation; switch to the
+# Arrow searchsorted bin path (identical results)
+_CODEGEN_BIN_LIMIT = 4096
 
 
 class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
@@ -56,6 +75,11 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
     binStrategy = StringParam(
         "binStrategy", "uniform | quantile bin edges.", "uniform",
         ParamValidators.in_array(["uniform", "quantile"]))
+    exactQuantiles = BoolParam(
+        "exactQuantiles", "binStrategy='quantile' only: exact "
+        "percentile edges (full-sort aggregate — small-data / "
+        "oracle-parity path) instead of the mergeable approx_percentile "
+        "sketch that scales.", False)
 
     def fit(self, *inputs: DataFrame) -> "DecisionTreeRegressorModel":
         (df,) = inputs
@@ -89,8 +113,10 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                      for b in range(bins - 1)])
         else:
             probs = [b / bins for b in range(1, bins)]
-            r = base.agg(*[F.percentile(F.col("x")[i],
-                                        F.lit([float(p) for p in probs]))
+            qf = F.percentile if self.get_("exactQuantiles") \
+                else F.percentile_approx
+            r = base.agg(*[qf(F.col("x")[i],
+                              F.lit([float(p) for p in probs]))
                            .alias(f"q{i}") for i in range(dim)]).first()
             thresholds = [sorted(set(float(v) for v in r[f"q{i}"]))
                           for i in range(dim)]
@@ -105,10 +131,32 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
 
         # the features array is only needed to compute the bins — drop
         # it from the frame the level loop re-materializes
-        tagged = base.select(
-            "y", F.lit(0).alias("node"),
-            *[bin_expr(i).alias(f"b{i}") for i in range(dim)]) \
-            .localCheckpoint(eager=True)
+        if sum(len(t) for t in thresholds) <= _CODEGEN_BIN_LIMIT:
+            tagged = base.select(
+                "y", F.lit(0).alias("node"),
+                *[bin_expr(i).alias(f"b{i}") for i in range(dim)])
+        else:
+            # wide input × many bins: ONE Arrow searchsorted pass
+            # replaces the comparison chains; searchsorted side='left'
+            # is exactly "thresholds strictly below x"
+            thr_np = [np.asarray(t, dtype=float) for t in thresholds]
+
+            @F.pandas_udf("array<int>")
+            def _bins(xs: pd.Series) -> pd.Series:
+                X = np.stack(xs.to_numpy())
+                out = np.zeros((X.shape[0], len(thr_np)), dtype=np.int32)
+                for i, t in enumerate(thr_np):
+                    if len(t):
+                        out[:, i] = np.searchsorted(t, X[:, i],
+                                                    side="left")
+                return pd.Series(list(out))
+
+            tagged = (base.select("y", F.lit(0).alias("node"),
+                                  _bins("x").alias("__bb__"))
+                      .select("y", "node",
+                              *[F.col("__bb__")[i].alias(f"b{i}")
+                                for i in range(dim)]))
+        tagged = tagged.localCheckpoint(eager=True)
         bins_arr = F.array(*[F.col(f"b{i}") for i in range(dim)])
 
         tree: dict[int, dict] = {}  # node -> {feat, thr} | {value}

@@ -75,6 +75,37 @@ def fold_column(id_col: str, num_folds: int, salt: int):
             % _HASH_MOD % num_folds).cast("int")
 
 
+def _param_targets(est: Estimator, pm: dict[str, Any]):
+    """Resolve a param map against an estimator: plain keys set on the
+    estimator itself; ``<idx>__<param>`` keys address stage ``idx`` of a
+    composite estimator with a ``stages`` list (Pipeline) — the tuning
+    grid's way into nested stage params.  Returns [(stage, param_name,
+    value)]."""
+    out = []
+    for k, v in pm.items():
+        if "__" in k and hasattr(est, "stages"):
+            idx, name = k.split("__", 1)
+            out.append((est.stages[int(idx)], name, v))
+        else:
+            out.append((est, k, v))
+    return out
+
+
+def _apply_params(est: Estimator, pm: dict[str, Any]):
+    """Apply a param map (stage-addressed keys supported); returns an
+    undo list for ``_restore_params``."""
+    targets = _param_targets(est, pm)
+    undo = [(s, n, s.get_(n)) for s, n, _ in targets]
+    for s, n, v in targets:
+        s.set_(**{n: v})
+    return undo
+
+
+def _restore_params(undo) -> None:
+    for s, n, v in undo:
+        s.set_(**{n: v})
+
+
 def _builtin_metric(name: str, label_col: str, pred_col: str):
     y = F.col(label_col).cast("double")
     p = F.col(pred_col).cast("double")
@@ -92,7 +123,13 @@ def _builtin_metric(name: str, label_col: str, pred_col: str):
         else:
             raise ValueError(f"unknown metric {name!r}")
         v = scored.agg(agg).first()[0]
-        return float(v if v is not None else 0.0)
+        if v is None:
+            # an empty scored fold has no metric; 0.0 would silently WIN
+            # selection for lower-is-better metrics (rmse/mae) — refuse
+            raise ValueError(
+                f"metric {name!r}: validation fold is empty (no scored "
+                "rows) — check the id column / fold hash coverage")
+        return float(v)
 
     return fn
 
@@ -130,22 +167,35 @@ class _TunerBase(Estimator, HasLabelCol, HasPredictionCol):
 
     def _fit_with(self, pm: dict[str, Any], df: DataFrame) -> Model:
         """Apply one param map, fit, restore the estimator's params."""
-        saved = {k: self.estimator.get_(k) for k in pm}
+        undo = _apply_params(self.estimator, pm)
         try:
-            self.estimator.set_(**pm)
             return self.estimator.fit(df)
         finally:
-            self.estimator.set_(**saved)
+            _restore_params(undo)
 
     def _clone_estimator(self) -> Estimator:
-        # composite stages (Pipeline/Graph — custom load()) hold child
-        # stages that a params_json round-trip cannot clone; a hollow
-        # clone would silently fit nothing, so refuse loudly
+        # leaf estimators clone via params_json; composite stages
+        # (Pipeline/Graph — custom load()) carry child stages that a
+        # params_json round-trip cannot reach, so they clone through
+        # their OWN persistence machinery (save → Stage.load), which
+        # round-trips the stage list — parallelism > 1 over Pipelines
+        # is the common tuning case
         if type(self.estimator).load.__func__ is not Stage.load.__func__:
-            raise ValueError(
-                f"parallelism > 1 cannot clone composite estimator "
-                f"{type(self.estimator).__name__} (child stages are not "
-                f"in params_json); use parallelism=1")
+            import shutil
+            import tempfile
+            from pyspark.sql import SparkSession
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    "parallelism > 1 needs an active SparkSession to "
+                    "clone a composite estimator via persistence")
+            d = tempfile.mkdtemp(prefix="tuner_clone_")
+            try:
+                p = os.path.join(d, "est")
+                self.estimator.save(p)
+                return Stage.load(spark, p)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
         est = type(self.estimator)()
         est.load_params_json(self.estimator.params_json())
         return est
@@ -217,12 +267,11 @@ class CrossValidator(_TunerBase):
                     .drop("__fold__")
 
                 def run(est):
-                    saved = {kk: est.get_(kk) for kk in pm}
+                    undo = _apply_params(est, pm)
                     try:
-                        est.set_(**pm)
                         model = est.fit(train)
                     finally:
-                        est.set_(**saved)
+                        _restore_params(undo)
                     return float(metric_fn(model, test))
 
                 return run
@@ -273,12 +322,11 @@ class TrainValidationSplit(_TunerBase):
 
             def make_task(pm: dict):
                 def run(est):
-                    saved = {kk: est.get_(kk) for kk in pm}
+                    undo = _apply_params(est, pm)
                     try:
-                        est.set_(**pm)
                         model = est.fit(train)
                     finally:
-                        est.set_(**saved)
+                        _restore_params(undo)
                     return float(metric_fn(model, valid))
 
                 return run

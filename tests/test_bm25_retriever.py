@@ -262,3 +262,33 @@ def test_bm25_index_update_rejects_pruned(spark):
     assert m2.model_data["pruned"] is False
     m2.update(docs.filter("doc_id % 2 = 1"))
     assert m2.model_data["numDocs"] == 20
+
+
+def test_index_legacy_layout_and_empty_roundtrip(spark, corpus, tmp_path):
+    """Back-compat: an index directory WITHOUT the tokstats parquet (the
+    pre-normalized on-disk format) loads by rebuilding token stats from
+    the postings; an empty index round-trips its stats-only model
+    data."""
+    import shutil
+    from flink_ml_spark.api import Stage
+    from flink_ml_spark.llmdata import Bm25Index, Bm25IndexModel
+    qs = spark.createDataFrame([(1, "apple cherry")],
+                               "query_id bigint, query_text string")
+    model = Bm25Index().fit(corpus)
+    model.set_(k=3)
+    want = sorted((r["query_id"], r["doc_id"], round(r["score"], 9))
+                  for r in model.transform(qs)[0].collect())
+    model.save(str(tmp_path / "idx"))
+    shutil.rmtree(str(tmp_path / "idx" / "tokstats"))  # legacy layout
+    m2 = Stage.load(spark, str(tmp_path / "idx"))
+    m2.set_(k=3)
+    got = sorted((r["query_id"], r["doc_id"], round(r["score"], 9))
+                 for r in m2.transform(qs)[0].collect())
+    assert got == want
+    # empty-corpus index: get_model_data returns the stats table only
+    # and set_model_data must accept that 1-tuple
+    empty = Bm25Index().fit(spark.createDataFrame(
+        [], "doc_id bigint, text string"))
+    tables = empty.get_model_data(spark)
+    assert len(tables) == 1
+    Bm25IndexModel(idCol="doc_id").set_model_data(*tables)

@@ -125,3 +125,38 @@ def test_tree_classifier_binary(spark, tmp_path):
     loc = back.transform_local(pd.DataFrame(
         {"features": [[0.9, 0.2], [0.1, 0.2]]}))
     assert list(loc["prediction"]) == [1.0, 0.0]
+
+
+def test_tree_arrow_bin_path_matches_expr_path(spark):
+    """Past _CODEGEN_BIN_LIMIT the bins come from an Arrow searchsorted
+    UDF; at a shape where both paths are feasible the fitted tree must
+    be byte-identical."""
+    from flink_ml_spark.regression import tree as tree_mod
+    df = _step_data(spark)
+    m_expr = DecisionTreeRegressor(maxDepth=3, maxBins=20).fit(df)
+    saved = tree_mod._CODEGEN_BIN_LIMIT
+    tree_mod._CODEGEN_BIN_LIMIT = 0  # force the Arrow path
+    try:
+        m_arrow = DecisionTreeRegressor(maxDepth=3, maxBins=20).fit(df)
+    finally:
+        tree_mod._CODEGEN_BIN_LIMIT = saved
+    assert m_expr.model_data["nodes"] == m_arrow.model_data["nodes"]
+
+
+def test_tree_quantile_defaults_to_sketch_exact_opt_in(spark):
+    """binStrategy='quantile' defaults to approx_percentile (scale
+    path); exactQuantiles=True opts into exact percentile.  Both must
+    recover the planted skewed step (sketch is exact at this size)."""
+    rows = []
+    for i in range(300):
+        x = 10.0 ** (i % 6)
+        y = 1.0 if x <= 100 else 5.0
+        rows.append(([x], y))
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    for exact in (False, True):
+        m = DecisionTreeRegressor(maxDepth=2, maxBins=4,
+                                  binStrategy="quantile",
+                                  exactQuantiles=exact).fit(df)
+        resid = m.transform(df)[0].agg(
+            F.max(F.abs(F.col("label") - F.col("prediction")))).first()[0]
+        assert resid < 1e-9, (exact, resid)

@@ -132,11 +132,39 @@ def test_cross_validator_parallelism_identical_results(spark, labeled):
     assert len(tv.model_data["avg_metrics"]) == 2
 
 
-def test_parallelism_rejects_composite_estimator(spark, labeled):
+def test_parallel_pipeline_tuning_matches_sequential(spark, labeled):
+    """parallelism > 1 over a 2-stage Pipeline: composite estimators
+    clone via their own persistence round-trip, and stage-addressed
+    grid keys (``<idx>__<param>``) reach nested stage params — the
+    common real-world tuning case."""
     from flink_ml_spark import Pipeline
     from flink_ml_spark.classification import Knn
-    cv = CrossValidator(Pipeline([Knn()]), [{}], numFolds=2,
-                        parallelism=2,
-                        metric_fn=lambda m, t: 0.0)
-    with pytest.raises(ValueError, match="composite"):
-        cv.fit(labeled)
+    from flink_ml_spark.feature import StandardScaler
+
+    def pipe():
+        return Pipeline([
+            StandardScaler(inputCol="features", outputCol="scaled"),
+            Knn(featuresCol="scaled", k=1)])
+
+    grid = [{"1__k": 1}, {"1__k": 5}]
+    seq = CrossValidator(pipe(), grid, numFolds=3,
+                         metric="n_correct").fit(labeled)
+    par = CrossValidator(pipe(), grid, numFolds=3, metric="n_correct",
+                         parallelism=2).fit(labeled)
+    assert seq.model_data["fold_metrics"] == par.model_data["fold_metrics"]
+    assert seq.model_data["best_index"] == par.model_data["best_index"]
+    # the refit winner serves end-to-end
+    scored = par.transform(labeled)[0]
+    acc = scored.filter(F.col("label") == F.col("prediction")).count()
+    assert acc == 120
+
+
+def test_empty_validation_fold_raises(spark, labeled):
+    from flink_ml_spark.classification import Knn
+    # ids all land in fold 0 of 1... use a filter leaving fold 2 empty:
+    # keep only rows whose 3-fold hash != 2, then CV with numFolds=3
+    kept = labeled.withColumn("f", fold_column("id", 3, 7)) \
+        .filter(F.col("f") != 2).drop("f")
+    cv = CrossValidator(Knn(), [{"k": 1}], numFolds=3, metric="rmse")
+    with pytest.raises(Exception, match="empty"):
+        cv.fit(kept)
