@@ -73,56 +73,30 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
-def decode_png(payload: bytes | None) -> np.ndarray | None:
-    """PNG (8-bit gray / RGB / RGBA, non-interlaced) → HxWx3 uint8 RGB.
+# Adam7 interlace pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass —
+# the IDAT stream holds 7 independently-filtered reduced images in this
+# order; empty passes (reduced width or height 0) contribute no bytes
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    DEFLATE via stdlib zlib; scanline unfiltering per the PNG spec §6
-    (filters 0-4: None/Sub/Up/Average/Paeth).  Gray broadcasts to RGB;
-    alpha is dropped (feature kernels consume RGB).  Interlaced, paletted
-    or 16-bit images return None — external-codec territory."""
-    if payload is None or len(payload) < 45 \
-            or payload[:8] != _PNG_SIG:
+
+def _png_unfilter(raw: bytes, off: int, ph: int, pw: int,
+                  ch: int) -> tuple[np.ndarray, int] | None:
+    """Unfilter one (sub-)image of ``ph`` scanlines × ``pw`` pixels
+    starting at byte ``off`` of the decompressed stream (PNG spec §6,
+    filters 0-4: None/Sub/Up/Average/Paeth); returns (ph×pw×ch uint8,
+    next offset) or None on truncation / unknown filter."""
+    stride = pw * ch
+    need = ph * (stride + 1)
+    if len(raw) - off < need:
         return None
-    pos, n = 8, len(payload)
-    w = h = None
-    ctype = None
-    idat = []
-    while pos + 8 <= n:
-        (sz,) = struct.unpack_from(">I", payload, pos)
-        cid = payload[pos + 4:pos + 8]
-        body = pos + 8
-        if body + sz > n:
-            return None
-        if cid == b"IHDR":
-            if sz != 13:
-                return None
-            w, h, depth, ctype, comp, filt, inter = struct.unpack_from(
-                ">IIBBBBB", payload, body)
-            if (depth != 8 or ctype not in _PNG_CHANNELS or comp != 0
-                    or filt != 0 or inter != 0 or w == 0 or h == 0):
-                return None
-        elif cid == b"IDAT":
-            idat.append(payload[body:body + sz])
-        elif cid == b"IEND":
-            break
-        pos = body + sz + 4  # skip CRC
-    if w is None or not idat:
-        return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
-    ch = _PNG_CHANNELS[ctype]
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        return None
-    lines = np.frombuffer(raw, np.uint8,
-                          count=h * (stride + 1)).reshape(h, stride + 1)
+    lines = np.frombuffer(raw, np.uint8, count=need,
+                          offset=off).reshape(ph, stride + 1)
     filters = lines[:, 0]
     data = lines[:, 1:].astype(np.int32)  # headroom for the filter sums
-    out = np.zeros((h, stride), dtype=np.int32)
+    out = np.zeros((ph, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
+    for y in range(ph):
         f, row = int(filters[y]), data[y]
         if f == 0:
             rec = row.copy()
@@ -151,7 +125,71 @@ def decode_png(payload: bytes | None) -> np.ndarray | None:
             return None
         out[y] = rec
         prev = rec
-    px = out.astype(np.uint8).reshape(h, w, ch)
+    return out.astype(np.uint8).reshape(ph, pw, ch), off + need
+
+
+def decode_png(payload: bytes | None) -> np.ndarray | None:
+    """PNG (8-bit gray / RGB / RGBA; sequential OR Adam7-interlaced) →
+    HxWx3 uint8 RGB.
+
+    DEFLATE via stdlib zlib; scanline unfiltering per the PNG spec §6
+    (filters 0-4: None/Sub/Up/Average/Paeth).  Adam7 streams carry 7
+    independently-filtered reduced images (spec §8.2) that scatter back
+    into the full grid by the pass lattice.  Gray broadcasts to RGB;
+    alpha is dropped (feature kernels consume RGB).  Paletted or 16-bit
+    images return None — external-codec territory."""
+    if payload is None or len(payload) < 45 \
+            or payload[:8] != _PNG_SIG:
+        return None
+    pos, n = 8, len(payload)
+    w = h = None
+    ctype = inter = None
+    idat = []
+    while pos + 8 <= n:
+        (sz,) = struct.unpack_from(">I", payload, pos)
+        cid = payload[pos + 4:pos + 8]
+        body = pos + 8
+        if body + sz > n:
+            return None
+        if cid == b"IHDR":
+            if sz != 13:
+                return None
+            w, h, depth, ctype, comp, filt, inter = struct.unpack_from(
+                ">IIBBBBB", payload, body)
+            if (depth != 8 or ctype not in _PNG_CHANNELS or comp != 0
+                    or filt != 0 or inter not in (0, 1)
+                    or w == 0 or h == 0):
+                return None
+        elif cid == b"IDAT":
+            idat.append(payload[body:body + sz])
+        elif cid == b"IEND":
+            break
+        pos = body + sz + 4  # skip CRC
+    if w is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    if inter == 0:
+        res = _png_unfilter(raw, 0, h, w, ch)
+        if res is None:
+            return None
+        px = res[0]
+    else:
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            res = _png_unfilter(raw, off, ph, pw, ch)
+            if res is None:
+                return None
+            sub, off = res
+            px[y0::dy, x0::dx] = sub
     if ctype == 0:
         px = np.repeat(px, 3, axis=2)
     elif ctype == 6:
@@ -159,19 +197,34 @@ def decode_png(payload: bytes | None) -> np.ndarray | None:
     return np.ascontiguousarray(px)
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """HxWx3 uint8 RGB array → PNG bytes (filter 0, one IDAT)."""
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """HxWx3 uint8 RGB array → PNG bytes (filter 0, one IDAT);
+    ``interlace=True`` writes the Adam7 pass sequence (spec §8.2)."""
     h, w = img.shape[:2]
-    body = np.zeros((h, w * 3 + 1), dtype=np.uint8)
-    body[:, 1:] = img.reshape(h, w * 3)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            body = np.zeros((ph, pw * 3 + 1), dtype=np.uint8)
+            body[:, 1:] = sub.reshape(ph, pw * 3)
+            parts.append(body.tobytes())
+        data = b"".join(parts)
+    else:
+        body = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+        body[:, 1:] = img.reshape(h, w * 3)
+        data = body.tobytes()
 
     def chunk(cid: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + cid + data
                 + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
+            + chunk(b"IDAT", zlib.compress(data, 6))
             + chunk(b"IEND", b""))
 
 

@@ -101,7 +101,7 @@ def all_queries():
         # r07 head 3: queries whose code changed this round (tree quantile
         # default, CV pipeline clone, ALS guards, BM25 load fallback)
         "decision_tree", "decision_tree_cls", "random_forest", "gbt",
-        "als", "als_recommend", "bm25_incremental",
+        "als", "als_recommend", "bm25_incremental", "media_codec_pipeline",
         # r07 head 4: oldest-evidence rotation (r03 cohort; VERDICT r06
         # item 7) fills the remaining cap slots
         "tokenizer", "tfidf", "count_vectorizer", "kmeans",

@@ -354,3 +354,39 @@ def test_image_resizer_decode_real_jpeg(spark):
     assert feat["media_features_decoded"] is True
     got = [round(v * 255) for v in feat["media_features"]]
     assert got == [120, 240, 104]
+
+
+def test_png_adam7_interlace_round_trip():
+    """Adam7: encode(interlace=True) → decode must reproduce the image
+    exactly across sizes that exercise empty and partial passes (1x1
+    has only pass 1; 5x3, 9x7 hit ragged pass geometry; 16x16 fills
+    all seven)."""
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import (decode_png, encode_png,
+                                               sniff_format)
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (3, 5), (5, 3), (7, 9), (8, 8), (16, 16),
+                 (2, 13)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = encode_png(img, interlace=True)
+        assert sniff_format(payload) == "png"
+        back = decode_png(payload)
+        assert back is not None and back.shape == (h, w, 3), (h, w)
+        np.testing.assert_array_equal(back, img)
+        # interlaced and sequential encodings decode identically
+        np.testing.assert_array_equal(back, decode_png(encode_png(img)))
+
+
+def test_png_adam7_against_reference_scatter():
+    """The pass lattice itself, checked against an independent per-pixel
+    reference: pixel (x, y) belongs to the FIRST Adam7 pass whose
+    lattice contains it, and every pixel is covered exactly once."""
+    from flink_ml_spark.llmdata.codecs import _ADAM7
+    h = w = 16
+    seen = {}
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        for y in range(y0, h, dy):
+            for x in range(x0, w, dx):
+                assert (x, y) not in seen, (x, y, p, seen[(x, y)])
+                seen[(x, y)] = p
+    assert len(seen) == h * w
