@@ -102,6 +102,8 @@ def all_queries():
         # default, CV pipeline clone, ALS guards, BM25 load fallback)
         "decision_tree", "decision_tree_cls", "random_forest", "gbt",
         "als", "als_recommend", "bm25_incremental", "media_codec_pipeline",
+        # r07 head 3b: brand-new queries this round
+        "platt_calibration", "decision_tree_splits",
         # r07 head 4: oldest-evidence rotation (r03 cohort; VERDICT r06
         # item 7) fills the remaining cap slots
         "tokenizer", "tfidf", "count_vectorizer", "kmeans",
@@ -113,7 +115,8 @@ def all_queries():
         # 50-cap boundary is here; remaining r03 cohort rotates in r08
         "event_windows", "session_windows", "sliding_windows",
         "pca_whiten", "ann_ivf_pq", "bpe_tokenize", "naive_bayes",
-        "chisq_test", "fvalue_test", "window_agg", "onehot",
+        "chisq_test", "fvalue_test", "one_hot_encoder",
+        "stateful_sessions",
         # everything below has green r04–r06 evidence; registry order
         # follows
     ]

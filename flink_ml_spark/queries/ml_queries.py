@@ -1141,6 +1141,60 @@ FROM perfold pf CROSS JOIN best
 """
 
 
+def platt_calibration(spark, sf_dir):
+    """PlattCalibrator: sigmoid calibration σ(A·s + B) of a synthetic
+    score against the returnflag label, Platt target smoothing on, full
+    SQL fit replay — the GD trajectory snaps to the 12-dp grid each
+    round (weightRounding=12, the linear-learner discipline) so the
+    recursive CTE reproduces (A, B) and every calibrated probability
+    exactly."""
+    from ..regression import PlattCalibrator
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        (F.col("l_quantity") / 50 + F.col("l_discount") * 2)
+        .alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+        .alias("label"))
+    m = PlattCalibrator(maxIter=GD_ITERS, learningRate=GD_LR, tol=0.0,
+                        globalBatchSize=1 << 40,
+                        weightRounding=12).fit(df)
+    out = m.transform(df)[0]
+    return out.select(*KEY, q4(F.col("calibrated")).alias("cal"))
+
+
+def _platt_sql(iters: int, lr: float) -> str:
+    sig = "1.0/(1.0 + exp(-(w0 * x0 + w1 * x1)))"
+    return f"""
+WITH RECURSIVE data AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity / 50 + l_discount * 2 AS x0, 1.0 AS x1,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS yb
+  FROM lineitem),
+tgt AS (
+  SELECT l_orderkey, l_linenumber, x0, x1,
+         CASE WHEN yb = 1.0 THEN (np + 1.0) / (np + 2.0)
+              ELSE 1.0 / (nn + 2.0) END AS y
+  FROM data,
+       (SELECT sum(yb) AS np, count(*) - sum(yb) AS nn FROM data)),
+it(i, w0, w1) AS (
+  SELECT 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+  UNION ALL
+  SELECT i + 1,
+    round(w0 - {lr} * (SELECT avg(({sig} - y) * x0) FROM tgt), 12),
+    round(w1 - {lr} * (SELECT avg(({sig} - y) * x1) FROM tgt), 12)
+  FROM it WHERE i < {iters}),
+w AS (SELECT w0, w1 FROM it ORDER BY i DESC LIMIT 1)
+SELECT t.l_orderkey, t.l_linenumber,
+       {SQL_Q4.format('1.0/(1.0 + exp(-(w.w0 * t.x0 + w.w1 * t.x1)))')}
+         AS cal
+FROM tgt t, w
+"""
+
+
+PLATT_SQL = _platt_sql(GD_ITERS, GD_LR)
+
+
 def als(spark, sf_dir):
     """ALS rank-2, 3 alternation rounds on (supplier, part, avg qty)
     ratings — every normal-equation sum is an exact decimal integer and
@@ -1394,6 +1448,50 @@ DECISION_TREE_SQL = _decision_tree_sql()
 TREE_CLS_LABEL = "CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END"
 
 
+def decision_tree_splits(spark, sf_dir):
+    """Model introspection relation: the fitted tree's split nodes
+    ``(node, feat, bin, thr)`` — because split selection is bit-exact
+    (integer histograms, exact-rational gains), the STRUCTURE of the
+    model is itself oracle-checkable: the SQL replay's per-level best
+    CTEs must produce the identical relation.  The float gain-based
+    ``feature_importances()`` stays under the pytest oracle
+    (tests/test_tree.py)."""
+    from ..regression import DecisionTreeRegressor
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        F.array(F.expr(TREE_FEATS[0]), F.expr(TREE_FEATS[1]),
+                F.expr(TREE_FEATS[2])).alias("features"),
+        F.expr(TREE_LABEL).alias("label"))
+    m = DecisionTreeRegressor(maxDepth=TREE_DEPTH, maxBins=TREE_BINS,
+                              labelScale=2).fit(df)
+    sp = m.splits_df(spark)
+    return sp.select("node", "feat", "bin", q4(F.col("thr")).alias("thr"))
+
+
+def _decision_tree_splits_sql() -> str:
+    dim, bins, scale = len(TREE_FEATS), TREE_BINS, TREE_SCALE
+    ctes = _tree_base_ctes(dim, bins)
+    ctes.append(
+        f"r0 AS MATERIALIZED (SELECT * EXCLUDE (ly), "
+        f"CAST(ROUND(ly * {scale}) AS BIGINT) AS y, 0 AS node FROM base)")
+    chain, _, _ = _tree_chain("", "r0", TREE_DEPTH, dim, bins - 1,
+                              scale, ["k1", "k2"])
+    ctes += chain
+    union = " UNION ALL ".join(
+        f"SELECT node, f, b FROM best{t}" for t in range(TREE_DEPTH))
+    thr = " ".join(
+        f"WHEN {i} THEN e.lo{i} + (e.hi{i} - e.lo{i}) / {bins} * (u.b + 1)"
+        for i in range(dim))
+    final = (f"SELECT u.node, u.f AS feat, u.b AS bin, "
+             + SQL_Q4.format(f"CASE u.f {thr} END")
+             + f" AS thr FROM ({union}) u CROSS JOIN e")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+DECISION_TREE_SPLITS_SQL = _decision_tree_splits_sql()
+
+
 def decision_tree_cls(spark, sf_dir):
     """DecisionTreeClassifier (binary, Gini ≡ variance split on 0/1
     labels): same bit-exact fit replay as decision_tree with grid
@@ -1576,6 +1674,8 @@ GBT_SQL = _gbt_sql()
 QUERIES = {
     "als": (als, ALS_SQL),
     "decision_tree": (decision_tree, DECISION_TREE_SQL),
+    "decision_tree_splits": (decision_tree_splits,
+                             DECISION_TREE_SPLITS_SQL),
     "gbt": (gbt, GBT_SQL),
     "decision_tree_cls": (decision_tree_cls, DECISION_TREE_CLS_SQL),
     "random_forest": (random_forest, RANDOM_FOREST_SQL),
@@ -1599,6 +1699,7 @@ QUERIES = {
     "spearman_corr": (spearman_corr, SPEARMAN_SQL),
     "paired_ttest": (paired_ttest, PAIRED_TTEST_SQL),
     "conformal_interval": (conformal_interval, CONFORMAL_SQL),
+    "platt_calibration": (platt_calibration, PLATT_SQL),
     "target_encoding": (target_encoding, TARGET_ENCODING_SQL),
     "sliced_auc": (sliced_auc, SLICED_AUC_SQL),
     "swing": (swing, SWING_SQL),

@@ -1,6 +1,7 @@
 from ..classification.linear import LinearRegression, LinearRegressionModel
 from .conformal import ConformalRegressor, ConformalRegressorModel
 from .isotonic import IsotonicRegression, IsotonicRegressionModel
+from .platt import PlattCalibrator, PlattCalibratorModel
 from .forest import RandomForestRegressor, RandomForestRegressorModel
 from .gbt import GBTRegressor, GBTRegressorModel
 from .tree import (DecisionTreeClassifier, DecisionTreeClassifierModel,
@@ -9,6 +10,7 @@ from .tree import (DecisionTreeClassifier, DecisionTreeClassifierModel,
 __all__ = ["LinearRegression", "LinearRegressionModel",
            "ConformalRegressor", "ConformalRegressorModel",
            "IsotonicRegression", "IsotonicRegressionModel",
+           "PlattCalibrator", "PlattCalibratorModel",
            "DecisionTreeRegressor", "DecisionTreeRegressorModel",
            "GBTRegressor", "GBTRegressorModel",
            "DecisionTreeClassifier", "DecisionTreeClassifierModel",

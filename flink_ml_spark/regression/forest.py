@@ -109,7 +109,7 @@ class RandomForestRegressor(Estimator, HasFeaturesCol, HasLabelCol,
         model = RandomForestRegressorModel()
         model.set_(featuresCol=fcol,
                    predictionCol=self.get_("predictionCol"))
-        model.model_data = {"trees": trees}
+        model.model_data = {"trees": trees, "dim": dim}
         return model
 
 
@@ -156,3 +156,14 @@ class RandomForestRegressorModel(Model, HasFeaturesCol,
             sum(walk(nm, v) for nm in maps) / len(maps)
             for v in pdf[self.get_("featuresCol")]]
         return out
+
+    def feature_importances(self) -> list[float]:
+        """Gain-based importances over the whole forest (zeros for a
+        pre-gain artifact)."""
+        from .tree import ensemble_importances
+        dim = int(self.model_data.get(
+            "dim", 1 + max((int(v["feat"])
+                            for nodes in self.model_data["trees"]
+                            for v in nodes.values() if "feat" in v),
+                           default=-1)))
+        return ensemble_importances(self.model_data["trees"], dim)

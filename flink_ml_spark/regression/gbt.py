@@ -86,7 +86,9 @@ class GBTRegressor(Estimator, HasFeaturesCol, HasLabelCol,
         model = GBTRegressorModel()
         model.set_(featuresCol=fcol,
                    predictionCol=self.get_("predictionCol"))
-        model.model_data = {"f0": float(f0), "eta": eta, "trees": trees}
+        first = cur.select("x").first()
+        model.model_data = {"f0": float(f0), "eta": eta, "trees": trees,
+                            "dim": len(first["x"]) if first else 0}
         return model
 
 
@@ -133,3 +135,14 @@ class GBTRegressorModel(Model, HasFeaturesCol, HasPredictionCol):
             + eta * sum(walk(nm, v) for nm in maps)
             for v in pdf[self.get_("featuresCol")]]
         return out
+
+    def feature_importances(self) -> list[float]:
+        """Gain-based importances over all boosting rounds (zeros for a
+        pre-gain artifact)."""
+        from .tree import ensemble_importances
+        dim = int(self.model_data.get(
+            "dim", 1 + max((int(v["feat"])
+                            for nodes in self.model_data["trees"]
+                            for v in nodes.values() if "feat" in v),
+                           default=-1)))
+        return ensemble_importances(self.model_data["trees"], dim)

@@ -207,9 +207,16 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                         if best is None or num * best[1] > best[0] * den:
                             best = (num, den, f, b)
                 if best is not None:
-                    _, _, f, b = best
+                    num, den, f, b = best
                     splits.append((node, f, b))
-                    tree[node] = {"feat": f, "thr": thresholds[f][b]}
+                    # count-weighted variance reduction (label units²):
+                    # n·Δvar = num/den − S²/n, off the exact integers —
+                    # the standard gain-based importance contribution
+                    gain = (num / den - s_tot * s_tot / n_tot) \
+                        / (scale * scale)
+                    tree[node] = {"feat": f, "thr": thresholds[f][b],
+                                  "bin": int(b), "gain": float(gain),
+                                  "n": int(n_tot)}
                     new_frontier += [2 * node + 1, 2 * node + 2]
             if not splits:
                 break
@@ -245,6 +252,19 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
             "nodes": {str(k): v for k, v in tree.items()},
             "labelScale": int(self.get_("labelScale"))}
         return model
+
+
+def ensemble_importances(tree_node_dicts, dim: int) -> list[float]:
+    """Gain-based importances summed across an ensemble's trees (the
+    forest/GBT ``feature_importances_`` convention: per-tree gains
+    accumulate, then normalize once)."""
+    imp = [0.0] * dim
+    for nodes in tree_node_dicts:
+        for v in nodes.values():
+            if "feat" in v and v.get("gain"):
+                imp[int(v["feat"])] += float(v["gain"])
+    tot = sum(imp)
+    return [x / tot for x in imp] if tot > 0 else imp
 
 
 class DecisionTreeClassifier(DecisionTreeRegressor):
@@ -286,6 +306,30 @@ class DecisionTreeClassifier(DecisionTreeRegressor):
 class DecisionTreeRegressorModel(Model, HasFeaturesCol, HasPredictionCol):
     def _node_map(self) -> dict[int, dict]:
         return {int(k): v for k, v in self.model_data["nodes"].items()}
+
+    def splits_df(self, spark) -> DataFrame:
+        """Model introspection as a relation: one row per SPLIT node —
+        ``(node, feat, bin, thr)``.  Bit-exact fit ⇒ this relation is
+        SQL-replayable (the oracle unions the per-level best CTEs)."""
+        rows = sorted(
+            (int(k), int(v["feat"]), int(v.get("bin", -1)),
+             float(v["thr"]))
+            for k, v in self._node_map().items() if "feat" in v)
+        return spark.createDataFrame(
+            rows, "node int, feat int, bin int, thr double")
+
+    def feature_importances(self) -> list[float]:
+        """Gain-based importances (sum of count-weighted variance
+        reduction per feature, normalized to 1) — the standard CART /
+        sklearn ``feature_importances_`` definition.  Zeros when the
+        tree is a stump or was loaded from a pre-gain artifact."""
+        dim = int(self.model_data["dim"])
+        imp = [0.0] * dim
+        for v in self._node_map().values():
+            if "feat" in v and v.get("gain"):
+                imp[int(v["feat"])] += float(v["gain"])
+        tot = sum(imp)
+        return [x / tot for x in imp] if tot > 0 else imp
 
     def _transform(self, df: DataFrame) -> DataFrame:
         nodes = self._node_map()

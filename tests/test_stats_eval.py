@@ -633,3 +633,44 @@ def test_sliced_auc_dominant_slice_multipartition(spark, monkeypatch):
             labelCol="label", rawPredictionCol="score") \
             .transform(df.filter(cond))[0].first()["areaUnderROC"]
         assert out[grp]["auc"] == pytest.approx(ref, abs=1e-12), grp
+
+
+def test_platt_calibrator_recovers_sigmoid(spark):
+    """Scores generated from a known sigmoid: labels y=1 with probability
+    sigma(2s-1) by deterministic thresholding -> the fitted (A, B) map
+    must reorder probabilities monotonically and calibrate the halves:
+    mean calibrated probability ~ empirical positive rate per side."""
+    import math
+    from flink_ml_spark.regression import PlattCalibrator
+    rows = []
+    for i in range(400):
+        s = (i % 100) / 50.0 - 1.0  # scores in [-1, 1)
+        p = 1.0 / (1.0 + math.exp(-(2.0 * s - 0.2)))
+        y = 1.0 if ((i * 2654435761 + 7) % 1000) / 1000.0 < p else 0.0
+        rows.append((s, y))
+    df = spark.createDataFrame(rows, "score double, label double")
+    m = PlattCalibrator(maxIter=60, learningRate=1.0, tol=0.0,
+                        globalBatchSize=1 << 40).fit(df)
+    a, b = m.model_data["a"], m.model_data["b"]
+    assert a > 0.5, (a, b)  # monotone-increasing map recovered
+    out = m.transform(df)[0]
+    import pyspark.sql.functions as F
+    agg = (out.withColumn("side", (F.col("score") > 0).cast("int"))
+           .groupBy("side")
+           .agg(F.avg("calibrated").alias("pc"),
+                F.avg("label").alias("pe")).collect())
+    for r in agg:
+        assert abs(r["pc"] - r["pe"]) < 0.08, (r["side"], r["pc"], r["pe"])
+    # local serving parity
+    import pandas as pd
+    pdf = pd.DataFrame({"score": [-0.5, 0.0, 0.5]})
+    loc = m.transform_local(pdf)["calibrated"].tolist()
+    assert loc == sorted(loc)
+
+
+def test_platt_calibrator_rejects_nonbinary(spark):
+    import pytest as _pytest
+    from flink_ml_spark.regression import PlattCalibrator
+    df = spark.createDataFrame([(0.1, 2.0)], "score double, label double")
+    with _pytest.raises(ValueError, match="0/1"):
+        PlattCalibrator().fit(df)

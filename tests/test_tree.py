@@ -160,3 +160,34 @@ def test_tree_quantile_defaults_to_sketch_exact_opt_in(spark):
         resid = m.transform(df)[0].agg(
             F.max(F.abs(F.col("label") - F.col("prediction")))).first()[0]
         assert resid < 1e-9, (exact, resid)
+
+
+def test_tree_splits_df_and_feature_importances(spark):
+    df = _step_data(spark)
+    m = DecisionTreeRegressor(maxDepth=3, maxBins=20).fit(df)
+    sp = m.splits_df(spark).collect()
+    assert len(sp) >= 2
+    root = [r for r in sp if r["node"] == 0][0]
+    # planted structure: root splits x0 at 0.5, a child splits x1 at 0.3
+    assert root["feat"] == 0 and abs(root["thr"] - 0.5) < 0.05
+    imp = m.feature_importances()
+    assert len(imp) == 2 and abs(sum(imp) - 1.0) < 1e-12
+    # x0 separates 10 vs {20,30}; x1 only refines — x0 dominates
+    assert imp[0] > imp[1] > 0.0
+
+
+def test_ensemble_feature_importances(spark):
+    from flink_ml_spark.regression import (GBTRegressor,
+                                           RandomForestRegressor)
+    rows = []
+    for i in range(300):
+        x0, x1 = (i % 20) / 20.0, (i // 20) / 15.0
+        rows.append((i, [x0, x1], 10.0 if x0 <= 0.5 else 30.0))
+    df = spark.createDataFrame(
+        rows, "id long, features array<double>, label double")
+    for est in (RandomForestRegressor(numTrees=3, maxDepth=2, maxBins=8),
+                GBTRegressor(numTrees=3, maxDepth=2, maxBins=8)):
+        m = est.fit(df)
+        imp = m.feature_importances()
+        assert len(imp) == 2 and abs(sum(imp) - 1.0) < 1e-12
+        assert imp[0] > 0.9, (type(est).__name__, imp)
