@@ -4326,6 +4326,79 @@ def _llm_prep_v13_sql() -> str:
 LLM_PREP_V13_SQL = _llm_prep_v13_sql()
 
 
+V14_ITERS, V14_LR, V14_MARGIN = 40, 1.0, 2.0
+
+
+def llm_prep_pipeline_v14(spark, sf_dir):
+    """Corpus-prep v14: the CALIBRATED quality gate — derive a cheap
+    per-doc quality score (clipped, centered token count), label docs
+    with a rule, fit PlattCalibrator on (score, label) with the 12-dp
+    GD grid, and keep docs whose calibrated probability clears the
+    HIGH-CONFIDENCE bar σ(2) ≈ 0.88; account per language.  The
+    probability gate reduces to the EXACT polynomial margin test
+    A·s + B > 2 (sigmoid is monotone), so the learned gate replays
+    bit-exactly in SQL — the parametric sibling of v13's tree gate and
+    v10's isotonic cascade, and the shape real pipelines use
+    ("keep only what the quality model is CONFIDENT about")."""
+    from ..llmdata.textanalysis import _tokens
+    from ..regression import PlattCalibrator
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    f1 = F.size(toks).cast("double")
+    f2 = F.col("n_chars").cast("double") / (f1 + 1.0)
+    base = docs.select(
+        "lang", f1.alias("f1"),
+        ((F.least(f1, F.lit(100.0)) - 20.0) / 40.0).alias("score"),
+        ((f1 >= 20) & (f2 >= 3.0)).cast("double").alias("label"))
+    m = PlattCalibrator(maxIter=V14_ITERS, learningRate=V14_LR, tol=0.0,
+                        globalBatchSize=1 << 40,
+                        weightRounding=12).fit(base)
+    a, b = float(m.model_data["a"]), float(m.model_data["b"])
+    # gate on the exact margin (≡ calibrated > σ(2)): polynomial
+    # compare, immune to last-ulp exp() differences at the boundary
+    kept = base.filter(F.col("score") * a + b > V14_MARGIN)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("f1").cast("long")).cast("long")
+                 .alias("n_tokens")))
+
+
+def _llm_prep_v14_sql() -> str:
+    sig = "1.0/(1.0 + exp(-(w0 * x0 + w1 * x1)))"
+    return f"""
+WITH RECURSIVE feat AS (
+  SELECT lang, CAST(len({TOKS}) AS DOUBLE) AS f1,
+         CAST(n_chars AS DOUBLE) / (CAST(len({TOKS}) AS DOUBLE) + 1.0)
+           AS f2
+  FROM documents),
+data AS (
+  SELECT lang, f1, (LEAST(f1, 100.0) - 20.0) / 40.0 AS x0, 1.0 AS x1,
+         CASE WHEN f1 >= 20 AND f2 >= 3.0 THEN 1.0 ELSE 0.0 END AS yb
+  FROM feat),
+tgt AS (
+  SELECT lang, f1, x0, x1,
+         CASE WHEN yb = 1.0 THEN (np + 1.0) / (np + 2.0)
+              ELSE 1.0 / (nn + 2.0) END AS y
+  FROM data,
+       (SELECT sum(yb) AS np, count(*) - sum(yb) AS nn FROM data)),
+it(i, w0, w1) AS (
+  SELECT 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+  UNION ALL
+  SELECT i + 1,
+    round(w0 - {V14_LR} * (SELECT avg(({sig} - y) * x0) FROM tgt), 12),
+    round(w1 - {V14_LR} * (SELECT avg(({sig} - y) * x1) FROM tgt), 12)
+  FROM it WHERE i < {V14_ITERS}),
+w AS (SELECT w0, w1 FROM it ORDER BY i DESC LIMIT 1)
+SELECT t.lang, count(*) AS n_docs,
+       CAST(sum(CAST(t.f1 AS BIGINT)) AS BIGINT) AS n_tokens
+FROM tgt t, w WHERE w.w0 * t.x0 + w.w1 * t.x1 > {V14_MARGIN}
+GROUP BY t.lang
+"""
+
+
+LLM_PREP_V14_SQL = _llm_prep_v14_sql()
+
+
 def vocab_growth(spark, sf_dir):
     """VocabGrowthProfiler: per hash slice, tokens / first-appearance
     types / cumulative types — the Heaps-law saturation diagnostic."""
@@ -4900,6 +4973,7 @@ QUERIES = {
     "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
     "frequent_itemsets": (frequent_itemsets, FREQUENT_ITEMSETS_SQL),
     "llm_prep_pipeline_v13": (llm_prep_pipeline_v13, LLM_PREP_V13_SQL),
+    "llm_prep_pipeline_v14": (llm_prep_pipeline_v14, LLM_PREP_V14_SQL),
     "assoc_rules": (assoc_rules, ASSOC_RULES_SQL),
     "vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),
     "llm_prep_pipeline_v12": (llm_prep_pipeline_v12, LLM_PREP_V12_SQL),

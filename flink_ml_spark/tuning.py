@@ -137,6 +137,12 @@ def _builtin_metric(name: str, label_col: str, pred_col: str):
 class _TunerBase(Estimator, HasLabelCol, HasPredictionCol):
     idCol = StringParam("idCol", "Integer id column driving the "
                         "deterministic split hash.", "id")
+    groupCol = StringParam(
+        "groupCol", "Optional integer GROUP id column: when set, the "
+        "split hash keys on the group instead of the row id, so every "
+        "row of a group lands in the same fold (GroupKFold — the "
+        "leakage-safe split when rows within a group are correlated, "
+        "e.g. chunks of one document).  Empty = row-level folds.", "")
     foldSalt = IntParam("foldSalt", "Split-hash salt.", 7)
     metric = StringParam("metric", "accuracy | n_correct | rmse | mae.",
                          "accuracy", ParamValidators.in_array(
@@ -255,7 +261,8 @@ class CrossValidator(_TunerBase):
         if self.estimator is None:
             raise ValueError("CrossValidator needs an estimator")
         k = int(self.get_("numFolds"))
-        fold = fold_column(self.get_("idCol"), k, int(self.get_("foldSalt")))
+        key = self.get_("groupCol") or self.get_("idCol")
+        fold = fold_column(key, k, int(self.get_("foldSalt")))
         tagged = df.withColumn("__fold__", fold).persist()
         try:
             metric_fn, higher = self._metric_fn()
@@ -311,7 +318,8 @@ class TrainValidationSplit(_TunerBase):
         (df,) = inputs
         if self.estimator is None:
             raise ValueError("TrainValidationSplit needs an estimator")
-        bucket = fold_column(self.get_("idCol"), 100,
+        bucket = fold_column(self.get_("groupCol") or self.get_("idCol"),
+                             100,
                              int(self.get_("foldSalt")))
         ratio = int(self.get_("trainRatio"))
         tagged = df.withColumn("__b__", bucket).persist()

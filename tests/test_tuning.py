@@ -168,3 +168,17 @@ def test_empty_validation_fold_raises(spark, labeled):
     cv = CrossValidator(Knn(), [{"k": 1}], numFolds=3, metric="rmse")
     with pytest.raises(Exception, match="empty"):
         cv.fit(kept)
+
+
+def test_group_kfold_keeps_groups_intact(spark, labeled):
+    from flink_ml_spark.classification import Knn
+    grouped = labeled.withColumn("grp", (F.col("id") / 10).cast("long"))
+    cv = CrossValidator(Knn(), [{"k": 1}], numFolds=3,
+                        metric="n_correct", groupCol="grp")
+    m = cv.fit(grouped)
+    assert len(m.model_data["fold_metrics"][0]) == 3
+    # the fold hash keyed on grp: every row of a group -> one fold
+    folds = (grouped.withColumn("f", fold_column("grp", 3, 7))
+             .groupBy("grp")
+             .agg(F.countDistinct("f").alias("nf")).collect())
+    assert all(r["nf"] == 1 for r in folds)
