@@ -12,10 +12,11 @@ expressions — zero shuffles at inference.
 
 The forest inherits the tree's bit-exactness: identical forests on any
 partitioning, any cluster size, any engine.  Each tree costs maxDepth
-corpus-subsample scans; trees fit sequentially in the driver loop (at
-100 TB parallelize across trees by submitting fits from concurrent
-driver threads — Spark schedules independent jobs concurrently; the
-sequential loop is the simple default).
+corpus-subsample scans; ``parallelism > 1`` submits that many tree fits
+from concurrent driver threads (Spark schedules independent jobs
+concurrently — the 100 TB path when the cluster has headroom per fit);
+trees are independent and deterministic, so results are IDENTICAL at
+any parallelism and tree order is preserved.
 """
 
 from __future__ import annotations
@@ -63,6 +64,11 @@ class RandomForestRegressor(Estimator, HasFeaturesCol, HasLabelCol,
     featureSubset = StringParam(
         "featureSubset", "all | sqrt features per tree.", "all",
         ParamValidators.in_array(["all", "sqrt"]))
+    parallelism = IntParam(
+        "parallelism", "Concurrent tree fits (driver threads submitting "
+        "independent Spark jobs).  Trees are deterministic and "
+        "independent — results are identical at any value.", 1,
+        ParamValidators.gt(0))
 
     def fit(self, *inputs: DataFrame) -> "RandomForestRegressorModel":
         (df,) = inputs
@@ -81,8 +87,7 @@ class RandomForestRegressor(Estimator, HasFeaturesCol, HasLabelCol,
             minInstancesPerNode=int(self.get_("minInstancesPerNode")),
             labelScale=int(self.get_("labelScale")),
             binStrategy=self.get_("binStrategy"))
-        trees = []
-        for t in range(int(self.get_("numTrees"))):
+        def fit_tree(t: int) -> dict:
             sub = df.filter(_keep_pct(self.get_("idCol"), salt0 + t, pct))
             if self.get_("featureSubset") == "sqrt":
                 k = max(1, int(dim ** 0.5))
@@ -105,7 +110,16 @@ class RandomForestRegressor(Estimator, HasFeaturesCol, HasLabelCol,
             for info in nodes.values():  # remap to original indices
                 if "feat" in info:
                     info["feat"] = chosen[info["feat"]]
-            trees.append(nodes)
+            return nodes
+
+        n_trees = int(self.get_("numTrees"))
+        par = int(self.get_("parallelism"))
+        if par <= 1:
+            trees = [fit_tree(t) for t in range(n_trees)]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=par) as pool:
+                trees = list(pool.map(fit_tree, range(n_trees)))
         model = RandomForestRegressorModel()
         model.set_(featuresCol=fcol,
                    predictionCol=self.get_("predictionCol"))

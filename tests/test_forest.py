@@ -75,3 +75,18 @@ def test_forest_persistence_and_local_parity(spark, tmp_path):
         spark.createDataFrame([([0.5, 0.5],), ([0.0, 1.0],)],
                               "features array<double>"))[0].collect()]
     assert list(loc["prediction"]) == pytest.approx(want, abs=1e-12)
+
+
+def test_forest_parallel_fit_identical(spark):
+    rows = []
+    for i in range(400):
+        x0, x1 = (i % 20) / 20.0, (i // 20) / 20.0
+        rows.append((i, [x0, x1],
+                     10.0 if x0 <= 0.5 else (20.0 if x1 <= 0.3 else 30.0)))
+    df = spark.createDataFrame(
+        rows, "id long, features array<double>, label double")
+    from flink_ml_spark.regression import RandomForestRegressor
+    seq = RandomForestRegressor(numTrees=4, maxDepth=2, maxBins=8).fit(df)
+    par = RandomForestRegressor(numTrees=4, maxDepth=2, maxBins=8,
+                                parallelism=4).fit(df)
+    assert seq.model_data["trees"] == par.model_data["trees"]
