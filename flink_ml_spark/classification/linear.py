@@ -20,11 +20,12 @@ from pyspark.sql import DataFrame, functions as F
 from ..api import Estimator, Model
 from ..common import vector as V
 from ..common.optimizer import (BinaryLogisticLoss, HingeLoss,
-                                LeastSquareLoss, dot_lit, sgd)
-from ..param import (HasElasticNet, HasFeaturesCol, HasGlobalBatchSize,
-                     HasLabelCol, HasLearningRate, HasMaxIter, HasMultiClass,
-                     HasPredictionCol, HasRawPredictionCol, HasReg, HasTol,
-                     HasWeightCol, IntParam, ParamValidators)
+                                LeastSquareLoss, PinballLoss, dot_lit, sgd)
+from ..param import (FloatParam, HasElasticNet, HasFeaturesCol,
+                     HasGlobalBatchSize, HasLabelCol, HasLearningRate,
+                     HasMaxIter, HasMultiClass, HasPredictionCol,
+                     HasRawPredictionCol, HasReg, HasTol, HasWeightCol,
+                     IntParam, ParamValidators)
 
 
 class _LinearEstimatorBase(Estimator, HasFeaturesCol, HasLabelCol, HasWeightCol,
@@ -156,3 +157,21 @@ class LinearRegressionModel(_LinearModelBase):
 class LinearRegression(_LinearEstimatorBase):
     _loss = LeastSquareLoss
     _model_cls = LinearRegressionModel
+
+
+class QuantileRegressor(_LinearEstimatorBase):
+    """Linear quantile regression: minimizes the pinball loss, so the
+    fitted line predicts the τ-th CONDITIONAL QUANTILE of the label —
+    the robust complement of LinearRegression's conditional mean
+    (p99-latency models, demand upper bounds, heavy-tailed labels).
+    Same SGD driver loop, model, and serving path as the other linear
+    learners; with ``weightRounding`` the fit replays exactly in SQL."""
+
+    tau = FloatParam("tau", "Quantile level τ in (0, 1).", 0.5,
+                     ParamValidators.in_range(0, 1, lower_inclusive=False,
+                                              upper_inclusive=False))
+    _model_cls = LinearRegressionModel
+
+    def fit(self, *inputs):
+        self._loss = PinballLoss(float(self.get_("tau")))
+        return super().fit(*inputs)

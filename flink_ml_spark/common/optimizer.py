@@ -131,6 +131,35 @@ HingeLoss = LossFunc("hinge")
 LeastSquareLoss = LossFunc("squared")
 
 
+class PinballLoss(LossFunc):
+    """Quantile (pinball) loss τ·max(y−m, 0) + (1−τ)·max(m−y, 0) —
+    minimizing it fits the τ-th conditional quantile (Koenker &
+    Bassett 1978).  The subgradient at m == y follows the m ≥ y branch
+    (1−τ), a fixed choice so SQL replays match the engine exactly;
+    like the hinge residual, the discontinuity is absorbed by the
+    per-round weight grid (weightRounding)."""
+
+    def __init__(self, tau: float):
+        self.name = "pinball"
+        self.tau = float(tau)
+
+    def residual(self, margin: Column, label: Column) -> Column:
+        # under-prediction (m < y): dL/dm = −τ; else +(1−τ)
+        return F.when(margin < label, F.lit(-self.tau)) \
+            .otherwise(F.lit(1.0 - self.tau))
+
+    def loss(self, margin: Column, label: Column) -> Column:
+        return F.when(margin < label, (label - margin) * self.tau) \
+            .otherwise((margin - label) * (1.0 - self.tau))
+
+    def residual_np(self, margin: np.ndarray, label: np.ndarray) -> np.ndarray:
+        return np.where(margin < label, -self.tau, 1.0 - self.tau)
+
+    def loss_np(self, margin: np.ndarray, label: np.ndarray) -> np.ndarray:
+        return np.where(margin < label, (label - margin) * self.tau,
+                        (margin - label) * (1.0 - self.tau))
+
+
 def sgd(df: DataFrame, features_col: str, label_col: str, weight_col: str | None,
         loss: LossFunc, dim: int | None = None, *, max_iter: int = 20,
         learning_rate: float = 0.1,

@@ -110,6 +110,40 @@ LINEAR_REGRESSION_SQL = _gd_cte(
     out=SQL_Q4.format("({margin})") + " AS pred",
     label_sql="l_extendedprice / 100000.0")
 
+
+QR_TAU = 0.8
+
+
+def quantile_regression(spark, sf_dir):
+    """QuantileRegressor (pinball loss, τ=0.8): the fitted line tracks
+    the 80th conditional percentile of the price label — the robust
+    sibling of linear_regression's mean.  Same 12-dp GD grid → the
+    oracle replays the fit with the pinball subgradient CASE (the
+    τ−1 / 1−τ constants differ between engines only in the last ulp,
+    absorbed by the per-round round(…, 12) like the rest of the GD
+    discipline)."""
+    from ..regression import QuantileRegressor
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        F.array(F.col("l_quantity") / 50, F.col("l_discount") * 10,
+                F.col("l_tax") * 10, F.lit(1.0)).alias("features"),
+        (F.col("l_extendedprice") / 100000.0).alias("label"))
+    m = QuantileRegressor(tau=QR_TAU, maxIter=GD_ITERS,
+                          learningRate=GD_LR, tol=0.0,
+                          globalBatchSize=1 << 40,
+                          weightRounding=12).fit(df)
+    return m.transform(df)[0].select(
+        *KEY, q4(F.col("prediction")).alias("pred"))
+
+
+_PINBALL_RES = (f"CASE WHEN ({{margin}}) < y THEN -{QR_TAU} "
+                f"ELSE 1.0 - {QR_TAU} END")
+QUANTILE_REGRESSION_SQL = _gd_cte(
+    _PINBALL_RES, GD_ITERS, GD_LR,
+    out=SQL_Q4.format("({margin})") + " AS pred",
+    label_sql="l_extendedprice / 100000.0")
+
 # --- NaiveBayes -------------------------------------------------------------
 # categorical features from lineitem; prediction = argmax_y log P(y) +
 # Σ_f log((cnt+s)/(label_cnt+s*arity_f)); ties → smallest label.
@@ -1700,6 +1734,7 @@ QUERIES = {
     "paired_ttest": (paired_ttest, PAIRED_TTEST_SQL),
     "conformal_interval": (conformal_interval, CONFORMAL_SQL),
     "platt_calibration": (platt_calibration, PLATT_SQL),
+    "quantile_regression": (quantile_regression, QUANTILE_REGRESSION_SQL),
     "target_encoding": (target_encoding, TARGET_ENCODING_SQL),
     "sliced_auc": (sliced_auc, SLICED_AUC_SQL),
     "swing": (swing, SWING_SQL),

@@ -1,4 +1,6 @@
-from ..classification.linear import LinearRegression, LinearRegressionModel
+from ..classification.linear import (LinearRegression,
+                                     LinearRegressionModel,
+                                     QuantileRegressor)
 from .conformal import ConformalRegressor, ConformalRegressorModel
 from .isotonic import IsotonicRegression, IsotonicRegressionModel
 from .platt import PlattCalibrator, PlattCalibratorModel
@@ -8,6 +10,7 @@ from .tree import (DecisionTreeClassifier, DecisionTreeClassifierModel,
                    DecisionTreeRegressor, DecisionTreeRegressorModel)
 
 __all__ = ["LinearRegression", "LinearRegressionModel",
+           "QuantileRegressor",
            "ConformalRegressor", "ConformalRegressorModel",
            "IsotonicRegression", "IsotonicRegressionModel",
            "PlattCalibrator", "PlattCalibratorModel",

@@ -293,3 +293,22 @@ def test_isotonic_regression_predict_interpolates(spark, tmp_path):
     mf = IsotonicRegression(featureCol="feature").fit(noisy)
     vals = mf.model_data["values"]
     assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_quantile_regressor_tracks_quantiles(spark):
+    """Constant-feature data with an asymmetric label distribution:
+    the tau-quantile fit must land near the empirical tau-quantile,
+    and tau=0.9 must sit above tau=0.5."""
+    from flink_ml_spark.regression import QuantileRegressor
+    rows = [([1.0], float(v)) for v in
+            [0, 0, 0, 0, 0, 0, 0, 1, 2, 10] * 40]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    preds = {}
+    for tau in (0.5, 0.9):
+        m = QuantileRegressor(tau=tau, maxIter=200, learningRate=0.5,
+                              tol=0.0, globalBatchSize=1 << 40).fit(df)
+        preds[tau] = float(m.model_data["coefficient"][0])
+    # empirical: q50 = 0, q90 in (2, 10]
+    assert abs(preds[0.5]) < 0.3, preds
+    assert 1.0 < preds[0.9] < 10.0, preds
+    assert preds[0.9] > preds[0.5]
