@@ -77,9 +77,20 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
         ParamValidators.in_array(["uniform", "quantile"]))
     exactQuantiles = BoolParam(
         "exactQuantiles", "binStrategy='quantile' only: exact "
-        "percentile edges (full-sort aggregate — small-data / "
+        "percentile edges (buffers every value — small-data / "
         "oracle-parity path) instead of the mergeable approx_percentile "
-        "sketch that scales.", False)
+        "sketch whose state stays bounded at any scale.", False)
+    quantileAccuracy = IntParam(
+        "quantileAccuracy", "approx_percentile accuracy (1/eps) for "
+        "quantile bin edges.  Bin placement only needs ~bins-level "
+        "rank resolution, and sketch update cost grows with accuracy "
+        "(64-dim × 1M rows, warm: acc 10000 ≈ 187s, 1000 ≈ 19s, "
+        "200 ≈ 5s vs exact 1.6s — tools/scale_probe11.py), so default "
+        "to ~2 bins of slack at maxBins=128 and raise only for very "
+        "large maxBins.  Exact percentile is faster LOCALLY but "
+        "buffers the entire column in one final aggregation group — "
+        "infeasible at corpus scale, which is why the bounded sketch "
+        "is the default.", 200, ParamValidators.gt(0))
 
     def fit(self, *inputs: DataFrame) -> "DecisionTreeRegressorModel":
         (df,) = inputs
@@ -113,8 +124,11 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                      for b in range(bins - 1)])
         else:
             probs = [b / bins for b in range(1, bins)]
-            qf = F.percentile if self.get_("exactQuantiles") \
-                else F.percentile_approx
+            if self.get_("exactQuantiles"):
+                qf = lambda c, p: F.percentile(c, p)
+            else:
+                acc = F.lit(int(self.get_("quantileAccuracy")))
+                qf = lambda c, p: F.percentile_approx(c, p, acc)
             r = base.agg(*[qf(F.col("x")[i],
                               F.lit([float(p) for p in probs]))
                            .alias(f"q{i}") for i in range(dim)]).first()

@@ -58,19 +58,31 @@ def main() -> None:
 
     print(f"dim={DIM} bins={BINS} comparisons={DIM * (BINS - 1)} "
           f"(codegen limit {_CODEGEN_BIN_LIMIT})")
+    # warm the Arrow worker pool + codegen templates OUTSIDE the timed
+    # region (the first fit otherwise pays ~100s of one-time JVM/worker
+    # startup and the comparison reads as a sketch regression)
+    DecisionTreeRegressor(maxDepth=2, maxBins=BINS,
+                          binStrategy="quantile").fit(synth(20_000, DIM))
+
+    def timed_fit(df, **kw) -> float:
+        # min-of-2: first-position fits absorb residual JIT/codegen
+        # cold costs that otherwise mis-attribute to the variant
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            DecisionTreeRegressor(maxDepth=3, maxBins=BINS,
+                                  binStrategy="quantile", **kw).fit(df)
+            best = min(best, time.time() - t0)
+        return best
+
     for n in SIZES:
         df = synth(n, DIM).localCheckpoint(eager=True)
-        t0 = time.time()
-        DecisionTreeRegressor(maxDepth=3, maxBins=BINS,
-                              binStrategy="quantile").fit(df)
-        approx_t = time.time() - t0
-        t0 = time.time()
-        DecisionTreeRegressor(maxDepth=3, maxBins=BINS,
-                              binStrategy="quantile",
-                              exactQuantiles=True).fit(df)
-        exact_t = time.time() - t0
+        approx_t = timed_fit(df)
+        exact_t = timed_fit(df, exactQuantiles=True)
         print(f"rows={n}: approx-sketch fit {approx_t:.1f}s, "
-              f"exact-percentile fit {exact_t:.1f}s")
+              f"exact-percentile fit {exact_t:.1f}s, min-of-2 "
+              f"(sketch state bounded at any scale; exact buffers the "
+              f"whole column in ONE final agg group — local-only)")
         df.unpersist()
 
     # bin-path parity at a both-feasible shape: same tree, either path
