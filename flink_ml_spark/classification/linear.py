@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..api import Estimator, Model
 from ..common import vector as V
-from ..common.optimizer import (BinaryLogisticLoss, HingeLoss,
+from ..common.optimizer import (BinaryLogisticLoss, HingeLoss, HuberLoss,
                                 LeastSquareLoss, PinballLoss, dot_lit, sgd)
 from ..param import (FloatParam, HasElasticNet, HasFeaturesCol,
                      HasGlobalBatchSize, HasLabelCol, HasLearningRate,
@@ -157,6 +157,24 @@ class LinearRegressionModel(_LinearModelBase):
 class LinearRegression(_LinearEstimatorBase):
     _loss = LeastSquareLoss
     _model_cls = LinearRegressionModel
+
+
+class HuberRegressor(_LinearEstimatorBase):
+    """Robust linear regression: squared loss near the fit, linear in
+    the tails (Huber 1964) — outlier rows contribute a BOUNDED gradient
+    (±δ) instead of pulling the fit with their full residual.  Same SGD
+    loop / model / serving as LinearRegression; with ``weightRounding``
+    the fit replays exactly in SQL (the clamp is a continuous
+    greatest/least, no subgradient convention needed)."""
+
+    delta = FloatParam("delta", "Transition point δ between squared "
+                       "and linear loss (label units).", 1.0,
+                       ParamValidators.gt(0))
+    _model_cls = LinearRegressionModel
+
+    def fit(self, *inputs):
+        self._loss = HuberLoss(float(self.get_("delta")))
+        return super().fit(*inputs)
 
 
 class QuantileRegressor(_LinearEstimatorBase):

@@ -131,6 +131,34 @@ HingeLoss = LossFunc("hinge")
 LeastSquareLoss = LossFunc("squared")
 
 
+class HuberLoss(LossFunc):
+    """Huber loss: squared near the fit, linear in the tails — the
+    robust-regression default (Huber 1964).  dL/dm = clamp(m−y, −δ, δ),
+    continuous, so no subgradient convention is needed."""
+
+    def __init__(self, delta: float):
+        self.name = "huber"
+        self.delta = float(delta)
+
+    def residual(self, margin: Column, label: Column) -> Column:
+        d = F.lit(self.delta)
+        return F.greatest(-d, F.least(d, margin - label))
+
+    def loss(self, margin: Column, label: Column) -> Column:
+        d = self.delta
+        a = F.abs(margin - label)
+        return F.when(a <= d, a * a * 0.5) \
+            .otherwise(d * (a - 0.5 * d))
+
+    def residual_np(self, margin: np.ndarray, label: np.ndarray) -> np.ndarray:
+        return np.clip(margin - label, -self.delta, self.delta)
+
+    def loss_np(self, margin: np.ndarray, label: np.ndarray) -> np.ndarray:
+        a = np.abs(margin - label)
+        return np.where(a <= self.delta, 0.5 * a * a,
+                        self.delta * (a - 0.5 * self.delta))
+
+
 class PinballLoss(LossFunc):
     """Quantile (pinball) loss τ·max(y−m, 0) + (1−τ)·max(m−y, 0) —
     minimizing it fits the τ-th conditional quantile (Koenker &

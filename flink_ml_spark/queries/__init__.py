@@ -105,6 +105,7 @@ def all_queries():
         # r07 head 3b: brand-new queries this round
         "platt_calibration", "decision_tree_splits",
         "llm_prep_pipeline_v14", "quantile_regression",
+        "huber_regression",
         # r07 head 4: oldest-evidence rotation (r03 cohort; VERDICT r06
         # item 7) fills the remaining cap slots
         "tokenizer", "tfidf", "count_vectorizer", "kmeans",

@@ -144,6 +144,37 @@ QUANTILE_REGRESSION_SQL = _gd_cte(
     out=SQL_Q4.format("({margin})") + " AS pred",
     label_sql="l_extendedprice / 100000.0")
 
+
+HUBER_DELTA = 0.25
+
+
+def huber_regression(spark, sf_dir):
+    """HuberRegressor (δ=0.25): robust conditional-mean fit — outlier
+    rows contribute a bounded ±δ gradient.  The clamp residual is a
+    continuous greatest/least, so the 12-dp GD replay needs no
+    subgradient convention at all."""
+    from ..regression import HuberRegressor
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        *KEY,
+        F.array(F.col("l_quantity") / 50, F.col("l_discount") * 10,
+                F.col("l_tax") * 10, F.lit(1.0)).alias("features"),
+        (F.col("l_extendedprice") / 100000.0).alias("label"))
+    m = HuberRegressor(delta=HUBER_DELTA, maxIter=GD_ITERS,
+                       learningRate=GD_LR, tol=0.0,
+                       globalBatchSize=1 << 40,
+                       weightRounding=12).fit(df)
+    return m.transform(df)[0].select(
+        *KEY, q4(F.col("prediction")).alias("pred"))
+
+
+_HUBER_RES = (f"GREATEST(-{HUBER_DELTA}, "
+              f"LEAST({HUBER_DELTA}, ({{margin}}) - y))")
+HUBER_REGRESSION_SQL = _gd_cte(
+    _HUBER_RES, GD_ITERS, GD_LR,
+    out=SQL_Q4.format("({margin})") + " AS pred",
+    label_sql="l_extendedprice / 100000.0")
+
 # --- NaiveBayes -------------------------------------------------------------
 # categorical features from lineitem; prediction = argmax_y log P(y) +
 # Σ_f log((cnt+s)/(label_cnt+s*arity_f)); ties → smallest label.
@@ -1735,6 +1766,7 @@ QUERIES = {
     "conformal_interval": (conformal_interval, CONFORMAL_SQL),
     "platt_calibration": (platt_calibration, PLATT_SQL),
     "quantile_regression": (quantile_regression, QUANTILE_REGRESSION_SQL),
+    "huber_regression": (huber_regression, HUBER_REGRESSION_SQL),
     "target_encoding": (target_encoding, TARGET_ENCODING_SQL),
     "sliced_auc": (sliced_auc, SLICED_AUC_SQL),
     "swing": (swing, SWING_SQL),

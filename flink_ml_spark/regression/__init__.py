@@ -1,4 +1,4 @@
-from ..classification.linear import (LinearRegression,
+from ..classification.linear import (HuberRegressor, LinearRegression,
                                      LinearRegressionModel,
                                      QuantileRegressor)
 from .conformal import ConformalRegressor, ConformalRegressorModel
@@ -10,7 +10,7 @@ from .tree import (DecisionTreeClassifier, DecisionTreeClassifierModel,
                    DecisionTreeRegressor, DecisionTreeRegressorModel)
 
 __all__ = ["LinearRegression", "LinearRegressionModel",
-           "QuantileRegressor",
+           "QuantileRegressor", "HuberRegressor",
            "ConformalRegressor", "ConformalRegressorModel",
            "IsotonicRegression", "IsotonicRegressionModel",
            "PlattCalibrator", "PlattCalibratorModel",

@@ -312,3 +312,23 @@ def test_quantile_regressor_tracks_quantiles(spark):
     assert abs(preds[0.5]) < 0.3, preds
     assert 1.0 < preds[0.9] < 10.0, preds
     assert preds[0.9] > preds[0.5]
+
+
+def test_huber_regressor_bounds_outlier_influence(spark):
+    """y = 2x with 5% wild outliers: the Huber fit must stay near slope
+    2 while plain least squares is dragged away."""
+    from flink_ml_spark.regression import HuberRegressor, LinearRegression
+    rows = []
+    for i in range(400):
+        x = (i % 100) / 100.0
+        y = 2.0 * x if i % 20 != 7 else 200.0
+        rows.append(([x], float(y)))
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    hub = HuberRegressor(delta=0.5, maxIter=300, learningRate=0.5,
+                         tol=0.0, globalBatchSize=1 << 40).fit(df)
+    ols = LinearRegression(maxIter=300, learningRate=0.5, tol=0.0,
+                           globalBatchSize=1 << 40).fit(df)
+    w_h = float(hub.model_data["coefficient"][0])
+    w_o = float(ols.model_data["coefficient"][0])
+    assert abs(w_h - 2.0) < 1.0, (w_h, w_o)
+    assert abs(w_o - 2.0) > 5.0, (w_h, w_o)  # OLS dragged by outliers
