@@ -187,6 +187,7 @@ class _TunerBase(Estimator, HasLabelCol, HasPredictionCol):
         # round-trips the stage list — parallelism > 1 over Pipelines
         # is the common tuning case
         if type(self.estimator).load.__func__ is not Stage.load.__func__:
+            import atexit
             import shutil
             import tempfile
             from pyspark.sql import SparkSession
@@ -196,12 +197,14 @@ class _TunerBase(Estimator, HasLabelCol, HasPredictionCol):
                     "parallelism > 1 needs an active SparkSession to "
                     "clone a composite estimator via persistence")
             d = tempfile.mkdtemp(prefix="tuner_clone_")
-            try:
-                p = os.path.join(d, "est")
-                self.estimator.save(p)
-                return Stage.load(spark, p)
-            finally:
-                shutil.rmtree(d, ignore_errors=True)
+            # cleanup is DEFERRED to process exit: loaded stages read
+            # parquet model data LAZILY (e.g. a pre-fitted model stage
+            # inside the Pipeline), so deleting the dir here would
+            # fail the clone's first fit with file-not-found
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+            p = os.path.join(d, "est")
+            self.estimator.save(p)
+            return Stage.load(spark, p)
         est = type(self.estimator)()
         est.load_params_json(self.estimator.params_json())
         return est
