@@ -45,7 +45,8 @@ HEADLINE = [
     "variance_threshold", "univariate_feature_selector", "winsorize",
     "rare_collapse",
     "naive_bayes", "als", "decision_tree", "gbt", "decision_tree_cls",
-    "random_forest",
+    "random_forest", "decision_tree_splits",
+    "quantile_regression", "huber_regression", "platt_calibration",
     "target_encoding",
     "chisq_test",
     "anova_test",
@@ -102,6 +103,7 @@ HEADLINE = [
     "llm_prep_pipeline_v8", "profile_by_source",
     "llm_prep_pipeline_v9", "llm_prep_pipeline_v10", "llm_prep_pipeline_v11",
     "llm_prep_pipeline_v12", "llm_prep_pipeline_v13",
+    "llm_prep_pipeline_v14",
 ]
 
 # the round-1 headline set, for like-for-like round-over-round subtotals
