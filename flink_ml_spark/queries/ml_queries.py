@@ -1166,12 +1166,15 @@ def cross_validation(spark, sf_dir):
 
 
 CROSS_VALIDATION_SQL = """
-WITH e AS (
+WITH eh AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) v, CAST(label AS DOUBLE) y,
-         CAST((((((vec_id % 2147483648) + 2147483648) % 2147483648)
-                * 2654435761 + 7) % 2147483648 + 2147483648)
-              % 2147483648 % 3 AS INT) AS f
+         (((((vec_id % 2147483648) + 2147483648) % 2147483648)
+           * 2654435761 + 7) % 2147483648 + 2147483648)
+         % 2147483648 AS h
   FROM embeddings),
+e AS (SELECT vec_id, v, y,
+             CAST(xor(h, h >> 16) % 3 AS INT) AS f
+      FROM eh),
 params AS (SELECT * FROM (VALUES (0, 1), (1, 5)) AS t(pi, k)),
 -- distances and neighbor ranks are param-independent: compute once,
 -- slice per k

@@ -219,11 +219,13 @@ def cv_probe_folds(spark, sf_dir):
 
 
 CV_PROBE_FOLDS_SQL = """
-SELECT CAST((((((vec_id % 2147483648) + 2147483648) % 2147483648)
-              * 2654435761 + 7) % 2147483648 + 2147483648)
-            % 2147483648 % 3 AS INT) AS fold,
-       count(*) AS n
-FROM embeddings GROUP BY 1
+WITH eh AS (
+  SELECT (((((vec_id % 2147483648) + 2147483648) % 2147483648)
+           * 2654435761 + 7) % 2147483648 + 2147483648)
+         % 2147483648 AS h
+  FROM embeddings)
+SELECT CAST(xor(h, h >> 16) % 3 AS INT) AS fold, count(*) AS n
+FROM eh GROUP BY 1
 """
 
 
@@ -251,12 +253,14 @@ def cv_probe_cell(spark, sf_dir):
 
 
 CV_PROBE_CELL_SQL = """
-WITH e AS (
+WITH eh AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) v, CAST(label AS DOUBLE) y,
-         CAST((((((vec_id % 2147483648) + 2147483648) % 2147483648)
-                * 2654435761 + 7) % 2147483648 + 2147483648)
-              % 2147483648 % 3 AS INT) AS f
+         (((((vec_id % 2147483648) + 2147483648) % 2147483648)
+           * 2654435761 + 7) % 2147483648 + 2147483648)
+         % 2147483648 AS h
   FROM embeddings),
+e AS (SELECT vec_id, v, y, CAST(xor(h, h >> 16) % 3 AS INT) AS f
+      FROM eh),
 nn AS (
   SELECT qid, qy, ny FROM (
     SELECT a.vec_id AS qid, a.y AS qy, b.y AS ny,

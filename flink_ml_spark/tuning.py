@@ -21,7 +21,9 @@ discipline:
 
 ``metric`` options: ``"accuracy"`` (mean of ``prediction == label``),
 ``"n_correct"`` (integer count — the bit-exact choice for cross-engine
-gates), ``"rmse"``, ``"mae"`` (lower is better, handled automatically).
+gates), ``"rmse"``, ``"mae"`` (lower is better, handled automatically),
+``"auc"`` (tie-aware ranking quality over ``rawPredictionCol`` — the
+Mann–Whitney midrank identity, nothing collected).
 A custom callable ``metric_fn(model, test_df) -> float`` overrides the
 built-ins (not persisted — models saved from a callable-metric CV
 reload with the callable absent).
@@ -46,6 +48,35 @@ _HASH_MULT = 2654435761
 _LOWER_IS_BETTER = {"rmse", "mae"}
 
 
+def _auc_of(scored: DataFrame, label_col: str, raw_col: str) -> float:
+    """Tie-aware AUC via the Mann–Whitney midrank identity — one
+    groupBy(score) plus a fold-sized window cumsum, nothing collected
+    (the BinaryClassificationEvaluator / sliced-AUC geometry)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType
+    raw = F.col(raw_col)
+    if isinstance(scored.schema[raw_col].dataType, ArrayType):
+        raw = F.element_at(raw, -1)  # P(class 1) convention
+    base = (scored.select(raw.cast("double").alias("s"),
+                          F.col(label_col).cast("double").alias("y"))
+            .filter(F.col("s").isNotNull() & F.col("y").isNotNull()))
+    g = base.groupBy("s").agg(F.sum("y").alias("pos"),
+                              F.count(F.lit(1)).alias("tot"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.withColumn(
+        "m2", 2 * (F.sum("tot").over(w) - F.col("tot"))
+        + F.col("tot") + 1)
+    row = r.agg(F.sum("pos").alias("p"),
+                F.sum(F.col("tot") - F.col("pos")).alias("n"),
+                F.sum(F.col("pos") * F.col("m2")).alias("r2")).first()
+    p, n = float(row["p"] or 0.0), float(row["n"] or 0.0)
+    if p == 0.0 or n == 0.0:
+        raise ValueError(
+            "metric 'auc': validation fold has a single class "
+            "(needs both positives and negatives)")
+    return (float(row["r2"]) / 2.0 - p * (p + 1) / 2.0) / (p * n)
+
+
 class ParamGridBuilder:
     """Cartesian product of per-param value lists, in insertion order
     (Spark MLlib's ``ParamGridBuilder``): ``add_grid("k", [1, 5])
@@ -68,11 +99,20 @@ class ParamGridBuilder:
 
 def fold_column(id_col: str, num_folds: int, salt: int):
     """Deterministic fold id 0..num_folds−1 from an integer id column —
-    exported so SQL oracles and callers can replay the split."""
+    exported so SQL oracles and callers can replay the split.
+
+    The LCG hash is XOR-folded with its own high bits before the modulo:
+    a multiplicative hash has WEAK LOW BITS (bit 0 of ``id·A + salt`` is
+    just a parity flip of ``id``), so the plain ``% 2`` fold split
+    degenerated to odd/even ids — which on alternating-label data is
+    exactly the class split.  ``h ^ (h >> 16)`` mixes the strong high
+    bits into the residue for any fold count."""
     idc = F.col(id_col)
     inner = ((idc % _HASH_MOD) + _HASH_MOD) % _HASH_MOD
-    return (((inner * _HASH_MULT + F.lit(salt)) % _HASH_MOD + _HASH_MOD)
-            % _HASH_MOD % num_folds).cast("int")
+    h = ((inner * _HASH_MULT + F.lit(salt)) % _HASH_MOD + _HASH_MOD) \
+        % _HASH_MOD
+    mixed = h.bitwiseXOR(F.shiftright(h, 16))
+    return (mixed % num_folds).cast("int")
 
 
 def _param_targets(est: Estimator, pm: dict[str, Any]):
@@ -106,12 +146,15 @@ def _restore_params(undo) -> None:
         s.set_(**{n: v})
 
 
-def _builtin_metric(name: str, label_col: str, pred_col: str):
+def _builtin_metric(name: str, label_col: str, pred_col: str,
+                    raw_col: str = "rawPrediction"):
     y = F.col(label_col).cast("double")
     p = F.col(pred_col).cast("double")
 
     def fn(model: Model, test: DataFrame) -> float:
         scored = model.transform(test)[0]
+        if name == "auc":
+            return _auc_of(scored, label_col, raw_col)
         if name == "accuracy":
             agg = F.avg((y == p).cast("double"))
         elif name == "n_correct":
@@ -144,9 +187,15 @@ class _TunerBase(Estimator, HasLabelCol, HasPredictionCol):
         "leakage-safe split when rows within a group are correlated, "
         "e.g. chunks of one document).  Empty = row-level folds.", "")
     foldSalt = IntParam("foldSalt", "Split-hash salt.", 7)
-    metric = StringParam("metric", "accuracy | n_correct | rmse | mae.",
+    metric = StringParam("metric",
+                         "accuracy | n_correct | rmse | mae | auc.",
                          "accuracy", ParamValidators.in_array(
-                             ["accuracy", "n_correct", "rmse", "mae"]))
+                             ["accuracy", "n_correct", "rmse", "mae",
+                              "auc"]))
+    rawPredictionCol = StringParam(
+        "rawPredictionCol", "Continuous score column metric='auc' "
+        "ranks by (array columns use their LAST element — the "
+        "P(class 1) convention).", "rawPrediction")
     parallelism = IntParam(
         "parallelism", "Concurrent (param map, fold) fits — driver "
         "threads submitting independent Spark jobs (Spark schedules "
@@ -168,7 +217,8 @@ class _TunerBase(Estimator, HasLabelCol, HasPredictionCol):
             return self.metric_fn, True
         name = self.get_("metric")
         return (_builtin_metric(name, self.get_("labelCol"),
-                                self.get_("predictionCol")),
+                                self.get_("predictionCol"),
+                                self.get_("rawPredictionCol")),
                 name not in _LOWER_IS_BETTER)
 
     def _fit_with(self, pm: dict[str, Any], df: DataFrame) -> Model:

@@ -182,3 +182,43 @@ def test_group_kfold_keeps_groups_intact(spark, labeled):
              .groupBy("grp")
              .agg(F.countDistinct("f").alias("nf")).collect())
     assert all(r["nf"] == 1 for r in folds)
+
+
+def test_auc_metric_matches_evaluator_and_selects(spark, labeled):
+    from flink_ml_spark.classification import LogisticRegression
+    from flink_ml_spark.evaluation import BinaryClassificationEvaluator
+    from flink_ml_spark.tuning import _auc_of
+
+    # direct parity: _auc_of == BinaryClassificationEvaluator's AUC on
+    # a hand-scored frame with ties
+    scored = spark.createDataFrame(
+        [(0.1, 0.0), (0.4, 0.0), (0.4, 1.0), (0.8, 1.0), (0.9, 1.0),
+         (0.1, 1.0)], "raw double, label double")
+    got = _auc_of(scored, "label", "raw")
+    ev = BinaryClassificationEvaluator(labelCol="label",
+                                       rawPredictionCol="raw")
+    want = ev.transform(scored)[0].select("areaUnderROC").first()[0]
+    assert abs(got - want) < 1e-12, (got, want)
+
+    # CV selection on auc over LogisticRegression: runs end-to-end and
+    # reports per-fold AUCs in [0.5, 1] on the separable fixture
+    cv = CrossValidator(
+        LogisticRegression(maxIter=20, learningRate=0.5,
+                           globalBatchSize=1 << 40),
+        [{"maxIter": 1}, {"maxIter": 20}], numFolds=2, metric="auc")
+    # numFolds=2 is itself the regression case: before the high-bit
+    # XOR mix, the LCG's %2 fold was id parity == the class split here
+    m = cv.fit(labeled)
+    aucs = [a for pf in m.model_data["fold_metrics"] for a in pf]
+    assert all(0.0 <= a <= 1.0 for a in aucs)
+    assert max(aucs) > 0.95  # separable classes rank cleanly
+
+
+def test_fold_column_even_k_not_parity(spark, labeled):
+    """The LCG's low bit is a parity flip of the id; the XOR-fold of
+    high bits must break that: with numFolds=2, both folds must contain
+    BOTH classes of the alternating-label fixture."""
+    mix = (labeled.withColumn("f", fold_column("id", 2, 7))
+           .groupBy("f")
+           .agg(F.countDistinct("label").alias("nl")).collect())
+    assert len(mix) == 2 and all(r["nl"] == 2 for r in mix), mix
