@@ -49,6 +49,15 @@ def _pack_blocks(batches):
 
 class Knn(Estimator, HasFeaturesCol, HasLabelCol, HasPredictionCol):
     k = IntParam("k", "Number of neighbors.", 5, ParamValidators.gt(0))
+    # the brute-force model broadcasts the WHOLE packed train set to every
+    # task (reference parity: Knn.java does the same) — that is only sane
+    # for index-sized train sets, so fail fast past a value budget instead
+    # of silently OOM-ing executors (mirrors ALSModel.recommend_for_users'
+    # 2M-item broadcast cap)
+    maxModelValues = IntParam(
+        "maxModelValues", "Fail-fast cap on rows × dim packed into the "
+        "broadcast model (use an ANN index — e.g. IVFIndex — for larger "
+        "train sets).", 4_000_000, ParamValidators.gt(0))
 
     def fit(self, *inputs: DataFrame) -> "KnnModel":
         (df,) = inputs
@@ -57,6 +66,17 @@ class Knn(Estimator, HasFeaturesCol, HasLabelCol, HasPredictionCol):
             F.col(self.get_("labelCol")).cast("double").alias("y"))
         blocks = src.mapInPandas(_pack_blocks, _BLOCK_SCHEMA).persist()
         blocks.count()  # fit is an action: materialize the packed blocks
+        n_values = blocks.agg(
+            F.sum(F.col("n") * F.col("dim"))).first()[0] or 0
+        cap = int(self.get_("maxModelValues"))
+        if n_values > cap:
+            blocks.unpersist()
+            raise ValueError(
+                f"Knn.fit: train set packs {n_values} values (rows x dim) "
+                f"but the broadcast model cap is {cap} (maxModelValues); "
+                f"brute-force kNN broadcasts the whole train set to every "
+                f"task — use an ANN index (IVFIndex / HyperplaneLSH) for "
+                f"train sets this large")
         model = KnnModel()
         model.set_(featuresCol=self.get_("featuresCol"),
                    predictionCol=self.get_("predictionCol"))

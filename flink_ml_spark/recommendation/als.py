@@ -11,10 +11,12 @@ ALS``; Koren/Bell/Volinsky 2009).  Explicit-feedback ALS: alternate
 **Bit-deterministic by construction** (the MutualInformation /
 Spearman determinism discipline, applied to iterative training):
 factors live on a fixed-point micro grid (``factorScale`` decimals,
-default 6) and every normal-equation sum runs as an EXACT
-``decimal(38,0)`` integer aggregate — the sums are associative, so
-partition order cannot move a single ulp, and two engines (or two
-cluster sizes) produce identical factors.  The per-entry solve then
+default 6) and every normal-equation sum runs as an EXACT integer
+aggregate — long×long when a per-half-step bound aggregate PROVES no
+int64 overflow is possible (the fast lane; see ``_sum_cols``), else
+``decimal(38,0)``.  Integer sums are associative, so partition order
+cannot move a single ulp, and two engines (or two cluster sizes)
+produce identical factors.  The per-entry solve then
 runs on bit-identical doubles and re-snaps to the grid.  Initial item
 factors are an LCG hash of the item id — reproducible, no RNG.
 
@@ -43,13 +45,32 @@ _M = 2147483648
 _MULT = 2654435761
 
 
-def _sum_cols(rank: int, fcols: list, r_int):
-    """decimal(38,0)-exact normal-equation sums: gram upper triangle
-    (unit 1e-2s) + rhs (unit 1e-2s, s = factorScale).  The LEFT operand
-    is cast to decimal BEFORE the multiply — a long*long product wraps
-    silently past ~9.2e18 with ANSI off (factor magnitudes above ~3e9
-    grid units), while decimal×long is exact."""
+def _sum_cols(rank: int, fcols: list, r_int, long_safe: bool):
+    """Exact normal-equation sums: gram upper triangle (unit 1e-2s) +
+    rhs (unit 1e-2s, s = factorScale).
+
+    Two lanes, same values where both are defined:
+
+    - **long lane** (``long_safe=True``): plain long×long products and
+      long sums — whole-stage-codegen arithmetic, no decimal boxing.
+      Taken only when the caller PROVED, from this half-step's actual
+      bounds (``max|f| · max(max|f|, max|r|) · max ratings-per-entity <
+      2**62``), that neither any product nor any per-entity sum can
+      reach int64 range.  Within that envelope long and decimal sums
+      are the same exact integers, so bit-determinism is unchanged.
+    - **decimal lane**: the LEFT operand is cast to decimal BEFORE the
+      multiply — a long*long product wraps silently past ~9.2e18 with
+      ANSI off, while decimal×long is exact.  ~2× slower (measured at
+      sf0.1), so it is the fallback for proven overflow risk only.
+    """
     aggs = []
+    if long_safe:
+        for i in range(rank):
+            for j in range(i, rank):
+                aggs.append(F.sum(fcols[i] * fcols[j]).alias(f"g{i}_{j}"))
+        for i in range(rank):
+            aggs.append(F.sum(fcols[i] * r_int).alias(f"v{i}"))
+        return aggs
     for i in range(rank):
         for j in range(i, rank):
             aggs.append(F.sum((fcols[i].cast("decimal(38,0)") * fcols[j])
@@ -84,6 +105,10 @@ class ALS(Estimator):
     initSalt = IntParam("initSalt", "LCG salt for the deterministic "
                         "item-factor init.", 7)
 
+    # test hook: force the decimal lane regardless of the proven bound
+    # (used to pin long-lane == decimal-lane factor equality)
+    _force_decimal = False
+
     def fit(self, *inputs: DataFrame) -> "ALSModel":
         (df,) = inputs
         rank = int(self.get_("rank"))
@@ -108,10 +133,25 @@ class ALS(Estimator):
                     + scale // 10).alias(fcols[j])
                    for j in range(rank)])
         q = q.localCheckpoint(eager=True)
+        # fixed per-fit bounds for the long-lane overflow guard: max
+        # ratings-per-entity on each grouping and max |r| (ratings is
+        # persisted — three cheap one-number aggregates, once per fit)
+        bnd = ratings.agg(
+            F.max(F.abs(F.col("r"))).alias("mr"),
+            F.count("*").alias("n")).first()
+        max_r = int(bnd["mr"] or 0)
+        cnt = {
+            k: int(ratings.groupBy(k).count()
+                   .agg(F.max("count")).first()[0] or 0)
+            for k in ("u", "i")
+        } if bnd["n"] else {"u": 0, "i": 0}
+        self._lane_log = []  # per-half-step "long"/"decimal", for tests
         p = None
         for _ in range(int(self.get_("maxIter"))):
-            p = self._half_step(ratings, q, "i", "u", rank, lam, scale)
-            q = self._half_step(ratings, p, "u", "i", rank, lam, scale)
+            p = self._half_step(ratings, q, "i", "u", rank, lam, scale,
+                                cnt["u"], max_r)
+            q = self._half_step(ratings, p, "u", "i", rank, lam, scale,
+                                cnt["i"], max_r)
         ratings.unpersist()
         model = ALSModel()
         model.set_(userCol=u, itemCol=i)
@@ -125,12 +165,28 @@ class ALS(Estimator):
 
     def _half_step(self, ratings: DataFrame, factors: DataFrame,
                    fkey: str, okey: str, rank: int, lam: float,
-                   scale: int) -> DataFrame:
-        """Solve the ``okey`` side given ``fkey``-side factors."""
+                   scale: int, max_cnt: int, max_r: int) -> DataFrame:
+        """Solve the ``okey`` side given ``fkey``-side factors.
+
+        Lane choice: one extra one-number aggregate on the (entity-
+        sized, localCheckpointed) factor relation gives ``max|f|``; if
+        ``max|f| · max(max|f|, max|r|) · max_cnt < 2**62`` no product
+        or per-entity sum can reach int64 range, so the codegen'd
+        long×long lane is exact-equal to the decimal lane and ~2×
+        faster.  Realistic configurations always qualify (factors stay
+        O(rating_max/√rank) on the 1e-6 grid ≈ 1e7 units → bound ≈
+        1e14·max_cnt); pathological magnitudes fall back to decimal.
+        """
         fcols = [F.col(f"f{j}") for j in range(rank)]
+        max_f = int(factors.agg(F.max(F.greatest(*[
+            F.abs(c) for c in fcols]) if rank > 1
+            else F.abs(fcols[0]))).first()[0] or 0)
+        long_safe = (not self._force_decimal and max_cnt > 0 and
+                     max_f * max(max_f, max_r) * max_cnt < 2 ** 62)
+        self._lane_log.append("long" if long_safe else "decimal")
         sums = (ratings.join(factors, fkey)
                 .groupBy(okey)
-                .agg(*_sum_cols(rank, fcols, F.col("r"))))
+                .agg(*_sum_cols(rank, fcols, F.col("r"), long_safe)))
         # λ in gram units: factors and ratings are 1e-s grids, so the
         # gram/rhs sums carry unit 1e-2s and λI scales by scale²
         lam_s = float(lam) * scale * scale

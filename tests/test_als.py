@@ -116,3 +116,38 @@ def test_als_cold_start_and_persistence(spark, tmp_path):
     c = sorted((r["user"], r["item"], round(r["prediction"], 9))
                for r in m3.transform(df)[0].collect())
     assert a == c
+
+
+def test_als_long_lane_matches_decimal_lane(spark):
+    """The overflow-guard fast lane (plain long sums when the per-half-
+    step bound proves no int64 overflow) must be EXACT-equal to the
+    decimal lane on data inside the envelope."""
+    df = _synthetic(spark)
+    fast = ALS(rank=2, maxIter=3)
+    m1 = fast.fit(df)
+    assert set(fast._lane_log) == {"long"}, fast._lane_log
+    slow = ALS(rank=2, maxIter=3)
+    slow._force_decimal = True
+    m2 = slow.fit(df)
+    assert set(slow._lane_log) == {"decimal"}, slow._lane_log
+    for a, b in ((m1.user_factors, m2.user_factors),
+                 (m1.item_factors, m2.item_factors)):
+        assert (sorted(tuple(r) for r in a.collect())
+                == sorted(tuple(r) for r in b.collect()))
+
+
+def test_als_decimal_fallback_on_constructed_overflow(spark):
+    """Ratings huge enough that max|f|*max|r|*max_cnt >= 2**62 must
+    route through the decimal lane (no silent int64 wrap) and still
+    produce finite factors on the grid."""
+    rows = [(u, i, 2.0e12 + u + i)
+            for u in range(6) for i in range(5) if (u + i) % 2 == 0]
+    df = spark.createDataFrame(
+        rows, "user long, item long, rating double")
+    est = ALS(rank=2, maxIter=2, regParam=0.1)
+    m = est.fit(df)
+    # rhs sums carry max|r| ~ 2e18 grid units -> the guard must refuse
+    # the long lane on every half-step
+    assert set(est._lane_log) == {"decimal"}, est._lane_log
+    for r in m.user_factors.collect():
+        assert r["f0"] is not None and r["f1"] is not None

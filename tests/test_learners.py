@@ -103,6 +103,21 @@ def test_knn(spark):
     assert got == {1: 0.0, 2: 1.0}
 
 
+def test_knn_fit_model_size_guard(spark):
+    """Brute-force kNN broadcasts the packed train set; past
+    maxModelValues (rows x dim) fit must fail fast with a pointer to
+    the ANN indexes instead of OOM-ing executors later."""
+    train = [([float(i), float(i + 1), float(i + 2)], float(i % 2))
+             for i in range(10)]
+    df = spark.createDataFrame(train,
+                               "features array<double>, label double")
+    with pytest.raises(ValueError, match="maxModelValues"):
+        Knn(k=3, maxModelValues=20).fit(df)  # 10 rows x dim 3 = 30 > 20
+    # at the boundary it still fits
+    model = Knn(k=3, maxModelValues=30).fit(df)
+    assert model.transform(df)[0].count() == 10
+
+
 def test_sparse_struct_input_acceptance(spark):
     """Learners and scalers accept the sparse {size,indices,values} struct
     anywhere array<double> is accepted (reference testInputTypeConversion,
