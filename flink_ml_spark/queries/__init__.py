@@ -81,47 +81,52 @@ def all_queries():
     # ones needing fresh evidence first (local tools/check_oracle.py covers
     # the full set every session regardless).
     prio = [
-        # r07 head 0: the five r04–r06 driver-red rows, oracles fixed this
-        # round (bare sum(int) output columns were DuckDB HUGEINT — the
-        # driver's fetch path normalizes HUGEINT unlike Spark's long; all
-        # five now CAST to BIGINT; see probe_queries docstring)
-        "mutual_information", "conformal_interval", "vocab_growth",
-        "cross_validation", "llm_prep_pipeline_v13",
-        # r07 head 1: their probe decomposition + engine-parity canaries
-        # (VERDICT r06 item 1) — sub-relation bisect if any red survives
-        "mi_probe_cells", "mi_probe_marginals",
-        "vg_probe_docs", "vg_probe_tokens", "vg_probe_first",
-        "conf_probe_calib", "conf_probe_q", "conf_probe_cov",
-        "cv_probe_folds", "cv_probe_cell", "v13_probe_labels",
+        # r08 head 0: the two engine-parity canaries stay in the cap
+        # permanently (cheap drift detectors); the 13 sub-relation probes
+        # earned their keep in r07 (all green — the HUGEINT diagnosis is
+        # confirmed) and are demoted to sweep-only (VERDICT r07 item 6)
         "canary_engine", "canary_types",
-        # r07 head 2: tokenization-parity witness + the last r02-stale
-        # cohort (VERDICT r06 item 3; token_count doubles as the
-        # tokenizer-divergence probe)
-        "token_count", "language_id", "text_quality", "fingerprint",
-        # r07 head 3: queries whose code changed this round (tree quantile
-        # default, CV pipeline clone, ALS guards, BM25 load fallback)
-        "decision_tree", "decision_tree_cls", "random_forest", "gbt",
-        "als", "als_recommend", "bm25_incremental", "media_codec_pipeline",
-        # r07 head 3b: brand-new queries this round
-        "platt_calibration", "decision_tree_splits",
-        "llm_prep_pipeline_v14", "quantile_regression",
-        "huber_regression",
-        # r07 head 4: oldest-evidence rotation (r03 cohort; VERDICT r06
-        # item 7) fills the remaining cap slots
-        "tokenizer", "tfidf", "count_vectorizer", "kmeans",
-        "logistic_regression", "graph_dag", "exact_dedup",
-        "minhash_dedup", "simhash_dedup", "line_dedup", "knn",
-        "linear_svc", "linear_regression", "online_kmeans",
-        "online_standard_scaler",
-        # 50-cap boundary is here (positions 0-49 above); the remaining
-        # r03 cohort rotates in r08
-        "online_logistic_regression",
-        "binary_evaluator", "asof_join", "range_join",
+        # r08 head 1: queries whose code changed this round (ALS long-lane
+        # fast path + Knn fit size guard)
+        "als", "als_recommend", "knn",
+        # r08 head 1b: brand-new queries this round
+        # r08 head 2: evidence-freshness drain (VERDICT r07 item 1) — the
+        # full r03-latest cohort (33 queries; bpe_tokenize rows-only rides
+        # along to refresh its rows evidence)
+        "online_logistic_regression", "binary_evaluator",
+        "asof_join", "range_join",
         "event_windows", "session_windows", "sliding_windows",
-        "pca_whiten", "ann_ivf_pq", "bpe_tokenize", "naive_bayes",
-        "chisq_test", "fvalue_test", "one_hot_encoder",
-        "stateful_sessions",
-        # everything below has green r04–r06 evidence; registry order
+        "stateful_sessions", "online_scaler_delayed",
+        "streaming_dedup", "streaming_incremental_dedup",
+        "hashingtf_logreg", "pca_whiten", "ann_ivf_pq",
+        "llm_prep_pipeline", "llm_prep_pipeline_v2",
+        "llm_prep_pipeline_v3", "llm_prep_pipeline_v4",
+        "incremental_dedup", "minhash_signature", "ngram_jaccard_dedup",
+        "dup_spans", "dup_clusters", "dup_keep_best",
+        "decontamination", "contamination_score",
+        "corpus_stats", "corpus_shuffle", "ngram_profile",
+        "gopher_filter", "temperature_mixture",
+        "unigram_lm_score", "bigram_lm_score",
+        "bpe_tokenize",
+        # r08 head 3: oldest of the r04 cohort fills the remaining cap
+        # slots (the rest of r04 rotates in r09)
+        "naive_bayes", "vector_indexer", "univariate_feature_selector",
+        "random_splitter", "regex_tokenizer", "stop_words_remover",
+        "hashing_tf", "corr_matrix", "html_extract", "ann_recall",
+        "minhash_join_skewsafe", "dup_span_removal", "snapshot_diff",
+        "quality_classifier", "incremental_dedup_bucketed",
+        "incremental_dedup_bloom", "diversity_profile",
+        "calibration_eval", "isotonic_calibration", "metric_anomaly",
+        "curriculum_order", "c4_line_filter", "url_normalize",
+        "word_blocklist", "pii_ccnum", "stratified_budget",
+        "dsir_select", "dsir_bigram", "token_drift",
+        "llm_prep_pipeline_v5", "llm_prep_pipeline_v6",
+        "llm_prep_pipeline_v7", "llm_prep_pipeline_v8",
+        "llm_prep_pipeline_v9", "llm_prep_pipeline_v10",
+        "embedding_drift", "char_entropy", "data_profile",
+        "constraint_gate", "profile_drift", "frequent_items",
+        "streaming_quality_gate", "streaming_drift",
+        # everything below has green r05–r07 evidence; registry order
         # follows
     ]
     ordered = {k: out[k] for k in prio if k in out}
