@@ -31,7 +31,11 @@ LightGBM design), built Spark-first:
   100 TB path (the reference's own quantile work uses GK sketches,
   QuantileSummary.java:42); ``exactQuantiles=True`` opts into exact
   ``percentile`` (a full-sort aggregate — small-data / oracle parity
-  only).
+  only).  Sketch error is BOUNDED: each edge's rank is within
+  N/quantileAccuracy of the exact quantile's (GK guarantee), so fitted
+  split thresholds drift at most ~2·N/accuracy ranks from the exact
+  fit — pinned on a skewed column by
+  tests/test_tree.py::test_tree_sketch_split_rank_drift_within_epsilon.
 - **Codegen-safe binning.**  The threshold-count bin is a chain of
   ``dim × (maxBins−1)`` comparisons — ideal whole-stage-codegen work
   at the default 32 bins, hostile at maxBins=1024 × wide features; past

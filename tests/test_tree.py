@@ -191,3 +191,30 @@ def test_ensemble_feature_importances(spark):
         imp = m.feature_importances()
         assert len(imp) == 2 and abs(sum(imp) - 1.0) < 1e-12
         assert imp[0] > 0.9, (type(est).__name__, imp)
+
+
+def test_tree_sketch_split_rank_drift_within_epsilon(spark):
+    """Pins the scale default's accuracy (VERDICT r07 item 5): on a
+    heavily right-skewed column, the fitted split threshold under the
+    default approx_percentile sketch may differ from the exact-quantile
+    fit only within the sketch's rank-error bound — Spark's GK variant
+    guarantees rank error <= N/accuracy per quantile, so the chosen
+    thresholds' EMPIRICAL RANKS (not values — value gaps are huge under
+    skew) must agree within 2*N/accuracy (+1 interpolation slack)."""
+    import math
+    N, acc = 2000, 200
+    xs = [math.exp(12.0 * i / (N - 1)) for i in range(N)]
+    step = xs[1399]  # label steps exactly at the p=0.7 bin-edge rank
+    rows = [([x], 1.0 if x <= step else 5.0) for x in xs]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    thr = {}
+    for exact in (False, True):
+        m = DecisionTreeRegressor(maxDepth=1, maxBins=10,
+                                  binStrategy="quantile",
+                                  exactQuantiles=exact,
+                                  quantileAccuracy=acc).fit(df)
+        (root,) = m.splits_df(spark).collect()
+        thr[exact] = float(root["thr"])
+    rank = {k: sum(1 for x in xs if x <= t) for k, t in thr.items()}
+    drift = abs(rank[False] - rank[True])
+    assert drift <= 2 * N // acc + 1, (thr, rank, drift)
