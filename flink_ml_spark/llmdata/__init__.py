@@ -45,5 +45,7 @@ from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
                            TextNormalizer, TextQualityScorer, TokenCounter,
                            TokenDriftProfiler,
                            UnigramLMScorer, UnigramLMScorerModel)
+from .sketches import (CountMinSketch, CountMinSketchModel,
+                       HyperLogLogSketch, HyperLogLogSketchModel)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

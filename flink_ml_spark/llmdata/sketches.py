@@ -1,0 +1,316 @@
+"""Mergeable frequency / cardinality sketches: CountMinSketch and
+HyperLogLog with ENGINE-REPLAYABLE register content.
+
+Why these exist next to Spark's built-ins: ``approx_count_distinct``
+hides its HLL registers inside the JVM and its estimates are not
+reproducible across engines, which makes it unusable wherever the repo
+needs a *checkable* sketch — corpus datasheets that another system must
+be able to re-derive, incremental profiles merged across daily runs,
+drift monitors whose state is persisted and diffed.  These sketches use
+the package's deterministic cross-engine hash family
+(``dedup.poly_token_hash`` + ``dedup._hash_family`` — the MinHash
+discipline), so the ENTIRE sketch state is integer-exact and a DuckDB
+oracle replays it cell by cell.
+
+- :class:`CountMinSketch` (Cormode & Muthukrishnan 2005): ``depth``
+  independent hash rows × ``width`` counters; point estimate = min over
+  rows — never underestimates, overestimates by ≤ εN (ε ≈ e/width)
+  with probability 1−δ (δ ≈ e^−depth).  Heavy-hitter / frequency
+  queries over streams whose key cardinality is too large to groupBy.
+- :class:`HyperLogLogSketch` (Flajolet et al. 2007): 2^p registers of
+  max leading-zero ranks; ~1.04/√m relative cardinality error.
+
+Scale design: fit is ONE map-side-combined aggregation whose output is
+model-sized (depth×width counters / 2^p registers), never
+corpus-sized; both sketches ``merge()`` exactly (CMS: cell-wise sum,
+HLL: register-wise max), which is the whole point at 100 TB — shard
+the corpus, sketch each shard, merge the sketches.  Estimation plans
+stay JVM-side: literal-array lookups (codegen) for default-sized
+sketches, a broadcast join against the cell relation past
+``_LITERAL_CELL_LIMIT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..api import Estimator, Model
+from ..param import HasInputCol, HasOutputCol, IntParam, ParamValidators
+from .dedup import MINHASH_PRIME, _hash_family, poly_token_hash
+
+# past this many total counters, per-depth literal arrays bloat the plan;
+# estimates switch to a broadcast join against the cell relation
+_LITERAL_CELL_LIMIT = 65536
+
+# --- 31-bit avalanche ------------------------------------------------------
+# The poly token hash is LOCALLY SEQUENTIAL ("item-1"/"item-2" differ by
+# 1), which is fine for MinHash (order statistics over many independent
+# affine rows) but fatal for register sketches, whose rank statistic
+# reads the hash's high bits directly.  This xorshift-multiply mix
+# (the standard 32-bit avalanche construction, here in 31-bit space)
+# decorrelates them; every intermediate stays < 2**58, so both Spark
+# longs and DuckDB BIGINTs compute it exactly — no wrap, no HUGEINT.
+_M31 = 1 << 31
+_MIX_MULT = 0x45d9f3b
+
+
+def mix31(x):
+    """Column-side avalanche of a non-negative < 2**31 long."""
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = (x * _MIX_MULT) % _M31
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = (x * _MIX_MULT) % _M31
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def mix31_py(x: int) -> int:
+    """Driver-side twin of :func:`mix31`."""
+    x ^= x >> 16
+    x = (x * _MIX_MULT) % _M31
+    x ^= x >> 16
+    x = (x * _MIX_MULT) % _M31
+    return x ^ (x >> 16)
+
+
+def mix31_sql_steps(h_expr: str) -> list[str]:
+    """The mix as stepwise SELECT-alias expressions for a DuckDB oracle
+    (DuckDB supports lateral column-alias references): returns the
+    5 expressions; alias them x1..x5 in order, x5 is the mixed value."""
+    return [
+        f"xor({h_expr}, ({h_expr}) >> 16)",
+        f"(x1 * CAST({_MIX_MULT} AS BIGINT)) % {_M31}",
+        "xor(x2, x2 >> 16)",
+        f"(x3 * CAST({_MIX_MULT} AS BIGINT)) % {_M31}",
+        "xor(x4, x4 >> 16)",
+    ]
+
+
+class CountMinSketch(Estimator, HasInputCol):
+    """``fit(df)`` over a string column → :class:`CountMinSketchModel`
+    holding the depth×width counter matrix."""
+
+    depth = IntParam("depth", "Independent hash rows d (error prob "
+                     "~e^-d).", 4, ParamValidators.in_range(1, 16))
+    width = IntParam("width", "Counters per row w (overestimate "
+                     "<= e/w * N whp).", 1024, ParamValidators.gt(1))
+    seed = IntParam("seed", "Hash-family seed.", 42)
+
+    def fit(self, *inputs: DataFrame) -> "CountMinSketchModel":
+        (df,) = inputs
+        d, w = int(self.get_("depth")), int(self.get_("width"))
+        fam = _hash_family(d, int(self.get_("seed")))
+        h = mix31(poly_token_hash(
+            F.col(self.get_("inputCol")).cast("string")))
+        cells = F.array(*[((h * a + b) % MINHASH_PRIME % w)
+                          for a, b in fam])
+        counted = (df.filter(F.col(self.get_("inputCol")).isNotNull())
+                   .select(F.posexplode(cells).alias("i", "cell"))
+                   .groupBy("i", "cell").count())
+        mat = [[0] * w for _ in range(d)]
+        for r in counted.collect():  # <= d*w rows — model-sized
+            mat[int(r["i"])][int(r["cell"])] = int(r["count"])
+        model = CountMinSketchModel()
+        model.set_(inputCol=self.get_("inputCol"))
+        model.set(CountMinSketchModel.depth, d)
+        model.set(CountMinSketchModel.width, w)
+        model.set(CountMinSketchModel.seed, int(self.get_("seed")))
+        model.model_data = {"cells": mat,
+                            "n": sum(mat[0]) if mat else 0}
+        return model
+
+
+class CountMinSketchModel(Model, HasInputCol, HasOutputCol):
+    """``transform(df)`` adds the point-estimate column for each row's
+    key: min over depth rows of the hashed counter."""
+
+    depth = IntParam("depth", "Hash rows.", 4)
+    width = IntParam("width", "Counters per row.", 1024)
+    seed = IntParam("seed", "Hash-family seed.", 42)
+
+    def _cells_relation(self, spark: SparkSession) -> DataFrame:
+        rows = [(i, c, int(v))
+                for i, row in enumerate(self.model_data["cells"])
+                for c, v in enumerate(row) if v]
+        return spark.createDataFrame(rows or [(0, 0, 0)],
+                                     "i int, cell int, cnt long")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        d, w = int(self.get_("depth")), int(self.get_("width"))
+        fam = _hash_family(d, int(self.get_("seed")))
+        h = mix31(poly_token_hash(
+            F.col(self.get_("inputCol")).cast("string")))
+        out_col = self.get_("outputCol")
+        mat = self.model_data["cells"]
+        if d * w <= _LITERAL_CELL_LIMIT:
+            ests = [F.element_at(
+                F.array(*[F.lit(int(v)) for v in mat[i]]),
+                ((h * a + b) % MINHASH_PRIME % w).cast("int") + 1)
+                for i, (a, b) in enumerate(fam)]
+            return df.withColumn(out_col, F.least(*ests) if len(ests) > 1
+                                 else ests[0])
+        # wide sketch: d broadcast lookups against the cell relation
+        cells = F.array(*[((h * a + b) % MINHASH_PRIME % w)
+                          for a, b in fam])
+        rel = self._cells_relation(df.sparkSession)
+        keyed = df.withColumn("__cms_cells__", cells)
+        for i in range(d):
+            side = (rel.filter(F.col("i") == i)
+                    .select(F.col("cell").alias(f"__c{i}__"),
+                            F.col("cnt").alias(f"__v{i}__")))
+            keyed = keyed.join(
+                F.broadcast(side),
+                F.col("__cms_cells__")[i] == F.col(f"__c{i}__"), "left")
+        est = F.least(*[F.coalesce(F.col(f"__v{i}__"), F.lit(0))
+                        for i in range(d)]) if d > 1 \
+            else F.coalesce(F.col("__v0__"), F.lit(0))
+        drop = ["__cms_cells__"] + [f"__c{i}__" for i in range(d)] \
+            + [f"__v{i}__" for i in range(d)]
+        return keyed.withColumn(out_col, est).drop(*drop)
+
+    def estimate(self, key: str) -> int:
+        """Driver-side point estimate for one key."""
+        d, w = int(self.get_("depth")), int(self.get_("width"))
+        fam = _hash_family(d, int(self.get_("seed")))
+        h = 0
+        for ch in key:
+            h = (h * 31 + ord(ch)) % MINHASH_PRIME
+        h = mix31_py(h)
+        return min(self.model_data["cells"][i][(h * a + b)
+                                               % MINHASH_PRIME % w]
+                   for i, (a, b) in enumerate(fam))
+
+    def merge(self, other: "CountMinSketchModel") -> "CountMinSketchModel":
+        """Exact union sketch: cell-wise sum (valid because both sides
+        share (depth, width, seed) — enforced)."""
+        for p in ("depth", "width", "seed"):
+            if int(self.get_(p)) != int(other.get_(p)):
+                raise ValueError(f"CountMinSketch.merge: {p} mismatch "
+                                 f"({self.get_(p)} != {other.get_(p)})")
+        out = CountMinSketchModel()
+        out.set_(inputCol=self.get_("inputCol"))
+        for p in ("depth", "width", "seed"):
+            out.set(getattr(CountMinSketchModel, p), int(self.get_(p)))
+        out.model_data = {
+            "cells": [[a + b for a, b in zip(ra, rb)]
+                      for ra, rb in zip(self.model_data["cells"],
+                                        other.model_data["cells"])],
+            "n": self.model_data["n"] + other.model_data["n"]}
+        return out
+
+    def get_model_data(self, spark: SparkSession) -> list[DataFrame]:
+        return [self._cells_relation(spark)]
+
+    def set_model_data(self, *tables: DataFrame) -> "CountMinSketchModel":
+        (df,) = tables
+        d, w = int(self.get_("depth")), int(self.get_("width"))
+        mat = [[0] * w for _ in range(d)]
+        n = 0
+        for r in df.collect():
+            mat[int(r["i"])][int(r["cell"])] = int(r["cnt"])
+        self.model_data = {"cells": mat, "n": sum(mat[0]) if mat else 0}
+        return self
+
+
+# bit width of the poly hash (values in [0, MINHASH_PRIME), P < 2^31)
+_HASH_BITS = 31
+
+
+class HyperLogLogSketch(Estimator, HasInputCol):
+    """``fit(df)`` over a string column → :class:`HyperLogLogSketchModel`
+    with 2^precision integer registers (max leading-zero rank per
+    bucket) — the registers themselves are the cross-engine-checkable
+    artifact; ``estimate()`` applies the standard bias-corrected
+    formula driver-side.
+
+    The bucket is ``h mod 2^p`` and the rank comes from the remaining
+    ``31 - p`` bits of the poly hash, which bounds reliable cardinality
+    to ~2^31 distinct keys per sketch — plenty for vocabulary-sized
+    domains; shard by key range and merge for more."""
+
+    precision = IntParam("precision", "Register-count exponent p "
+                         "(2^p registers; rel. error ~1.04/sqrt(2^p)).",
+                         9, ParamValidators.in_range(4, 16))
+
+    def fit(self, *inputs: DataFrame) -> "HyperLogLogSketchModel":
+        (df,) = inputs
+        p = int(self.get_("precision"))
+        m = 1 << p
+        rest_bits = _HASH_BITS - p
+        h = mix31(poly_token_hash(
+            F.col(self.get_("inputCol")).cast("string")))
+        bucket = (h % m).cast("int")
+        rest = F.shiftright(h.cast("long"), p)  # h div 2^p, h >= 0
+        # rank = leading zeros of rest in a rest_bits-wide word, + 1;
+        # bit length via length(bin(x)) with the bin(0)='0' special case
+        rank = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+            F.lit(rest_bits + 1) - F.length(F.bin(rest)))
+        regs = (df.filter(F.col(self.get_("inputCol")).isNotNull())
+                .select(bucket.alias("bucket"), rank.alias("rank"))
+                .groupBy("bucket").agg(F.max("rank").alias("r")))
+        out = [0] * m
+        for r in regs.collect():  # <= 2^p rows — model-sized
+            out[int(r["bucket"])] = int(r["r"])
+        model = HyperLogLogSketchModel()
+        model.set_(inputCol=self.get_("inputCol"))
+        model.set(HyperLogLogSketchModel.precision, p)
+        model.model_data = {"registers": out}
+        return model
+
+
+class HyperLogLogSketchModel(Model, HasInputCol):
+    precision = IntParam("precision", "Register-count exponent.", 9)
+
+    def registers_df(self, spark: SparkSession) -> DataFrame:
+        """Non-zero registers as a relation (bucket, r) — the
+        integer-exact, oracle-checkable sketch state."""
+        regs = self.model_data["registers"]
+        rows = [(b, int(r)) for b, r in enumerate(regs) if r]
+        return spark.createDataFrame(rows or [(0, 0)],
+                                     "bucket int, r int")
+
+    def estimate(self) -> float:
+        """Bias-corrected HLL estimate with small-range linear
+        counting (Flajolet et al. 2007 Fig. 3)."""
+        regs = self.model_data["registers"]
+        m = len(regs)
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+            m, 0.7213 / (1 + 1.079 / m))
+        e = alpha * m * m / sum(2.0 ** -r for r in regs)
+        if e <= 2.5 * m:
+            zeros = regs.count(0)
+            if zeros:
+                import math
+                return m * math.log(m / zeros)
+        return e
+
+    def merge(self, other: "HyperLogLogSketchModel") \
+            -> "HyperLogLogSketchModel":
+        """Exact union sketch: register-wise max."""
+        if int(self.get_("precision")) != int(other.get_("precision")):
+            raise ValueError("HyperLogLogSketch.merge: precision mismatch")
+        out = HyperLogLogSketchModel()
+        out.set_(inputCol=self.get_("inputCol"))
+        out.set(HyperLogLogSketchModel.precision,
+                int(self.get_("precision")))
+        out.model_data = {"registers": [
+            max(a, b) for a, b in zip(self.model_data["registers"],
+                                      other.model_data["registers"])]}
+        return out
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "HyperLogLogSketchModel is a summary, not a row transform; "
+            "use estimate() / registers_df() / merge()")
+
+    def get_model_data(self, spark: SparkSession) -> list[DataFrame]:
+        return [self.registers_df(spark)]
+
+    def set_model_data(self, *tables: DataFrame) \
+            -> "HyperLogLogSketchModel":
+        (df,) = tables
+        m = 1 << int(self.get_("precision"))
+        regs = [0] * m
+        for row in df.collect():
+            regs[int(row["bucket"])] = int(row["r"])
+        self.model_data = {"registers": regs}
+        return self

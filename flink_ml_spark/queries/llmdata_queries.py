@@ -4946,7 +4946,92 @@ WHERE rk <= 5
 """
 
 
+
+# --- mergeable sketches (CMS / HLL) -----------------------------------------
+
+def _mix31_cte(h_expr: str) -> str:
+    """Stepwise SELECT list computing the 31-bit avalanche as lateral
+    aliases x1..x5 (sketches.mix31_sql_steps)."""
+    from ..llmdata.sketches import mix31_sql_steps
+    return ", ".join(f"{e} AS x{i + 1}"
+                     for i, e in enumerate(mix31_sql_steps(h_expr)))
+
+
+def cms_token_freq(spark, sf_dir):
+    """CountMinSketch point estimates for every distinct key of a
+    high-cardinality skewed stream (orders by customer): the full
+    depth x width counter state replays cell-by-cell in SQL, so the
+    estimates (min over depth rows) are integer-exact cross-engine.
+    Scale shape: fit is ONE map-side-combined groupBy whose output is
+    sketch-sized; the estimate plan is a codegen literal-array lookup.
+    (The documents vocabulary is only ~31 tokens — too small to
+    exercise collisions, hence the key stream.)"""
+    from ..llmdata import CountMinSketch
+    orders = load(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").cast("string").alias("tok"))
+    model = CountMinSketch(inputCol="tok", depth=4, width=512,
+                           seed=SEED).fit(keys)
+    model.set_(outputCol="est")
+    return (model.transform(keys.distinct())[0]
+            .select("tok", F.col("est").cast("long").alias("est")))
+
+
+def _cms_sql(depth: int = 4, width: int = 512, seed: int = SEED) -> str:
+    fam = _hash_family(depth, seed)
+    cell = "(h * {a} + {b}) % {p} % {w}".format
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {cell(a=a, b=b, p=MINHASH_PRIME, w=width)} AS "
+        f"cell, count(*) AS cnt FROM mixed GROUP BY 2"
+        for i, (a, b) in enumerate(fam))
+    joins = "\n".join(
+        f"JOIN cells c{i} ON c{i}.i = {i} AND c{i}.cell = "
+        f"{cell(a=a, b=b, p=MINHASH_PRIME, w=width)}"
+        for i, (a, b) in enumerate(fam))
+    least = ", ".join(f"c{i}.cnt" for i in range(depth))
+    return f"""
+WITH toks AS (SELECT CAST(o_custkey AS VARCHAR) AS tok FROM orders),
+mixed AS (SELECT tok, x5 AS h FROM (
+  SELECT tok, {_mix31_cte('h0')}
+  FROM (SELECT tok, {TOKHASH.format(t='tok')} AS h0 FROM toks))),
+cells AS ({rows}),
+keys AS (SELECT tok, any_value(h) AS h FROM mixed GROUP BY tok)
+SELECT keys.tok AS tok, CAST(least({least}) AS BIGINT) AS est
+FROM (SELECT tok, h FROM keys) keys
+{joins}
+"""
+
+
+CMS_TOKEN_FREQ_SQL = _cms_sql()
+
+
+def hll_registers(spark, sf_dir):
+    """HyperLogLog register state over the token stream — the
+    integer-exact, engine-checkable sketch artifact (bucket, max rank).
+    The estimate itself is driver arithmetic over these registers
+    (tests pin it within the 1.04/sqrt(m) bound); what the oracle gates
+    is that BOTH engines derive identical registers from the corpus."""
+    from ..llmdata import HyperLogLogSketch
+    orders = load(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").cast("string").alias("tok"))
+    m = HyperLogLogSketch(inputCol="tok", precision=9).fit(keys)
+    return m.registers_df(spark)
+
+
+HLL_REGISTERS_SQL = f"""
+WITH toks AS (SELECT CAST(o_custkey AS VARCHAR) AS tok FROM orders),
+mixed AS (SELECT x5 AS h FROM (
+  SELECT {_mix31_cte('h0')}
+  FROM (SELECT {TOKHASH.format(t='tok')} AS h0 FROM toks)))
+SELECT CAST(h % 512 AS INTEGER) AS bucket,
+       CAST(max(CASE WHEN (h >> 9) = 0 THEN 23
+                ELSE 23 - length(format('{{:b}}', h >> 9)) END)
+            AS INTEGER) AS r
+FROM mixed GROUP BY 1
+"""
+
 QUERIES = {
+    "cms_token_freq": (cms_token_freq, CMS_TOKEN_FREQ_SQL),
+    "hll_registers": (hll_registers, HLL_REGISTERS_SQL),
     "html_extract": (html_extract, HTML_EXTRACT_SQL),
     "llm_prep_pipeline_v9": (llm_prep_pipeline_v9, LLM_PREP_V9_SQL),
     "incremental_dedup_bloom": (incremental_dedup_bloom,

@@ -1,0 +1,137 @@
+"""CountMinSketch / HyperLogLogSketch: estimate guarantees, exact merge,
+model-data round trips, persistence."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ml_spark.api import Stage
+from flink_ml_spark.llmdata import (CountMinSketch, CountMinSketchModel,
+                                    HyperLogLogSketch,
+                                    HyperLogLogSketchModel)
+
+
+@pytest.fixture()
+def zipf_df(spark):
+    """Zipf-ish key stream: key k appears ~600/k times, 60 keys."""
+    rows = [(f"key{k}",) for k in range(1, 61) for _ in range(600 // k)]
+    return spark.createDataFrame(rows, "tok string")
+
+
+def _true_counts(df):
+    return {r["tok"]: r["count"]
+            for r in df.groupBy("tok").count().collect()}
+
+
+# ------------------------------------------------------------------- CMS
+
+def test_cms_never_underestimates(spark, zipf_df):
+    m = CountMinSketch(inputCol="tok", depth=4, width=256).fit(zipf_df)
+    true = _true_counts(zipf_df)
+    for k, c in true.items():
+        assert m.estimate(k) >= c
+    # with 60 keys in 4x256 cells, most estimates are exact
+    exact = sum(1 for k, c in true.items() if m.estimate(k) == c)
+    assert exact >= 50
+
+
+def test_cms_transform_matches_driver_estimate(spark, zipf_df):
+    m = CountMinSketch(inputCol="tok", depth=3, width=128).fit(zipf_df)
+    m.set_(outputCol="est")
+    keys = zipf_df.distinct()
+    got = {r["tok"]: r["est"]
+           for r in m.transform(keys)[0].collect()}
+    for k in got:
+        assert got[k] == m.estimate(k), k
+
+
+def test_cms_broadcast_join_path_matches_literal(spark, zipf_df):
+    from flink_ml_spark.llmdata import sketches as sk
+    m = CountMinSketch(inputCol="tok", depth=3, width=128).fit(zipf_df)
+    m.set_(outputCol="est")
+    keys = zipf_df.distinct()
+    lit = {r["tok"]: r["est"] for r in m.transform(keys)[0].collect()}
+    saved = sk._LITERAL_CELL_LIMIT
+    try:
+        sk._LITERAL_CELL_LIMIT = 0  # force the join path
+        joined = {r["tok"]: r["est"] for r in m.transform(keys)[0].collect()}
+    finally:
+        sk._LITERAL_CELL_LIMIT = saved
+    assert lit == joined
+
+
+def test_cms_merge_equals_union_sketch(spark, zipf_df):
+    a = zipf_df.filter(F.crc32(F.col("tok")) % 2 == 0)
+    b = zipf_df.filter(F.crc32(F.col("tok")) % 2 == 1)
+    est = CountMinSketch(inputCol="tok", depth=4, width=256)
+    merged = est.fit(a).merge(est.fit(b))
+    full = est.fit(zipf_df)
+    assert merged.model_data["cells"] == full.model_data["cells"]
+    with pytest.raises(ValueError, match="width"):
+        est.fit(a).merge(
+            CountMinSketch(inputCol="tok", depth=4, width=128).fit(b))
+
+
+def test_cms_model_data_roundtrip_and_persistence(spark, zipf_df, tmp_path):
+    m = CountMinSketch(inputCol="tok", depth=2, width=64).fit(zipf_df)
+    (md,) = m.get_model_data(spark)
+    fresh = CountMinSketchModel(inputCol="tok", depth=2, width=64, seed=42)
+    fresh.set_model_data(md)
+    assert fresh.model_data["cells"] == m.model_data["cells"]
+    p = str(tmp_path / "cms")
+    m.save(p)
+    loaded = Stage.load(spark, p)
+    assert loaded.model_data["cells"] == m.model_data["cells"]
+    assert loaded.estimate("key1") == m.estimate("key1")
+
+
+# ------------------------------------------------------------------- HLL
+
+def test_hll_estimate_within_error_bound(spark):
+    n = 5000
+    df = spark.createDataFrame([(f"item-{i}",) for i in range(n)],
+                               "tok string")
+    m = HyperLogLogSketch(inputCol="tok", precision=9).fit(df)
+    est = m.estimate()
+    # 1.04/sqrt(512) ~ 4.6%; allow 4 sigma
+    assert abs(est - n) / n < 4 * 1.04 / math.sqrt(512), est
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    df = spark.createDataFrame([(f"x{i % 50}",) for i in range(5000)],
+                               "tok string")
+    once = spark.createDataFrame([(f"x{i}",) for i in range(50)],
+                                 "tok string")
+    a = HyperLogLogSketch(inputCol="tok", precision=8).fit(df)
+    b = HyperLogLogSketch(inputCol="tok", precision=8).fit(once)
+    assert a.model_data["registers"] == b.model_data["registers"]
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    df = spark.createDataFrame([(f"item-{i}",) for i in range(2000)],
+                               "tok string")
+    a = df.filter(F.crc32(F.col("tok")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("tok")) % 2 == 1)
+    est = HyperLogLogSketch(inputCol="tok", precision=8)
+    merged = est.fit(a).merge(est.fit(b))
+    full = est.fit(df)
+    assert merged.model_data["registers"] == full.model_data["registers"]
+    with pytest.raises(ValueError, match="precision"):
+        est.fit(a).merge(
+            HyperLogLogSketch(inputCol="tok", precision=9).fit(b))
+
+
+def test_hll_model_data_roundtrip_and_persistence(spark, tmp_path):
+    df = spark.createDataFrame([(f"item-{i}",) for i in range(500)],
+                               "tok string")
+    m = HyperLogLogSketch(inputCol="tok", precision=7).fit(df)
+    (md,) = m.get_model_data(spark)
+    fresh = HyperLogLogSketchModel(inputCol="tok", precision=7)
+    fresh.set_model_data(md)
+    assert fresh.model_data["registers"] == m.model_data["registers"]
+    assert fresh.estimate() == m.estimate()
+    p = str(tmp_path / "hll")
+    m.save(p)
+    loaded = Stage.load(spark, p)
+    assert loaded.model_data["registers"] == m.model_data["registers"]
