@@ -45,6 +45,7 @@ from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
                            TextNormalizer, TextQualityScorer, TokenCounter,
                            TokenDriftProfiler,
                            UnigramLMScorer, UnigramLMScorerModel)
+from .cooccur import CooccurrenceCounter
 from .sketches import (CountMinSketch, CountMinSketchModel,
                        HyperLogLogSketch, HyperLogLogSketchModel)
 

@@ -1,0 +1,86 @@
+"""CooccurrenceCounter — windowed token co-occurrence with exact
+association lift.
+
+The corpus-statistics primitive under PMI embeddings (GloVe's input
+matrix, Church & Hanks 1990's word association), collocation mining,
+and distributional-similarity features: count unordered token pairs
+appearing within ``windowSize`` positions of each other, with unigram
+marginals and the association lift
+
+    lift(a, b) = P(a, b) / (P(a)·P(b)) = cnt_ab · T / (cnt_a · cnt_b)
+
+(PMI = log lift; the log is left to the caller because q4-quantized
+transcendentals are not bit-stable cross-engine — the lift itself is a
+single division of exact integers, so it IS).
+
+Spark-first plan, zero joins on the corpus: for each offset δ ≤ k the
+pair stream is ``zip_with(slice(toks, 1, n−δ), slice(toks, δ+1, n−δ))``
+— pure codegen array work per row — and ONE map-side-combined
+``groupBy(w1, w2)`` counts everything.  Marginals are a second
+vocabulary-sized aggregate; both join back broadcast (vocabulary-sized
+relations).  Nothing corpus-sized shuffles beyond the pair stream
+itself, whose volume is k·tokens — linear, not quadratic, in document
+length because the window composes per-offset zips instead of a
+positional self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..api import Transformer
+from ..param import HasInputCol, IntParam, ParamValidators
+
+
+def _tokens(text):
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+
+
+class CooccurrenceCounter(Transformer, HasInputCol):
+    """``transform(docs)`` → one row per unordered token pair within the
+    window: (w1, w2, cnt, cnt_w1, cnt_w2, total, lift).  ``w1 <= w2``
+    lexicographically; each (position, offset) occurrence counts once;
+    adjacent equal tokens co-occur with themselves."""
+
+    windowSize = IntParam("windowSize", "Max position offset k counted "
+                          "as co-occurrence.", 2,
+                          ParamValidators.in_range(1, 64))
+    minCount = IntParam("minCount", "Drop pairs rarer than this (bounds "
+                        "the output relation).", 1,
+                        ParamValidators.gt(0))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        k = int(self.get_("windowSize"))
+        toks = _tokens(F.col(self.get_("inputCol")))
+        n = F.size(toks)
+        per_offset = []
+        for d in range(1, k + 1):
+            ln = F.greatest(n - d, F.lit(0))
+            pair = F.zip_with(
+                F.slice(toks, F.lit(1), ln),
+                F.slice(toks, F.lit(d + 1), ln),
+                lambda x, y: F.struct(F.least(x, y).alias("w1"),
+                                      F.greatest(x, y).alias("w2")))
+            per_offset.append(pair)
+        pairs = (df.select(F.explode(F.flatten(F.array(*per_offset)))
+                           .alias("p"))
+                 .select("p.w1", "p.w2")
+                 .groupBy("w1", "w2").count()
+                 .withColumnRenamed("count", "cnt")
+                 .filter(F.col("cnt") >= int(self.get_("minCount"))))
+        uni = (df.select(F.explode(toks).alias("w"))
+               .groupBy("w").count().withColumnRenamed("count", "c"))
+        uni = uni.persist()
+        total = uni.agg(F.sum("c")).first()[0] or 0
+        u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("cnt_w1"))
+        u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("cnt_w2"))
+        out = (pairs.join(F.broadcast(u1), "w1")
+               .join(F.broadcast(u2), "w2")
+               .withColumn("total", F.lit(int(total)))
+               .withColumn("lift",
+                           (F.col("cnt") * F.col("total")).cast("double")
+                           / (F.col("cnt_w1") * F.col("cnt_w2"))
+                           .cast("double"))
+               .select("w1", "w2", "cnt", "cnt_w1", "cnt_w2", "total",
+                       "lift"))
+        return out

@@ -5029,7 +5029,50 @@ SELECT CAST(h % 512 AS INTEGER) AS bucket,
 FROM mixed GROUP BY 1
 """
 
+
+def cooccurrence(spark, sf_dir):
+    """Windowed token co-occurrence with exact association lift
+    (PMI's argument): pair counts are integers and lift is ONE
+    division of exact integer products, so q4 is bit-stable
+    cross-engine (no transcendental in the contract — PMI's log is
+    monotone in lift)."""
+    from ..llmdata import CooccurrenceCounter
+    docs = load(spark, sf_dir, "documents")
+    out = CooccurrenceCounter(inputCol="text", windowSize=2,
+                              minCount=2).transform(docs)[0]
+    return out.select("w1", "w2", "cnt", "cnt_w1", "cnt_w2",
+                      q4(F.col("lift")).alias("lift_q4"))
+
+
+def _cooccurrence_sql(k: int = 2, min_count: int = 2) -> str:
+    per_offset = " UNION ALL ".join(
+        f"SELECT unnest(list_transform(range(1, len(tk) - {d} + 1), "
+        f"i -> [least(tk[i], tk[i+{d}]), greatest(tk[i], tk[i+{d}])])) "
+        f"AS pr FROM base WHERE len(tk) > {d}"
+        for d in range(1, k + 1))
+    return f"""
+WITH base AS (SELECT {TOKS} AS tk FROM documents),
+pairs AS ({per_offset}),
+cnts AS (SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS cnt
+         FROM pairs GROUP BY 1, 2 HAVING count(*) >= {min_count}),
+uni AS (SELECT unnest(tk) AS w FROM base),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM uni)
+SELECT cnts.w1 AS w1, cnts.w2 AS w2, cnt,
+       u1.c AS cnt_w1, u2.c AS cnt_w2,
+       {SQL_Q4.format("CAST(cnt * tot.t AS DOUBLE) / "
+                      "CAST(u1.c * u2.c AS DOUBLE)")} AS lift_q4
+FROM cnts
+JOIN uc u1 ON u1.w = cnts.w1
+JOIN uc u2 ON u2.w = cnts.w2
+CROSS JOIN tot
+"""
+
+
+COOCCURRENCE_SQL = _cooccurrence_sql()
+
 QUERIES = {
+    "cooccurrence": (cooccurrence, COOCCURRENCE_SQL),
     "cms_token_freq": (cms_token_freq, CMS_TOKEN_FREQ_SQL),
     "hll_registers": (hll_registers, HLL_REGISTERS_SQL),
     "html_extract": (html_extract, HTML_EXTRACT_SQL),
