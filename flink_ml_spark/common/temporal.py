@@ -172,3 +172,58 @@ def range_join(points: DataFrame, intervals: DataFrame, point_time: str,
     joined = pt.join(iv, keys + ["__b"], "inner") \
         .where((F.col(point_time) >= F.col(start_col)) & upper)
     return joined.drop("__b")
+
+
+class FunnelAnalyzer:
+    """Ordered-funnel conversion over an event log: for each user, the
+    classic greedy stage times t_1 = min ts of stage 1, t_i = min ts of
+    stage i AFTER t_{i-1} (optionally within ``max_span_ms`` of t_1) —
+    the standard product-analytics funnel (strictly ordered, earliest-
+    completion semantics, one conversion per user).
+
+    ``transform(events)`` → one row per user who reached stage 1:
+    (user, t_1 .. t_k millis, stages_completed).  Greedy min-time is a
+    deterministic integer function of the log, so a SQL oracle replays
+    it exactly.
+
+    Scale plan: stage i is ONE equi-join (user key) between the
+    filtered stage-i stream and the stage-(i−1) conversion relation
+    (user-cardinality-sized, shrinking monotonically down the funnel)
+    plus a map-side-combined min aggregate — k small joins, no window
+    over the whole log, no per-user event collection.  The conversion
+    relations are broadcast when small; Catalyst/AQE picks that up from
+    size estimates, so no hint is forced here.
+    """
+
+    def __init__(self, user_col: str, type_col: str, ts_col: str,
+                 stages: Sequence[str], max_span_ms: int = 0):
+        if len(stages) < 2:
+            raise ValueError("FunnelAnalyzer: need at least 2 stages")
+        if len(set(stages)) != len(stages):
+            raise ValueError("FunnelAnalyzer: stages must be distinct")
+        self.user_col, self.type_col, self.ts_col = user_col, type_col, ts_col
+        self.stages = list(stages)
+        self.max_span_ms = int(max_span_ms)
+
+    def transform(self, events: DataFrame) -> DataFrame:
+        u, ty, ts = self.user_col, self.type_col, self.ts_col
+        conv = (events.filter(F.col(ty) == self.stages[0])
+                .groupBy(u).agg(F.min(F.col(ts).cast("long")).alias("t1")))
+        for i, st in enumerate(self.stages[1:], start=2):
+            nxt = events.filter(F.col(ty) == st).select(
+                F.col(u).alias("__fu__"), F.col(ts).cast("long").alias("__ft__"))
+            cond = (nxt["__fu__"] == conv[u]) & \
+                   (F.col("__ft__") > F.col(f"t{i - 1}"))
+            if self.max_span_ms > 0:
+                cond = cond & (F.col("__ft__")
+                               <= F.col("t1") + self.max_span_ms)
+            step = (nxt.join(conv, cond)
+                    .groupBy("__fu__")
+                    .agg(F.min("__ft__").alias(f"t{i}"))
+                    .withColumnRenamed("__fu__", "__fk__"))
+            conv = (conv.join(step, conv[u] == step["__fk__"], "left")
+                    .drop("__fk__"))
+        reached = sum((F.col(f"t{i}").isNotNull().cast("int")
+                       for i in range(2, len(self.stages) + 1)),
+                      F.lit(1))
+        return conv.withColumn("stages_completed", reached)

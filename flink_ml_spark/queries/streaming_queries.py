@@ -829,7 +829,37 @@ FROM rep JOIN route ON rep.b = route.b
 """
 
 
+
+def funnel_conversion(spark, sf_dir):
+    """Ordered view->click->purchase funnel with greedy earliest-
+    completion stage times — integer millis + stage counts, replayed
+    exactly by stepwise min-join CTEs."""
+    from ..common.temporal import FunnelAnalyzer
+    ev = load_events(spark, sf_dir)
+    out = FunnelAnalyzer("user_id", "event_type", "ts_ms",
+                         ["view", "click", "purchase"]).transform(ev)
+    return out.select("user_id", "t1", "t2", "t3", "stages_completed")
+
+
+FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+s1 AS (SELECT user_id, min(tms) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(tms) AS t2 FROM e
+       JOIN s1 ON s1.user_id = e.user_id AND e.tms > s1.t1
+       WHERE event_type = 'click' GROUP BY 1),
+s3 AS (SELECT e.user_id, min(tms) AS t3 FROM e
+       JOIN s2 ON s2.user_id = e.user_id AND e.tms > s2.t2
+       WHERE event_type = 'purchase' GROUP BY 1)
+SELECT s1.user_id AS user_id, t1, t2, t3,
+       CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INTEGER)
+       AS stages_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
 QUERIES = {
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "event_windows": (event_windows, EVENT_WINDOWS_SQL),
     "streaming_quality_gate": (streaming_quality_gate,
                                STREAMING_QUALITY_SQL),

@@ -146,3 +146,45 @@ def test_asof_skew_path_matches_default(spark, direction, width, tol):
     skew = asof_join(sl, sr, skew_bucket_width=width, **args).toPandas()
     pd.testing.assert_frame_equal(_canon(base), _canon(skew),
                                   check_dtype=False, atol=1e-12)
+
+
+def test_funnel_analyzer_semantics(spark):
+    from flink_ml_spark.common.temporal import FunnelAnalyzer
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "click", 5), (2, "view", 10), (2, "click", 8),  # click precedes view
+        (3, "view", 10), (3, "purchase", 15),               # skips click
+        (4, "click", 1), (4, "purchase", 2),                # never views
+        (5, "view", 10), (5, "click", 40), (5, "purchase", 50),
+    ]
+    df = spark.createDataFrame(rows, "user long, etype string, ts long")
+    f = FunnelAnalyzer("user", "etype", "ts", ["view", "click", "purchase"])
+    got = {r["user"]: (r["t1"], r["t2"], r["t3"], r["stages_completed"])
+           for r in f.transform(df).collect()}
+    assert got == {1: (10, 20, 30, 3),
+                   2: (10, None, None, 1),
+                   3: (10, None, None, 1),   # strictly ordered funnel
+                   5: (10, 40, 50, 3)}       # user 4 never reached stage 1
+
+
+def test_funnel_analyzer_max_span(spark):
+    from flink_ml_spark.common.temporal import FunnelAnalyzer
+    rows = [(5, "view", 10), (5, "click", 40), (5, "purchase", 50),
+            (6, "view", 0), (6, "click", 10), (6, "purchase", 60)]
+    df = spark.createDataFrame(rows, "user long, etype string, ts long")
+    f = FunnelAnalyzer("user", "etype", "ts", ["view", "click", "purchase"],
+                       max_span_ms=25)
+    got = {r["user"]: r["stages_completed"]
+           for r in f.transform(df).collect()}
+    # user 5: click at 40 > t1+25 -> stops at 1; user 6: purchase at 60
+    # outside span -> stops at 2
+    assert got == {5: 1, 6: 2}
+
+
+def test_funnel_analyzer_validation(spark):
+    from flink_ml_spark.common.temporal import FunnelAnalyzer
+    import pytest as pt
+    with pt.raises(ValueError, match="at least 2"):
+        FunnelAnalyzer("u", "t", "ts", ["only"])
+    with pt.raises(ValueError, match="distinct"):
+        FunnelAnalyzer("u", "t", "ts", ["a", "a"])
