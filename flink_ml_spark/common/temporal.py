@@ -227,3 +227,47 @@ class FunnelAnalyzer:
                        for i in range(2, len(self.stages) + 1)),
                       F.lit(1))
         return conv.withColumn("stages_completed", reached)
+
+
+class CohortRetention:
+    """Cohort retention analysis over an event log: users are cohorted
+    by the period of their FIRST event; retention cell (cohort, k) =
+    distinct users of that cohort active k periods later.  The
+    product-analytics standard (triangle retention matrix); every cell
+    is an integer and the rate is one division of two exact integers,
+    so a SQL oracle replays it bit-for-bit.
+
+    ``transform(events)`` → (cohort, k, users, cohort_size, rate).
+
+    Scale plan: first-event relation = ONE user-keyed min aggregate;
+    cells = ONE (user-join + distinct-count) aggregate over (cohort, k)
+    — both map-side combined, output triangle-sized (periods²), never
+    corpus-sized.  The user→cohort relation joins broadcast when users
+    fit; otherwise it is a plain user-keyed shuffle join, the same key
+    the distinct needs anyway."""
+
+    def __init__(self, user_col: str, ts_col: str, period_ms: int):
+        if period_ms <= 0:
+            raise ValueError("CohortRetention: period_ms must be > 0")
+        self.user_col, self.ts_col = user_col, ts_col
+        self.period_ms = int(period_ms)
+
+    def transform(self, events: DataFrame) -> DataFrame:
+        u = self.user_col
+        per = F.lit(self.period_ms)
+        ts = F.col(self.ts_col).cast("long")
+        base = events.select(F.col(u).alias("__cu__"),
+                             F.floor(ts / per).alias("__p__"))
+        first = (base.groupBy("__cu__")
+                 .agg(F.min("__p__").alias("cohort")))
+        sizes = (first.groupBy("cohort")
+                 .agg(F.count(F.lit(1)).alias("cohort_size")))
+        cells = (base.join(first, "__cu__")
+                 .select("cohort", (F.col("__p__") - F.col("cohort"))
+                         .alias("k"), "__cu__")
+                 .groupBy("cohort", "k")
+                 .agg(F.count_distinct("__cu__").alias("users")))
+        return (cells.join(sizes, "cohort")
+                .withColumn("rate", F.col("users").cast("double")
+                            / F.col("cohort_size").cast("double"))
+                .select("cohort", "k", "users", "cohort_size", "rate"))

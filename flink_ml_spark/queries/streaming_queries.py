@@ -858,7 +858,31 @@ SELECT s1.user_id AS user_id, t1, t2, t3,
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
+
+def cohort_retention(spark, sf_dir):
+    """Daily-cohort retention triangle over the event log — every cell
+    an integer, the rate one exact-integer division (q4-stable)."""
+    from ..common.temporal import CohortRetention
+    ev = load_events(spark, sf_dir)
+    out = CohortRetention("user_id", "ts_ms", 86400000).transform(ev)
+    return out.select("cohort", "k", "users", "cohort_size",
+                      q4(F.col("rate")).alias("rate_q4"))
+
+
+COHORT_RETENTION_SQL = f"""
+WITH b AS (SELECT user_id AS u, epoch_ms(ts) // 86400000 AS p FROM events),
+frst AS (SELECT u, min(p) AS cohort FROM b GROUP BY 1),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM frst GROUP BY 1),
+cells AS (SELECT cohort, p - cohort AS k, count(DISTINCT b.u) AS users
+          FROM b JOIN frst ON frst.u = b.u GROUP BY 1, 2)
+SELECT cells.cohort AS cohort, k, users, cohort_size,
+       {SQL_Q4.format("CAST(users AS DOUBLE) / CAST(cohort_size AS DOUBLE)")}
+       AS rate_q4
+FROM cells JOIN sizes ON sizes.cohort = cells.cohort
+"""
+
 QUERIES = {
+    "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "event_windows": (event_windows, EVENT_WINDOWS_SQL),
     "streaming_quality_gate": (streaming_quality_gate,

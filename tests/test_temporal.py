@@ -188,3 +188,16 @@ def test_funnel_analyzer_validation(spark):
         FunnelAnalyzer("u", "t", "ts", ["only"])
     with pt.raises(ValueError, match="distinct"):
         FunnelAnalyzer("u", "t", "ts", ["a", "a"])
+
+
+def test_cohort_retention_hand_triangle(spark):
+    from flink_ml_spark.common.temporal import CohortRetention
+    rows = [(1, 0), (1, 25), (2, 5), (2, 12), (2, 25), (3, 11)]
+    df = spark.createDataFrame(rows, "user long, ts long")
+    got = {(r["cohort"], r["k"]): (r["users"], r["cohort_size"], r["rate"])
+           for r in CohortRetention("user", "ts", 10).transform(df).collect()}
+    assert got == {(0, 0): (2, 2, 1.0), (0, 1): (1, 2, 0.5),
+                   (0, 2): (2, 2, 1.0), (1, 0): (1, 1, 1.0)}
+    import pytest as pt
+    with pt.raises(ValueError, match="period_ms"):
+        CohortRetention("user", "ts", 0)
