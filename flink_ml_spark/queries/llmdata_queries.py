@@ -5071,7 +5071,70 @@ CROSS JOIN tot
 
 COOCCURRENCE_SQL = _cooccurrence_sql()
 
+
+def keyword_textrank(spark, sf_dir):
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph — a pure composition of two repo
+    operators (CooccurrenceCounter edges -> PageRank), oracle-replayed
+    end-to-end (co-occurrence CTE feeding the iterative-CTE PageRank).
+    Self-loops dropped per the paper's graph construction."""
+    from ..llmdata import CooccurrenceCounter, PageRank
+    docs = load(spark, sf_dir, "documents")
+    pairs = (CooccurrenceCounter(inputCol="text", windowSize=2,
+                                 minCount=2).transform(docs)[0]
+             .filter(F.col("w1") != F.col("w2")))
+    edges = (pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+             .union(pairs.select(F.col("w2").alias("src"),
+                                 F.col("w1").alias("dst"))))
+    out = PageRank(maxIter=5).transform(edges)[0]
+    return out.select(F.col("v").alias("word"),
+                      q4(F.col("rank") * 1000).alias("rk"))
+
+
+def _keyword_textrank_sql(iters: int = 5, k: int = 2,
+                          min_count: int = 2, d: float = 0.85) -> str:
+    per_offset = " UNION ALL ".join(
+        f"SELECT unnest(list_transform(range(1, len(tk) - {dd} + 1), "
+        f"i -> [least(tk[i], tk[i+{dd}]), greatest(tk[i], tk[i+{dd}])])) "
+        f"AS pr FROM base WHERE len(tk) > {dd}"
+        for dd in range(1, k + 1))
+    parts = [
+        f"WITH base AS (SELECT {TOKS} AS tk FROM documents)",
+        f"cpairs AS (SELECT pr[1] AS w1, pr[2] AS w2 FROM ({per_offset}) "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_count})",
+        "edges AS MATERIALIZED (SELECT w1 AS src, w2 AS dst FROM cpairs "
+        "WHERE w1 <> w2 UNION SELECT w2, w1 FROM cpairs WHERE w1 <> w2)",
+        "nodes AS MATERIALIZED (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg "
+        "FROM edges GROUP BY src)",
+        "dang AS MATERIALIZED (SELECT v FROM nodes "
+        "WHERE v NOT IN (SELECT src FROM edges))",
+        "r0 AS MATERIALIZED (SELECT v, 1.0 / nn.c AS r FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r), 0.0) AS s FROM r{i - 1} "
+            f"WHERE v IN (SELECT v FROM dang))")
+        parts.append(
+            f"m{i} AS (SELECT e.dst, sum(p.r / deg.deg) AS m FROM edges e "
+            f"JOIN r{i - 1} p ON p.v = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT nodes.v, "
+            f"(1 - {d}) / nn.c + {d} * (coalesce(m.m, 0.0) + d{i}.s / nn.c) "
+            f"AS r FROM nodes CROSS JOIN nn CROSS JOIN d{i} "
+            f"LEFT JOIN m{i} m ON m.dst = nodes.v)")
+    return (", ".join(parts)
+            + f" SELECT v AS word, CAST(ROUND((r * 1000) * 10000) AS BIGINT)"
+              f" AS rk FROM r{iters}")
+
+
+KEYWORD_TEXTRANK_SQL = _keyword_textrank_sql()
+
 QUERIES = {
+    "keyword_textrank": (keyword_textrank, KEYWORD_TEXTRANK_SQL),
     "cooccurrence": (cooccurrence, COOCCURRENCE_SQL),
     "cms_token_freq": (cms_token_freq, CMS_TOKEN_FREQ_SQL),
     "hll_registers": (hll_registers, HLL_REGISTERS_SQL),
