@@ -5133,7 +5133,63 @@ def _keyword_textrank_sql(iters: int = 5, k: int = 2,
 
 KEYWORD_TEXTRANK_SQL = _keyword_textrank_sql()
 
+
+def cms_heavy_hitters(spark, sf_dir):
+    """The two-pass heavy-hitter pattern CMS exists for at scale: pass
+    1 sketches the stream (bounded state), candidates = keys whose CMS
+    estimate clears the threshold (CMS never underestimates, so recall
+    is exact — no true heavy hitter is missed), pass 2 verifies
+    candidates exactly with a groupBy ON THE CANDIDATE SUBSET only.
+    Output is the verified heavy-hitter relation (integer-exact)."""
+    from ..llmdata import CountMinSketch
+    li = load(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").cast("string").alias("tok"))
+    model = CountMinSketch(inputCol="tok", depth=4, width=256,
+                           seed=SEED).fit(keys)
+    model.set_(outputCol="est")
+    thresh = 40
+    cand = (model.transform(keys.distinct())[0]
+            .filter(F.col("est") >= thresh))
+    exact = (keys.join(F.broadcast(cand.select("tok")), "tok")
+             .groupBy("tok").count()
+             .withColumnRenamed("count", "cnt")
+             .filter(F.col("cnt") >= thresh))
+    return exact.select("tok", "cnt")
+
+
+def _cms_heavy_hitters_sql(depth: int = 4, width: int = 256,
+                           seed: int = SEED, thresh: int = 40) -> str:
+    fam = _hash_family(depth, seed)
+    cell = "(h * {a} + {b}) % {p} % {w}".format
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {cell(a=a, b=b, p=MINHASH_PRIME, w=width)} AS "
+        f"cell, count(*) AS cnt FROM mixed GROUP BY 2"
+        for i, (a, b) in enumerate(fam))
+    joins = "\n".join(
+        f"JOIN cells c{i} ON c{i}.i = {i} AND c{i}.cell = "
+        f"{cell(a=a, b=b, p=MINHASH_PRIME, w=width)}"
+        for i, (a, b) in enumerate(fam))
+    least = ", ".join(f"c{i}.cnt" for i in range(depth))
+    return f"""
+WITH toks AS (SELECT CAST(l_partkey AS VARCHAR) AS tok FROM lineitem),
+mixed AS (SELECT tok, x5 AS h FROM (
+  SELECT tok, {_mix31_cte('h0')}
+  FROM (SELECT tok, {TOKHASH.format(t='tok')} AS h0 FROM toks))),
+cells AS ({rows}),
+keys AS (SELECT tok, any_value(h) AS h FROM mixed GROUP BY tok),
+cand AS (SELECT keys.tok FROM (SELECT tok, h FROM keys) keys
+         {joins}
+         WHERE least({least}) >= {thresh})
+SELECT t.tok AS tok, count(*) AS cnt FROM toks t
+JOIN cand ON cand.tok = t.tok
+GROUP BY 1 HAVING count(*) >= {thresh}
+"""
+
+
+CMS_HEAVY_HITTERS_SQL = _cms_heavy_hitters_sql()
+
 QUERIES = {
+    "cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
     "keyword_textrank": (keyword_textrank, KEYWORD_TEXTRANK_SQL),
     "cooccurrence": (cooccurrence, COOCCURRENCE_SQL),
     "cms_token_freq": (cms_token_freq, CMS_TOKEN_FREQ_SQL),

@@ -881,7 +881,46 @@ SELECT cells.cohort AS cohort, k, users, cohort_size,
 FROM cells JOIN sizes ON sizes.cohort = cells.cohort
 """
 
+
+def ab_proportion_test(spark, sf_dir):
+    """Two-proportion z-test on a synthetic A/B split of the event log
+    (variant = user parity, conversion = purchase events).  Counts are
+    integers and z is divisions + one sqrt of exact integers in a fixed
+    order — IEEE-correctly-rounded in both engines, so q4 is stable;
+    the p-value (special-function) is pinned by pytest instead."""
+    from ..stats import TwoProportionZTest
+    from . import load
+    ev = load(spark, sf_dir, "events")
+    df = ev.select((F.col("user_id") % 2).cast("string").alias("grp"),
+                   (F.col("event_type") == "purchase")
+                   .cast("int").alias("y"))
+    out = TwoProportionZTest(groupCol="grp", outcomeCol="y").transform(df)[0]
+    return out.select("group1", "group2", "n1", "x1", "n2", "x2",
+                      q4(F.col("z")).alias("z_q4"))
+
+
+AB_PROPORTION_SQL = f"""
+WITH g AS (SELECT CAST(user_id % 2 AS VARCHAR) AS grp,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+s AS (SELECT grp, count(*) AS n, CAST(sum(y) AS BIGINT) AS x
+      FROM g GROUP BY 1),
+s1 AS (SELECT * FROM s ORDER BY grp LIMIT 1),
+s2 AS (SELECT * FROM s ORDER BY grp DESC LIMIT 1),
+z AS (SELECT s1.grp AS group1, s2.grp AS group2,
+             s1.n AS n1, s1.x AS x1, s2.n AS n2, s2.x AS x2,
+             (CAST(s1.x AS DOUBLE) / s1.n - CAST(s2.x AS DOUBLE) / s2.n)
+             / sqrt((CAST(s1.x + s2.x AS DOUBLE) / (s1.n + s2.n))
+                    * (1.0 - CAST(s1.x + s2.x AS DOUBLE) / (s1.n + s2.n))
+                    * (1.0 / s1.n + 1.0 / s2.n)) AS z
+      FROM s1, s2)
+SELECT group1, group2, n1, x1, n2, x2,
+       {SQL_Q4.format("z")} AS z_q4
+FROM z
+"""
+
 QUERIES = {
+    "ab_proportion_test": (ab_proportion_test, AB_PROPORTION_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "event_windows": (event_windows, EVENT_WINDOWS_SQL),

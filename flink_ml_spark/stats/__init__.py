@@ -1,7 +1,7 @@
 from .correlation import CorrelationMatrix, MutualInformation, SpearmanCorrelation
 from .tests import (ANOVATest, ChiSqTest, FValueTest, KolmogorovSmirnovTest,
-                    PairedTTest)
+                    PairedTTest, TwoProportionZTest)
 
 __all__ = ["ChiSqTest", "ANOVATest", "FValueTest", "KolmogorovSmirnovTest",
-           "PairedTTest", "CorrelationMatrix", "MutualInformation",
+           "PairedTTest", "TwoProportionZTest", "CorrelationMatrix", "MutualInformation",
            "SpearmanCorrelation"]

@@ -220,3 +220,56 @@ class PairedTTest(AlgoOperator):
             p = f_sf(t * t, 1, n - 1)
         return [spark.createDataFrame(
             [(n, float(mean), float(t), float(p))], schema)]
+
+
+class TwoProportionZTest(AlgoOperator):
+    """Two-sample proportion z-test — the A/B experiment primitive
+    ("did variant B's conversion rate beat A's?"), complementing
+    PairedTTest (paired metrics) and ChiSqTest (k×k independence).
+
+    ONE aggregation carries (n, x) per group; the pooled z statistic
+
+        z = (x1/n1 − x2/n2) / sqrt(p̂(1−p̂)(1/n1 + 1/n2)),  p̂ = (x1+x2)/(n1+n2)
+
+    is driver arithmetic on two rows.  Every operation is either exact
+    integer or IEEE-correctly-rounded (divisions of integers, one sqrt)
+    in a FIXED order, so z is bit-stable cross-engine; the two-sided
+    p-value (z² ~ χ²₁) uses common/special.py and is pinned by pytest.
+    ``transform(df)`` → one row (group1, group2, n1, x1, n2, x2, z,
+    p_value); groups are the two distinct groupCol values, ascending.
+    """
+
+    groupCol = StringParam("groupCol", "Two-valued variant column.",
+                           "group")
+    outcomeCol = StringParam("outcomeCol", "0/1 outcome column.",
+                             "outcome")
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        import math
+        (df,) = inputs
+        spark = df.sparkSession
+        g = F.col(self.get_("groupCol")).cast("string")
+        y = F.col(self.get_("outcomeCol")).cast("double")
+        rows = (df.filter(g.isNotNull() & y.isNotNull())
+                .groupBy(g.alias("g"))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("x"))
+                .collect())
+        if len(rows) != 2:
+            raise ValueError(
+                f"TwoProportionZTest: need exactly 2 groups, saw "
+                f"{sorted(r['g'] for r in rows)}")
+        rows = sorted(rows, key=lambda r: r["g"])
+        (g1, n1, x1), (g2, n2, x2) = [(r["g"], int(r["n"]), float(r["x"]))
+                                      for r in rows]
+        p1, p2 = x1 / n1, x2 / n2
+        pp = (x1 + x2) / (n1 + n2)
+        se2 = pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)
+        if se2 <= 0:  # all outcomes identical
+            z, p = 0.0, 1.0
+        else:
+            z = (p1 - p2) / math.sqrt(se2)
+            p = chi2_sf(z * z, 1)
+        return [spark.createDataFrame(
+            [(g1, g2, n1, int(x1), n2, int(x2), float(z), float(p))],
+            "group1 string, group2 string, n1 long, x1 long, n2 long, "
+            "x2 long, z double, p_value double")]

@@ -674,3 +674,25 @@ def test_platt_calibrator_rejects_nonbinary(spark):
     df = spark.createDataFrame([(0.1, 2.0)], "score double, label double")
     with _pytest.raises(ValueError, match="0/1"):
         PlattCalibrator().fit(df)
+
+
+def test_two_proportion_z_test(spark):
+    from flink_ml_spark.stats import TwoProportionZTest
+    rows = [("A", 1)] * 30 + [("A", 0)] * 70 + \
+           [("B", 1)] * 45 + [("B", 0)] * 55
+    df = spark.createDataFrame(rows, "grp string, y int")
+    r = TwoProportionZTest(groupCol="grp", outcomeCol="y") \
+        .transform(df)[0].first()
+    assert (r["n1"], r["x1"], r["n2"], r["x2"]) == (100, 30, 100, 45)
+    # hand calc: p1=.3 p2=.45 pp=.375 -> z = -.15/sqrt(.375*.625*.02)
+    assert r["z"] == pytest.approx(-2.1908902300206647)
+    # two-sided p for |z|=2.19 ~ 0.02846 (z^2 ~ chi2_1)
+    assert r["p_value"] == pytest.approx(0.02846, abs=2e-4)
+    # identical outcomes -> z=0, p=1
+    const = spark.createDataFrame([("A", 1), ("B", 1)], "grp string, y int")
+    r0 = TwoProportionZTest(groupCol="grp", outcomeCol="y") \
+        .transform(const)[0].first()
+    assert (r0["z"], r0["p_value"]) == (0.0, 1.0)
+    with pytest.raises(ValueError, match="2 groups"):
+        TwoProportionZTest(groupCol="grp", outcomeCol="y").transform(
+            spark.createDataFrame([("A", 1)], "grp string, y int"))
