@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import SQL_Q4, load_events, q4
+from .llmdata_queries import HLL_REGISTERS_SQL as _HLL_SQL
 
 DAY_MS = 86400000
 
@@ -919,7 +920,56 @@ SELECT group1, group2, n1, x1, n2, x2,
 FROM z
 """
 
+
+def streaming_cardinality(spark, sf_dir):
+    """Incremental distinct-count over a 2-micro-batch replay of the
+    customer-key stream: per-batch HLL sketches merged by register max.
+    Merge is EXACT, so the accumulated registers equal a single batch
+    fit over everything seen — the oracle is literally the batch HLL
+    SQL, gating the streaming path bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    from . import load
+    from ..streaming import StreamingCardinalityMonitor
+    orders = load(spark, sf_dir, "orders")
+    data = orders.select(F.col("o_custkey").cast("string").alias("tok"),
+                         (F.col("o_orderkey") % 2 == 0).alias("even"))
+    tmp = tempfile.mkdtemp(prefix="streaming_card_")
+    q = None
+    try:
+        os.mkdir(os.path.join(tmp, "in"))
+        for i, half in enumerate((data.where("even"),
+                                  data.where("NOT even"))):
+            half.select("tok").coalesce(1).write.parquet(
+                os.path.join(tmp, f"b{i}"))
+            src = [f for f in os.listdir(os.path.join(tmp, f"b{i}"))
+                   if f.endswith(".parquet")][0]
+            dst = os.path.join(tmp, "in", f"batch{i}.parquet")
+            shutil.copy(os.path.join(tmp, f"b{i}", src), dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (spark.readStream.schema("tok string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(tmp, "in")))
+        mon = StreamingCardinalityMonitor("tok", precision=9)
+        q = (stream.writeStream.foreachBatch(mon.foreach_batch())
+             .trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        q.awaitTermination(300)
+        if len(mon.history) < 2:
+            raise RuntimeError(
+                f"streaming_cardinality: expected >= 2 micro-batches, "
+                f"saw {len(mon.history)}")
+        return mon.model.registers_df(spark)
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
 QUERIES = {
+    "streaming_cardinality": (streaming_cardinality, _HLL_SQL),
     "ab_proportion_test": (ab_proportion_test, AB_PROPORTION_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),

@@ -1,5 +1,6 @@
 from .dedup import (StreamingExactDeduplicator,
                     StreamingIncrementalDeduplicator)
+from .cardinality import StreamingCardinalityMonitor
 from .drift import StreamingDriftMonitor
 from .quality import StreamingQualityGate
 from .online import (OnlineKMeans, OnlineLogisticRegression,
@@ -7,7 +8,8 @@ from .online import (OnlineKMeans, OnlineLogisticRegression,
 from .stateful import StatefulSessionizer
 from .windows import Windows
 
-__all__ = ["OnlineStandardScaler", "OnlineStandardScalerModel",
+__all__ = ["StreamingCardinalityMonitor",
+           "OnlineStandardScaler", "OnlineStandardScalerModel",
            "OnlineKMeans", "OnlineLogisticRegression",
            "StatefulSessionizer", "StreamingDriftMonitor",
            "StreamingQualityGate",

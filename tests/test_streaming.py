@@ -500,3 +500,20 @@ def test_streaming_drift_monitor(spark):
                                    smoothing=0.5).fit_reference(skew)
     assert set(capped.ref) == {"alpha", capped.OOV}
     assert capped.ref["alpha"] == 3 and capped.ref[capped.OOV] == 1
+
+
+def test_streaming_cardinality_monitor_matches_batch(spark):
+    """Register-max merge is exact: any batch split replays to the same
+    registers as one fit over everything; estimates come along free."""
+    from flink_ml_spark.streaming import StreamingCardinalityMonitor
+    from flink_ml_spark.llmdata import HyperLogLogSketch
+    df = spark.createDataFrame([(f"u{i % 700}",) for i in range(3000)],
+                               "tok string")
+    mon = StreamingCardinalityMonitor("tok", precision=8)
+    for i, part in enumerate((df.limit(1000),
+                              df.subtract(df.limit(1000)), df)):
+        mon.process_batch(part, i)
+    full = HyperLogLogSketch(inputCol="tok", precision=8).fit(df)
+    assert mon.model.model_data["registers"] == full.model_data["registers"]
+    assert len(mon.history) == 3
+    assert mon.history[-1]["estimate"] == full.estimate()
