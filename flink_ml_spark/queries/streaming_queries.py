@@ -968,7 +968,48 @@ def streaming_cardinality(spark, sf_dir):
             q.stop()
         shutil.rmtree(tmp, ignore_errors=True)
 
+
+def mann_whitney_u(spark, sf_dir):
+    """Rank-sum test of event values across the user-parity A/B split:
+    2*U1 is an exact integer (doubled midranks), the tie-corrected z a
+    fixed-order float pipeline over exact integers — q4-stable; the
+    p-value is pinned by pytest."""
+    from ..stats import MannWhitneyUTest
+    from . import load
+    ev = load(spark, sf_dir, "events")
+    df = ev.select((F.col("user_id") % 2).cast("string").alias("grp"),
+                   F.col("value").alias("val"))
+    out = MannWhitneyUTest(groupCol="grp", valueCol="val").transform(df)[0]
+    return out.select("group1", "group2", "n1", "n2", "u1_x2",
+                      q4(F.col("z")).alias("z_q4"))
+
+
+MANN_WHITNEY_SQL = f"""
+WITH pooled AS (SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+                       CAST(value AS DOUBLE) AS val
+                FROM events WHERE value IS NOT NULL),
+vals AS (SELECT val, count(*) AS c FROM pooled GROUP BY 1),
+ranked AS (SELECT val, 2 * COALESCE(SUM(c) OVER (ORDER BY val
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2 FROM vals),
+per AS (SELECT g, count(*) AS n, CAST(SUM(r.r2) AS BIGINT) AS sr
+        FROM pooled p JOIN ranked r ON r.val = p.val GROUP BY 1),
+p1 AS (SELECT * FROM per ORDER BY g LIMIT 1),
+p2 AS (SELECT * FROM per ORDER BY g DESC LIMIT 1),
+ties AS (SELECT CAST(SUM(c*c*c - c) AS BIGINT) AS t FROM vals),
+tot AS (SELECT CAST((SELECT n FROM p1) + (SELECT n FROM p2) AS BIGINT)
+        AS n)
+SELECT p1.g AS group1, p2.g AS group2, p1.n AS n1, p2.n AS n2,
+       p1.sr - p1.n * (p1.n + 1) AS u1_x2,
+       {SQL_Q4.format(
+           "((p1.sr - p1.n * (p1.n + 1)) / 2.0 - p1.n * p2.n / 2.0) / "
+           "sqrt(p1.n * p2.n / 12.0 * ((tot.n + 1.0) - "
+           "CAST(ties.t AS DOUBLE) / (tot.n * (tot.n - 1.0))))")} AS z_q4
+FROM p1, p2, ties, tot
+"""
+
 QUERIES = {
+    "mann_whitney_u": (mann_whitney_u, MANN_WHITNEY_SQL),
     "streaming_cardinality": (streaming_cardinality, _HLL_SQL),
     "ab_proportion_test": (ab_proportion_test, AB_PROPORTION_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),

@@ -1,7 +1,8 @@
 from .correlation import CorrelationMatrix, MutualInformation, SpearmanCorrelation
 from .tests import (ANOVATest, ChiSqTest, FValueTest, KolmogorovSmirnovTest,
-                    PairedTTest, TwoProportionZTest)
+                    MannWhitneyUTest, PairedTTest,
+                    TwoProportionZTest)
 
 __all__ = ["ChiSqTest", "ANOVATest", "FValueTest", "KolmogorovSmirnovTest",
-           "PairedTTest", "TwoProportionZTest", "CorrelationMatrix", "MutualInformation",
+           "PairedTTest", "TwoProportionZTest", "MannWhitneyUTest", "CorrelationMatrix", "MutualInformation",
            "SpearmanCorrelation"]

@@ -273,3 +273,72 @@ class TwoProportionZTest(AlgoOperator):
             [(g1, g2, n1, int(x1), n2, int(x2), float(z), float(p))],
             "group1 string, group2 string, n1 long, x1 long, n2 long, "
             "x2 long, z double, p_value double")]
+
+
+class MannWhitneyUTest(AlgoOperator):
+    """Mann–Whitney U (Wilcoxon rank-sum) test — the nonparametric
+    two-sample location test: does group 1's value distribution
+    stochastically dominate group 2's?  The robust complement of the
+    t-family for heavy-tailed metrics (latencies, doc lengths, counts),
+    completing the stats set next to ChiSqTest/ANOVA/F and the
+    TwoProportionZTest.
+
+    Pooled average-tie midranks come from the Spearman machinery
+    (``correlation._midranks``: groupBy tie collapse + range-partition
+    cumsum — no global sort, nothing corpus-sized collected); doubled
+    midranks are integers, so the per-group rank sums are EXACT decimal
+    aggregates and 2·U1 = Σ2r₁ − n1(n1+1) is an exact integer.  The
+    tie-corrected normal z and its p-value (z² ~ χ²₁) are driver
+    arithmetic; every float step is a fixed-order division/sqrt of
+    exact integers, so z replays bit-identically in SQL.
+
+    ``transform(df)`` → one row (group1, group2, n1, n2, u1_x2, z,
+    p_value); groups ascending by name, U1 is group1's statistic.
+    """
+
+    groupCol = StringParam("groupCol", "Two-valued group column.",
+                           "group")
+    valueCol = StringParam("valueCol", "Numeric sample column.", "value")
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        import math
+
+        from .correlation import _midranks
+        (df,) = inputs
+        spark = df.sparkSession
+        g = F.col(self.get_("groupCol")).cast("string")
+        v = F.col(self.get_("valueCol")).cast("double")
+        base = (df.filter(g.isNotNull() & v.isNotNull())
+                .select(g.alias("g"), v.alias("val")))
+        ranks = _midranks(base, "val")
+        joined = base.join(ranks, base["val"] == ranks["v"]).drop("v")
+        per = (joined.groupBy("g")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("r2").cast("decimal(38,0)")).alias("sr"))
+               .collect())
+        if len(per) != 2:
+            raise ValueError(
+                f"MannWhitneyUTest: need exactly 2 groups, saw "
+                f"{sorted(r['g'] for r in per)}")
+        per = sorted(per, key=lambda r: r["g"])
+        (g1, n1, sr1), (g2, n2, _) = [(r["g"], int(r["n"]), int(r["sr"]))
+                                      for r in per]
+        ties = int(base.groupBy("val").count()
+                   .agg(F.sum(F.col("count").cast("decimal(38,0)")
+                              * F.col("count") * F.col("count")
+                              - F.col("count"))).first()[0] or 0)
+        n = n1 + n2
+        u1_x2 = sr1 - n1 * (n1 + 1)  # exact integer 2*U1
+        schema = ("group1 string, group2 string, n1 long, n2 long, "
+                  "u1_x2 long, z double, p_value double")
+        tie_adj = (n + 1.0) - ties / (n * (n - 1.0)) if n > 1 else 0.0
+        sig2 = n1 * n2 / 12.0 * tie_adj
+        if sig2 <= 0:  # all values tied
+            z, p = 0.0, 1.0
+        else:
+            u1 = u1_x2 / 2.0
+            mu = n1 * n2 / 2.0
+            z = (u1 - mu) / math.sqrt(sig2)
+            p = chi2_sf(z * z, 1)
+        return [spark.createDataFrame(
+            [(g1, g2, n1, n2, int(u1_x2), float(z), float(p))], schema)]

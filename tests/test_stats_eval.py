@@ -696,3 +696,34 @@ def test_two_proportion_z_test(spark):
     with pytest.raises(ValueError, match="2 groups"):
         TwoProportionZTest(groupCol="grp", outcomeCol="y").transform(
             spark.createDataFrame([("A", 1)], "grp string, y int"))
+
+
+def test_mann_whitney_u_test(spark):
+    from flink_ml_spark.stats import MannWhitneyUTest
+    # A = 1..10, B = 6..15: U1 = 10 full wins + 5 half-ties = 12.5
+    rows = [("A", float(i)) for i in range(1, 11)] + \
+           [("B", float(i)) for i in range(6, 16)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    r = MannWhitneyUTest(groupCol="grp", valueCol="val") \
+        .transform(df)[0].first()
+    assert (r["n1"], r["n2"], r["u1_x2"]) == (10, 10, 25)
+    # tie-corrected normal approximation (matches
+    # scipy.stats.mannwhitneyu(method="asymptotic", use_continuity=False))
+    assert r["z"] == pytest.approx(-2.840077065125004)
+    assert r["p_value"] == pytest.approx(0.004510, abs=2e-5)
+    # symmetric inputs -> U1 = n1*n2/2, z = 0
+    sym = spark.createDataFrame(
+        [("A", 1.0), ("A", 3.0), ("B", 1.0), ("B", 3.0)],
+        "grp string, val double")
+    r0 = MannWhitneyUTest(groupCol="grp", valueCol="val") \
+        .transform(sym)[0].first()
+    assert r0["u1_x2"] == 4 and r0["z"] == 0.0
+    # all values identical -> degenerate, z=0/p=1
+    const = spark.createDataFrame([("A", 2.0), ("B", 2.0)],
+                                  "grp string, val double")
+    rc = MannWhitneyUTest(groupCol="grp", valueCol="val") \
+        .transform(const)[0].first()
+    assert (rc["z"], rc["p_value"]) == (0.0, 1.0)
+    with pytest.raises(ValueError, match="2 groups"):
+        MannWhitneyUTest(groupCol="grp", valueCol="val").transform(
+            spark.createDataFrame([("A", 1.0)], "grp string, val double"))
