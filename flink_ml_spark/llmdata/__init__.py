@@ -47,6 +47,7 @@ from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
                            UnigramLMScorer, UnigramLMScorerModel)
 from .cooccur import CooccurrenceCounter
 from .sketches import (CountMinSketch, CountMinSketchModel,
+                       FrequentLineFilter, FrequentLineFilterModel,
                        HyperLogLogSketch, HyperLogLogSketchModel)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -35,7 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..api import Estimator, Model
-from ..param import HasInputCol, HasOutputCol, IntParam, ParamValidators
+from ..param import (HasInputCol, HasOutputCol, IntParam,
+                     ParamValidators, StringParam)
 from .dedup import MINHASH_PRIME, _hash_family, poly_token_hash
 
 # past this many total counters, per-depth literal arrays bloat the plan;
@@ -314,3 +315,95 @@ class HyperLogLogSketchModel(Model, HasInputCol):
             regs[int(row["bucket"])] = int(row["r"])
         self.model_data = {"registers": regs}
         return self
+
+
+class FrequentLineFilter(Estimator):
+    """Boilerplate-line removal by global line frequency — the C4-style
+    "drop lines that appear on many pages" pass (cookie banners, nav
+    footers), sketch-accelerated: a CountMinSketch over line digests
+    generates frequency candidates in BOUNDED state, and only the
+    candidate subset is counted exactly.  CMS never underestimates, so
+    candidate recall is exact and the final drop set — candidates whose
+    EXACT count clears ``minCount`` — is provably identical to a full
+    exact-count filter; the sketch changes the cost, not the result
+    (which is what lets a simple exact-count oracle gate the whole
+    pipeline).
+
+    At corpus scale the full-cardinality line groupBy is dominated by
+    the unique-line long tail; the sketch pass replaces it with a
+    depth×width-bounded aggregate, and the exact pass touches only
+    high-frequency candidates (map-side combine collapses their row
+    count).
+
+    ``fit(docs)`` → :class:`FrequentLineFilterModel` holding the
+    verified boilerplate line-digest set (guarded driver state);
+    ``transform(docs)`` drops those lines and reassembles documents in
+    position order.
+    """
+
+    idCol = StringParam("idCol", "Document id column.", "id")
+    textCol = StringParam("textCol", "Multi-line text column.", "text")
+    outputCol = StringParam("outputCol", "Cleaned text column.", "clean")
+    minCount = IntParam("minCount", "Drop lines appearing in at least "
+                        "this many places.", 50, ParamValidators.gt(1))
+    depth = IntParam("depth", "CMS hash rows.", 4,
+                     ParamValidators.in_range(1, 16))
+    width = IntParam("width", "CMS counters per row.", 4096,
+                     ParamValidators.gt(1))
+    seed = IntParam("seed", "CMS hash-family seed.", 42)
+    maxBoilerplateLines = IntParam(
+        "maxBoilerplateLines", "Fail-fast cap on the verified drop set "
+        "held driver-side.", 1_000_000, ParamValidators.gt(0))
+
+    def fit(self, *inputs: DataFrame) -> "FrequentLineFilterModel":
+        (df,) = inputs
+        t = int(self.get_("minCount"))
+        lines = df.select(F.explode(
+            F.split(F.col(self.get_("textCol")), "\n")).alias("ln"))
+        cms = CountMinSketch(inputCol="ln", depth=self.get_("depth"),
+                             width=self.get_("width"),
+                             seed=self.get_("seed")).fit(lines)
+        cms.set_(outputCol="__est__")
+        cand = (cms.transform(lines.distinct())[0]
+                .filter(F.col("__est__") >= t).select("ln"))
+        exact = (lines.join(F.broadcast(cand), "ln")
+                 .groupBy("ln").count()
+                 .filter(F.col("count") >= t))
+        n_boiler = exact.count()
+        cap = int(self.get_("maxBoilerplateLines"))
+        if n_boiler > cap:
+            raise ValueError(
+                f"FrequentLineFilter: {n_boiler} verified boilerplate "
+                f"lines exceed maxBoilerplateLines={cap}; raise minCount "
+                f"or the cap")
+        model = FrequentLineFilterModel()
+        model.set_(idCol=self.get_("idCol"), textCol=self.get_("textCol"),
+                   outputCol=self.get_("outputCol"))
+        model.model_data = {
+            "boilerplate": sorted(r["ln"] for r in exact.collect()),
+            "minCount": t}
+        return model
+
+
+class FrequentLineFilterModel(Model):
+    idCol = StringParam("idCol", "Document id column.", "id")
+    textCol = StringParam("textCol", "Multi-line text column.", "text")
+    outputCol = StringParam("outputCol", "Cleaned text column.", "clean")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        boiler = F.array(*[F.lit(s) for s in
+                           self.model_data["boilerplate"]])
+        kept = F.filter(F.split(F.col(self.get_("textCol")), "\n"),
+                        lambda ln: ~F.array_contains(boiler, ln)) \
+            if self.model_data["boilerplate"] else \
+            F.split(F.col(self.get_("textCol")), "\n")
+        return df.withColumn(self.get_("outputCol"),
+                             F.array_join(kept, "\n"))
+
+    def transform_local(self, pdf):
+        boiler = set(self.model_data["boilerplate"])
+        out = pdf.copy()
+        out[self.get_("outputCol")] = [
+            "\n".join(ln for ln in str(t).split("\n") if ln not in boiler)
+            for t in pdf[self.get_("textCol")]]
+        return out

@@ -5188,7 +5188,53 @@ GROUP BY 1 HAVING count(*) >= {thresh}
 
 CMS_HEAVY_HITTERS_SQL = _cms_heavy_hitters_sql()
 
+
+def llm_prep_pipeline_v15(spark, sf_dir):
+    """Corpus-prep v15 — sketch-gated boilerplate-line removal: a
+    CountMinSketch frequency pass generates boilerplate candidates in
+    bounded state, exact verification trims overestimates, and every
+    verified-frequent line is stripped from every page.  Because CMS
+    never underestimates, the drop set provably equals the exact
+    line-frequency filter — so the oracle is the plain exact-count SQL
+    while the Spark side runs the bounded-state two-pass path."""
+    from ..llmdata import FrequentLineFilter
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.lit(_BOILER1), F.lit(_BOILER2),
+                    F.substring("text", 1, 40)).alias("page"))
+    m = FrequentLineFilter(idCol="doc_id", textCol="page",
+                           outputCol="clean", minCount=100,
+                           width=4096, seed=SEED).fit(pages)
+    out = m.transform(pages)[0]
+    kept = F.split(F.col("clean"), "\n")
+    return out.select("doc_id",
+                      F.size(kept).cast("int").alias("n_kept"),
+                      F.sha2(F.col("clean"), 256).alias("clean_sha"))
+
+
+LLM_PREP_V15_SQL = f"""
+WITH pages AS (SELECT doc_id,
+                      text || chr(10) || '{_BOILER1}' || chr(10) ||
+                      '{_BOILER2}' || chr(10) || substr(text, 1, 40)
+                      AS page
+               FROM documents),
+arrs AS (SELECT doc_id, string_split(page, chr(10)) AS arr FROM pages),
+lines AS (SELECT doc_id, gs.i AS pos, arr[gs.i + 1] AS ln
+          FROM arrs, unnest(generate_series(0, len(arr) - 1)) AS gs(i)),
+boiler AS (SELECT ln FROM lines GROUP BY ln HAVING count(*) >= 100),
+kept AS (SELECT doc_id, pos, ln FROM lines
+         WHERE ln NOT IN (SELECT ln FROM boiler)),
+re AS (SELECT doc_id, count(*) AS n_kept,
+              string_agg(ln, chr(10) ORDER BY pos) AS clean
+       FROM kept GROUP BY doc_id)
+SELECT doc_id, CAST(n_kept AS INTEGER) AS n_kept,
+       sha256(clean) AS clean_sha
+FROM re
+"""
+
 QUERIES = {
+    "llm_prep_pipeline_v15": (llm_prep_pipeline_v15, LLM_PREP_V15_SQL),
     "cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
     "keyword_textrank": (keyword_textrank, KEYWORD_TEXTRANK_SQL),
     "cooccurrence": (cooccurrence, COOCCURRENCE_SQL),

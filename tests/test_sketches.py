@@ -135,3 +135,50 @@ def test_hll_model_data_roundtrip_and_persistence(spark, tmp_path):
     m.save(p)
     loaded = Stage.load(spark, p)
     assert loaded.model_data["registers"] == m.model_data["registers"]
+
+
+# ------------------------------------------------------ FrequentLineFilter
+
+def test_frequent_line_filter_drops_verified_boilerplate(spark, tmp_path):
+    from flink_ml_spark.llmdata import FrequentLineFilter
+    from flink_ml_spark.api import Stage
+    rows = [(i, f"unique body {i}\nCOOKIE BANNER\nNAV FOOTER")
+            for i in range(20)] + [(100, "no banner here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = FrequentLineFilter(idCol="doc_id", textCol="text", minCount=10,
+                           width=64).fit(df)
+    assert m.model_data["boilerplate"] == ["COOKIE BANNER", "NAV FOOTER"]
+    got = {r["doc_id"]: r["clean"] for r in m.transform(df)[0].collect()}
+    assert got[3] == "unique body 3"
+    assert got[100] == "no banner here"
+    # servable + persistence parity
+    local = m.transform_local(df.toPandas())
+    assert list(local["clean"]) == [got[r] for r in local["doc_id"]]
+    p = str(tmp_path / "flf")
+    m.save(p)
+    loaded = Stage.load(spark, p)
+    assert loaded.model_data["boilerplate"] == m.model_data["boilerplate"]
+
+
+def test_frequent_line_filter_equals_exact_filter(spark):
+    """The sketch pass must not change the result: drop set == exact
+    line-frequency filter even with a tiny (collision-heavy) sketch."""
+    from flink_ml_spark.llmdata import FrequentLineFilter
+    rows = [(i, f"body {i % 37}\nBANNER") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tiny = FrequentLineFilter(idCol="doc_id", textCol="text", minCount=30,
+                              width=4, depth=2).fit(df)  # heavy collisions
+    exact = {r["ln"] for r in
+             df.selectExpr("explode(split(text, '\\n')) AS ln")
+             .groupBy("ln").count().filter("count >= 30").collect()}
+    assert set(tiny.model_data["boilerplate"]) == exact
+
+
+def test_frequent_line_filter_cap_guard(spark):
+    from flink_ml_spark.llmdata import FrequentLineFilter
+    import pytest as pt
+    rows = [(i, "A\nB\nC") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pt.raises(ValueError, match="maxBoilerplateLines"):
+        FrequentLineFilter(idCol="doc_id", textCol="text", minCount=5,
+                           maxBoilerplateLines=2).fit(df)
