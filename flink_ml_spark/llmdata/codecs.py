@@ -750,12 +750,226 @@ def decode_jpeg(payload: bytes | None) -> np.ndarray | None:
         np.clip(np.round(rgb), 0, 255).astype(np.uint8))
 
 
+
+# --- GIF (GIF89a, palette + LZW) --------------------------------------------
+# Spec: GIF89a (CompuServe 1990, public specification).  Single-frame,
+# global color table, optional 4-pass interlace; LZW with variable code
+# width, CLEAR/EOI codes, 12-bit table cap (growth stops at 4096 — the
+# spec-legal "stop adding" strategy, mirrored by the decoder).
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) per pass
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    rows = []
+    for start, step in _GIF_INTERLACE:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def _lzw_encode(indices, min_size: int) -> bytes:
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+    out = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += width
+        while n_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    width = min_size + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear, width)
+    it = iter(indices)
+    cur = next(it)
+    for k in it:
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+            continue
+        emit(cur, width)
+        if next_code < 4096:
+            table[(cur, k)] = next_code
+            next_code += 1
+            # sync rule: the decoder bumps after ITS lagged add when
+            # next_code hits 2^width; the encoder's add runs one step
+            # ahead, so it bumps at 2^width + 1 (verified round-trip +
+            # width-boundary tests)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = k
+    emit(cur, width)
+    emit(eoi, width)
+    if n_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_size: int, n_pixels: int) -> list[int]:
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+    pos = 0  # bit cursor
+
+    def read(width: int):
+        nonlocal pos
+        byte, bit = pos >> 3, pos & 7
+        v = 0
+        for i in range(width):
+            if byte >= len(data):
+                return None
+            v |= ((data[byte] >> bit) & 1) << i
+            bit += 1
+            if bit == 8:
+                bit, byte = 0, byte + 1
+        pos += width
+        return v
+
+    out: list[int] = []
+    width = min_size + 1
+    table = {i: [i] for i in range(clear)}
+    next_code = eoi + 1
+    prev: list[int] | None = None
+    while len(out) < n_pixels:
+        code = read(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            width = min_size + 1
+            table = {i: [i] for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            return out  # corrupt stream: return what we have
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) uint8 → single-frame GIF89a with a global color table.
+    Fails fast past 256 distinct colors (palette format — quantization
+    is a modeling decision, not a codec's)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"encode_gif: {len(palette)} distinct colors "
+                         f"exceed the 256-entry GIF palette")
+    pal_bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    pal_size = 1 << pal_bits
+    idx = inverse.reshape(h, w)
+    if interlace:
+        idx = idx[_gif_interlace_order(h)]
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (pal_bits - 1))  # GCT flag + size bits
+    out.append(0)  # background color index
+    out.append(0)  # aspect ratio
+    gct = np.zeros((pal_size, 3), dtype=np.uint8)
+    gct[:len(palette)] = palette
+    out += gct.tobytes()
+    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x40 if interlace else 0)  # no LCT
+    min_size = max(2, pal_bits)
+    out.append(min_size)
+    lzw = _lzw_encode(idx.ravel().tolist(), min_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes | None) -> np.ndarray | None:
+    """Single-frame GIF87a/89a → (H, W, 3) uint8 RGB (global or local
+    palette, optional interlace; extensions skipped).  None if the
+    payload is not a GIF."""
+    if payload is None or len(payload) < 13 or \
+            payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        flags = payload[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = np.frombuffer(payload[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b == 0x2C:
+                break
+            elif b == 0x3B:
+                return None
+            else:
+                return None
+        iw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7:pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            return None
+        min_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(lzw), min_size, iw * ih)
+        if len(idx) < iw * ih:
+            return None
+        grid = np.asarray(idx, dtype=np.int64).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: scatter rows back
+            order = _gif_interlace_order(ih)
+            out = np.empty_like(grid)
+            out[order] = grid
+            grid = out
+        if grid.max() >= len(pal):
+            return None
+        return pal[grid]
+    except (IndexError, ValueError):
+        return None
+
 def decode_image(payload: bytes | None) -> np.ndarray | None:
-    """Any bundled image codec → HxWx3 uint8 RGB (BMP, PNG, then
-    baseline JPEG)."""
+    """Any bundled image codec → HxWx3 uint8 RGB (BMP, PNG, GIF,
+    then baseline JPEG)."""
     img = decode_bmp(payload)
     if img is None:
         img = decode_png(payload)
+    if img is None:
+        img = decode_gif(payload)
     if img is None:
         img = decode_jpeg(payload)
     return img
@@ -770,15 +984,18 @@ def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 
 def _resize_reencode(payload: bytes | None, tw: int, th: int) -> bytes | None:
-    """Decode (BMP, PNG or baseline JPEG) → nearest resize → re-encode
-    in the SAME container; None when no bundled codec parses the
-    payload."""
+    """Decode (BMP, PNG, GIF or baseline JPEG) → nearest resize →
+    re-encode in the SAME container; None when no bundled codec parses
+    the payload."""
     img = decode_bmp(payload)
     if img is not None:
         return encode_bmp(resize_nearest(img, tw, th))
     img = decode_png(payload)
     if img is not None:
         return encode_png(resize_nearest(img, tw, th))
+    img = decode_gif(payload)
+    if img is not None:
+        return encode_gif(resize_nearest(img, tw, th))
     img = decode_jpeg(payload)
     if img is not None:
         return encode_jpeg(resize_nearest(img, tw, th), quality=90)

@@ -93,7 +93,7 @@ def all_queries():
         "cms_token_freq", "hll_registers", "cooccurrence",
         "funnel_conversion", "cohort_retention", "keyword_textrank",
         "cms_heavy_hitters", "ab_proportion_test", "streaming_cardinality",
-        "mann_whitney_u", "llm_prep_pipeline_v15",
+        "mann_whitney_u", "llm_prep_pipeline_v15", "media_codec_pipeline",
         # r08 head 2: evidence-freshness drain (VERDICT r07 item 1) — the
         # full r03-latest cohort (33 queries; bpe_tokenize rows-only rides
         # along to refresh its rows evidence)

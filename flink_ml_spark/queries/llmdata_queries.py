@@ -659,18 +659,18 @@ FROM dots d JOIN og ON og.label = d.label JOIN ng ON ng.label = d.label
 # an end-to-end binary-payload kernel chain.
 
 def media_codec_pipeline(spark, sf_dir):
-    """REAL image decode → resize → feature chain, rotating the four
-    bundled containers per row (doc_id % 4 → BMP / PNG / baseline
-    JPEG / Adam7-interlaced PNG): the synth image is a solid color
-    derived from doc_id, so expected cell means are ALGEBRAIC and
-    container-independent — one oracle verifies all four codecs
+    """REAL image decode → resize → feature chain, rotating the five
+    bundled containers per row (doc_id % 5 → BMP / PNG / baseline
+    JPEG / Adam7-interlaced PNG / GIF89a): the synth image is a solid
+    color derived from doc_id, so expected cell means are ALGEBRAIC and
+    container-independent — one oracle verifies all five codecs
     end-to-end, plus the decoded flag (must be a real decode for every
     row, never the hash stub).  The JPEG leg is exactly-gated too: a
     solid 8x8 block is DC-only, and the q90 round-trip reproduces every
     (d%256, 2d%256, 3d%256) color bit-exactly (verified exhaustively
     over the full 256-color cycle in tests/test_multimodal.py); the
-    interlaced leg exercises the 7-pass scatter decode
-    (codecs.py _ADAM7)."""
+    interlaced leg exercises the 7-pass scatter decode (codecs.py
+    _ADAM7) and the GIF leg the palette + variable-width LZW path."""
     import numpy as np
     import pandas as pd
     from ..llmdata import ImageResizer, MediaFeatureExtractor
@@ -678,17 +678,19 @@ def media_codec_pipeline(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
-        from ..llmdata.codecs import encode_bmp, encode_jpeg, encode_png
+        from ..llmdata.codecs import (encode_bmp, encode_gif, encode_jpeg,
+                                      encode_png)
         enc = [encode_bmp, encode_png,
                lambda img: encode_jpeg(img, quality=90),
-               lambda img: encode_png(img, interlace=True)]
+               lambda img: encode_png(img, interlace=True),
+               encode_gif]
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
                 rgb = np.array([d % 256, (2 * d) % 256, (3 * d) % 256],
                                dtype=np.uint8)
                 img = np.ascontiguousarray(np.broadcast_to(rgb, (8, 8, 3)))
-                payloads.append(enc[d % 4](img))
+                payloads.append(enc[d % 5](img))
             yield pdf.assign(payload=payloads)
 
     media = docs.mapInPandas(synth, "doc_id long, payload binary") \

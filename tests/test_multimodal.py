@@ -390,3 +390,43 @@ def test_png_adam7_against_reference_scatter():
                 assert (x, y) not in seen, (x, y, p, seen[(x, y)])
                 seen[(x, y)] = p
     assert len(seen) == h * w
+
+
+def test_gif_roundtrip_random_palettes():
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import (decode_gif, decode_image,
+                                               encode_gif, sniff_format)
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        h, w = rng.randint(1, 33), rng.randint(1, 33)
+        ncol = int(rng.choice([1, 2, 3, 7, 16, 200, 256]))
+        pal = rng.randint(0, 256, (ncol, 3)).astype("uint8")
+        img = pal[rng.randint(0, ncol, (h, w))]
+        for inter in (False, True):
+            payload = encode_gif(img, interlace=inter)
+            assert sniff_format(payload) == "gif"
+            back = decode_gif(payload)
+            assert back is not None and (back == img).all()
+            assert (decode_image(payload) == img).all()
+
+
+def test_gif_lzw_width_boundary_stress():
+    """Dense distinct-pair stream drives the LZW dict through multiple
+    code-width boundaries and to the 4096 cap (growth stops, no
+    clear)."""
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import decode_gif, encode_gif
+    v = np.arange(128 * 128 * 3, dtype=np.uint64)
+    img = (((v * 2654435761) % 251) % 8).astype("uint8").reshape(
+        128, 128, 3) * 30
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_palette_cap_raises():
+    import numpy as np
+    import pytest as pt
+    from flink_ml_spark.llmdata.codecs import encode_gif
+    img = np.random.RandomState(1).randint(
+        0, 256, (20, 20, 3)).astype("uint8")  # ~400 distinct colors
+    with pt.raises(ValueError, match="palette"):
+        encode_gif(img)
