@@ -53,8 +53,11 @@ HEADLINE = [
     "fvalue_test",
     "corr_matrix", "mutual_information", "calibration_eval",
     "regression_evaluator", "multiclass_evaluator",
-    "ks_test", "spearman_corr", "paired_ttest", "negative_sampling", "hard_negatives",
-    "pagerank", "trustrank", "key_skew", "fuzzy_join", "vocab_growth",
+    "ks_test", "spearman_corr", "paired_ttest", "ab_proportion_test",
+    "mann_whitney_u", "negative_sampling", "hard_negatives",
+    "pagerank", "trustrank", "keyword_textrank", "key_skew",
+    "cms_token_freq", "hll_registers", "cms_heavy_hitters",
+    "fuzzy_join", "vocab_growth",
     "isotonic_calibration", "conformal_interval", "metric_anomaly", "data_profile",
     "constraint_gate", "constraint_suggest", "profile_drift",
     "frequent_items", "profile_quantiles", "diversity_profile", "psi_drift",
@@ -62,7 +65,8 @@ HEADLINE = [
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",
     "stateful_sessions", "asof_join", "range_join", "sliding_windows",
     "streaming_dedup", "streaming_incremental_dedup", "streaming_drift",
-    "streaming_quality_gate",
+    "streaming_quality_gate", "streaming_cardinality",
+    "funnel_conversion", "cohort_retention",
     "language_id", "text_quality", "char_entropy", "gopher_filter",
     "unigram_lm_score",
     "bigram_lm_score", "quality_classifier",
@@ -83,7 +87,7 @@ HEADLINE = [
     "group_split", "dsir_select", "dsir_bigram",
     "exact_dedup",
     "snapshot_diff", "line_dedup",
-    "ngram_profile", "simhash_dedup", "dedup_recall",
+    "ngram_profile", "simhash_dedup", "dedup_recall", "cooccurrence",
     "minhash_signature", "minhash_dedup", "minhash_join_skewsafe",
     "incremental_dedup", "incremental_dedup_bucketed",
     "incremental_dedup_bloom",
@@ -103,7 +107,8 @@ HEADLINE = [
     "llm_prep_pipeline_v8", "profile_by_source",
     "llm_prep_pipeline_v9", "llm_prep_pipeline_v10", "llm_prep_pipeline_v11",
     "llm_prep_pipeline_v12", "llm_prep_pipeline_v13",
-    "llm_prep_pipeline_v14",
+    "llm_prep_pipeline_v14", "llm_prep_pipeline_v15",
+    "media_codec_pipeline", "media_pipeline",
 ]
 
 # the round-1 headline set, for like-for-like round-over-round subtotals
