@@ -14,8 +14,8 @@ from .profiler import (ConstraintGate, ConstraintSuggester,
                        DiversityProfiler,
                        KeySkewProfiler, PsiDrift, VocabGrowthProfiler,
                        FrequentItemsProfiler, suggest_constraints)
-from .multimodal import (ImageResizer, MediaFeatureExtractor,
-                         VideoFrameSampler)
+from .multimodal import (GifFrameSampler, ImageResizer,
+                         MediaFeatureExtractor, VideoFrameSampler)
 from .simsearch import (BruteForceKNNJoin, EmbeddingCosineDeduplicator,
                         EmbeddingDriftProfiler,
                         EmbeddingQuantizer, IVFIndex, IVFIndexModel,

@@ -962,6 +962,154 @@ def decode_gif(payload: bytes | None) -> np.ndarray | None:
     except (IndexError, ValueError):
         return None
 
+
+def encode_gif_animation(frames, delays_cs=None) -> bytes:
+    """List of (H, W, 3) uint8 frames (same size, <= 256 distinct colors
+    ACROSS all frames) -> animated GIF89a: one global color table, a
+    Graphic Control Extension (delay, disposal=1 "do not dispose") per
+    frame, full-frame image descriptors.  ``delays_cs`` = per-frame
+    delay in centiseconds (default 10)."""
+    if not frames:
+        raise ValueError("encode_gif_animation: no frames")
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("encode_gif_animation: frames must share shape")
+    delays = list(delays_cs) if delays_cs is not None else [10] * len(frames)
+    allpix = np.concatenate([f.reshape(-1, 3) for f in frames])
+    palette, inverse = np.unique(allpix, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"encode_gif_animation: {len(palette)} distinct "
+                         f"colors exceed the 256-entry GIF palette")
+    pal_bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    pal_size = 1 << pal_bits
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (pal_bits - 1))
+    out += b"\x00\x00"
+    gct = np.zeros((pal_size, 3), dtype=np.uint8)
+    gct[:len(palette)] = palette
+    out += gct.tobytes()
+    # Netscape looping extension (loop forever) - the de-facto standard
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    per = h * w
+    min_size = max(2, pal_bits)
+    for i, (f, d) in enumerate(zip(frames, delays)):
+        out += b"\x21\xf9\x04"          # GCE: disposal=1, no transparency
+        out.append(0x04)
+        out += int(d).to_bytes(2, "little")
+        out += b"\x00\x00"               # no transparent index; terminator
+        out += b"\x2c" + b"\x00" * 4
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0)                     # no LCT, no interlace
+        out.append(min_size)
+        idx = inverse[i * per:(i + 1) * per]
+        lzw = _lzw_encode(idx.tolist(), min_size)
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j:j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes | None):
+    """Animated (or single-frame) GIF -> list of (delay_ms, (H, W, 3)
+    uint8 RGB canvas) with frames COMPOSITED per the GIF rendering
+    model: each image descriptor paints its sub-rectangle onto the
+    running canvas (transparent palette index skipped); disposal 2
+    clears the painted rectangle to the background color afterwards.
+    None if the payload is not a GIF."""
+    if payload is None or len(payload) < 13 or \
+            payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        flags = payload[10]
+        bg_idx = payload[11]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = np.frombuffer(payload[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        bg = gct[bg_idx] if gct is not None and bg_idx < len(gct) \
+            else np.zeros(3, dtype=np.uint8)
+        canvas = np.broadcast_to(bg, (h, w, 3)).copy()
+        frames = []
+        delay_ms, disposal, trans_idx = 0, 0, None
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x3B:
+                break
+            if b == 0x21:  # extension
+                label = payload[pos + 1]
+                pos += 2
+                if label == 0xF9:  # Graphic Control Extension
+                    sz = payload[pos]
+                    packed = payload[pos + 1]
+                    delay_ms = int.from_bytes(
+                        payload[pos + 2:pos + 4], "little") * 10
+                    disposal = (packed >> 2) & 7
+                    trans_idx = payload[pos + 4] if packed & 1 else None
+                    pos += 1 + sz
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+                top = int.from_bytes(payload[pos + 3:pos + 5], "little")
+                iw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+                ih = int.from_bytes(payload[pos + 7:pos + 9], "little")
+                iflags = payload[pos + 9]
+                pos += 10
+                pal = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 7)
+                    pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                        dtype=np.uint8).reshape(-1, 3)
+                    pos += 3 * n
+                if pal is None:
+                    return None
+                min_size = payload[pos]
+                pos += 1
+                lzw = bytearray()
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    lzw += payload[pos + 1:pos + 1 + ln]
+                    pos += 1 + ln
+                pos += 1
+                idx = _lzw_decode(bytes(lzw), min_size, iw * ih)
+                if len(idx) < iw * ih:
+                    return None
+                grid = np.asarray(idx, dtype=np.int64).reshape(ih, iw)
+                if iflags & 0x40:
+                    order = _gif_interlace_order(ih)
+                    scat = np.empty_like(grid)
+                    scat[order] = grid
+                    grid = scat
+                if grid.max() >= len(pal):
+                    return None
+                rect = canvas[top:top + ih, left:left + iw]
+                painted = pal[grid]
+                if trans_idx is not None:
+                    mask = grid != trans_idx
+                    rect[mask] = painted[mask]
+                else:
+                    rect[:, :] = painted
+                frames.append((delay_ms, canvas.copy()))
+                if disposal == 2:  # restore painted rect to background
+                    canvas[top:top + ih, left:left + iw] = bg
+                delay_ms, disposal, trans_idx = 0, 0, None
+            else:
+                return None
+        return frames or None
+    except (IndexError, ValueError):
+        return None
+
 def decode_image(payload: bytes | None) -> np.ndarray | None:
     """Any bundled image codec → HxWx3 uint8 RGB (BMP, PNG, GIF,
     then baseline JPEG)."""

@@ -249,3 +249,57 @@ class VideoFrameSampler(Transformer):
                 rows.append({"media_id": r["media_id"], "frame_idx": i,
                              "ts_ms": int(i * r["duration_ms"] / n)})
         return pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms"])
+
+
+class GifFrameSampler(Transformer):
+    """REAL video-path frame sampling over animated GIF payloads (the
+    one motion container with a bundled pure-numpy codec —
+    codecs.decode_gif_frames): evenly sample ``numFrames`` composited
+    frames per animation and emit per-frame summary features
+    ``(idCol, frame_idx, ts_ms, r_mean, g_mean, b_mean)``.
+
+    Decode and reduce are FUSED in one Arrow-batched ``mapInPandas``
+    pass: raw pixels never leave the task that decoded them — at
+    corpus scale you shuffle per-frame feature rows (a few doubles),
+    not canvases.  ``ts_ms`` is the frame's start time (cumulative
+    prior delays), matching VideoFrameSampler's relational contract so
+    the two compose.  Undecodable payloads emit no rows (count them
+    upstream via sniff_format if needed)."""
+
+    idCol = StringParam("idCol", "Passthrough id column.", "media_id")
+    inputCol = StringParam("inputCol", "Animated-GIF payload column.",
+                           "payload")
+    numFrames = IntParam("numFrames", "Frames to sample per animation "
+                         "(evenly spaced; clipped to available).", 4,
+                         ParamValidators.gt(0))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        idc, pc = self.get_("idCol"), self.get_("inputCol")
+        k = int(self.get_("numFrames"))
+
+        def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .codecs import decode_gif_frames
+            cols = [idc, "frame_idx", "ts_ms", "r_mean", "g_mean", "b_mean"]
+            for pdf in batches:
+                rows = []
+                for mid, payload in zip(pdf[idc], pdf[pc]):
+                    dec = decode_gif_frames(
+                        bytes(payload) if payload is not None else None)
+                    if not dec:
+                        continue
+                    n = len(dec)
+                    starts = np.cumsum([0] + [d for d, _ in dec[:-1]])
+                    for j in range(min(k, n)):
+                        fi = j * n // min(k, n)
+                        canvas = dec[fi][1].astype(np.float64)
+                        rows.append((mid, fi, int(starts[fi]),
+                                     canvas[..., 0].mean(),
+                                     canvas[..., 1].mean(),
+                                     canvas[..., 2].mean()))
+                yield pd.DataFrame(rows, columns=cols)
+
+        return (df.select(idc, pc)
+                .mapInPandas(sample,
+                             f"{idc} long, frame_idx int, ts_ms long, "
+                             f"r_mean double, g_mean double, "
+                             f"b_mean double"))
