@@ -108,7 +108,7 @@ HEADLINE = [
     "llm_prep_pipeline_v9", "llm_prep_pipeline_v10", "llm_prep_pipeline_v11",
     "llm_prep_pipeline_v12", "llm_prep_pipeline_v13",
     "llm_prep_pipeline_v14", "llm_prep_pipeline_v15",
-    "media_codec_pipeline", "media_pipeline",
+    "media_codec_pipeline", "media_pipeline", "gif_frame_sample",
 ]
 
 # the round-1 headline set, for like-for-like round-over-round subtotals

@@ -87,13 +87,15 @@ def all_queries():
         # confirmed) and are demoted to sweep-only (VERDICT r07 item 6)
         "canary_engine", "canary_types",
         # r08 head 1: queries whose code changed this round (ALS long-lane
-        # fast path + Knn fit size guard)
-        "als", "als_recommend", "knn",
+        # fast path; knn's additive fit guard is covered by its r07 row +
+        # both-scale sweep + tests — its slot goes to the r03 drain)
+        "als", "als_recommend",
         # r08 head 1b: brand-new queries this round
         "cms_token_freq", "hll_registers", "cooccurrence",
         "funnel_conversion", "cohort_retention", "keyword_textrank",
         "cms_heavy_hitters", "ab_proportion_test", "streaming_cardinality",
         "mann_whitney_u", "llm_prep_pipeline_v15", "media_codec_pipeline",
+        "gif_frame_sample",
         # r08 head 2: evidence-freshness drain (VERDICT r07 item 1) — the
         # full r03-latest cohort (33 queries; bpe_tokenize rows-only rides
         # along to refresh its rows evidence)

@@ -5235,7 +5235,59 @@ SELECT doc_id, CAST(n_kept AS INTEGER) AS n_kept,
 FROM re
 """
 
+
+def gif_frame_sample(spark, sf_dir):
+    """REAL motion-container frame sampling: per-doc 4-frame animated
+    GIFs (solid algebraic colors per frame), decoded + evenly sampled
+    (2 of 4) by GifFrameSampler's fused decode+reduce pass.  Solid
+    frames make the sampled means ALGEBRAIC, so the oracle replays
+    frame indices, start timestamps (constant 100 ms delays) and
+    channel means exactly."""
+    import numpy as np
+    import pandas as pd
+    from ..llmdata import GifFrameSampler
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from ..llmdata.codecs import encode_gif_animation
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                frames = []
+                for f in range(4):
+                    rgb = np.array([(d + 17 * f) % 256,
+                                    (2 * d + 31 * f) % 256,
+                                    (3 * d + 7 * f) % 256], dtype=np.uint8)
+                    frames.append(np.ascontiguousarray(
+                        np.broadcast_to(rgb, (8, 8, 3))))
+                payloads.append(encode_gif_animation(frames))
+            yield pdf.assign(payload=payloads)
+
+    media = docs.mapInPandas(synth, "doc_id long, payload binary")
+    out = GifFrameSampler(idCol="doc_id", inputCol="payload",
+                          numFrames=2).transform(media)[0]
+    return out.select("doc_id", "frame_idx", "ts_ms",
+                      q4(F.col("r_mean")).alias("r"),
+                      q4(F.col("g_mean")).alias("g"),
+                      q4(F.col("b_mean")).alias("b"))
+
+
+GIF_FRAME_SAMPLE_SQL = f"""
+WITH f AS (SELECT doc_id, unnest([0, 2]) AS frame_idx FROM documents)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * 100 AS BIGINT) AS ts_ms,
+       {SQL_Q4.format("CAST((doc_id + 17 * frame_idx) % 256 AS DOUBLE)")}
+       AS r,
+       {SQL_Q4.format("CAST((2 * doc_id + 31 * frame_idx) % 256 AS DOUBLE)")}
+       AS g,
+       {SQL_Q4.format("CAST((3 * doc_id + 7 * frame_idx) % 256 AS DOUBLE)")}
+       AS b
+FROM f
+"""
+
 QUERIES = {
+    "gif_frame_sample": (gif_frame_sample, GIF_FRAME_SAMPLE_SQL),
     "llm_prep_pipeline_v15": (llm_prep_pipeline_v15, LLM_PREP_V15_SQL),
     "cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
     "keyword_textrank": (keyword_textrank, KEYWORD_TEXTRANK_SQL),

@@ -430,3 +430,49 @@ def test_gif_palette_cap_raises():
         0, 256, (20, 20, 3)).astype("uint8")  # ~400 distinct colors
     with pt.raises(ValueError, match="palette"):
         encode_gif(img)
+
+
+def test_animated_gif_roundtrip_and_composition():
+    import numpy as np
+    from flink_ml_spark.llmdata.codecs import (decode_gif_frames,
+                                               encode_gif_animation)
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (12, 3)).astype("uint8")
+    frames = [pal[rng.randint(0, 12, (10, 14))] for _ in range(4)]
+    payload = encode_gif_animation(frames, delays_cs=[5, 10, 15, 20])
+    out = decode_gif_frames(payload)
+    assert [d for d, _ in out] == [50, 100, 150, 200]
+    for (_, canvas), orig in zip(out, frames):
+        assert (canvas == orig).all()
+    # >256 colors across frames fail fast
+    import pytest as pt
+    many = [rng.randint(0, 256, (16, 16, 3)).astype("uint8")
+            for _ in range(2)]
+    with pt.raises(ValueError, match="palette"):
+        encode_gif_animation(many)
+
+
+def test_gif_frame_sampler_operator(spark):
+    import numpy as np
+    from flink_ml_spark.llmdata import GifFrameSampler
+    from flink_ml_spark.llmdata.codecs import encode_gif_animation
+
+    def solid(rgb):
+        return np.ascontiguousarray(np.broadcast_to(
+            np.array(rgb, dtype=np.uint8), (6, 6, 3)))
+
+    p1 = encode_gif_animation([solid((10, 20, 30)), solid((40, 50, 60)),
+                               solid((70, 80, 90)), solid((5, 6, 7))],
+                              delays_cs=[10, 20, 30, 40])
+    df = spark.createDataFrame([(1, bytearray(p1)), (2, None),
+                                (3, bytearray(b"not a gif"))],
+                               "media_id long, payload binary")
+    out = GifFrameSampler(idCol="media_id", inputCol="payload",
+                          numFrames=2).transform(df)[0]
+    rows = {(r["media_id"], r["frame_idx"]): r for r in out.collect()}
+    # undecodable payloads emit nothing; frames 0 and 2 sampled
+    assert set(rows) == {(1, 0), (1, 2)}
+    assert rows[(1, 0)]["ts_ms"] == 0
+    assert rows[(1, 2)]["ts_ms"] == 300  # 100 + 200 ms before frame 2
+    assert rows[(1, 2)]["r_mean"] == 70.0
+    assert rows[(1, 0)]["b_mean"] == 30.0
