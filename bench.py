@@ -54,6 +54,7 @@ HEADLINE = [
     "corr_matrix", "mutual_information", "calibration_eval",
     "regression_evaluator", "multiclass_evaluator",
     "ks_test", "spearman_corr", "paired_ttest", "ab_proportion_test",
+    "filter_agreement_kappa",
     "mann_whitney_u", "negative_sampling", "hard_negatives",
     "pagerank", "trustrank", "keyword_textrank", "key_skew",
     "cms_token_freq", "hll_registers", "cms_heavy_hitters",

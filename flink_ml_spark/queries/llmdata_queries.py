@@ -5286,7 +5286,42 @@ SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
 FROM f
 """
 
+
+def filter_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between two heuristic quality gates (char-length vs
+    token-count) — the chance-corrected agreement scorecard for
+    annotation/filter pipelines.  Integer contingency + fixed-order
+    divisions -> q4-stable kappa."""
+    from ..stats import CohenKappaTest
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    df = docs.select((F.col("n_chars") > 150).cast("int").alias("a"),
+                     (F.size(toks) > 25).cast("int").alias("b"))
+    out = CohenKappaTest(aCol="a", bCol="b").transform(df)[0]
+    return out.select("n", "agree", q4(F.col("kappa")).alias("kappa_q4"))
+
+
+FILTER_KAPPA_SQL = f"""
+WITH r AS (SELECT CASE WHEN n_chars > 150 THEN 1 ELSE 0 END AS a,
+                  CASE WHEN len({TOKS}) > 25 THEN 1 ELSE 0 END AS b
+           FROM documents),
+c AS (SELECT a, b, count(*) AS c FROM r GROUP BY 1, 2),
+m AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+             AS agree FROM c),
+rws AS (SELECT a AS k, sum(c) AS rc FROM c GROUP BY 1),
+cls AS (SELECT b AS k, sum(c) AS cc FROM c GROUP BY 1),
+ch AS (SELECT CAST(COALESCE(sum(rc * cc), 0) AS BIGINT) AS chance
+       FROM rws JOIN cls USING (k))
+SELECT n, agree,
+       {SQL_Q4.format(
+           "(CAST(agree AS DOUBLE) / n - CAST(chance AS DOUBLE) / (n * n))"
+           " / (1.0 - CAST(chance AS DOUBLE) / (n * n))")} AS kappa_q4
+FROM m, ch
+"""
+
 QUERIES = {
+    "filter_agreement_kappa": (filter_agreement_kappa, FILTER_KAPPA_SQL),
     "gif_frame_sample": (gif_frame_sample, GIF_FRAME_SAMPLE_SQL),
     "llm_prep_pipeline_v15": (llm_prep_pipeline_v15, LLM_PREP_V15_SQL),
     "cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),

@@ -1,8 +1,8 @@
 from .correlation import CorrelationMatrix, MutualInformation, SpearmanCorrelation
 from .tests import (ANOVATest, ChiSqTest, FValueTest, KolmogorovSmirnovTest,
-                    MannWhitneyUTest, PairedTTest,
-                    TwoProportionZTest)
+                    CohenKappaTest, MannWhitneyUTest,
+                    PairedTTest, TwoProportionZTest)
 
 __all__ = ["ChiSqTest", "ANOVATest", "FValueTest", "KolmogorovSmirnovTest",
-           "PairedTTest", "TwoProportionZTest", "MannWhitneyUTest", "CorrelationMatrix", "MutualInformation",
+           "PairedTTest", "TwoProportionZTest", "MannWhitneyUTest", "CohenKappaTest", "CorrelationMatrix", "MutualInformation",
            "SpearmanCorrelation"]

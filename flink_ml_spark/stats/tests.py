@@ -342,3 +342,48 @@ class MannWhitneyUTest(AlgoOperator):
             p = chi2_sf(z * z, 1)
         return [spark.createDataFrame(
             [(g1, g2, n1, n2, int(u1_x2), float(z), float(p))], schema)]
+
+
+class CohenKappaTest(AlgoOperator):
+    """Cohen's κ — chance-corrected agreement between two categorical
+    raters (Cohen 1960): the standard scorecard for annotation
+    pipelines (human vs model labels, two quality filters, judge vs
+    judge) where raw accuracy flatters imbalanced label sets.
+
+    ONE contingency aggregation (map-side combined, k×k output); κ is
+    driver arithmetic on the tiny table:
+
+        κ = (p_o − p_e) / (1 − p_e),
+        p_o = Σ diag / n,  p_e = Σ_i row_i · col_i / n²
+
+    — integer counts and a fixed division order, so κ is q4-stable
+    cross-engine.  ``transform(df)`` → one row (n, agree, kappa);
+    perfect chance agreement (p_e = 1, degenerate single-category
+    raters) reports κ = 0.0 by convention."""
+
+    aCol = StringParam("aCol", "First rater's label column.", "a")
+    bCol = StringParam("bCol", "Second rater's label column.", "b")
+
+    def transform(self, *inputs: DataFrame) -> list[DataFrame]:
+        (df,) = inputs
+        spark = df.sparkSession
+        a = F.col(self.get_("aCol")).cast("string")
+        b = F.col(self.get_("bCol")).cast("string")
+        cells = (df.filter(a.isNotNull() & b.isNotNull())
+                 .groupBy(a.alias("a"), b.alias("b"))
+                 .agg(F.count(F.lit(1)).alias("c")).collect())
+        n = sum(int(r["c"]) for r in cells)
+        if n == 0:
+            raise ValueError("CohenKappaTest: no co-rated rows")
+        agree = sum(int(r["c"]) for r in cells if r["a"] == r["b"])
+        rows: dict[str, int] = {}
+        colc: dict[str, int] = {}
+        for r in cells:
+            rows[r["a"]] = rows.get(r["a"], 0) + int(r["c"])
+            colc[r["b"]] = colc.get(r["b"], 0) + int(r["c"])
+        chance = sum(rows[k] * colc.get(k, 0) for k in rows)  # Σ ri·ci
+        po = agree / n
+        pe = chance / (n * n)
+        kappa = 0.0 if pe == 1.0 else (po - pe) / (1.0 - pe)
+        return [spark.createDataFrame(
+            [(n, agree, float(kappa))], "n long, agree long, kappa double")]

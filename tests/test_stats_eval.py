@@ -727,3 +727,28 @@ def test_mann_whitney_u_test(spark):
     with pytest.raises(ValueError, match="2 groups"):
         MannWhitneyUTest(groupCol="grp", valueCol="val").transform(
             spark.createDataFrame([("A", 1.0)], "grp string, val double"))
+
+
+def test_cohen_kappa(spark):
+    from flink_ml_spark.stats import CohenKappaTest
+    # classic 2x2: a/b agree on 20 yes + 15 no, disagree 10 + 5
+    rows = ([("y", "y")] * 20 + [("n", "n")] * 15
+            + [("y", "n")] * 10 + [("n", "y")] * 5)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = CohenKappaTest(aCol="a", bCol="b").transform(df)[0].first()
+    n = 50
+    po = 35 / n
+    pe = (30 * 25 + 20 * 25) / (n * n)
+    assert (r["n"], r["agree"]) == (50, 35)
+    assert r["kappa"] == pytest.approx((po - pe) / (1 - pe))
+    # perfect agreement -> kappa 1; degenerate single category -> 0
+    perf = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    assert CohenKappaTest(aCol="a", bCol="b").transform(perf)[0] \
+        .first()["kappa"] == 0.0  # pe == 1 convention
+    two = spark.createDataFrame([("x", "x"), ("z", "z")],
+                                "a string, b string")
+    assert CohenKappaTest(aCol="a", bCol="b").transform(two)[0] \
+        .first()["kappa"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="no co-rated"):
+        CohenKappaTest(aCol="a", bCol="b").transform(
+            spark.createDataFrame([(None, "x")], "a string, b string"))
