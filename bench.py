@@ -57,7 +57,7 @@ HEADLINE = [
     "filter_agreement_kappa",
     "mann_whitney_u", "negative_sampling", "hard_negatives",
     "pagerank", "trustrank", "keyword_textrank", "key_skew",
-    "cms_token_freq", "hll_registers", "cms_heavy_hitters",
+    "cms_token_freq", "hll_registers", "hll_by_group", "cms_heavy_hitters",
     "fuzzy_join", "vocab_growth",
     "isotonic_calibration", "conformal_interval", "metric_anomaly", "data_profile",
     "constraint_gate", "constraint_suggest", "profile_drift",

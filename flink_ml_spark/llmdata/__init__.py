@@ -48,6 +48,7 @@ from .textanalysis import (BigramLMScorer, BigramLMScorerModel,
 from .cooccur import CooccurrenceCounter
 from .sketches import (CountMinSketch, CountMinSketchModel,
                        FrequentLineFilter, FrequentLineFilterModel,
-                       HyperLogLogSketch, HyperLogLogSketchModel)
+                       HyperLogLogSketch, HyperLogLogSketchModel,
+                       hll_grouped_registers)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

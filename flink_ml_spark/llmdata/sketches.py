@@ -258,6 +258,31 @@ class HyperLogLogSketch(Estimator, HasInputCol):
         return model
 
 
+def hll_grouped_registers(df: DataFrame, group_col: str,
+                          input_col: str, precision: int = 9) -> DataFrame:
+    """Per-group HLL register relation ``(group, bucket, r)`` in ONE
+    map-side-combined aggregation — the grouped distinct-count for
+    datasheets/profilers ("distinct users per source", "vocabulary per
+    language") at bounded per-group state.  Each group's rows are a
+    valid :class:`HyperLogLogSketchModel` register set: feed them to
+    ``set_model_data`` for estimates, or max-merge across runs.
+    Integer-exact, so a SQL oracle replays it row-for-row."""
+    p = int(precision)
+    m = 1 << p
+    rest_bits = _HASH_BITS - p
+    h = mix31(poly_token_hash(F.col(input_col).cast("string")))
+    rest = F.shiftright(h.cast("long"), p)
+    rank = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits + 1) - F.length(F.bin(rest)))
+    return (df.filter(F.col(input_col).isNotNull()
+                      & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("group"),
+                    (h % m).cast("int").alias("bucket"),
+                    rank.alias("rank"))
+            .groupBy("group", "bucket")
+            .agg(F.max("rank").cast("int").alias("r")))
+
+
 class HyperLogLogSketchModel(Model, HasInputCol):
     precision = IntParam("precision", "Register-count exponent.", 9)
 

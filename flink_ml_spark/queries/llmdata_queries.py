@@ -5320,7 +5320,37 @@ SELECT n, agree,
 FROM m, ch
 """
 
+
+def hll_by_group(spark, sf_dir):
+    """Grouped HLL registers: distinct customers PER ORDER PRIORITY in
+    one map-side-combined pass — the bounded-state grouped
+    distinct-count a corpus datasheet wants (vs an exact count-distinct
+    whose state is key-proportional per group).  Register relation is
+    integer-exact; estimates/merges ride HyperLogLogSketchModel."""
+    from ..llmdata import hll_grouped_registers
+    orders = load(spark, sf_dir, "orders")
+    df = orders.select("o_orderpriority",
+                       F.col("o_custkey").cast("string").alias("tok"))
+    return hll_grouped_registers(df, "o_orderpriority", "tok",
+                                 precision=7).select(
+        F.col("group").alias("grp"), "bucket", "r")
+
+
+HLL_BY_GROUP_SQL = f"""
+WITH toks AS (SELECT o_orderpriority AS grp,
+                     CAST(o_custkey AS VARCHAR) AS tok FROM orders),
+mixed AS (SELECT grp, x5 AS h FROM (
+  SELECT grp, {_mix31_cte('h0')}
+  FROM (SELECT grp, {TOKHASH.format(t='tok')} AS h0 FROM toks)))
+SELECT grp, CAST(h % 128 AS INTEGER) AS bucket,
+       CAST(max(CASE WHEN (h >> 7) = 0 THEN 25
+                ELSE 25 - length(format('{{:b}}', h >> 7)) END)
+            AS INTEGER) AS r
+FROM mixed GROUP BY 1, 2
+"""
+
 QUERIES = {
+    "hll_by_group": (hll_by_group, HLL_BY_GROUP_SQL),
     "filter_agreement_kappa": (filter_agreement_kappa, FILTER_KAPPA_SQL),
     "gif_frame_sample": (gif_frame_sample, GIF_FRAME_SAMPLE_SQL),
     "llm_prep_pipeline_v15": (llm_prep_pipeline_v15, LLM_PREP_V15_SQL),

@@ -182,3 +182,27 @@ def test_frequent_line_filter_cap_guard(spark):
     with pt.raises(ValueError, match="maxBoilerplateLines"):
         FrequentLineFilter(idCol="doc_id", textCol="text", minCount=5,
                            maxBoilerplateLines=2).fit(df)
+
+
+def test_hll_grouped_registers_match_per_group_fits(spark):
+    """Each group's register rows must equal an independent HLL fit of
+    that group's keys, and feed set_model_data for estimates."""
+    from flink_ml_spark.llmdata import (HyperLogLogSketch,
+                                        HyperLogLogSketchModel,
+                                        hll_grouped_registers)
+    rows = [(f"g{i % 3}", f"k{i % 250}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, tok string")
+    grouped = hll_grouped_registers(df, "grp", "tok", precision=7)
+    for g in ("g0", "g1", "g2"):
+        solo = HyperLogLogSketch(inputCol="tok", precision=7).fit(
+            df.filter(F.col("grp") == g))
+        regs = {r["bucket"]: r["r"] for r in
+                grouped.filter(F.col("group") == g).collect()}
+        expect = {b: v for b, v in
+                  enumerate(solo.model_data["registers"]) if v}
+        assert regs == expect
+        rebuilt = HyperLogLogSketchModel(inputCol="tok", precision=7)
+        rebuilt.set_model_data(
+            grouped.filter(F.col("group") == g)
+            .select("bucket", "r"))
+        assert rebuilt.estimate() == solo.estimate()
