@@ -66,7 +66,7 @@ HEADLINE = [
     "graph_dag", "dataflow_pipeline", "event_windows", "session_windows",
     "stateful_sessions", "asof_join", "range_join", "sliding_windows",
     "streaming_dedup", "streaming_incremental_dedup", "streaming_drift",
-    "streaming_quality_gate", "streaming_cardinality",
+    "streaming_quality_gate", "streaming_cardinality", "streaming_funnel",
     "funnel_conversion", "cohort_retention",
     "language_id", "text_quality", "char_entropy", "gopher_filter",
     "unigram_lm_score",

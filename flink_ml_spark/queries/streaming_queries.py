@@ -1008,7 +1008,75 @@ SELECT p1.g AS group1, p2.g AS group2, p1.n AS n1, p2.n AS n2,
 FROM p1, p2, ties, tot
 """
 
+
+def streaming_funnel(spark, sf_dir):
+    """TRUE streaming ordered funnel: events replayed through
+    readStream in two event-time-ordered micro-batches into
+    ``StreamingFunnel`` (applyInPandasWithState, k-long GroupState per
+    user, event-time timeout), then two far-future sentinel batches
+    advance the watermark so every user's timeout fires and the final
+    row emits.  The inactivity gap exceeds the stream's span, so no
+    user emits mid-stream — output semantics (and oracle) are identical
+    to the batch FunnelAnalyzer / FUNNEL_SQL."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import StreamingFunnel
+    ev = load_events(spark, sf_dir)
+    data = ev.select("user_id", "event_type", "ts_ms", "ts_t")
+    mid = data.agg(F.expr("percentile_approx(ts_ms, 0.5)")).first()[0]
+    max_ts = data.agg(F.max("ts_ms")).first()[0]
+    gap_ms = 400 * 86_400_000  # > any testdata span: no mid-stream flush
+    sent = []
+    for j in range(2):
+        ts = max_ts + gap_ms + 120_000 + j * 600_000
+        sent.append(spark.createDataFrame(
+            [(-1, "noop", ts)], "user_id long, event_type string, "
+                                "ts_ms long")
+            .withColumn("ts_t", F.timestamp_millis(F.col("ts_ms"))))
+    tmp = tempfile.mkdtemp(prefix="streaming_funnel_")
+    view = f"streaming_funnel_{uuid.uuid4().hex[:8]}"
+    q = None
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        os.mkdir(os.path.join(tmp, "in"))
+        parts = [data.where(F.col("ts_ms") <= mid),
+                 data.where(F.col("ts_ms") > mid), sent[0], sent[1]]
+        for i, part in enumerate(parts):
+            part.coalesce(1).write.parquet(os.path.join(tmp, f"b{i}"))
+            src = [f for f in os.listdir(os.path.join(tmp, f"b{i}"))
+                   if f.endswith(".parquet")][0]
+            dst = os.path.join(tmp, "in", f"batch{i}.parquet")
+            shutil.copy(os.path.join(tmp, f"b{i}", src), dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (spark.readStream.schema(data.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(tmp, "in")))
+        fun = StreamingFunnel("user_id", "event_type", "ts_ms",
+                              ["view", "click", "purchase"],
+                              inactivity_ms=gap_ms,
+                              watermark_col="ts_t",
+                              watermark_delay="1 minute").apply(stream)
+        q = (fun.writeStream.format("memory").queryName(view)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = spark.table(view).filter(F.col("user_id") >= 0)
+        nn = lambda c: F.when(F.col(c) >= 0, F.col(c))  # -1 -> NULL
+        return out.select("user_id", F.col("t1").alias("t1"),
+                          nn("t2").alias("t2"), nn("t3").alias("t3"),
+                          F.col("stages_completed").cast("int")
+                          .alias("stages_completed"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if q is not None and q.isActive:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
 QUERIES = {
+    "streaming_funnel": (streaming_funnel, FUNNEL_SQL),
     "mann_whitney_u": (mann_whitney_u, MANN_WHITNEY_SQL),
     "streaming_cardinality": (streaming_cardinality, _HLL_SQL),
     "ab_proportion_test": (ab_proportion_test, AB_PROPORTION_SQL),

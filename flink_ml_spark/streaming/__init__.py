@@ -5,7 +5,7 @@ from .drift import StreamingDriftMonitor
 from .quality import StreamingQualityGate
 from .online import (OnlineKMeans, OnlineLogisticRegression,
                      OnlineStandardScaler, OnlineStandardScalerModel)
-from .stateful import StatefulSessionizer
+from .stateful import StatefulSessionizer, StreamingFunnel
 from .windows import Windows
 
 __all__ = ["StreamingCardinalityMonitor",

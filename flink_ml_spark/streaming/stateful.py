@@ -120,3 +120,119 @@ class StatefulSessionizer:
                     self._make_fn(), self.output_schema(),
                     self.state_schema(), "append",
                     GroupStateTimeout.EventTimeTimeout))
+
+
+class StreamingFunnel:
+    """Streaming ordered-funnel conversion — the unbounded counterpart
+    of ``common.temporal.FunnelAnalyzer``: per-user greedy
+    earliest-completion stage times maintained in ``GroupState`` (k
+    longs per user — constant per key), final row emitted when the
+    event-time watermark passes the user's last activity plus the
+    inactivity gap.
+
+    Events are applied in event-time order within each micro-batch;
+    with batches arriving in event-time order (the watermark
+    discipline), the incremental update equals the batch greedy funnel
+    — which is exactly what the oracle gates (streaming replay ≡ batch
+    FunnelAnalyzer SQL).  A cross-batch LATE stage-1 event that
+    precedes an already-fixed later stage is the one case that cannot
+    be repaired incrementally; it is bounded by the watermark delay and
+    documented, matching FunnelAnalyzer's one-conversion-per-user
+    contract.
+
+    Emitted rows: (user, t_1 .. t_k millis — -1 for unreached,
+    stages_completed).
+    """
+
+    def __init__(self, user_col: str, type_col: str, ts_col: str,
+                 stages: list[str], inactivity_ms: int = 3_600_000,
+                 watermark_col: str = "ts_t",
+                 watermark_delay: str = "1 minute"):
+        if len(stages) < 2:
+            raise ValueError("StreamingFunnel: need at least 2 stages")
+        if len(set(stages)) != len(stages):
+            raise ValueError("StreamingFunnel: stages must be distinct")
+        self.user_col, self.type_col, self.ts_col = (user_col, type_col,
+                                                     ts_col)
+        self.stages = list(stages)
+        self.inactivity_ms = int(inactivity_ms)
+        self.watermark_col = watermark_col
+        self.watermark_delay = watermark_delay
+
+    def output_schema(self) -> StructType:
+        return StructType(
+            [StructField(self.user_col, LongType())]
+            + [StructField(f"t{i + 1}", LongType())
+               for i in range(len(self.stages))]
+            + [StructField("stages_completed", LongType())])
+
+    def state_schema(self) -> StructType:
+        # t1..tk (-1 = unreached) + last activity ts
+        return StructType([StructField(f"t{i + 1}", LongType())
+                           for i in range(len(self.stages))]
+                          + [StructField("last", LongType())])
+
+    def _make_fn(self):
+        user_col, type_col, ts_col = (self.user_col, self.type_col,
+                                      self.ts_col)
+        stages, gap = self.stages, self.inactivity_ms
+        k = len(stages)
+        stage_of = {s: i for i, s in enumerate(stages)}
+        cols = ([user_col] + [f"t{i + 1}" for i in range(k)]
+                + ["stages_completed"])
+
+        def fn(key, pdfs, state):
+            import pandas as pd
+            (u,) = key
+            if state.hasTimedOut:
+                vals = list(state.get)
+                t = vals[:k]
+                state.remove()
+                # match FunnelAnalyzer's contract: only users who
+                # reached stage 1 appear in the output
+                if t[0] >= 0:
+                    done = sum(1 for x in t if x >= 0)
+                    yield pd.DataFrame(
+                        [[u] + t + [done]], columns=cols)
+                return
+            if state.exists:
+                vals = list(state.get)
+                t, last = vals[:k], vals[k]
+            else:
+                t, last = [-1] * k, -1
+            rows = []
+            for pdf in pdfs:
+                if len(pdf):
+                    rows.append(pdf[[ts_col, type_col]])
+            if rows:
+                ev = pd.concat(rows, ignore_index=True)
+                ev = ev.sort_values(ts_col, kind="stable")
+                for ts, ty in zip(ev[ts_col], ev[type_col]):
+                    i = stage_of.get(ty)
+                    if i is None:
+                        continue
+                    ts = int(ts)
+                    last = max(last, ts)
+                    if i == 0:
+                        if t[0] < 0 or ts < t[0]:
+                            t[0] = ts
+                    elif t[i - 1] >= 0 and ts > t[i - 1] \
+                            and (t[i] < 0 or ts < t[i]):
+                        t[i] = ts
+            if last >= 0:
+                state.update(tuple(int(x) for x in t) + (int(last),))
+                state.setTimeoutTimestamp(int(last) + gap)
+            return
+            yield  # generator contract
+
+        return fn
+
+    def apply(self, stream_df: DataFrame) -> DataFrame:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        return (stream_df
+                .withWatermark(self.watermark_col, self.watermark_delay)
+                .groupBy(self.user_col)
+                .applyInPandasWithState(
+                    self._make_fn(), self.output_schema(),
+                    self.state_schema(), "append",
+                    GroupStateTimeout.EventTimeTimeout))

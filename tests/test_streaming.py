@@ -517,3 +517,66 @@ def test_streaming_cardinality_monitor_matches_batch(spark):
     assert mon.model.model_data["registers"] == full.model_data["registers"]
     assert len(mon.history) == 3
     assert mon.history[-1]["estimate"] == full.estimate()
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """2-batch event-time-ordered replay + sentinel flush == batch
+    FunnelAnalyzer, including the stage-order and never-reached rules."""
+    import os
+
+    from pyspark.sql import functions as F
+    from flink_ml_spark.streaming import StreamingFunnel
+    from flink_ml_spark.common.temporal import FunnelAnalyzer
+    rows = [
+        (1, "view", 10_000), (1, "click", 20_000), (1, "purchase", 700_000),
+        (2, "click", 5_000), (2, "view", 10_000),   # click precedes view
+        (3, "view", 10_000), (3, "purchase", 15_000),  # skips click
+        (4, "click", 1_000),                            # never views
+        (5, "view", 650_000), (5, "click", 660_000),   # batch-2 progress
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "ts_ms long") \
+        .withColumn("ts_t", F.timestamp_millis(F.col("ts_ms")))
+    gap = 10_000_000
+    sent = spark.createDataFrame([(-1, "noop", 99_000_000)],
+                                 "user_id long, event_type string, "
+                                 "ts_ms long") \
+        .withColumn("ts_t", F.timestamp_millis(F.col("ts_ms")))
+    ind = tmp_path / "in"
+    os.mkdir(ind)
+    parts = [df.where("ts_ms <= 600000"), df.where("ts_ms > 600000"),
+             sent, sent.withColumn("ts_ms", F.col("ts_ms") + 600_000)
+             .withColumn("ts_t", F.timestamp_millis(F.col("ts_ms")))]
+    for i, part in enumerate(parts):
+        d = tmp_path / f"b{i}"
+        part.coalesce(1).write.parquet(str(d))
+        src = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = ind / f"batch{i}.parquet"
+        (d / src).rename(dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(ind)))
+        fun = StreamingFunnel("user_id", "event_type", "ts_ms",
+                              ["view", "click", "purchase"],
+                              inactivity_ms=gap,
+                              watermark_delay="1 second").apply(stream)
+        q = (fun.writeStream.format("memory").queryName("sf_test")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["user_id"]: (r["t1"], r["t2"], r["t3"],
+                              r["stages_completed"])
+               for r in spark.table("sf_test")
+               .filter("user_id >= 0").collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    batch = FunnelAnalyzer("user_id", "event_type", "ts_ms",
+                           ["view", "click", "purchase"]).transform(df)
+    exp = {r["user_id"]: (r["t1"],
+                          r["t2"] if r["t2"] is not None else -1,
+                          r["t3"] if r["t3"] is not None else -1,
+                          r["stages_completed"])
+           for r in batch.collect()}
+    assert got == exp
