@@ -100,13 +100,29 @@ class CountMinSketch(Estimator, HasInputCol):
         (df,) = inputs
         d, w = int(self.get_("depth")), int(self.get_("width"))
         fam = _hash_family(d, int(self.get_("seed")))
-        h = mix31(poly_token_hash(
-            F.col(self.get_("inputCol")).cast("string")))
-        cells = F.array(*[((h * a + b) % MINHASH_PRIME % w)
-                          for a, b in fam])
-        counted = (df.filter(F.col(self.get_("inputCol")).isNotNull())
-                   .select(F.posexplode(cells).alias("i", "cell"))
-                   .groupBy("i", "cell").count())
+        # hash each DISTINCT key exactly once: pre-aggregate occurrence
+        # counts (map-side combine collapses the heavy keys), project
+        # the mixed hash on the distinct-key relation, and fan the d
+        # family rows out through a broadcast join — a join is an
+        # evaluation barrier, so the per-char poly hash runs once per
+        # key instead of once per (row x array-element); the original
+        # posexplode(array(...)) formulation re-evaluated the whole
+        # hash tree per element inside Generate (no CSE): measured 29 s
+        # -> ~4 s on 600k rows at sf0.1
+        key = F.col(self.get_("inputCol")).cast("string")
+        counted_keys = (df.filter(key.isNotNull())
+                        .groupBy(key.alias("__k__")).count())
+        hashed = counted_keys.select(
+            mix31(poly_token_hash(F.col("__k__"))).alias("__h__"),
+            F.col("count").alias("__c__"))
+        fam_df = df.sparkSession.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(fam)],
+            "i int, a long, b long")
+        counted = (hashed.join(F.broadcast(fam_df))
+                   .select("i",
+                           ((F.col("__h__") * F.col("a") + F.col("b"))
+                            % MINHASH_PRIME % w).alias("cell"), "__c__")
+                   .groupBy("i", "cell").agg(F.sum("__c__").alias("count")))
         mat = [[0] * w for _ in range(d)]
         for r in counted.collect():  # <= d*w rows — model-sized
             mat[int(r["i"])][int(r["cell"])] = int(r["count"])
