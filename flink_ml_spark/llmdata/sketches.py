@@ -253,16 +253,20 @@ class HyperLogLogSketch(Estimator, HasInputCol):
         p = int(self.get_("precision"))
         m = 1 << p
         rest_bits = _HASH_BITS - p
-        h = mix31(poly_token_hash(
-            F.col(self.get_("inputCol")).cast("string")))
+        # duplicates cannot move a max-rank register: distinct-first
+        # (map-side combine) so the per-char hash runs once per KEY,
+        # not once per occurrence
+        keys = (df.filter(F.col(self.get_("inputCol")).isNotNull())
+                .select(F.col(self.get_("inputCol")).cast("string")
+                        .alias("__k__")).distinct())
+        h = mix31(poly_token_hash(F.col("__k__")))
         bucket = (h % m).cast("int")
         rest = F.shiftright(h.cast("long"), p)  # h div 2^p, h >= 0
         # rank = leading zeros of rest in a rest_bits-wide word, + 1;
         # bit length via length(bin(x)) with the bin(0)='0' special case
         rank = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
             F.lit(rest_bits + 1) - F.length(F.bin(rest)))
-        regs = (df.filter(F.col(self.get_("inputCol")).isNotNull())
-                .select(bucket.alias("bucket"), rank.alias("rank"))
+        regs = (keys.select(bucket.alias("bucket"), rank.alias("rank"))
                 .groupBy("bucket").agg(F.max("rank").alias("r")))
         out = [0] * m
         for r in regs.collect():  # <= 2^p rows — model-sized
@@ -286,15 +290,19 @@ def hll_grouped_registers(df: DataFrame, group_col: str,
     p = int(precision)
     m = 1 << p
     rest_bits = _HASH_BITS - p
-    h = mix31(poly_token_hash(F.col(input_col).cast("string")))
+    # distinct-first per (group, key): duplicates cannot move a max
+    keys = (df.filter(F.col(input_col).isNotNull()
+                      & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("group"),
+                    F.col(input_col).cast("string").alias("__k__"))
+            .distinct())
+    h = mix31(poly_token_hash(F.col("__k__")))
     rest = F.shiftright(h.cast("long"), p)
     rank = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
         F.lit(rest_bits + 1) - F.length(F.bin(rest)))
-    return (df.filter(F.col(input_col).isNotNull()
-                      & F.col(group_col).isNotNull())
-            .select(F.col(group_col).alias("group"),
-                    (h % m).cast("int").alias("bucket"),
-                    rank.alias("rank"))
+    return (keys.select("group",
+                        (h % m).cast("int").alias("bucket"),
+                        rank.alias("rank"))
             .groupBy("group", "bucket")
             .agg(F.max("rank").cast("int").alias("r")))
 
