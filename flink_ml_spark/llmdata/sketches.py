@@ -32,6 +32,7 @@ sketches, a broadcast join against the cell relation past
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..api import Estimator, Model
@@ -39,9 +40,12 @@ from ..param import (HasInputCol, HasOutputCol, IntParam,
                      ParamValidators, StringParam)
 from .dedup import MINHASH_PRIME, _hash_family, poly_token_hash
 
-# past this many total counters, per-depth literal arrays bloat the plan;
-# estimates switch to a broadcast join against the cell relation
-_LITERAL_CELL_LIMIT = 65536
+# past this many total counters, estimates switch from literal-array
+# lookups to a broadcast join against the cell relation.  The literal
+# CreateArray is rebuilt PER ROW by codegen (it is not constant-folded):
+# measured 21 s for 4x4096 literals over 10k rows vs ~1 s through the
+# join — so the literal path is reserved for genuinely small sketches
+_LITERAL_CELL_LIMIT = 4096
 
 # --- 31-bit avalanche ------------------------------------------------------
 # The poly token hash is LOCALLY SEQUENTIAL ("item-1"/"item-2" differ by
@@ -86,13 +90,37 @@ def mix31_sql_steps(h_expr: str) -> list[str]:
     ]
 
 
-def _once(df: DataFrame, expr, name: str) -> DataFrame:
-    """Evaluate ``expr`` exactly once per row by adding it through a
-    Generate barrier (explode of a 1-element array).  A plain select
-    stage does NOT work: CollapseProject re-inlines it, duplicating the
-    whole expression tree into every downstream reference — measured 2x
-    on CMS estimates over long strings, 7x inside fan-outs."""
-    return df.select("*", F.explode(F.array(expr)).alias(name))
+def mix31_np(x):
+    """Vectorized numpy twin of :func:`mix31` (int64-safe: every
+    intermediate < 2**58)."""
+    import numpy as np
+    x = np.asarray(x, dtype=np.int64)
+    x = x ^ (x >> 16)
+    x = (x * _MIX_MULT) % _M31
+    x = x ^ (x >> 16)
+    x = (x * _MIX_MULT) % _M31
+    return x ^ (x >> 16)
+
+
+def hashed_col(col):
+    """``mix31(poly_token_hash(col))`` as ONE Arrow-batched pandas UDF
+    — identical values to the Catalyst-expression form, ~6-50x faster
+    on string-heavy relations.  The expression form's per-char
+    ``F.aggregate`` fold is slow to begin with, is re-evaluated per
+    reference when fanned out (CollapseProject inlines select stages;
+    Generate applies no CSE), and a Generate barrier forces it to
+    INTERPRETED evaluation (measured 13 s vs 2 s on 10k long lines) —
+    so sketches hash through numpy (`dedup.np_poly_hash`, the same
+    vectorized fold the dedup family uses) and keep Catalyst for the
+    cheap integer arithmetic on top."""
+    from .dedup import np_poly_hash
+
+    @F.pandas_udf("long")
+    def _h(sr: pd.Series) -> pd.Series:
+        vals = sr.fillna("").astype(str).to_numpy()
+        return pd.Series(mix31_np(np_poly_hash(vals)))
+
+    return _h(col)
 
 
 class CountMinSketch(Estimator, HasInputCol):
@@ -122,7 +150,7 @@ class CountMinSketch(Estimator, HasInputCol):
         counted_keys = (df.filter(key.isNotNull())
                         .groupBy(key.alias("__k__")).count())
         hashed = counted_keys.select(
-            mix31(poly_token_hash(F.col("__k__"))).alias("__h__"),
+            hashed_col(F.col("__k__")).alias("__h__"),
             F.col("count").alias("__c__"))
         fam_df = df.sparkSession.createDataFrame(
             [(i, a, b) for i, (a, b) in enumerate(fam)],
@@ -168,8 +196,10 @@ class CountMinSketchModel(Model, HasInputCol, HasOutputCol):
         # hash once per row behind a Generate barrier; the d estimate
         # expressions then reference the COLUMN (free), not d copies of
         # the hash tree
-        keyed = _once(df, mix31(poly_token_hash(
-            F.col(self.get_("inputCol")).cast("string"))), "__cms_h__")
+        key = F.col(self.get_("inputCol")).cast("string")
+        # null keys keep null estimates (the UDF itself maps null -> "")
+        keyed = df.withColumn(
+            "__cms_h__", F.when(key.isNotNull(), hashed_col(key)))
         h = F.col("__cms_h__")
         if d * w <= _LITERAL_CELL_LIMIT:
             ests = [F.element_at(
@@ -274,8 +304,7 @@ class HyperLogLogSketch(Estimator, HasInputCol):
         keys = (df.filter(F.col(self.get_("inputCol")).isNotNull())
                 .select(F.col(self.get_("inputCol")).cast("string")
                         .alias("__k__")).distinct())
-        keys = _once(keys, mix31(poly_token_hash(F.col("__k__"))),
-                     "__h__")
+        keys = keys.withColumn("__h__", hashed_col(F.col("__k__")))
         h = F.col("__h__")
         bucket = (h % m).cast("int")
         rest = F.shiftright(h.cast("long"), p)  # h div 2^p, h >= 0
@@ -313,7 +342,7 @@ def hll_grouped_registers(df: DataFrame, group_col: str,
             .select(F.col(group_col).alias("group"),
                     F.col(input_col).cast("string").alias("__k__"))
             .distinct())
-    keys = _once(keys, mix31(poly_token_hash(F.col("__k__"))), "__h__")
+    keys = keys.withColumn("__h__", hashed_col(F.col("__k__")))
     h = F.col("__h__")
     rest = F.shiftright(h.cast("long"), p)
     rank = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
@@ -432,7 +461,9 @@ class FrequentLineFilter(Estimator):
                              seed=self.get_("seed")).fit(lines)
         cms.set_(outputCol="__est__")
         cand = (cms.transform(lines.distinct())[0]
-                .filter(F.col("__est__") >= t).select("ln"))
+                .filter(F.col("__est__") >= t).select("ln")
+                .localCheckpoint(eager=True))  # tiny; the exact pass
+        # would otherwise RECOMPUTE the whole estimate plan
         exact = (lines.join(F.broadcast(cand), "ln")
                  .groupBy("ln").count()
                  .filter(F.col("count") >= t))
