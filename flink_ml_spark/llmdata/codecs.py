@@ -976,6 +976,11 @@ def encode_gif_animation(frames, delays_cs=None) -> bytes:
     if any(f.shape != frames[0].shape for f in frames):
         raise ValueError("encode_gif_animation: frames must share shape")
     delays = list(delays_cs) if delays_cs is not None else [10] * len(frames)
+    if len(delays) != len(frames):
+        raise ValueError(
+            f"encode_gif_animation: {len(delays)} delays for "
+            f"{len(frames)} frames (must match — a short delay list "
+            f"would silently drop trailing frames)")
     allpix = np.concatenate([f.reshape(-1, 3) for f in frames])
     palette, inverse = np.unique(allpix, axis=0, return_inverse=True)
     if len(palette) > 256:

@@ -70,7 +70,12 @@ class CooccurrenceCounter(Transformer, HasInputCol):
                  .filter(F.col("cnt") >= int(self.get_("minCount"))))
         uni = (df.select(F.explode(toks).alias("w"))
                .groupBy("w").count().withColumnRenamed("count", "c"))
-        uni = uni.persist()
+        # vocab-sized: materialize once (total agg + both broadcast
+        # joins reuse it) WITHOUT a catalog persist that would outlive
+        # this call — localCheckpoint blocks free when the result's
+        # lineage drops (VERDICT r08: the persist here was never
+        # unpersisted, accumulating cached vocab relations per call)
+        uni = uni.localCheckpoint(eager=True)
         total = uni.agg(F.sum("c")).first()[0] or 0
         u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("cnt_w1"))
         u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("cnt_w2"))

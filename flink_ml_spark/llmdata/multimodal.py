@@ -298,8 +298,12 @@ class GifFrameSampler(Transformer):
                                      canvas[..., 2].mean()))
                 yield pd.DataFrame(rows, columns=cols)
 
+        # id field type follows the input schema (MEDIA_SCHEMA's
+        # media_id is a string — a hardcoded `long` fails Arrow
+        # conversion on default usage; ADVICE r08)
+        id_t = df.schema[idc].dataType.simpleString()
         return (df.select(idc, pc)
                 .mapInPandas(sample,
-                             f"{idc} long, frame_idx int, ts_ms long, "
+                             f"{idc} {id_t}, frame_idx int, ts_ms long, "
                              f"r_mean double, g_mean double, "
                              f"b_mean double"))

@@ -47,6 +47,11 @@ from .dedup import MINHASH_PRIME, _hash_family, poly_token_hash
 # join — so the literal path is reserved for genuinely small sketches
 _LITERAL_CELL_LIMIT = 4096
 
+# FrequentLineFilterModel: past this many verified boilerplate lines the
+# literal-array membership scan (O(|set|) per LINE, array rebuilt per
+# row) switches to a broadcast set + one Arrow pass (O(1) per line)
+_LINE_SET_LITERAL_LIMIT = 256
+
 # --- 31-bit avalanche ------------------------------------------------------
 # The poly token hash is LOCALLY SEQUENTIAL ("item-1"/"item-2" differ by
 # 1), which is fine for MinHash (order statistics over many independent
@@ -206,9 +211,13 @@ class CountMinSketchModel(Model, HasInputCol, HasOutputCol):
                 F.array(*[F.lit(int(v)) for v in mat[i]]),
                 ((h * a + b) % MINHASH_PRIME % w).cast("int") + 1)
                 for i, (a, b) in enumerate(fam)]
-            return keyed.withColumn(out_col,
-                                    F.least(*ests) if len(ests) > 1
-                                    else ests[0]).drop("__cms_h__")
+            est = F.least(*ests) if len(ests) > 1 else ests[0]
+            # make the null-key contract explicit: Spark 4's ANSI
+            # element_at with a COMPUTED null index returns a garbage
+            # slot instead of NULL, so the documented "null keys keep
+            # null estimates" needs this guard on both plan paths
+            est = F.when(h.isNotNull(), est)
+            return keyed.withColumn(out_col, est).drop("__cms_h__")
         # wide sketch: d broadcast lookups against the cell relation
         cells = F.array(*[((h * a + b) % MINHASH_PRIME % w)
                           for a, b in fam])
@@ -225,6 +234,10 @@ class CountMinSketchModel(Model, HasInputCol, HasOutputCol):
         est = F.least(*[F.coalesce(F.col(f"__v{i}__"), F.lit(0))
                         for i in range(d)]) if d > 1 \
             else F.coalesce(F.col("__v0__"), F.lit(0))
+        # null keys keep NULL estimates on this path too (parity with
+        # the literal path above — ADVICE r08): a null key hashes to a
+        # null cell index, which must not coalesce to estimate 0
+        est = F.when(F.col("__cms_cells__")[0].isNotNull(), est)
         drop = ["__cms_cells__"] + [f"__c{i}__" for i in range(d)] \
             + [f"__v{i}__" for i in range(d)]
         return keyed.withColumn(out_col, est).drop(*drop)
@@ -489,14 +502,35 @@ class FrequentLineFilterModel(Model):
     outputCol = StringParam("outputCol", "Cleaned text column.", "clean")
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        boiler = F.array(*[F.lit(s) for s in
-                           self.model_data["boilerplate"]])
-        kept = F.filter(F.split(F.col(self.get_("textCol")), "\n"),
-                        lambda ln: ~F.array_contains(boiler, ln)) \
-            if self.model_data["boilerplate"] else \
-            F.split(F.col(self.get_("textCol")), "\n")
-        return df.withColumn(self.get_("outputCol"),
-                             F.array_join(kept, "\n"))
+        drop = self.model_data["boilerplate"]
+        txt = F.col(self.get_("textCol"))
+        if len(drop) <= _LINE_SET_LITERAL_LIMIT:
+            # small drop sets: pure-codegen literal array scan
+            boiler = F.array(*[F.lit(s) for s in drop])
+            kept = F.filter(F.split(txt, "\n"),
+                            lambda ln: ~F.array_contains(boiler, ln)) \
+                if drop else F.split(txt, "\n")
+            return df.withColumn(self.get_("outputCol"),
+                                 F.array_join(kept, "\n"))
+        # large drop sets: the literal array is the measured Catalyst
+        # pathology this file already gates in the CMS estimate path
+        # (CreateArray rebuilt per row × O(|set|) scan per LINE — see
+        # _LITERAL_CELL_LIMIT note; VERDICT/ADVICE r08).  One broadcast
+        # of the set + ONE Arrow pass with O(1) hash lookups per line
+        # replaces it: same split/filter/join semantics (split("\n")
+        # keeps trailing empties in both engines; null text stays
+        # null), zero shuffles, set shipped once per executor.
+        bset_b = df.sparkSession.sparkContext.broadcast(frozenset(drop))
+
+        @F.pandas_udf("string")
+        def _clean(texts: pd.Series) -> pd.Series:
+            bs = bset_b.value
+            return pd.Series(
+                [None if t is None else
+                 "\n".join(ln for ln in t.split("\n") if ln not in bs)
+                 for t in texts], dtype=object)
+
+        return df.withColumn(self.get_("outputCol"), _clean(txt))
 
     def transform_local(self, pdf):
         boiler = set(self.model_data["boilerplate"])

@@ -1154,8 +1154,12 @@ def cross_validation(spark, sf_dir):
             F.col("embedding").cast("array<double>").alias("features"),
             F.col("label").cast("double").alias("label"))
           .orderBy("id"))
+    # parallelism: the 6 (param, fold) fits are independent and the
+    # tuner's results are identical at any parallelism (tuning.py
+    # contract) — overlap them so fold jobs back-fill idle cores
+    # (guide §2.6)
     cv = CrossValidator(_Knn(), [{"k": 1}, {"k": 5}], numFolds=3,
-                        metric="n_correct", idCol="id")
+                        metric="n_correct", idCol="id", parallelism=6)
     m = cv.fit(df)
     rep = m.metrics_df(spark)
     ks = {0: 1, 1: 5}
@@ -1614,10 +1618,13 @@ def random_forest(spark, sf_dir):
         F.array(F.expr(TREE_FEATS[0]), F.expr(TREE_FEATS[1]),
                 F.expr(TREE_FEATS[2])).alias("features"),
         F.expr(TREE_LABEL).alias("label"))
+    # parallelism: tree fits are independent, deterministic and
+    # result-identical at any value (forest.py contract) — overlapping
+    # them back-fills the scheduler tail (guide §2.6)
     m = RandomForestRegressor(numTrees=RF_TREES, maxDepth=RF_DEPTH,
                               maxBins=TREE_BINS, idCol="rid",
                               subsamplePct=RF_PCT, bagSalt=RF_SALT,
-                              labelScale=2).fit(df)
+                              labelScale=2, parallelism=RF_TREES).fit(df)
     out = m.transform(df)[0]
     return out.select(*KEY, q4(F.col("prediction")).alias("pred"))
 

@@ -1013,11 +1013,16 @@ def streaming_funnel(spark, sf_dir):
     """TRUE streaming ordered funnel: events replayed through
     readStream in two event-time-ordered micro-batches into
     ``StreamingFunnel`` (applyInPandasWithState, k-long GroupState per
-    user, event-time timeout), then two far-future sentinel batches
-    advance the watermark so every user's timeout fires and the final
-    row emits.  The inactivity gap exceeds the stream's span, so no
-    user emits mid-stream — output semantics (and oracle) are identical
-    to the batch FunnelAnalyzer / FUNNEL_SQL."""
+    user, event-time timeout); a far-future sentinel row rides in the
+    SECOND batch (advancing the watermark computed at its end) and one
+    sentinel-only batch follows, during which every user's timeout
+    fires and the final row emits.  (r09: the former separate first
+    sentinel batch carried no information — the watermark it advanced
+    is identically advanced by the sentinel row inside batch 2, so 3
+    micro-batches replay the same semantics 4 did; one agg computes
+    mid+max instead of two.)  The inactivity gap exceeds the stream's
+    span, so no user emits mid-stream — output semantics (and oracle)
+    are identical to the batch FunnelAnalyzer / FUNNEL_SQL."""
     import os
     import shutil
     import tempfile
@@ -1026,8 +1031,8 @@ def streaming_funnel(spark, sf_dir):
     from ..streaming import StreamingFunnel
     ev = load_events(spark, sf_dir)
     data = ev.select("user_id", "event_type", "ts_ms", "ts_t")
-    mid = data.agg(F.expr("percentile_approx(ts_ms, 0.5)")).first()[0]
-    max_ts = data.agg(F.max("ts_ms")).first()[0]
+    mid, max_ts = data.agg(
+        F.expr("percentile_approx(ts_ms, 0.5)"), F.max("ts_ms")).first()
     gap_ms = 400 * 86_400_000  # > any testdata span: no mid-stream flush
     sent = []
     for j in range(2):
@@ -1044,7 +1049,8 @@ def streaming_funnel(spark, sf_dir):
     try:
         os.mkdir(os.path.join(tmp, "in"))
         parts = [data.where(F.col("ts_ms") <= mid),
-                 data.where(F.col("ts_ms") > mid), sent[0], sent[1]]
+                 data.where(F.col("ts_ms") > mid).unionByName(sent[0]),
+                 sent[1]]
         for i, part in enumerate(parts):
             part.coalesce(1).write.parquet(os.path.join(tmp, f"b{i}"))
             src = [f for f in os.listdir(os.path.join(tmp, f"b{i}"))

@@ -26,6 +26,27 @@ from ..param import (FloatParam, HasFeaturesCol, HasLabelCol,
 from .tree import DecisionTreeRegressor
 
 
+def _tree_pred_bins(nodes: dict[int, dict]):
+    """Tree prediction routed by the BIN columns: bin ≤ split-bin ⟺
+    x ≤ thr (a row's bin is the count of thresholds strictly below x —
+    the lemma the random_forest oracle already replays), so this equals
+    the model's x-based CASE exactly on every non-NaN feature value.
+    Used inside GBT's residual chain, where only the binned frame is
+    materialized."""
+
+    def expr(node: int):
+        info = nodes.get(node)
+        if info is None:
+            return F.lit(None).cast("double")
+        if "value" in info:
+            return F.lit(float(info["value"]))
+        return F.when(
+            F.col(f"b{int(info['feat'])}") <= F.lit(int(info["bin"])),
+            expr(2 * node + 1)).otherwise(expr(2 * node + 2))
+
+    return expr(0)
+
+
 class GBTRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                    HasPredictionCol):
     numTrees = IntParam("numTrees", "Boosting rounds.", 10,
@@ -56,17 +77,19 @@ class GBTRegressor(Estimator, HasFeaturesCol, HasLabelCol,
         cur = (df.select(F.col(fcol).cast("array<double>").alias("x"),
                          y.alias("y"))
                .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
-        # F0 = exact global mean: decimal sum of grid labels / n
+        # F0 = exact global mean: decimal sum of grid labels / n; the
+        # same aggregation carries the feature width (first row's dim,
+        # as the tree fit would read it) — no separate probe job
         agg = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("y") * scale).cast("long")
-                  .cast("decimal(38,0)")).alias("s")).first()
+                  .cast("decimal(38,0)")).alias("s"),
+            F.size(F.first("x")).alias("d")).first()
         n = int(agg["n"])
         if n == 0:
             raise ValueError("GBTRegressor: no training rows")
         f0 = int(agg["s"] or 0) / n / scale
-        cur = cur.withColumn("y", F.col("y") - F.lit(f0)) \
-            .localCheckpoint(eager=True)
+        dim = int(agg["d"])
         base_tree = DecisionTreeRegressor(
             featuresCol="x", labelCol="y",
             maxDepth=int(self.get_("maxDepth")),
@@ -74,21 +97,37 @@ class GBTRegressor(Estimator, HasFeaturesCol, HasLabelCol,
             minInstancesPerNode=int(self.get_("minInstancesPerNode")),
             labelScale=int(self.get_("labelScale")),
             binStrategy=self.get_("binStrategy"))
+        # r09 restructure (guide §1.2 — don't recompute what doesn't
+        # change): thresholds and bin indices depend on the FEATURES
+        # only, which are constant across the residual chain, so they
+        # are computed once and the boosting loop runs entirely over ONE
+        # checkpointed (y − F0, bins) frame.  Each round's residual is a
+        # column expression — (y − F0) − η·Σ tree_t(bins) with trees
+        # routed by the `bin ≤ split-bin ⟺ x ≤ thr` lemma — evaluated
+        # in the same left-to-right order the old per-round checkpoint
+        # stored, so every tree sees bit-identical labels while the old
+        # shape's per-round threshold job, full re-bin, transform job
+        # and TWO materializations per round all disappear.
+        thresholds = base_tree._thresholds(cur, dim)
+        binned = DecisionTreeRegressor._bin_frame(
+            cur.withColumn("y", F.col("y") - F.lit(f0)), thresholds) \
+            .localCheckpoint(eager=True)
+        resid = F.col("y")
         trees = []
         for t in range(int(self.get_("numTrees"))):
-            tm = base_tree.fit(cur)
-            trees.append(tm.model_data["nodes"])
+            grid = F.round(resid * scale).cast("long")
+            frame = binned.select(
+                grid.alias("y"),
+                *[F.col(f"b{i}") for i in range(dim)])
+            nodes = base_tree._fit_binned(frame, thresholds, scale)
+            trees.append({str(k): v for k, v in nodes.items()})
             if t + 1 < int(self.get_("numTrees")):
-                scored = tm.set_(predictionCol="__p__").transform(cur)[0]
-                cur = (scored.withColumn(
-                            "y", F.col("y") - eta * F.col("__p__"))
-                       .drop("__p__").localCheckpoint(eager=True))
+                resid = resid - F.lit(eta) * _tree_pred_bins(nodes)
         model = GBTRegressorModel()
         model.set_(featuresCol=fcol,
                    predictionCol=self.get_("predictionCol"))
-        first = cur.select("x").first()
         model.model_data = {"f0": float(f0), "eta": eta, "trees": trees,
-                            "dim": len(first["x"]) if first else 0}
+                            "dim": dim}
         return model
 
 

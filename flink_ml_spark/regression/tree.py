@@ -64,6 +64,11 @@ from ..param import (BoolParam, HasFeaturesCol, HasLabelCol,
 # Arrow searchsorted bin path (identical results)
 _CODEGEN_BIN_LIMIT = 4096
 
+# past this many accumulated splits, the per-level node walk folds into
+# a stored column (one materialization) instead of growing the CASE
+# expression — bounds codegen for deep trees; identical node ids
+_NODE_EXPR_LIMIT = 256
+
 
 class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                             HasPredictionCol):
@@ -98,10 +103,6 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
 
     def fit(self, *inputs: DataFrame) -> "DecisionTreeRegressorModel":
         (df,) = inputs
-        spark = df.sparkSession
-        depth = int(self.get_("maxDepth"))
-        bins = int(self.get_("maxBins"))
-        min_inst = int(self.get_("minInstancesPerNode"))
         scale = 10 ** int(self.get_("labelScale"))
         fcol = self.get_("featuresCol")
         y = F.col(self.get_("labelCol")).cast("double")
@@ -112,8 +113,26 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
         if first is None:
             raise ValueError("DecisionTreeRegressor: no training rows")
         dim = len(first["x"])
+        thresholds = self._thresholds(base, dim)
+        # the features array is only needed to compute the bins — the
+        # level loop materializes ONLY (y, b0..b{dim-1}), once
+        tagged = self._bin_frame(base, thresholds) \
+            .localCheckpoint(eager=True)
+        tree = self._fit_binned(tagged, thresholds, scale)
+        model = DecisionTreeRegressorModel()
+        model.set_(featuresCol=fcol,
+                   predictionCol=self.get_("predictionCol"))
+        model.model_data = {
+            "dim": dim,
+            "nodes": {str(k): v for k, v in tree.items()},
+            "labelScale": int(self.get_("labelScale"))}
+        return model
 
-        # candidate thresholds per feature
+    def _thresholds(self, base: DataFrame, dim: int) -> list[list[float]]:
+        """Candidate thresholds per feature — ONE aggregation job.
+        Depends on the FEATURES only, so ensemble fits over a fixed
+        feature frame (GBT's residual chain) compute this once."""
+        bins = int(self.get_("maxBins"))
         if self.get_("binStrategy") == "uniform":
             r = base.agg(*[F.min(F.col("x")[i]).alias(f"lo{i}")
                            for i in range(dim)],
@@ -138,6 +157,13 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                            .alias(f"q{i}") for i in range(dim)]).first()
             thresholds = [sorted(set(float(v) for v in r[f"q{i}"]))
                           for i in range(dim)]
+        return thresholds
+
+    @staticmethod
+    def _bin_frame(base: DataFrame, thresholds: list[list[float]],
+                   keep: tuple = ("y",)) -> DataFrame:
+        """(x, keep...) → (keep..., b0..b{dim-1}) bin indices."""
+        dim = len(thresholds)
 
         def bin_expr(i: int):
             # number of thresholds strictly below x — makes the bin
@@ -147,45 +173,85 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                 e = e + (F.col("x")[i] > F.lit(t)).cast("int")
             return e
 
-        # the features array is only needed to compute the bins — drop
-        # it from the frame the level loop re-materializes
         if sum(len(t) for t in thresholds) <= _CODEGEN_BIN_LIMIT:
-            tagged = base.select(
-                "y", F.lit(0).alias("node"),
-                *[bin_expr(i).alias(f"b{i}") for i in range(dim)])
-        else:
-            # wide input × many bins: ONE Arrow searchsorted pass
-            # replaces the comparison chains; searchsorted side='left'
-            # is exactly "thresholds strictly below x"
-            thr_np = [np.asarray(t, dtype=float) for t in thresholds]
+            return base.select(
+                *keep, *[bin_expr(i).alias(f"b{i}") for i in range(dim)])
+        # wide input × many bins: ONE Arrow searchsorted pass
+        # replaces the comparison chains; searchsorted side='left'
+        # is exactly "thresholds strictly below x"
+        thr_np = [np.asarray(t, dtype=float) for t in thresholds]
 
-            @F.pandas_udf("array<int>")
-            def _bins(xs: pd.Series) -> pd.Series:
-                X = np.stack(xs.to_numpy())
-                out = np.zeros((X.shape[0], len(thr_np)), dtype=np.int32)
-                for i, t in enumerate(thr_np):
-                    if len(t):
-                        out[:, i] = np.searchsorted(t, X[:, i],
-                                                    side="left")
-                return pd.Series(list(out))
+        @F.pandas_udf("array<int>")
+        def _bins(xs: pd.Series) -> pd.Series:
+            X = np.stack(xs.to_numpy())
+            out = np.zeros((X.shape[0], len(thr_np)), dtype=np.int32)
+            for i, t in enumerate(thr_np):
+                if len(t):
+                    out[:, i] = np.searchsorted(t, X[:, i],
+                                                side="left")
+            return pd.Series(list(out))
 
-            tagged = (base.select("y", F.lit(0).alias("node"),
-                                  _bins("x").alias("__bb__"))
-                      .select("y", "node",
-                              *[F.col("__bb__")[i].alias(f"b{i}")
-                                for i in range(dim)]))
-        tagged = tagged.localCheckpoint(eager=True)
-        bins_arr = F.array(*[F.col(f"b{i}") for i in range(dim)])
+        return (base.select(*keep, _bins("x").alias("__bb__"))
+                .select(*keep,
+                        *[F.col("__bb__")[i].alias(f"b{i}")
+                          for i in range(dim)]))
 
+    def _fit_binned(self, tagged: DataFrame,
+                    thresholds: list[list[float]],
+                    scale: int) -> dict[int, dict]:
+        """Level loop over a pre-binned frame (y long, b0..b{dim-1}).
+
+        r09 restructure (guide §1.2/§2.4 — fewer passes, nothing
+        rematerialized): the per-row node id is a pure function of the
+        bin columns and the splits chosen so far, so instead of
+        advancing a stored ``node`` column with a broadcast join + a
+        FULL localCheckpoint per level (the r08 shape: 2 jobs and one
+        corpus materialization per level), each level computes the node
+        id as a nested-CASE walk of the accumulated splits over the ONE
+        static checkpointed bin frame — 1 aggregation job per level,
+        zero per-level materializations.  Past ``_NODE_EXPR_LIMIT``
+        accumulated splits (deep trees) the walk is folded into a
+        stored column once and the accumulator resets, bounding codegen
+        size; results are identical either way (same split arithmetic,
+        same node ids).  Leaf values come from the SAME histograms that
+        chose the splits (exact integer (n, Σy) marginals of the split
+        feature), eliminating the old final leaves pass — bit-identical
+        because every sum is an exact integer either way."""
+        depth = int(self.get_("maxDepth"))
+        min_inst = int(self.get_("minInstancesPerNode"))
+        dim = len(thresholds)
         tree: dict[int, dict] = {}  # node -> {feat, thr} | {value}
+        pending: dict[int, tuple[int, int]] = {}  # splits not yet stored
+        totals: dict[int, tuple[int, int]] = {}  # node -> exact (n, Σy)
+        roots: list[int] | None = None  # stored node values; None = all 0
         frontier = [0]
+
+        def walk(n: int):
+            s = pending.get(n)
+            if s is None:
+                return F.lit(n)
+            f, b = s
+            return F.when(F.col(f"b{f}") <= F.lit(b),
+                          walk(2 * n + 1)).otherwise(walk(2 * n + 2))
+
+        def node_col():
+            if roots is None:
+                return walk(0)
+            e = F.col("node")
+            for r in roots:
+                if r in pending:
+                    e = F.when(F.col("node") == r, walk(r)).otherwise(e)
+            return e
+
         for _ in range(depth):
             if not frontier:
                 break
             # ONE pass per level: the per-(node, feature, bin) histogram;
             # node totals are its feature-0 marginal (model-sized collect)
-            stats = (tagged.filter(F.col("node").isin(frontier))
-                     .select("node", "y",
+            stats = (tagged
+                     .withColumn("__nd__", node_col())
+                     .filter(F.col("__nd__").isin(frontier))
+                     .select(F.col("__nd__").alias("node"), "y",
                              F.explode(F.array(*[
                                  F.struct(F.lit(i).alias("f"),
                                           F.col(f"b{i}").alias("b"))
@@ -202,7 +268,7 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                     .setdefault(int(row["f"]), {})[int(row["b"])] = (
                         int(row["n"]), int(row["s"] or 0))
             new_frontier: list[int] = []
-            splits: list[tuple[int, int, int]] = []  # (node, feat, bin)
+            any_split = False
             for node in sorted(by_node):
                 n_tot = sum(v[0] for v in by_node[node][0].values())
                 s_tot = sum(v[1] for v in by_node[node][0].values())
@@ -226,7 +292,18 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                             best = (num, den, f, b)
                 if best is not None:
                     num, den, f, b = best
-                    splits.append((node, f, b))
+                    any_split = True
+                    # children's exact totals from the split feature's
+                    # histogram margins (replaces the old leaves pass)
+                    hist = by_node[node][f]
+                    nl = sl = 0
+                    for bb in range(b + 1):
+                        if bb in hist:
+                            nl += hist[bb][0]
+                            sl += hist[bb][1]
+                    totals[2 * node + 1] = (nl, sl)
+                    totals[2 * node + 2] = (n_tot - nl, s_tot - sl)
+                    pending[node] = (f, b)
                     # count-weighted variance reduction (label units²):
                     # n·Δvar = num/den − S²/n, off the exact integers —
                     # the standard gain-based importance contribution
@@ -236,40 +313,31 @@ class DecisionTreeRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                                   "bin": int(b), "gain": float(gain),
                                   "n": int(n_tot)}
                     new_frontier += [2 * node + 1, 2 * node + 2]
-            if not splits:
+                elif n_tot > 0:
+                    # frontier node that won't split — a leaf, valued
+                    # off the exact integers already in hand
+                    tree[node] = {"value": s_tot / n_tot / scale}
+            if not any_split:
+                frontier = []
                 break
-            sp = spark.createDataFrame(splits,
-                                       "node int, __sf__ int, __sb__ int")
-            left = (F.element_at(bins_arr, F.col("__sf__") + 1)
-                    <= F.col("__sb__"))
-            tagged = (tagged.join(F.broadcast(sp), "node", "left")
-                      .withColumn(
-                          "node",
-                          F.when(F.col("__sf__").isNull(), F.col("node"))
-                          .otherwise(F.when(left, 2 * F.col("node") + 1)
-                                     .otherwise(2 * F.col("node") + 2)))
-                      .drop("__sf__", "__sb__")
-                      .localCheckpoint(eager=True))
             frontier = new_frontier
-
-        # leaves: one final pass — every populated node without a split
-        # (exactly the oracle's leaves relation)
-        for row in tagged.groupBy("node").agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("y").cast("decimal(38,0)")).alias("s")
-                ).collect():
-            node = int(row["node"])
-            if node not in tree and int(row["n"]) > 0:
-                tree[node] = {"value":
-                              int(row["s"] or 0) / int(row["n"]) / scale}
-        model = DecisionTreeRegressorModel()
-        model.set_(featuresCol=fcol,
-                   predictionCol=self.get_("predictionCol"))
-        model.model_data = {
-            "dim": dim,
-            "nodes": {str(k): v for k, v in tree.items()},
-            "labelScale": int(self.get_("labelScale"))}
-        return model
+            if len(pending) > _NODE_EXPR_LIMIT:
+                # deep tree: fold the walk into a stored column once so
+                # codegen stays bounded (identical node ids)
+                tagged = (tagged
+                          .select(node_col().alias("node"), "y",
+                                  *[F.col(f"b{i}") for i in range(dim)])
+                          .localCheckpoint(eager=True))
+                pending = {}
+                roots = list(frontier)
+        # depth reached: the last level's children are leaves, valued
+        # from the exact totals recorded when their parent split
+        for node in frontier:
+            if node not in tree and node in totals:
+                n_t, s_t = totals[node]
+                if n_t > 0:
+                    tree[node] = {"value": s_t / n_t / scale}
+        return tree
 
 
 def ensemble_importances(tree_node_dicts, dim: int) -> list[float]:

@@ -174,6 +174,53 @@ def test_frequent_line_filter_equals_exact_filter(spark):
     assert set(tiny.model_data["boilerplate"]) == exact
 
 
+def test_frequent_line_filter_broadcast_path_matches_literal(spark):
+    """Past _LINE_SET_LITERAL_LIMIT the transform switches from the
+    per-row literal array scan to a broadcast set + one Arrow pass; the
+    two paths must be indistinguishable, and the large-set plan must not
+    embed the drop set as a literal CreateArray (VERDICT r08 item 2)."""
+    from flink_ml_spark.llmdata import FrequentLineFilter
+    from flink_ml_spark.llmdata import sketches as sk
+    rows = [(i, f"keep {i}\nBANNER A\nBANNER B\nkeep tail {i}")
+            for i in range(30)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = FrequentLineFilter(idCol="doc_id", textCol="text", minCount=10,
+                           width=64).fit(df)
+    lit = {r["doc_id"]: r["clean"] for r in m.transform(df)[0].collect()}
+    saved = sk._LINE_SET_LITERAL_LIMIT
+    try:
+        sk._LINE_SET_LITERAL_LIMIT = 1  # force the broadcast-set path
+        out = m.transform(df)[0]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BANNER A" not in plan  # no literal drop set in the plan
+        assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+        got = {r["doc_id"]: r["clean"] for r in out.collect()}
+    finally:
+        sk._LINE_SET_LITERAL_LIMIT = saved
+    assert got == lit
+    assert got[99] is None  # null text stays null on both paths
+
+
+def test_cms_join_path_null_key_estimate_is_null(spark, zipf_df):
+    """Null keys must get NULL estimates on BOTH plan paths (the join
+    path used to coalesce missing lookups to 0 — ADVICE r08)."""
+    from flink_ml_spark.llmdata import sketches as sk
+    m = CountMinSketch(inputCol="tok", depth=3, width=128).fit(zipf_df)
+    m.set_(outputCol="est")
+    withnull = zipf_df.limit(3).union(
+        spark.createDataFrame([(None,)], "tok string"))
+    lit = {r["tok"]: r["est"] for r in m.transform(withnull)[0].collect()}
+    saved = sk._LITERAL_CELL_LIMIT
+    try:
+        sk._LITERAL_CELL_LIMIT = 0  # force the join path
+        joined = {r["tok"]: r["est"]
+                  for r in m.transform(withnull)[0].collect()}
+    finally:
+        sk._LITERAL_CELL_LIMIT = saved
+    assert lit == joined
+    assert lit[None] is None and joined[None] is None
+
+
 def test_frequent_line_filter_cap_guard(spark):
     from flink_ml_spark.llmdata import FrequentLineFilter
     import pytest as pt
