@@ -114,11 +114,22 @@ class FuzzyStringJoin(AlgoOperator):
                                  [F.asc("distance"), F.asc("__lmin__")], kb,
                                  salt_cols=["__lmin__"], rank_col="__sk__") \
                 .select("__ls__", "__rs__", "distance")
+            # id-level prune BEFORE the expansion joins (r09; guide
+            # §3.3 "explode after the join"): every id pair of string s
+            # shares s's distance, so a left id outside s's k smallest
+            # is dominated by k same-distance pairs and can never reach
+            # the per-right-id top-k.  Without this the expansion is
+            # |left ids per string| x |right ids per string| rows per
+            # candidate (measured 6.2M rows at sf0.1 for a 64-row
+            # string-level result); with it, <= k^2 per right id.
+            lids = top_k_per_key(
+                left.select(F.col(lid), F.col(lc).alias("__ls__")),
+                ["__ls__"], [F.asc(lid)], kb, salt_cols=[lid])
         else:
             cand = cand.select("__ls__", "__rs__", "distance")
+            lids = left.select(F.col(lid), F.col(lc).alias("__ls__"))
         pairs = (cand
-                 .join(left.select(F.col(lid), F.col(lc).alias("__ls__")),
-                       "__ls__")
+                 .join(lids, "__ls__")
                  .join(right.select(F.col(rid), F.col(rc).alias("__rs__")),
                        "__rs__")
                  .select(lid, rid, "distance"))

@@ -9,13 +9,16 @@ shuffle-disciplined and SQL-replayable, unlike a ported FP-tree:
 
 - L1 = one explode + groupBy(item); the support threshold is an exact
   rational ceil of ``minSupport·n`` (the RareCategoryCollapser rule).
-- L2 = self-join of frequent-item transactions on the transaction id
-  with ``item_a < item_b`` — candidate volume is Σ per-basket C(b, 2)
-  AFTER infrequent items are dropped; ``maxItemsPerTransaction``
-  fail-fasts pathological baskets instead of silently exploding.
-- L3 = pairs ⋈ items on the transaction id with both sub-pairs
-  frequent (the Apriori prune, applied as broadcast semi-joins before
-  counting).
+- L2/L3 candidates come from ONE sorted frequent-item basket array per
+  transaction (groupBy(t) + collect_list), with positional i<j(<k)
+  combinations exploded in place — the same candidate multiset the
+  former 2-/3-way self-joins on the transaction id produced, but the
+  corpus is shuffled once instead of once per join side (r09; guide
+  §2.4).  Candidate volume is Σ per-basket C(b, 2|3) AFTER infrequent
+  items are dropped; ``maxItemsPerTransaction`` fail-fasts pathological
+  baskets instead of silently exploding.
+- L3 keeps the Apriori prune (both sub-pairs frequent) as semi-joins
+  against the frequent-pair relation before counting.
 - Association rules (a → b over frequent pairs) carry their integer
   supports; confidence/lift are ratios of those counts.
 
@@ -84,28 +87,44 @@ class FrequentItemsets(AlgoOperator):
                 Fraction(str(self.get_("minSupport"))) * n))
             l1 = (ti.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
                   .filter(F.col("c") >= min_cnt).persist())
-            # transactions restricted to frequent items
-            tf = ti.join(l1.select("i"), "i").persist()
-            cap = int(self.get_("maxItemsPerTransaction"))
-            hot = (tf.groupBy("t").agg(F.count(F.lit(1)).alias("b"))
-                   .filter(F.col("b") > cap).limit(1).collect())
-            if hot:
-                raise ValueError(
-                    f"FrequentItemsets: transaction {hot[0]['t']!r} has "
-                    f"{hot[0]['b']} frequent items (> "
-                    f"maxItemsPerTransaction={cap}); raise minSupport, "
-                    f"trim baskets upstream, or raise the cap")
             sets = l1.select(F.array("i").alias("items"),
                              F.lit(1).alias("size"),
                              F.col("c").cast("long").alias("support"))
             pairs_sup = None
             if max_size >= 2:
-                a, b = tf.alias("a"), tf.alias("b")
-                pairs = (a.join(b, "t")
-                         .filter(F.col("a.i") < F.col("b.i"))
-                         .select(F.col("a.i").alias("x"),
-                                 F.col("b.i").alias("y")))
-                pairs_sup = (pairs.groupBy("x", "y")
+                # r09 restructure (guide §2.4 — remove shuffles
+                # outright): candidate pairs/triples used to come from
+                # 2- and 3-way self-joins of the frequent-item rows on
+                # t (each a fresh corpus shuffle per side); a basket is
+                # tiny (<= maxItemsPerTransaction by contract), so ONE
+                # groupBy(t) builds a sorted frequent-item basket array
+                # and combinations explode from it in place — identical
+                # candidate multiset (items are distinct and sorted, so
+                # positional i<j<k combos == the joins' a.i<b.i<c.i),
+                # with the corpus shuffled once instead of 5x.
+                bask = (ti.join(l1.select("i"), "i")
+                        .groupBy("t")
+                        .agg(F.sort_array(F.collect_list("i"))
+                             .alias("items"))
+                        .localCheckpoint(eager=True))
+                cap = int(self.get_("maxItemsPerTransaction"))
+                if (bask.agg(F.max(F.size("items"))).first()[0] or 0) > cap:
+                    hot = (bask.filter(F.size("items") > cap)
+                           .limit(1).collect())[0]
+                    raise ValueError(
+                        f"FrequentItemsets: transaction {hot['t']!r} has "
+                        f"{len(hot['items'])} frequent items (> "
+                        f"maxItemsPerTransaction={cap}); raise "
+                        f"minSupport, trim baskets upstream, or raise "
+                        f"the cap")
+                pair_combos = F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS x, y AS y))))")
+                pairs_sup = (bask
+                             .select(F.explode(pair_combos).alias("p"))
+                             .select("p.x", "p.y")
+                             .groupBy("x", "y")
                              .agg(F.count(F.lit(1)).alias("c"))
                              .filter(F.col("c") >= min_cnt).persist())
                 sets = sets.unionByName(pairs_sup.select(
@@ -113,12 +132,14 @@ class FrequentItemsets(AlgoOperator):
                     F.lit(2).alias("size"),
                     F.col("c").cast("long").alias("support")))
             if max_size >= 3 and pairs_sup is not None:
-                a, b, c3 = tf.alias("a"), tf.alias("b"), tf.alias("c")
-                tri = (a.join(b, "t").filter(F.col("a.i") < F.col("b.i"))
-                       .join(c3, "t").filter(F.col("b.i") < F.col("c.i"))
-                       .select(F.col("a.i").alias("x"),
-                               F.col("b.i").alias("y"),
-                               F.col("c.i").alias("z")))
+                tri_combos = F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "flatten(transform(slice(items, i + 2, size(items)),"
+                    " (y, j) -> transform("
+                    "slice(items, i + j + 3, size(items)), "
+                    "z -> struct(x AS x, y AS y, z AS z))))))")
+                tri = (bask.select(F.explode(tri_combos).alias("p"))
+                       .select("p.x", "p.y", "p.z"))
                 fp = pairs_sup.select("x", "y")
                 # Apriori prune: every sub-pair must be frequent
                 tri = (tri
@@ -162,7 +183,7 @@ class FrequentItemsets(AlgoOperator):
                         "confidence double")
             sets = sets.localCheckpoint(eager=True)
             rules = rules.localCheckpoint(eager=True)
-            for cached in (l1, tf, pairs_sup):
+            for cached in (l1, pairs_sup):
                 if cached is not None:
                     cached.unpersist()
             return [sets, rules]
