@@ -24,7 +24,14 @@ class StatefulSessionizer:
     """Per-key event-time session aggregation with gap-close semantics
     matching ``F.session_window`` (a new session starts when an event
     arrives ``>= gap_ms`` after the previous one; window end is
-    last-event + gap exclusive).
+    last-event + gap exclusive).  The parity claim holds for streams
+    whose per-key events arrive in event-time order across micro-batches
+    (within a batch, order is irrelevant — events are sorted): a late
+    cross-batch event that precedes the stored session's start by more
+    than ``gap_ms`` is merged conservatively into that session rather
+    than split into its own earlier (already-past-watermark) session,
+    where ``F.session_window`` over the full batch data would report
+    two.
 
     Sessions closed by an observed gap (within or across micro-batches)
     emit immediately in ``append`` mode; the trailing open session per
