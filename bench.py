@@ -8,6 +8,14 @@ Mirrors the reference's JSON-driven harness semantics
 (flink-ml-benchmark/.../Benchmark.java:129, BenchmarkUtils.java:75-98):
 each entry is fit+transform wall time with results fully materialized
 (count() replaces the reference's DiscardingSink).
+
+Sidecar (r09 VERDICT item 1): the stdout detail line is hard-capped at
+2,000 bytes to survive tail-capture truncation, which left the driver's
+per-query comparator empty two rounds running (`"omitted": 123`).  Every
+run therefore ALSO writes the COMPLETE per-query map to
+``BENCH_DETAIL.json`` next to this file — same totals keys, full
+``queries`` dict (min-of-2 values) plus ``queries_single_pass``.  The
+stdout lines are byte-compatible with r01-r09 (no key changed/removed).
 """
 
 from __future__ import annotations
@@ -313,6 +321,22 @@ def main() -> None:
         if len(line) <= 2000 or not detail:
             break
         detail.pop(next(reversed(detail)))  # drop the fastest entry
+    # complete machine-readable per-query map (r09 VERDICT item 1): the
+    # capped stdout detail line dropped 123/190 entries, so the driver's
+    # round-over-round comparator had nothing to join.  File output has
+    # no tail-capture limit — write the FULL map as a sidecar in the
+    # repo root (next to this file; ADD-only, stdout unchanged).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump({**totals, "queries": final,
+                       "queries_single_pass": timings,
+                       "queries_second_pass": timings2},
+                      fh, separators=(",", ":"), sort_keys=True)
+            fh.write("\n")
+    except OSError as e:  # a read-only checkout must not kill the bench
+        print(f"bench warning: BENCH_DETAIL.json not written: {e}",
+              file=sys.stderr)
     sys.stdout.flush()
     print()  # a fresh physical line even if \r-progress junk preceded us
     print(json.dumps(totals, separators=(",", ":")))

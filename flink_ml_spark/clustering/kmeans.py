@@ -53,12 +53,15 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         #   64 KB method limit): per-round Arrow partials — one numpy gemm
         #   per partition, k*(dim+1) doubles out.
         par = sc.defaultParallelism
-        # gate on a PRUNED source count first (no featurization executes);
-        # the local path then collects in ONE pass with no persist plans
-        # to compile (same restructure as sgd())
-        n = df.count()
-        first = df.select(fcol).first()
-        dim = len(first[0]) if first is not None else 0
+        # regime gate from ONE aggregation job (r10: the separate
+        # count() + first() probe pair fused — any row's width is the
+        # width the fit would read); the local path then collects in ONE
+        # pass with no persist plans to compile (same restructure as
+        # sgd())
+        probe = df.agg(F.count(F.lit(1)).alias("__n__"),
+                       F.first(fcol).alias("__x__")).first()
+        n = int(probe["__n__"])
+        dim = len(probe["__x__"]) if probe["__x__"] is not None else 0
         from ..common.optimizer import LOCAL_SOLVE_MAX_VALUES
         local = n * dim <= LOCAL_SOLVE_MAX_VALUES
         X_all = None
@@ -73,9 +76,10 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
             if data.rdd.getNumPartitions() < par:
                 data = data.repartition(par)
             cached = data.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.count()  # materialize the cache
             prepared = cached
-            centers = self._init_centers(prepared, k, None)
+            # no separate materialization count: the init job's full
+            # scan (distinct/sample below) populates the cache in place
+            centers = self._init_centers(prepared, k, None, n=n)
         dim = centers.shape[1]
         wide = k * dim >= 256
         if prepared is not None:
@@ -131,7 +135,8 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         return model
 
     def _init_centers(self, data: DataFrame, k: int,
-                      X_local: np.ndarray | None = None) -> np.ndarray:
+                      X_local: np.ndarray | None = None,
+                      n: int | None = None) -> np.ndarray:
         if self.get_("initMode") == "first_distinct":
             # deterministic: k lexicographically-smallest distinct vectors
             # (np.unique(axis=0) and Spark array ordering agree)
@@ -152,7 +157,8 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
                 raise ValueError(f"KMeans: fewer than k={k} distinct points")
             idx = rng.choice(len(uniq), size=k, replace=False)
             return uniq[idx]
-        n = data.count()
+        if n is None:
+            n = data.count()
         frac = min(1.0, (10.0 * k) / max(n, 1))
         sampled = data.sample(False, frac, seed=seed if seed is not None else 0)
         rows = sampled.distinct().limit(k).collect()

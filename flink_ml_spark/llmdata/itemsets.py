@@ -102,21 +102,29 @@ class FrequentItemsets(AlgoOperator):
                 # candidate multiset (items are distinct and sorted, so
                 # positional i<j<k combos == the joins' a.i<b.i<c.i),
                 # with the corpus shuffled once instead of 5x.
-                bask = (ti.join(l1.select("i"), "i")
+                # guard BEFORE any basket array exists (ADVICE r09): the
+                # size check aggregates counts only — a pathological
+                # basket must fail fast without collect_list ever
+                # building its whole in-one-row array (executor memory
+                # pressure the old post-checkpoint check paid first)
+                bask_src = ti.join(l1.select("i"), "i")
+                cap = int(self.get_("maxItemsPerTransaction"))
+                sizes = bask_src.groupBy("t") \
+                    .agg(F.count(F.lit(1)).alias("__n__"))
+                if (sizes.agg(F.max("__n__")).first()[0] or 0) > cap:
+                    hot = (sizes.filter(F.col("__n__") > cap)
+                           .limit(1).collect())[0]
+                    raise ValueError(
+                        f"FrequentItemsets: transaction {hot['t']!r} has "
+                        f"{hot['__n__']} frequent items (> "
+                        f"maxItemsPerTransaction={cap}); raise "
+                        f"minSupport, trim baskets upstream, or raise "
+                        f"the cap")
+                bask = (bask_src
                         .groupBy("t")
                         .agg(F.sort_array(F.collect_list("i"))
                              .alias("items"))
                         .localCheckpoint(eager=True))
-                cap = int(self.get_("maxItemsPerTransaction"))
-                if (bask.agg(F.max(F.size("items"))).first()[0] or 0) > cap:
-                    hot = (bask.filter(F.size("items") > cap)
-                           .limit(1).collect())[0]
-                    raise ValueError(
-                        f"FrequentItemsets: transaction {hot['t']!r} has "
-                        f"{len(hot['items'])} frequent items (> "
-                        f"maxItemsPerTransaction={cap}); raise "
-                        f"minSupport, trim baskets upstream, or raise "
-                        f"the cap")
                 pair_combos = F.expr(
                     "flatten(transform(items, (x, i) -> "
                     "transform(slice(items, i + 2, size(items)), "

@@ -520,7 +520,16 @@ class FrequentLineFilterModel(Model):
         # replaces it: same split/filter/join semantics (split("\n")
         # keeps trailing empties in both engines; null text stays
         # null), zero shuffles, set shipped once per executor.
-        bset_b = df.sparkSession.sparkContext.broadcast(frozenset(drop))
+        # one broadcast per (model, SparkContext), cached on the
+        # instance: a fresh broadcast per _transform call would
+        # accumulate until the ContextCleaner notices the UDF refs are
+        # gone — nondeterministic on a long-lived driver (ADVICE r09)
+        sc = df.sparkSession.sparkContext
+        cached = getattr(self, "_bset_cache", None)
+        if cached is None or cached[0] is not sc:
+            cached = (sc, sc.broadcast(frozenset(drop)))
+            self._bset_cache = cached
+        bset_b = cached[1]
 
         @F.pandas_udf("string")
         def _clean(texts: pd.Series) -> pd.Series:

@@ -25,6 +25,13 @@ from ..param import (FloatParam, HasFeaturesCol, HasLabelCol,
                      StringParam)
 from .tree import DecisionTreeRegressor
 
+# past this many accumulated tree nodes, the residual chain folds into a
+# stored column (one materialization) instead of growing the expression —
+# round t otherwise re-evaluates all t-1 prior trees' CASE walks in every
+# level pass, O(numTrees² · depth) expression work and unbounded codegen
+# (the tree fit's _NODE_EXPR_LIMIT, applied to the boosting dimension)
+_RESID_EXPR_LIMIT = 512
+
 
 def _tree_pred_bins(nodes: dict[int, dict]):
     """Tree prediction routed by the BIN columns: bin ≤ split-bin ⟺
@@ -79,15 +86,25 @@ class GBTRegressor(Estimator, HasFeaturesCol, HasLabelCol,
                .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
         # F0 = exact global mean: decimal sum of grid labels / n; the
         # same aggregation carries the feature width (first row's dim,
-        # as the tree fit would read it) — no separate probe job
+        # as the tree fit would read it) — no separate probe job — and a
+        # NaN-feature fail-fast: _tree_pred_bins routes NaN left (every
+        # `x > thr` is false → bin 0) while the returned model's x-based
+        # CASE routes NaN right (`x <= thr` false), so a NaN-featured fit
+        # would silently train against residuals the model cannot replay
         agg = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("y") * scale).cast("long")
                   .cast("decimal(38,0)")).alias("s"),
-            F.size(F.first("x")).alias("d")).first()
+            F.size(F.first("x")).alias("d"),
+            F.max(F.exists("x", F.isnan)).alias("has_nan")).first()
         n = int(agg["n"])
         if n == 0:
             raise ValueError("GBTRegressor: no training rows")
+        if agg["has_nan"]:
+            raise ValueError(
+                "GBTRegressor: NaN feature values are unsupported (the "
+                "binned residual chain and the fitted model route NaN to "
+                "opposite split sides); impute or drop NaN rows first")
         f0 = int(agg["s"] or 0) / n / scale
         dim = int(agg["d"])
         base_tree = DecisionTreeRegressor(
@@ -114,6 +131,7 @@ class GBTRegressor(Estimator, HasFeaturesCol, HasLabelCol,
             .localCheckpoint(eager=True)
         resid = F.col("y")
         trees = []
+        acc_nodes = 0  # CASE nodes accumulated in the resid expression
         for t in range(int(self.get_("numTrees"))):
             grid = F.round(resid * scale).cast("long")
             frame = binned.select(
@@ -123,6 +141,17 @@ class GBTRegressor(Estimator, HasFeaturesCol, HasLabelCol,
             trees.append({str(k): v for k, v in nodes.items()})
             if t + 1 < int(self.get_("numTrees")):
                 resid = resid - F.lit(eta) * _tree_pred_bins(nodes)
+                acc_nodes += len(nodes)
+                if acc_nodes > _RESID_EXPR_LIMIT:
+                    # long chain: materialize the residual prefix once
+                    # (doubles are left-fold-evaluated either way, so the
+                    # stored value is bit-identical to the lazy chain)
+                    binned = binned.select(
+                        resid.alias("y"),
+                        *[F.col(f"b{i}") for i in range(dim)]) \
+                        .localCheckpoint(eager=True)
+                    resid = F.col("y")
+                    acc_nodes = 0
         model = GBTRegressorModel()
         model.set_(featuresCol=fcol,
                    predictionCol=self.get_("predictionCol"))

@@ -73,3 +73,28 @@ def test_gbt_empty_raises(spark):
     empty = spark.createDataFrame([], "features array<double>, label double")
     with pytest.raises(ValueError, match="no training rows"):
         GBTRegressor().fit(empty)
+
+
+def test_gbt_nan_features_fail_fast(spark):
+    """_tree_pred_bins routes NaN left, the fitted model routes NaN
+    right — fit must refuse NaN features instead of silently training
+    against residuals the model cannot replay (r09 VERDICT item 3)."""
+    df = spark.createDataFrame(
+        [([0.1, 0.5], 1.0), ([float("nan"), 0.2], 2.0), ([0.4, 0.9], 3.0)],
+        "features array<double>, label double")
+    with pytest.raises(ValueError, match="NaN feature"):
+        GBTRegressor(numTrees=2, maxDepth=2).fit(df)
+
+
+def test_gbt_residual_fold_parity(spark, monkeypatch):
+    """Forcing the residual-chain fold (accumulated-node limit 1 ⇒ a
+    checkpoint after every round) must yield the identical ensemble:
+    the stored residual prefix is the same left-fold double the lazy
+    expression evaluates."""
+    from flink_ml_spark.regression import gbt as gbt_mod
+    df = _curve_data(spark)
+    plain = GBTRegressor(numTrees=5, maxDepth=2, learningRate=0.5).fit(df)
+    monkeypatch.setattr(gbt_mod, "_RESID_EXPR_LIMIT", 1)
+    folded = GBTRegressor(numTrees=5, maxDepth=2, learningRate=0.5).fit(df)
+    assert folded.model_data["trees"] == plain.model_data["trees"]
+    assert folded.model_data["f0"] == plain.model_data["f0"]

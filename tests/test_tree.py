@@ -218,3 +218,23 @@ def test_tree_sketch_split_rank_drift_within_epsilon(spark):
     rank = {k: sum(1 for x in xs if x <= t) for k, t in thr.items()}
     drift = abs(rank[False] - rank[True])
     assert drift <= 2 * N // acc + 1, (thr, rank, drift)
+
+
+def test_tree_deep_fold_parity(spark, monkeypatch):
+    """The _NODE_EXPR_LIMIT fold path (deep trees: the node walk folds
+    into a stored column and the split accumulator resets) must produce
+    the identical tree to the pure-expression walk (r09 VERDICT item
+    4).  Limit 2 forces a fold after nearly every level."""
+    from flink_ml_spark.regression import tree as tree_mod
+    rows = []
+    for i in range(800):
+        x0, x1 = (i * 37 % 100) / 100.0, (i * 61 % 83) / 83.0
+        y = round(3.0 * x0 - 2.0 * x1 + x0 * x1 * 4.0, 3)
+        rows.append(([x0, x1], y))
+    df = spark.createDataFrame(rows,
+                               "features array<double>, label double")
+    est = lambda: DecisionTreeRegressor(maxDepth=6, maxBins=16)
+    plain = est().fit(df)
+    monkeypatch.setattr(tree_mod, "_NODE_EXPR_LIMIT", 2)
+    folded = est().fit(df)
+    assert folded.model_data["nodes"] == plain.model_data["nodes"]
