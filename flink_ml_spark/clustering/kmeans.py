@@ -58,18 +58,30 @@ class KMeans(Estimator, HasFeaturesCol, HasPredictionCol, HasDistanceMeasure,
         # width the fit would read); the local path then collects in ONE
         # pass with no persist plans to compile (same restructure as
         # sgd())
+        sparse = V.is_sparse_type(df, fcol)
         probe = df.agg(F.count(F.lit(1)).alias("__n__"),
-                       F.first(fcol).alias("__x__")).first()
+                       (F.first(F.col(fcol)["size"]) if sparse
+                        else F.first(fcol)).alias("__x__")).first()
         n = int(probe["__n__"])
-        dim = len(probe["__x__"]) if probe["__x__"] is not None else 0
+        dim = 0 if probe["__x__"] is None else (
+            int(probe["__x__"]) if sparse else len(probe["__x__"]))
         from ..common.optimizer import LOCAL_SOLVE_MAX_VALUES
         local = n * dim <= LOCAL_SOLVE_MAX_VALUES
         X_all = None
         cached = None
         if local:
-            pdf = data.toPandas()
-            X_all = (np.stack(pdf["__f__"].to_numpy()) if len(pdf)
-                     else np.zeros((0, dim)))
+            # vectorized Arrow collect (r10): flatten the list column to
+            # one contiguous buffer instead of np.stack over n tiny
+            # per-row ndarrays (GIL-bound ~seconds at bench scale);
+            # reshape(n, dim) fails loudly on ragged rows, as stack did
+            tbl = data.toArrow()
+            if tbl.num_rows:
+                flat = tbl.column("__f__").combine_chunks().flatten() \
+                    .to_numpy(zero_copy_only=False)
+                X_all = flat.reshape(tbl.num_rows, dim) \
+                    .astype(float, copy=False)
+            else:
+                X_all = np.zeros((0, dim))
             centers = self._init_centers(data, k, X_all)
             prepared = None
         else:
