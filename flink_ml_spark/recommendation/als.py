@@ -132,26 +132,43 @@ class ALS(Estimator):
             "i", *[(((inner * _MULT + salt + j) % _M % (scale // 5))
                     + scale // 10).alias(fcols[j])
                    for j in range(rank)])
-        q = q.localCheckpoint(eager=True)
+        q = q.localCheckpoint(eager=False)
         # fixed per-fit bounds for the long-lane overflow guard: max
-        # ratings-per-entity on each grouping and max |r| (ratings is
-        # persisted — three cheap one-number aggregates, once per fit)
-        bnd = ratings.agg(
-            F.max(F.abs(F.col("r"))).alias("mr"),
-            F.count("*").alias("n")).first()
+        # ratings-per-entity on each grouping and max |r|.  r10: the
+        # former three aggregate jobs (global bnd + one groupBy-max per
+        # side) fuse into ONE grouping-sets pass — the () set carries
+        # (n, max|r|), the (u)/(i) sets carry the per-side count maxima.
+        gs = (ratings.groupingSets([[], ["u"], ["i"]], "u", "i")
+              .agg(F.count(F.lit(1)).alias("c"),
+                   F.max(F.abs(F.col("r"))).alias("mr"),
+                   F.grouping_id().alias("g")))
+        bnd = gs.agg(
+            F.max(F.when(F.col("g") == 3, F.col("mr"))).alias("mr"),
+            F.max(F.when(F.col("g") == 3, F.col("c"))).alias("n"),
+            F.max(F.when(F.col("g") == 1, F.col("c"))).alias("cu"),
+            F.max(F.when(F.col("g") == 2, F.col("c"))).alias("ci")).first()
         max_r = int(bnd["mr"] or 0)
-        cnt = {
-            k: int(ratings.groupBy(k).count()
-                   .agg(F.max("count")).first()[0] or 0)
-            for k in ("u", "i")
-        } if bnd["n"] else {"u": 0, "i": 0}
+        cnt = ({"u": int(bnd["cu"] or 0), "i": int(bnd["ci"] or 0)}
+               if bnd["n"] else {"u": 0, "i": 0})
         self._lane_log = []  # per-half-step "long"/"decimal", for tests
         p = None
+        # r10 job-count collapse: half-step outputs checkpoint LAZILY and
+        # the NEXT half-step's max|f| aggregate is the action that
+        # materializes them — one job per half-step instead of two.  The
+        # init factors need no aggregate at all: the LCG grid is bounded
+        # by scale/5 + scale/10 by construction (a conservative-only
+        # stand-in — the long lane stays provably exact under any
+        # overestimate of max|f|).
+        fmax = scale // 5 + scale // 10
         for _ in range(int(self.get_("maxIter"))):
             p = self._half_step(ratings, q, "i", "u", rank, lam, scale,
-                                cnt["u"], max_r)
+                                cnt["u"], max_r, known_max_f=fmax)
             q = self._half_step(ratings, p, "u", "i", rank, lam, scale,
                                 cnt["i"], max_r)
+            fmax = None
+        # the final item factors are still lazy — materialize their
+        # checkpoint before the ratings cache (their input) goes away
+        q.count()
         ratings.unpersist()
         model = ALSModel()
         model.set_(userCol=u, itemCol=i)
@@ -165,22 +182,29 @@ class ALS(Estimator):
 
     def _half_step(self, ratings: DataFrame, factors: DataFrame,
                    fkey: str, okey: str, rank: int, lam: float,
-                   scale: int, max_cnt: int, max_r: int) -> DataFrame:
+                   scale: int, max_cnt: int, max_r: int,
+                   known_max_f: int | None = None) -> DataFrame:
         """Solve the ``okey`` side given ``fkey``-side factors.
 
-        Lane choice: one extra one-number aggregate on the (entity-
-        sized, localCheckpointed) factor relation gives ``max|f|``; if
+        Lane choice: one one-number aggregate on the (entity-sized,
+        lazily-checkpointed) factor relation gives ``max|f|`` — and is
+        the action that MATERIALIZES the previous half-step's
+        checkpoint, so each half-step costs one job (r10); if
         ``max|f| · max(max|f|, max|r|) · max_cnt < 2**62`` no product
         or per-entity sum can reach int64 range, so the codegen'd
         long×long lane is exact-equal to the decimal lane and ~2×
         faster.  Realistic configurations always qualify (factors stay
         O(rating_max/√rank) on the 1e-6 grid ≈ 1e7 units → bound ≈
         1e14·max_cnt); pathological magnitudes fall back to decimal.
+        ``known_max_f`` (an analytic upper bound, e.g. the init grid's)
+        skips the aggregate; any overestimate keeps the guard sound —
+        it can only route to the always-exact decimal lane.
         """
         fcols = [F.col(f"f{j}") for j in range(rank)]
-        max_f = int(factors.agg(F.max(F.greatest(*[
-            F.abs(c) for c in fcols]) if rank > 1
-            else F.abs(fcols[0]))).first()[0] or 0)
+        max_f = known_max_f if known_max_f is not None else int(
+            factors.agg(F.max(F.greatest(*[
+                F.abs(c) for c in fcols]) if rank > 1
+                else F.abs(fcols[0]))).first()[0] or 0)
         long_safe = (not self._force_decimal and max_cnt > 0 and
                      max_f * max(max_f, max_r) * max_cnt < 2 ** 62)
         self._lane_log.append("long" if long_safe else "decimal")
@@ -235,7 +259,9 @@ class ALS(Estimator):
             out = sums.mapInPandas(
                 solve, f"{okey} long, " + ", ".join(
                     f"f{j} long" for j in range(rank)))
-        return out.localCheckpoint(eager=True)
+        # lazy: the NEXT half-step's max|f| aggregate (or the
+        # fit-final count) is the materializing action
+        return out.localCheckpoint(eager=False)
 
 
 class ALSModel(Model):
