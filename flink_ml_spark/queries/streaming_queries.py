@@ -331,6 +331,11 @@ def stateful_sessions(spark, sf_dir):
     events = load_events(spark, sf_dir)
     data = events.select("user_id", "ts_ms", "value", "ts_t")
     sentinel_base = data.agg(F.max("ts_ms")).first()[0] + 100 * 600_000
+    # Per-user sentinel rows (kept after an r10 A/B): a single
+    # watermark-advancing row with timeout-path flushing in the no-data
+    # micro-batch was tried and REGRESSED ~2x (min2 13.3s vs ~6.5s) —
+    # the engine walks timed-out keys through per-key pandas calls,
+    # while the gap-close rows ride the vectorized grouped data path.
     sentinels = (data.select("user_id").distinct()
                  .select("user_id", F.lit(sentinel_base).alias("ts_ms"),
                          F.lit(0.0).alias("value"))
@@ -1014,15 +1019,17 @@ def streaming_funnel(spark, sf_dir):
     readStream in two event-time-ordered micro-batches into
     ``StreamingFunnel`` (applyInPandasWithState, k-long GroupState per
     user, event-time timeout); a far-future sentinel row rides in the
-    SECOND batch (advancing the watermark computed at its end) and one
-    sentinel-only batch follows, during which every user's timeout
-    fires and the final row emits.  (r09: the former separate first
-    sentinel batch carried no information — the watermark it advanced
-    is identically advanced by the sentinel row inside batch 2, so 3
-    micro-batches replay the same semantics 4 did; one agg computes
-    mid+max instead of two.)  The inactivity gap exceeds the stream's
-    span, so no user emits mid-stream — output semantics (and oracle)
-    are identical to the batch FunnelAnalyzer / FUNNEL_SQL."""
+    SECOND batch, advancing the watermark computed at its end, and the
+    engine's standard trailing no-data micro-batch (on by default:
+    ``spark.sql.streaming.noDataMicroBatches.enabled``) is where every
+    user's timeout fires and the final row emits.  (r09 cut the former
+    separate first sentinel batch; r10 cuts the trailing sentinel-only
+    FILE batch — it only re-advanced a watermark already past every
+    user's timeout, which the no-data batch the engine appends anyway
+    fires identically: profiled 4 executed micro-batches → 3.)  The
+    inactivity gap exceeds the stream's span, so no user emits
+    mid-stream — output semantics (and oracle) are identical to the
+    batch FunnelAnalyzer / FUNNEL_SQL."""
     import os
     import shutil
     import tempfile
@@ -1034,13 +1041,11 @@ def streaming_funnel(spark, sf_dir):
     mid, max_ts = data.agg(
         F.expr("percentile_approx(ts_ms, 0.5)"), F.max("ts_ms")).first()
     gap_ms = 400 * 86_400_000  # > any testdata span: no mid-stream flush
-    sent = []
-    for j in range(2):
-        ts = max_ts + gap_ms + 120_000 + j * 600_000
-        sent.append(spark.createDataFrame(
-            [(-1, "noop", ts)], "user_id long, event_type string, "
-                                "ts_ms long")
-            .withColumn("ts_t", F.timestamp_millis(F.col("ts_ms"))))
+    sent_ts = max_ts + gap_ms + 120_000
+    sent = spark.createDataFrame(
+        [(-1, "noop", sent_ts)], "user_id long, event_type string, "
+                                 "ts_ms long") \
+        .withColumn("ts_t", F.timestamp_millis(F.col("ts_ms")))
     tmp = tempfile.mkdtemp(prefix="streaming_funnel_")
     view = f"streaming_funnel_{uuid.uuid4().hex[:8]}"
     q = None
@@ -1049,8 +1054,7 @@ def streaming_funnel(spark, sf_dir):
     try:
         os.mkdir(os.path.join(tmp, "in"))
         parts = [data.where(F.col("ts_ms") <= mid),
-                 data.where(F.col("ts_ms") > mid).unionByName(sent[0]),
-                 sent[1]]
+                 data.where(F.col("ts_ms") > mid).unionByName(sent)]
         for i, part in enumerate(parts):
             part.coalesce(1).write.parquet(os.path.join(tmp, f"b{i}"))
             src = [f for f in os.listdir(os.path.join(tmp, f"b{i}"))
