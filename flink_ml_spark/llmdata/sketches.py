@@ -142,29 +142,31 @@ class CountMinSketch(Estimator, HasInputCol):
         (df,) = inputs
         d, w = int(self.get_("depth")), int(self.get_("width"))
         fam = _hash_family(d, int(self.get_("seed")))
-        # hash each DISTINCT key exactly once: pre-aggregate occurrence
-        # counts (map-side combine collapses the heavy keys), project
-        # the mixed hash on the distinct-key relation, and fan the d
-        # family rows out through a broadcast join — a join is an
-        # evaluation barrier, so the per-char poly hash runs once per
-        # key instead of once per (row x array-element); the original
-        # posexplode(array(...)) formulation re-evaluated the whole
-        # hash tree per element inside Generate (no CSE): measured 29 s
-        # -> ~4 s on 600k rows at sf0.1
+        # ONE map-side pass, ZERO full-cardinality shuffles (r10, guide
+        # §2.1): rows hash in place (vectorized Arrow batches — the
+        # per-char fold is numpy, not per-row Python), the d family
+        # rows fan out through a broadcast join (an evaluation barrier,
+        # so the poly hash runs once per row, not once per (row x
+        # element) as the original posexplode formulation did), and the
+        # ONLY shuffle is the (i, cell) aggregate — bounded at d*w keys
+        # with map-side combine, i.e. sketch-sized per task.  The
+        # previous shape pre-aggregated counts per DISTINCT key first,
+        # which is a full-cardinality groupBy of exactly the long tail
+        # the sketch exists to avoid; per-row hashing trades bounded
+        # vectorized CPU for that shuffle's network+sort.  The counter
+        # matrix is bit-identical either way (integer sums regrouped).
         key = F.col(self.get_("inputCol")).cast("string")
-        counted_keys = (df.filter(key.isNotNull())
-                        .groupBy(key.alias("__k__")).count())
-        hashed = counted_keys.select(
-            hashed_col(F.col("__k__")).alias("__h__"),
-            F.col("count").alias("__c__"))
+        hashed = (df.filter(key.isNotNull())
+                  .select(hashed_col(key).alias("__h__")))
         fam_df = df.sparkSession.createDataFrame(
             [(i, a, b) for i, (a, b) in enumerate(fam)],
             "i int, a long, b long")
         counted = (hashed.join(F.broadcast(fam_df))
                    .select("i",
                            ((F.col("__h__") * F.col("a") + F.col("b"))
-                            % MINHASH_PRIME % w).alias("cell"), "__c__")
-                   .groupBy("i", "cell").agg(F.sum("__c__").alias("count")))
+                            % MINHASH_PRIME % w).alias("cell"))
+                   .groupBy("i", "cell")
+                   .agg(F.count(F.lit(1)).alias("count")))
         mat = [[0] * w for _ in range(d)]
         for r in counted.collect():  # <= d*w rows — model-sized
             mat[int(r["i"])][int(r["cell"])] = int(r["count"])
@@ -473,25 +475,34 @@ class FrequentLineFilter(Estimator):
                              width=self.get_("width"),
                              seed=self.get_("seed")).fit(lines)
         cms.set_(outputCol="__est__")
-        cand = (cms.transform(lines.distinct())[0]
-                .filter(F.col("__est__") >= t).select("ln")
-                .localCheckpoint(eager=True))  # tiny; the exact pass
-        # would otherwise RECOMPUTE the whole estimate plan
-        exact = (lines.join(F.broadcast(cand), "ln")
+        # map-side sketch gate BEFORE the only full-line shuffle (r10,
+        # guide §2.2 — shuffle fewer bytes): every line occurrence gets
+        # its broadcast-lookup estimate in place and the unique-line
+        # long tail drops before the exact groupBy ever shuffles, so
+        # the exact pass touches candidate lines only.  CMS never
+        # underestimates, so no true-frequent line is dropped, and the
+        # verified set is identical to the old distinct-then-join shape
+        # (one corpus scan + one candidate-only shuffle instead of a
+        # full distinct shuffle, a checkpoint job, and a join pass).
+        exact = (cms.transform(lines)[0]
+                 .filter(F.col("__est__") >= t)
                  .groupBy("ln").count()
                  .filter(F.col("count") >= t))
-        n_boiler = exact.count()
+        # ONE action for cap guard + collect: limit(cap+1) bounds the
+        # driver to cap+1 rows (the fail-fast the cap exists for) and
+        # avoids re-running the corpus pass for a separate count()
         cap = int(self.get_("maxBoilerplateLines"))
-        if n_boiler > cap:
+        rows = exact.limit(cap + 1).collect()
+        if len(rows) > cap:
             raise ValueError(
-                f"FrequentLineFilter: {n_boiler} verified boilerplate "
+                f"FrequentLineFilter: >{cap} verified boilerplate "
                 f"lines exceed maxBoilerplateLines={cap}; raise minCount "
                 f"or the cap")
         model = FrequentLineFilterModel()
         model.set_(idCol=self.get_("idCol"), textCol=self.get_("textCol"),
                    outputCol=self.get_("outputCol"))
         model.model_data = {
-            "boilerplate": sorted(r["ln"] for r in exact.collect()),
+            "boilerplate": sorted(r["ln"] for r in rows),
             "minCount": t}
         return model
 

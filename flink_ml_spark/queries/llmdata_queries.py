@@ -5138,11 +5138,14 @@ KEYWORD_TEXTRANK_SQL = _keyword_textrank_sql()
 
 def cms_heavy_hitters(spark, sf_dir):
     """The two-pass heavy-hitter pattern CMS exists for at scale: pass
-    1 sketches the stream (bounded state), candidates = keys whose CMS
-    estimate clears the threshold (CMS never underestimates, so recall
-    is exact — no true heavy hitter is missed), pass 2 verifies
-    candidates exactly with a groupBy ON THE CANDIDATE SUBSET only.
-    Output is the verified heavy-hitter relation (integer-exact)."""
+    1 sketches the stream (bounded state), pass 2 gates every row
+    MAP-SIDE on its broadcast-lookup CMS estimate (CMS never
+    underestimates, so recall is exact — no true heavy hitter is
+    dropped) and the exact groupBy shuffles ONLY the candidate rows
+    (r10: the former keys.distinct() + broadcast-join candidate pass
+    was a second full-cardinality shuffle; the row-level gate removes
+    it — identical verified set).  Output is the verified heavy-hitter
+    relation (integer-exact)."""
     from ..llmdata import CountMinSketch
     li = load(spark, sf_dir, "lineitem")
     keys = li.select(F.col("l_partkey").cast("string").alias("tok"))
@@ -5150,9 +5153,8 @@ def cms_heavy_hitters(spark, sf_dir):
                            seed=SEED).fit(keys)
     model.set_(outputCol="est")
     thresh = 40
-    cand = (model.transform(keys.distinct())[0]
-            .filter(F.col("est") >= thresh))
-    exact = (keys.join(F.broadcast(cand.select("tok")), "tok")
+    exact = (model.transform(keys)[0]
+             .filter(F.col("est") >= thresh)
              .groupBy("tok").count()
              .withColumnRenamed("count", "cnt")
              .filter(F.col("cnt") >= thresh))
