@@ -44,6 +44,12 @@ from ..param import (BoolParam, HasInputCol, IntParam, Param,
 
 _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
 
+# KeySkewProfiler: key relations at or under this size take the ordered-
+# collect driver path (they would occupy one range partition anyway);
+# above it, the range-partitioned distributed cumsum runs.  Module-level
+# so tests can force the distributed path on small data.
+_SKEW_LOCAL_MAX = 65536
+
 _PROFILE_SCHEMA = T.StructType([
     T.StructField("group", T.StringType()),
     T.StructField("column", T.StringType()),
@@ -800,6 +806,39 @@ class KeySkewProfiler(Transformer, HasInputCol):
             raise ValueError(
                 f"KeySkewProfiler saw {m} distinct keys in '{key}' "
                 f"(> maxKeys={self.get_('maxKeys')}); is this an id column?")
+        if m <= _SKEW_LOCAL_MAX:
+            # model-sized key relation (it would occupy ONE range
+            # partition below anyway — npart = m // 65536 + 1): one
+            # ordered collect of the checkpointed counts replaces the
+            # range-partition / per-partition-cumsum / offset-broadcast
+            # machinery (~4 scheduler round-trips → 1; r10, guide §1.2).
+            # The sort runs in Spark (same ascending (cnt, key desc)
+            # order, so null/type ordering is the engine's), cumsums and
+            # top-k sums are exact integers, and iw accumulates doubles
+            # sequentially in the same ascending order as the former
+            # single-partition sum — outputs are bit-identical.
+            k = int(self.get_("topK"))
+            rows = (counts.orderBy(F.col("cnt").asc(), F.col("key").desc())
+                    .select(F.col("key").cast("string").alias("key"), "cnt")
+                    .collect())
+            ntot = sum(r["cnt"] for r in rows)
+            n = float(ntot)
+            iw = 0.0
+            for i, r in enumerate(rows):
+                iw += float(i + 1) * r["cnt"]
+            gini = 2.0 * iw / (m * n) - (m + 1) / m
+            t1 = sum(r["cnt"] for i, r in enumerate(rows) if m - i <= 1)
+            tk = sum(r["cnt"] for i, r in enumerate(rows) if m - i <= k)
+            out, ca = [], 0
+            for i, r in enumerate(rows):
+                ca += r["cnt"]
+                out.append((r["key"], int(r["cnt"]), r["cnt"] / n,
+                            m - i, (ntot - ca + r["cnt"]) / n,
+                            float(gini), float(t1) / n, float(tk) / n))
+            return spark.createDataFrame(
+                out, "key string, cnt long, share double, rank long, "
+                     "cum_share double, gini double, top1_share double, "
+                     "topk_share double")
         # ascending range-partitioned cumsum (the exact-KS geometry — no
         # single-task global Window even at 10M distinct keys): ascending
         # index i and inclusive cum per partition, broadcast prefix
