@@ -294,6 +294,11 @@ def main() -> None:
     # entries recorded — no silent truncation).
     totals = {"metric": "headline_queries_total_time", "value": total,
               "unit": "sec", "sf": sf_val,
+              # core count (additions-only): the driver benches at BOTH 32
+              # and 8 cores, and BENCH_DETAIL.json is overwritten by each
+              # run — without this key the sidecar left on disk by the
+              # LAST run is indistinguishable from the 32-core one
+              "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
               "value_single_pass": total_single,
               "min2_policy": f"min-of-2 for every entry >= "
                              f"{MIN2_THRESHOLD}s single-run "
